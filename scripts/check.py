@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Dev-only self-check mirroring the driver's t2 gate: for each query output
+parquet written by graft.Verify, run the oracle SQL in DuckDB over the same
+testdata parquet tables and compare values exactly.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+"""
+import json, sys, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        res_glob = f"{out_dir}/{name}/*.parquet"
+        files = glob.glob(res_glob)
+        if not files:
+            print(f"[MISS] {name}: no spark output"); n_bad += 1; continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
+            want = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"[ERR ] {name}: {e}"); n_bad += 1; continue
+        g = got.to_pylist(); w = want.to_pylist()
+        # driver sorts columns by name before hashing values
+        g = [tuple(r[k] for k in sorted(r)) for r in g]
+        w = [tuple(r[k] for k in sorted(r)) for r in w]
+        gc = sorted(got.column_names); wc = sorted(want.column_names)
+        if gc != wc:
+            print(f"[BAD ] {name}: columns {gc} != {wc}"); n_bad += 1; continue
+        if len(g) != len(w):
+            print(f"[BAD ] {name}: rows {len(g)} != {len(w)}"); n_bad += 1; continue
+        mism = [(i, a, b) for i, (a, b) in enumerate(zip(g, w)) if a != b]
+        if mism:
+            i, a, b = mism[0]
+            print(f"[BAD ] {name}: {len(mism)} mismatched rows; first @{i}:")
+            print(f"        spark={a}")
+            print(f"        duck ={b}")
+            n_bad += 1
+        else:
+            print(f"[ OK ] {name}: {len(g)} rows")
+            n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} bad ==")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,358 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.util.Tables._
+
+/** Core relational operator inventory (SURVEY.md §2.1-2.6) expressed over the
+  * driver's TPC-H-ish testdata, each with a DuckDB oracle.
+  *
+  * Conventions for hash-parity with the oracle (see [[graft.util.Tables]]):
+  * exact decimal arithmetic for aggregated doubles, raw pass-through for
+  * projected doubles, total-order `ORDER BY` on both sides, aliases matched.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Flagship: TPC-H Q1-style scan→filter→hash-agg→sort (S1, F1, A6, O1).
+    // Partial (map-side) aggregation + single shuffle on the 2 group keys.
+    "q1_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("2001-09-02").cast(TimestampType))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sumMoney($"l_quantity").as("sum_qty"),
+          sumMoney($"l_extendedprice").as("sum_base_price"),
+          sumMoney4($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .as("sum_disc_price"),
+          avgMoney($"l_quantity").as("avg_qty"),
+          avgMoney($"l_discount").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // S1: scan + projection + filter; predicate + column pruning reach the
+    // parquet reader (PushedFilters / ReadSchema in explain).
+    "s1_scan_project" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" < lit("1996-01-01").cast(TimestampType) &&
+          $"l_discount" > 0.05)
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // F1: index-range selection (reference: range(start, end+1) of deal rows).
+    "f1_range_filter" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_orderkey".between(100, 200))
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // J1: positional equi-join, small dim side broadcast (deal-table lookup).
+    "j1_lookup_join" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", $"c_name", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    }),
+
+    // J4: anti-join = incremental-resume "skip already processed" check.
+    "j4_anti_join" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val done = o.filter($"o_totalprice" > 300000)
+      c.join(done, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+
+    // J5: inner join of stage outputs + group-agg (revenue per segment).
+    "j5_join_agg" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(sumMoney($"o_totalprice").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    // J2: fuzzy theta-join (entity resolution). Builtin-levenshtein variant;
+    // the faithful Indel-ratio variant is the FuzzRatio Catalyst expression
+    // (unit-tested; not DuckDB-expressible). Broadcast nested-loop on a
+    // bounded key range so the pair count stays O(|subset| * |supplier|).
+    "j2_fuzzy_join" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer").filter($"c_custkey" < 100)
+      val sup = t(s, dir, "supplier")
+      c.crossJoin(broadcast(sup))
+        .withColumn("dist", levenshtein(lower($"c_name"), lower($"s_name")))
+        .filter($"dist" <= 8)
+        .select($"c_custkey", $"s_suppkey", $"dist")
+        .orderBy($"c_custkey", $"s_suppkey")
+    }),
+
+    // J3: containment theta-join (doc kept iff it contains the search term).
+    "j3_containment_join" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val terms = s.createDataFrame(Seq(
+        Tuple1("vector"), Tuple1("stream"), Tuple1("window")))
+        .toDF("term")
+      docs.join(broadcast(terms), $"text".contains($"term"))
+        .groupBy($"term")
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_doc"))
+        .orderBy($"term")
+    }),
+
+    // A2: top-N most common (deterministic tiebreak on the key).
+    "a2_topk" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy($"event_type").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"event_type")
+        .limit(3)
+    }),
+
+    // A3: group-to-map inversion via collect_list (sorted for determinism).
+    "a3_collect_list" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "nation")
+        .groupBy($"n_regionkey")
+        .agg(sort_array(collect_list($"n_name")).as("names"))
+        .orderBy($"n_regionkey")
+    }),
+
+    // O3: hybrid-score-descending top-1 per group via window rank.
+    "o3_window_top1" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_orderpriority")
+    }),
+
+    // O4: first-match-wins, made deterministic (lowest date, then key) —
+    // the reference takes whichever future finishes first (SURVEY §2.5 O4).
+    "o4_first_match" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"o_custkey", $"o_orderkey",
+          $"o_orderdate".cast(DateType).as("first_date"))
+        .orderBy($"o_custkey")
+    }),
+
+    // U1: bag-union of result lists, then tally.
+    "u1_union" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      o.filter($"o_totalprice" > 400000)
+        .union(o.filter($"o_orderpriority" === "1-URGENT"))
+        .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus")
+    }),
+
+    // U2: dedup keeping first occurrence (insertion order ≅ min event_id).
+    "u2_dedup_first" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy($"user_id", $"event_type")
+        .agg(min($"event_id").as("first_event"))
+        .orderBy($"user_id", $"event_type")
+    }),
+
+    // F15: regex capture-group extraction (CIK-style numeric id).
+    "f15_regex_extract" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .select($"c_custkey",
+          regexp_extract($"c_name", "Customer#(\\d+)", 1).cast(LongType)
+            .as("name_num"))
+        .orderBy($"c_custkey")
+    }),
+
+    // F16: URL construction (strip leading zeros, char translate, concat).
+    "f16_url_build" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "supplier")
+        .select($"s_suppkey",
+          concat(lit("https://example.com/data/"),
+            regexp_replace(regexp_extract($"s_name", "Supplier#(\\d+)", 1),
+              "^0+", ""),
+            lit("/"), translate($"s_name", "#", "-")).as("url"))
+        .orderBy($"s_suppkey")
+    }),
+
+    // F13: word-boundary rlike containment predicate (both-names filter).
+    "f13_rlike_filter" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .filter($"text".rlike("\\bvector\\b") && $"text".rlike("\\bwindow\\b"))
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    }),
+
+    // F18+F19: min-length predicate + skip-term blacklist as a higher-order
+    // `exists` over a literal term array (stays inside codegen).
+    "f18_blacklist_filter" -> ((s, dir) => {
+      import s.implicits._
+      val terms = array(lit("slow"), lit("error"), lit("merge"))
+      t(s, dir, "documents")
+        .filter(length($"text") >= 200 &&
+          !exists(terms, term => $"text".contains(term)))
+        .select($"doc_id", $"n_chars")
+        .orderBy($"doc_id")
+    }),
+
+    // A6+F3: time-bucketed tally over the events table (date_trunc hour).
+    "event_hourly_agg" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm")
+          .as("hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), sumMoney($"value").as("total_value"))
+        .orderBy($"hour", $"event_type")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+        | CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+        | COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "s1_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00' AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "f1_range_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 100 AND 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "j1_lookup_join" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "j4_anti_join" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "j5_join_agg" ->
+      """SELECT c_mktsegment,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "j2_fuzzy_join" ->
+      """SELECT c_custkey, s_suppkey,
+        | levenshtein(lower(c_name), lower(s_name)) AS dist
+        |FROM customer, supplier
+        |WHERE c_custkey < 100
+        | AND levenshtein(lower(c_name), lower(s_name)) <= 8
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
+    "j3_containment_join" ->
+      """SELECT term, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+        |FROM documents, (VALUES ('vector'), ('stream'), ('window')) t(term)
+        |WHERE contains(text, term)
+        |GROUP BY term
+        |ORDER BY term""".stripMargin,
+    "a2_topk" ->
+      """SELECT event_type, COUNT(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY n DESC, event_type
+        |LIMIT 3""".stripMargin,
+    "a3_collect_list" ->
+      """SELECT n_regionkey, list(n_name ORDER BY n_name) AS names
+        |FROM nation
+        |GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin,
+    "o3_window_top1" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |        ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+        |WHERE rn = 1
+        |ORDER BY o_orderpriority""".stripMargin,
+    "o4_first_match" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS first_date
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey) AS rn FROM orders)
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "u1_union" ->
+      """SELECT o_orderstatus, COUNT(*) AS n
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 400000
+        |      UNION ALL
+        |      SELECT * FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "u2_dedup_first" ->
+      """SELECT user_id, event_type, MIN(event_id) AS first_event
+        |FROM events
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+    "f15_regex_extract" ->
+      """SELECT c_custkey,
+        | CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) AS name_num
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    "f16_url_build" ->
+      """SELECT s_suppkey,
+        | 'https://example.com/data/' ||
+        | regexp_replace(regexp_extract(s_name, 'Supplier#(\d+)', 1), '^0+', '') ||
+        | '/' || translate(s_name, '#', '-') AS url
+        |FROM supplier
+        |ORDER BY s_suppkey""".stripMargin,
+    "f13_rlike_filter" ->
+      """SELECT doc_id, lang
+        |FROM documents
+        |WHERE regexp_matches(text, '\bvector\b')
+        |  AND regexp_matches(text, '\bwindow\b')
+        |ORDER BY doc_id""".stripMargin,
+    "f18_blacklist_filter" ->
+      """SELECT doc_id, n_chars
+        |FROM documents
+        |WHERE length(text) >= 200
+        |  AND NOT (contains(text, 'slow') OR contains(text, 'error')
+        |           OR contains(text, 'merge'))
+        |ORDER BY doc_id""".stripMargin,
+    "event_hourly_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+        | event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin
+  )
+}
