@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import org.apache.spark.sql.graft.{ChunkSplit, FuzzPartialRatio, FuzzRatio, MonthShiftReset, NfkcAscii, internal}
+import org.apache.spark.sql.graft.{BackgroundPassage, ChunkSplit, CompanyNameNorm, DedupLines, ExtractOrgs, FuzzPartialRatio, FuzzRatio, HtmlToText, MonthShiftReset, NfkcAscii, PseudoEmbedding, internal}
 
 /** Column-API + SQL surface for the engine's custom Catalyst expressions.
   *
@@ -33,6 +33,26 @@ object GraftFunctions {
   def chunk_split(c: Column, chunkSize: Int = 2048, overlap: Int = 400): Column =
     col(ChunkSplit(ex(c), chunkSize, overlap))
 
+  /** T3-T6 header cascade -> promoted passage or null. */
+  def background_passage(c: Column, backgroundOnly: Boolean): Column =
+    col(BackgroundPassage(ex(c), backgroundOnly))
+
+  /** F5 company-name normalization. */
+  def company_name_norm(c: Column): Column = col(CompanyNameNorm(ex(c)))
+
+  /** F7 HTML -> text. */
+  def html_to_text(c: Column): Column = col(HtmlToText(ex(c)))
+
+  /** U3 order-preserving line dedup. */
+  def dedup_lines(c: Column): Column = col(DedupLines(ex(c)))
+
+  /** X4 test-grade ORG extraction. */
+  def extract_orgs(c: Column): Column = col(ExtractOrgs(ex(c)))
+
+  /** T8 hermetic deterministic embedding stub. */
+  def pseudo_embedding(c: Column, dim: Int): Column =
+    col(PseudoEmbedding(ex(c), dim))
+
   /** Register SQL names for `spark.sql` use; safe to call repeatedly. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -52,5 +72,17 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("chunk_split",
       es => ChunkSplit(es.head,
         lit(es(1)).asInstanceOf[Int], lit(es(2)).asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("background_passage",
+      es => BackgroundPassage(es.head, lit(es(1)).asInstanceOf[Boolean]), "built-in")
+    reg.createOrReplaceTempFunction("company_name_norm",
+      es => CompanyNameNorm(es.head), "built-in")
+    reg.createOrReplaceTempFunction("html_to_text",
+      es => HtmlToText(es.head), "built-in")
+    reg.createOrReplaceTempFunction("dedup_lines",
+      es => DedupLines(es.head), "built-in")
+    reg.createOrReplaceTempFunction("extract_orgs",
+      es => ExtractOrgs(es.head), "built-in")
+    reg.createOrReplaceTempFunction("pseudo_embedding",
+      es => PseudoEmbedding(es.head, lit(es(1)).asInstanceOf[Int]), "built-in")
   }
 }

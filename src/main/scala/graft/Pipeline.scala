@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.GraftFunctions._
+import graft.ops.{Assemble, Normalize, Rank, TextImpl}
+
+/** The flagship lineage (SURVEY.md §3): document -> chunk -> header cascade
+  * -> hybrid rank -> top-1 -> window assembly -> dedup -> validate/enrich ->
+  * extracted section. Everything is `DataFrame => DataFrame`; the external
+  * scorers (embedder/reranker) default to the hermetic deterministic stubs
+  * and are swappable via [[graft.io.Clients]].
+  *
+  * Scale posture: per-document logic is per-row column logic; the only
+  * shuffles are the per-doc window (top-1 + passage frame) and the
+  * enrichment aggregations, all keyed by doc_id — at 100 TB this partitions
+  * by doc_id and nothing is driver-side.
+  */
+object Pipeline {
+
+  /** The reference's rerank query (config/rerank_query.txt), used by the
+    * deterministic stub scorers. */
+  val RerankQuery: String =
+    "Identify which passage contains the actual beginning of a narrative " +
+      "section titled \"Background of the Offer\" or a similarly worded " +
+      "section describing a timeline of events, meetings, or decisions " +
+      "leading up to a merger, acquisition, or transaction."
+
+  val EmbedDim = 64
+
+  /** Chunk documents: (doc_id, company_a, company_b, content) ->
+    * (doc_id, chunk_idx, chunk). */
+  def chunk(docs: DataFrame, chunkSize: Int = 2048, overlap: Int = 400): DataFrame =
+    docs.select(col("doc_id"),
+      chunk_split(col("content"), chunkSize, overlap))
+
+  /** T3-T7: cascade over chunks with the two-phase phrase strategy —
+    * full phrase list first; docs with zero candidates retried with the
+    * bare "Background" exact-line match (src/crawler/Processor.py:266-269).
+    */
+  def candidates(chunks: DataFrame): DataFrame = {
+    val cand1 = chunks
+      .select(col("doc_id"), col("chunk_idx"),
+        background_passage(col("chunk"), backgroundOnly = false).as("passage"))
+      .filter(col("passage").isNotNull)
+    val resolved = cand1.select("doc_id").distinct()
+    val cand2 = chunks
+      .join(resolved, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("chunk_idx"),
+        background_passage(col("chunk"), backgroundOnly = true).as("passage"))
+      .filter(col("passage").isNotNull)
+    cand1.unionByName(cand2)
+  }
+
+  /** T8/T9/O3: hybrid-score candidates and keep the deterministic top-1 per
+    * doc. Single-candidate docs pass through unchanged (the reference skips
+    * scoring for them — same winner either way). */
+  def rank(cands: DataFrame): DataFrame = {
+    val qvec = typedLit(TextImpl.pseudoEmbedding(RerankQuery, EmbedDim))
+    val scored = cands
+      .withColumn("cos",
+        Rank.cosine(pseudo_embedding(col("passage"), EmbedDim), qvec))
+      .withColumn("rerank", Rank.pseudoRerank(lit(RerankQuery), col("passage")))
+      .withColumn("hybrid", Rank.hybrid(col("cos"), col("rerank")))
+    Rank.top1(scored, "doc_id", "hybrid", "chunk_idx")
+  }
+
+  /** Full extraction: docs(doc_id, company_a, company_b, content) ->
+    * (doc_id, content) extracted sections. */
+  def extractSections(docs: DataFrame, chunkSize: Int = 2048,
+      overlap: Int = 400): DataFrame = {
+    val names = docs.select(col("doc_id"), col("company_a"), col("company_b"))
+    val chunks = chunk(docs, chunkSize, overlap)
+    val winners = rank(candidates(chunks))
+    val assembled = Assemble.assemblePassage(chunks, winners)
+      .join(names, Seq("doc_id"))
+    val validated = assembled.withColumn("ok",
+      Assemble.tokensPresent(Assemble.squash(col("passage_text")),
+        col("company_a"), col("company_b")))
+    val direct = validated.filter(col("ok"))
+      .select(col("doc_id"),
+        concat(Assemble.headerLine(col("company_a"), col("company_b")),
+          col("passage_text")).as("content"))
+    val enriched = Assemble.enrich(
+      validated.filter(!col("ok"))
+        .select(col("doc_id"), col("passage_text"),
+          col("company_a"), col("company_b")),
+      chunks)
+    direct.unionByName(enriched)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{CompanyNameNorm, DedupLines, HtmlToText, internal}
+
+import graft.GraftFunctions
+
+/** F4-F19: pure `Column => Column` normalization/cleanup builders
+  * (SURVEY.md §2.2). These compose into the document-cleaning chain the
+  * reference applies at ingest (src/crawler/Processor.py:111-187).
+  */
+object Normalize {
+  /** F4: drop parenthetical qualifiers + trim. */
+  def stripParens(c: Column): Column =
+    trim(regexp_replace(c, "\\(.*?\\)", ""))
+
+  /** F5: "all but last word" company-name normalization (custom expr). */
+  def companyName(c: Column): Column =
+    internal.column(CompanyNameNorm(internal.expression(lower(c))))
+
+  /** F6: URL-encode spaces (the only encoding the reference applies). */
+  def urlEncodeSpaces(c: Column): Column = regexp_replace(c, " ", "%20")
+
+  /** F7: HTML -> newline-joined text nodes (custom expr). */
+  def htmlToText(c: Column): Column =
+    internal.column(HtmlToText(internal.expression(c)))
+
+  /** F8: remove digit-only lines (page numbers). */
+  def removePageNumbers(c: Column): Column =
+    regexp_replace(c, "(?m)^\\s*\\d+\\s*$", "")
+
+  /** F9: collapse blank-line runs to a single blank line. */
+  def collapseBlankRuns(c: Column): Column =
+    regexp_replace(c, "\n\\s*\n+", "\n\n")
+
+  /** F10: NFKC + ASCII fold (custom expr). */
+  def nfkcAscii(c: Column): Column = GraftFunctions.nfkc_ascii(c)
+
+  /** F11: strip table-of-contents markers (both reference variants). */
+  def removeTocMarkers(c: Column): Column =
+    regexp_replace(c, "(?i)table\\s*of\\s*contents?", "")
+
+  /** F12: content cap (450k chars) and lowercased header probe (11k). */
+  def truncateDoc(c: Column): Column = substring(c, 1, 450000)
+  def headerProbe(c: Column): Column = lower(substring(c, 1, 11000))
+
+  /** The full ingest cleaning chain F7 -> F8 -> F9 -> F10 -> F11 -> F12
+    * (src/crawler/Processor.py:111-181). */
+  def cleanDocument(raw: Column): Column =
+    truncateDoc(removeTocMarkers(nfkcAscii(collapseBlankRuns(
+      removePageNumbers(htmlToText(raw))))))
+
+  /** U3: order-preserving line dedup (custom expr). */
+  def dedupLines(c: Column): Column =
+    internal.column(DedupLines(internal.expression(c)))
+
+  /** Escape regex metacharacters in a data column (for F13 dynamic
+    * word-boundary patterns), equivalent to Python's re.escape. */
+  def regexQuote(c: Column): Column =
+    regexp_replace(c, "([\\\\.\\[\\]{}()*+?^$|\\-&])", "\\\\$1")
+
+  /** F13: both normalized names present (word-boundary) in the header probe.
+    * Dynamic per-row pattern: compiled per distinct pattern at runtime. */
+  def bothNamesPresent(header: Column, nameA: Column, nameB: Column): Column = {
+    def present(name: Column): Column =
+      regexp_like(header, concat(lit("\\b"), regexQuote(name), lit("\\b")))
+    present(nameA) && present(nameB)
+  }
+
+  /** F14: hyphen-fallback variant of a name. */
+  def hyphenToSpace(c: Column): Column = translate(c, "-", " ")
+}

@@ -1,0 +1,192 @@
+package graft.ops
+
+import scala.collection.mutable
+import scala.util.matching.Regex
+
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.expr.FuzzImpl
+
+/** Pure scalar implementations behind the pipeline's custom expressions.
+  * Each mirrors a reference behavior (file:line cited per function); all are
+  * deterministic, allocation-conscious, and callable from generated code.
+  */
+object TextImpl {
+
+  // --- F5: company-name normalization (src/crawler/Processor.py:30-64) ---
+  // Strip parentheticals, split on space/underscore, merge domain-like token
+  // with its successor ("net/com/org/co" -> "net.xyz"), then drop the last
+  // word (or last two if the penultimate is "&").
+  private val domainTokens = Set("net", "com", "org", "co")
+
+  def normalizeCompanyName(s: UTF8String): UTF8String =
+    UTF8String.fromString(normalizeCompanyNameStr(s.toString))
+
+  def normalizeCompanyNameStr(name: String): String = {
+    val clean = name.replaceAll("\\(.*?\\)", "")
+    val words = mutable.ArrayBuffer.from(clean.trim.split("[\\s_]+").filter(_.nonEmpty))
+    var i = 0
+    var merged = false
+    while (i < words.length - 1 && !merged) {
+      if (domainTokens.contains(words(i).toLowerCase)) {
+        words(i) = words(i) + "." + words(i + 1)
+        words.remove(i + 1)
+        merged = true
+      }
+      i += 1
+    }
+    if (words.length > 1) {
+      if (words(words.length - 2) == "&") { words.remove(words.length - 1); words.remove(words.length - 1) }
+      else words.remove(words.length - 1)
+    }
+    words.mkString(" ")
+  }
+
+  // --- F7: HTML -> text (src/crawler/Processor.py:111-121) ---
+  // The reference joins every text node with "\n" (lxml recover mode). This
+  // hand-rolled scanner drops tags/comments/script/style bodies, decodes the
+  // common entities, and emits one line per text node.
+  def htmlToText(s: UTF8String): UTF8String =
+    UTF8String.fromString(htmlToTextStr(s.toString))
+
+  def htmlToTextStr(html: String): String = {
+    val out = new StringBuilder
+    val n = html.length
+    var i = 0
+    var skipTag: String = null // inside <script>/<style> body when non-null
+    val text = new StringBuilder
+    def flush(): Unit = {
+      val t = text.toString.trim
+      if (t.nonEmpty) {
+        if (out.nonEmpty) out.append('\n')
+        out.append(t)
+      }
+      text.clear()
+    }
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val end = html.indexOf("-->", i)
+          i = if (end < 0) n else end + 3
+        } else {
+          val end = html.indexOf('>', i)
+          val tag = if (end < 0) html.substring(i + 1) else html.substring(i + 1, end)
+          val tagName = tag.takeWhile(ch => ch.isLetterOrDigit || ch == '/').toLowerCase
+          if (skipTag == null) {
+            flush()
+            if (tagName == "script" || tagName == "style") skipTag = tagName
+          } else if (tagName == "/" + skipTag) {
+            skipTag = null
+          }
+          i = if (end < 0) n else end + 1
+        }
+      } else {
+        if (skipTag == null) {
+          if (c == '&') {
+            val semi = html.indexOf(';', i)
+            if (semi > i && semi - i <= 8) {
+              val ent = html.substring(i + 1, semi)
+              val dec = ent match {
+                case "amp" => "&"
+                case "lt" => "<"
+                case "gt" => ">"
+                case "quot" => "\""
+                case "apos" => "'"
+                case "nbsp" => " "
+                case e if e.startsWith("#x") || e.startsWith("#X") =>
+                  try String.valueOf(Integer.parseInt(e.drop(2), 16).toChar)
+                  catch { case _: Exception => "&" + ent + ";" }
+                case e if e.startsWith("#") =>
+                  try String.valueOf(Integer.parseInt(e.drop(1)).toChar)
+                  catch { case _: Exception => "&" + ent + ";" }
+                case _ => null
+              }
+              if (dec != null) { text.append(dec); i = semi + 1 }
+              else { text.append(c); i += 1 }
+            } else { text.append(c); i += 1 }
+          } else { text.append(c); i += 1 }
+        } else i += 1
+      }
+    }
+    flush()
+    out.toString
+  }
+
+  // --- U3: line-level dedup preserving order and blank lines
+  // (src/dependencies/ChunkProcessor.py:240-255) ---
+  def dedupLines(s: UTF8String): UTF8String =
+    UTF8String.fromString(dedupLinesStr(s.toString))
+
+  def dedupLinesStr(text: String): String = {
+    val seen = mutable.HashSet.empty[String]
+    val out = new StringBuilder
+    var first = true
+    text.split("\n", -1).foreach { line =>
+      val t = line.trim
+      val keep = if (t.nonEmpty) seen.add(t) else true
+      if (keep) {
+        if (!first) out.append('\n')
+        out.append(if (t.nonEmpty) line else "")
+        first = false
+      }
+    }
+    out.toString
+  }
+
+  // --- X4 (test-grade NER): capitalized multi-word sequences + corporate
+  // suffix gazetteer (SURVEY §2.8), replacing spaCy ORG entities. ---
+  private val orgSuffixes = Set("Inc", "Corp", "Co", "LLC", "Ltd", "LP",
+    "Company", "Corporation", "Incorporated", "Holdings", "Group",
+    "Technologies", "Systems", "Partners")
+  private val orgToken: Regex = "[A-Z][A-Za-z0-9&.-]*".r
+
+  def extractOrgs(text: String): Seq[String] = {
+    val words = text.split("[^A-Za-z0-9&.-]+").filter(_.nonEmpty)
+    val out = mutable.ArrayBuffer.empty[String]
+    var run = mutable.ArrayBuffer.empty[String]
+    def close(): Unit = {
+      if (run.nonEmpty) {
+        val last = run.last.stripSuffix(".").stripSuffix(",")
+        // a run counts as an ORG if it ends with a corporate suffix, or is a
+        // multi-word capitalized sequence
+        if (orgSuffixes.contains(last) && run.length >= 2)
+          out += run.mkString(" ")
+        run = mutable.ArrayBuffer.empty[String]
+      }
+    }
+    words.foreach { w =>
+      if (orgToken.pattern.matcher(w).matches()) run += w
+      else close()
+    }
+    close()
+    out.toSeq
+  }
+
+  // --- T8 stub: deterministic pseudo-embedding (SURVEY §7.5: hermetic,
+  // seeded hash -> unit vector) used when no external embedder is wired. ---
+  def pseudoEmbedding(text: String, dim: Int): Array[Float] = {
+    val v = new Array[Float](dim)
+    val n = text.length
+    var i = 0
+    while (i < n - 2) {
+      // 3-gram rolling feature hash
+      var h = 17
+      h = h * 31 + text.charAt(i)
+      h = h * 31 + text.charAt(i + 1)
+      h = h * 31 + text.charAt(i + 2)
+      val idx = ((h % dim) + dim) % dim
+      v(idx) += (if (((h >> 16) & 1) == 0) 1.0f else -1.0f)
+      i += 1
+    }
+    var norm = 0.0
+    var j = 0
+    while (j < dim) { norm += v(j).toDouble * v(j); j += 1 }
+    if (norm > 0) {
+      val inv = (1.0 / math.sqrt(norm)).toFloat
+      j = 0
+      while (j < dim) { v(j) *= inv; j += 1 }
+    }
+    v
+  }
+}

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftFunctions._
+import graft.Pipeline
+import graft.ops.Normalize
+import graft.util.Tables._
+
+/** Pipeline-operator queries over the driver testdata (SURVEY.md §2.7).
+  * Custom-expression semantics that ARE SQL-expressible get DuckDB oracles
+  * (window assembly T10, line dedup U3, simple-path name normalization F5,
+  * HTML extraction F7); the heuristic cascade + full pipeline are rows-only
+  * here and covered by CascadeSpec/PipelineSpec fixtures.
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Flagship lineage at scale: synthesize a filing per document row
+    // (title + Background header + narrative body), then run the full
+    // chunk -> cascade -> rank -> assemble -> validate/enrich pipeline.
+    "pipeline_extract" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(
+        $"doc_id",
+        concat(initcap($"source"), lit(" Systems Inc")).as("company_a"),
+        concat(initcap($"source"), lit(" Holdings Corp")).as("company_b"),
+        concat(
+          lit("Proxy Statement Overview\n\nIntroductory boilerplate about " +
+            "record dates and solicitation matters.\n\n"),
+          lit("Background of the Merger\n\n"),
+          // fold the single-line word salad into ~6-word prose lines so the
+          // narrative reads paragraph-like (otherwise T5 flags it as a TOC)
+          regexp_replace(concat($"text", lit(" "), $"text"),
+            "((?:\\S+ ){6})", "$1\n"),
+          lit("\n\nOther Matters\n\nClosing boilerplate paragraph.")).as("content"))
+      Pipeline.extractSections(docs)
+        .select($"doc_id", length($"content").as("content_len"))
+        .orderBy($"doc_id")
+    }),
+
+    // T10: passage-assembly window frame (rowsBetween 1..3 over fixed-stride
+    // chunks) — the direct mapping of `chunks[i+1:i+12]`.
+    "t10_passage_window" -> ((s, dir) => {
+      import s.implicits._
+      val chunks = t(s, dir, "documents")
+        .select($"doc_id", explode(sequence(lit(0L),
+          ceil(length($"text") / 256.0).cast("long") - 1)).as("chunk_idx"),
+          $"text")
+        .select($"doc_id", $"chunk_idx",
+          substring($"text", ($"chunk_idx" * 256 + 1).cast("int"), lit(256))
+            .as("chunk"))
+      val w = Window.partitionBy($"doc_id").orderBy($"chunk_idx")
+        .rowsBetween(1, 3)
+      chunks
+        .withColumn("following", collect_list($"chunk").over(w))
+        .withColumn("assembled",
+          when(size($"following") === 0, $"chunk")
+            .otherwise(concat($"chunk", lit("\n"),
+              array_join($"following", "\n"))))
+        .filter($"chunk_idx" === 0)
+        .select($"doc_id", $"assembled")
+        .orderBy($"doc_id")
+    }),
+
+    // U3: order-preserving line dedup (one word per line; duplicates in the
+    // word-salad text make this non-trivial).
+    "u3_dedup_lines" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          Normalize.dedupLines(translate($"text", " ", "\n")).as("deduped"))
+        .orderBy($"doc_id")
+    }),
+
+    // F5: company-name normalization, simple path (multi-word -> drop last
+    // word). Parens/domain/& branches are unit-tested in NormalizeSpec.
+    "f5_company_norm" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "part")
+        .select($"p_partkey", company_name_norm(lower($"p_name")).as("norm_name"))
+        .orderBy($"p_partkey")
+    }),
+
+    // F7: HTML -> newline-joined text nodes over synthesized markup.
+    "f7_html_to_text" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          html_to_text(concat(lit("<html><body><p>"),
+            regexp_replace($"text", " the ", "</p><p>"),
+            lit("</p><script>ignored()</script></body></html>")))
+            .as("extracted"))
+        .orderBy($"doc_id")
+    })
+  )
+
+  private def substrChunks =
+    """SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+      |       substr(text, CAST(i*256+1 AS INT), 256) AS chunk
+      |FROM (SELECT doc_id, text,
+      |        unnest(range(0, CAST(ceil(length(text)/256.0) AS BIGINT))) AS i
+      |      FROM documents)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "t10_passage_window" ->
+      s"""WITH chunks AS ($substrChunks)
+        |SELECT doc_id,
+        |  CASE WHEN follows IS NULL THEN chunk
+        |       ELSE chunk || chr(10) || follows END AS assembled
+        |FROM (
+        |  SELECT doc_id, chunk_idx, chunk,
+        |    string_agg(chunk, chr(10)) OVER (PARTITION BY doc_id
+        |      ORDER BY chunk_idx ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING)
+        |      AS follows
+        |  FROM chunks)
+        |WHERE chunk_idx = 0
+        |ORDER BY doc_id""".stripMargin,
+    "u3_dedup_lines" ->
+      """SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS deduped
+        |FROM (
+        |  SELECT doc_id, pos, line,
+        |    row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split(text, ' ')) AS line,
+        |      unnest(range(1, len(string_split(text, ' '))+1)) AS pos
+        |    FROM documents))
+        |WHERE rn = 1
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "f5_company_norm" ->
+      """SELECT p_partkey,
+        |  CASE WHEN len(string_split(p_name, ' ')) > 1
+        |       THEN array_to_string(list_slice(string_split(p_name, ' '), 1,
+        |              len(string_split(p_name, ' ')) - 1), ' ')
+        |       ELSE p_name END AS norm_name
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+    "f7_html_to_text" ->
+      """SELECT doc_id, replace(text, ' the ', chr(10)) AS extracted
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+  )
+}

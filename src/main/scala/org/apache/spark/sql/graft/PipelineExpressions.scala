@@ -1,0 +1,112 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ops.{CascadeImpl, TextImpl}
+
+/** Static-call bridges for the pipeline's scalar expressions (see
+  * graft.ops.TextImpl / CascadeImpl for semantics + reference citations).
+  * All scalar string ops generate a single static call, staying inside
+  * whole-stage codegen.
+  */
+object PipelineImplBridge {
+  def backgroundPassage(chunk: UTF8String, backgroundOnly: Boolean): UTF8String = {
+    val r = CascadeImpl.backgroundPassage(chunk.toString, backgroundOnly)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+  def extractOrgs(text: UTF8String): ArrayData =
+    ArrayData.toArrayData(
+      TextImpl.extractOrgs(text.toString).map(UTF8String.fromString).toArray)
+  def pseudoEmbedding(text: UTF8String, dim: Int): ArrayData =
+    ArrayData.toArrayData(TextImpl.pseudoEmbedding(text.toString, dim))
+}
+
+abstract class StaticStringUnary extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  protected def staticCall: String // e.g. "graft.ops.TextImpl.dedupLines"
+  override def nullSafeEval(s: Any): Any = evalString(s.asInstanceOf[UTF8String])
+  protected def evalString(s: UTF8String): UTF8String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"$staticCall($s)")
+}
+
+/** F5: company-name normalization ("all but last word" + domain merge). */
+case class CompanyNameNorm(child: Expression) extends StaticStringUnary {
+  override protected def staticCall = "graft.ops.TextImpl.normalizeCompanyName"
+  override protected def evalString(s: UTF8String) = TextImpl.normalizeCompanyName(s)
+  override def prettyName: String = "company_name_norm"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** F7: HTML -> text (text nodes joined by newline). */
+case class HtmlToText(child: Expression) extends StaticStringUnary {
+  override protected def staticCall = "graft.ops.TextImpl.htmlToText"
+  override protected def evalString(s: UTF8String) = TextImpl.htmlToText(s)
+  override def prettyName: String = "html_to_text"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** U3: order-preserving line dedup (keeps blanks). */
+case class DedupLines(child: Expression) extends StaticStringUnary {
+  override protected def staticCall = "graft.ops.TextImpl.dedupLines"
+  override protected def evalString(s: UTF8String) = TextImpl.dedupLines(s)
+  override def prettyName: String = "dedup_lines"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** T3-T6 cascade: null unless the chunk contains a Background-section
+  * header that survives title/TOC/length heuristics; otherwise the promoted
+  * passage text. */
+case class BackgroundPassage(child: Expression, backgroundOnly: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(s: Any): Any =
+    PipelineImplBridge.backgroundPassage(s.asInstanceOf[UTF8String], backgroundOnly)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = org.apache.spark.sql.graft.PipelineImplBridge.backgroundPassage($c, $backgroundOnly);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  override def prettyName: String = "background_passage"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** X4 test-grade NER: ORG-like capitalized runs ending in a corporate
+  * suffix. */
+case class ExtractOrgs(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(s: Any): Any =
+    PipelineImplBridge.extractOrgs(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"org.apache.spark.sql.graft.PipelineImplBridge.extractOrgs($s)")
+  override def prettyName: String = "extract_orgs"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** T8 hermetic embedder stub: deterministic 3-gram feature-hash unit vector
+  * (swap for a real service client via graft.io.Embedder at deploy time). */
+case class PseudoEmbedding(child: Expression, dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(dim > 0, s"invalid pseudo_embedding dim $dim")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(s: Any): Any =
+    PipelineImplBridge.pseudoEmbedding(s.asInstanceOf[UTF8String], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"org.apache.spark.sql.graft.PipelineImplBridge.pseudoEmbedding($s, $dim)")
+  override def prettyName: String = "pseudo_embedding"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

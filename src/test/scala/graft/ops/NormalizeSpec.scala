@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class NormalizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def norm(name: String): String =
+    Seq(name).toDF("n").select(Normalize.companyName($"n"))
+      .collect().head.getString(0)
+
+  test("F5 company-name normalization branch coverage") {
+    // parenthetical strip + drop last word
+    assert(norm("CyBear Inc(Andryx Corp)") == "cybear")
+    // ampersand drops last two words
+    assert(norm("Johnson & Johnson") == "johnson")
+    // hyphen preserved
+    assert(norm("Dallas-Semiconductor Corp") == "dallas-semiconductor")
+    // domain-like token already joined stays
+    assert(norm("Mediconsult.com Inc") == "mediconsult.com")
+    // domain token merges with successor, then last word dropped
+    assert(norm("Shop com Holdings Inc") == "shop com.holdings")
+    // single word is kept as-is
+    assert(norm("IBM") == "ibm")
+  }
+
+  test("F7 html_to_text: tags stripped, script dropped, entities decoded") {
+    val html = "<html><head><script>var x = 1;</script></head>" +
+      "<body><p>First &amp; second</p><div>Third&nbsp;part</div></body></html>"
+    val out = Seq(html).toDF("h").select(Normalize.htmlToText($"h"))
+      .collect().head.getString(0)
+    assert(out == "First & second\nThird part")
+  }
+
+  test("F8/F9/F11 cleanup regexes") {
+    val raw = "Line one\n 42 \nLine two\n\n\n\nLine three\nTable of Contents\nEnd"
+    val out = Seq(raw).toDF("t")
+      .select(Normalize.collapseBlankRuns(
+        Normalize.removePageNumbers($"t")).as("t"))
+      .select(Normalize.removeTocMarkers($"t"))
+      .collect().head.getString(0)
+    assert(!out.matches("(?s).*\\n\\s*42\\s*\\n.*"))
+    assert(!out.contains("\n\n\n"))
+    assert(!out.toLowerCase.contains("table of contents"))
+  }
+
+  test("U3 dedup_lines keeps first occurrence and blank lines") {
+    val text = "alpha\nbeta\n\nalpha\ngamma\nbeta\n\ndelta"
+    val out = Seq(text).toDF("t").select(Normalize.dedupLines($"t"))
+      .collect().head.getString(0)
+    assert(out == "alpha\nbeta\n\ngamma\n\ndelta")
+  }
+
+  test("F13 word-boundary presence for both names") {
+    val df = Seq(("the acme corporation and globex holdings announce", "acme", "globex"),
+      ("only acme appears here", "acme", "globex"))
+      .toDF("header", "a", "b")
+    val got = df.select(Normalize.bothNamesPresent($"header", $"a", $"b"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(got == Seq(true, false))
+  }
+
+  test("F13 regex metacharacters in names are quoted") {
+    // dot and ampersand must be treated literally, not as regex syntax
+    val df = Seq(
+      ("we saw at&t corp and amazon.com inc today", "amazon.com", "at&t corp"),
+      ("amazonXcom must not match the dotted name", "amazon.com", "at&t corp"))
+      .toDF("header", "a", "b")
+    val got = df.select(Normalize.bothNamesPresent($"header", $"a", $"b"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(got == Seq(true, false))
+  }
+}
