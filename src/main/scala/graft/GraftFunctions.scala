@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import org.apache.spark.sql.graft.{BackgroundPassage, ChunkSplit, CompanyNameNorm, DedupLines, ExtractOrgs, FuzzPartialRatio, FuzzRatio, HtmlToText, MonthShiftReset, NfkcAscii, PseudoEmbedding, internal}
+import org.apache.spark.sql.graft.{BackgroundPassage, ChunkSplit, CompanyNameNorm, DedupLines, ExtractOrgs, FuzzPartialRatio, FuzzRatio, HtmlToText, MonthShiftReset, NfkcAscii, PseudoEmbedding, SimHash64, internal}
 
 /** Column-API + SQL surface for the engine's custom Catalyst expressions.
   *
@@ -53,6 +53,9 @@ object GraftFunctions {
   def pseudo_embedding(c: Column, dim: Int): Column =
     col(PseudoEmbedding(ex(c), dim))
 
+  /** 64-bit SimHash near-dup fingerprint. */
+  def simhash64(c: Column): Column = col(SimHash64(ex(c)))
+
   /** Register SQL names for `spark.sql` use; safe to call repeatedly. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -84,5 +87,7 @@ object GraftFunctions {
       es => ExtractOrgs(es.head), "built-in")
     reg.createOrReplaceTempFunction("pseudo_embedding",
       es => PseudoEmbedding(es.head, lit(es(1)).asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      es => SimHash64(es.head), "built-in")
   }
 }

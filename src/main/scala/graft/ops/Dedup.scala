@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication operators (driver north star):
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash. All shuffle only on
+  * content-derived keys (fingerprints, shingles, band buckets) — never on
+  * full text — so they scale to 100 TB by partition count alone: candidate
+  * generation is O(sum of bucket sizes), not O(n^2).
+  */
+object Dedup {
+
+  /** Canonical text form shared by all fingerprints: lowercase + squashed
+    * whitespace. */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Exact-dup fingerprint (md5 of normalized text). */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Exact dedup: one row per duplicate group — canonical (min) id, member
+    * count. `docs` must have columns (id, text). */
+  def exactGroups(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.groupBy(fingerprint(col(text)).as("fp"))
+      .agg(min(col(id)).as("canonical_id"), count(lit(1)).as("n_members"))
+
+  /** Distinct character k-shingles of the normalized text as an array. */
+  def shingles(text: Column, k: Int): Column = {
+    val norm = normalized(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
+      i => substring(norm, i, lit(k))))
+  }
+
+  /** Exploded (id, shingle) rows; drops texts shorter than k. */
+  def shingleRows(docs: DataFrame, id: String, text: String, k: Int): DataFrame =
+    docs.filter(length(normalized(col(text))) >= k)
+      .select(col(id), explode(shingles(col(text), k)).as("shingle"))
+
+  /** Exact n-gram Jaccard over all pairs sharing at least one shingle.
+    * The common-shingle equi-join IS the candidate pruning: pairs with no
+    * shared shingle never materialize. Returns (id_1, id_2, jaccard). */
+  def jaccardPairs(docs: DataFrame, id: String, text: String, k: Int,
+      minJaccard: Double): DataFrame = {
+    val sh = shingleRows(docs, id, text, k)
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(id).as("id_1"), col("shingle"))
+    val b = sh.select(col(id).as("id_2"), col("shingle"))
+    val common = a.join(b, Seq("shingle"))
+      .filter(col("id_1") < col("id_2"))
+      .groupBy(col("id_1"), col("id_2")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col(id).as("id_1"), col("n_sh").as("n_1")), Seq("id_1"))
+      .join(sizes.select(col(id).as("id_2"), col("n_sh").as("n_2")), Seq("id_2"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_1") + col("n_2") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_1"), col("id_2"), col("jaccard"))
+  }
+
+  // --- MinHash + LSH ---------------------------------------------------
+  // Permutation i is realized as the seeded hash xxhash64(shingle, i):
+  // independent, stable across runs/executors, and overflow-free under
+  // ANSI arithmetic (unlike a*h+b universal hashing on longs).
+  val NumHashes = 16
+  val NumBands = 4 // 4 rows per band
+
+  /** MinHash signature per doc: one aggregation pass computing all 16
+    * per-permutation minima map-side (partial agg) — no per-permutation
+    * shuffle. Returns (id, mh_0..mh_15). */
+  def minhashSignatures(docs: DataFrame, id: String, text: String,
+      k: Int = 5): DataFrame = {
+    val sh = shingleRows(docs, id, text, k)
+    val minCols = (0 until NumHashes).map { i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"mh_$i")
+    }
+    sh.groupBy(col(id)).agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** LSH banding: hash each band of 4 signature values to a bucket key and
+    * emit (band, bucket, id) rows. Docs sharing any band bucket become
+    * candidate pairs. */
+  def lshBuckets(sigs: DataFrame, id: String): DataFrame = {
+    val bandRows = NumHashes / NumBands
+    val bands = (0 until NumBands).map { b =>
+      val cols = (b * bandRows until (b + 1) * bandRows).map(i => col(s"mh_$i"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+    }
+    sigs.select(col(id), explode(array(bands: _*)).as("bb"))
+      .select(col(id), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Candidate near-dup pairs from LSH buckets (distinct across bands). */
+  def minhashCandidates(docs: DataFrame, id: String, text: String,
+      k: Int = 5): DataFrame = {
+    val buckets = lshBuckets(minhashSignatures(docs, id, text, k), id)
+    val a = buckets.select(col("band"), col("bucket"), col(id).as("id_1"))
+    val b = buckets.select(col("band"), col("bucket"), col(id).as("id_2"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_1") < col("id_2"))
+      .select(col("id_1"), col("id_2")).distinct()
+  }
+
+  /** MinHash dedup with exact-Jaccard verification of LSH candidates —
+    * the standard two-stage shape: cheap banding prune, exact check only on
+    * survivors. */
+  def minhashDedupPairs(docs: DataFrame, id: String, text: String,
+      k: Int = 5, minJaccard: Double = 0.8): DataFrame = {
+    val cands = minhashCandidates(docs, id, text, k)
+    val sh = shingleRows(docs, id, text, k)
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(id).as("id_1"), col("shingle"))
+    val b = sh.select(col(id).as("id_2"), col("shingle"))
+    val common = a.join(b, Seq("shingle")).filter(col("id_1") < col("id_2"))
+      .join(cands, Seq("id_1", "id_2"), "left_semi")
+      .groupBy(col("id_1"), col("id_2")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col(id).as("id_1"), col("n_sh").as("n_1")), Seq("id_1"))
+      .join(sizes.select(col(id).as("id_2"), col("n_sh").as("n_2")), Seq("id_2"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("n_1") + col("n_2") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_1"), col("id_2"), col("jaccard"))
+  }
+
+  // --- SimHash ---------------------------------------------------------
+
+  /** 64-bit SimHash of the normalized text (custom expression). */
+  def simhash(text: Column): Column =
+    graft.GraftFunctions.simhash64(normalized(text))
+
+  /** SimHash near-dup candidates: band the 64-bit hash into four 16-bit
+    * blocks; pairs agreeing on any block are candidates (catches all pairs
+    * within Hamming distance 3 by pigeonhole), then verify with bit_count
+    * on the XOR. Returns (id_1, id_2, hamming). */
+  def simhashPairs(docs: DataFrame, id: String, text: String,
+      maxHamming: Int = 3): DataFrame = {
+    val hashed = docs.select(col(id), simhash(col(text)).as("sh"))
+    val blocks = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("bucket")))
+    val banded = hashed.select(col(id), col("sh"),
+      explode(array(blocks: _*)).as("bb"))
+      .select(col(id), col("sh"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val a = banded.select(col("band"), col("bucket"), col(id).as("id_1"),
+      col("sh").as("sh_1"))
+    val b = banded.select(col("band"), col("bucket"), col(id).as("id_2"),
+      col("sh").as("sh_2"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_1") < col("id_2"))
+      .select(col("id_1"), col("id_2"),
+        bit_count(col("sh_1").bitwiseXOR(col("sh_2"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`) — driver north star.
+  *
+  * Two paths:
+  *  - brute-force cosine top-k (the correctness baseline): broadcast the
+  *    query set, score every target with a pure-Catalyst higher-order-fn
+  *    dot product, window top-k. At scale this is one map-side pass over
+  *    the target table — no shuffle except the final per-query top-k.
+  *  - LSH (random-hyperplane signs) bucketing: targets partition into
+  *    2^NumPlanes buckets; each query only scores its own bucket. The
+  *    scale path: candidate count drops by ~2^NumPlanes while recall is
+  *    tunable via plane count / multi-probe.
+  *
+  * Scoring uses quantized fixed-point arithmetic (`round(x*y*1e6)` summed
+  * as BIGINT) so scores are exactly reproducible across engines (the DuckDB
+  * oracle computes the identical quantity) and across partitionings —
+  * float-sum order sensitivity is eliminated.
+  */
+object Similarity {
+
+  /** Fixed-point (1e-6) dot product, exact and order-independent. */
+  def scaledDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        round(x.cast("double") * y.cast("double") * 1e6).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Cosine from fixed-point dot/norms (deterministic across engines). */
+  def cosineScaled(a: Column, b: Column): Column =
+    scaledDot(a, b).cast("double") /
+      sqrt((scaledDot(a, a) * scaledDot(b, b)).cast("double"))
+
+  /** Brute-force cosine top-k: `queries`(qid, qe) x `targets`(tid, te).
+    * Returns (qid, rank, tid, cos). */
+  def knnBruteForce(queries: DataFrame, targets: DataFrame, k: Int): DataFrame = {
+    val scored = broadcast(queries).join(targets, col("qid") =!= col("tid"))
+      .withColumn("cos", cosineScaled(col("qe"), col("te")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("tid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("tid"), col("cos"))
+  }
+
+  // Random-hyperplane LSH: fixed seeded planes so bucket assignment is
+  // stable across runs/executors (no runtime randomness).
+  val NumPlanes = 6
+  private[ops] def planes(dim: Int): Array[Array[Double]] = {
+    val rnd = new java.util.Random(42)
+    Array.fill(NumPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Bucket id in [0, 2^NumPlanes): sign bits of hyperplane projections. */
+  def lshBucket(v: Column, dim: Int): Column = {
+    val ps = planes(dim)
+    (0 until NumPlanes).map { j =>
+      val plane = typedLit(ps(j))
+      val proj = aggregate(
+        zip_with(v, plane, (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** LSH ANN: score only same-bucket candidates. Returns
+    * (qid, rank, tid, cos) — rank within retrieved candidates. */
+  def knnLsh(queries: DataFrame, targets: DataFrame, dim: Int,
+      k: Int): DataFrame = {
+    val qb = broadcast(queries.withColumn("bucket", lshBucket(col("qe"), dim)))
+    val tb = targets.withColumn("bucket", lshBucket(col("te"), dim))
+    val scored = qb.join(tb, Seq("bucket")).filter(col("qid") =!= col("tid"))
+      .withColumn("cos", cosineScaled(col("qe"), col("te")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("tid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("tid"), col("cos"))
+  }
+}

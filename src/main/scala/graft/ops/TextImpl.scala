@@ -163,6 +163,34 @@ object TextImpl {
     out.toSeq
   }
 
+  // --- SimHash: 64-bit near-dup fingerprint over whitespace tokens
+  // (classic Charikar construction; FNV-1a 64 as the token hash so the
+  // value is stable across JVMs/clusters). ---
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  def simhash64(s: UTF8String): Long = {
+    val acc = new Array[Int](64)
+    s.toString.split("\\s+").foreach { tok =>
+      if (tok.nonEmpty) {
+        val h = fnv1a64(tok)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
   // --- T8 stub: deterministic pseudo-embedding (SURVEY §7.5: hermetic,
   // seeded hash -> unit vector) used when no external embedder is wired. ---
   def pseudoEmbedding(text: String, dim: Int): Array[Float] = {

@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.util.Tables._
+
+/** Training-data pipeline operators (driver north star): dedup family,
+  * ANN similarity search, text analysis, multimodal stubs — each over the
+  * `documents` / `embeddings` tables, oracle-checked where SQL can express
+  * the semantics.
+  */
+object DataPipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup groups by content fingerprint (word salads do collide).
+    "d1_exact_dedup" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"fp")
+    }),
+
+    // Exact 5-gram Jaccard near-dup pairs on a bounded subset (the
+    // common-shingle join prunes non-overlapping pairs).
+    "d2_ngram_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").filter($"doc_id" % 25 === 0)
+      Dedup.jaccardPairs(docs, "doc_id", "text", k = 5, minJaccard = 0.2)
+        .orderBy($"id_1", $"id_2")
+    }),
+
+    // MinHash signatures -> LSH banding -> candidates -> exact-Jaccard
+    // verify. Not SQL-expressible (seeded permutations); rows-only +
+    // DedupSpec. Output: verified pairs at a loose threshold.
+    "d3_minhash_lsh" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.minhashDedupPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 5, minJaccard = 0.2)
+        .orderBy($"id_1", $"id_2")
+    }),
+
+    // SimHash banding near-dup candidates (rows-only + DedupSpec).
+    "d4_simhash" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 16)
+        .orderBy($"id_1", $"id_2")
+    }),
+
+    // Embedding-cosine near-dup pairs (fixed-point arithmetic -> exact
+    // DuckDB parity).
+    "d5_embedding_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val a = e.select($"vec_id".as("id_1"), $"embedding".as("qe"))
+      val b = e.select($"vec_id".as("id_2"), $"embedding".as("te"))
+      a.join(b, $"id_1" < $"id_2")
+        .withColumn("cos", Similarity.cosineScaled($"qe", $"te"))
+        .filter($"cos" > 0.3)
+        .select($"id_1", $"id_2", $"cos")
+        .orderBy($"id_1", $"id_2")
+    }),
+
+    // Brute-force cosine top-5 neighbors for 10 query vectors (baseline).
+    "knn_bruteforce" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+      Similarity.knnBruteForce(q, tt, k = 5)
+        .orderBy($"qid", $"rank")
+    }),
+
+    // LSH-bucketed ANN (scale path; rows-only + SimilaritySpec recall).
+    "knn_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+      Similarity.knnLsh(q, tt, dim = 64, k = 5)
+        .orderBy($"qid", $"rank")
+    }),
+
+    // Language-ID heuristic + quality + token counts, all exact-arithmetic.
+    "ta_text_profile" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          TextAnalysis.langId($"text").as("pred_lang"),
+          TextAnalysis.wordCount($"text").as("n_words"),
+          TextAnalysis.tokenCountBpe($"text").as("n_tokens"),
+          TextAnalysis.stopwordRatio($"text").as("stopword_ratio"),
+          TextAnalysis.qualityScore($"text").as("quality"))
+        .orderBy($"doc_id")
+    }),
+
+    // Content fingerprint (md5 over normalized text).
+    "ta_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+        .orderBy($"doc_id")
+    }),
+
+    // Multimodal: binary payload + typed metadata through the mapPartitions
+    // stub decoder; metadata is deterministic -> oracle-checkable even
+    // though it flowed through typed Datasets.
+    "mm_decode_stub" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.mediaTable(t(s, dir, "documents"))
+      Multimodal.decodeAll(s, media).toDF()
+        .select($"doc_id", $"media_type", $"width", $"height", $"n_frames")
+        .orderBy($"doc_id")
+    }),
+
+    // Frame sampling over decoded video rows (explode-based).
+    "mm_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.mediaTable(t(s, dir, "documents"))
+      Multimodal.sampleFrames(Multimodal.decodeAll(s, media).toDF(), stride = 2)
+        .orderBy($"doc_id", $"frame_idx")
+    })
+  )
+
+  private val scaledDotSql =
+    "SUM(CAST(ROUND(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)*1000000) AS BIGINT))"
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        | MIN(doc_id) AS canonical_id, COUNT(*) AS n_members
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY fp""".stripMargin,
+    "d2_ngram_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS s
+        |  FROM (SELECT doc_id, t, unnest(range(1, length(t)-3)) AS i
+        |        FROM docs WHERE length(t) >= 5)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |common AS (
+        |  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_1, id_2,
+        |  CAST(c AS DOUBLE)/CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = id_1
+        |JOIN sizes sb ON sb.doc_id = id_2
+        |WHERE CAST(c AS DOUBLE)/CAST(sa.n + sb.n - c AS DOUBLE) >= 0.2
+        |ORDER BY id_1, id_2""".stripMargin,
+    "d5_embedding_neardup" ->
+      s"""WITH pairs AS (
+        |  SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+        |         a.embedding AS qe, b.embedding AS te
+        |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id),
+        |terms AS (SELECT id_1, id_2, unnest(qe) AS x, unnest(te) AS y
+        |          FROM pairs),
+        |dots AS (
+        |  SELECT id_1, id_2, $scaledDotSql AS d,
+        |    SUM(CAST(ROUND(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS nx,
+        |    SUM(CAST(ROUND(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)*1000000) AS BIGINT)) AS ny
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT id_1, id_2,
+        |  CAST(d AS DOUBLE)/sqrt(CAST(nx*ny AS DOUBLE)) AS cos
+        |FROM dots
+        |WHERE CAST(d AS DOUBLE)/sqrt(CAST(nx*ny AS DOUBLE)) > 0.3
+        |ORDER BY id_1, id_2""".stripMargin,
+    "knn_bruteforce" ->
+      s"""WITH pairs AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS tid,
+        |         a.embedding AS qe, b.embedding AS te
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
+        |terms AS (SELECT qid, tid, unnest(qe) AS x, unnest(te) AS y
+        |          FROM pairs),
+        |dots AS (
+        |  SELECT qid, tid, $scaledDotSql AS d,
+        |    SUM(CAST(ROUND(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS nx,
+        |    SUM(CAST(ROUND(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)*1000000) AS BIGINT)) AS ny
+        |  FROM terms GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT qid, tid,
+        |    CAST(d AS DOUBLE)/sqrt(CAST(nx*ny AS DOUBLE)) AS cos,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY CAST(d AS DOUBLE)/sqrt(CAST(nx*ny AS DOUBLE)) DESC,
+        |               tid) AS rank
+        |  FROM dots)
+        |SELECT qid, CAST(rank AS INT) AS rank, tid, cos
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    "ta_text_profile" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text,
+        |    len(regexp_extract_all(text, '\bder\b')) + len(regexp_extract_all(text, '\bund\b'))
+        |      + len(regexp_extract_all(text, '\bdie\b')) + len(regexp_extract_all(text, '\bnicht\b')) AS s_de,
+        |    len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\band\b'))
+        |      + len(regexp_extract_all(text, '\bof\b')) + len(regexp_extract_all(text, '\bis\b')) AS s_en,
+        |    len(regexp_extract_all(text, '\bel\b')) + len(regexp_extract_all(text, '\blos\b'))
+        |      + len(regexp_extract_all(text, '\bque\b')) + len(regexp_extract_all(text, '\bes\b')) AS s_es,
+        |    len(regexp_extract_all(text, '\ble\b')) + len(regexp_extract_all(text, '\bles\b'))
+        |      + len(regexp_extract_all(text, '\bdes\b')) + len(regexp_extract_all(text, '\best\b')) AS s_fr,
+        |    len(regexp_extract_all(text, '\bde\b')) + len(regexp_extract_all(text, '\bshi\b'))
+        |      + len(regexp_extract_all(text, '\bbu\b')) + len(regexp_extract_all(text, '\ble\b')) AS s_zh,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_words,
+        |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_tokens,
+        |    len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\band\b'))
+        |      + len(regexp_extract_all(text, '\bof\b')) + len(regexp_extract_all(text, '\bis\b'))
+        |      + len(regexp_extract_all(text, '\ba\b')) + len(regexp_extract_all(text, '\bto\b'))
+        |      + len(regexp_extract_all(text, '\bin\b')) AS s_stop,
+        |    len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct,
+        |    length(regexp_replace(text, '\s+', '', 'g')) AS n_nonws
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_en AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_fr > 0 AND s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+        |       WHEN s_zh > 0 AND s_zh >= s_de AND s_zh >= s_en AND s_zh >= s_es AND s_zh >= s_fr THEN 'zh'
+        |       ELSE 'und' END AS pred_lang,
+        |  CAST(n_words AS INT) AS n_words,
+        |  CAST(n_tokens AS INT) AS n_tokens,
+        |  CAST(s_stop AS DOUBLE)/CAST(greatest(n_words, 1) AS DOUBLE) AS stopword_ratio,
+        |  least(CAST(length(text) AS DOUBLE)/400.0, 1.0)*0.4
+        |   + (CASE WHEN CAST(n_punct AS DOUBLE)/CAST(greatest(length(text),1) AS DOUBLE) <= 0.05 THEN 1.0 ELSE 0.5 END)*0.2
+        |   + least(CAST(s_stop AS DOUBLE)/CAST(greatest(n_words, 1) AS DOUBLE)*5.0, 1.0)*0.2
+        |   + (CASE WHEN CAST(n_nonws AS DOUBLE)/CAST(greatest(n_words, 1) AS DOUBLE) BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END)*0.2
+        |   AS quality
+        |FROM scored
+        |ORDER BY doc_id""".stripMargin,
+    "ta_fingerprint" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "mm_decode_stub" ->
+      """SELECT doc_id,
+        | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS media_type,
+        | CAST(64 + length(text) % 577 AS INT) AS width,
+        | CAST(48 + length(text) % 433 AS INT) AS height,
+        | CAST(CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN 1 WHEN 1 THEN 0
+        |      ELSE 1 + length(text) % 7 END AS INT) AS n_frames
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+  )
+}

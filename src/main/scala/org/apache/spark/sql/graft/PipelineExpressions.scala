@@ -95,6 +95,19 @@ case class ExtractOrgs(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** 64-bit SimHash over whitespace tokens (Charikar sketch; dedup family). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(s: Any): Any =
+    TextImpl.simhash64(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.ops.TextImpl.simhash64($s)")
+  override def prettyName: String = "simhash64"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** T8 hermetic embedder stub: deterministic 3-gram feature-hash unit vector
   * (swap for a real service client via graft.io.Embedder at deploy time). */
 case class PseudoEmbedding(child: Expression, dim: Int)

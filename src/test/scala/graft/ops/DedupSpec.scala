@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // base text + near-dup (one word changed) + exact dup + unrelated
+  private val base = "the quick brown fox jumps over the lazy dog while the " +
+    "rain falls gently on the quiet meadow and the river runs to the sea " +
+    "under a pale morning sky with birds singing in the distant trees"
+  private val nearDup = base.replace("morning", "evening")
+  private val unrelated = "completely different content about database " +
+    "engines columnar storage vectorized execution and query optimization " +
+    "with hash joins exchange operators and adaptive partitioning schemes"
+
+  private def docs = Seq(
+    (1L, base), (2L, nearDup), (3L, base), (4L, unrelated))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+      .orderBy($"canonical_id").collect()
+    assert(groups.length == 3)
+    val g = groups.find(_.getLong(2) == 2).get
+    assert(g.getLong(1) == 1) // canonical = min(doc 1, doc 3)
+  }
+
+  test("ngram jaccard finds the near-dup pair and not the unrelated") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", k = 5,
+      minJaccard = 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // near-dup
+    assert(pairs.contains((1L, 3L))) // exact dup (jaccard 1.0)
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH candidates include high-jaccard pairs, verified pairs exact") {
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 3L)), "exact dup must share all buckets")
+    assert(cands.contains((1L, 2L)), "near-dup should collide in some band")
+    val verified = Dedup.minhashDedupPairs(docs, "doc_id", "text",
+      minJaccard = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(verified((1L, 3L)) == 1.0)
+    assert(!verified.contains((1L, 4L)))
+  }
+
+  test("minhash signature is stable and per-permutation minimal") {
+    val sig1 = Dedup.minhashSignatures(docs, "doc_id", "text").orderBy($"doc_id")
+      .collect().map(_.toSeq)
+    val sig2 = Dedup.minhashSignatures(docs, "doc_id", "text").orderBy($"doc_id")
+      .collect().map(_.toSeq)
+    assert(sig1.toSeq == sig2.toSeq) // deterministic across runs
+    // identical docs -> identical signatures
+    assert(sig1(0).tail == sig1(2).tail)
+  }
+
+  test("simhash: near-dups within small hamming distance, unrelated far") {
+    val ham = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 64)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(ham((1L, 3L)) == 0) // exact dup -> identical simhash
+    assert(ham((1L, 2L)) <= 12, s"near-dup hamming ${ham((1L, 2L))}")
+    ham.get((1L, 4L)).foreach(h => assert(h > 12, s"unrelated hamming $h"))
+  }
+
+  test("simhash64 value is stable across sessions (fixed token hash)") {
+    val v1 = Seq(base).toDF("t")
+      .select(graft.GraftFunctions.simhash64($"t")).collect().head.getLong(0)
+    assert(v1 == TextImpl.simhash64(
+      org.apache.spark.unsafe.types.UTF8String.fromString(base)))
+  }
+}

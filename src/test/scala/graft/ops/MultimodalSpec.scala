@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "an image payload with enough bytes to be interesting"),
+    (1L, "an audio payload"),
+    (2L, "a video payload that is somewhat longer than the others here"),
+    (3L, "img"), (4L, "aud"), (5L, "vid"))
+    .toDF("doc_id", "text")
+
+  test("media table has binary payloads and typed metadata") {
+    val m = Multimodal.mediaTable(docs)
+    assert(m.schema("payload").dataType.typeName == "binary")
+    val types = m.orderBy($"doc_id").collect().map(_.getString(1)).toSeq
+    assert(types == Seq("image", "audio", "video", "image", "audio", "video"))
+  }
+
+  test("stub decode through mapPartitions is deterministic and batch-shaped") {
+    val decoded = Multimodal.decodeAll(spark, Multimodal.mediaTable(docs))
+    val rows = decoded.collect().sortBy(_.doc_id)
+    assert(rows.length == 6)
+    val img = rows(0)
+    assert(img.width == 64 + img.doc_id.toInt.toString.length * 0 +
+      "an image payload with enough bytes to be interesting".length % 577)
+    assert(rows(1).n_frames == 0) // audio
+    assert(rows(2).n_frames >= 1) // video
+    assert(rows.forall(_.features.length == 16))
+    // determinism across runs
+    val again = Multimodal.decodeAll(spark, Multimodal.mediaTable(docs))
+      .collect().sortBy(_.doc_id)
+    assert(rows.map(_.width).toSeq == again.map(_.width).toSeq)
+  }
+
+  test("frame sampling explodes only media with frames") {
+    val decoded = Multimodal.decodeAll(spark, Multimodal.mediaTable(docs)).toDF()
+    val frames = Multimodal.sampleFrames(decoded, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(!frames.exists { case (id, _) => id % 3 == 1 }) // no audio frames
+    assert(frames.count { case (id, _) => id == 0L } == 1) // image: frame 0
+    frames.foreach { case (_, idx) => assert(idx % 2 == 0) }
+  }
+
+  test("resize keeps aspect ratio in metadata") {
+    val decoded = Multimodal.decodeAll(spark, Multimodal.mediaTable(docs)).toDF()
+    val resized = Multimodal.resizeMeta(decoded, targetWidth = 128)
+      .select($"width", $"height", $"out_width", $"out_height").collect()
+    resized.foreach { r =>
+      val (w, h, ow, oh) = (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(ow == 128)
+      assert(math.abs(oh - h.toDouble * 128 / w) <= 1.0)
+    }
+  }
+}

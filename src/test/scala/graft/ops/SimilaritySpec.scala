@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def embeddings = {
+    // deterministic unit-ish vectors: clusters around 3 centroids
+    val rnd = new java.util.Random(7)
+    val centroids = Array.fill(3)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    (0L until 60L).map { i =>
+      val c = centroids((i % 3).toInt)
+      val v = c.zipWithIndex.map { case (x, j) =>
+        x + 0.1f * new java.util.Random(i * 31 + j).nextGaussian().toFloat }
+      (i, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("brute-force knn returns k sorted neighbors, self excluded") {
+    val e = embeddings
+    val q = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val t = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+    val out = Similarity.knnBruteForce(q, t, k = 10).collect()
+    assert(out.length == 50)
+    out.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to 10))
+      // scores non-increasing by rank; no self matches
+      assert(sorted.map(_.getDouble(3)).toSeq.reverse.sorted.reverse ==
+        sorted.map(_.getDouble(3)).toSeq)
+      assert(!rows.exists(_.getLong(2) == qid))
+      // same-cluster vectors dominate the top ranks
+      val top3 = sorted.take(3).map(_.getLong(2) % 3)
+      assert(top3.forall(_ == qid % 3), s"q$qid top3 clusters ${top3.toSeq}")
+    }
+  }
+
+  test("LSH ANN: candidates from own bucket, ranked by true cosine, decent recall") {
+    val e = embeddings
+    val q = e.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val t = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+    val exact = Similarity.knnBruteForce(q, t, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Similarity.knnLsh(q, t, dim = 16, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // clustered data: same-centroid vectors land in the same half-space
+    // buckets most of the time -> recall well above chance
+    val recalls = exact.keys.toSeq.map { qid =>
+      val got = approx.getOrElse(qid, Set.empty)
+      exact(qid).intersect(got).size.toDouble / exact(qid).size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall > 0.5, s"mean recall@3 $meanRecall")
+  }
+
+  test("scaled-dot cosine matches double-precision cosine closely") {
+    val e = embeddings.limit(10).collect().map(_.getSeq[Float](1).toArray)
+    val df = Seq((e(0), e(1))).toDF("a", "b")
+    val scaled = df.select(Similarity.cosineScaled($"a", $"b"))
+      .collect().head.getDouble(0)
+    def dot(x: Array[Float], y: Array[Float]) =
+      x.zip(y).map { case (p, q) => p.toDouble * q }.sum
+    val exact = dot(e(0), e(1)) / math.sqrt(dot(e(0), e(0)) * dot(e(1), e(1)))
+    assert(math.abs(scaled - exact) < 1e-3, s"$scaled vs $exact")
+  }
+}
