@@ -1,0 +1,77 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S5-S10: sinks and keyed access (SURVEY.md §2.1). The reference buckets
+  * Mongo collections by `main_index // 100` (DatabaseHandler.py:24-34);
+  * here that becomes `partitionBy("bucket")` parquet, which gives partition
+  * pruning for point lookups (S7) and cheap partition overwrite for updates
+  * (S8).
+  */
+object Sinks {
+
+  def bucketCol(index: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (floor(index / 100) * 100).cast("long")
+
+  /** S5/S6: bucketed parquet append. */
+  def writeBucketed(df: DataFrame, path: String, indexCol: String): Unit =
+    df.withColumn("bucket", bucketCol(col(indexCol)))
+      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(path)
+
+  /** S7: point lookup with explicit bucket predicate -> partition pruning
+    * (only `bucket=k` directories are scanned). */
+  def pointLookup(spark: SparkSession, path: String, indexCol: String,
+      index: Long): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("bucket") === (index / 100) * 100 && col(indexCol) === index)
+
+  /** J4: resume set — indices already present in the sink. */
+  def doneIndices(spark: SparkSession, path: String, indexCol: String): DataFrame =
+    spark.read.parquet(path).select(col(indexCol)).distinct()
+
+  /** S8: merge-update — overwrite only the partitions containing updated
+    * rows (dynamic partition overwrite), reference patchabbrev $set. */
+  def mergeUpdate(spark: SparkSession, path: String, indexCol: String,
+      updates: DataFrame, updateCol: String): Unit = {
+    val touched = updates.withColumn("bucket", bucketCol(col(indexCol)))
+    val bucketList = touched.select("bucket").distinct()
+      .collect().map(_.getLong(0))
+    val current = spark.read.parquet(path)
+      .filter(col("bucket").isin(bucketList: _*))
+    val merged = current.alias("c")
+      .join(touched.select(col(indexCol).as("__k"),
+        col(updateCol).as("__v")), col(indexCol) === col("__k"), "left")
+      .withColumn(updateCol,
+        when(col("__k").isNotNull, col("__v")).otherwise(col(updateCol)))
+      .drop("__k", "__v")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    merged.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(path)
+  }
+
+  /** S9: ordered CSV with header (single file, reference output.csv /
+    * outputUnion.csv shape). */
+  def orderedCsv(df: DataFrame, path: String, sortCol: String): Unit =
+    df.orderBy(col(sortCol)).coalesce(1)
+      .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** S10: one text file per record, named `{idx}_{A}_&_{B}.txt` with a URL
+    * header line (tools/dumpdata.py:4-31); `foreachPartition` writer. */
+  def dumpFiles(df: DataFrame, dir: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    df.select(col("main_index"), col("company_a"), col("company_b"),
+      col("url"), col("content"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          val safe = (s: String) => s.replaceAll("[/\\\\:]", "_")
+          val name = s"${r.getLong(0)}_${safe(r.getString(1))}_&_" +
+            s"${safe(r.getString(2))}.txt"
+          val body = s"URL: ${r.getString(3)}\n\n${r.getString(4)}"
+          Files.write(Paths.get(dir, name), body.getBytes(StandardCharsets.UTF_8))
+        }
+      }
+  }
+}

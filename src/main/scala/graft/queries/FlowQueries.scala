@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Crawler
+import graft.io.Sources
+import graft.util.Tables._
+
+/** Crawl-flow composition + event-flow operators with oracles:
+  * job generation (F2+F5+F6 composed), EDGAR JSON source parsing
+  * (S2+F16+U2), and batch sessionization (the streaming stance's
+  * gap-session semantics as window functions).
+  */
+object FlowQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Crawler job generation: date windows with clamp, normalized names,
+    // search URL — the composed searchJobs operator.
+    "crawl_jobs" -> ((s, dir) => {
+      import s.implicits._
+      val deals = t(s, dir, "orders").filter($"o_orderkey" < 500)
+        .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey".as("main_index"),
+          $"c_name".as("target_name"),
+          concat(lit("Acme "), $"o_orderpriority").as("acquirer_name"),
+          $"o_orderdate".cast("date").as("announce_dt"))
+      Crawler.searchJobs(deals)
+        .select($"main_index", $"norm_target", $"norm_acquirer",
+          $"win_lo", $"win_hi", $"search_url")
+        .orderBy($"main_index")
+    }),
+
+    // S2: EDGAR JSON body parse (from_json nested schema + explode) +
+    // F16 archive-URL construction; oracle reconstructs from base columns.
+    "s2_edgar_source" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "orders").filter($"o_orderkey" < 300)
+      val adsh = concat(lit("0000"), $"o_custkey", lit("-26-"),
+        lpad($"o_orderkey".cast("string"), 6, "0"))
+      val body = to_json(struct(
+        struct(
+          struct($"o_orderkey".cast("long").as("value")).as("total"),
+          array(struct(struct(
+            array(lpad($"o_custkey".cast("string"), 10, "0")).as("ciks"),
+            adsh.as("adsh")).as("_source"))).as("hits")).as("hits")))
+      Sources.parseEdgarHits(
+        base.select($"o_orderkey", body.as("body")), "body")
+        .select($"o_orderkey", $"total_hits",
+          Sources.filingUrl($"ciks", $"adsh").as("url"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // Gap-based sessionization (30-min inactivity closes a session) as
+    // batch window functions; the streaming variant is
+    // graft.streaming.StreamOps.sessionize.
+    "o5_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val e = events(s, dir)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("tus"))
+      val wOrd = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+      val flagged = e
+        .withColumn("prev", lag($"tus", 1).over(wOrd))
+        .withColumn("ns",
+          when($"prev".isNull || $"tus" - $"prev" > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_no",
+          sum($"ns").over(wOrd.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"))
+      flagged.groupBy($"user_id", $"session_no")
+        .agg(count(lit(1)).as("n_events"),
+          min($"tus").as("start_us"), max($"tus").as("end_us"))
+        .orderBy($"user_id", $"session_no")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "crawl_jobs" ->
+      """WITH deals AS (
+        |  SELECT o_orderkey AS main_index, c_name AS target_name,
+        |    'Acme ' || o_orderpriority AS acquirer_name,
+        |    CAST(o_orderdate AS DATE) AS d
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_orderkey < 500),
+        |norm AS (
+        |  SELECT *,
+        |    lower(target_name) AS norm_target,
+        |    array_to_string(list_slice(string_split(lower(acquirer_name), ' '),
+        |      1, len(string_split(lower(acquirer_name), ' ')) - 1), ' ')
+        |      AS norm_acquirer,
+        |    day(d) AS dd,
+        |    CAST(date_trunc('month', d) - INTERVAL 4 MONTH AS DATE) AS lo0,
+        |    CAST(date_trunc('month', d) + INTERVAL 4 MONTH AS DATE) AS hi0
+        |  FROM deals),
+        |win AS (
+        |  SELECT *,
+        |    greatest(CAST(CASE WHEN dd <= day(last_day(lo0))
+        |        THEN lo0 + (dd-1)*INTERVAL 1 DAY ELSE lo0 END AS DATE),
+        |      DATE '2001-01-01') AS win_lo,
+        |    CAST(CASE WHEN dd <= day(last_day(hi0))
+        |        THEN hi0 + (dd-1)*INTERVAL 1 DAY
+        |        ELSE hi0 + INTERVAL 1 MONTH END AS DATE) AS win_hi
+        |  FROM norm)
+        |SELECT main_index, norm_target, norm_acquirer, win_lo, win_hi,
+        |  'https://efts.sec.gov/LATEST/search-index?q=%22' ||
+        |  replace(target_name, ' ', '%20') || '%22%20%22' ||
+        |  replace(acquirer_name, ' ', '%20') || '%22' ||
+        |  '&dateRange=custom&startdt=' || strftime(win_lo, '%Y-%m-%d') ||
+        |  '&enddt=' || strftime(win_hi, '%Y-%m-%d') ||
+        |  '&forms=PREM14A%2CS-4%2CSC 14D9%2CSC TO-T' AS search_url
+        |FROM win
+        |ORDER BY main_index""".stripMargin,
+    "s2_edgar_source" ->
+      """SELECT o_orderkey, CAST(o_orderkey AS BIGINT) AS total_hits,
+        |  'https://www.sec.gov/Archives/edgar/data/' ||
+        |  CAST(o_custkey AS VARCHAR) || '/' ||
+        |  replace(adsh, '-', '') || '/' || adsh || '.txt' AS url
+        |FROM (
+        |  SELECT o_orderkey, o_custkey,
+        |    '0000' || CAST(o_custkey AS VARCHAR) || '-26-' ||
+        |    lpad(CAST(o_orderkey AS VARCHAR), 6, '0') AS adsh
+        |  FROM orders WHERE o_orderkey < 300)
+        |ORDER BY o_orderkey""".stripMargin,
+    "o5_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |lagd AS (
+        |  SELECT *, lag(tus) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id) AS prev FROM e),
+        |flag AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR tus - prev > 1800000000
+        |    THEN 1 ELSE 0 END AS ns FROM lagd),
+        |sess AS (
+        |  SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS session_no FROM flag)
+        |SELECT user_id, session_no, COUNT(*) AS n_events,
+        |  MIN(tus) AS start_us, MAX(tus) AS end_us
+        |FROM sess
+        |GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin
+  )
+}

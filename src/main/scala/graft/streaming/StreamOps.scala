@@ -1,0 +1,111 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming stance (SURVEY.md §2.9): the reference is batch-only;
+  * its streaming-shaped concerns map to
+  *  - J4 incremental resume  -> `dropDuplicates` on the key with a watermark,
+  *  - S9 append sink         -> append output mode,
+  *  - windowed tallies       -> watermark + tumbling window agg,
+  *  - session analysis       -> `flatMapGroupsWithState` custom state.
+  */
+object StreamOps {
+
+  /** Streaming view of the driver's events table. The parquet carries
+    * TIMESTAMP(NANOS), so read `ts` as long and rebuild the timestamp. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props",
+        org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(schema)
+      .parquet(s"$dir")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** J4 streaming: exactly-once-per-key append via watermark + dedup. */
+  def dedupByKey(events: DataFrame, keyCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates(keyCol)
+
+  /** Watermarked tumbling-window counts + exact-decimal sums (append mode
+    * emits only finalized windows). */
+  def windowedAgg(events: DataFrame, windowLen: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class Session(user_id: Long, start: Timestamp, end: Timestamp,
+    n_events: Int)
+
+  /** Custom sessionization with `flatMapGroupsWithState`: a session closes
+    * after `gapMs` of event-time inactivity; an event-time timeout emits a
+    * session once the watermark passes its last event + gap. Sub-millisecond
+    * timestamp precision is preserved via the Timestamp nanos field. */
+  def sessionize(spark: SparkSession, events: DataFrame,
+      gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import spark.implicits._
+    events.withWatermark("ts", s"${gapMs / 1000} seconds")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          def micros(t: Timestamp): Long =
+            t.getTime * 1000 + (t.getNanos / 1000) % 1000
+          def stamp(us: Long): Timestamp = {
+            val t = new Timestamp(us / 1000)
+            t.setNanos(((us % 1000000) * 1000).toInt)
+            t
+          }
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(user, stamp(s.start), stamp(s.last), s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            val gapUs = gapMs * 1000
+            sorted.foreach { e =>
+              val t = micros(e.ts)
+              cur match {
+                case Some(s) if t - s.last <= gapUs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(user, stamp(s.start), stamp(s.last), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(math.max(s.last / 1000 + gapMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class CrawlerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def deals = Seq(
+    (0L, "Prime Response Inc", "Chordiant Software Inc", "2001-03-31"),
+    (1L, "Dallas-Semiconductor Corp", "Maxim Integrated Products Inc", "2001-01-30"))
+    .toDF("main_index", "target_name", "acquirer_name", "d")
+    .withColumn("announce_dt", $"d".cast("date")).drop("d")
+
+  test("searchJobs: window clamp, day-reset semantics, URL encoding") {
+    val jobs = Crawler.searchJobs(deals).orderBy($"main_index").collect()
+    val j0 = jobs(0)
+    // 2001-03-31 - 4 months -> Nov 31 invalid -> Nov 1 2000, clamped to 2001-01-01
+    assert(j0.getAs[java.sql.Date]("win_lo").toString == "2001-01-01")
+    // +4 months -> Jul 31 2001 valid
+    assert(j0.getAs[java.sql.Date]("win_hi").toString == "2001-07-31")
+    assert(j0.getAs[String]("norm_target") == "prime response")
+    assert(j0.getAs[String]("search_url")
+      .contains("q=%22Prime%20Response%20Inc%22%20%22Chordiant%20Software%20Inc%22"))
+  }
+
+  test("resume anti-join skips done indices") {
+    val done = Seq(0L).toDF("main_index")
+    val remaining = Crawler.resume(Crawler.searchJobs(deals), done).collect()
+    assert(remaining.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("hermetic crawl: jobs -> stub fetch -> parsed hits -> deduped archive URLs") {
+    val jobs = Crawler.searchJobs(deals)
+    val cands = Crawler.candidateFilings(spark, jobs).collect()
+    // stub returns 2 hits per search; distinct adsh -> 2 urls per deal
+    assert(cands.length == 4)
+    assert(cands.forall(_.getString(1)
+      .startsWith("https://www.sec.gov/Archives/edgar/data/")))
+    // deterministic across runs
+    val again = Crawler.candidateFilings(spark, jobs).collect()
+    assert(cands.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
+  test("fuzzy entity filter keeps partial-ratio > 90 matches only") {
+    val entities = Seq(
+      ("Prime Response, Inc.  (CIK 0001085621)", "prime response"),
+      ("Totally Different Co  (CIK 0000000001)", "prime response"))
+      .toDF("entity", "name")
+    val kept = Crawler.fuzzyEntityFilter(entities, "entity", "name").collect()
+    assert(kept.length == 1)
+    assert(kept.head.getString(0).startsWith("Prime Response"))
+  }
+
+  test("token bucket enforces the configured rate") {
+    val bucket = new io.TokenBucket(ratePerSec = 50.0)
+    val t0 = System.nanoTime()
+    (1 to 10).foreach(_ => bucket.acquire())
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    // 9 tokens beyond the burst at 50/s => >= ~180ms
+    assert(elapsedMs >= 150, s"too fast: $elapsedMs ms")
+  }
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val eventsDir = "/root/testdata/sf0.001"
+
+  // FileStreamSource requires a directory; stage the single parquet file
+  private lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-stream")
+    d.toFile.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$eventsDir/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(240000)
+    if (q.isActive) q.stop()
+    spark.table(name)
+  }
+
+  test("streaming windowed agg matches the batch equivalent") {
+    val stream = StreamOps.eventsStream(spark, streamDir)
+    val out = runToMemory(StreamOps.windowedAgg(stream), "win_agg", "append")
+    val batch = graft.util.Tables.events(spark, eventsDir)
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    // append mode emits only watermark-closed windows; every emitted row
+    // must match its batch counterpart
+    val bm = batch.select($"window.start", $"event_type", $"n").collect()
+      .map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    val emitted = out.select($"window.start", $"event_type", $"n").collect()
+    assert(emitted.nonEmpty)
+    emitted.foreach { r =>
+      assert(bm((r.get(0).toString, r.getString(1))) == r.getLong(2))
+    }
+  }
+
+  test("streaming dedup emits one row per key (J4 streaming stance)") {
+    val stream = StreamOps.eventsStream(spark, streamDir)
+      .withColumn("utype", concat($"user_id", lit("-"), $"event_type"))
+    val out = runToMemory(StreamOps.dedupByKey(stream, "utype"), "dedup", "append")
+    val batchDistinct = graft.util.Tables.events(spark, eventsDir)
+      .select(concat($"user_id", lit("-"), $"event_type")).distinct().count()
+    assert(out.count() == batchDistinct)
+  }
+
+  test("flatMapGroupsWithState sessionization matches batch gap sessions") {
+    val stream = StreamOps.eventsStream(spark, streamDir)
+    val sessions = runToMemory(
+      StreamOps.sessionize(spark, stream).toDF(), "sessions", "append")
+    // closed sessions only (tail sessions wait for timeout); each closed
+    // session must match a batch-computed gap session exactly
+    val batch = graft.util.Tables.events(spark, eventsDir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("tus"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"tus", $"event_id")
+    val expected = batch
+      .withColumn("prev", lag($"tus", 1).over(w))
+      .withColumn("ns", when($"prev".isNull || $"tus" - $"prev" > 1800000000L, 1)
+        .otherwise(0))
+      .withColumn("sno", sum($"ns").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"sno")
+      .agg(count(lit(1)).as("n_events"), min($"tus").as("start_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(2)).toMap
+    val got = sessions.collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val t = r.getTimestamp(1)
+      val micros = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+      val key = (r.getLong(0), micros)
+      assert(expected.contains(key), s"unexpected session $key")
+      assert(expected(key) == r.getInt(3).toLong,
+        s"session $key events ${r.getInt(3)} != ${expected(key)}")
+    }
+  }
+}
