@@ -33,17 +33,41 @@ object Dedup {
       i => substring(norm, i, lit(k))))
   }
 
-  /** Exploded (id, shingle) rows; drops texts shorter than k. */
+  /** Distinct word n-gram shingles — far more selective than character
+    * shingles on small-vocabulary text, and the shape SQL oracles can
+    * reproduce. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val words = split(normalized(text), " ")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(words) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(words, i, lit(n)))))
+  }
+
+  /** Exploded (id, shingle) rows (character k-shingles); drops texts
+    * shorter than k. */
   def shingleRows(docs: DataFrame, id: String, text: String, k: Int): DataFrame =
     docs.filter(length(normalized(col(text))) >= k)
       .select(col(id), explode(shingles(col(text), k)).as("shingle"))
 
+  /** Exploded (id, shingle) rows over word n-grams. */
+  def wordShingleRows(docs: DataFrame, id: String, text: String,
+      n: Int): DataFrame =
+    docs.select(col(id), explode(wordShingles(col(text), n)).as("shingle"))
+
+  /** Exploded (id, h) rows: 64-bit-hashed character shingles — joins and
+    * aggregations shuffle 8-byte keys instead of strings (hash collisions
+    * are negligible and deterministic). */
+  def hashedShingleRows(docs: DataFrame, id: String, text: String,
+      k: Int): DataFrame =
+    shingleRows(docs, id, text, k)
+      .select(col(id), xxhash64(col("shingle")).as("h"))
+
   /** Exact n-gram Jaccard over all pairs sharing at least one shingle.
     * The common-shingle equi-join IS the candidate pruning: pairs with no
     * shared shingle never materialize. Returns (id_1, id_2, jaccard). */
-  def jaccardPairs(docs: DataFrame, id: String, text: String, k: Int,
+  def jaccardPairs(docs: DataFrame, id: String, text: String, n: Int,
       minJaccard: Double): DataFrame = {
-    val sh = shingleRows(docs, id, text, k)
+    val sh = wordShingleRows(docs, id, text, n)
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(id).as("id_1"), col("shingle"))
     val b = sh.select(col(id).as("id_2"), col("shingle"))
@@ -61,22 +85,19 @@ object Dedup {
   }
 
   // --- MinHash + LSH ---------------------------------------------------
-  // Permutation i is realized as the seeded hash xxhash64(shingle, i):
-  // independent, stable across runs/executors, and overflow-free under
-  // ANSI arithmetic (unlike a*h+b universal hashing on longs).
+  // The signature is a per-row scalar expression (MinHashSig): one pass
+  // over the string computes all permutation minima map-side — no shingle
+  // explode, no shuffle. The only shuffles in the whole dedup are the band
+  // bucket join and the final distinct, both on derived 8-byte keys.
   val NumHashes = 16
   val NumBands = 4 // 4 rows per band
 
-  /** MinHash signature per doc: one aggregation pass computing all 16
-    * per-permutation minima map-side (partial agg) — no per-permutation
-    * shuffle. Returns (id, mh_0..mh_15). */
+  /** MinHash signature per doc as (id, sig ARRAY<LONG>[16]). */
   def minhashSignatures(docs: DataFrame, id: String, text: String,
       k: Int = 5): DataFrame = {
-    val sh = shingleRows(docs, id, text, k)
-    val minCols = (0 until NumHashes).map { i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"mh_$i")
-    }
-    sh.groupBy(col(id)).agg(minCols.head, minCols.tail: _*)
+    import org.apache.spark.sql.graft.{MinHashSig, internal}
+    docs.select(col(id), internal.column(MinHashSig(
+      internal.expression(normalized(col(text))), k, NumHashes)).as("sig"))
   }
 
   /** LSH banding: hash each band of 4 signature values to a bucket key and
@@ -85,42 +106,49 @@ object Dedup {
   def lshBuckets(sigs: DataFrame, id: String): DataFrame = {
     val bandRows = NumHashes / NumBands
     val bands = (0 until NumBands).map { b =>
-      val cols = (b * bandRows until (b + 1) * bandRows).map(i => col(s"mh_$i"))
+      val cols = (b * bandRows until (b + 1) * bandRows)
+        .map(i => element_at(col("sig"), i + 1))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
     }
     sigs.select(col(id), explode(array(bands: _*)).as("bb"))
       .select(col(id), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
-  /** Candidate near-dup pairs from LSH buckets (distinct across bands). */
+  /** Candidate near-dup pairs from LSH buckets (distinct across bands).
+    * Oversized buckets (low-information band collisions — the skew that
+    * turns banding into an O(m^2) blowup at scale) are dropped: a bucket
+    * with more than `maxBucketSize` members carries no near-dup signal,
+    * only a shared common substring. */
   def minhashCandidates(docs: DataFrame, id: String, text: String,
-      k: Int = 5): DataFrame = {
+      k: Int = 5, maxBucketSize: Int = 64): DataFrame = {
     val buckets = lshBuckets(minhashSignatures(docs, id, text, k), id)
-    val a = buckets.select(col("band"), col("bucket"), col(id).as("id_1"))
-    val b = buckets.select(col("band"), col("bucket"), col(id).as("id_2"))
+    val sizes = buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz").between(2, maxBucketSize))
+    val bounded = buckets.join(sizes, Seq("band", "bucket"))
+      .select(col("band"), col("bucket"), col(id))
+    val a = bounded.select(col("band"), col("bucket"), col(id).as("id_1"))
+    val b = bounded.select(col("band"), col("bucket"), col(id).as("id_2"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_1") < col("id_2"))
       .select(col("id_1"), col("id_2")).distinct()
   }
 
   /** MinHash dedup with exact-Jaccard verification of LSH candidates —
-    * the standard two-stage shape: cheap banding prune, exact check only on
-    * survivors. */
+    * the standard two-stage shape: cheap banding prune, exact per-pair
+    * check (ShingleJaccard kernel over the two normalized texts) only on
+    * survivors. Verify cost is O(candidates x doc length); no shingle
+    * tables ever materialize. */
   def minhashDedupPairs(docs: DataFrame, id: String, text: String,
       k: Int = 5, minJaccard: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.graft.{ShingleJaccard, internal}
     val cands = minhashCandidates(docs, id, text, k)
-    val sh = shingleRows(docs, id, text, k)
-    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col(id).as("id_1"), col("shingle"))
-    val b = sh.select(col(id).as("id_2"), col("shingle"))
-    val common = a.join(b, Seq("shingle")).filter(col("id_1") < col("id_2"))
-      .join(cands, Seq("id_1", "id_2"), "left_semi")
-      .groupBy(col("id_1"), col("id_2")).agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col(id).as("id_1"), col("n_sh").as("n_1")), Seq("id_1"))
-      .join(sizes.select(col(id).as("id_2"), col("n_sh").as("n_2")), Seq("id_2"))
-      .withColumn("jaccard", col("n_common").cast("double") /
-        (col("n_1") + col("n_2") - col("n_common")).cast("double"))
+    val norm = docs.select(col(id), normalized(col(text)).as("__t"))
+    cands
+      .join(norm.select(col(id).as("id_1"), col("__t").as("__t1")), Seq("id_1"))
+      .join(norm.select(col(id).as("id_2"), col("__t").as("__t2")), Seq("id_2"))
+      .withColumn("jaccard", internal.column(ShingleJaccard(
+        internal.expression(col("__t1")), internal.expression(col("__t2")), k)))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_1"), col("id_2"), col("jaccard"))
   }

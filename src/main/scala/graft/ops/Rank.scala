@@ -30,10 +30,14 @@ object Rank {
     cos * 0.4 + rerank * 0.6
 
   /** Deterministic stand-in for the cross-encoder score (already sigmoid'd
-    * to [0,1] like the reference applies): a pluggable external scorer
-    * replaces this via graft.io.Reranker. */
+    * to [0,1] like the reference applies): fraction of distinct query terms
+    * present in the chunk — a linear-time columnar op (`fuzz_partial_ratio`
+    * is quadratic in the query and reserved for short entity strings). A
+    * pluggable external scorer replaces this via graft.io.Reranker. */
   def pseudoRerank(query: Column, chunk: Column): Column = {
-    val sim = graft.GraftFunctions.fuzz_partial_ratio(query, chunk) / 100.0
+    val qTerms = array_distinct(split(lower(query), "\\s+"))
+    val hits = size(filter(qTerms, t => contains(lower(chunk), t)))
+    val sim = hits.cast("double") / greatest(size(qTerms), lit(1)).cast("double")
     lit(1.0) / (lit(1.0) + exp(-(sim * 8.0 - 4.0)))
   }
 

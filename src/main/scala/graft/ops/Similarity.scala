@@ -24,23 +24,30 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Fixed-point (1e-6) dot product, exact and order-independent. */
+  /** Fixed-point (1e-6) dot product, exact and order-independent — the
+    * custom ScaledDot expression (direct ArrayData loop, codegen'd). */
   def scaledDot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        round(x.cast("double") * y.cast("double") * 1e6).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.internal.column(
+      org.apache.spark.sql.graft.ScaledDot(
+        org.apache.spark.sql.graft.internal.expression(a),
+        org.apache.spark.sql.graft.internal.expression(b)))
 
-  /** Cosine from fixed-point dot/norms (deterministic across engines). */
+  /** Cosine from fixed-point dot/norms (deterministic across engines).
+    * For pairwise scans prefer [[knnBruteForce]], which precomputes each
+    * side's norm once instead of per pair. */
   def cosineScaled(a: Column, b: Column): Column =
     scaledDot(a, b).cast("double") /
       sqrt((scaledDot(a, a) * scaledDot(b, b)).cast("double"))
 
   /** Brute-force cosine top-k: `queries`(qid, qe) x `targets`(tid, te).
+    * Norms are computed once per vector (map-side), not once per pair.
     * Returns (qid, rank, tid, cos). */
   def knnBruteForce(queries: DataFrame, targets: DataFrame, k: Int): DataFrame = {
-    val scored = broadcast(queries).join(targets, col("qid") =!= col("tid"))
-      .withColumn("cos", cosineScaled(col("qe"), col("te")))
+    val q = queries.withColumn("qn", scaledDot(col("qe"), col("qe")))
+    val t = targets.withColumn("tn", scaledDot(col("te"), col("te")))
+    val scored = broadcast(q).join(t, col("qid") =!= col("tid"))
+      .withColumn("cos", scaledDot(col("qe"), col("te")).cast("double") /
+        sqrt((col("qn") * col("tn")).cast("double")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("tid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -71,10 +78,13 @@ object Similarity {
     * (qid, rank, tid, cos) — rank within retrieved candidates. */
   def knnLsh(queries: DataFrame, targets: DataFrame, dim: Int,
       k: Int): DataFrame = {
-    val qb = broadcast(queries.withColumn("bucket", lshBucket(col("qe"), dim)))
+    val qb = broadcast(queries.withColumn("bucket", lshBucket(col("qe"), dim))
+      .withColumn("qn", scaledDot(col("qe"), col("qe"))))
     val tb = targets.withColumn("bucket", lshBucket(col("te"), dim))
+      .withColumn("tn", scaledDot(col("te"), col("te")))
     val scored = qb.join(tb, Seq("bucket")).filter(col("qid") =!= col("tid"))
-      .withColumn("cos", cosineScaled(col("qe"), col("te")))
+      .withColumn("cos", scaledDot(col("qe"), col("te")).cast("double") /
+        sqrt((col("qn") * col("tn")).cast("double")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("tid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

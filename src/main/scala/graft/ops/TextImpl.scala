@@ -191,6 +191,60 @@ object TextImpl {
     out
   }
 
+  // --- MinHash: per-row signature in one pass over the string — no
+  // shingle explode/shuffle. Shingle hash = FNV-1a 64 over the k-char
+  // window; permutation j = murmur-style finalizer of (h ^ seed_j). ---
+  private def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+    z ^ (z >>> 33)
+  }
+
+  def minhashSig(s: UTF8String, k: Int, numHashes: Int): Array[Long] = {
+    val text = s.toString
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = text.length
+    if (n < k) return sig
+    var i = 0
+    while (i <= n - k) {
+      var h = 0xcbf29ce484222325L
+      var j = i
+      while (j < i + k) { h ^= text.charAt(j); h *= 0x100000001b3L; j += 1 }
+      var p = 0
+      while (p < numHashes) {
+        val v = mix64(h ^ (p * 0x9e3779b97f4a7c15L))
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Exact k-shingle Jaccard of two strings (hashed shingle sets). */
+  def shingleJaccard(a: UTF8String, b: UTF8String, k: Int): Double = {
+    def hashes(s: String): java.util.HashSet[Long] = {
+      val set = new java.util.HashSet[Long]()
+      var i = 0
+      while (i <= s.length - k) {
+        var h = 0xcbf29ce484222325L
+        var j = i
+        while (j < i + k) { h ^= s.charAt(j); h *= 0x100000001b3L; j += 1 }
+        set.add(h)
+        i += 1
+      }
+      set
+    }
+    val sa = hashes(a.toString)
+    val sb = hashes(b.toString)
+    if (sa.isEmpty && sb.isEmpty) return 1.0
+    var common = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) common += 1
+    common.toDouble / (sa.size + sb.size - common).toDouble
+  }
+
   // --- T8 stub: deterministic pseudo-embedding (SURVEY §7.5: hermetic,
   // seeded hash -> unit vector) used when no external embedder is wired. ---
   def pseudoEmbedding(text: String, dim: Int): Array[Float] = {

@@ -22,12 +22,13 @@ object DataPipelineQueries {
         .orderBy($"fp")
     }),
 
-    // Exact 5-gram Jaccard near-dup pairs on a bounded subset (the
-    // common-shingle join prunes non-overlapping pairs).
+    // Exact word-3-gram Jaccard near-dup pairs on a bounded subset (the
+    // common-shingle join prunes non-overlapping pairs; word shingles keep
+    // the shared-shingle fan-out selective).
     "d2_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").filter($"doc_id" % 25 === 0)
-      Dedup.jaccardPairs(docs, "doc_id", "text", k = 5, minJaccard = 0.2)
+      Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.01)
         .orderBy($"id_1", $"id_2")
     }),
 
@@ -55,9 +56,12 @@ object DataPipelineQueries {
       import s.implicits._
       val e = t(s, dir, "embeddings")
       val a = e.select($"vec_id".as("id_1"), $"embedding".as("qe"))
+        .withColumn("qn", Similarity.scaledDot($"qe", $"qe"))
       val b = e.select($"vec_id".as("id_2"), $"embedding".as("te"))
+        .withColumn("tn", Similarity.scaledDot($"te", $"te"))
       a.join(b, $"id_1" < $"id_2")
-        .withColumn("cos", Similarity.cosineScaled($"qe", $"te"))
+        .withColumn("cos", Similarity.scaledDot($"qe", $"te").cast("double") /
+          sqrt(($"qn" * $"tn").cast("double")))
         .filter($"cos" > 0.3)
         .select($"id_1", $"id_2", $"cos")
         .orderBy($"id_1", $"id_2")
@@ -138,12 +142,15 @@ object DataPipelineQueries {
         |ORDER BY fp""".stripMargin,
     "d2_ngram_jaccard" ->
       """WITH docs AS (
-        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
         |  FROM documents WHERE doc_id % 25 = 0),
         |sh AS (
-        |  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS s
-        |  FROM (SELECT doc_id, t, unnest(range(1, length(t)-3)) AS i
-        |        FROM docs WHERE length(t) >= 5)),
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(list_slice(w, CAST(i AS INT), CAST(i+2 AS INT)), ' ') AS s
+        |  FROM (SELECT doc_id, w,
+        |          unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i
+        |        FROM docs)),
         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
         |common AS (
         |  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS c
@@ -154,7 +161,7 @@ object DataPipelineQueries {
         |FROM common
         |JOIN sizes sa ON sa.doc_id = id_1
         |JOIN sizes sb ON sb.doc_id = id_2
-        |WHERE CAST(c AS DOUBLE)/CAST(sa.n + sb.n - c AS DOUBLE) >= 0.2
+        |WHERE CAST(c AS DOUBLE)/CAST(sa.n + sb.n - c AS DOUBLE) >= 0.01
         |ORDER BY id_1, id_2""".stripMargin,
     "d5_embedding_neardup" ->
       s"""WITH pairs AS (

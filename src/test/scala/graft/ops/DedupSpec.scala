@@ -28,7 +28,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("ngram jaccard finds the near-dup pair and not the unrelated") {
-    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", k = 5,
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
       minJaccard = 0.7).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L))) // near-dup
