@@ -90,6 +90,44 @@ object Clients {
     }
   }
 
+  /** X1 stub: the determine_background_section fallback classifier
+    * (src/crawler/Processor.py:309-395; tool schema config.py:71-140). */
+  class StubBackgroundClassifier extends LlmExtractor {
+    override def extract(prompt: String): String = {
+      val has = prompt.toLowerCase.contains("background")
+      val header = if (has) "Background of the Merger" else ""
+      s"""{"hasSection": $has, "matchHeader": "$header", "confidence": ${if (has) 0.9 else 0.1}}"""
+    }
+  }
+
+  /** X1 result schema (config.py:71-140). */
+  val hasSectionSchema: StructType = StructType(Seq(
+    StructField("hasSection", BooleanType),
+    StructField("matchHeader", StringType),
+    StructField("confidence", DoubleType)))
+
+  /** X1: LLM fallback classification for docs the heuristic cascade missed
+    * — prompt-size gate, mapPartitions classify, from_json parse, keep docs
+    * the model says contain the section (Processor.py:309-395; prompt gate
+    * 343-345). */
+  def classifyHasSection(spark: SparkSession, docs: DataFrame,
+      llm: LlmExtractor = new StubBackgroundClassifier,
+      minPromptChars: Int = 200): DataFrame = {
+    import spark.implicits._
+    val gated = docs.filter(length(col("content")) >= minPromptChars)
+    val classified = gated.select(col("main_index"), col("content"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        lazy val client = llm
+        rows.map { case (id, content) => (id, client.extract(content)) }
+      }.toDF("main_index", "json")
+      .withColumn("r", from_json(col("json"), hasSectionSchema))
+      .select(col("main_index"), col("r.hasSection").as("has_section"),
+        col("r.matchHeader").as("match_header"),
+        col("r.confidence").as("confidence"))
+    docs.join(classified.filter(col("has_section")), Seq("main_index"), "left_semi")
+  }
+
   /** Tool-call result schema (config.py:167-208). */
   val initiatorSchema: StructType = StructType(Seq(
     StructField("initiator", StringType),

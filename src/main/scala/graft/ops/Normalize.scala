@@ -26,6 +26,22 @@ object Normalize {
   def htmlToText(c: Column): Column =
     internal.column(HtmlToText(internal.expression(c)))
 
+  /** F7b: leaf-block HTML variant (tools/patchabbrev.py:44-85): text
+    * blocks with per-block whitespace flattening, pure page-number blocks
+    * dropped, joined by blank lines. */
+  def htmlToBlocks(c: Column): Column =
+    array_join(
+      filter(
+        transform(split(htmlToText(c), "\n"),
+          l => regexp_replace(trim(l), "\\s+", " ")),
+        l => !l.rlike("^\\d+$") && l =!= ""),
+      "\n\n")
+
+  /** F17: mojibake remap + Unicode quote folding (custom expr). */
+  def normalizeQuotes(c: Column): Column =
+    internal.column(org.apache.spark.sql.graft.NormalizeQuotes(
+      internal.expression(c)))
+
   /** F8: remove digit-only lines (page numbers). */
   def removePageNumbers(c: Column): Column =
     regexp_replace(c, "(?m)^\\s*\\d+\\s*$", "")

@@ -54,6 +54,26 @@ object Similarity {
       .select(col("qid"), col("rank"), col("tid"), col("cos"))
   }
 
+  /** A4: per-group vector mean as exploded (group, pos, mean_val) rows —
+    * exact fixed-point sums so the result is engine-reproducible
+    * (tools/createqueryembed.py:494-502). */
+  def vectorMeanExploded(df: DataFrame, groupCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg((sum(round(col("v").cast("double") * 1e6).cast("long"))
+        .cast("double") / 1e6 / count(lit(1)).cast("double")).as("mean_val"))
+
+  /** A4: contrastive query centroid — instruction + positive-mean minus
+    * 1.5x negative-mean, L2-normalized (createqueryembed.py:494-502). */
+  def contrastiveQuery(instr: Column, posMean: Column, negMean: Column): Column = {
+    val combined = zip_with(zip_with(instr, posMean, (i, p) => i + p),
+      negMean, (ip, n) => ip - n * 1.5)
+    val norm = sqrt(aggregate(transform(combined, x => x * x), lit(0.0),
+      (acc, x) => acc + x))
+    transform(combined, x => x / norm)
+  }
+
   // Random-hyperplane LSH: fixed seeded planes so bucket assignment is
   // stable across runs/executors (no runtime randomness).
   val NumPlanes = 6

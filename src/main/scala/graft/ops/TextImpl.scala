@@ -191,6 +191,56 @@ object TextImpl {
     out
   }
 
+  // --- F17: mojibake + quote normalization (tools/patchabbrev.py:25-56,
+  // 87-107). Two faithful steps: (1) cp1252 control chars remapped to the
+  // intended Unicode smart punctuation + NBSP -> space; (2) every quote
+  // variant -- the explicit extra-quote set, or category Pi/Pf with
+  // QUOTE/QUOTATION/GUILLEMET in the character name -- folded to ASCII,
+  // singles to ' and everything else to ". ---
+  private val cp1252Map: Map[Char, Char] = Map(
+    '\u0091' -> '\u2018', '\u0092' -> '\u2019',
+    '\u0093' -> '\u201C', '\u0094' -> '\u201D',
+    '\u0096' -> '\u2013', '\u0097' -> '\u2014',
+    '\u0085' -> '\u2026')
+  private val extraQuotes = Set('\u00AB', '\u00BB', '\u2039', '\u203A',
+    '\u201A', '\u201B', '\u201C', '\u201D', '\u201E', '\u201F',
+    '\u275B', '\u275C', '\u275D', '\u275E')
+  private val singleFold = Set('\u2039', '\u203A', '\u201A', '\u201B')
+
+  def fixMojibakeStr(text: String): String = {
+    val sb = new java.lang.StringBuilder(text.length)
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      sb.append(if (c == '\u00A0') ' ' else cp1252Map.getOrElse(c, c))
+      i += 1
+    }
+    sb.toString
+  }
+
+  def normalizeQuotes(s: UTF8String): UTF8String =
+    UTF8String.fromString(normalizeQuotesStr(fixMojibakeStr(s.toString)))
+
+  def normalizeQuotesStr(text: String): String = {
+    val sb = new java.lang.StringBuilder(text.length)
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      val t = Character.getType(c)
+      val name = Option(Character.getName(c.toInt)).getOrElse("")
+      val isQuote = extraQuotes.contains(c) ||
+        ((t == Character.INITIAL_QUOTE_PUNCTUATION ||
+          t == Character.FINAL_QUOTE_PUNCTUATION) &&
+          (name.contains("QUOTE") || name.contains("QUOTATION") ||
+            name.contains("GUILLEMET")))
+      if (!isQuote) sb.append(c)
+      else if (name.contains("SINGLE") || singleFold.contains(c)) sb.append('\'')
+      else sb.append('"')
+      i += 1
+    }
+    sb.toString
+  }
+
   // --- MinHash: per-row signature in one pass over the string — no
   // shingle explode/shuffle. Shingle hash = FNV-1a 64 over the k-char
   // window; permutation j = murmur-style finalizer of (h ^ seed_j). ---

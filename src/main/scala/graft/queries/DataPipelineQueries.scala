@@ -89,6 +89,24 @@ object DataPipelineQueries {
         .orderBy($"qid", $"rank")
     }),
 
+    // A4: per-label vector mean (exploded form), exact fixed-point sums.
+    "a4_vector_mean" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.vectorMeanExploded(t(s, dir, "embeddings"), "label", "embedding")
+        .orderBy($"label", $"pos")
+    }),
+
+    // F17: mojibake/quote folding — injected Unicode quote variants must
+    // fold to ASCII; the oracle reconstructs the expected string directly.
+    "f17_quote_norm" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", graft.ops.Normalize.normalizeQuotes(
+          concat(lit("\u201Cq\u201D \u2018s\u2019 \u00ABg\u00BB "),
+            $"text")).as("folded"))
+        .orderBy($"doc_id")
+    }),
+
     // Language-ID heuristic + quality + token counts, all exact-arithmetic.
     "ta_text_profile" -> ((s, dir) => {
       import s.implicits._
@@ -241,6 +259,21 @@ object DataPipelineQueries {
         |   + (CASE WHEN CAST(n_nonws AS DOUBLE)/CAST(greatest(n_words, 1) AS DOUBLE) BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END)*0.2
         |   AS quality
         |FROM scored
+        |ORDER BY doc_id""".stripMargin,
+    "a4_vector_mean" ->
+      """SELECT label, pos,
+        |  CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE)*1000000) AS BIGINT)) AS DOUBLE)
+        |    / 1000000 / CAST(COUNT(*) AS DOUBLE) AS mean_val
+        |FROM (
+        |  SELECT label,
+        |    CAST(unnest(range(0, len(embedding))) AS INT) AS pos,
+        |    unnest(embedding) AS v
+        |  FROM embeddings)
+        |GROUP BY label, pos
+        |ORDER BY label, pos""".stripMargin,
+    "f17_quote_norm" ->
+      """SELECT doc_id, '"q" ''s'' "g" ' || text AS folded
+        |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "ta_fingerprint" ->
       """SELECT doc_id,

@@ -120,6 +120,14 @@ case class ScaledDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** F17: mojibake remap + Unicode quote folding. */
+case class NormalizeQuotes(child: Expression) extends StaticStringUnary {
+  override protected def staticCall = "graft.ops.TextImpl.normalizeQuotes"
+  override protected def evalString(s: UTF8String) = TextImpl.normalizeQuotes(s)
+  override def prettyName: String = "normalize_quotes"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Per-row MinHash signature: `numHashes` permutation minima over k-char
   * shingles, computed in ONE pass over the string — turns signature
   * generation into a map-side scalar op (no shingle explode, no shuffle). */

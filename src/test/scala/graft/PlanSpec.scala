@@ -1,0 +1,63 @@
+package graft
+
+/** Physical-plan quality assertions (the 100 TB posture, SURVEY.md §4):
+  * filters and projections must reach the parquet scan, small sides must
+  * broadcast, aggregates must be partial (map-side combine), and the hot
+  * paths must stay inside whole-stage codegen.
+  */
+class PlanSpec extends SparkSpec {
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+
+  /** Final (post-AQE) plan — codegen stage markers only appear here. */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("s1: predicate pushdown + column pruning reach the scan") {
+    val p = plan("s1_scan_project")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("LessThan(l_shipdate") || p.contains("l_shipdate"),
+      "shipdate filter should be pushed")
+    // pruned read schema: no l_tax / l_returnflag etc.
+    assert(!p.contains("l_returnflag"), "unused columns must be pruned")
+  }
+
+  test("j1: dimension side is broadcast, no sort-merge shuffle") {
+    val p = plan("j1_lookup_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q1: aggregation is partial (map-side combine) and codegen'd") {
+    assert(plan("q1_agg").contains("partial_sum"),
+      "expected partial aggregation")
+    assert(finalPlan("q1_agg").contains("*("),
+      "expected whole-stage codegen stages")
+  }
+
+  test("chunker plans as a Generate node (UDTF), not a shuffle") {
+    val p = plan("t1_chunk_split")
+    assert(p.contains("Generate"), p.take(2000))
+  }
+
+  test("knn: query side broadcast — single pass over targets") {
+    val p = plan("knn_bruteforce")
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+  }
+
+  test("anti-join resume stays a broadcast join at this scale") {
+    val p = plan("j4_anti_join")
+    assert(p.contains("LeftAnti"), p.take(2000))
+  }
+
+  test("custom expressions do not break codegen") {
+    // fuzz_ratio / month_shift_reset / nfkc implement doGenCode — a plan
+    // using them should still show codegen stages
+    val p = finalPlan("f2_month_shift")
+    assert(p.contains("*("), "expected whole-stage codegen with custom expr")
+  }
+}
