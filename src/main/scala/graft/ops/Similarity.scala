@@ -94,6 +94,79 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) ANN: partition targets into `nCells` Voronoi
+    * cells around k-means centroids; queries probe their `nProbe` nearest
+    * cells only. Centroids are seeded deterministically (evenly-strided
+    * target vectors by id) and refined with `iters` Lloyd steps — each step
+    * is one distributed assignment pass plus a tiny driver-side mean update
+    * (centroid matrix is KxD doubles; collecting it is not a driver-side
+    * data loop). */
+  def ivfCentroids(targets: DataFrame, dim: Int, nCells: Int,
+      iters: Int = 2): Array[Array[Double]] = {
+    val seeds = targets.select(col("tid"), col("te")).orderBy(col("tid"))
+      .limit(nCells * 7).collect()
+      .zipWithIndex.collect { case (r, i) if i % 7 == 0 =>
+        r.getSeq[Float](1).map(_.toDouble).toArray }
+      .take(nCells)
+    var centroids = seeds
+    (0 until iters).foreach { _ =>
+      val cs = centroids
+      val assigned = targets.withColumn("cell", nearestCell(col("te"), cs))
+      val means = assigned
+        .select(col("cell"), posexplode(col("te")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("v").cast("double")) / count(lit(1))).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Index of the nearest centroid (max dot product — unit-ish vectors). */
+  private[ops] def nearestCell(v: Column, centroids: Array[Array[Double]]): Column = {
+    val scores = centroids.map { c =>
+      aggregate(zip_with(v, typedLit(c), (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    val arr = array(scores: _*)
+    (array_position(arr, array_max(arr)) - 1).cast("int")
+  }
+
+  /** Indices of the `nProbe` highest-scoring cells for a query vector. */
+  private[ops] def probeCells(v: Column, centroids: Array[Array[Double]],
+      nProbe: Int): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        aggregate(zip_with(v, typedLit(c), (x, p) => x.cast("double") * p),
+          lit(0.0), (acc, x) => acc + x).as("s"),
+        lit(i).as("cell"))
+    }
+    slice(reverse(array_sort(array(scored: _*))), 1, nProbe)
+      .getField("cell")
+  }
+
+  /** IVF ANN search: queries(qid, qe) x targets(tid, te). */
+  def knnIvf(queries: DataFrame, targets: DataFrame, dim: Int, k: Int,
+      nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val centroids = ivfCentroids(targets, dim, nCells)
+    val tb = targets.withColumn("cell", nearestCell(col("te"), centroids))
+      .withColumn("tn", scaledDot(col("te"), col("te")))
+    val qb = broadcast(queries
+      .withColumn("cell", explode(probeCells(col("qe"), centroids, nProbe)))
+      .withColumn("qn", scaledDot(col("qe"), col("qe"))))
+    val scored = qb.join(tb, Seq("cell")).filter(col("qid") =!= col("tid"))
+      .withColumn("cos", scaledDot(col("qe"), col("te")).cast("double") /
+        sqrt((col("qn") * col("tn")).cast("double")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("tid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("tid"), col("cos"))
+  }
+
   /** LSH ANN: score only same-bucket candidates. Returns
     * (qid, rank, tid, cos) — rank within retrieved candidates. */
   def knnLsh(queries: DataFrame, targets: DataFrame, dim: Int,

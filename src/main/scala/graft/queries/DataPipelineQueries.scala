@@ -89,6 +89,28 @@ object DataPipelineQueries {
         .orderBy($"qid", $"rank")
     }),
 
+    // IVF-bucketed ANN (k-means cells + nProbe; rows-only + recall spec).
+    "knn_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+      Similarity.knnIvf(q, tt, dim = 64, k = 5, nCells = 16, nProbe = 2)
+        .orderBy($"qid", $"rank")
+    }),
+
+    // X2: the identifier stage over synthesized sections (mapPartitions LLM
+    // stub -> from_json -> enum check); deterministic, rows-only + IoSpec.
+    "x2_identify" -> ((s, dir) => {
+      import s.implicits._
+      val sections = t(s, dir, "documents").select($"doc_id",
+        concat(lit("Background of the Merger\n"),
+          initcap(substring($"text", 1, 40)), lit(" Systems Inc proposed "),
+          lit("the merger in 2001. "), $"text").as("content"))
+      graft.io.Clients.identifyInitiators(s, sections)
+    }),
+
     // A4: per-label vector mean (exploded form), exact fixed-point sums.
     "a4_vector_mean" -> ((s, dir) => {
       import s.implicits._

