@@ -52,6 +52,35 @@ class NormalizeSpec extends SparkSpec {
     assert(out == "alpha\nbeta\n\ngamma\n\ndelta")
   }
 
+  test("property: dedup_lines is idempotent") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val lineGen = Gen.oneOf("alpha", "beta", "alpha", "", "  ", "gamma delta")
+    val textGen = Gen.listOf(lineGen).map(_.mkString("\n"))
+    val prop = Prop.forAll(textGen) { text =>
+      val once = TextImpl.dedupLinesStr(text)
+      TextImpl.dedupLinesStr(once) == once
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: cleanup regex chain is idempotent") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = Gen.listOf(Gen.oneOf("word text", " 17 ", "", "Table of Contents",
+      "more prose here")).map(_.mkString("\n"))
+    val prop = Prop.forAll(gen) { text =>
+      val df = Seq(text).toDF("t")
+      def clean(c: org.apache.spark.sql.Column) =
+        Normalize.collapseBlankRuns(Normalize.removePageNumbers(
+          Normalize.removeTocMarkers(c)))
+      val once = df.select(clean($"t")).collect().head.getString(0)
+      val twice = df.select(clean(clean($"t"))).collect().head.getString(0)
+      once == twice
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("F13 word-boundary presence for both names") {
     val df = Seq(("the acme corporation and globex holdings announce", "acme", "globex"),
       ("only acme appears here", "acme", "globex"))
