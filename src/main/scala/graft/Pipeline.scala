@@ -40,17 +40,25 @@ object Pipeline {
     * bare "Background" exact-line match (src/crawler/Processor.py:266-269).
     */
   def candidates(chunks: DataFrame): DataFrame = {
-    val cand1 = chunks
+    // cheap -> expensive cascade ordering (SURVEY §4): every cascade path
+    // requires CascadeImpl.GateTerm, so this codegen'd contains() prunes
+    // most chunks before the heuristic expression runs
+    val probable = chunks.filter(
+      contains(lower(col("chunk")), lit(graft.ops.CascadeImpl.GateTerm)))
+    // Both phases in ONE pass over the chunks (no duplicated cascade
+    // subtree): p2 (bare-"Background" exact-line match) is cheap, and a
+    // per-doc window decides whether phase 2 applies (only when phase 1
+    // found nothing anywhere in the doc).
+    val scored = probable.select(col("doc_id"), col("chunk_idx"),
+      background_passage(col("chunk"), backgroundOnly = false).as("p1"),
+      background_passage(col("chunk"), backgroundOnly = true).as("p2"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    scored
+      .withColumn("__has1",
+        max(when(col("p1").isNotNull, 1).otherwise(0)).over(w))
+      .filter(col("p1").isNotNull || (col("__has1") === 0 && col("p2").isNotNull))
       .select(col("doc_id"), col("chunk_idx"),
-        background_passage(col("chunk"), backgroundOnly = false).as("passage"))
-      .filter(col("passage").isNotNull)
-    val resolved = cand1.select("doc_id").distinct()
-    val cand2 = chunks
-      .join(resolved, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("chunk_idx"),
-        background_passage(col("chunk"), backgroundOnly = true).as("passage"))
-      .filter(col("passage").isNotNull)
-    cand1.unionByName(cand2)
+        coalesce(col("p1"), col("p2")).as("passage"))
   }
 
   /** T8/T9/O3: hybrid-score candidates and keep the deterministic top-1 per

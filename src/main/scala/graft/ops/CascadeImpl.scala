@@ -49,6 +49,11 @@ object CascadeImpl {
 
   private val phrasesLower: Vector[String] = StartPhrases.init.map(_.toLowerCase)
 
+  /** Every match path below requires this substring (lowercased); callers
+    * may pre-filter on it as a sound cheap gate (see Pipeline.candidates).
+    * If any cascade path ever stops requiring it, update both places. */
+  val GateTerm = "background"
+
   // ChunkProcessor.py:40
   private val headerSkipTerms =
     Seq("schedule to", "amended", "restated", "included", "incorporated by reference")
