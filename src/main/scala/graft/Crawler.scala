@@ -103,6 +103,24 @@ object Crawler {
       .select(col("main_index"), col("url"), col("content"))
   }
 
+  /** X1 composition (src/crawler/Processor.py:470-480): docs where the
+    * heuristic cascade finds no Background candidate go to the LLM fallback
+    * classifier; docs it accepts rejoin the located set. Returns
+    * (main_index, url, content, via) with via in {"heuristic", "llm"}. */
+  def locateWithFallback(spark: SparkSession, docs: DataFrame,
+      llm: Clients.LlmExtractor = new Clients.StubBackgroundClassifier): DataFrame = {
+    val chunks = Pipeline.chunk(
+      docs.select(col("main_index").as("doc_id"), col("content")))
+    val located = Pipeline.candidates(chunks)
+      .select(col("doc_id").as("main_index")).distinct()
+    val hit = docs.join(located, Seq("main_index"), "left_semi")
+      .withColumn("via", lit("heuristic"))
+    val missed = docs.join(located, Seq("main_index"), "left_anti")
+    val rescued = Clients.classifyHasSection(spark, missed, llm)
+      .withColumn("via", lit("llm"))
+    hit.unionByName(rescued)
+  }
+
   /** J2 as a standalone operator: entity labels x company names fuzzy
     * match via the FuzzPartialRatio expression (threshold 90). */
   def fuzzyEntityFilter(entities: DataFrame, labelCol: String,

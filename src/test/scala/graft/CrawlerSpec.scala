@@ -51,6 +51,23 @@ class CrawlerSpec extends SparkSpec {
     assert(kept.head.getString(0).startsWith("Prime Response"))
   }
 
+  test("X1 fallback rescues docs the cascade missed") {
+    val withSection = "Filler intro paragraph here.\n\n" +
+      "Background of the Merger\n\n" +
+      ("On June 1 the boards met to negotiate the terms in detail.\n" * 8)
+    // mentions background only mid-prose: cascade rejects (no title
+    // paragraph), LLM stub accepts (substring present + long enough)
+    val proseOnly = ("The parties discussed the background of their " +
+      "commercial relationship at length during the spring meetings. ") * 10
+    val noSection = ("Entirely unrelated filler prose with nothing here. ") * 10
+    val docs = Seq(
+      (1L, "u1", withSection), (2L, "u2", proseOnly), (3L, "u3", noSection))
+      .toDF("main_index", "url", "content")
+    val out = Crawler.locateWithFallback(spark, docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("via")).toMap
+    assert(out == Map(1L -> "heuristic", 2L -> "llm"))
+  }
+
   test("token bucket enforces the configured rate") {
     val bucket = new io.TokenBucket(ratePerSec = 50.0)
     val t0 = System.nanoTime()
