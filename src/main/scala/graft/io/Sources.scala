@@ -55,13 +55,16 @@ object Sources {
       .withColumn("adsh", col("hit._source.adsh"))
       .drop("parsed", "hit")
 
-  /** F16: archive URL from the last CIK (leading zeros stripped) and the
+  /** F16: archive URL from the last CIK (leading zeros stripped; an
+    * all-zeros CIK keeps a single "0" rather than vanishing) and the
     * accession number (src/crawler/CrawlerSupport.py:338-349). */
   def filingUrl(ciks: org.apache.spark.sql.Column,
-      adsh: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      adsh: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val stripped = regexp_replace(element_at(ciks, -1), "^0+", "")
+    val cik = when(stripped === "", lit("0")).otherwise(stripped)
     concat(lit("https://www.sec.gov/Archives/edgar/data/"),
-      regexp_replace(element_at(ciks, -1), "^0+", ""),
-      lit("/"), translate(adsh, "-", ""), lit("/"), adsh, lit(".txt"))
+      cik, lit("/"), translate(adsh, "-", ""), lit("/"), adsh, lit(".txt"))
+  }
 
   /** F15: CIK extraction from an entity-filter bucket label
     * ('Company Name  (CIK 0001234567)'). */
