@@ -223,6 +223,45 @@ object RelationalQueries {
         .orderBy($"doc_id")
     }),
 
+    // Q3-shape: 3-way join, date-window filters, top-10 revenue orders.
+    "q3_shipping_priority" -> ((s, dir) => {
+      import s.implicits._
+      val cutoff = lit("1998-06-30").cast(TimestampType)
+      val c = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+      val o = t(s, dir, "orders").filter($"o_orderdate" < cutoff)
+      val l = t(s, dir, "lineitem").filter($"l_shipdate" > cutoff)
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate".cast(DateType).as("order_date"))
+        .agg(sumMoney4($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    }),
+
+    // Q5-shape: 6-way snowflake join (region->nation->supplier/customer ->
+    // orders->lineitem), revenue per nation. Dims broadcast; the only big
+    // shuffle is lineitem x orders.
+    "q5_local_supplier" -> ((s, dir) => {
+      import s.implicits._
+      val r = t(s, dir, "region").filter($"r_name" === "EUROPE")
+      val n = t(s, dir, "nation")
+      val sup = t(s, dir, "supplier")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(sup),
+          $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(sumMoney4($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .as("revenue"))
+        .orderBy($"revenue".desc, $"n_name")
+    }),
+
     // A6+F3: time-bucketed tally over the events table (date_trunc hour).
     "event_hourly_agg" -> ((s, dir) => {
       import s.implicits._
@@ -347,6 +386,30 @@ object RelationalQueries {
         |  AND NOT (contains(text, 'slow') OR contains(text, 'error')
         |           OR contains(text, 'merge'))
         |ORDER BY doc_id""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
     "event_hourly_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
         | event_type, COUNT(*) AS n,
