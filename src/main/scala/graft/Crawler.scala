@@ -68,16 +68,44 @@ object Crawler {
       }.toDF("main_index", "body")
   }
 
-  /** S2 parse + J2: explode hits, keep entities fuzzy-matching either
-    * company (partial_ratio > 90, CrawlerSupport.py:138-147), build archive
-    * URLs (F16) and dedup (U2). */
+  /** S2 parse + J2: explode hits; entity-filter buckets fuzzy-matching
+    * either company (partial_ratio > 90, CrawlerSupport.py:138-147) gate
+    * the hits to those entities' CIKs (F15); jobs with no matching entity
+    * fall back to the unfiltered hit list (CrawlerSupport.py:247-314).
+    * Archive URLs built (F16) and deduped (U2). */
   def candidateFilings(spark: SparkSession, jobs: DataFrame,
       fetcher: Clients.Fetcher = new Clients.StubFetcher): DataFrame = {
     val bodies = fetchBodies(spark, jobs, "search_url", fetcher)
-    val hits = Sources.parseEdgarHits(
-      bodies.join(jobs.select(col("main_index"), col("norm_target"),
-        col("norm_acquirer")), Seq("main_index")), "body")
-    hits
+      .join(jobs.select(col("main_index"), col("norm_target"),
+        col("norm_acquirer")), Seq("main_index"))
+      .withColumn("parsed", from_json(col("body"), Sources.edgarHitsSchema))
+
+    // J2 fuzzy entity gate: CIKs of entity buckets matching either name
+    val matchedCiks = bodies
+      .select(col("main_index"), col("norm_target"), col("norm_acquirer"),
+        explode(col("parsed.aggregations.entity_filter.buckets.key"))
+          .as("entity"))
+      .filter(
+        fuzz_partial_ratio(lower(col("entity")), col("norm_target")) > 90 ||
+        fuzz_partial_ratio(lower(col("entity")), col("norm_acquirer")) > 90)
+      .select(col("main_index"),
+        Sources.cikFromEntity(col("entity")).cast("long").as("cik"))
+      .distinct()
+
+    val hits = bodies
+      .withColumn("total_hits", col("parsed.hits.total.value"))
+      .select(col("main_index"), explode(col("parsed.hits.hits")).as("hit"))
+      .select(col("main_index"), col("hit._source.ciks").as("ciks"),
+        col("hit._source.adsh").as("adsh"))
+      .withColumn("hit_cik", element_at(col("ciks"), -1).cast("long"))
+
+    val jobsWithMatch = matchedCiks.select("main_index").distinct()
+    val gated = hits
+      .join(matchedCiks.withColumnRenamed("cik", "hit_cik"),
+        Seq("main_index", "hit_cik"), "left_semi")
+    val fallback = hits
+      .join(jobsWithMatch, Seq("main_index"), "left_anti")
+    gated.unionByName(fallback)
       .withColumn("url", Sources.filingUrl(col("ciks"), col("adsh")))
       .dropDuplicates("main_index", "url")
       .select(col("main_index"), col("url"))

@@ -51,6 +51,28 @@ class CrawlerSpec extends SparkSpec {
     assert(kept.head.getString(0).startsWith("Prime Response"))
   }
 
+  test("entity fuzzy gate keeps only matching CIKs; no-match falls back") {
+    // two hits under different CIKs; entity bucket names Prime Response
+    val body =
+      """{"hits": {"total": {"value": 2}, "hits": [
+        |  {"_source": {"ciks": ["0001085621"], "adsh": "0001085621-01-000001"}},
+        |  {"_source": {"ciks": ["0009999999"], "adsh": "0009999999-01-000002"}}]},
+        | "aggregations": {"entity_filter": {"buckets": [
+        |  {"key": "Prime Response, Inc.  (CIK 0001085621)"}]}}}""".stripMargin
+    val fetcher = new EndToEndSpec.MapFetcher(Map.empty) {
+      override def fetch(url: String): String = body
+    }
+    val jobs = Crawler.searchJobs(deals)
+    val cands = Crawler.candidateFilings(spark, jobs, fetcher).collect()
+    val byDeal = cands.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getString(1)).toSet).toMap
+    // deal 0 (Prime Response): entity matches -> only CIK 1085621's filing
+    assert(byDeal(0L).size == 1)
+    assert(byDeal(0L).head.contains("/1085621/"))
+    // deal 1 (Dallas-Semiconductor): no entity match -> unfiltered fallback
+    assert(byDeal(1L).size == 2)
+  }
+
   test("X1 fallback rescues docs the cascade missed") {
     val withSection = "Filler intro paragraph here.\n\n" +
       "Background of the Merger\n\n" +
