@@ -54,6 +54,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p.take(2000))
   }
 
+  test("q5: all five dimensions broadcast — one shuffle join at most") {
+    val p = plan("q5_local_supplier")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts")
+    val smj = "SortMergeJoin".r.findAllIn(p).length
+    assert(smj <= 1, s"expected at most one shuffle join, got $smj")
+  }
+
+  test("minhash dedup: no shuffle before the band-bucket join") {
+    // signature is a per-row scalar expression: the first exchange in the
+    // plan must be on derived keys (band/bucket or candidate ids), never a
+    // shingle-explode aggregation
+    val p = plan("d3_minhash_lsh")
+    assert(p.contains("minhash_sig"), "expected the scalar signature expr")
+    assert(!p.contains("Generate explode(shingle"),
+      "shingles must not be exploded for signatures")
+  }
+
   test("custom expressions do not break codegen") {
     // fuzz_ratio / month_shift_reset / nfkc implement doGenCode — a plan
     // using them should still show codegen stages
