@@ -80,7 +80,10 @@ object Clients {
       val orgs = TextImpl.extractOrgs(prompt)
       val initiator = orgs.headOption.getOrElse("Unknown")
       val date = "\\b(19|20)\\d{2}\\b".r.findFirstIn(prompt).getOrElse("unknown")
-      val t = types(math.floorMod(TextImpl.fnv1a64(prompt).toInt, types.length))
+      // enum pick keyed on prompt length (not a content hash): equally
+      // deterministic, and ANSI-SQL-expressible so the whole X2 lineage
+      // (mapPartitions -> from_json -> enum filter -> sort) oracle-checks
+      val t = types(math.floorMod(prompt.length, types.length))
       val reason = prompt.split("(?<=[.!?])\\s+").headOption
         .map(_.take(200)).getOrElse("")
       def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")

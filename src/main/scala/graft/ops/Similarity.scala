@@ -75,40 +75,45 @@ object Similarity {
   }
 
   // Random-hyperplane LSH: fixed seeded planes so bucket assignment is
-  // stable across runs/executors (no runtime randomness).
+  // stable across runs/executors (no runtime randomness). Plane components
+  // are float (and projections fixed-point ScaledDot sums), so the bucket
+  // of every vector is bit-exact reproducible in any engine — the DuckDB
+  // oracle recomputes identical buckets from the same plane literals.
   val NumPlanes = 6
-  private[ops] def planes(dim: Int): Array[Array[Double]] = {
+  def lshPlanes(dim: Int): Array[Array[Float]] = {
     val rnd = new java.util.Random(42)
-    Array.fill(NumPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+    Array.fill(NumPlanes)(Array.fill(dim)(rnd.nextGaussian().toFloat))
   }
 
-  /** Bucket id in [0, 2^NumPlanes): sign bits of hyperplane projections. */
+  /** Bucket id in [0, 2^NumPlanes): sign bits of fixed-point hyperplane
+    * projections (exact — no float-sum order sensitivity). */
   def lshBucket(v: Column, dim: Int): Column = {
-    val ps = planes(dim)
+    val ps = lshPlanes(dim)
     (0 until NumPlanes).map { j =>
-      val plane = typedLit(ps(j))
-      val proj = aggregate(
-        zip_with(v, plane, (x, p) => x.cast("double") * p),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+      when(scaledDot(v, typedLit(ps(j))) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
-  /** IVF (inverted-file) ANN: partition targets into `nCells` Voronoi
-    * cells around k-means centroids; queries probe their `nProbe` nearest
-    * cells only. Centroids are seeded deterministically (evenly-strided
-    * target vectors by id) and refined with `iters` Lloyd steps — each step
-    * is one distributed assignment pass plus a tiny driver-side mean update
-    * (centroid matrix is KxD doubles; collecting it is not a driver-side
-    * data loop). */
-  def ivfCentroids(targets: DataFrame, dim: Int, nCells: Int,
-      iters: Int = 2): Array[Array[Double]] = {
-    val seeds = targets.select(col("tid"), col("te")).orderBy(col("tid"))
+  /** Deterministic IVF seed centroids: every 7th of the first `7*nCells`
+    * target vectors by id — a pure function of the table, which is what
+    * lets the DuckDB oracle recompute the identical cell layout with a
+    * `row_number() % 7` window. */
+  def ivfSeedCentroids(targets: DataFrame, nCells: Int): Array[Array[Float]] =
+    targets.select(col("tid"), col("te")).orderBy(col("tid"))
       .limit(nCells * 7).collect()
       .zipWithIndex.collect { case (r, i) if i % 7 == 0 =>
-        r.getSeq[Float](1).map(_.toDouble).toArray }
+        r.getSeq[Float](1).toArray }
       .take(nCells)
-    var centroids = seeds
+
+  /** Seed centroids refined with `iters` Lloyd steps — each step is one
+    * distributed assignment pass plus a tiny driver-side mean update
+    * (centroid matrix is KxD floats; collecting it is not a driver-side
+    * data loop). Refinement improves cell balance/recall but its float
+    * means are not portable across engines, so the oracle-checked query
+    * uses the un-refined seeds (`lloydIters = 0`). */
+  def ivfCentroids(targets: DataFrame, dim: Int, nCells: Int,
+      iters: Int = 2): Array[Array[Float]] = {
+    var centroids = ivfSeedCentroids(targets, nCells)
     (0 until iters).foreach { _ =>
       val cs = centroids
       val assigned = targets.withColumn("cell", nearestCell(col("te"), cs))
@@ -119,40 +124,40 @@ object Similarity {
         .collect()
       val next = centroids.map(_.clone())
       means.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
       }
       centroids = next
     }
     centroids
   }
 
-  /** Index of the nearest centroid (max dot product — unit-ish vectors). */
-  private[ops] def nearestCell(v: Column, centroids: Array[Array[Double]]): Column = {
-    val scores = centroids.map { c =>
-      aggregate(zip_with(v, typedLit(c), (x, p) => x.cast("double") * p),
-        lit(0.0), (acc, x) => acc + x)
+  /** Index of the nearest centroid by fixed-point dot product (exact);
+    * ties break to the lowest cell index, mirroring the oracle's
+    * `row_number() OVER (ORDER BY d DESC, cell)`. */
+  private[ops] def nearestCell(v: Column, centroids: Array[Array[Float]]): Column = {
+    // max of (d, -cell) = highest dot, then lowest cell
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(scaledDot(v, typedLit(c)).as("d"), lit(-i).as("neg_cell"))
     }
-    val arr = array(scores: _*)
-    (array_position(arr, array_max(arr)) - 1).cast("int")
+    (-array_max(array(scored: _*)).getField("neg_cell")).cast("int")
   }
 
-  /** Indices of the `nProbe` highest-scoring cells for a query vector. */
-  private[ops] def probeCells(v: Column, centroids: Array[Array[Double]],
+  /** Indices of the `nProbe` highest-scoring cells (same exact ordering). */
+  private[ops] def probeCells(v: Column, centroids: Array[Array[Float]],
       nProbe: Int): Column = {
+    // ascending sort of (-d, cell) = d desc, cell asc
     val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(
-        aggregate(zip_with(v, typedLit(c), (x, p) => x.cast("double") * p),
-          lit(0.0), (acc, x) => acc + x).as("s"),
-        lit(i).as("cell"))
+      struct((-scaledDot(v, typedLit(c))).as("nd"), lit(i).as("cell"))
     }
-    slice(reverse(array_sort(array(scored: _*))), 1, nProbe)
-      .getField("cell")
+    slice(array_sort(array(scored: _*)), 1, nProbe).getField("cell")
   }
 
   /** IVF ANN search: queries(qid, qe) x targets(tid, te). */
   def knnIvf(queries: DataFrame, targets: DataFrame, dim: Int, k: Int,
-      nCells: Int = 16, nProbe: Int = 2): DataFrame = {
-    val centroids = ivfCentroids(targets, dim, nCells)
+      nCells: Int = 16, nProbe: Int = 2, lloydIters: Int = 0): DataFrame = {
+    val centroids =
+      if (lloydIters == 0) ivfSeedCentroids(targets, nCells)
+      else ivfCentroids(targets, dim, nCells, lloydIters)
     val tb = targets.withColumn("cell", nearestCell(col("te"), centroids))
       .withColumn("tn", scaledDot(col("te"), col("te")))
     val qb = broadcast(queries

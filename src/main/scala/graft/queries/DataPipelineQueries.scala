@@ -78,7 +78,9 @@ object DataPipelineQueries {
         .orderBy($"qid", $"rank")
     }),
 
-    // LSH-bucketed ANN (scale path; rows-only + SimilaritySpec recall).
+    // LSH-bucketed ANN (scale path). Buckets are sign bits of fixed-point
+    // hyperplane projections, so the oracle recomputes identical buckets
+    // from the same plane literals; recall also spec-checked.
     "knn_lsh" -> ((s, dir) => {
       import s.implicits._
       val e = t(s, dir, "embeddings")
@@ -89,7 +91,11 @@ object DataPipelineQueries {
         .orderBy($"qid", $"rank")
     }),
 
-    // IVF-bucketed ANN (k-means cells + nProbe; rows-only + recall spec).
+    // IVF-bucketed ANN (Voronoi cells + nProbe). The registered variant
+    // pins lloydIters=0 (deterministic data-derived seed centroids +
+    // fixed-point assignment) so the full cell layout, probe set, and
+    // ranking reproduce in the DuckDB oracle; Lloyd-refined centroids are
+    // covered by the SimilaritySpec recall test instead.
     "knn_ivf" -> ((s, dir) => {
       import s.implicits._
       val e = t(s, dir, "embeddings")
@@ -101,13 +107,17 @@ object DataPipelineQueries {
     }),
 
     // X2: the identifier stage over synthesized sections (mapPartitions LLM
-    // stub -> from_json -> enum check); deterministic, rows-only + IoSpec.
+    // stub -> from_json -> enum check -> sort). The synthesized header
+    // pins the stub's NER/date/sentence picks to SQL-derivable values, so
+    // the whole distributed lineage oracle-checks; IoSpec covers the stub
+    // on free-form text.
     "x2_identify" -> ((s, dir) => {
       import s.implicits._
       val sections = t(s, dir, "documents").select($"doc_id",
-        concat(lit("Background of the Merger\n"),
-          initcap(substring($"text", 1, 40)), lit(" Systems Inc proposed "),
-          lit("the merger in 2001. "), $"text").as("content"))
+        concat(lit("Background of the Merger\nAlpha"),
+          $"doc_id".cast("string"),
+          lit(" Systems Inc proposed the merger in 2001. "),
+          $"text").as("content"))
       graft.io.Clients.identifyInitiators(s, sections)
     }),
 
@@ -172,6 +182,39 @@ object DataPipelineQueries {
 
   private val scaledDotSql =
     "SUM(CAST(ROUND(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)*1000000) AS BIGINT))"
+
+  /** The seeded LSH hyperplanes as DuckDB VALUES rows `(j, DOUBLE[dim])`.
+    * Plane components are floats on the Spark side; printing their exact
+    * double values (Double.toString round-trips through DuckDB's
+    * correctly-rounded parser) makes every projection term bit-identical. */
+  private def lshPlanesValuesSql(dim: Int): String =
+    graft.ops.Similarity.lshPlanes(dim).zipWithIndex.map { case (p, j) =>
+      s"($j, [${p.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+
+  /** Fixed-point cosine + per-query top-k over candidate (qid, tid) pairs
+    * produced by CTE `cand` — shared tail of the three ANN oracles. */
+  private def knnScoreTailSql(k: Int): String =
+    s"""terms AS (
+       |  SELECT c.qid, c.tid, unnest(a.embedding) AS x, unnest(b.embedding) AS y
+       |  FROM cand c
+       |  JOIN embeddings a ON a.vec_id = c.qid
+       |  JOIN embeddings b ON b.vec_id = c.tid),
+       |dots AS (
+       |  SELECT qid, tid, $scaledDotSql AS d,
+       |    SUM(CAST(ROUND(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS nx,
+       |    SUM(CAST(ROUND(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)*1000000) AS BIGINT)) AS ny
+       |  FROM terms GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT qid, tid,
+       |    CAST(d AS DOUBLE)/sqrt(CAST(nx*ny AS DOUBLE)) AS cos,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY CAST(d AS DOUBLE)/sqrt(CAST(nx*ny AS DOUBLE)) DESC,
+       |               tid) AS rank
+       |  FROM dots)
+       |SELECT qid, CAST(rank AS INT) AS rank, tid, cos
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY qid, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" ->
@@ -243,6 +286,93 @@ object DataPipelineQueries {
         |SELECT qid, CAST(rank AS INT) AS rank, tid, cos
         |FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+    "knn_lsh" ->
+      (s"""WITH planes AS (
+        |  SELECT j, unnest(pl) AS p, unnest(range(1, 65)) AS pos
+        |  FROM (VALUES ${lshPlanesValuesSql(64)}) t(j, pl)),
+        |vecs AS (
+        |  SELECT vec_id, unnest(embedding) AS x,
+        |         unnest(range(1, len(embedding) + 1)) AS pos
+        |  FROM embeddings),
+        |projs AS (
+        |  SELECT vec_id, j,
+        |    SUM(CAST(ROUND(CAST(x AS DOUBLE)*p*1000000) AS BIGINT)) AS pr
+        |  FROM vecs JOIN planes USING (pos) GROUP BY 1, 2),
+        |buckets AS (
+        |  SELECT vec_id, SUM(CASE WHEN pr > 0 THEN 1 << j ELSE 0 END) AS bucket
+        |  FROM projs GROUP BY 1),
+        |cand AS (
+        |  SELECT ba.vec_id AS qid, bb.vec_id AS tid
+        |  FROM buckets ba JOIN buckets bb ON ba.bucket = bb.bucket
+        |  WHERE ba.vec_id < 50 AND ba.vec_id <> bb.vec_id),
+        |""".stripMargin + knnScoreTailSql(5)),
+    "knn_ivf" ->
+      ("""WITH tt AS (SELECT vec_id AS tid, embedding AS te FROM embeddings),
+        |qq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        |       WHERE vec_id < 50),
+        |seeds AS (
+        |  SELECT CAST((rn - 1) // 7 AS INT) AS cell, te AS ce
+        |  FROM (SELECT row_number() OVER (ORDER BY tid) AS rn, te
+        |        FROM (SELECT tid, te FROM tt ORDER BY tid LIMIT 112) s1) s2
+        |  WHERE (rn - 1) % 7 = 0),
+        |tdots AS (
+        |  SELECT tid, cell,
+        |    SUM(CAST(ROUND(CAST(x AS DOUBLE)*CAST(c AS DOUBLE)*1000000) AS BIGINT)) AS d
+        |  FROM (SELECT tid, cell, unnest(te) AS x, unnest(ce) AS c
+        |        FROM tt, seeds) z
+        |  GROUP BY 1, 2),
+        |tcell AS (
+        |  SELECT tid, cell FROM (
+        |    SELECT tid, cell,
+        |      row_number() OVER (PARTITION BY tid ORDER BY d DESC, cell) AS rn
+        |    FROM tdots) z WHERE rn = 1),
+        |qdots AS (
+        |  SELECT qid, cell,
+        |    SUM(CAST(ROUND(CAST(x AS DOUBLE)*CAST(c AS DOUBLE)*1000000) AS BIGINT)) AS d
+        |  FROM (SELECT qid, cell, unnest(qe) AS x, unnest(ce) AS c
+        |        FROM qq, seeds) z
+        |  GROUP BY 1, 2),
+        |qcell AS (
+        |  SELECT qid, cell FROM (
+        |    SELECT qid, cell,
+        |      row_number() OVER (PARTITION BY qid ORDER BY d DESC, cell) AS rn
+        |    FROM qdots) z WHERE rn <= 2),
+        |cand AS (
+        |  SELECT q.qid, t.tid
+        |  FROM qcell q JOIN tcell t USING (cell)
+        |  WHERE q.qid <> t.tid),
+        |""".stripMargin + knnScoreTailSql(5)),
+    "x2_identify" ->
+      """WITH sec AS (
+        |  SELECT doc_id,
+        |    'Background of the Merger' || chr(10) || 'Alpha'
+        |      || CAST(doc_id AS VARCHAR)
+        |      || ' Systems Inc proposed the merger in 2001. ' || text AS content
+        |  FROM documents)
+        |SELECT doc_id AS "INDEX",
+        |  'Merger Alpha' || CAST(doc_id AS VARCHAR) || ' Systems Inc'
+        |    AS "INITIATOR",
+        |  '2001' AS "DATE_OF_INITIATION",
+        |  CASE CAST(length(content) % 4 AS INT)
+        |    WHEN 0 THEN 'Acquirer-Initiated Deal'
+        |    WHEN 1 THEN 'Target-Initiated Deal'
+        |    WHEN 2 THEN 'Third-Party-Initiated Deal'
+        |    ELSE 'Mutual' END AS "TYPE_OF_INITIATION",
+        |  'Background of the Merger Alpha' || CAST(doc_id AS VARCHAR)
+        |    || ' Systems Inc proposed the merger in 2001.' AS "REASON"
+        |FROM sec
+        |ORDER BY "INDEX"""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT * FROM (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |         ELSE 'video' END AS media_type,
+        |    CAST(unnest(range(0,
+        |      CASE CAST(doc_id % 3 AS INT)
+        |           WHEN 0 THEN 1 WHEN 1 THEN 0
+        |           ELSE 1 + length(text) % 7 END, 2)) AS INT) AS frame_idx
+        |  FROM documents)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "ta_text_profile" ->
       """WITH scored AS (
         |  SELECT doc_id, text,

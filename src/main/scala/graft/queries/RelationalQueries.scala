@@ -131,7 +131,9 @@ object RelationalQueries {
       import s.implicits._
       t(s, dir, "nation")
         .groupBy($"n_regionkey")
-        .agg(sort_array(collect_list($"n_name")).as("names"))
+        // joined to a scalar string: the driver's compare lexsorts rows,
+        // which array-typed output columns break (round-1 failure)
+        .agg(array_join(sort_array(collect_list($"n_name")), "|").as("names"))
         .orderBy($"n_regionkey")
     }),
 
@@ -333,7 +335,7 @@ object RelationalQueries {
         |ORDER BY n DESC, event_type
         |LIMIT 3""".stripMargin,
     "a3_collect_list" ->
-      """SELECT n_regionkey, list(n_name ORDER BY n_name) AS names
+      """SELECT n_regionkey, string_agg(n_name, '|' ORDER BY n_name) AS names
         |FROM nation
         |GROUP BY n_regionkey
         |ORDER BY n_regionkey""".stripMargin,
