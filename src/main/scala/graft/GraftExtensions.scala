@@ -41,5 +41,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => DedupLines(es.head)))
     ext.injectFunction((FunctionIdentifier("normalize_quotes"),
       info("normalize_quotes"), es => NormalizeQuotes(es.head)))
+    ext.injectOptimizerRule(_ => graft.plans.ReorderCostlyConjuncts)
   }
 }

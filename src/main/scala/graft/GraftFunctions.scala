@@ -89,5 +89,11 @@ object GraftFunctions {
       es => PseudoEmbedding(es.head, lit(es(1)).asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       es => SimHash64(es.head), "built-in")
+    // cost-based conjunct ordering (idempotent to re-add)
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.ReorderCostlyConjuncts)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.ReorderCostlyConjuncts
+    }
   }
 }

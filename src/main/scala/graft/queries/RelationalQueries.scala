@@ -264,6 +264,43 @@ object RelationalQueries {
         .orderBy($"revenue".desc, $"n_name")
     }),
 
+    // Skew posture: deterministic salted join (graft.ops.Scale) — the salt
+    // rewrite must be invisible in results, so the oracle is the PLAIN SQL
+    // join. At 100 TB this is the shape that keeps one hot supplier key
+    // from pinning a single reducer.
+    "j6_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val l = t(s, dir, "lineitem")
+        .select($"l_suppkey".as("k"), $"l_extendedprice")
+      val sup = t(s, dir, "supplier")
+        .select($"s_suppkey".as("k"), $"s_name")
+      graft.ops.Scale.saltedJoin(l, sup, "k", saltBuckets = 8)
+        .groupBy($"s_name")
+        .agg(sumMoney($"l_extendedprice").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"s_name")
+    }),
+
+    // Interval/range join (SURVEY §2.3 closing note): deals x filings ON
+    // filing_date BETWEEN the F2 month-shift window bounds. Small deal side
+    // broadcast -> one pass over the big table, no shuffle.
+    "j7_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val deals = t(s, dir, "orders").filter($"o_orderkey" < 30)
+        .select($"o_orderkey".as("deal_id"),
+          graft.GraftFunctions.month_shift_reset(
+            $"o_orderdate".cast(DateType), -2, rollForward = false).as("win_lo"),
+          graft.GraftFunctions.month_shift_reset(
+            $"o_orderdate".cast(DateType), 2, rollForward = true).as("win_hi"))
+      t(s, dir, "lineitem")
+        .select($"l_shipdate".cast(DateType).as("fdate"))
+        .join(broadcast(deals),
+          $"fdate" >= $"win_lo" && $"fdate" <= $"win_hi")
+        .groupBy($"deal_id")
+        .agg(count(lit(1)).as("n_filings"), min($"fdate").as("first_filing"))
+        .orderBy($"deal_id")
+    }),
+
     // A6+F3: time-bucketed tally over the events table (date_trunc hour).
     "event_hourly_agg" -> ((s, dir) => {
       import s.implicits._
@@ -276,6 +313,31 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "j6_salted_join" ->
+      """SELECT s_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name
+        |ORDER BY s_name""".stripMargin,
+    "j7_range_join" ->
+      """WITH deals AS (
+        |  SELECT o_orderkey AS deal_id,
+        |    CAST(CASE WHEN d <= day(last_day(lo0)) THEN lo0 + (d-1)*INTERVAL 1 DAY
+        |              ELSE lo0 END AS DATE) AS win_lo,
+        |    CAST(CASE WHEN d <= day(last_day(hi0)) THEN hi0 + (d-1)*INTERVAL 1 DAY
+        |              ELSE hi0 + INTERVAL 1 MONTH END AS DATE) AS win_hi
+        |  FROM (
+        |    SELECT o_orderkey, day(CAST(o_orderdate AS DATE)) AS d,
+        |      CAST(date_trunc('month', CAST(o_orderdate AS DATE)) - INTERVAL 2 MONTH AS DATE) AS lo0,
+        |      CAST(date_trunc('month', CAST(o_orderdate AS DATE)) + INTERVAL 2 MONTH AS DATE) AS hi0
+        |    FROM orders WHERE o_orderkey < 30) z)
+        |SELECT deal_id, COUNT(*) AS n_filings,
+        |  MIN(CAST(l_shipdate AS DATE)) AS first_filing
+        |FROM lineitem JOIN deals
+        |  ON CAST(l_shipdate AS DATE) BETWEEN win_lo AND win_hi
+        |GROUP BY deal_id
+        |ORDER BY deal_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

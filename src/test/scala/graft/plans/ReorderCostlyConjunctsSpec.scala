@@ -1,0 +1,50 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.Filter
+import org.apache.spark.sql.functions._
+
+import graft.GraftFunctions._
+import graft.SparkSpec
+
+class ReorderCostlyConjunctsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case o => Seq(o)
+  }
+
+  test("expensive custom-kernel conjunct moves after the cheap guard") {
+    // parquet-backed (a local Seq would be folded by ConvertToLocalRelation)
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val q = docs.filter(
+      fuzz_ratio($"source", lit("alpha source")) > 55.0 &&
+        length($"text") > 50)
+    val cond = q.queryExecution.optimizedPlan.collectFirst {
+      case Filter(c, _) => c
+    }.get
+    // Catalyst also infers an isnotnull guard; the invariant is just that
+    // the fuzzy kernel lands last, behind every cheap conjunct
+    val cs = conjuncts(cond)
+    assert(cs.length >= 2, cs)
+    assert(cs.init.forall(
+      !_.exists(_.isInstanceOf[org.apache.spark.sql.graft.FuzzRatio])),
+      s"cheap guards should be evaluated first: $cs")
+    assert(cs.last.exists(_.isInstanceOf[org.apache.spark.sql.graft.FuzzRatio]),
+      s"fuzzy kernel should be evaluated last: $cs")
+  }
+
+  test("reordering never changes the result set") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val expensiveFirst = docs.filter(
+      fuzz_partial_ratio($"text", lit("vector stream window")) > 60.0 &&
+        $"doc_id" % 5 === 0).select($"doc_id")
+    val cheapFirst = docs.filter(
+      ($"doc_id" % 5 === 0) &&
+        fuzz_partial_ratio($"text", lit("vector stream window")) > 60.0)
+      .select($"doc_id")
+    assert(expensiveFirst.collect().map(_.getLong(0)).sorted.toSeq ==
+      cheapFirst.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+}
