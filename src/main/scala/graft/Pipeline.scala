@@ -79,7 +79,12 @@ object Pipeline {
   def extractSections(docs: DataFrame, chunkSize: Int = 2048,
       overlap: Int = 400): DataFrame = {
     val names = docs.select(col("doc_id"), col("company_a"), col("company_b"))
-    val chunks = chunk(docs, chunkSize, overlap)
+    // One shuffle by doc_id right after the chunk Generator: every consumer
+    // (cascade window, passage window, enrichment paragraph join) needs
+    // doc_id partitioning anyway, and sharing one Exchange lets Spark's
+    // ReuseExchange evaluate the chunker ONCE instead of once per consumer
+    // — the scale-correct alternative to caching the chunk table.
+    val chunks = chunk(docs, chunkSize, overlap).repartition(col("doc_id"))
     val winners = rank(candidates(chunks))
     val assembled = Assemble.assemblePassage(chunks, winners)
       .join(names, Seq("doc_id"))
