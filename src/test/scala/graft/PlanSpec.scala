@@ -72,6 +72,26 @@ class PlanSpec extends SparkSpec {
       "shingles must not be exploded for signatures")
   }
 
+  test("pipeline: chunk exchange is shared across consumers (ReuseExchange)") {
+    // the doc_id repartition after the chunk Generator must be reused by
+    // the cascade/assembly/enrichment branches instead of re-chunking
+    val p = finalPlan("pipeline_extract")
+    assert(p.contains("ReusedExchange"), p.take(2000))
+  }
+
+  test("j7: range join broadcasts the deal side — one pass over the fact table") {
+    val p = plan("j7_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+  }
+
+  test("j6: salted join replicates only the small side") {
+    // the big (salted) side must NOT be broadcast; the small replicated side
+    // joins hash-to-hash on (key, salt)
+    val p = plan("j6_salted_join")
+    assert(p.contains("__salt") || p.contains("salt"), p.take(2000))
+  }
+
   test("custom expressions do not break codegen") {
     // fuzz_ratio / month_shift_reset / nfkc implement doGenCode — a plan
     // using them should still show codegen stages
