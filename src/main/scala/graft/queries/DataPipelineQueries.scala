@@ -121,6 +121,31 @@ object DataPipelineQueries {
       graft.io.Clients.identifyInitiators(s, sections)
     }),
 
+    // A1+X4: ORG frequency count over NER output (explode -> hash agg).
+    // The corpus is all-lowercase, so capitalized entities injected per
+    // doc are exactly what the gazetteer NER finds — SQL-derivable.
+    "a1_org_count" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id",
+        concat($"text",
+          lit(" Acme"), ($"doc_id" % 5).cast("string"),
+          lit(" Systems Inc announced. Beta"), ($"doc_id" % 3).cast("string"),
+          lit(" Holdings Corp agreed.")).as("content"))
+      docs.select(explode(graft.GraftFunctions.extract_orgs($"content")).as("org"))
+        .groupBy($"org").agg(count(lit(1)).as("n"))
+        .orderBy($"org")
+    }),
+
+    // Multimodal resize: pure metadata transform (aspect-preserving).
+    "mm_resize" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.mediaTable(t(s, dir, "documents"))
+      Multimodal.resizeMeta(Multimodal.decodeAll(s, media).toDF(),
+        targetWidth = 256)
+        .select($"doc_id", $"width", $"height", $"out_width", $"out_height")
+        .orderBy($"doc_id")
+    }),
+
     // A4: per-label vector mean (exploded form), exact fixed-point sums.
     "a4_vector_mean" -> ((s, dir) => {
       import s.implicits._
@@ -373,6 +398,24 @@ object DataPipelineQueries {
         |           ELSE 1 + length(text) % 7 END, 2)) AS INT) AS frame_idx
         |  FROM documents)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "a1_org_count" ->
+      """WITH orgs AS (
+        |  SELECT 'Acme' || CAST(doc_id % 5 AS VARCHAR) || ' Systems Inc' AS org
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'Beta' || CAST(doc_id % 3 AS VARCHAR) || ' Holdings Corp'
+        |  FROM documents)
+        |SELECT org, COUNT(*) AS n
+        |FROM orgs GROUP BY org ORDER BY org""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id,
+        |  CAST(64 + length(text) % 577 AS INT) AS width,
+        |  CAST(48 + length(text) % 433 AS INT) AS height,
+        |  256 AS out_width,
+        |  CAST(round((48 + length(text) % 433) * 256
+        |             / (64 + length(text) % 577)) AS INT) AS out_height
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "ta_text_profile" ->
       """WITH scored AS (
         |  SELECT doc_id, text,

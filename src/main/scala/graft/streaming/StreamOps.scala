@@ -42,6 +42,19 @@ object StreamOps {
       watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates(keyCol)
 
+  /** Streaming near-dup suppression: the streaming counterpart of the
+    * batch dedup family — state is keyed by the 64-bit SimHash of the
+    * normalized text (a per-row scalar, no shuffle beyond the dedup
+    * exchange), and the watermark bounds state size, which is what makes
+    * this viable on an unbounded 100 TB-scale ingest stream. */
+  def nearDupDedup(docs: DataFrame, textCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("__simhash",
+      graft.GraftFunctions.simhash64(
+        graft.ops.Dedup.normalized(col(textCol))))
+      .withWatermark("ts", watermark)
+      .dropDuplicates("__simhash")
+
   /** Watermarked tumbling-window counts + exact-decimal sums (append mode
     * emits only finalized windows). */
   def windowedAgg(events: DataFrame, windowLen: String = "5 minutes",

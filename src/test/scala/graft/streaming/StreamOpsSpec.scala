@@ -54,6 +54,26 @@ class StreamOpsSpec extends SparkSpec {
     assert(out.count() == batchDistinct)
   }
 
+  test("streaming near-dup dedup keeps one doc per simhash key") {
+    val d = java.nio.file.Files.createTempDirectory("graft-neardup")
+    d.toFile.deleteOnExit()
+    val docs = Seq(
+      (1L, "2026-01-01 00:00:00", "the quick brown fox jumps"),
+      (2L, "2026-01-01 00:01:00", "The quick  BROWN   fox jumps"), // case/ws variant
+      (3L, "2026-01-01 00:02:00", "a completely different document body"),
+      (4L, "2026-01-01 00:03:00", "the quick brown fox jumps")) // exact dup
+      .toDF("doc_id", "ts_s", "text")
+      .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+    docs.write.parquet(d.toString + "/p")
+    val stream = spark.readStream.schema(docs.schema).parquet(d.toString + "/p")
+    val out = runToMemory(StreamOps.nearDupDedup(stream, "text"),
+      "neardup", "append")
+    // 1/2/4 normalize to the same text -> same simhash -> one survivor
+    assert(out.count() == 2)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet
+      .intersect(Set(1L, 2L, 4L)).size == 1)
+  }
+
   test("flatMapGroupsWithState sessionization matches batch gap sessions") {
     val stream = StreamOps.eventsStream(spark, streamDir)
     val sessions = runToMemory(
