@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graft._
 
@@ -47,15 +47,26 @@ object ReorderCostlyConjuncts extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
+  /** Stable cheap-first reorder; None if already ordered. */
+  private def reorder(cond: Expression): Option[Expression] = {
+    val conjuncts = splitConjuncts(cond)
+    if (conjuncts.length <= 1) None
+    else {
+      val sorted = conjuncts.sortBy(cost) // stable: equal costs keep order
+      if (sorted.corresponds(conjuncts)(_ eq _)) None
+      else Some(sorted.reduceLeft(And(_, _)))
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
-      val conjuncts = splitConjuncts(cond)
-      if (conjuncts.length <= 1) f
-      else {
-        val sorted = conjuncts.sortBy(cost) // stable: equal costs keep order
-        if (sorted eq conjuncts) f
-        else if (sorted.corresponds(conjuncts)(_ eq _)) f
-        else Filter(sorted.reduceLeft(And(_, _)), child)
-      }
+      reorder(cond).map(Filter(_, child)).getOrElse(f)
+    // Join conditions matter just as much: in a (broadcast) nested-loop
+    // theta-join the condition runs once per PAIR, so an expensive kernel
+    // ahead of a cheap comparison multiplies across the whole cross space
+    // (e.g. all-pairs cosine joins evaluating the dot product before the
+    // upper-triangle id guard).
+    case j @ Join(_, _, _, Some(cond), _) =>
+      reorder(cond).map(c => j.copy(condition = Some(c))).getOrElse(j)
   }
 }

@@ -35,6 +35,21 @@ class ReorderCostlyConjunctsSpec extends SparkSpec {
       s"fuzzy kernel should be evaluated last: $cs")
   }
 
+  test("join conditions reorder too — pair-wise kernels run after cheap guards") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val a = e.select($"vec_id".as("id_1"), $"embedding".as("qe"))
+    val b = e.select($"vec_id".as("id_2"), $"embedding".as("te"))
+    val q = a.join(b,
+      graft.ops.Similarity.cosineScaled($"qe", $"te") > 0.5 && $"id_1" < $"id_2")
+    val cond = q.queryExecution.optimizedPlan.collectFirst {
+      case Join(_, _, _, Some(c), _) => c
+    }.get
+    val cs = conjuncts(cond)
+    assert(!cs.head.exists(_.isInstanceOf[org.apache.spark.sql.graft.ScaledDot]),
+      s"cheap id guard should be evaluated first: $cs")
+  }
+
   test("reordering never changes the result set") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val expensiveFirst = docs.filter(
