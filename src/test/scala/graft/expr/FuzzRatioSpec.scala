@@ -3,9 +3,45 @@ package graft.expr
 import graft.SparkSpec
 import graft.GraftFunctions._
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 class FuzzRatioSpec extends SparkSpec {
   private def approx(a: Double, b: Double) = assert(math.abs(a - b) < 1e-9, s"$a vs $b")
+
+  /** Reference O(m*n) DP — the bit-parallel kernel must agree exactly. */
+  private def lcsNaive(a: String, b: String): Int = {
+    val m = a.length; val n = b.length
+    if (m == 0 || n == 0) return 0
+    var prev = new Array[Int](n + 1)
+    var cur = new Array[Int](n + 1)
+    var i = 1
+    while (i <= m) {
+      val ac = a.charAt(i - 1)
+      var j = 1
+      while (j <= n) {
+        cur(j) =
+          if (ac == b.charAt(j - 1)) prev(j - 1) + 1
+          else math.max(prev(j), cur(j - 1))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(n)
+  }
+
+  test("property: bit-parallel LCS equals the DP on random strings (incl. >64 chars)") {
+    val charGen = Gen.oneOf(('a' to 'f') ++ Seq(' ', 'é')) // small alphabet + non-ASCII
+    val strGen = for {
+      n <- Gen.choose(0, 150) // crosses the 64-bit word boundary
+      cs <- Gen.listOfN(n, charGen)
+    } yield cs.mkString
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300),
+      Prop.forAll(strGen, strGen) { (a, b) =>
+        FuzzImpl.lcsLen(a, b) == lcsNaive(a, b)
+      })
+    assert(res.passed, res.status.toString)
+  }
 
   test("ratio matches rapidfuzz reference values") {
     // rapidfuzz.fuzz.ratio("this is a test", "this is a test!") == 96.551724...
