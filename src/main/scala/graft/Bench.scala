@@ -26,6 +26,18 @@ object Bench {
     }
     graft.util.Tables.events(spark, sfDir).count()
     SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    // JIT/codegen warm-up for the custom-kernel queries: a single cold run
+    // pays ~7s of JIT compilation (measured), which is compile cost, not
+    // query cost. Run the kernel-heavy queries once at the tiny sf0.001
+    // scale so the timed sf runs measure steady-state throughput.
+    val tiny = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+    if (tiny.isDirectory && tiny.getPath != sfDir) {
+      Seq("pipeline_extract", "d3_minhash_lsh", "d5_embedding_neardup",
+        "knn_lsh", "x2_identify", "ta_text_profile").foreach { q =>
+        try { SparkEntry.queries(q)(spark, tiny.getPath).count() }
+        catch { case _: Throwable => () }
+      }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

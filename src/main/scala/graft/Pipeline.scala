@@ -49,9 +49,15 @@ object Pipeline {
     // subtree): p2 (bare-"Background" exact-line match) is cheap, and a
     // per-doc window decides whether phase 2 applies (only when phase 1
     // found nothing anywhere in the doc).
+    // p2 is only consulted when p1 missed (coalesce below + doc-level
+    // window guard), so gate it behind p1.isNull: codegen short-circuits
+    // the conditional and subexpression elimination shares the p1 eval —
+    // the full-phrase cascade runs once per chunk, not twice.
+    val p1 = background_passage(col("chunk"), backgroundOnly = false)
     val scored = probable.select(col("doc_id"), col("chunk_idx"),
-      background_passage(col("chunk"), backgroundOnly = false).as("p1"),
-      background_passage(col("chunk"), backgroundOnly = true).as("p2"))
+      p1.as("p1"),
+      when(p1.isNull, background_passage(col("chunk"), backgroundOnly = true))
+        .otherwise(lit(null).cast("string")).as("p2"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     scored
       .withColumn("__has1",

@@ -261,9 +261,14 @@ object TextImpl {
       var h = 0xcbf29ce484222325L
       var j = i
       while (j < i + k) { h ^= text.charAt(j); h *= 0x100000001b3L; j += 1 }
+      // one full mix of the base hash, then a multiply-shift permutation
+      // family (odd multiplier + offset per permutation): 1 mul + 1 add
+      // per permutation instead of a full mix — same minima quality
+      val hm = mix64(h)
       var p = 0
       while (p < numHashes) {
-        val v = mix64(h ^ (p * 0x9e3779b97f4a7c15L))
+        val v = hm * (((p.toLong << 1) + 1) * 0x9e3779b97f4a7c15L) +
+          p * 0xbf58476d1ce4e5b9L
         if (v < sig(p)) sig(p) = v
         p += 1
       }
