@@ -14,6 +14,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same session surface as Bench: SQL names + the conjunct-reorder rule
+    // (the rule must be result-invisible — running the oracle gate with it
+    // active is the standing proof)
+    GraftFunctions.register(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
