@@ -172,6 +172,46 @@ object Similarity {
       .select(col("qid"), col("rank"), col("tid"), col("cos"))
   }
 
+  /** Persist an IVF index at rest: targets assigned to their cell and
+    * written `partitionBy(cell)` with precomputed norms. At scale this is
+    * the ANN path: the index is built once, and every query batch reads
+    * only its probed cells' partitions (see [[knnIvfIndexed]]). Returns the
+    * centroids to keep with the index. */
+  def writeIvfIndex(targets: DataFrame, path: String,
+      nCells: Int): Array[Array[Float]] = {
+    val centroids = ivfSeedCentroids(targets, nCells)
+    targets.withColumn("cell", nearestCell(col("te"), centroids))
+      .withColumn("tn", scaledDot(col("te"), col("te")))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    centroids
+  }
+
+  /** ANN search against a persisted IVF index. The distinct probe-cell
+    * set of the query batch (at most nCells values — a tiny driver-side
+    * collect, like the centroids themselves) becomes a LITERAL partition
+    * filter on the index scan, so the source statically prunes every
+    * unprobed cell: the scan reads ~nProbe/nCells of the index regardless
+    * of its total size. */
+  def knnIvfIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: Array[Array[Float]], queries: DataFrame, k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val probed = queries
+      .withColumn("cell", explode(probeCells(col("qe"), centroids, nProbe)))
+    val cells = probed.select(col("cell")).distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val tb = spark.read.parquet(path)
+      .filter(col("cell").isin(cells: _*))
+    val qb = broadcast(probed
+      .withColumn("qn", scaledDot(col("qe"), col("qe"))))
+    val scored = qb.join(tb, Seq("cell")).filter(col("qid") =!= col("tid"))
+      .withColumn("cos", scaledDot(col("qe"), col("te")).cast("double") /
+        sqrt((col("qn") * col("tn")).cast("double")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("tid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("tid"), col("cos"))
+  }
+
   /** LSH ANN: score only same-bucket candidates. Returns
     * (qid, rank, tid, cos) — rank within retrieved candidates. */
   def knnLsh(queries: DataFrame, targets: DataFrame, dim: Int,

@@ -80,6 +80,26 @@ class SimilaritySpec extends SparkSpec {
     assert(again.nonEmpty)
   }
 
+  test("persisted IVF index matches in-memory IVF and prunes partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val e = embeddings
+    val q = e.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val t = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+    val centroids = Similarity.writeIvfIndex(t, dir, nCells = 6)
+    val indexed = Similarity.knnIvfIndexed(spark, dir, centroids, q, k = 3)
+    val direct = Similarity.knnIvf(q, t, dim = 16, k = 3, nCells = 6)
+    // identical results: same centroids, same probe/assignment arithmetic
+    assert(indexed.collect().map(_.toSeq).toSet ==
+      direct.collect().map(_.toSeq).toSet)
+    // the scan must statically prune on the probed cells: the literal IN
+    // filter has to reach PartitionFilters, not sit above the scan
+    val plan = indexed.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(pf.replaceAll(".*PartitionFilters", "").contains("cell#") &&
+      pf.replaceAll(".*PartitionFilters", "").contains(" IN "), pf.take(500))
+  }
+
   test("scaled-dot cosine matches double-precision cosine closely") {
     val e = embeddings.limit(10).collect().map(_.getSeq[Float](1).toArray)
     val df = Seq((e(0), e(1))).toDF("a", "b")
