@@ -212,6 +212,34 @@ object Similarity {
       .select(col("qid"), col("rank"), col("tid"), col("cos"))
   }
 
+  /** Persist an LSH index at rest: targets written `partitionBy(bucket)`
+    * with precomputed norms (buckets are deterministic — fixed seeded
+    * planes — so no sidecar state is needed beyond the dim). */
+  def writeLshIndex(targets: DataFrame, path: String, dim: Int): Unit =
+    targets.withColumn("bucket", lshBucket(col("te"), dim))
+      .withColumn("tn", scaledDot(col("te"), col("te")))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** ANN search against a persisted LSH index: the query batch's distinct
+    * buckets (at most 2^NumPlanes values) become a literal partition
+    * filter, so the scan statically prunes every unprobed bucket. */
+  def knnLshIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, dim: Int, k: Int): DataFrame = {
+    val qb0 = queries.withColumn("bucket", lshBucket(col("qe"), dim))
+    val buckets = qb0.select(col("bucket")).distinct().collect()
+      .map(_.getLong(0)).toSeq
+    val tb = spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets: _*))
+    val qb = broadcast(qb0.withColumn("qn", scaledDot(col("qe"), col("qe"))))
+    val scored = qb.join(tb, Seq("bucket")).filter(col("qid") =!= col("tid"))
+      .withColumn("cos", scaledDot(col("qe"), col("te")).cast("double") /
+        sqrt((col("qn") * col("tn")).cast("double")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("tid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("tid"), col("cos"))
+  }
+
   /** LSH ANN: score only same-bucket candidates. Returns
     * (qid, rank, tid, cos) — rank within retrieved candidates. */
   def knnLsh(queries: DataFrame, targets: DataFrame, dim: Int,

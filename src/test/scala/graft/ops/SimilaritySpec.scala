@@ -100,6 +100,22 @@ class SimilaritySpec extends SparkSpec {
       pf.replaceAll(".*PartitionFilters", "").contains(" IN "), pf.take(500))
   }
 
+  test("persisted LSH index matches in-memory LSH and prunes partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshidx").toString
+    val e = embeddings
+    val q = e.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val t = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+    Similarity.writeLshIndex(t, dir, dim = 16)
+    val indexed = Similarity.knnLshIndexed(spark, dir, q, dim = 16, k = 3)
+    val direct = Similarity.knnLsh(q, t, dim = 16, k = 3)
+    assert(indexed.collect().map(_.toSeq).toSet ==
+      direct.collect().map(_.toSeq).toSet)
+    val pf = indexed.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.replaceAll(".*PartitionFilters", "").contains("bucket#") &&
+      pf.replaceAll(".*PartitionFilters", "").contains(" IN "), pf.take(500))
+  }
+
   test("scaled-dot cosine matches double-precision cosine closely") {
     val e = embeddings.limit(10).collect().map(_.getSeq[Float](1).toArray)
     val df = Seq((e(0), e(1))).toDF("a", "b")
