@@ -301,6 +301,24 @@ object RelationalQueries {
         .orderBy($"deal_id")
     }),
 
+    // As-of join (nearest-earlier match): for each event, the user's most
+    // recent order at-or-before the event time — composed as the linear
+    // union+window as-of (graft.ops.AsofJoin), not a per-row range join.
+    "j8_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val probe = events(s, dir).filter($"event_id" < 2000)
+        .select($"user_id".as("k"), unix_micros($"ts").as("t_us"), $"event_id")
+      val build = t(s, dir, "orders")
+        .select($"o_custkey".as("k"),
+          // NTZ -> UTC instant (session tz is UTC; DuckDB epoch_us agrees)
+          unix_micros($"o_orderdate".cast(TimestampType)).as("t_us"))
+      graft.ops.AsofJoin.asofTime(probe, build, "k", "t_us")
+        .filter($"asof_t_us".isNotNull)
+        .select($"event_id", $"k".as("user_id"),
+          $"asof_t_us".as("last_order_us"))
+        .orderBy($"event_id")
+    }),
+
     // A6+F3: time-bucketed tally over the events table (date_trunc hour).
     "event_hourly_agg" -> ((s, dir) => {
       import s.implicits._
@@ -313,6 +331,13 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "j8_asof_join" ->
+      """SELECT event_id, user_id, MAX(epoch_us(o_orderdate)) AS last_order_us
+        |FROM events JOIN orders
+        |  ON o_custkey = user_id AND epoch_us(o_orderdate) <= epoch_us(ts)
+        |WHERE event_id < 2000
+        |GROUP BY event_id, user_id
+        |ORDER BY event_id""".stripMargin,
     "j6_salted_join" ->
       """SELECT s_name,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
