@@ -146,6 +146,23 @@ object DataPipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // X1: the LLM fallback classifier lineage (prompt-size gate ->
+    // mapPartitions classify -> from_json -> semi-join keep). The stub
+    // keeps docs whose content mentions "background" — SQL-derivable, so
+    // the whole distributed path oracle-checks.
+    "x1_classify" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(
+        $"doc_id".as("main_index"),
+        concat($"text",
+          when($"doc_id" % 3 === 0,
+            lit(" Background of the Merger follows.")).otherwise(lit("")))
+          .as("content"))
+      graft.io.Clients.classifyHasSection(s, docs, minPromptChars = 200)
+        .select($"main_index", length($"content").as("content_len"))
+        .orderBy($"main_index")
+    }),
+
     // A4: per-label vector mean (exploded form), exact fixed-point sums.
     "a4_vector_mean" -> ((s, dir) => {
       import s.implicits._
@@ -398,6 +415,15 @@ object DataPipelineQueries {
         |           ELSE 1 + length(text) % 7 END, 2)) AS INT) AS frame_idx
         |  FROM documents)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "x1_classify" ->
+      """SELECT doc_id AS main_index,
+        |  CAST(length(text) + CASE WHEN doc_id % 3 = 0
+        |       THEN length(' Background of the Merger follows.')
+        |       ELSE 0 END AS INT) AS content_len
+        |FROM documents
+        |WHERE doc_id % 3 = 0
+        |  AND length(text) + length(' Background of the Merger follows.') >= 200
+        |ORDER BY main_index""".stripMargin,
     "a1_org_count" ->
       """WITH orgs AS (
         |  SELECT 'Acme' || CAST(doc_id % 5 AS VARCHAR) || ' Systems Inc' AS org
