@@ -35,15 +35,33 @@ object Bench {
       Seq("pipeline_extract", "d3_minhash_lsh", "d5_embedding_neardup",
         "knn_lsh", "x2_identify", "ta_text_profile").foreach { q =>
         try { SparkEntry.queries(q)(spark, tiny.getPath).count() }
-        catch { case _: Throwable => () }
+        catch { // NonFatal only: an OOM/linkage error in warm-up must not
+                // resurface confusingly in the timed runs
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] warm-up of $q failed: $e")
+        }
       }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Timed runs: `reps` full interleaved passes over the query set, keep
+    // the per-query minimum. A single-pass bench couples each query's time
+    // to whatever GC/JIT state its alphabetical predecessor left behind
+    // (±25% observed, and one 4.8x outlier) — min-of-reps across passes
+    // isolates steady-state per-query cost without forking JVMs.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to reps; (name, fn) <- named) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $name failed: $e")
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (dt < best.getOrElse(name, Double.MaxValue)) best(name) = dt
     }
+    val results = named.map { case (name, _) => name -> best(name) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

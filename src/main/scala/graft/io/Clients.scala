@@ -94,10 +94,13 @@ object Clients {
   }
 
   /** X1 stub: the determine_background_section fallback classifier
-    * (src/crawler/Processor.py:309-395; tool schema config.py:71-140). */
+    * (src/crawler/Processor.py:309-395; tool schema config.py:71-140).
+    * The gate matches the full section-title phrase list (not the bare
+    * word "background"), so oracle queries don't silently depend on the
+    * corpus vocabulary lacking that word. */
   class StubBackgroundClassifier extends LlmExtractor {
     override def extract(prompt: String): String = {
-      val has = prompt.toLowerCase.contains("background")
+      val has = graft.ops.CascadeImpl.containsStartPhrase(prompt)
       val header = if (has) "Background of the Merger" else ""
       s"""{"hasSection": $has, "matchHeader": "$header", "confidence": ${if (has) 0.9 else 0.1}}"""
     }

@@ -49,6 +49,14 @@ object CascadeImpl {
 
   private val phrasesLower: Vector[String] = StartPhrases.init.map(_.toLowerCase)
 
+  /** True when the text contains any full section-title phrase (bare
+    * "Background" excluded). Used by the X1 stub classifier so its gate is
+    * pinned to the phrase list rather than a single corpus-dependent word. */
+  def containsStartPhrase(text: String): Boolean = {
+    val lower = text.toLowerCase
+    lower.contains(GateTerm) && phrasesLower.exists(lower.contains)
+  }
+
   /** Every match path below requires this substring (lowercased); callers
     * may pre-filter on it as a sound cheap gate (see Pipeline.candidates).
     * If any cascade path ever stops requiring it, update both places. */

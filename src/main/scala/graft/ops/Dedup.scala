@@ -64,10 +64,24 @@ object Dedup {
 
   /** Exact n-gram Jaccard over all pairs sharing at least one shingle.
     * The common-shingle equi-join IS the candidate pruning: pairs with no
-    * shared shingle never materialize. Returns (id_1, id_2, jaccard). */
+    * shared shingle never materialize. Returns (id_1, id_2, jaccard).
+    *
+    * `maxDf` caps shingle document frequency BEFORE the self-join: one
+    * boilerplate n-gram shared by m docs would otherwise fan out to m^2/2
+    * candidate rows — the single all-pairs hazard in this family (the
+    * MinHash path bounds its buckets the same way, `maxBucketSize`).
+    * Shingles above the cap are dropped from the universe entirely (sizes
+    * AND intersections), i.e. the measure is stopword-filtered Jaccard —
+    * self-consistent, and the standard trade for df-capped similarity. */
   def jaccardPairs(docs: DataFrame, id: String, text: String, n: Int,
-      minJaccard: Double): DataFrame = {
-    val sh = wordShingleRows(docs, id, text, n)
+      minJaccard: Double, maxDf: Int = 100): DataFrame = {
+    val sh0 = wordShingleRows(docs, id, text, n)
+    // rows are distinct per (doc, shingle), so count(*) = document frequency
+    val rare = sh0.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("shingle"))
+    val sh = sh0.join(rare, Seq("shingle"))
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(id).as("id_1"), col("shingle"))
     val b = sh.select(col(id).as("id_2"), col("shingle"))

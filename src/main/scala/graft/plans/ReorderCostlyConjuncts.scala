@@ -21,7 +21,17 @@ import org.apache.spark.sql.graft._
   * the result set is unchanged (Catalyst's own CombineFilters/PushDownPredicates
   * already reorder conjunct evaluation). The sort is stable and the rule
   * returns the node unchanged when already ordered, so it converges in one
-  * pass.
+  * pass. Two guards keep the reorder semantics-preserving:
+  *  - non-deterministic conditions are left untouched (reordering changes
+  *    how many RNG draws occur — same guard Catalyst's pushdown uses);
+  *  - conjuncts that can THROW under ANSI mode (narrowing casts, integral
+  *    arithmetic overflow, invalid array index) are never hoisted ahead of
+  *    a conjunct that originally preceded them — they sort after all
+  *    non-throwing conjuncts in original relative order, so a cheap
+  *    `CAST(x AS INT) > 5` can't run ahead of its `x RLIKE '^\d+$'` guard.
+  *    (Moving a throwable conjunct LATER only suppresses errors on rows a
+  *    cheaper conjunct already rejects — the benign direction, and one
+  *    Spark's own predicate reordering already permits.)
   */
 object ReorderCostlyConjuncts extends Rule[LogicalPlan] {
 
@@ -47,12 +57,49 @@ object ReorderCostlyConjuncts extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  /** Stable cheap-first reorder; None if already ordered. */
+  /** Conservative "can this conjunct raise under ANSI mode" test: narrowing
+    * or string casts, integral/decimal arithmetic (overflow, div by zero),
+    * and fallible collection indexing. Double arithmetic and widening casts
+    * never throw and stay hoistable. */
+  private def throwyType(t: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  /** Divisor that provably can't trip div-by-zero: a non-zero literal. */
+  private def nonZeroLiteral(e: Expression): Boolean =
+    e.foldable && (e.eval() match {
+      case n: java.lang.Number => n.longValue != 0L
+      case _ => false
+    })
+
+  private def mayThrow(e: Expression): Boolean = e.exists {
+    case c: Cast => !Cast.canUpCast(c.child.dataType, c.dataType)
+    // integral remainder can't overflow (MinValue % -1 == 0): only the
+    // div-by-zero path throws, which a non-zero literal divisor rules out —
+    // keeps `id % 5 === 0`-style cheap guards hoistable
+    case r: Remainder => throwyType(r.dataType) && !nonZeroLiteral(r.right)
+    case p: Pmod => throwyType(p.dataType) && !nonZeroLiteral(p.right)
+    case b: BinaryArithmetic => throwyType(b.dataType) // overflow
+    case _: ElementAt | _: GetArrayItem => true // invalid index raises
+    case m: UnaryMinus => throwyType(m.dataType) // negation overflow
+    case _ => false
+  }
+
+  /** Stable cheap-first reorder; None if already ordered or unsafe to
+    * touch. Throwable conjuncts keep their original relative order after
+    * every non-throwing conjunct (never hoisted). */
   private def reorder(cond: Expression): Option[Expression] = {
+    if (!cond.deterministic) return None
     val conjuncts = splitConjuncts(cond)
     if (conjuncts.length <= 1) None
     else {
-      val sorted = conjuncts.sortBy(cost) // stable: equal costs keep order
+      val (unsafe, safe) = conjuncts.partition(mayThrow)
+      val sorted = safe.sortBy(cost) ++ unsafe // both stable
       if (sorted.corresponds(conjuncts)(_ eq _)) None
       else Some(sorted.reduceLeft(And(_, _)))
     }

@@ -22,13 +22,14 @@ object DataPipelineQueries {
         .orderBy($"fp")
     }),
 
-    // Exact word-3-gram Jaccard near-dup pairs on a bounded subset (the
-    // common-shingle join prunes non-overlapping pairs; word shingles keep
-    // the shared-shingle fan-out selective).
+    // Exact word-3-gram Jaccard near-dup pairs over the FULL table: the
+    // common-shingle join prunes non-overlapping pairs, and the shingle
+    // document-frequency cap bounds the fan-out of boilerplate n-grams
+    // (the one all-pairs hazard in this shape).
     "d2_ngram_jaccard" -> ((s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents").filter($"doc_id" % 25 === 0)
-      Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.01)
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minJaccard = 0.01, maxDf = 100)
         .orderBy($"id_1", $"id_2")
     }),
 
@@ -269,13 +270,15 @@ object DataPipelineQueries {
       """WITH docs AS (
         |  SELECT doc_id,
         |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
-        |  FROM documents WHERE doc_id % 25 = 0),
-        |sh AS (
+        |  FROM documents),
+        |sh0 AS (
         |  SELECT DISTINCT doc_id,
         |    array_to_string(list_slice(w, CAST(i AS INT), CAST(i+2 AS INT)), ' ') AS s
         |  FROM (SELECT doc_id, w,
         |          unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i
         |        FROM docs)),
+        |rare AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 100),
+        |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN rare USING (s)),
         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
         |common AS (
         |  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS c

@@ -37,23 +37,38 @@ object StreamOps {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** J4 streaming: exactly-once-per-key append via watermark + dedup. */
+  /** J4 streaming: once-per-key append via watermark + dedup. Uses
+    * `dropDuplicatesWithinWatermark` because plain `dropDuplicates` only
+    * evicts state when the event-time column is part of the keys — with a
+    * bare business key the state map would grow without bound. The
+    * within-watermark variant expires each key once the watermark passes
+    * its event time + delay, so state is truly bounded (the dedup
+    * guarantee correspondingly holds for duplicates arriving within the
+    * watermark window — the right trade on an unbounded stream). */
   def dedupByKey(events: DataFrame, keyCol: String,
       watermark: String = "1 hour"): DataFrame =
-    events.withWatermark("ts", watermark).dropDuplicates(keyCol)
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
 
   /** Streaming near-dup suppression: the streaming counterpart of the
     * batch dedup family — state is keyed by the 64-bit SimHash of the
     * normalized text (a per-row scalar, no shuffle beyond the dedup
-    * exchange), and the watermark bounds state size, which is what makes
-    * this viable on an unbounded 100 TB-scale ingest stream. */
+    * exchange). `dropDuplicatesWithinWatermark` bounds state to keys seen
+    * within the watermark horizon (eviction actually happens, unlike
+    * `dropDuplicates` on a non-event-time key), which is what makes this
+    * viable on an unbounded 100 TB-scale ingest stream; duplicates farther
+    * apart than the watermark are handled by the batch dedup family over
+    * the at-rest table. Exact simhash equality collapses byte-identical
+    * normalized text; near-duplicate (Hamming-ball) matching at stream
+    * time would need band keys — see Dedup.simhashPairs for the batch
+    * shape. */
   def nearDupDedup(docs: DataFrame, textCol: String,
       watermark: String = "1 hour"): DataFrame =
     docs.withColumn("__simhash",
       graft.GraftFunctions.simhash64(
         graft.ops.Dedup.normalized(col(textCol))))
       .withWatermark("ts", watermark)
-      .dropDuplicates("__simhash")
+      .dropDuplicatesWithinWatermark("__simhash")
 
   /** Watermarked tumbling-window counts + exact-decimal sums (append mode
     * emits only finalized windows). */

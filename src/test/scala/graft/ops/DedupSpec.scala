@@ -36,6 +36,28 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("jaccard df-cap: a boilerplate shingle shared by every doc makes no pairs") {
+    // 60 docs that share ONE hot 3-gram (legal boilerplate) but are
+    // otherwise disjoint: without the df cap the self-join fans out to
+    // 60*59/2 candidate rows on that shingle alone; with it, zero pairs.
+    val boiler = "incorporated by reference"
+    val skewed = (1L to 60L).map(i =>
+      (i, s"$boiler unique$i filler$i content$i body$i tail$i"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(skewed, "doc_id", "text", n = 3,
+      minJaccard = 0.0, maxDf = 50)
+    assert(pairs.count() == 0)
+    // and the capped universe still finds true near-dups among cold shingles
+    val mixed = skewed.union(Seq(
+      (101L, s"$boiler alpha beta gamma delta epsilon zeta"),
+      (102L, s"$boiler alpha beta gamma delta epsilon eta"))
+      .toDF("doc_id", "text"))
+    val found = Dedup.jaccardPairs(mixed, "doc_id", "text", n = 3,
+      minJaccard = 0.3, maxDf = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == Set((101L, 102L)), s"got $found")
+  }
+
   test("minhash LSH candidates include high-jaccard pairs, verified pairs exact") {
     val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -50,6 +50,45 @@ class ReorderCostlyConjunctsSpec extends SparkSpec {
       s"cheap id guard should be evaluated first: $cs")
   }
 
+  test("non-deterministic conditions are left untouched") {
+    // applied directly: Catalyst splits non-deterministic conjuncts into
+    // their own Filter during pushdown, so build the node the rule would see
+    import org.apache.spark.sql.catalyst.expressions._
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val rel = docs.queryExecution.analyzed
+    val src = rel.output.find(_.name == "source").get
+    val kernel = GreaterThan(
+      org.apache.spark.sql.graft.FuzzRatio(src,
+        Literal.create("alpha source")), Literal.create(55.0))
+    val nd = LessThan(new Rand(Literal.create(42L)), Literal.create(0.5))
+    val plan = Filter(And(kernel, nd), rel)
+    val out = ReorderCostlyConjuncts(plan)
+    assert(out eq plan, s"non-deterministic condition was rewritten: $out")
+  }
+
+  test("ANSI-throwable conjunct is never hoisted ahead of its guard") {
+    // cast(source) to int throws under ANSI unless guarded by the rlike;
+    // cast cost (1) < rlike cost (25), so an unguarded sort would hoist it
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val q = docs.filter(
+      $"source".rlike("^[0-9]+$") && $"source".cast("int") > 5)
+    val cond = q.queryExecution.optimizedPlan.collectFirst {
+      case Filter(c, _) => c
+    }.get
+    val cs = conjuncts(cond)
+    val rlikeIdx = cs.indexWhere(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.RLike]))
+    val castIdx = cs.indexWhere(_.exists {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+        c.dataType == org.apache.spark.sql.types.IntegerType
+      case _ => false
+    })
+    assert(rlikeIdx >= 0 && castIdx >= 0 && rlikeIdx < castIdx,
+      s"throwable cast hoisted ahead of its rlike guard: $cs")
+    // and the query actually runs under ANSI mode (no rows are numeric)
+    assert(q.count() == 0L)
+  }
+
   test("reordering never changes the result set") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val expensiveFirst = docs.filter(
