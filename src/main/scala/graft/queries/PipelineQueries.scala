@@ -42,6 +42,47 @@ object PipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // T3-T6: the header-detection cascade, driver-oracle-gated on a
+    // fuzzy-inert corpus (the corpus contains no occurrence of
+    // "background", so every match decision is exact phrase/line logic and
+    // the DuckDB twin can derive the expected passage per branch family).
+    // Branch map (doc_id % 7):
+    //   0 clean title -> passage iff len>174 (T6 length gate, data-dep)
+    //   1 sentence skip-term -> line-branch match -> title-para skip -> null
+    //   2 TOC-shaped section -> T5 rejects -> null
+    //   3 truncated body -> T6 length gate rejects -> null
+    //   4 false-positive title term on first header line -> promotion from
+    //     the SECOND header line iff len>169
+    //   5 phrase buried in a 3-line paragraph -> T4 rejects -> null
+    //   6 phase-2 bare-"Background" exact-line mode -> passage iff len>188
+    "t3_cascade" -> ((s, dir) => {
+      import s.implicits._
+      val m = $"doc_id" % 7
+      val body = $"text"
+      val content =
+        when(m === 0, concat(lit("Intro paragraph line one here.\n\n" +
+          "Background of the Merger\n\n"), body))
+        .when(m === 1, concat(lit("the deal was amended as background of " +
+          "the merger terms say.\n\n"), body))
+        .when(m === 2, concat(lit("Background of the Offer\n\nitem one page" +
+          "\n\nitem two page\n\nitem three page\n\n"), body))
+        .when(m === 3, concat(lit("Background of Transaction\n\n"),
+          substring(body, 1, 150)))
+        .when(m === 4, concat(lit("Background of the Acquisition Overview\n\n" +
+          "alpha beta gamma delta.\nepsilon zeta eta theta lines here\n" +
+          "iota kappa lambda mu paragraph text\nnu xi omicron pi more text\n\n" +
+          "Background of the Acquisition\n\n"), body))
+        .when(m === 5, concat(lit("Some intro sentence here.\n\n" +
+          "the background of the merger was discussed at length\n" +
+          "second line of the paragraph\nthird line of the paragraph\n\n"), body))
+        .otherwise(concat(lit("Background\n\n"), body))
+      val passage = when(m === 6, background_passage(content, backgroundOnly = true))
+        .otherwise(background_passage(content, backgroundOnly = false))
+      t(s, dir, "documents")
+        .select($"doc_id", coalesce(passage, lit("(rejected)")).as("passage"))
+        .orderBy($"doc_id")
+    }),
+
     // T10: passage-assembly window frame (rowsBetween 1..3 over fixed-stride
     // chunks) — the direct mapping of `chunks[i+1:i+12]`.
     "t10_passage_window" -> ((s, dir) => {
@@ -106,6 +147,23 @@ object PipelineQueries {
       |      FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Expected passage per branch family: header literal + blank line +
+    // body, gated by the promoted-passage length (> 200 incl. the header
+    // prefix: 24+2, 29+2, 10+2 chars respectively); all reject branches
+    // collapse to the sentinel.
+    "t3_cascade" ->
+      """SELECT doc_id,
+        |  CASE
+        |    WHEN doc_id % 7 = 0 AND length(text) > 174
+        |      THEN 'Background of the Merger' || chr(10) || chr(10) || text
+        |    WHEN doc_id % 7 = 4 AND length(text) > 169
+        |      THEN 'Background of the Acquisition' || chr(10) || chr(10) || text
+        |    WHEN doc_id % 7 = 6 AND length(text) > 188
+        |      THEN 'Background' || chr(10) || chr(10) || text
+        |    ELSE '(rejected)'
+        |  END AS passage
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "t10_passage_window" ->
       s"""WITH chunks AS ($substrChunks)
         |SELECT doc_id,
