@@ -42,6 +42,40 @@ object PipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // Full-pipeline oracle variant: the real extractSections lineage
+    // (chunk -> cascade -> rank -> assemble -> validate -> direct/enrich
+    // union) on a corpus built so every stage's decision is SQL-derivable:
+    // content < 2048 chars -> exactly one chunk; one candidate per doc, so
+    // the ranked winner is forced (the reference's no-embedding
+    // single-candidate path, ChunkProcessor.py:383-389); even doc_ids
+    // embed both company tokens -> validation passes -> direct path; odd
+    // doc_ids embed a quoted abbreviation definition instead -> validation
+    // fails -> enrichment path incl. ORG extraction + definition lookup.
+    // Docs whose content fails the 200-char promotion gate drop out (the
+    // data-dependent part). The recursive-chunker flagship stays as
+    // pipeline_extract.
+    "pipeline_extract_fixed" -> ((s, dir) => {
+      import s.implicits._
+      val ids = $"doc_id".cast("string")
+      val m2 = $"doc_id" % 2
+      val docs = t(s, dir, "documents").select(
+        $"doc_id",
+        when(m2 === 0, concat(lit("Acme"), ids, lit(" Systems Inc")))
+          .otherwise(concat(lit("Gamma"), ids, lit(" Partners Inc")))
+          .as("company_a"),
+        when(m2 === 0, concat(lit("Beta"), ids, lit(" Holdings Corp")))
+          .otherwise(concat(lit("Delta"), ids, lit(" Ventures Corp")))
+          .as("company_b"),
+        concat(lit("Background of the Merger\n\n"),
+          when(m2 === 0, concat(lit("acme"), ids, lit(" and beta"), ids,
+            lit(" agreed to combine operations. ")))
+          .otherwise(concat(lit("Acme"), ids, lit(" Systems Inc called (\"Acme"),
+            ids, lit(" Systems Inc\") and announced the plan. "))),
+          $"text").as("content"))
+      graft.Pipeline.extractSections(docs)
+        .orderBy($"doc_id")
+    }),
+
     // T3-T6: the header-detection cascade, driver-oracle-gated on a
     // fuzzy-inert corpus (the corpus contains no occurrence of
     // "background", so every match decision is exact phrase/line logic and
@@ -147,6 +181,54 @@ object PipelineQueries {
       |      FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Reconstructs the exact direct-path and enrichment-path outputs: the
+    // single-chunk passage is the whole content (+ trailing newline from
+    // assembly), the promotion gate is length(content) > 200, and the odd
+    // docs' enrichment block is preamble + definition paragraph + header.
+    "pipeline_extract_fixed" ->
+      """WITH built AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN 'Acme' || CAST(doc_id AS VARCHAR) || ' Systems Inc'
+        |         ELSE 'Gamma' || CAST(doc_id AS VARCHAR) || ' Partners Inc'
+        |    END AS company_a,
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN 'Beta' || CAST(doc_id AS VARCHAR) || ' Holdings Corp'
+        |         ELSE 'Delta' || CAST(doc_id AS VARCHAR) || ' Ventures Corp'
+        |    END AS company_b,
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN 'acme' || CAST(doc_id AS VARCHAR) || ' and beta'
+        |              || CAST(doc_id AS VARCHAR)
+        |              || ' agreed to combine operations. ' || text
+        |         ELSE 'Acme' || CAST(doc_id AS VARCHAR)
+        |              || ' Systems Inc called ("Acme' || CAST(doc_id AS VARCHAR)
+        |              || ' Systems Inc") and announced the plan. ' || text
+        |    END AS bodyline
+        |  FROM documents),
+        |kept AS (
+        |  SELECT *,
+        |    'Background of the Merger' || chr(10) || chr(10) || bodyline
+        |      AS full_content
+        |  FROM built WHERE length(bodyline) + 26 > 200),
+        |hdr AS (
+        |  SELECT *,
+        |    'The following provides details about the events leading up to '
+        |      || 'the merger deal between ' || company_a || ' & ' || company_b
+        |      || ':' || chr(10) AS header,
+        |    full_content || chr(10) AS passage_text
+        |  FROM kept)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN header || passage_text
+        |       ELSE 'Here are some potentially useful abbreviation '
+        |         || 'definitions that could help with analyzing the '
+        |         || '''Background'' section:' || chr(10)
+        |         || chr(10) || 'Passage that defines the abbreviation ''Acme'
+        |         || CAST(doc_id AS VARCHAR) || ' Systems Inc'':' || chr(10)
+        |         || trim(bodyline) || chr(10)
+        |         || chr(10) || header || chr(10) || passage_text
+        |  END AS content
+        |FROM hdr
+        |ORDER BY doc_id""".stripMargin,
     // Expected passage per branch family: header literal + blank line +
     // body, gated by the promoted-passage length (> 200 incl. the header
     // prefix: 24+2, 29+2, 10+2 chars respectively); all reject branches
