@@ -75,18 +75,33 @@ object Dedup {
     * self-consistent, and the standard trade for df-capped similarity. */
   def jaccardPairs(docs: DataFrame, id: String, text: String, n: Int,
       minJaccard: Double, maxDf: Int = 100): DataFrame = {
-    val sh0 = wordShingleRows(docs, id, text, n)
-    // rows are distinct per (doc, shingle), so count(*) = document frequency
-    val rare = sh0.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf)
-      .select(col("shingle"))
-    val sh = sh0.join(rare, Seq("shingle"))
-    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col(id).as("id_1"), col("shingle"))
-    val b = sh.select(col(id).as("id_2"), col("shingle"))
-    val common = a.join(b, Seq("shingle"))
-      .filter(col("id_1") < col("id_2"))
+    // One shuffle on the 8-byte hashed shingle (not the string, not a
+    // self-join): group each shingle's doc list, drop hot buckets, and
+    // explode the (i < j) pairs map-side. The previous a-join-b shape
+    // shuffled the string shingle table twice and recomputed the explode
+    // per consumer; this one materializes the bucket exchange once and
+    // ReuseExchange shares it between the pair and size consumers.
+    // Hashed-shingle identity (like the MinHash verify kernel) makes a
+    // cross-doc collision ~2^-64 per shingle pair — negligible and
+    // deterministic.
+    val sh = {
+      import org.apache.spark.sql.graft.{WordShingleHashes, internal}
+      docs.select(col(id), explode(internal.column(WordShingleHashes(
+        internal.expression(normalized(col(text))), n))).as("__h"))
+    }
+    val buckets = sh.groupBy(col("__h"))
+      .agg(array_sort(collect_list(col(id))).as("__ids"))
+      .filter(size(col("__ids")) <= maxDf)
+    // per-doc universe size under the df cap (df = 1 shingles count too)
+    val sizes = buckets.select(explode(col("__ids")).as(id))
+      .groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    // sorted ids -> all (i < j) pairs, generated inside codegen
+    val pairList = flatten(transform(col("__ids"), (x, i) =>
+      transform(slice(col("__ids"), i + lit(2), size(col("__ids"))),
+        y => struct(x.as("id_1"), y.as("id_2")))))
+    val common = buckets.filter(size(col("__ids")) >= 2)
+      .select(explode(pairList).as("__p"))
+      .select(col("__p.id_1").as("id_1"), col("__p.id_2").as("id_2"))
       .groupBy(col("id_1"), col("id_2")).agg(count(lit(1)).as("n_common"))
     common
       .join(sizes.select(col(id).as("id_1"), col("n_sh").as("n_1")), Seq("id_1"))

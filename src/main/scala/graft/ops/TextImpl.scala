@@ -277,6 +277,50 @@ object TextImpl {
     sig
   }
 
+  /** Distinct word n-gram shingle hashes in ONE pass over the normalized
+    * (single-spaced) string: FNV-1a over each n-word window's exact char
+    * range — no per-shingle string allocation, no array_distinct. Matches
+    * the string-shingle identity of `Dedup.wordShingles` (the window char
+    * range IS the concat_ws(" ") string) with hash-merge risk ~2^-64.
+    * Fewer than n words -> the whole text as the single shingle (the
+    * slice-beyond-length behavior of the column variant). */
+  def wordShingleHashes(s: UTF8String, n: Int): Array[Long] = {
+    val text = s.toString
+    val len = text.length
+    val starts = new mutable.ArrayBuffer[Int]()
+    val ends = new mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i < len) {
+      if (i == 0 || text.charAt(i - 1) == ' ') starts += i
+      if (text.charAt(i) != ' ' && (i == len - 1 || text.charAt(i + 1) == ' '))
+        ends += i + 1
+      i += 1
+    }
+    val wc = starts.length
+    def fnvRange(from: Int, to: Int): Long = {
+      var h = 0xcbf29ce484222325L
+      var j = from
+      while (j < to) { h ^= text.charAt(j); h *= 0x100000001b3L; j += 1 }
+      h
+    }
+    val set = new java.util.HashSet[Long]()
+    if (wc == 0) set.add(fnvRange(0, len)) // empty/space-only text
+    else {
+      val nWindows = math.max(wc - n + 1, 1)
+      var w = 0
+      while (w < nWindows) {
+        set.add(fnvRange(starts(w), ends(math.min(w + n - 1, wc - 1))))
+        w += 1
+      }
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    java.util.Arrays.sort(out)
+    out
+  }
+
   /** Exact k-shingle Jaccard of two strings (hashed shingle sets). */
   def shingleJaccard(a: UTF8String, b: UTF8String, k: Int): Double = {
     def hashes(s: String): java.util.HashSet[Long] = {

@@ -147,6 +147,25 @@ case class MinHashSig(child: Expression, k: Int, numHashes: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Distinct word n-gram shingle hashes of a normalized (single-spaced)
+  * string — the one-pass, allocation-free candidate-key generator for the
+  * exact Jaccard dedup (see TextImpl.wordShingleHashes). */
+case class WordShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n > 0)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(s: Any): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      TextImpl.wordShingleHashes(s.asInstanceOf[UTF8String], n))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"graft.ops.TextImpl.wordShingleHashes($s, $n))")
+  override def prettyName: String = "word_shingle_hashes"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Exact k-shingle Jaccard of two strings (pairwise verify kernel). */
 case class ShingleJaccard(left: Expression, right: Expression, k: Int)
     extends BinaryExpression with ExpectsInputTypes {

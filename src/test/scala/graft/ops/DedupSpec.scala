@@ -58,6 +58,22 @@ class DedupSpec extends SparkSpec {
     assert(found == Set((101L, 102L)), s"got $found")
   }
 
+  test("wordShingleHashes matches FNV of the string word-shingles") {
+    import org.apache.spark.unsafe.types.UTF8String
+    for (t <- Seq(base, nearDup, unrelated, "one two", "single", "a b c d e");
+         n <- Seq(2, 3)) {
+      val norm = t.toLowerCase.trim.replaceAll("\\s+", " ")
+      val words = norm.split(" ")
+      val strs =
+        (1 to math.max(words.length - (n - 1), 1)).map { i =>
+          words.slice(i - 1, i - 1 + n).mkString(" ")
+        }.distinct
+      val expect = strs.map(TextImpl.fnv1a64).sorted
+      val got = TextImpl.wordShingleHashes(UTF8String.fromString(norm), n).toSeq
+      assert(got == expect, s"text=$t n=$n")
+    }
+  }
+
   test("minhash LSH candidates include high-jaccard pairs, verified pairs exact") {
     val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
