@@ -34,8 +34,9 @@ object DataPipelineQueries {
     }),
 
     // MinHash signatures -> LSH banding -> candidates -> exact-Jaccard
-    // verify. Not SQL-expressible (seeded permutations); rows-only +
-    // DedupSpec. Output: verified pairs at a loose threshold.
+    // verify. The seeded permutation family, mix64, and Spark's XXH64 band
+    // hash are re-derived in exact mod-2^64 SQL (HashOracleSql.d3Sql), so
+    // the whole approximate-dedup lineage is driver-oracle-gated.
     "d3_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
       Dedup.minhashDedupPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -43,7 +44,8 @@ object DataPipelineQueries {
         .orderBy($"id_1", $"id_2")
     }),
 
-    // SimHash banding near-dup candidates (rows-only + DedupSpec).
+    // SimHash banding near-dup candidates; the FNV token hash + Charikar
+    // bit-vote + banding walk is replayed exactly in SQL (HashOracleSql.d4Sql).
     "d4_simhash" -> ((s, dir) => {
       import s.implicits._
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -260,6 +262,8 @@ object DataPipelineQueries {
        |ORDER BY qid, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d3_minhash_lsh" -> HashOracleSql.d3Sql,
+    "d4_simhash" -> HashOracleSql.d4Sql,
     "d1_exact_dedup" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         | MIN(doc_id) AS canonical_id, COUNT(*) AS n_members

@@ -1,0 +1,184 @@
+package graft.queries
+
+/** DuckDB SQL twins for the seeded-hash dedup operators (d3 MinHash+LSH,
+  * d4 SimHash): the permutation family, mix64 finalizer, FNV-1a shingle
+  * hash, and Spark's XXH64 band-bucket hash are all re-expressed in exact
+  * 64-bit wraparound arithmetic over HUGEINT (mod-2^64 multiply via 32-bit
+  * limb split; full-width XOR via the signed-BIGINT bridge, which is
+  * two's-complement bitwise on both engines).
+  *
+  * Structure notes:
+  *  - every multi-use subexpression gets its own nested SELECT layer —
+  *    DuckDB macro-expands lateral aliases, so alias chains grow
+  *    exponentially while projection layers stay linear;
+  *  - hot intermediate tables are MATERIALIZED to stop projection merging
+  *    from re-inlining them.
+  *
+  * Constants mirror graft.ops.TextImpl.{minhashSig, mix64, fnv1a64,
+  * simhash64} and Spark's XXH64 (seed 42, per-column chaining).
+  */
+private[queries] object HashOracleSql {
+  private val M64 = BigInt(1) << 64
+  private val H64 = "CAST('18446744073709551616' AS HUGEINT)"
+  private val H63 = "CAST('9223372036854775808' AS HUGEINT)"
+
+  private def mulmod(u: String, c: BigInt): String = {
+    val lo = c % (BigInt(1) << 32)
+    val hi = c >> 32
+    s"(($u * $lo) % $H64 + (($u * $hi) % 4294967296) * 4294967296) % $H64"
+  }
+  private def sgn(u: String): String =
+    s"CAST(CASE WHEN $u >= $H63 THEN $u - $H64 ELSE $u END AS BIGINT)"
+  private def uns(s0: String): String =
+    s"CASE WHEN $s0 < 0 THEN CAST($s0 AS HUGEINT) + $H64 ELSE CAST($s0 AS HUGEINT) END"
+  private def layered(base: String, steps: Seq[(String, String)]): String =
+    steps.foldLeft(base) { case (q, (n, e)) => s"SELECT *, $e AS $n FROM ($q)" }
+
+  // XXH64 primes (public xxHash spec, as used by Spark's XxHash64)
+  private val P1 = BigInt("9E3779B185EBCA87", 16)
+  private val P2 = BigInt("C2B2AE3D27D4EB4F", 16)
+  private val P3 = BigInt("165667B19E3779F9", 16)
+  private val P4 = BigInt("85EBCA77C2B2AE63", 16)
+  private val P5 = BigInt("27D4EB2F165667C5", 16)
+  // minhash permutation family (TextImpl.minhashSig)
+  private val Gold = BigInt("9E3779B97F4A7C15", 16)
+  private val AddC = BigInt("BF58476D1CE4E5B9", 16)
+  // mix64 multipliers (TextImpl.mix64)
+  private val Mix1 = BigInt("FF51AFD7ED558CCD", 16)
+  private val Mix2 = BigInt("C4CEB9FE1A85EC53", 16)
+
+  /** One XXH64-of-a-single-long application: hashLong(in, seed) with the
+    * 31/27-bit rotates and the 33/29/32 avalanche, as projection steps. */
+  private def xxhSteps(pfx: String, in: String, seedU: String): Seq[(String, String)] = Seq(
+    s"${pfx}inu" -> uns(in),
+    s"${pfx}a1" -> mulmod(s"${pfx}inu", P2),
+    s"${pfx}r1" -> s"((${pfx}a1 * 2147483648) % $H64 + ${pfx}a1 // 8589934592)",
+    s"${pfx}k1" -> mulmod(s"${pfx}r1", P1),
+    s"${pfx}h0" -> s"(($seedU) + ${P5 + 8}) % $H64",
+    s"${pfx}hx" -> s"xor(${sgn(s"${pfx}h0")}, ${sgn(s"${pfx}k1")})",
+    s"${pfx}h1" -> uns(s"${pfx}hx"),
+    s"${pfx}r2" -> s"((${pfx}h1 * 134217728) % $H64 + ${pfx}h1 // 137438953472)",
+    s"${pfx}h2" -> s"(${mulmod(s"${pfx}r2", P1)} + $P4) % $H64",
+    s"${pfx}f1" -> s"xor(${sgn(s"${pfx}h2")}, CAST(${pfx}h2 // 8589934592 AS BIGINT))",
+    s"${pfx}f1u" -> uns(s"${pfx}f1"),
+    s"${pfx}f2" -> mulmod(s"${pfx}f1u", P2),
+    s"${pfx}f3" -> s"xor(${sgn(s"${pfx}f2")}, CAST(${pfx}f2 // 536870912 AS BIGINT))",
+    s"${pfx}f3u" -> uns(s"${pfx}f3"),
+    s"${pfx}f4" -> mulmod(s"${pfx}f3u", P3),
+    s"${pfx}out" -> s"xor(${sgn(s"${pfx}f4")}, CAST(${pfx}f4 // 4294967296 AS BIGINT))",
+    s"${pfx}outu" -> uns(s"${pfx}out"))
+
+  /** FNV-1a-64 over the chars of a string column expression, as a
+    * list_reduce (ASCII corpus: ord == UTF-16 charAt). */
+  private def fnvReduce(strExpr: String): String =
+    s"""list_reduce(
+       |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |        list_transform(regexp_extract_all($strExpr, '.'),
+       |                       c -> CAST(ord(c) AS HUGEINT))),
+       |      (h, c) -> ((h - h % 128 + xor(CAST(h % 128 AS BIGINT), CAST(c AS BIGINT))) * 1099511628211)
+       |                % $H64)""".stripMargin
+
+  /** d3_minhash_lsh: MinHash signatures (16 multiply-shift permutations
+    * over mix64'd FNV 5-char shingle hashes, signed minima) -> 4-band
+    * XXH64 buckets (Spark xxhash64 chaining, seed 42) -> bounded-bucket
+    * candidates -> exact hashed-shingle Jaccard verify at 0.2. */
+  val d3Sql: String = {
+    val permRows = (0 until 16).map { p =>
+      val mult = ((2 * p + 1) * Gold) % M64
+      s"($p, ${mult % (BigInt(1) << 32)}, ${mult >> 32}, ${(p * AddC) % M64})"
+    }.mkString(", ")
+    val mixSteps = Seq(
+      "s1" -> s"xor(${sgn("h")}, CAST(h // 8589934592 AS BIGINT))",
+      "u1" -> uns("s1"),
+      "u2" -> mulmod("u1", Mix1),
+      "s2" -> s"xor(${sgn("u2")}, CAST(u2 // 8589934592 AS BIGINT))",
+      "u3" -> uns("s2"),
+      "u4" -> mulmod("u3", Mix2),
+      "hms" -> s"xor(${sgn("u4")}, CAST(u4 // 8589934592 AS BIGINT))",
+      "hm" -> uns("hms"))
+    val mixedSql = layered("SELECT doc_id, h FROM wins", mixSteps)
+    val bucketSteps = xxhSteps("x1", "v0", "CAST(42 AS HUGEINT)") ++
+      xxhSteps("x2", "v1", "x1outu") ++
+      xxhSteps("x3", "v2", "x2outu") ++
+      xxhSteps("x4", "v3", "x3outu")
+    val bucketSql = layered("SELECT doc_id, band, v0, v1, v2, v3 FROM bandsig",
+      bucketSteps)
+    s"""WITH wins AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    ${fnvReduce("substr(t, CAST(i AS INT), 5)")} AS h
+       |  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 3)) AS i
+       |        FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |              FROM documents) n) w),
+       |mixed AS MATERIALIZED (SELECT doc_id, hm FROM ($mixedSql) mz),
+       |sigs AS MATERIALIZED (
+       |  SELECT doc_id, p, MIN(${sgn("v")}) AS sv
+       |  FROM (
+       |    SELECT doc_id, p,
+       |      ((hm * mlo) % $H64 + ((hm * mhi) % 4294967296) * 4294967296 + au) % $H64 AS v
+       |    FROM mixed CROSS JOIN (VALUES $permRows) perms(p, mlo, mhi, au)) z
+       |  GROUP BY doc_id, p),
+       |bandsig AS MATERIALIZED (
+       |  SELECT doc_id, p // 4 AS band,
+       |    MAX(CASE WHEN p % 4 = 0 THEN sv END) AS v0,
+       |    MAX(CASE WHEN p % 4 = 1 THEN sv END) AS v1,
+       |    MAX(CASE WHEN p % 4 = 2 THEN sv END) AS v2,
+       |    MAX(CASE WHEN p % 4 = 3 THEN sv END) AS v3
+       |  FROM sigs GROUP BY doc_id, p // 4),
+       |bb AS MATERIALIZED (SELECT doc_id, band, x4out AS bucket FROM ($bucketSql) bz),
+       |sized AS (
+       |  SELECT band, bucket FROM bb GROUP BY band, bucket
+       |  HAVING COUNT(*) BETWEEN 2 AND 64),
+       |bounded AS (SELECT bb.doc_id, bb.band, bb.bucket FROM bb JOIN sized USING (band, bucket)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+       |  FROM bounded a JOIN bounded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |sh AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM wins),
+       |sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.id_1, c.id_2, COUNT(*) AS common
+       |  FROM cand c JOIN sh a ON a.doc_id = c.id_1
+       |              JOIN sh b ON b.doc_id = c.id_2 AND b.h = a.h
+       |  GROUP BY c.id_1, c.id_2)
+       |SELECT id_1, id_2,
+       |  CAST(common AS DOUBLE) / CAST(sa.ns + sb.ns - common AS DOUBLE) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = id_1 JOIN sizes sb ON sb.doc_id = id_2
+       |WHERE CAST(common AS DOUBLE) / CAST(sa.ns + sb.ns - common AS DOUBLE) >= 0.2
+       |ORDER BY id_1, id_2""".stripMargin
+  }
+
+  /** d4_simhash: 64-bit Charikar SimHash over FNV-hashed whitespace tokens
+    * of the normalized text, 4x16-bit pigeonhole banding, XOR-popcount
+    * verify at Hamming <= 16. */
+  val d4Sql: String =
+    s"""WITH RECURSIVE pows(b, p) AS (
+       |  SELECT 0, CAST(1 AS HUGEINT) UNION ALL SELECT b + 1, p * 2 FROM pows WHERE b < 63),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split(t, ' ')) AS tok
+       |  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |        FROM documents) n),
+       |hashes AS MATERIALIZED (
+       |  SELECT doc_id, ${fnvReduce("tok")} AS h
+       |  FROM toks WHERE tok <> ''),
+       |bits AS (
+       |  SELECT doc_id, b, SUM(CASE WHEN (h // p) % 2 = 1 THEN 1 ELSE -1 END) AS acc,
+       |         ANY_VALUE(p) AS p
+       |  FROM hashes, pows GROUP BY doc_id, b),
+       |shu AS (
+       |  SELECT doc_id, SUM(CASE WHEN acc > 0 THEN p ELSE CAST(0 AS HUGEINT) END) AS u
+       |  FROM bits GROUP BY doc_id),
+       |shs AS MATERIALIZED (
+       |  SELECT doc_id, ${sgn("u")} AS sh, u FROM shu),
+       |banded AS (
+       |  SELECT doc_id, sh, band, CAST((u // bp) % 65536 AS INT) AS bucket
+       |  FROM shs, (VALUES (0, CAST(1 AS HUGEINT)), (1, CAST(65536 AS HUGEINT)),
+       |                    (2, CAST(4294967296 AS HUGEINT)),
+       |                    (3, CAST('281474976710656' AS HUGEINT))) blocks(band, bp)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2, a.sh AS sh1, b.sh AS sh2
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+       |   AND a.doc_id < b.doc_id)
+       |SELECT id_1, id_2, CAST(bit_count(xor(sh1, sh2)) AS INT) AS hamming
+       |FROM pairs WHERE bit_count(xor(sh1, sh2)) <= 16
+       |ORDER BY id_1, id_2""".stripMargin
+}
