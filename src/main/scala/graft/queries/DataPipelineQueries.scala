@@ -53,6 +53,20 @@ object DataPipelineQueries {
         .orderBy($"id_1", $"id_2")
     }),
 
+    // Batch twin of the streaming near-dup dedup (StreamOps.nearDupDedup):
+    // identical key derivation (simhash64 of normalized text) and
+    // keep-first semantics, driver-gated — the streaming path itself is
+    // exercised in StreamOpsSpec against this same key.
+    "stream_neardup_twin" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          Dedup.simhash($"text").as("sh"))
+        .groupBy($"sh")
+        .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_members"))
+        .orderBy($"sh")
+    }),
+
     // Embedding-cosine near-dup pairs (fixed-point arithmetic -> exact
     // DuckDB parity).
     "d5_embedding_neardup" -> ((s, dir) => {
@@ -106,6 +120,21 @@ object DataPipelineQueries {
         .select($"vec_id".as("qid"), $"embedding".as("qe"))
       val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
       Similarity.knnIvf(q, tt, dim = 64, k = 5, nCells = 16, nProbe = 2)
+        .orderBy($"qid", $"rank")
+    }),
+
+    // IVF with 2 Lloyd refinement steps (rows-only: the float centroid
+    // means aren't engine-portable, so the oracle-gated variant stays
+    // lloydIters=0; recall >= seed-centroid recall is asserted in
+    // SimilaritySpec). Benched so the refined path has a cost signal.
+    "knn_ivf_lloyd" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+      Similarity.knnIvf(q, tt, dim = 64, k = 5, nCells = 16, nProbe = 2,
+        lloydIters = 2)
         .orderBy($"qid", $"rank")
     }),
 
@@ -264,6 +293,7 @@ object DataPipelineQueries {
   val oracles: Map[String, String] = Map(
     "d3_minhash_lsh" -> HashOracleSql.d3Sql,
     "d4_simhash" -> HashOracleSql.d4Sql,
+    "stream_neardup_twin" -> HashOracleSql.streamNearDupTwinSql,
     "d1_exact_dedup" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         | MIN(doc_id) AS canonical_id, COUNT(*) AS n_members

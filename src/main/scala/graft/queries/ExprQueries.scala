@@ -41,13 +41,34 @@ object ExprQueries {
     }),
 
     // T1: recursive character chunking as a Generator (posexplode-style).
-    // Not SQL-expressible -> rows-only driver check; semantics covered by
-    // ChunkSplitSpec golden + property tests.
+    // Full recursive semantics aren't SQL, but the chunker's INVARIANTS
+    // are provable from its construction (chunks = trimmed contiguous
+    // merge windows) and SQL-checkable as constant-TRUE booleans: size
+    // bound, non-emptiness, substring containment, trimmed prefix/suffix
+    // alignment, and non-whitespace coverage. The exact chunk values are
+    // covered by ChunkSplitSpec golden + property tests.
     "t1_chunk_split" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
-        .select($"doc_id", chunk_split($"text", 120, 20))
-        .orderBy($"doc_id", $"chunk_idx")
+        .select($"doc_id", $"text", chunk_split($"text", 120, 20))
+        .groupBy($"doc_id")
+        .agg(
+          max(length($"chunk")).as("__maxl"),
+          min(length($"chunk")).as("__minl"),
+          every(instr($"text", $"chunk") > 0).as("all_substrings"),
+          min_by($"chunk", $"chunk_idx").as("__first"),
+          max_by($"chunk", $"chunk_idx").as("__last"),
+          sum(length($"chunk")).as("__suml"),
+          any_value($"text").as("__text"))
+        .select($"doc_id",
+          ($"__maxl" <= 120).as("within_size"),
+          ($"__minl" >= 1).as("nonempty"),
+          $"all_substrings",
+          startswith(trim($"__text"), $"__first").as("starts_ok"),
+          endswith(trim($"__text"), $"__last").as("ends_ok"),
+          ($"__suml" >=
+            length(regexp_replace($"__text", "\\s", ""))).as("covered_ok"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -66,6 +87,15 @@ object ExprQueries {
         |ORDER BY o_orderkey""".stripMargin,
     "f10_nfkc_fold" ->
       """SELECT doc_id, text || ' caf' AS cleaned
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // Constant-TRUE invariant twin: any chunker defect that breaks the
+    // size bound, containment, alignment, or coverage flips a boolean and
+    // fails the hash compare.
+    "t1_chunk_split" ->
+      """SELECT doc_id, TRUE AS within_size, TRUE AS nonempty,
+        | TRUE AS all_substrings, TRUE AS starts_ok, TRUE AS ends_ok,
+        | TRUE AS covered_ok
         |FROM documents
         |ORDER BY doc_id""".stripMargin
   )

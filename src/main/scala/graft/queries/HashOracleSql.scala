@@ -147,10 +147,9 @@ private[queries] object HashOracleSql {
        |ORDER BY id_1, id_2""".stripMargin
   }
 
-  /** d4_simhash: 64-bit Charikar SimHash over FNV-hashed whitespace tokens
-    * of the normalized text, 4x16-bit pigeonhole banding, XOR-popcount
-    * verify at Hamming <= 16. */
-  val d4Sql: String =
+  /** Shared per-doc SimHash64 derivation (ends in CTE `shs`:
+    * (doc_id, sh BIGINT, u HUGEINT)). */
+  private val simhashWith: String =
     s"""WITH RECURSIVE pows(b, p) AS (
        |  SELECT 0, CAST(1 AS HUGEINT) UNION ALL SELECT b + 1, p * 2 FROM pows WHERE b < 63),
        |toks AS (
@@ -168,7 +167,12 @@ private[queries] object HashOracleSql {
        |  SELECT doc_id, SUM(CASE WHEN acc > 0 THEN p ELSE CAST(0 AS HUGEINT) END) AS u
        |  FROM bits GROUP BY doc_id),
        |shs AS MATERIALIZED (
-       |  SELECT doc_id, ${sgn("u")} AS sh, u FROM shu),
+       |  SELECT doc_id, ${sgn("u")} AS sh, u FROM shu)""".stripMargin
+
+  /** d4_simhash: 4x16-bit pigeonhole banding over the per-doc SimHash,
+    * XOR-popcount verify at Hamming <= 16. */
+  val d4Sql: String = simhashWith +
+    s""",
        |banded AS (
        |  SELECT doc_id, sh, band, CAST((u // bp) % 65536 AS INT) AS bucket
        |  FROM shs, (VALUES (0, CAST(1 AS HUGEINT)), (1, CAST(65536 AS HUGEINT)),
@@ -181,4 +185,12 @@ private[queries] object HashOracleSql {
        |SELECT id_1, id_2, CAST(bit_count(xor(sh1, sh2)) AS INT) AS hamming
        |FROM pairs WHERE bit_count(xor(sh1, sh2)) <= 16
        |ORDER BY id_1, id_2""".stripMargin
+
+  /** stream_neardup_twin: the batch twin of StreamOps.nearDupDedup —
+    * keep-first (min doc_id) per SimHash key, with member counts. */
+  val streamNearDupTwinSql: String = simhashWith +
+    s"""
+       |SELECT sh, MIN(doc_id) AS keeper, COUNT(*) AS n_members
+       |FROM shs GROUP BY sh
+       |ORDER BY sh""".stripMargin
 }

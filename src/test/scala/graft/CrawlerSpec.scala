@@ -77,10 +77,12 @@ class CrawlerSpec extends SparkSpec {
     val withSection = "Filler intro paragraph here.\n\n" +
       "Background of the Merger\n\n" +
       ("On June 1 the boards met to negotiate the terms in detail.\n" * 8)
-    // mentions background only mid-prose: cascade rejects (no title
-    // paragraph), LLM stub accepts (substring present + long enough)
-    val proseOnly = ("The parties discussed the background of their " +
-      "commercial relationship at length during the spring meetings. ") * 10
+    // mentions the section phrase only mid-prose inside a >2-line
+    // paragraph: cascade rejects (T4 title test), LLM stub accepts
+    // (phrase present + long enough)
+    val proseOnly = ("the parties discussed the background of the merger\n" +
+      "over several spring meetings and the results\n" +
+      "were recorded in the minutes of the board\n") * 5
     val noSection = ("Entirely unrelated filler prose with nothing here. ") * 10
     val docs = Seq(
       (1L, "u1", withSection), (2L, "u2", proseOnly), (3L, "u3", noSection))

@@ -80,6 +80,36 @@ class SimilaritySpec extends SparkSpec {
     assert(again.nonEmpty)
   }
 
+  test("Lloyd-refined IVF: recall at least matches the seed centroids") {
+    val e = embeddings
+    val q = e.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val t = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+    val exact = Similarity.knnBruteForce(q, t, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def meanRecall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = exact.keys.toSeq.map { qid =>
+        exact(qid).intersect(got.getOrElse(qid, Set.empty)).size.toDouble /
+          exact(qid).size
+      }
+      rs.sum / rs.size
+    }
+    val seed = meanRecall(
+      Similarity.knnIvf(q, t, dim = 16, k = 3, nCells = 6, nProbe = 2))
+    val lloyd = meanRecall(
+      Similarity.knnIvf(q, t, dim = 16, k = 3, nCells = 6, nProbe = 2,
+        lloydIters = 2))
+    assert(lloyd >= seed - 1e-12,
+      s"Lloyd recall $lloyd below seed-centroid recall $seed")
+    // refinement is deterministic (seeded centroids + exact assignment)
+    val again = meanRecall(
+      Similarity.knnIvf(q, t, dim = 16, k = 3, nCells = 6, nProbe = 2,
+        lloydIters = 2))
+    assert(again == lloyd)
+  }
+
   test("persisted IVF index matches in-memory IVF and prunes partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     val e = embeddings
