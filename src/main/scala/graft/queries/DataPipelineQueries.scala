@@ -195,6 +195,22 @@ object DataPipelineQueries {
         .orderBy($"main_index")
     }),
 
+    // X3: the embedding-client integration (per-partition batched
+    // mapPartitions + JSON row roundtrip). Float embeddings aren't
+    // engine-portable, so the driver checks invariants: the roundtripped
+    // `source` column (pins the to_json/from_json path), the embedding
+    // dimension, and unit-norm within fixed-point tolerance.
+    "x3_embed_invariants" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").select($"doc_id", $"source", $"text")
+      graft.io.Clients.withEmbeddings(s, base, "text")
+        .select($"doc_id", $"source",
+          (size($"embedding") === 64).as("dim_ok"),
+          (abs(Similarity.scaledDot($"embedding", $"embedding") - 1000000L)
+            <= 64).as("norm_ok"))
+        .orderBy($"doc_id")
+    }),
+
     // A4: per-label vector mean (exploded form), exact fixed-point sums.
     "a4_vector_mean" -> ((s, dir) => {
       import s.implicits._
@@ -294,6 +310,10 @@ object DataPipelineQueries {
     "d3_minhash_lsh" -> HashOracleSql.d3Sql,
     "d4_simhash" -> HashOracleSql.d4Sql,
     "stream_neardup_twin" -> HashOracleSql.streamNearDupTwinSql,
+    "x3_embed_invariants" ->
+      """SELECT doc_id, source, TRUE AS dim_ok, TRUE AS norm_ok
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         | MIN(doc_id) AS canonical_id, COUNT(*) AS n_members

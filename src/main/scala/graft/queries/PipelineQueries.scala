@@ -117,6 +117,63 @@ object PipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // F4 + F8 + F9 + F11 + F12: the document-cleaning normalizers over a
+    // raw doc with injected page-number lines, blank runs, and TOC markers
+    // (each regex pure -> exact DuckDB twin).
+    "f8_clean_chain" -> ((s, dir) => {
+      import s.implicits._
+      val raw = concat($"text",
+        lit("\nMixed Case Line\n  123  \nanother line\n\n\n   \n\n" +
+          "Table of Contents\nafter toc TABLE  OF CONTENT tail\n42\n"))
+      t(s, dir, "documents").select(
+        $"doc_id",
+        Normalize.stripParens(
+          concat(lit("lead ("), $"source", lit(") mid (x) tail")))
+          .as("parens_stripped"),
+        Normalize.removeTocMarkers(Normalize.collapseBlankRuns(
+          Normalize.removePageNumbers(raw))).as("cleaned"),
+        Normalize.headerProbe(raw).as("probe"))
+        .orderBy($"doc_id")
+    }),
+
+    // T2: sentence segmentation — the cascade's splitter regex
+    // ((?<=[.!?])\s+) over punctuated content; count and first sentence
+    // are both SQL-derivable without lookbehind.
+    "t2_sentences" -> ((s, dir) => {
+      import s.implicits._
+      val content = concat(
+        lit("Alpha met beta. The boards agreed! Was it final? Part two.  "),
+        $"text")
+      val sentences = split(content, "(?<=[.!?])\\s+")
+      t(s, dir, "documents").select(
+        $"doc_id",
+        size(sentences).as("n_sentences"),
+        element_at(sentences, 1).as("first_sentence"))
+        .orderBy($"doc_id")
+    }),
+
+    // T7: the two-phase phrase strategy's per-doc arbitration — docs with
+    // a phase-1 full-phrase chunk AND a phase-2 bare-"Background" chunk
+    // must keep only the phase-1 winner; docs with no phase-1 hit anywhere
+    // fall through to phase 2. Built over hand-laid 2-chunk docs so every
+    // decision is SQL-derivable (the cheap-gate filter, both cascade
+    // phases, and the doc-level window).
+    "t7_two_phase" -> ((s, dir) => {
+      import s.implicits._
+      val m = $"doc_id" % 2
+      val chunk0 = when(m === 0,
+        concat(lit("Background of the Merger\n\n"), $"text"))
+        .otherwise(concat(lit("no header present in this chunk\n\n"), $"text"))
+      val chunk1 = concat(lit("Background\n\n"), $"text")
+      val chunks = t(s, dir, "documents").select($"doc_id",
+        explode(array(
+          struct(lit(0).as("chunk_idx"), chunk0.as("chunk")),
+          struct(lit(1).as("chunk_idx"), chunk1.as("chunk")))).as("c"))
+        .select($"doc_id", $"c.chunk_idx", $"c.chunk")
+      graft.Pipeline.candidates(chunks)
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
     // T10: passage-assembly window frame (rowsBetween 1..3 over fixed-stride
     // chunks) — the direct mapping of `chunks[i+1:i+12]`.
     "t10_passage_window" -> ((s, dir) => {
@@ -181,6 +238,55 @@ object PipelineQueries {
       |      FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same regex chain replayed in DuckDB (RE2 and java.util.regex agree
+    // on these patterns; both use leftmost, preference-greedy matching).
+    "f8_clean_chain" ->
+      """WITH raw AS (
+        |  SELECT doc_id, source,
+        |    text || chr(10) || 'Mixed Case Line' || chr(10) || '  123  '
+        |      || chr(10) || 'another line' || chr(10) || chr(10) || chr(10)
+        |      || '   ' || chr(10) || chr(10) || 'Table of Contents' || chr(10)
+        |      || 'after toc TABLE  OF CONTENT tail' || chr(10) || '42'
+        |      || chr(10) AS r
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace('lead (' || source || ') mid (x) tail',
+        |       '\(.*?\)', '', 'g')) AS parens_stripped,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(r, '(?m)^\s*\d+\s*$', '', 'g'),
+        |      '\n\s*\n+', chr(10) || chr(10), 'g'),
+        |    '(?i)table\s*of\s*contents?', '', 'g') AS cleaned,
+        |  lower(substr(r, 1, 11000)) AS probe
+        |FROM raw
+        |ORDER BY doc_id""".stripMargin,
+    // Sentence count = punct-then-space matches + 1; first sentence =
+    // everything before the first such boundary (no lookbehind needed).
+    "t2_sentences" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    'Alpha met beta. The boards agreed! Was it final? Part two.  '
+        |      || text AS content
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(content, '[.!?]\s+')) + 1 AS INT)
+        |    AS n_sentences,
+        |  regexp_replace(content, '(?s)([.!?])\s.*$', '\1') AS first_sentence
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
+    // Phase-1 winners (even ids, promotion gate len>174) suppress the
+    // phase-2 chunk; odd ids only ever produce the phase-2 bare-header
+    // passage (gate len>188).
+    "t7_two_phase" ->
+      """SELECT doc_id, chunk_idx, passage FROM (
+        |  SELECT doc_id, CAST(0 AS INT) AS chunk_idx,
+        |    'Background of the Merger' || chr(10) || chr(10) || text AS passage
+        |  FROM documents WHERE doc_id % 2 = 0 AND length(text) > 174
+        |  UNION ALL
+        |  SELECT doc_id, CAST(1 AS INT) AS chunk_idx,
+        |    'Background' || chr(10) || chr(10) || text AS passage
+        |  FROM documents WHERE doc_id % 2 = 1 AND length(text) > 188)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     // Reconstructs the exact direct-path and enrichment-path outputs: the
     // single-chunk passage is the whole content (+ trailing newline from
     // assembly), the promotion gate is length(content) > 200, and the odd
