@@ -112,10 +112,13 @@ object Crawler {
   }
 
   /** S3 + F7-F13: fetch candidate docs, clean, and keep only docs whose
-    * 11k-char header probe contains both normalized names (J3). */
+    * 11k-char header probe contains both normalized names (J3).
+    * `globalRate` is the aggregate fetch cap (EDGAR's 5 req/s in
+    * production; hermetic tests pass a high rate). */
   def validatedDocs(spark: SparkSession, candidates: DataFrame,
-      names: DataFrame, fetcher: Clients.Fetcher): DataFrame = {
-    val bodies = fetchBodies(spark, candidates, "url", fetcher)
+      names: DataFrame, fetcher: Clients.Fetcher,
+      globalRate: Double = GlobalRatePerSec): DataFrame = {
+    val bodies = fetchBodies(spark, candidates, "url", fetcher, globalRate)
       .join(candidates, Seq("main_index"))
       .join(names, Seq("main_index"))
     val cleaned = bodies.withColumn("content",

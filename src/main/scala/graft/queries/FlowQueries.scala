@@ -33,6 +33,34 @@ object FlowQueries {
         .orderBy($"main_index")
     }),
 
+    // S3 + S4 + F7-F14 + J3: the document-fetch stage end-to-end — rate-
+    // limited mapPartitions fetch (hermetic stub body is a pure function
+    // of the URL), full cleaning chain, and both-names header validation
+    // incl. the hyphen fallback. doc_id % 4: 0/1 direct name match, 2
+    // hyphen-fallback match, 3 validation fails and drops.
+    "s3_validated_docs" -> ((s, dir) => {
+      import s.implicits._
+      val ids = $"doc_id".cast("string")
+      val m = $"doc_id" % 4
+      val docs = t(s, dir, "documents")
+      val candidates = docs.select(
+        $"doc_id".as("main_index"),
+        concat(lit("https://archive.test/"),
+          when(m === 2, concat(lit("tgt "), ids, lit("/acq "), ids))
+            .when(m === 3, lit("mismatched/path"))
+            .otherwise(concat(lit("tgt"), ids, lit("/acq"), ids)),
+          lit("/doc.htm")).as("url"))
+      val names = docs.select(
+        $"doc_id".as("main_index"),
+        when(m === 2, concat(lit("tgt-"), ids)).otherwise(concat(lit("tgt"), ids))
+          .as("norm_target"),
+        when(m === 2, concat(lit("acq-"), ids)).otherwise(concat(lit("acq"), ids))
+          .as("norm_acquirer"))
+      Crawler.validatedDocs(s, candidates, names,
+        new graft.io.Clients.StubFetcher, globalRate = 1e6)
+        .orderBy($"main_index")
+    }),
+
     // S2: EDGAR JSON body parse (from_json nested schema + explode) +
     // F16 archive-URL construction; oracle reconstructs from base columns.
     "s2_edgar_source" -> ((s, dir) => {
@@ -77,6 +105,25 @@ object FlowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // The stub fetch body is 'Document for <url>' wrapped in one <p>, the
+    // cleaning chain reduces it back to that line, and validation keeps
+    // exactly the branches whose names occur in the lowercased URL
+    // (directly, or via the hyphen fallback for doc_id % 4 = 2).
+    "s3_validated_docs" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    'https://archive.test/' ||
+        |    CASE WHEN doc_id % 4 = 2
+        |           THEN 'tgt ' || CAST(doc_id AS VARCHAR) || '/acq '
+        |                || CAST(doc_id AS VARCHAR)
+        |         WHEN doc_id % 4 = 3 THEN 'mismatched/path'
+        |         ELSE 'tgt' || CAST(doc_id AS VARCHAR) || '/acq'
+        |              || CAST(doc_id AS VARCHAR)
+        |    END || '/doc.htm' AS url
+        |  FROM documents)
+        |SELECT doc_id AS main_index, url, 'Document for ' || url AS content
+        |FROM c WHERE doc_id % 4 <> 3
+        |ORDER BY main_index""".stripMargin,
     "crawl_jobs" ->
       """WITH deals AS (
         |  SELECT o_orderkey AS main_index, c_name AS target_name,

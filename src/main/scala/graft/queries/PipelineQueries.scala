@@ -132,7 +132,13 @@ object PipelineQueries {
           .as("parens_stripped"),
         Normalize.removeTocMarkers(Normalize.collapseBlankRuns(
           Normalize.removePageNumbers(raw))).as("cleaned"),
-        Normalize.headerProbe(raw).as("probe"))
+        Normalize.headerProbe(raw).as("probe"),
+        // F7b: leaf blocks — per-block whitespace flattening, digit-only
+        // (page-number) blocks dropped, blank-line joined
+        Normalize.htmlToBlocks(concat(
+          lit("<html><body><p>lead "), $"source",
+          lit("</p><p> 123 </p><p>tail   block</p></body></html>")))
+          .as("blocks"))
         .orderBy($"doc_id")
     }),
 
@@ -172,6 +178,29 @@ object PipelineQueries {
         .select($"doc_id", $"c.chunk_idx", $"c.chunk")
       graft.Pipeline.candidates(chunks)
         .orderBy($"doc_id", $"chunk_idx")
+    }),
+
+    // T8 + T9 + O3: the hybrid ranker with an analytically-forced winner —
+    // one candidate per doc is the rerank query verbatim (cosine 1.0 vs
+    // the query embedding, all query terms present -> rerank ~0.98), the
+    // other is word-salad filler; which chunk_idx holds the good passage
+    // alternates by doc parity, so the winner index is SQL-derivable while
+    // the scoring math runs for real.
+    "t9_hybrid_rank" -> ((s, dir) => {
+      import s.implicits._
+      val m = $"doc_id" % 2
+      val good = lit(graft.Pipeline.RerankQuery)
+      val junk = concat(lit("zeta omicron filler passage "), $"text")
+      val cands = t(s, dir, "documents").select($"doc_id",
+        explode(array(
+          struct(lit(0).as("chunk_idx"),
+            when(m === 0, good).otherwise(junk).as("passage")),
+          struct(lit(1).as("chunk_idx"),
+            when(m === 0, junk).otherwise(good).as("passage")))).as("c"))
+        .select($"doc_id", $"c.chunk_idx", $"c.passage")
+      graft.Pipeline.rank(cands)
+        .select($"doc_id", $"chunk_idx".as("winner_idx"))
+        .orderBy($"doc_id")
     }),
 
     // T10: passage-assembly window frame (rowsBetween 1..3 over fixed-stride
@@ -257,7 +286,8 @@ object PipelineQueries {
         |      regexp_replace(r, '(?m)^\s*\d+\s*$', '', 'g'),
         |      '\n\s*\n+', chr(10) || chr(10), 'g'),
         |    '(?i)table\s*of\s*contents?', '', 'g') AS cleaned,
-        |  lower(substr(r, 1, 11000)) AS probe
+        |  lower(substr(r, 1, 11000)) AS probe,
+        |  'lead ' || source || chr(10) || chr(10) || 'tail block' AS blocks
         |FROM raw
         |ORDER BY doc_id""".stripMargin,
     // Sentence count = punct-then-space matches + 1; first sentence =
@@ -273,6 +303,10 @@ object PipelineQueries {
         |    AS n_sentences,
         |  regexp_replace(content, '(?s)([.!?])\s.*$', '\1') AS first_sentence
         |FROM c
+        |ORDER BY doc_id""".stripMargin,
+    "t9_hybrid_rank" ->
+      """SELECT doc_id, CAST(doc_id % 2 AS INT) AS winner_idx
+        |FROM documents
         |ORDER BY doc_id""".stripMargin,
     // Phase-1 winners (even ids, promotion gate len>174) suppress the
     // phase-2 chunk; odd ids only ever produce the phase-2 bare-header
