@@ -72,6 +72,18 @@ class PlanSpec extends SparkSpec {
       "shingles must not be exploded for signatures")
   }
 
+  test("d2 jaccard: bucket exchange reused, pairs explode map-side (no self-join)") {
+    val df = SparkEntry.queries("d2_ngram_jaccard")(spark, sf("sf0.001"))
+    df.collect() // AQE-final plan
+    val p = df.queryExecution.executedPlan.toString
+    // the shingle table is grouped ONCE and shared between the pair and
+    // size consumers — not shuffled twice for an a-join-b self-join
+    assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage"),
+      "expected the bucket exchange to be reused:\n" + p.take(3000))
+    // candidate pairs come from a Generate over the bucketed id lists
+    assert(p.contains("Generate explode"), p.take(3000))
+  }
+
   test("pipeline: chunk exchange is shared across consumers (ReuseExchange)") {
     // the doc_id repartition after the chunk Generator must be reused by
     // the cascade/assembly/enrichment branches instead of re-chunking
