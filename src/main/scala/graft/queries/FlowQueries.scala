@@ -61,6 +61,26 @@ object FlowQueries {
         .orderBy($"main_index")
     }),
 
+    // S2 as a DataSourceV2 connector: url-sliced input partitions with
+    // per-partition token buckets, hermetic stub fetch, JSON parse. The
+    // stub body is a pure function of the URL, so the connector's full
+    // output replays in SQL (fnv-derived cik/adsh).
+    "s2_dsv2_source" -> ((s, dir) => {
+      import s.implicits._
+      val n = t(s, dir, "documents").count()
+      val urls = (0L until n)
+        .map(i => s"https://efts.test/search-index?q=doc$i").mkString(";")
+      val raw = s.read.format("graft.io.dsv2.EdgarSearchSource")
+        .option("urls", urls)
+        .option("numPartitions", "4")
+        .option("ratePerSec", "1000000")
+        .load()
+      Sources.parseEdgarHits(raw, "body")
+        .select($"url", $"total_hits",
+          element_at($"ciks", -1).as("cik"), $"adsh")
+        .orderBy($"url", $"adsh")
+    }),
+
     // S2: EDGAR JSON body parse (from_json nested schema + explode) +
     // F16 archive-URL construction; oracle reconstructs from base columns.
     "s2_edgar_source" -> ((s, dir) => {
@@ -105,6 +125,7 @@ object FlowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "s2_dsv2_source" -> HashOracleSql.dsv2SourceSql,
     // The stub fetch body is 'Document for <url>' wrapped in one <p>, the
     // cleaning chain reduces it back to that line, and validation keeps
     // exactly the branches whose names occur in the lowercased URL

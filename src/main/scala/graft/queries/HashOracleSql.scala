@@ -186,6 +186,35 @@ private[queries] object HashOracleSql {
        |FROM pairs WHERE bit_count(xor(sh1, sh2)) <= 16
        |ORDER BY id_1, id_2""".stripMargin
 
+  /** s2_dsv2_source: the DataSourceV2 EDGAR search connector against the
+    * hermetic stub, whose JSON body is a pure function of the URL
+    * (cik/adsh derive from abs(fnv1a64(url) % 1e6)) — so the whole
+    * connector + JSON-parse lineage replays in SQL. */
+  val dsv2SourceSql: String =
+    s"""WITH ids AS (
+       |  SELECT unnest(range(0, (SELECT COUNT(*) FROM documents))) AS i),
+       |u AS (
+       |  SELECT 'https://efts.test/search-index?q=doc' || CAST(i AS VARCHAR)
+       |    AS url
+       |  FROM ids),
+       |h AS (
+       |  SELECT url,
+       |    ${fnvReduce("url")} AS hu
+       |  FROM u),
+       |hs AS (
+       |  SELECT url, abs(${sgn("hu")} % 1000000) AS m FROM h),
+       |hit AS (
+       |  SELECT url, m,
+       |    '000' || lpad(CAST(m AS VARCHAR), 7, '0') AS cik,
+       |    unnest(['000' || CAST(m AS VARCHAR) || '-26-00001'
+       |              || CAST(m AS VARCHAR),
+       |            '000' || CAST(m AS VARCHAR) || '-26-00002'
+       |              || CAST(m AS VARCHAR)]) AS adsh
+       |  FROM hs)
+       |SELECT url, CAST(2 AS BIGINT) AS total_hits, cik, adsh
+       |FROM hit
+       |ORDER BY url, adsh""".stripMargin
+
   /** stream_neardup_twin: the batch twin of StreamOps.nearDupDedup —
     * keep-first (min doc_id) per SimHash key, with member counts. */
   val streamNearDupTwinSql: String = simhashWith +
