@@ -10,12 +10,15 @@ import org.apache.spark.sql.functions._
 object Scale {
 
   /** Write a table bucketed+sorted on the join key: repeated joins on that
-    * key then need no shuffle (both sides read pre-partitioned). */
+    * key then need no shuffle (both sides read pre-partitioned).
+    * `path` makes it an external table at that location (keeps temp
+    * runs out of the default warehouse dir). */
   def writeBucketedTable(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
-    df.write.mode("overwrite")
+      buckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Salted join for skewed keys: the skewed (large) side gets a
     * deterministic salt in [0, n); the small side is replicated n ways.

@@ -264,6 +264,32 @@ object RelationalQueries {
         .orderBy($"revenue".desc, $"n_name")
     }),
 
+    // Bucketing posture: both sides written bucketBy+sortBy on the join
+    // key, then joined — a co-located join that reads pre-partitioned
+    // buckets with NO exchange on either side (asserted in PlanSpec). At
+    // 100 TB this is the shape for repeated joins on a stable key: pay
+    // the shuffle once at write time, never per query.
+    "j9_bucketed_join" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-j9")
+      base.toFile.deleteOnExit()
+      val li = t(s, dir, "lineitem").filter($"l_orderkey" < 2000)
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      val ord = t(s, dir, "orders").filter($"o_orderkey" < 2000)
+        .select($"o_orderkey", $"o_orderpriority")
+      graft.ops.Scale.writeBucketedTable(li, "graft_li_bkt", "l_orderkey",
+        buckets = 8, path = Some(s"$base/li"))
+      graft.ops.Scale.writeBucketedTable(ord, "graft_ord_bkt", "o_orderkey",
+        buckets = 8, path = Some(s"$base/ord"))
+      s.table("graft_li_bkt")
+        .join(s.table("graft_ord_bkt"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(sumMoney4($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // Skew posture: deterministic salted join (graft.ops.Scale) — the salt
     // rewrite must be invisible in results, so the oracle is the PLAIN SQL
     // join. At 100 TB this is the shape that keeps one hot supplier key
@@ -338,6 +364,15 @@ object RelationalQueries {
         |WHERE event_id < 2000
         |GROUP BY event_id, user_id
         |ORDER BY event_id""".stripMargin,
+    // Bucketing must be result-invisible: the oracle is the plain join.
+    "j9_bucketed_join" ->
+      """SELECT o_orderpriority,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_orderkey < 2000 AND o_orderkey < 2000
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "j6_salted_join" ->
       """SELECT s_name,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

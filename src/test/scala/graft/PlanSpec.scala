@@ -72,6 +72,22 @@ class PlanSpec extends SparkSpec {
       "shingles must not be exploded for signatures")
   }
 
+  test("j9: bucketed co-located join needs no exchange on either side") {
+    // force the join itself (no broadcast) to prove bucketing carries it
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("j9_bucketed_join")(spark, sf("sf0.001"))
+      val joinPlan = df.queryExecution.executedPlan.toString
+      val joinSection = joinPlan.substring(joinPlan.indexOf("SortMergeJoin"))
+      // aggregation above may shuffle; the JOIN inputs must not
+      assert(joinPlan.contains("SortMergeJoin"), joinPlan.take(2000))
+      assert(!joinSection.contains("Exchange"),
+        "bucketed join inputs must be exchange-free:\n" + joinSection.take(3000))
+      assert(df.collect().nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("d2 jaccard: bucket exchange reused, pairs explode map-side (no self-join)") {
     val df = SparkEntry.queries("d2_ngram_jaccard")(spark, sf("sf0.001"))
     df.collect() // AQE-final plan
