@@ -48,7 +48,8 @@ object Bench {
     // to whatever GC/JIT state its alphabetical predecessor left behind
     // (±25% observed, and one 4.8x outlier) — min-of-reps across passes
     // isolates steady-state per-query cost without forking JVMs.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = math.max(1, scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt).getOrElse(3))
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     val best = scala.collection.mutable.Map.empty[String, Double]
     for (_ <- 1 to reps; (name, fn) <- named) {

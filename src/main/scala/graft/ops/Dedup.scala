@@ -89,9 +89,16 @@ object Dedup {
       docs.select(col(id), explode(internal.column(WordShingleHashes(
         internal.expression(normalized(col(text))), n))).as("__h"))
     }
-    val buckets = sh.groupBy(col("__h"))
+    // count-first, collect-after: the document list of a hot shingle is
+    // never materialized (a collect_list-then-filter would build the full
+    // multi-million-id array for a boilerplate shingle before dropping
+    // it); the rare-key semi-join reuses the same __h exchange
+    val rare = sh.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("__h"))
+    val buckets = sh.join(rare, Seq("__h"))
+      .groupBy(col("__h"))
       .agg(array_sort(collect_list(col(id))).as("__ids"))
-      .filter(size(col("__ids")) <= maxDf)
     // per-doc universe size under the df cap (df = 1 shingles count too)
     val sizes = buckets.select(explode(col("__ids")).as(id))
       .groupBy(col(id)).agg(count(lit(1)).as("n_sh"))

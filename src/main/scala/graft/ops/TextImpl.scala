@@ -291,7 +291,10 @@ object TextImpl {
     val ends = new mutable.ArrayBuffer[Int]()
     var i = 0
     while (i < len) {
-      if (i == 0 || text.charAt(i - 1) == ' ') starts += i
+      // word = maximal non-space run, so the function stays total (no
+      // crash) even on not-strictly-normalized input with space runs
+      if (text.charAt(i) != ' ' && (i == 0 || text.charAt(i - 1) == ' '))
+        starts += i
       if (text.charAt(i) != ' ' && (i == len - 1 || text.charAt(i + 1) == ' '))
         ends += i + 1
       i += 1

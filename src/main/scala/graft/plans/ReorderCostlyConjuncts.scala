@@ -87,6 +87,13 @@ object ReorderCostlyConjuncts extends Rule[LogicalPlan] {
     case b: BinaryArithmetic => throwyType(b.dataType) // overflow
     case _: ElementAt | _: GetArrayItem => true // invalid index raises
     case m: UnaryMinus => throwyType(m.dataType) // negation overflow
+    case a: Abs => throwyType(a.dataType) // abs(MinValue) overflow
+    // black-box user code: assume it can throw (and its default nodeCost
+    // of 1 would otherwise hoist it ahead of every guard)
+    case _: ScalaUDF => true
+    // ANSI string->datetime parsing raises on malformed input
+    case _: GetTimestamp | _: ParseToDate | _: ParseToTimestamp |
+         _: UnixTimestamp | _: ToUnixTimestamp => true
     case _ => false
   }
 

@@ -39,7 +39,13 @@ object DataPipelineQueries {
     // the whole approximate-dedup lineage is driver-oracle-gated.
     "d3_minhash_lsh" -> ((s, dir) => {
       import s.implicits._
-      Dedup.minhashDedupPairs(t(s, dir, "documents"), "doc_id", "text",
+      // docs shorter than the shingle width have empty shingle sets:
+      // all-MaxValue signatures would band them together and the empty-set
+      // jaccard is vacuously 1.0 — exact-dedup territory, excluded so the
+      // SQL twin's window generation is total (no-op on this corpus)
+      val docs = t(s, dir, "documents")
+        .filter(length(Dedup.normalized($"text")) >= 5)
+      Dedup.minhashDedupPairs(docs, "doc_id", "text",
         k = 5, minJaccard = 0.2)
         .orderBy($"id_1", $"id_2")
     }),
@@ -48,8 +54,11 @@ object DataPipelineQueries {
     // bit-vote + banding walk is replayed exactly in SQL (HashOracleSql.d4Sql).
     "d4_simhash" -> ((s, dir) => {
       import s.implicits._
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 16)
+      // token-less docs (simhash 0) are excluded for parity with the SQL
+      // twin, which derives hashes from tokens (no-op on this corpus)
+      val docs = t(s, dir, "documents")
+        .filter(length(Dedup.normalized($"text")) > 0)
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
         .orderBy($"id_1", $"id_2")
     }),
 
@@ -60,6 +69,7 @@ object DataPipelineQueries {
     "stream_neardup_twin" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
+        .filter(length(Dedup.normalized($"text")) > 0) // twin parity, no-op
         .select($"doc_id",
           Dedup.simhash($"text").as("sh"))
         .groupBy($"sh")
@@ -180,8 +190,10 @@ object DataPipelineQueries {
 
     // X1: the LLM fallback classifier lineage (prompt-size gate ->
     // mapPartitions classify -> from_json -> semi-join keep). The stub
-    // keeps docs whose content mentions "background" — SQL-derivable, so
-    // the whole distributed path oracle-checks.
+    // keeps docs containing a full section-title phrase (the injected
+    // "Background of the Merger follows." header; the corpus itself
+    // contains none) — SQL-derivable, so the whole distributed path
+    // oracle-checks.
     "x1_classify" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select(

@@ -271,8 +271,7 @@ object RelationalQueries {
     // the shuffle once at write time, never per query.
     "j9_bucketed_join" -> ((s, dir) => {
       import s.implicits._
-      val base = java.nio.file.Files.createTempDirectory("graft-j9")
-      base.toFile.deleteOnExit()
+      val base = graft.util.TempDirs.create("graft-j9")
       val li = t(s, dir, "lineitem").filter($"l_orderkey" < 2000)
         .select($"l_orderkey", $"l_extendedprice", $"l_discount")
       val ord = t(s, dir, "orders").filter($"o_orderkey" < 2000)

@@ -1,12 +1,11 @@
 package graft.queries
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Sinks
 import graft.util.Tables._
+import graft.util.TempDirs
 
 /** Driver-gated roundtrips for the sink family (SURVEY.md §2.1 S5-S10):
   * each query WRITES through the real sink into a fresh temp directory and
@@ -16,11 +15,7 @@ import graft.util.Tables._
 object SinkQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private def tmpDir(prefix: String): String = {
-    val d = Files.createTempDirectory(prefix)
-    d.toFile.deleteOnExit()
-    d.toString
-  }
+  private def tmpDir(prefix: String): String = TempDirs.create(prefix)
 
   val queries: Map[String, Q] = Map(
     // S5/S6 + S8: bucketed parquet append, then a dynamic-partition-

@@ -72,6 +72,11 @@ class DedupSpec extends SparkSpec {
       val got = TextImpl.wordShingleHashes(UTF8String.fromString(norm), n).toSeq
       assert(got == expect, s"text=$t n=$n")
     }
+    // total on out-of-contract input (space runs / outer spaces): no crash
+    for (bad <- Seq("a  b", " lead", "trail ", "   ", "")) {
+      val out = TextImpl.wordShingleHashes(UTF8String.fromString(bad), 2)
+      assert(out != null)
+    }
   }
 
   test("minhash LSH candidates include high-jaccard pairs, verified pairs exact") {
