@@ -89,16 +89,19 @@ object Dedup {
       docs.select(col(id), explode(internal.column(WordShingleHashes(
         internal.expression(normalized(col(text))), n))).as("__h"))
     }
-    // count-first, collect-after: the document list of a hot shingle is
-    // never materialized (a collect_list-then-filter would build the full
-    // multi-million-id array for a boilerplate shingle before dropping
-    // it); the rare-key semi-join reuses the same __h exchange
-    val rare = sh.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf)
-      .select(col("__h"))
-    val buckets = sh.join(rare, Seq("__h"))
-      .groupBy(col("__h"))
-      .agg(array_sort(collect_list(col(id))).as("__ids"))
+    // BoundedLongList caps every aggregation buffer (map-side partials
+    // included) at maxDf+1 ids and yields NULL for hot shingles — the
+    // document list of a boilerplate shingle shared by millions of docs is
+    // never materialized, in ONE aggregation pass (no count-then-collect
+    // second shuffle, no collect-then-filter memory hazard)
+    val bounded = {
+      import org.apache.spark.sql.graft.{BoundedLongList, internal}
+      internal.column(BoundedLongList(internal.expression(col(id)), maxDf)
+        .toAggregateExpression())
+    }
+    val buckets = sh.groupBy(col("__h"))
+      .agg(bounded.as("__ids"))
+      .filter(col("__ids").isNotNull)
     // per-doc universe size under the df cap (df = 1 shingles count too)
     val sizes = buckets.select(explode(col("__ids")).as(id))
       .groupBy(col(id)).agg(count(lit(1)).as("n_sh"))

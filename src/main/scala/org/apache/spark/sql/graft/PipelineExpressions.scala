@@ -195,6 +195,73 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Bounded id-list aggregate: collects at most `limit`+1 longs per group
+  * and returns NULL once the group exceeds `limit` — the memory-safe form
+  * of `collect_list` for df-capped candidate generation (a plain
+  * collect-then-filter would materialize a hot key's entire multi-million
+  * id list before dropping it; this buffer never exceeds limit+1 entries,
+  * map-side partials included). Result ids are sorted for deterministic
+  * downstream pair generation. */
+case class BoundedLongList(child: Expression, limit: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[Long]]
+    with ExpectsInputTypes {
+  require(limit > 0)
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): scala.collection.mutable.ArrayBuffer[Long] =
+    scala.collection.mutable.ArrayBuffer.empty[Long]
+
+  override def update(buf: scala.collection.mutable.ArrayBuffer[Long],
+      input: org.apache.spark.sql.catalyst.InternalRow):
+      scala.collection.mutable.ArrayBuffer[Long] = {
+    val v = child.eval(input)
+    // saturation: once past limit, stop growing — length limit+1 encodes
+    // "more than limit members", which is all eval() needs to know
+    if (v != null && buf.length <= limit) buf += v.asInstanceOf[Long]
+    buf
+  }
+
+  override def merge(b1: scala.collection.mutable.ArrayBuffer[Long],
+      b2: scala.collection.mutable.ArrayBuffer[Long]):
+      scala.collection.mutable.ArrayBuffer[Long] = {
+    var i = 0
+    while (i < b2.length && b1.length <= limit) { b1 += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: scala.collection.mutable.ArrayBuffer[Long]): Any =
+    if (buf.length > limit) null
+    else org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(buf.toArray.sorted)
+
+  override def serialize(buf: scala.collection.mutable.ArrayBuffer[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.ArrayBuffer[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (bb.remaining() >= 8) out += bb.getLong
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedLongList =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedLongList =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BoundedLongList =
+    copy(child = newChildren.head)
+  override def prettyName: String = "bounded_long_list"
+}
+
 /** T8 hermetic embedder stub: deterministic 3-gram feature-hash unit vector
   * (swap for a real service client via graft.io.Embedder at deploy time). */
 case class PseudoEmbedding(child: Expression, dim: Int)
