@@ -94,23 +94,14 @@ object Dedup {
     // document list of a boilerplate shingle shared by millions of docs is
     // never materialized, in ONE aggregation pass (no count-then-collect
     // second shuffle, no collect-then-filter memory hazard)
-    val bounded = {
-      import org.apache.spark.sql.graft.{BoundedLongList, internal}
-      internal.column(BoundedLongList(internal.expression(col(id)), maxDf)
-        .toAggregateExpression())
-    }
     val buckets = sh.groupBy(col("__h"))
-      .agg(bounded.as("__ids"))
+      .agg(boundedIds(id, maxDf).as("__ids"))
       .filter(col("__ids").isNotNull)
     // per-doc universe size under the df cap (df = 1 shingles count too)
     val sizes = buckets.select(explode(col("__ids")).as(id))
       .groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
-    // sorted ids -> all (i < j) pairs, generated inside codegen
-    val pairList = flatten(transform(col("__ids"), (x, i) =>
-      transform(slice(col("__ids"), i + lit(2), size(col("__ids"))),
-        y => struct(x.as("id_1"), y.as("id_2")))))
     val common = buckets.filter(size(col("__ids")) >= 2)
-      .select(explode(pairList).as("__p"))
+      .select(explode(sortedPairs(col("__ids"))).as("__p"))
       .select(col("__p.id_1").as("id_1"), col("__p.id_2").as("id_2"))
       .groupBy(col("id_1"), col("id_2")).agg(count(lit(1)).as("n_common"))
     common
@@ -153,24 +144,37 @@ object Dedup {
       .select(col(id), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
+  /** All (i < j) pairs of a sorted long array, generated inside codegen —
+    * the map-side pair explosion shared by the bucketed dedup shapes. */
+  private[ops] def sortedPairs(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        y => struct(x.as("id_1"), y.as("id_2")))))
+
+  /** Bounded per-group id list (NULL when the group exceeds `limit`) —
+    * see org.apache.spark.sql.graft.BoundedLongList. */
+  private def boundedIds(id: String, limit: Int): Column = {
+    import org.apache.spark.sql.graft.{BoundedLongList, internal}
+    internal.column(BoundedLongList(internal.expression(col(id)), limit)
+      .toAggregateExpression())
+  }
+
   /** Candidate near-dup pairs from LSH buckets (distinct across bands).
     * Oversized buckets (low-information band collisions — the skew that
     * turns banding into an O(m^2) blowup at scale) are dropped: a bucket
     * with more than `maxBucketSize` members carries no near-dup signal,
-    * only a shared common substring. */
+    * only a shared common substring. One aggregation pass: the bounded
+    * aggregate caps every buffer at maxBucketSize+1 ids, and pairs explode
+    * map-side from the grouped lists (no sizes join-back, no self-join). */
   def minhashCandidates(docs: DataFrame, id: String, text: String,
       k: Int = 5, maxBucketSize: Int = 64): DataFrame = {
     val buckets = lshBuckets(minhashSignatures(docs, id, text, k), id)
-    val sizes = buckets.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz").between(2, maxBucketSize))
-    val bounded = buckets.join(sizes, Seq("band", "bucket"))
-      .select(col("band"), col("bucket"), col(id))
-    val a = bounded.select(col("band"), col("bucket"), col(id).as("id_1"))
-    val b = bounded.select(col("band"), col("bucket"), col(id).as("id_2"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_1") < col("id_2"))
-      .select(col("id_1"), col("id_2")).distinct()
+    buckets.groupBy(col("band"), col("bucket"))
+      .agg(boundedIds(id, maxBucketSize).as("__ids"))
+      .filter(col("__ids").isNotNull && size(col("__ids")) >= 2)
+      .select(explode(sortedPairs(col("__ids"))).as("__p"))
+      .select(col("__p.id_1").as("id_1"), col("__p.id_2").as("id_2"))
+      .distinct()
   }
 
   /** MinHash dedup with exact-Jaccard verification of LSH candidates —
