@@ -79,6 +79,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("BoundedLongList: saturation survives partial-aggregate merges") {
+    import org.apache.spark.sql.graft.{BoundedLongList, internal}
+    def agg(limit: Int) = internal.column(
+      BoundedLongList(internal.expression($"id"), limit).toAggregateExpression())
+    // 16 partitions force partial buffers + a merge at the final stage
+    val df = spark.range(0, 200).select(lit(1L).as("k"), $"id").repartition(16)
+    val saturated = df.groupBy($"k").agg(agg(100).as("ids")).collect().head
+    assert(saturated.isNullAt(1), "201+ member group must saturate to NULL")
+    val kept = df.groupBy($"k").agg(agg(300).as("ids")).collect().head
+    assert(kept.getSeq[Long](1) == (0L until 200L), "sorted complete list")
+  }
+
   test("minhash LSH candidates include high-jaccard pairs, verified pairs exact") {
     val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
