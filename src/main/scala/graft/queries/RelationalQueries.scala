@@ -104,6 +104,22 @@ object RelationalQueries {
         .orderBy($"c_custkey", $"s_suppkey")
     }),
 
+    // J2 kernels exactly: Indel ratio = 200*LCS/(|a|+|b|), and for pairs
+    // where one side is a subsequence of the other (suffix-extended /
+    // prefix-truncated text) the LCS is analytically the shorter length —
+    // so the custom FuzzRatio/FuzzPartialRatio expressions oracle-check
+    // with closed-form values (the bit-parallel LCS kernel runs for real).
+    "j2_fuzz_exact" -> ((s, dir) => {
+      import s.implicits._
+      import graft.GraftFunctions.{fuzz_partial_ratio, fuzz_ratio}
+      t(s, dir, "documents").select($"doc_id",
+        fuzz_ratio($"text", concat($"text", lit(" extra tail words!")))
+          .as("r_suffix"),
+        fuzz_ratio(substring($"text", 1, 100), $"text").as("r_prefix"),
+        fuzz_partial_ratio(substring($"text", 1, 100), $"text").as("pr_sub"))
+        .orderBy($"doc_id")
+    }),
+
     // J3: containment theta-join (doc kept iff it contains the search term).
     "j3_containment_join" -> ((s, dir) => {
       import s.implicits._
@@ -436,6 +452,14 @@ object RelationalQueries {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    "j2_fuzz_exact" ->
+      """SELECT doc_id,
+        |  (200.0 * length(text)) / (2 * length(text) + 18) AS r_suffix,
+        |  (200.0 * least(length(text), 100))
+        |    / (least(length(text), 100) + length(text)) AS r_prefix,
+        |  100.0 AS pr_sub
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "j2_fuzzy_join" ->
       """SELECT c_custkey, s_suppkey,
         | levenshtein(lower(c_name), lower(s_name)) AS dist
