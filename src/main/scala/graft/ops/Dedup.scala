@@ -103,6 +103,8 @@ object Dedup {
     val common = buckets.filter(size(col("__ids")) >= 2)
       .select(explode(sortedPairs(col("__ids"))).as("__p"))
       .select(col("__p.id_1").as("id_1"), col("__p.id_2").as("id_2"))
+      // duplicate input ids would make (x,x) pairs; keep the strict guard
+      .filter(col("id_1") < col("id_2"))
       .groupBy(col("id_1"), col("id_2")).agg(count(lit(1)).as("n_common"))
     common
       .join(sizes.select(col(id).as("id_1"), col("n_sh").as("n_1")), Seq("id_1"))
@@ -174,6 +176,8 @@ object Dedup {
       .filter(col("__ids").isNotNull && size(col("__ids")) >= 2)
       .select(explode(sortedPairs(col("__ids"))).as("__p"))
       .select(col("__p.id_1").as("id_1"), col("__p.id_2").as("id_2"))
+      // duplicate input ids would make (x,x) pairs; keep the strict guard
+      .filter(col("id_1") < col("id_2"))
       .distinct()
   }
 

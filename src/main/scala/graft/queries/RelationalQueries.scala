@@ -288,16 +288,21 @@ object RelationalQueries {
     "j9_bucketed_join" -> ((s, dir) => {
       import s.implicits._
       val base = graft.util.TempDirs.create("graft-j9")
+      // unique table names per invocation: fixed names would be clobbered
+      // by a concurrent or repeated run while the returned (lazy)
+      // DataFrame still reads them
+      val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+      val (liTbl, ordTbl) = (s"graft_li_bkt_$tag", s"graft_ord_bkt_$tag")
       val li = t(s, dir, "lineitem").filter($"l_orderkey" < 2000)
         .select($"l_orderkey", $"l_extendedprice", $"l_discount")
       val ord = t(s, dir, "orders").filter($"o_orderkey" < 2000)
         .select($"o_orderkey", $"o_orderpriority")
-      graft.ops.Scale.writeBucketedTable(li, "graft_li_bkt", "l_orderkey",
+      graft.ops.Scale.writeBucketedTable(li, liTbl, "l_orderkey",
         buckets = 8, path = Some(s"$base/li"))
-      graft.ops.Scale.writeBucketedTable(ord, "graft_ord_bkt", "o_orderkey",
+      graft.ops.Scale.writeBucketedTable(ord, ordTbl, "o_orderkey",
         buckets = 8, path = Some(s"$base/ord"))
-      s.table("graft_li_bkt")
-        .join(s.table("graft_ord_bkt"), $"l_orderkey" === $"o_orderkey")
+      s.table(liTbl)
+        .join(s.table(ordTbl), $"l_orderkey" === $"o_orderkey")
         .groupBy($"o_orderpriority")
         .agg(sumMoney4($"l_extendedprice" * (lit(1.0) - $"l_discount"))
           .as("revenue"),

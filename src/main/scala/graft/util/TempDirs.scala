@@ -1,16 +1,27 @@
 package graft.util
 
 import java.nio.file.{Files, Path}
+import java.util.concurrent.ConcurrentLinkedQueue
 
 /** Temp directories for sink-roundtrip queries, cleaned up recursively at
   * JVM exit (`File.deleteOnExit` is a no-op for non-empty directories, so
   * written parquet/CSV buckets would otherwise accumulate for the life of
-  * the machine's temp space).
+  * the machine's temp space). One shared shutdown hook drains a queue of
+  * registered dirs — repeated query invocations don't pile up hook
+  * threads.
   */
 object TempDirs {
+  private val registered = new ConcurrentLinkedQueue[Path]()
+  private lazy val hook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var p = registered.poll()
+      while (p != null) { delete(p); p = registered.poll() }
+    }))
+
   def create(prefix: String): String = {
+    hook
     val d = Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => delete(d)))
+    registered.add(d)
     d.toString
   }
 

@@ -206,7 +206,7 @@ case class BoundedLongList(child: Expression, limit: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends org.apache.spark.sql.catalyst.expressions.aggregate
       .TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[Long]]
-    with ExpectsInputTypes {
+    with ImplicitCastInputTypes { // narrower integral ids widen to long
   require(limit > 0)
   override def children: Seq[Expression] = Seq(child)
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType)

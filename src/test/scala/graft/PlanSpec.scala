@@ -79,9 +79,9 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val df = SparkEntry.queries("j9_bucketed_join")(spark, sf("sf0.001"))
       val joinPlan = df.queryExecution.executedPlan.toString
-      val joinSection = joinPlan.substring(joinPlan.indexOf("SortMergeJoin"))
       // aggregation above may shuffle; the JOIN inputs must not
       assert(joinPlan.contains("SortMergeJoin"), joinPlan.take(2000))
+      val joinSection = joinPlan.substring(joinPlan.indexOf("SortMergeJoin"))
       assert(!joinSection.contains("Exchange"),
         "bucketed join inputs must be exchange-free:\n" + joinSection.take(3000))
       assert(df.collect().nonEmpty)
