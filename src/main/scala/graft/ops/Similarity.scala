@@ -108,9 +108,12 @@ object Similarity {
   /** Seed centroids refined with `iters` Lloyd steps — each step is one
     * distributed assignment pass plus a tiny driver-side mean update
     * (centroid matrix is KxD floats; collecting it is not a driver-side
-    * data loop). Refinement improves cell balance/recall but its float
-    * means are not portable across engines, so the oracle-checked query
-    * uses the un-refined seeds (`lloydIters = 0`). */
+    * data loop). The mean update is FIXED-POINT (1e-6-quantized sums in
+    * long, double division, float rounding) so the refined centroids —
+    * and therefore every assignment, probe set, and ranking — are exactly
+    * reproducible in any engine: the `knn_ivf_lloyd` DuckDB oracle
+    * replays both refinement rounds. Empty cells keep their previous
+    * centroid. */
   def ivfCentroids(targets: DataFrame, dim: Int, nCells: Int,
       iters: Int = 2): Array[Array[Float]] = {
     var centroids = ivfSeedCentroids(targets, nCells)
@@ -120,7 +123,8 @@ object Similarity {
       val means = assigned
         .select(col("cell"), posexplode(col("te")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
-        .agg((sum(col("v").cast("double")) / count(lit(1))).as("m"))
+        .agg((sum(round(col("v").cast("double") * 1e6).cast("long"))
+          .cast("double") / 1e6 / count(lit(1)).cast("double")).as("m"))
         .collect()
       val next = centroids.map(_.clone())
       means.foreach { r =>

@@ -133,10 +133,11 @@ object DataPipelineQueries {
         .orderBy($"qid", $"rank")
     }),
 
-    // IVF with 2 Lloyd refinement steps (rows-only: the float centroid
-    // means aren't engine-portable, so the oracle-gated variant stays
-    // lloydIters=0; recall >= seed-centroid recall is asserted in
-    // SimilaritySpec). Benched so the refined path has a cost signal.
+    // IVF with 2 Lloyd refinement steps. The mean update is fixed-point
+    // (quantized sums, double division, float rounding), so both
+    // refinement rounds — assignments, centroid updates, empty-cell
+    // carry-over — replay exactly in the DuckDB twin; recall >=
+    // seed-centroid recall is asserted in SimilaritySpec.
     "knn_ivf_lloyd" -> ((s, dir) => {
       import s.implicits._
       val e = t(s, dir, "embeddings")
@@ -318,7 +319,79 @@ object DataPipelineQueries {
        |FROM ranked WHERE rank <= $k
        |ORDER BY qid, rank""".stripMargin
 
+  /** One Lloyd round in SQL: assignment of every target to its nearest
+    * centroid (fixed-point dot, ties to lowest cell), then the
+    * fixed-point mean update with float rounding; empty cells keep the
+    * previous centroid. `prev` is a CTE named (cell, pos, c). Emits CTEs
+    * `a$i` (tid, cell) and `c$i` (cell, pos, c). */
+  private def lloydRoundSql(i: Int, prev: String): String =
+    s"""a${i}d AS (
+       |  SELECT t.tid, s.cell,
+       |    SUM(CAST(ROUND(CAST(t.x AS DOUBLE)*CAST(s.c AS DOUBLE)*1000000) AS BIGINT)) AS d
+       |  FROM texp t JOIN $prev s USING (pos) GROUP BY t.tid, s.cell),
+       |a$i AS (
+       |  SELECT tid, cell FROM (
+       |    SELECT tid, cell,
+       |      row_number() OVER (PARTITION BY tid ORDER BY d DESC, cell) AS rn
+       |    FROM a${i}d) z WHERE rn = 1),
+       |m$i AS (
+       |  SELECT a$i.cell, t.pos,
+       |    CAST(CAST(SUM(CAST(ROUND(CAST(t.x AS DOUBLE)*1000000) AS BIGINT)) AS DOUBLE)
+       |         / 1000000 / CAST(COUNT(*) AS DOUBLE) AS REAL) AS c
+       |  FROM a$i JOIN texp t USING (tid) GROUP BY a$i.cell, t.pos),
+       |c$i AS (
+       |  SELECT s.cell, s.pos, COALESCE(m$i.c, s.c) AS c
+       |  FROM $prev s LEFT JOIN m$i ON m$i.cell = s.cell AND m$i.pos = s.pos)""".stripMargin
+
+  /** knn_ivf_lloyd twin: seed centroids -> two exact Lloyd rounds ->
+    * final assignment + 2-cell probe -> fixed-point cosine top-5. */
+  private def knnIvfLloydSql: String =
+    s"""WITH tt AS (SELECT vec_id AS tid, embedding AS te FROM embeddings),
+       |qq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |       WHERE vec_id < 50),
+       |seeds AS (
+       |  SELECT CAST((rn - 1) // 7 AS INT) AS cell,
+       |    CAST(unnest(range(0, len(te))) AS INT) AS pos,
+       |    unnest(te) AS c
+       |  FROM (SELECT row_number() OVER (ORDER BY tid) AS rn, te
+       |        FROM (SELECT tid, te FROM tt ORDER BY tid LIMIT 112) s1) s2
+       |  WHERE (rn - 1) % 7 = 0),
+       |texp AS (
+       |  SELECT tid, CAST(unnest(range(0, len(te))) AS INT) AS pos,
+       |         unnest(te) AS x
+       |  FROM tt),
+       |${lloydRoundSql(1, "seeds")},
+       |${lloydRoundSql(2, "c1")},
+       |tfd AS (
+       |  SELECT t.tid, s.cell,
+       |    SUM(CAST(ROUND(CAST(t.x AS DOUBLE)*CAST(s.c AS DOUBLE)*1000000) AS BIGINT)) AS d
+       |  FROM texp t JOIN c2 s USING (pos) GROUP BY t.tid, s.cell),
+       |tcell AS (
+       |  SELECT tid, cell FROM (
+       |    SELECT tid, cell,
+       |      row_number() OVER (PARTITION BY tid ORDER BY d DESC, cell) AS rn
+       |    FROM tfd) z WHERE rn = 1),
+       |qexp AS (
+       |  SELECT qid, CAST(unnest(range(0, len(qe))) AS INT) AS pos,
+       |         unnest(qe) AS x
+       |  FROM qq),
+       |qfd AS (
+       |  SELECT q.qid, s.cell,
+       |    SUM(CAST(ROUND(CAST(q.x AS DOUBLE)*CAST(s.c AS DOUBLE)*1000000) AS BIGINT)) AS d
+       |  FROM qexp q JOIN c2 s USING (pos) GROUP BY q.qid, s.cell),
+       |qcell AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT qid, cell,
+       |      row_number() OVER (PARTITION BY qid ORDER BY d DESC, cell) AS rn
+       |    FROM qfd) z WHERE rn <= 2),
+       |cand AS (
+       |  SELECT q.qid, t.tid
+       |  FROM qcell q JOIN tcell t USING (cell)
+       |  WHERE q.qid <> t.tid),
+       |""".stripMargin + knnScoreTailSql(5)
+
   val oracles: Map[String, String] = Map(
+    "knn_ivf_lloyd" -> knnIvfLloydSql,
     "d3_minhash_lsh" -> HashOracleSql.d3Sql,
     "d4_simhash" -> HashOracleSql.d4Sql,
     "stream_neardup_twin" -> HashOracleSql.streamNearDupTwinSql,
