@@ -209,26 +209,43 @@ object Dedup {
   /** SimHash near-dup candidates: band the 64-bit hash into four 16-bit
     * blocks; pairs agreeing on any block are candidates (catches all pairs
     * within Hamming distance 3 by pigeonhole), then verify with bit_count
-    * on the XOR. Returns (id_1, id_2, hamming). */
+    * on the XOR. Returns (id_1, id_2, hamming).
+    *
+    * Bucket generation is the same bounded one-pass shape as the Jaccard
+    * and MinHash paths: the 16-bit band-bucket space is only 65,536 values
+    * per band, so at n docs a bucket averages n/65536 members and a naive
+    * band self-join materializes Θ(n²/2^16) candidate rows — quadratic at
+    * scale. Instead each (band, bucket) group is aggregated through
+    * `BoundedLongList` (every buffer, map-side partials included, holds at
+    * most `maxBucketSize`+1 ids; hot buckets collapse to NULL and are
+    * dropped — a band block shared by thousands of docs carries no
+    * near-dup signal, only a common 16-bit coincidence) and the (i < j)
+    * pairs explode map-side from the grouped lists. The only joins left
+    * are the two 8-byte-key hash-lookups of the verified pairs' SimHash
+    * values, sized by the candidate count, not n². */
   def simhashPairs(docs: DataFrame, id: String, text: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 64): DataFrame = {
     val hashed = docs.select(col(id), simhash(col(text)).as("sh"))
     val blocks = (0 until 4).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("bucket")))
-    val banded = hashed.select(col(id), col("sh"),
+    val banded = hashed.select(col(id),
       explode(array(blocks: _*)).as("bb"))
-      .select(col(id), col("sh"), col("bb.band").as("band"),
+      .select(col(id), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
-    val a = banded.select(col("band"), col("bucket"), col(id).as("id_1"),
-      col("sh").as("sh_1"))
-    val b = banded.select(col("band"), col("bucket"), col(id).as("id_2"),
-      col("sh").as("sh_2"))
-    a.join(b, Seq("band", "bucket"))
+    val cands = banded.groupBy(col("band"), col("bucket"))
+      .agg(boundedIds(id, maxBucketSize).as("__ids"))
+      .filter(col("__ids").isNotNull && size(col("__ids")) >= 2)
+      .select(explode(sortedPairs(col("__ids"))).as("__p"))
+      .select(col("__p.id_1").as("id_1"), col("__p.id_2").as("id_2"))
+      // duplicate input ids would make (x,x) pairs; keep the strict guard
       .filter(col("id_1") < col("id_2"))
+      .distinct()
+    cands
+      .join(hashed.select(col(id).as("id_1"), col("sh").as("sh_1")), Seq("id_1"))
+      .join(hashed.select(col(id).as("id_2"), col("sh").as("sh_2")), Seq("id_2"))
       .select(col("id_1"), col("id_2"),
         bit_count(col("sh_1").bitwiseXOR(col("sh_2"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 }

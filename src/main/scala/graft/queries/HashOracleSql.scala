@@ -170,7 +170,9 @@ private[queries] object HashOracleSql {
        |  SELECT doc_id, ${sgn("u")} AS sh, u FROM shu)""".stripMargin
 
   /** d4_simhash: 4x16-bit pigeonhole banding over the per-doc SimHash,
-    * XOR-popcount verify at Hamming <= 16. */
+    * XOR-popcount verify at Hamming <= 16. Buckets with more than 64
+    * members are dropped — the exact twin of `Dedup.simhashPairs`'s
+    * `BoundedLongList` cap (NULL-out hot buckets before pair explosion). */
   val d4Sql: String = simhashWith +
     s""",
        |banded AS (
@@ -178,10 +180,14 @@ private[queries] object HashOracleSql {
        |  FROM shs, (VALUES (0, CAST(1 AS HUGEINT)), (1, CAST(65536 AS HUGEINT)),
        |                    (2, CAST(4294967296 AS HUGEINT)),
        |                    (3, CAST('281474976710656' AS HUGEINT))) blocks(band, bp)),
+       |capped AS (
+       |  SELECT band, bucket FROM banded
+       |  GROUP BY band, bucket HAVING COUNT(*) <= 64),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2, a.sh AS sh1, b.sh AS sh2
        |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
-       |   AND a.doc_id < b.doc_id)
+       |   AND a.doc_id < b.doc_id
+       |  JOIN capped c ON a.band = c.band AND a.bucket = c.bucket)
        |SELECT id_1, id_2, CAST(bit_count(xor(sh1, sh2)) AS INT) AS hamming
        |FROM pairs WHERE bit_count(xor(sh1, sh2)) <= 16
        |ORDER BY id_1, id_2""".stripMargin

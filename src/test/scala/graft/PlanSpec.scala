@@ -100,6 +100,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate explode"), p.take(3000))
   }
 
+  test("d4 simhash: bounded buckets, pairs explode map-side, no band self-join") {
+    val df = SparkEntry.queries("d4_simhash")(spark, sf("sf0.001"))
+    df.collect() // AQE-final plan
+    val p = df.queryExecution.executedPlan.toString
+    // candidate pairs come from a Generate over the bounded bucket lists
+    assert(p.contains("Generate explode"), p.take(3000))
+    // no join keys on the band/bucket columns anywhere: the only joins are
+    // the candidate-id SimHash lookups (the old a-join-b shape shuffled the
+    // banded table twice and was quadratic in bucket occupancy)
+    val joinLines = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.forall(l => !l.contains("bucket")),
+      "band-bucket self-join shape must not remain:\n" + joinLines.mkString("\n"))
+  }
+
   test("pipeline: chunk exchange is shared across consumers (ReuseExchange)") {
     // the doc_id repartition after the chunk Generator must be reused by
     // the cascade/assembly/enrichment branches instead of re-chunking

@@ -121,6 +121,28 @@ class DedupSpec extends SparkSpec {
     ham.get((1L, 4L)).foreach(h => assert(h > 12, s"unrelated hamming $h"))
   }
 
+  test("simhash bucket cap: a hot band bucket yields no pairs, cold pairs survive") {
+    // 100 byte-identical docs collide in every band bucket: with the cap
+    // below the bucket size, no candidate pair materializes (the old
+    // self-join shape would emit 100*99/2 rows per band); a separate cold
+    // near-dup pair is still found.
+    val hot = (1L to 100L).map(i => (i, base)).toDF("doc_id", "text")
+    val capped = Dedup.simhashPairs(hot, "doc_id", "text",
+      maxHamming = 64, maxBucketSize = 50)
+    assert(capped.count() == 0, "hot buckets must be dropped under the cap")
+    // cap above the bucket size: every pair of the 100 exact dups appears
+    val uncapped = Dedup.simhashPairs(hot, "doc_id", "text",
+      maxHamming = 0, maxBucketSize = 200)
+    assert(uncapped.count() == 100L * 99 / 2)
+    // cold pair alongside the hot bucket is unaffected by the drop
+    val mixed = hot.union(Seq((201L, nearDup), (202L, nearDup))
+      .toDF("doc_id", "text"))
+    val found = Dedup.simhashPairs(mixed, "doc_id", "text",
+      maxHamming = 0, maxBucketSize = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == Set((201L, 202L)), s"got $found")
+  }
+
   test("simhash64 value is stable across sessions (fixed token hash)") {
     val v1 = Seq(base).toDF("t")
       .select(graft.GraftFunctions.simhash64($"t")).collect().head.getLong(0)
