@@ -18,28 +18,100 @@ import graft.util.Tables._
 object PipelineQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** The flagship's synthesized filing corpus: title + Background header +
+    * narrative body (the word salad folded into ~6-word prose lines so T5
+    * doesn't flag it as a TOC) + trailer. With `uniqueLines` each narrative
+    * line gets a per-doc-unique letter-coded suffix, making the line-dedup
+    * pass (U3) an identity on the winning passage — which upgrades the
+    * invariant set: the reference's >200-char promotion gate
+    * (ChunkProcessor.py:166-169) then provably survives assembly. */
+  private def flagshipDocs(s: SparkSession, dir: String,
+      uniqueLines: Boolean): DataFrame = {
+    import s.implicits._
+    val folded = regexp_replace(concat($"text", lit(" "), $"text"),
+      "((?:\\S+ ){6})", "$1\n")
+    // letter-coded line index (digits would read as TOC page numbers to T5)
+    val narrative =
+      if (!uniqueLines) folded
+      else array_join(transform(split(folded, "\n"), (l, i) =>
+        concat(l, lit(" x"),
+          translate(i.cast("string"), "0123456789", "abcdefghij"))), "\n")
+    t(s, dir, "documents").select(
+      $"doc_id",
+      concat(initcap($"source"), lit(" Systems Inc")).as("company_a"),
+      concat(initcap($"source"), lit(" Holdings Corp")).as("company_b"),
+      concat(
+        lit("Proxy Statement Overview\n\nIntroductory boilerplate about " +
+          "record dates and solicitation matters.\n\n"),
+        lit("Background of the Merger\n\n"),
+        narrative,
+        lit("\n\nOther Matters\n\nClosing boilerplate paragraph.")).as("content"))
+  }
+
+  private val AbbrevPreamble: String =
+    "Here are some potentially useful abbreviation definitions " +
+      "that could help with analyzing the 'Background' section:\n"
+
+  /** Constant-TRUE invariant projection over extractSections output (the
+    * t1_chunk_split pattern): full-outer-join the extracted sections back
+    * to the input docs so dropped docs check vacuously TRUE and an alien
+    * output doc_id flips `id_ok` (and the row count). `withLenGate` adds
+    * the >200 promotion-gate check — only sound when the corpus makes
+    * line-dedup an identity on the winning passage (uniqueLines above). */
+  private def extractInvariants(out: DataFrame, docs: DataFrame,
+      withLenGate: Boolean): DataFrame = {
+    val orig = docs.select(col("doc_id"), col("company_a"), col("company_b"),
+      col("content").as("__orig"), lit(1).as("__in"))
+    val j = out.join(orig, Seq("doc_id"), "full_outer")
+      .withColumn("__hdr",
+        graft.ops.Assemble.headerLine(col("company_a"), col("company_b")))
+      // T12 header position (capitalized literal — cannot occur in the
+      // lowercase word-salad narrative, so the first hit IS the header)
+      .withColumn("__hpos", call_function("instr", col("content"), col("__hdr")))
+      // everything after the header: the assembled passage (enrichment
+      // rows put the definitions block BEFORE the header, so this works
+      // for the direct and both enrichment shapes)
+      .withColumn("__region", col("content").substr(
+        col("__hpos") + length(col("__hdr")), length(col("content"))))
+      .withColumn("__first_line",
+        element_at(split(ltrim(col("__region")), "\n"), 1))
+    val base = j.select(col("doc_id"),
+      col("__in").isNotNull.as("id_ok"),
+      coalesce(startswith(col("content"), col("__hdr")) ||
+        startswith(col("content"), lit(AbbrevPreamble)), lit(true))
+        .as("starts_ok"),
+      coalesce(col("__hpos") > 0, lit(true)).as("hdr_ok"),
+      // winner-chunk membership: the passage's first line is the cascade's
+      // matched header line, a trimmed contiguous slice of some chunk —
+      // so it must be a substring of the original document content
+      coalesce(call_function("instr", col("__orig"), col("__first_line")) > 0,
+        lit(true)).as("winner_in_doc"),
+      coalesce(length(col("__region")) > 200, lit(true)).as("len_ok"))
+    val cols = Seq("doc_id", "id_ok", "starts_ok", "hdr_ok", "winner_in_doc") ++
+      (if (withLenGate) Seq("len_ok") else Nil)
+    base.select(cols.map(col): _*).orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
-    // Flagship lineage at scale: synthesize a filing per document row
-    // (title + Background header + narrative body), then run the full
-    // chunk -> cascade -> rank -> assemble -> validate/enrich pipeline.
+    // Flagship lineage at scale: synthesize a filing per document row,
+    // then run the full chunk -> cascade -> rank -> assemble ->
+    // validate/enrich pipeline. Exact output text is chunker-boundary-
+    // dependent (not SQL), but the lineage's invariants are provable from
+    // construction and driver-gated as constant-TRUE booleans.
     "pipeline_extract" -> ((s, dir) => {
-      import s.implicits._
-      val docs = t(s, dir, "documents").select(
-        $"doc_id",
-        concat(initcap($"source"), lit(" Systems Inc")).as("company_a"),
-        concat(initcap($"source"), lit(" Holdings Corp")).as("company_b"),
-        concat(
-          lit("Proxy Statement Overview\n\nIntroductory boilerplate about " +
-            "record dates and solicitation matters.\n\n"),
-          lit("Background of the Merger\n\n"),
-          // fold the single-line word salad into ~6-word prose lines so the
-          // narrative reads paragraph-like (otherwise T5 flags it as a TOC)
-          regexp_replace(concat($"text", lit(" "), $"text"),
-            "((?:\\S+ ){6})", "$1\n"),
-          lit("\n\nOther Matters\n\nClosing boilerplate paragraph.")).as("content"))
-      Pipeline.extractSections(docs)
-        .select($"doc_id", length($"content").as("content_len"))
-        .orderBy($"doc_id")
+      val docs = flagshipDocs(s, dir, uniqueLines = false)
+      extractInvariants(Pipeline.extractSections(docs), docs,
+        withLenGate = false)
+    }),
+
+    // Flagship invariants incl. the length gate: on the unique-line corpus
+    // the dedup pass keeps every winning-passage line, so the reference's
+    // >200-char promotion gate (ChunkProcessor.py:166-169) must survive
+    // into the assembled output — checked per row.
+    "pipeline_extract_inv" -> ((s, dir) => {
+      val docs = flagshipDocs(s, dir, uniqueLines = true)
+      extractInvariants(Pipeline.extractSections(docs), docs,
+        withLenGate = true)
     }),
 
     // Full-pipeline oracle variant: the real extractSections lineage
@@ -267,6 +339,21 @@ object PipelineQueries {
       |      FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Constant-TRUE invariant twins (the t1_chunk_split pattern): any
+    // lineage defect — an alien doc_id, a missing/misplaced T12 header or
+    // abbreviation preamble, a passage first line that isn't a slice of
+    // the source document, or (inv) a sub-200-char promoted passage —
+    // flips a boolean and fails the hash compare.
+    "pipeline_extract" ->
+      """SELECT doc_id, TRUE AS id_ok, TRUE AS starts_ok, TRUE AS hdr_ok,
+        | TRUE AS winner_in_doc
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "pipeline_extract_inv" ->
+      """SELECT doc_id, TRUE AS id_ok, TRUE AS starts_ok, TRUE AS hdr_ok,
+        | TRUE AS winner_in_doc, TRUE AS len_ok
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     // Same regex chain replayed in DuckDB (RE2 and java.util.regex agree
     // on these patterns; both use leftmost, preference-greedy matching).
     "f8_clean_chain" ->
