@@ -94,6 +94,35 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Multi-probe bucket set: the vector's own bucket plus the `nProbe`-1
+    * single-bit-flip neighbor buckets whose planes have the smallest
+    * |projection| — the classic multi-probe ordering (a vector near a
+    * hyperplane is the one whose true neighbors fall on the other side of
+    * it). Everything is fixed-point and the plane set is seeded, so the
+    * probe set is bit-reproducible across engines (the DuckDB twin derives
+    * the identical flips by ranking |projection|). Buckets are distinct by
+    * construction (each flip differs from the home bucket in one bit). */
+  def lshProbeBuckets(v: Column, dim: Int, nProbe: Int): Column = {
+    val ps = lshPlanes(dim)
+    val projs = (0 until NumPlanes).map(j => scaledDot(v, typedLit(ps(j))))
+    val own = projs.zipWithIndex.map { case (p, j) =>
+      when(p > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    if (nProbe <= 1) array(own)
+    else {
+      // sort planes by (|projection| asc, plane idx asc) — struct sort —
+      // and flip the home bucket's bit for the nProbe-1 nearest boundaries
+      val byDist = projs.zipWithIndex.map { case (p, j) =>
+        struct(abs(p).as("a"), lit(j).as("j"))
+      }
+      val flips = transform(
+        slice(array_sort(array(byDist: _*)), 1, nProbe - 1),
+        s => own.bitwiseXOR(
+          call_function("shiftleft", lit(1L), s.getField("j"))))
+      concat(array(own), flips)
+    }
+  }
+
   /** Deterministic IVF seed centroids: every 7th of the first `7*nCells`
     * target vectors by id — a pure function of the table, which is what
     * lets the DuckDB oracle recompute the identical cell layout with a
@@ -114,7 +143,7 @@ object Similarity {
     * reproducible in any engine: the `knn_ivf_lloyd` DuckDB oracle
     * replays both refinement rounds. Empty cells keep their previous
     * centroid. */
-  def ivfCentroids(targets: DataFrame, dim: Int, nCells: Int,
+  def ivfCentroids(targets: DataFrame, nCells: Int,
       iters: Int = 2): Array[Array[Float]] = {
     var centroids = ivfSeedCentroids(targets, nCells)
     (0 until iters).foreach { _ =>
@@ -161,7 +190,7 @@ object Similarity {
       nCells: Int = 16, nProbe: Int = 2, lloydIters: Int = 0): DataFrame = {
     val centroids =
       if (lloydIters == 0) ivfSeedCentroids(targets, nCells)
-      else ivfCentroids(targets, dim, nCells, lloydIters)
+      else ivfCentroids(targets, nCells, lloydIters)
     val tb = targets.withColumn("cell", nearestCell(col("te"), centroids))
       .withColumn("tn", scaledDot(col("te"), col("te")))
     val qb = broadcast(queries
@@ -179,11 +208,17 @@ object Similarity {
   /** Persist an IVF index at rest: targets assigned to their cell and
     * written `partitionBy(cell)` with precomputed norms. At scale this is
     * the ANN path: the index is built once, and every query batch reads
-    * only its probed cells' partitions (see [[knnIvfIndexed]]). Returns the
-    * centroids to keep with the index. */
+    * only its probed cells' partitions (see [[knnIvfIndexed]]). With
+    * `lloydIters` > 0 the cell layout uses the Lloyd-refined centroids —
+    * the best-recall path benefits the index at rest, not just the
+    * in-memory search. Returns the centroids to keep with the index
+    * (queries must probe with the same centroids the index was built
+    * with). */
   def writeIvfIndex(targets: DataFrame, path: String,
-      nCells: Int): Array[Array[Float]] = {
-    val centroids = ivfSeedCentroids(targets, nCells)
+      nCells: Int, lloydIters: Int = 0): Array[Array[Float]] = {
+    val centroids =
+      if (lloydIters == 0) ivfSeedCentroids(targets, nCells)
+      else ivfCentroids(targets, nCells, lloydIters)
     targets.withColumn("cell", nearestCell(col("te"), centroids))
       .withColumn("tn", scaledDot(col("te"), col("te")))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
@@ -225,11 +260,13 @@ object Similarity {
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
   /** ANN search against a persisted LSH index: the query batch's distinct
-    * buckets (at most 2^NumPlanes values) become a literal partition
-    * filter, so the scan statically prunes every unprobed bucket. */
+    * probed buckets (at most 2^NumPlanes values) become a literal
+    * partition filter, so the scan statically prunes every unprobed
+    * bucket. */
   def knnLshIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
-      queries: DataFrame, dim: Int, k: Int): DataFrame = {
-    val qb0 = queries.withColumn("bucket", lshBucket(col("qe"), dim))
+      queries: DataFrame, dim: Int, k: Int, nProbe: Int = 2): DataFrame = {
+    val qb0 = queries.withColumn("bucket",
+      explode(lshProbeBuckets(col("qe"), dim, nProbe)))
     val buckets = qb0.select(col("bucket")).distinct().collect()
       .map(_.getLong(0)).toSeq
     val tb = spark.read.parquet(path)
@@ -244,11 +281,16 @@ object Similarity {
       .select(col("qid"), col("rank"), col("tid"), col("cos"))
   }
 
-  /** LSH ANN: score only same-bucket candidates. Returns
+  /** LSH ANN: score candidates in the query's probed buckets (its own plus
+    * the nProbe-1 nearest single-bit-flip neighbors — multi-probe trades a
+    * small candidate-count increase for recall that plane count alone
+    * can't buy). Targets live in exactly one bucket and probe buckets are
+    * distinct, so no candidate-pair dedup is needed. Returns
     * (qid, rank, tid, cos) — rank within retrieved candidates. */
   def knnLsh(queries: DataFrame, targets: DataFrame, dim: Int,
-      k: Int): DataFrame = {
-    val qb = broadcast(queries.withColumn("bucket", lshBucket(col("qe"), dim))
+      k: Int, nProbe: Int = 2): DataFrame = {
+    val qb = broadcast(queries
+      .withColumn("bucket", explode(lshProbeBuckets(col("qe"), dim, nProbe)))
       .withColumn("qn", scaledDot(col("qe"), col("qe"))))
     val tb = targets.withColumn("bucket", lshBucket(col("te"), dim))
       .withColumn("tn", scaledDot(col("te"), col("te")))

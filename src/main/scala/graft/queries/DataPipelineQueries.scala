@@ -483,12 +483,27 @@ object DataPipelineQueries {
         |    SUM(CAST(ROUND(CAST(x AS DOUBLE)*p*1000000) AS BIGINT)) AS pr
         |  FROM vecs JOIN planes USING (pos) GROUP BY 1, 2),
         |buckets AS (
-        |  SELECT vec_id, SUM(CASE WHEN pr > 0 THEN 1 << j ELSE 0 END) AS bucket
+        |  SELECT vec_id,
+        |    CAST(SUM(CASE WHEN pr > 0 THEN 1 << j ELSE 0 END) AS BIGINT)
+        |      AS bucket
         |  FROM projs GROUP BY 1),
+        |qprobe AS (
+        |  -- multi-probe (nProbe=2): home bucket + the single-bit flip of
+        |  -- the plane with the smallest |projection| (ties: lowest j) —
+        |  -- the exact twin of Similarity.lshProbeBuckets
+        |  SELECT vec_id, bucket FROM buckets WHERE vec_id < 50
+        |  UNION ALL
+        |  SELECT p.vec_id, xor(b.bucket, CAST(1 << p.j AS BIGINT)) AS bucket
+        |  FROM (SELECT vec_id, j,
+        |          row_number() OVER (PARTITION BY vec_id
+        |            ORDER BY abs(pr), j) AS rn
+        |        FROM projs WHERE vec_id < 50) p
+        |  JOIN buckets b ON b.vec_id = p.vec_id
+        |  WHERE p.rn = 1),
         |cand AS (
-        |  SELECT ba.vec_id AS qid, bb.vec_id AS tid
-        |  FROM buckets ba JOIN buckets bb ON ba.bucket = bb.bucket
-        |  WHERE ba.vec_id < 50 AND ba.vec_id <> bb.vec_id),
+        |  SELECT q.vec_id AS qid, bb.vec_id AS tid
+        |  FROM qprobe q JOIN buckets bb ON q.bucket = bb.bucket
+        |  WHERE q.vec_id <> bb.vec_id),
         |""".stripMargin + knnScoreTailSql(5)),
     "knn_ivf" ->
       ("""WITH tt AS (SELECT vec_id AS tid, embedding AS te FROM embeddings),

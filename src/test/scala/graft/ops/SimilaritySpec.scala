@@ -110,6 +110,30 @@ class SimilaritySpec extends SparkSpec {
     assert(again == lloyd)
   }
 
+  test("multi-probe LSH: recall strictly above single-probe on the sf0.01 corpus") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = e.filter($"vec_id" < 50)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val t = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+    val exact = Similarity.knnBruteForce(q, t, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def recall(nProbe: Int): Double = {
+      val got = Similarity.knnLsh(q, t, dim = 64, k = 5, nProbe = nProbe)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = exact.keys.toSeq.map { qid =>
+        exact(qid).intersect(got.getOrElse(qid, Set.empty)).size.toDouble /
+          exact(qid).size
+      }
+      rs.sum / rs.size
+    }
+    val single = recall(1)
+    val multi = recall(2)
+    assert(multi > single,
+      s"multi-probe recall $multi must beat single-probe $single")
+  }
+
   test("persisted IVF index matches in-memory IVF and prunes partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     val e = embeddings
@@ -126,6 +150,26 @@ class SimilaritySpec extends SparkSpec {
     val plan = indexed.queryExecution.executedPlan.toString
     val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
       .getOrElse("")
+    assert(pf.replaceAll(".*PartitionFilters", "").contains("cell#") &&
+      pf.replaceAll(".*PartitionFilters", "").contains(" IN "), pf.take(500))
+  }
+
+  test("Lloyd-refined persisted IVF index matches in-memory Lloyd IVF") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-lloyd").toString
+    val e = embeddings
+    val q = e.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val t = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+    // the index at rest uses the refined centroids: cell layout, probe
+    // sets, and ranking must be identical to the in-memory Lloyd path
+    val centroids = Similarity.writeIvfIndex(t, dir, nCells = 6, lloydIters = 2)
+    val indexed = Similarity.knnIvfIndexed(spark, dir, centroids, q, k = 3)
+    val direct = Similarity.knnIvf(q, t, dim = 16, k = 3, nCells = 6,
+      lloydIters = 2)
+    assert(indexed.collect().map(_.toSeq).toSet ==
+      direct.collect().map(_.toSeq).toSet)
+    // static pruning is unchanged by refinement
+    val pf = indexed.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
     assert(pf.replaceAll(".*PartitionFilters", "").contains("cell#") &&
       pf.replaceAll(".*PartitionFilters", "").contains(" IN "), pf.take(500))
   }
