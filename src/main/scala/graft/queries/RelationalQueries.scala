@@ -120,6 +120,28 @@ object RelationalQueries {
         .orderBy($"doc_id")
     }),
 
+    // J2 end-to-end: the REAL partial-ratio entity gate
+    // (Crawler.fuzzyEntityFilter -> FuzzPartialRatio > 90, the exact
+    // operator the crawler applies to EDGAR entity buckets,
+    // CrawlerSupport.py:138-147) over labels with closed-form best-window
+    // Indel scores: a substring of the company name (some window equals
+    // the label -> partial_ratio exactly 100, kept) and a digit-only label
+    // over the letters-and-spaces corpus (zero-LCS with every window ->
+    // partial_ratio 0, dropped). The bit-parallel LCS kernel runs for
+    // real on every row; the oracle keeps exactly the substring labels.
+    "j2_gate" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents")
+        .filter(length($"text") >= 30) // total windows on every SF (no-op)
+        .select($"doc_id", substring($"text", 1, 30).as("name"))
+      val entities = base.select($"doc_id", $"name",
+        explode(array(
+          substring($"name", 5, 12), lit("0123456789"))).as("entity"))
+      graft.Crawler.fuzzyEntityFilter(entities, "entity", "name")
+        .select($"doc_id", $"entity")
+        .orderBy($"doc_id", $"entity")
+    }),
+
     // J3: containment theta-join (doc kept iff it contains the search term).
     "j3_containment_join" -> ((s, dir) => {
       import s.implicits._
@@ -472,6 +494,14 @@ object RelationalQueries {
         |WHERE c_custkey < 100
         | AND levenshtein(lower(c_name), lower(s_name)) <= 8
         |ORDER BY c_custkey, s_suppkey""".stripMargin,
+    // Containment window scores exactly 100 (> 90, kept); the digit label
+    // shares no character with the corpus, so every window's LCS is 0
+    // (partial_ratio 0, dropped) — the gate's survivors are closed-form.
+    "j2_gate" ->
+      """SELECT doc_id, substr(substr(text, 1, 30), 5, 12) AS entity
+        |FROM documents
+        |WHERE length(text) >= 30
+        |ORDER BY doc_id, entity""".stripMargin,
     "j3_containment_join" ->
       """SELECT term, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
         |FROM documents, (VALUES ('vector'), ('stream'), ('window')) t(term)

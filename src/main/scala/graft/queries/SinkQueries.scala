@@ -17,6 +17,12 @@ object SinkQueries {
 
   private def tmpDir(prefix: String): String = TempDirs.create(prefix)
 
+  /** The T12 enrichment preamble (must byte-match Assemble.enrich's literal
+    * — the patch skip-check keys on this prefix, patchabbrev.py:186). */
+  private val PatchPreamble: String =
+    "Here are some potentially useful abbreviation definitions " +
+      "that could help with analyzing the 'Background' section:\n"
+
   val queries: Map[String, Q] = Map(
     // S5/S6 + S8: bucketed parquet append, then a dynamic-partition-
     // overwrite merge-update of every 10th doc, read back in full.
@@ -64,6 +70,72 @@ object SinkQueries {
         .orderBy($"doc_id")
     }),
 
+    // S8+F7b+F17+T11/T12 composed: the reference's abbreviation re-patch
+    // tool (tools/patchabbrev.py:165-229) as one lineage over the bucketed
+    // store — read the extracted sections, skip already-enriched rows
+    // (preamble prefix) and token-clean rows (T13 incl. hyphen fallback),
+    // re-fetch + clean the raw filing for the rest (html -> leaf blocks,
+    // curly-quote fold — WITHOUT which the T11 definition regex cannot
+    // match), chunk, regenerate the abbreviation block, merge-update only
+    // the touched buckets, and read the store back in full.
+    "s8_patch_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ops.{Assemble, Normalize}
+      val path = tmpDir("graft-patch")
+      val ids = $"doc_id".cast("string")
+      val m = $"doc_id" % 3
+      val companyA = concat(lit("Acme"), ids, lit(" Systems Inc"))
+      val companyB = concat(lit("Beta"), ids, lit(" Holdings Corp"))
+      val hdr = Assemble.headerLine(companyA, companyB)
+      // initial store: m0 already-enriched, m1 clean, m2 needs the patch
+      val content0 =
+        when(m === 0, concat(lit(PatchPreamble), lit("already enriched body")))
+        .when(m === 1, concat(hdr, lit("acme"), ids, lit(" and beta"), ids,
+          lit(" met to discuss. "), substring($"text", 1, 120)))
+        .otherwise(concat(hdr,
+          lit("The parties Meridian Partners retained advisors. "),
+          substring($"text", 1, 120)))
+      val docs0 = t(s, dir, "documents").select($"doc_id",
+        companyA.as("company_a"), companyB.as("company_b"),
+        content0.as("content"))
+      Sinks.writeBucketed(docs0.select($"doc_id", $"content"), path, "doc_id")
+
+      // read -> classify (patchabbrev.py:186-203): lines[0] vs lines[1:]
+      val store = s.read.parquet(path)
+        .join(docs0.select($"doc_id", $"company_a", $"company_b"), Seq("doc_id"))
+        .withColumn("__body", element_at(split($"content", "\n", 2), 2))
+      val need = store
+        .filter(!startswith($"content",
+          lit("Here are some potentially useful abbreviation definitions")))
+        .filter(!(Assemble.tokensPresent(Assemble.squash($"__body"),
+          $"company_a", $"company_b") ||
+          Assemble.tokensPresent(Assemble.squash($"__body"),
+            Normalize.hyphenToSpace($"company_a"),
+            Normalize.hyphenToSpace($"company_b"))))
+
+      // re-fetch (hermetic stub body = pure function of the doc) -> F7b
+      // html->leaf-blocks -> F17 quote fold -> T1 chunking
+      val rawHtml = concat(
+        lit("<html><body><p>Meridian Partners (“Meridian Partners”) " +
+          "entered into the agreement.</p><p>"),
+        substring($"text", 1, 400), lit("</p></body></html>"))
+      val refetched = need.select($"doc_id")
+        .join(t(s, dir, "documents").select($"doc_id", $"text"), Seq("doc_id"))
+        .select($"doc_id",
+          Normalize.normalizeQuotes(Normalize.htmlToBlocks(rawHtml))
+            .as("content"))
+      val chunks = graft.Pipeline.chunk(refetched)
+
+      // T11/T12 regenerate + S8 merge-update of the touched buckets only
+      val patched = Assemble.enrich(
+        need.select($"doc_id", trim($"__body").as("passage_text"),
+          $"company_a", $"company_b"), chunks)
+      Sinks.mergeUpdate(s, path, "doc_id", patched, "content")
+      s.read.parquet(path)
+        .select($"doc_id", $"content")
+        .orderBy($"doc_id")
+    }),
+
     // S10: one text file per record via foreachPartition, read back with
     // wholetext + input_file_name — checks the name scheme and the exact
     // URL-header + body framing.
@@ -100,6 +172,40 @@ object SinkQueries {
     "s9_csv_roundtrip" ->
       """SELECT doc_id, source, CAST(length(text) AS INT) AS tlen
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // Each family's final content is closed-form: enriched/clean rows pass
+    // through untouched, patched rows get the exact T11/T12 block (the
+    // definition paragraph survives the html->blocks->quote-fold cleaning
+    // byte-for-byte).
+    "s8_patch_roundtrip" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    'The following provides details about the events leading up to '
+        |      || 'the merger deal between Acme' || CAST(doc_id AS VARCHAR)
+        |      || ' Systems Inc & Beta' || CAST(doc_id AS VARCHAR)
+        |      || ' Holdings Corp:' || chr(10) AS hdr,
+        |    'Here are some potentially useful abbreviation definitions '
+        |      || 'that could help with analyzing the ''Background'' section:'
+        |      || chr(10) AS pre,
+        |    text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN doc_id % 3 = 0 THEN pre || 'already enriched body'
+        |    WHEN doc_id % 3 = 1 THEN
+        |      hdr || 'acme' || CAST(doc_id AS VARCHAR) || ' and beta'
+        |        || CAST(doc_id AS VARCHAR) || ' met to discuss. '
+        |        || substr(text, 1, 120)
+        |    ELSE
+        |      pre || chr(10)
+        |        || 'Passage that defines the abbreviation ''Meridian Partners'':'
+        |        || chr(10)
+        |        || 'Meridian Partners ("Meridian Partners") entered into the agreement.'
+        |        || chr(10) || chr(10) || hdr || chr(10)
+        |        || trim('The parties Meridian Partners retained advisors. '
+        |             || substr(text, 1, 120))
+        |  END AS content
+        |FROM base
         |ORDER BY doc_id""".stripMargin,
     "s10_dump_roundtrip" ->
       """SELECT CAST(doc_id AS VARCHAR) || '_Acme' || CAST(doc_id AS VARCHAR)
