@@ -54,7 +54,10 @@ object Crawler {
   def fetchBodies(spark: SparkSession, jobs: DataFrame, urlCol: String,
       fetcher: Clients.Fetcher, globalRate: Double = GlobalRatePerSec): DataFrame = {
     import spark.implicits._
-    val n = math.max(1, jobs.rdd.getNumPartitions)
+    // partition count from the OPTIMIZED physical plan (queryExecution
+    // .toRdd) — `df.rdd` would build and cache a separate deserialized
+    // RDD lineage of the whole DataFrame just to read one number
+    val n = math.max(1, jobs.queryExecution.toRdd.getNumPartitions)
     val rate = TokenBucket.perPartitionRate(globalRate, n)
     jobs.select(col("main_index"), col(urlCol).as("__url"))
       .as[(Long, String)]
