@@ -25,10 +25,24 @@ object PipelineQueries {
     * pass (U3) an identity on the winning passage — which upgrades the
     * invariant set: the reference's >200-char promotion gate
     * (ChunkProcessor.py:166-169) then provably survives assembly. */
-  private def flagshipDocs(s: SparkSession, dir: String,
+  /** Constant lowercase prose tail folded into every narrative: guarantees
+    * the promoted passage clears the reference's >200-char gate
+    * (ChunkProcessor.py:166-169) even for the shortest `text` rows (47
+    * chars at sf0.001), so extraction coverage (`got_ok`) is constant-TRUE
+    * by construction at every SF. Lowercase on purpose — the capitalized
+    * T12 header instr trick requires the narrative stay capital-free. */
+  private val NarrativePad: String =
+    "the advisors continued detailed diligence across commercial legal and " +
+      "financial workstreams while counsel refined covenant language and " +
+      "exchange mechanics through successive drafts circulated among the " +
+      "parties over several weeks of negotiation sessions before terms were " +
+      "presented for final approval by each board"
+
+  private[graft] def flagshipDocs(s: SparkSession, dir: String,
       uniqueLines: Boolean): DataFrame = {
     import s.implicits._
-    val folded = regexp_replace(concat($"text", lit(" "), $"text"),
+    val folded = regexp_replace(
+      concat($"text", lit(" "), $"text", lit(" " + NarrativePad)),
       "((?:\\S+ ){6})", "$1\n")
     // letter-coded line index (digits would read as TOC page numbers to T5)
     val narrative =
@@ -54,11 +68,14 @@ object PipelineQueries {
 
   /** Constant-TRUE invariant projection over extractSections output (the
     * t1_chunk_split pattern): full-outer-join the extracted sections back
-    * to the input docs so dropped docs check vacuously TRUE and an alien
-    * output doc_id flips `id_ok` (and the row count). `withLenGate` adds
+    * to the input docs; an alien output doc_id flips `id_ok` (and the row
+    * count), and a DROPPED doc flips `got_ok` (output content IS NULL
+    * under the full-outer join) — so under-extraction is gated, not just
+    * malformed extraction. The content checks still coalesce to TRUE when
+    * output is missing, but got_ok makes that path fail. `withLenGate` adds
     * the >200 promotion-gate check — only sound when the corpus makes
     * line-dedup an identity on the winning passage (uniqueLines above). */
-  private def extractInvariants(out: DataFrame, docs: DataFrame,
+  private[graft] def extractInvariants(out: DataFrame, docs: DataFrame,
       withLenGate: Boolean): DataFrame = {
     val orig = docs.select(col("doc_id"), col("company_a"), col("company_b"),
       col("content").as("__orig"), lit(1).as("__in"))
@@ -77,6 +94,11 @@ object PipelineQueries {
         element_at(split(ltrim(col("__region")), "\n"), 1))
     val base = j.select(col("doc_id"),
       col("__in").isNotNull.as("id_ok"),
+      // extraction coverage: every doc in this corpus MUST extract (the
+      // narrative is always promoted), so a dropped doc — which would
+      // otherwise render every coalesced check below vacuously TRUE —
+      // flips this column and fails the hash compare
+      col("content").isNotNull.as("got_ok"),
       coalesce(startswith(col("content"), col("__hdr")) ||
         startswith(col("content"), lit(AbbrevPreamble)), lit(true))
         .as("starts_ok"),
@@ -87,7 +109,8 @@ object PipelineQueries {
       coalesce(call_function("instr", col("__orig"), col("__first_line")) > 0,
         lit(true)).as("winner_in_doc"),
       coalesce(length(col("__region")) > 200, lit(true)).as("len_ok"))
-    val cols = Seq("doc_id", "id_ok", "starts_ok", "hdr_ok", "winner_in_doc") ++
+    val cols = Seq("doc_id", "id_ok", "got_ok", "starts_ok", "hdr_ok",
+      "winner_in_doc") ++
       (if (withLenGate) Seq("len_ok") else Nil)
     base.select(cols.map(col): _*).orderBy(col("doc_id"))
   }
@@ -340,18 +363,21 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     // Constant-TRUE invariant twins (the t1_chunk_split pattern): any
-    // lineage defect — an alien doc_id, a missing/misplaced T12 header or
-    // abbreviation preamble, a passage first line that isn't a slice of
-    // the source document, or (inv) a sub-200-char promoted passage —
-    // flips a boolean and fails the hash compare.
+    // lineage defect — an alien doc_id, a DROPPED doc (got_ok), a
+    // missing/misplaced T12 header or abbreviation preamble, a passage
+    // first line that isn't a slice of the source document, or (inv) a
+    // sub-200-char promoted passage — flips a boolean and fails the hash
+    // compare. Every doc in flagshipDocs extracts by construction, so
+    // got_ok is provably constant-TRUE (and a deliberate limit(0) on the
+    // extractSections output flips it — verified in PipelineSpec).
     "pipeline_extract" ->
-      """SELECT doc_id, TRUE AS id_ok, TRUE AS starts_ok, TRUE AS hdr_ok,
-        | TRUE AS winner_in_doc
+      """SELECT doc_id, TRUE AS id_ok, TRUE AS got_ok, TRUE AS starts_ok,
+        | TRUE AS hdr_ok, TRUE AS winner_in_doc
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "pipeline_extract_inv" ->
-      """SELECT doc_id, TRUE AS id_ok, TRUE AS starts_ok, TRUE AS hdr_ok,
-        | TRUE AS winner_in_doc, TRUE AS len_ok
+      """SELECT doc_id, TRUE AS id_ok, TRUE AS got_ok, TRUE AS starts_ok,
+        | TRUE AS hdr_ok, TRUE AS winner_in_doc, TRUE AS len_ok
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     // Same regex chain replayed in DuckDB (RE2 and java.util.regex agree

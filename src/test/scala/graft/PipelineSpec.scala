@@ -112,4 +112,24 @@ class PipelineSpec extends SparkSpec {
       .toDF("doc_id", "company_a", "company_b", "content")
     assert(Pipeline.extractSections(docs).count() == 0)
   }
+
+  test("flagship invariant gate: got_ok flips on an under-extraction " +
+      "regression (deliberate limit(0))") {
+    val docs = queries.PipelineQueries
+      .flagshipDocs(spark, sf("sf0.001"), uniqueLines = false)
+    val out = Pipeline.extractSections(docs)
+    // healthy pipeline: every invariant column constant-TRUE
+    val good = queries.PipelineQueries
+      .extractInvariants(out, docs, withLenGate = false).collect()
+    assert(good.nonEmpty)
+    assert(good.forall(r => (1 until r.length).forall(r.getBoolean)))
+    // simulated all-drop regression: got_ok must flip on EVERY row while
+    // the coalesced content checks stay vacuously TRUE — proving the gate
+    // is no longer one-sided
+    val dropped = queries.PipelineQueries
+      .extractInvariants(out.limit(0), docs, withLenGate = false).collect()
+    assert(dropped.length == good.length)
+    assert(dropped.forall(r => !r.getBoolean(r.fieldIndex("got_ok"))))
+    assert(dropped.forall(r => r.getBoolean(r.fieldIndex("starts_ok"))))
+  }
 }
