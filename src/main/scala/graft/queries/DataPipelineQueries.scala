@@ -149,6 +149,31 @@ object DataPipelineQueries {
         .orderBy($"qid", $"rank")
     }),
 
+    // ANN recall@k driver-gated as a number: both approximate paths
+    // (multi-probe LSH, Lloyd-refined IVF) scored against the exact
+    // brute-force top-5 on the same 50-query batch. Every kernel is
+    // fixed-point, so hits/possible are bit-deterministic and the DuckDB
+    // oracle re-derives identical counts from its own ANN twins.
+    "knn_recall" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+      val bf = Similarity.knnBruteForce(q, tt, k = 5).select($"qid", $"tid")
+      val lsh = Similarity.knnLsh(q, tt, dim = 64, k = 5)
+      val ivf = Similarity.knnIvf(q, tt, dim = 64, k = 5, nCells = 16,
+        nProbe = 2, lloydIters = 2)
+      def hits(method: String, ann: DataFrame): DataFrame =
+        ann.select($"qid", $"tid").join(bf, Seq("qid", "tid"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(method).as("method"), lit(5).as("k"), $"hits")
+      hits("ivf_lloyd", ivf).unionAll(hits("lsh_p2", lsh))
+        .crossJoin(bf.agg(count(lit(1)).as("possible")))
+        .select($"method", $"k", $"hits", $"possible")
+        .orderBy($"method")
+    }),
+
     // X2: the identifier stage over synthesized sections (mapPartitions LLM
     // stub -> from_json -> enum check -> sort). The synthesized header
     // pins the stub's NER/date/sentence picks to SQL-derivable values, so
@@ -390,6 +415,89 @@ object DataPipelineQueries {
        |  WHERE q.qid <> t.tid),
        |""".stripMargin + knnScoreTailSql(5)
 
+  /** Exact brute-force cosine top-5 twin for the first `maxQid` query
+    * vectors (the baseline the recall gate measures against). */
+  private def knnBruteforceSql(maxQid: Int): String =
+    s"""WITH pairs AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS tid,
+       |         a.embedding AS qe, b.embedding AS te
+       |  FROM embeddings a, embeddings b
+       |  WHERE a.vec_id < $maxQid AND a.vec_id <> b.vec_id),
+       |terms AS (SELECT qid, tid, unnest(qe) AS x, unnest(te) AS y
+       |          FROM pairs),
+       |dots AS (
+       |  SELECT qid, tid, $scaledDotSql AS d,
+       |    SUM(CAST(ROUND(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS nx,
+       |    SUM(CAST(ROUND(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)*1000000) AS BIGINT)) AS ny
+       |  FROM terms GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT qid, tid,
+       |    CAST(d AS DOUBLE)/sqrt(CAST(nx*ny AS DOUBLE)) AS cos,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY CAST(d AS DOUBLE)/sqrt(CAST(nx*ny AS DOUBLE)) DESC,
+       |               tid) AS rank
+       |  FROM dots)
+       |SELECT qid, CAST(rank AS INT) AS rank, tid, cos
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
+  /** Multi-probe LSH twin (nProbe=2): identical buckets/probe set from the
+    * same plane literals, fixed-point cosine top-5. */
+  private def knnLshSql: String =
+    s"""WITH planes AS (
+       |  SELECT j, unnest(pl) AS p, unnest(range(1, 65)) AS pos
+       |  FROM (VALUES ${lshPlanesValuesSql(64)}) t(j, pl)),
+       |vecs AS (
+       |  SELECT vec_id, unnest(embedding) AS x,
+       |         unnest(range(1, len(embedding) + 1)) AS pos
+       |  FROM embeddings),
+       |projs AS (
+       |  SELECT vec_id, j,
+       |    SUM(CAST(ROUND(CAST(x AS DOUBLE)*p*1000000) AS BIGINT)) AS pr
+       |  FROM vecs JOIN planes USING (pos) GROUP BY 1, 2),
+       |buckets AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN pr > 0 THEN 1 << j ELSE 0 END) AS BIGINT)
+       |      AS bucket
+       |  FROM projs GROUP BY 1),
+       |qprobe AS (
+       |  -- multi-probe (nProbe=2): home bucket + the single-bit flip of
+       |  -- the plane with the smallest |projection| (ties: lowest j) —
+       |  -- the exact twin of Similarity.lshProbeBuckets
+       |  SELECT vec_id, bucket FROM buckets WHERE vec_id < 50
+       |  UNION ALL
+       |  SELECT p.vec_id, xor(b.bucket, CAST(1 << p.j AS BIGINT)) AS bucket
+       |  FROM (SELECT vec_id, j,
+       |          row_number() OVER (PARTITION BY vec_id
+       |            ORDER BY abs(pr), j) AS rn
+       |        FROM projs WHERE vec_id < 50) p
+       |  JOIN buckets b ON b.vec_id = p.vec_id
+       |  WHERE p.rn = 1),
+       |cand AS (
+       |  SELECT q.vec_id AS qid, bb.vec_id AS tid
+       |  FROM qprobe q JOIN buckets bb ON q.bucket = bb.bucket
+       |  WHERE q.vec_id <> bb.vec_id),
+       |""".stripMargin + knnScoreTailSql(5)
+
+  /** knn_recall twin: recall@5 of each approximate path against the exact
+    * brute-force baseline on the same 50-query batch. Each twin runs as a
+    * locally-scoped subquery (its CTE names shadow cleanly), and the hit
+    * counts are plain pair-set intersections — every kernel involved is
+    * fixed-point, so the counts are bit-deterministic. */
+  private def knnRecallSql: String =
+    s"""WITH bf AS (SELECT qid, tid FROM (${knnBruteforceSql(maxQid = 50)})),
+       |lshr AS (SELECT qid, tid FROM ($knnLshSql)),
+       |ivfr AS (SELECT qid, tid FROM ($knnIvfLloydSql))
+       |SELECT method, k, hits, possible FROM (
+       |  SELECT 'ivf_lloyd' AS method, CAST(5 AS INT) AS k,
+       |    (SELECT COUNT(*) FROM ivfr JOIN bf USING (qid, tid)) AS hits,
+       |    (SELECT COUNT(*) FROM bf) AS possible
+       |  UNION ALL
+       |  SELECT 'lsh_p2' AS method, CAST(5 AS INT) AS k,
+       |    (SELECT COUNT(*) FROM lshr JOIN bf USING (qid, tid)) AS hits,
+       |    (SELECT COUNT(*) FROM bf) AS possible)
+       |ORDER BY method""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "knn_ivf_lloyd" -> knnIvfLloydSql,
     "d3_minhash_lsh" -> HashOracleSql.d3Sql,
@@ -447,64 +555,9 @@ object DataPipelineQueries {
         |FROM dots
         |WHERE CAST(d AS DOUBLE)/sqrt(CAST(nx*ny AS DOUBLE)) > 0.3
         |ORDER BY id_1, id_2""".stripMargin,
-    "knn_bruteforce" ->
-      s"""WITH pairs AS (
-        |  SELECT a.vec_id AS qid, b.vec_id AS tid,
-        |         a.embedding AS qe, b.embedding AS te
-        |  FROM embeddings a, embeddings b
-        |  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
-        |terms AS (SELECT qid, tid, unnest(qe) AS x, unnest(te) AS y
-        |          FROM pairs),
-        |dots AS (
-        |  SELECT qid, tid, $scaledDotSql AS d,
-        |    SUM(CAST(ROUND(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS nx,
-        |    SUM(CAST(ROUND(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)*1000000) AS BIGINT)) AS ny
-        |  FROM terms GROUP BY 1, 2),
-        |ranked AS (
-        |  SELECT qid, tid,
-        |    CAST(d AS DOUBLE)/sqrt(CAST(nx*ny AS DOUBLE)) AS cos,
-        |    row_number() OVER (PARTITION BY qid
-        |      ORDER BY CAST(d AS DOUBLE)/sqrt(CAST(nx*ny AS DOUBLE)) DESC,
-        |               tid) AS rank
-        |  FROM dots)
-        |SELECT qid, CAST(rank AS INT) AS rank, tid, cos
-        |FROM ranked WHERE rank <= 5
-        |ORDER BY qid, rank""".stripMargin,
-    "knn_lsh" ->
-      (s"""WITH planes AS (
-        |  SELECT j, unnest(pl) AS p, unnest(range(1, 65)) AS pos
-        |  FROM (VALUES ${lshPlanesValuesSql(64)}) t(j, pl)),
-        |vecs AS (
-        |  SELECT vec_id, unnest(embedding) AS x,
-        |         unnest(range(1, len(embedding) + 1)) AS pos
-        |  FROM embeddings),
-        |projs AS (
-        |  SELECT vec_id, j,
-        |    SUM(CAST(ROUND(CAST(x AS DOUBLE)*p*1000000) AS BIGINT)) AS pr
-        |  FROM vecs JOIN planes USING (pos) GROUP BY 1, 2),
-        |buckets AS (
-        |  SELECT vec_id,
-        |    CAST(SUM(CASE WHEN pr > 0 THEN 1 << j ELSE 0 END) AS BIGINT)
-        |      AS bucket
-        |  FROM projs GROUP BY 1),
-        |qprobe AS (
-        |  -- multi-probe (nProbe=2): home bucket + the single-bit flip of
-        |  -- the plane with the smallest |projection| (ties: lowest j) —
-        |  -- the exact twin of Similarity.lshProbeBuckets
-        |  SELECT vec_id, bucket FROM buckets WHERE vec_id < 50
-        |  UNION ALL
-        |  SELECT p.vec_id, xor(b.bucket, CAST(1 << p.j AS BIGINT)) AS bucket
-        |  FROM (SELECT vec_id, j,
-        |          row_number() OVER (PARTITION BY vec_id
-        |            ORDER BY abs(pr), j) AS rn
-        |        FROM projs WHERE vec_id < 50) p
-        |  JOIN buckets b ON b.vec_id = p.vec_id
-        |  WHERE p.rn = 1),
-        |cand AS (
-        |  SELECT q.vec_id AS qid, bb.vec_id AS tid
-        |  FROM qprobe q JOIN buckets bb ON q.bucket = bb.bucket
-        |  WHERE q.vec_id <> bb.vec_id),
-        |""".stripMargin + knnScoreTailSql(5)),
+    "knn_bruteforce" -> knnBruteforceSql(maxQid = 10),
+    "knn_lsh" -> knnLshSql,
+    "knn_recall" -> knnRecallSql,
     "knn_ivf" ->
       ("""WITH tt AS (SELECT vec_id AS tid, embedding AS te FROM embeddings),
         |qq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
