@@ -14,6 +14,10 @@ import graft.util.Tables._
 object DataPipelineQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Unique memory-sink names for stream_neardup_exec (Bench runs each
+    * query several times; memory-sink query names must not collide). */
+  private val StreamExecId = new java.util.concurrent.atomic.AtomicLong(0)
+
   val queries: Map[String, Q] = Map(
     // Exact dedup groups by content fingerprint (word salads do collide).
     "d1_exact_dedup" -> ((s, dir) => {
@@ -75,6 +79,39 @@ object DataPipelineQueries {
         .groupBy($"sh")
         .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_members"))
         .orderBy($"sh")
+    }),
+
+    // The ACTUAL streaming engine under the gate: StreamOps.nearDupDedup
+    // executed with Trigger.AvailableNow over a file-stream staging of the
+    // documents table (synthetic event times = timestamp_micros(doc_id)),
+    // emitted into a memory sink. dropDuplicatesWithinWatermark guarantees
+    // exactly one row per simhash key; which member arrives first is
+    // stream-order-dependent, so the gate checks the surviving KEY SET —
+    // the deterministic half of the contract — and stream_neardup_twin
+    // keeps gating the keep-first semantics via its batch twin.
+    "stream_neardup_exec" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-neardup-exec")
+      tmp.toFile.deleteOnExit()
+      val src = tmp.resolve("src").toString
+      val staged = t(s, dir, "documents")
+        .filter(length(Dedup.normalized($"text")) > 0) // twin parity, no-op
+        // base offset keeps every event time strictly above Spark's
+        // INITIAL watermark (epoch 0) — an event at exactly epoch 0 is
+        // treated as late and silently dropped by the dedup operator
+        .select($"doc_id", $"text",
+          timestamp_micros($"doc_id" + lit(1600000000000000L)).as("ts"))
+      staged.write.mode("overwrite").parquet(src)
+      val stream = s.readStream.schema(staged.schema).parquet(src)
+      val name = s"neardup_exec_${StreamExecId.incrementAndGet()}"
+      val q = graft.streaming.StreamOps.nearDupDedup(stream, "text")
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(240000)
+      if (q.isActive) q.stop()
+      s.table(name).select($"__simhash".as("sh")).orderBy($"sh")
     }),
 
     // Embedding-cosine near-dup pairs (fixed-point arithmetic -> exact
@@ -503,6 +540,7 @@ object DataPipelineQueries {
     "d3_minhash_lsh" -> HashOracleSql.d3Sql,
     "d4_simhash" -> HashOracleSql.d4Sql,
     "stream_neardup_twin" -> HashOracleSql.streamNearDupTwinSql,
+    "stream_neardup_exec" -> HashOracleSql.streamNearDupKeysSql,
     "x3_embed_invariants" ->
       """SELECT doc_id, source, TRUE AS dim_ok, TRUE AS norm_ok
         |FROM documents

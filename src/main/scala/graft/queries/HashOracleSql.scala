@@ -228,4 +228,15 @@ private[queries] object HashOracleSql {
        |SELECT sh, MIN(doc_id) AS keeper, COUNT(*) AS n_members
        |FROM shs GROUP BY sh
        |ORDER BY sh""".stripMargin
+
+  /** stream_neardup_exec: the surviving-key set of the ACTUAL streaming
+    * execution. `dropDuplicatesWithinWatermark` guarantees exactly one
+    * output row per key; which member survives depends on arrival order
+    * (legitimately nondeterministic on a stream), so the executed gate
+    * checks the key set — the deterministic part of the contract — while
+    * the `_twin` row gates the full keep-first semantics in batch. */
+  val streamNearDupKeysSql: String = simhashWith +
+    s"""
+       |SELECT DISTINCT sh FROM shs
+       |ORDER BY sh""".stripMargin
 }

@@ -74,6 +74,18 @@ class StreamOpsSpec extends SparkSpec {
       .intersect(Set(1L, 2L, 4L)).size == 1)
   }
 
+  test("executed streaming near-dup emits exactly the batch key set") {
+    val dir = "/root/testdata/sf0.001"
+    val batchKeys = graft.util.Tables.t(spark, dir, "documents")
+      .filter(length(graft.ops.Dedup.normalized($"text")) > 0)
+      .select(graft.GraftFunctions
+        .simhash64(graft.ops.Dedup.normalized($"text")).as("sh"))
+      .distinct()
+    val execKeys = graft.SparkEntry.queries("stream_neardup_exec")(spark, dir)
+    assert(execKeys.count() == batchKeys.count())
+    assert(batchKeys.except(execKeys).isEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization matches batch gap sessions") {
     val stream = StreamOps.eventsStream(spark, streamDir)
     val sessions = runToMemory(
