@@ -121,23 +121,35 @@ object Dedup {
   // over the string computes all permutation minima map-side — no shingle
   // explode, no shuffle. The only shuffles in the whole dedup are the band
   // bucket join and the final distinct, both on derived 8-byte keys.
+  //
+  // (numHashes, numBands) are caller knobs (defaults 16/4, the
+  // oracle-gated geometry). The permutation family is seeded-prefix-stable
+  // (MinHashSig derives permutation i from the same mix of i for every
+  // numHashes), so widening the signature preserves the existing values.
+  // The standard LSH trade: more bands -> higher recall at a given
+  // signature width; fewer rows per band -> looser banding threshold
+  // (~(1/b)^(1/r)).
   val NumHashes = 16
   val NumBands = 4 // 4 rows per band
 
-  /** MinHash signature per doc as (id, sig ARRAY<LONG>[16]). */
+  /** MinHash signature per doc as (id, sig ARRAY<LONG>[numHashes]). */
   def minhashSignatures(docs: DataFrame, id: String, text: String,
-      k: Int = 5): DataFrame = {
+      k: Int = 5, numHashes: Int = NumHashes): DataFrame = {
     import org.apache.spark.sql.graft.{MinHashSig, internal}
     docs.select(col(id), internal.column(MinHashSig(
-      internal.expression(normalized(col(text))), k, NumHashes)).as("sig"))
+      internal.expression(normalized(col(text))), k, numHashes)).as("sig"))
   }
 
-  /** LSH banding: hash each band of 4 signature values to a bucket key and
-    * emit (band, bucket, id) rows. Docs sharing any band bucket become
-    * candidate pairs. */
-  def lshBuckets(sigs: DataFrame, id: String): DataFrame = {
-    val bandRows = NumHashes / NumBands
-    val bands = (0 until NumBands).map { b =>
+  /** LSH banding: hash each band of numHashes/numBands signature values to
+    * a bucket key and emit (band, bucket, id) rows. Docs sharing any band
+    * bucket become candidate pairs. `numBands` must divide the signature
+    * width. */
+  def lshBuckets(sigs: DataFrame, id: String,
+      numHashes: Int = NumHashes, numBands: Int = NumBands): DataFrame = {
+    require(numHashes % numBands == 0,
+      s"numBands ($numBands) must divide numHashes ($numHashes)")
+    val bandRows = numHashes / numBands
+    val bands = (0 until numBands).map { b =>
       val cols = (b * bandRows until (b + 1) * bandRows)
         .map(i => element_at(col("sig"), i + 1))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
@@ -169,8 +181,11 @@ object Dedup {
     * aggregate caps every buffer at maxBucketSize+1 ids, and pairs explode
     * map-side from the grouped lists (no sizes join-back, no self-join). */
   def minhashCandidates(docs: DataFrame, id: String, text: String,
-      k: Int = 5, maxBucketSize: Int = 64): DataFrame = {
-    val buckets = lshBuckets(minhashSignatures(docs, id, text, k), id)
+      k: Int = 5, maxBucketSize: Int = 64, numHashes: Int = NumHashes,
+      numBands: Int = NumBands): DataFrame = {
+    val buckets = lshBuckets(
+      minhashSignatures(docs, id, text, k, numHashes), id,
+      numHashes, numBands)
     buckets.groupBy(col("band"), col("bucket"))
       .agg(boundedIds(id, maxBucketSize).as("__ids"))
       .filter(col("__ids").isNotNull && size(col("__ids")) >= 2)
@@ -187,9 +202,11 @@ object Dedup {
     * survivors. Verify cost is O(candidates x doc length); no shingle
     * tables ever materialize. */
   def minhashDedupPairs(docs: DataFrame, id: String, text: String,
-      k: Int = 5, minJaccard: Double = 0.8): DataFrame = {
+      k: Int = 5, minJaccard: Double = 0.8, numHashes: Int = NumHashes,
+      numBands: Int = NumBands): DataFrame = {
     import org.apache.spark.sql.graft.{ShingleJaccard, internal}
-    val cands = minhashCandidates(docs, id, text, k)
+    val cands = minhashCandidates(docs, id, text, k,
+      numHashes = numHashes, numBands = numBands)
     val norm = docs.select(col(id), normalized(col(text)).as("__t"))
     cands
       .join(norm.select(col(id).as("id_1"), col("__t").as("__t1")), Seq("id_1"))

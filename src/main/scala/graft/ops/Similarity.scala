@@ -79,17 +79,24 @@ object Similarity {
   // are float (and projections fixed-point ScaledDot sums), so the bucket
   // of every vector is bit-exact reproducible in any engine — the DuckDB
   // oracle recomputes identical buckets from the same plane literals.
+  //
+  // `numPlanes` is a caller knob (default 6 = 64 buckets, the oracle-gated
+  // geometry): at 100 TB, 2^6 buckets is a parallelism and bucket-size
+  // floor, so the scale path is widening to 2^12+ — same plane family
+  // (seeded prefix property: plane j is identical for every numPlanes,
+  // because the generator draws planes in order from one seed), so an
+  // index built at one width stays consistent with its own queries.
   val NumPlanes = 6
-  def lshPlanes(dim: Int): Array[Array[Float]] = {
+  def lshPlanes(dim: Int, numPlanes: Int = NumPlanes): Array[Array[Float]] = {
     val rnd = new java.util.Random(42)
-    Array.fill(NumPlanes)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian().toFloat))
   }
 
-  /** Bucket id in [0, 2^NumPlanes): sign bits of fixed-point hyperplane
+  /** Bucket id in [0, 2^numPlanes): sign bits of fixed-point hyperplane
     * projections (exact — no float-sum order sensitivity). */
-  def lshBucket(v: Column, dim: Int): Column = {
-    val ps = lshPlanes(dim)
-    (0 until NumPlanes).map { j =>
+  def lshBucket(v: Column, dim: Int, numPlanes: Int = NumPlanes): Column = {
+    val ps = lshPlanes(dim, numPlanes)
+    (0 until numPlanes).map { j =>
       when(scaledDot(v, typedLit(ps(j))) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
@@ -102,9 +109,10 @@ object Similarity {
     * probe set is bit-reproducible across engines (the DuckDB twin derives
     * the identical flips by ranking |projection|). Buckets are distinct by
     * construction (each flip differs from the home bucket in one bit). */
-  def lshProbeBuckets(v: Column, dim: Int, nProbe: Int): Column = {
-    val ps = lshPlanes(dim)
-    val projs = (0 until NumPlanes).map(j => scaledDot(v, typedLit(ps(j))))
+  def lshProbeBuckets(v: Column, dim: Int, nProbe: Int,
+      numPlanes: Int = NumPlanes): Column = {
+    val ps = lshPlanes(dim, numPlanes)
+    val projs = (0 until numPlanes).map(j => scaledDot(v, typedLit(ps(j))))
     val own = projs.zipWithIndex.map { case (p, j) =>
       when(p > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -254,19 +262,23 @@ object Similarity {
   /** Persist an LSH index at rest: targets written `partitionBy(bucket)`
     * with precomputed norms (buckets are deterministic — fixed seeded
     * planes — so no sidecar state is needed beyond the dim). */
-  def writeLshIndex(targets: DataFrame, path: String, dim: Int): Unit =
-    targets.withColumn("bucket", lshBucket(col("te"), dim))
+  def writeLshIndex(targets: DataFrame, path: String, dim: Int,
+      numPlanes: Int = NumPlanes): Unit =
+    targets.withColumn("bucket", lshBucket(col("te"), dim, numPlanes))
       .withColumn("tn", scaledDot(col("te"), col("te")))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
   /** ANN search against a persisted LSH index: the query batch's distinct
     * probed buckets (at most 2^NumPlanes values) become a literal
     * partition filter, so the scan statically prunes every unprobed
-    * bucket. */
+    * bucket. `nProbe` defaults to 2 (multi-probe) since round 4 — callers
+    * wanting the cheaper single-probe semantics pass nProbe = 1.
+    * `numPlanes` must match the width the index was built with. */
   def knnLshIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
-      queries: DataFrame, dim: Int, k: Int, nProbe: Int = 2): DataFrame = {
+      queries: DataFrame, dim: Int, k: Int, nProbe: Int = 2,
+      numPlanes: Int = NumPlanes): DataFrame = {
     val qb0 = queries.withColumn("bucket",
-      explode(lshProbeBuckets(col("qe"), dim, nProbe)))
+      explode(lshProbeBuckets(col("qe"), dim, nProbe, numPlanes)))
     val buckets = qb0.select(col("bucket")).distinct().collect()
       .map(_.getLong(0)).toSeq
     val tb = spark.read.parquet(path)
@@ -286,13 +298,16 @@ object Similarity {
     * small candidate-count increase for recall that plane count alone
     * can't buy). Targets live in exactly one bucket and probe buckets are
     * distinct, so no candidate-pair dedup is needed. Returns
-    * (qid, rank, tid, cos) — rank within retrieved candidates. */
+    * (qid, rank, tid, cos) — rank within retrieved candidates.
+    * `nProbe` defaults to 2 (multi-probe) since round 4 — callers wanting
+    * the cheaper single-probe semantics pass nProbe = 1 explicitly. */
   def knnLsh(queries: DataFrame, targets: DataFrame, dim: Int,
-      k: Int, nProbe: Int = 2): DataFrame = {
+      k: Int, nProbe: Int = 2, numPlanes: Int = NumPlanes): DataFrame = {
     val qb = broadcast(queries
-      .withColumn("bucket", explode(lshProbeBuckets(col("qe"), dim, nProbe)))
+      .withColumn("bucket",
+        explode(lshProbeBuckets(col("qe"), dim, nProbe, numPlanes)))
       .withColumn("qn", scaledDot(col("qe"), col("qe"))))
-    val tb = targets.withColumn("bucket", lshBucket(col("te"), dim))
+    val tb = targets.withColumn("bucket", lshBucket(col("te"), dim, numPlanes))
       .withColumn("tn", scaledDot(col("te"), col("te")))
     val scored = qb.join(tb, Seq("bucket")).filter(col("qid") =!= col("tid"))
       .withColumn("cos", scaledDot(col("qe"), col("te")).cast("double") /

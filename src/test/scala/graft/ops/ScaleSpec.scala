@@ -36,6 +36,55 @@ class ScaleSpec extends SparkSpec {
     assert(pc == sc)
   }
 
+  test("LSH geometry widens: 2^12 buckets shrink candidate counts, " +
+      "plane family is prefix-stable") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.util.Tables.t(spark, dir, "embeddings")
+    val q = e.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+    // plane prefix property: widening the family preserves existing planes,
+    // so an index's bucket bits stay meaningful under a width migration
+    val p6 = Similarity.lshPlanes(64)
+    val p12 = Similarity.lshPlanes(64, numPlanes = 12)
+    assert(p12.take(6).map(_.toSeq) sameElements p6.map(_.toSeq))
+    // candidate volume: the per-query scored-pair count must shrink
+    // (structurally ~2^-6) when the bucket space grows 6 -> 12 planes
+    def candidates(numPlanes: Int): Long = {
+      val tb = tt.withColumn("bucket",
+        Similarity.lshBucket($"te", 64, numPlanes))
+      val qb = q.withColumn("bucket",
+        explode(Similarity.lshProbeBuckets($"qe", 64, 2, numPlanes)))
+      qb.join(tb, "bucket").filter($"qid" =!= $"tid").count()
+    }
+    val c6 = candidates(6)
+    val c12 = candidates(12)
+    assert(c12 < c6, s"expected fewer candidates at 2^12 buckets: $c12 >= $c6")
+    // wider geometry must still return valid top-k rows
+    val wide = Similarity.knnLsh(q, tt, dim = 64, k = 3, nProbe = 2,
+      numPlanes = 12)
+    assert(wide.groupBy($"qid").count().collect().forall(_.getLong(1) <= 3))
+  }
+
+  test("MinHash banding geometry: more bands (looser threshold) can only " +
+      "grow the candidate set") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.util.Tables.t(spark, dir, "documents")
+      .filter(length(graft.ops.Dedup.normalized($"text")) >= 5)
+    def cands(bands: Int): Set[(Long, Long)] =
+      Dedup.minhashCandidates(docs, "doc_id", "text", k = 5,
+        numHashes = 16, numBands = bands)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c4 = cands(4)  // 4 rows per band (the oracle-gated default)
+    val c8 = cands(8)  // 2 rows per band: any 4-row band agreement implies
+                       // both sub-band agreements, so c4 is a subset of c8
+    assert(c4.subsetOf(c8), s"missing: ${(c4 -- c8).take(5)}")
+    intercept[IllegalArgumentException] {
+      Dedup.lshBuckets(Dedup.minhashSignatures(docs, "doc_id", "text"),
+        "doc_id", numHashes = 16, numBands = 5)
+    }
+  }
+
   test("range-sorted write emits globally ordered files without coalesce(1)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-range").toString
     val df = (0L until 500L).reverse.map(i => (i, s"v$i")).toDF("k", "v")
