@@ -48,8 +48,16 @@ object Sinks {
       .withColumn(updateCol,
         when(col("__k").isNotNull, col("__v")).otherwise(col(updateCol)))
       .drop("__k", "__v")
+    // materialize BEFORE the overwrite commits: both `current` and
+    // (commonly) `updates` lazily scan `path`, and a task retried after
+    // the dynamic-overwrite commit would re-read replaced files.
+    // localCheckpoint cuts every live lineage to `path` first; its
+    // footprint is the touched buckets, not the table.
+    val materialized = merged.localCheckpoint()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    merged.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(path)
+    try materialized.write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(path)
+    finally materialized.unpersist()
   }
 
   /** S9: ordered CSV with header (single file, reference output.csv /

@@ -11,6 +11,18 @@ import org.apache.spark.sql.graft.{ExtractOrgs, internal}
   */
 object Assemble {
 
+  /** The reference's enrichment skip key (patchabbrev.py:186): enriched
+    * content is recognized by its first line starting with this prefix —
+    * the ONE canonical copy; every consumer (the enrich emitter below, the
+    * patch-roundtrip skip check, the flagship invariant oracle) derives
+    * from it so the skip semantics can never drift. */
+  val EnrichSkipPrefix: String =
+    "Here are some potentially useful abbreviation definitions"
+
+  /** The full T11/T12 enrichment preamble (ChunkProcessor.py:417-425). */
+  val EnrichPreamble: String = EnrichSkipPrefix +
+    " that could help with analyzing the 'Background' section:\n"
+
   /** T12 prompt header (ChunkProcessor.py:349,417-425). */
   def headerLine(companyA: Column, companyB: Column): Column =
     concat(
@@ -126,8 +138,7 @@ object Assemble {
       .select(col("doc_id"),
         when(col("defs_block").isNull, concat(header, col("passage_text")))
           .otherwise(concat(
-            lit("Here are some potentially useful abbreviation definitions " +
-              "that could help with analyzing the 'Background' section:\n"),
+            lit(EnrichPreamble),
             col("defs_block"), lit("\n"), header, lit("\n"),
             col("passage_text")))
           .as("content"))

@@ -62,9 +62,7 @@ object PipelineQueries {
         lit("\n\nOther Matters\n\nClosing boilerplate paragraph.")).as("content"))
   }
 
-  private val AbbrevPreamble: String =
-    "Here are some potentially useful abbreviation definitions " +
-      "that could help with analyzing the 'Background' section:\n"
+  private val AbbrevPreamble: String = graft.ops.Assemble.EnrichPreamble
 
   /** Constant-TRUE invariant projection over extractSections output (the
     * t1_chunk_split pattern): full-outer-join the extracted sections back

@@ -129,11 +129,17 @@ object RelationalQueries {
     // over the letters-and-spaces corpus (zero-LCS with every window ->
     // partial_ratio 0, dropped). The bit-parallel LCS kernel runs for
     // real on every row; the oracle keeps exactly the substring labels.
+    // The digit-label-scores-0 claim depends on the window's ALPHABET
+    // (documents.text is lowercase letters + spaces), so both sides
+    // restrict to digit-free windows — a no-op today that turns a future
+    // corpus-alphabet change into consistent behavior instead of a silent
+    // Spark/oracle divergence.
     "j2_gate" -> ((s, dir) => {
       import s.implicits._
       val base = t(s, dir, "documents")
         .filter(length($"text") >= 30) // total windows on every SF (no-op)
         .select($"doc_id", substring($"text", 1, 30).as("name"))
+        .filter(!$"name".rlike("[0-9]")) // alphabet guard (no-op today)
       val entities = base.select($"doc_id", $"name",
         explode(array(
           substring($"name", 5, 12), lit("0123456789"))).as("entity"))
@@ -501,6 +507,7 @@ object RelationalQueries {
       """SELECT doc_id, substr(substr(text, 1, 30), 5, 12) AS entity
         |FROM documents
         |WHERE length(text) >= 30
+        |  AND NOT regexp_matches(substr(text, 1, 30), '[0-9]')
         |ORDER BY doc_id, entity""".stripMargin,
     "j3_containment_join" ->
       """SELECT term, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Sinks
+import graft.ops.Assemble
 import graft.util.Tables._
 import graft.util.TempDirs
 
@@ -17,11 +18,10 @@ object SinkQueries {
 
   private def tmpDir(prefix: String): String = TempDirs.create(prefix)
 
-  /** The T12 enrichment preamble (must byte-match Assemble.enrich's literal
-    * — the patch skip-check keys on this prefix, patchabbrev.py:186). */
-  private val PatchPreamble: String =
-    "Here are some potentially useful abbreviation definitions " +
-      "that could help with analyzing the 'Background' section:\n"
+  /** The T12 enrichment preamble — the canonical copy lives in
+    * [[graft.ops.Assemble.EnrichPreamble]] (the patch skip-check keys on
+    * its prefix, patchabbrev.py:186). */
+  private val PatchPreamble: String = Assemble.EnrichPreamble
 
   val queries: Map[String, Q] = Map(
     // S5/S6 + S8: bucketed parquet append, then a dynamic-partition-
@@ -105,8 +105,7 @@ object SinkQueries {
         .join(docs0.select($"doc_id", $"company_a", $"company_b"), Seq("doc_id"))
         .withColumn("__body", element_at(split($"content", "\n", 2), 2))
       val need = store
-        .filter(!startswith($"content",
-          lit("Here are some potentially useful abbreviation definitions")))
+        .filter(!startswith($"content", lit(Assemble.EnrichSkipPrefix)))
         .filter(!(Assemble.tokensPresent(Assemble.squash($"__body"),
           $"company_a", $"company_b") ||
           Assemble.tokensPresent(Assemble.squash($"__body"),
