@@ -26,7 +26,22 @@ class TokenBucket(ratePerSec: Double, burst: Int = 1) extends Serializable {
 }
 
 object TokenBucket {
-  /** Per-partition limiter rate for a global cap. */
+  /** Per-partition limiter rate for a global cap of `globalRate` req/s.
+    *
+    * Worst-case upper bound (why the static split can never exceed the
+    * cap, under ANY partition skew): a token bucket with rate r and burst
+    * b admits at most `r*T + b` acquisitions over any window of length T
+    * (tokens accrue at r and the stock is clamped at b). With n
+    * independent buckets of rate `R/n`, burst 1, the aggregate over any T
+    * is at most `sum_p (R/n * T + 1) = R*T + n` — sustained aggregate
+    * rate <= R plus a one-time transient of n initial tokens, regardless
+    * of how requests distribute across partitions. Idle partitions cannot
+    * donate quota: their unused tokens clamp at burst (1) and never
+    * transfer, so skew strictly UNDER-uses the cap (k idle partitions
+    * waste `k*R/n` of budget — the documented trade vs the reference's
+    * single Manager-shared bucket, TokenBucket.py:10-31, which a
+    * shared-nothing executor model cannot replicate without a
+    * coordination service). CrawlerSpec asserts both bounds. */
   def perPartitionRate(globalRate: Double, numPartitions: Int): Double =
     globalRate / math.max(1, numPartitions)
 }

@@ -100,4 +100,31 @@ class CrawlerSpec extends SparkSpec {
     // 9 tokens beyond the burst at 50/s => >= ~180ms
     assert(elapsedMs >= 150, s"too fast: $elapsedMs ms")
   }
+
+  test("per-partition split: idle partitions never push active ones above " +
+      "the global cap (worst-case bound in TokenBucket.perPartitionRate)") {
+    val globalRate = 40.0
+    val n = 8
+    val r = io.TokenBucket.perPartitionRate(globalRate, n) // 5 req/s each
+    assert(r == 5.0)
+    // heavy skew: only 2 of 8 partitions are active; the other 6 idle.
+    // Each active bucket admits at most r*T + burst over the window, and
+    // idle buckets cannot donate their unused tokens
+    val windowMs = 500L
+    val admitted = (0 until 2).map { _ =>
+      val b = new io.TokenBucket(r)
+      var c = 0
+      val t0 = System.nanoTime()
+      while (System.nanoTime() - t0 < windowMs * 1000000L) {
+        b.acquire(); c += 1
+      }
+      c
+    }.sum
+    val perBucketBound = r * (windowMs / 1000.0) + 1 // r*T + burst
+    assert(admitted <= 2 * perBucketBound + 1,
+      s"active partitions exceeded their share: $admitted > ${2 * perBucketBound}")
+    // a fortiori: far under what the GLOBAL cap admits in the window
+    // (R*T + n transient) — skew under-uses quota, never exceeds it
+    assert(admitted <= globalRate * (windowMs / 1000.0) + n)
+  }
 }
