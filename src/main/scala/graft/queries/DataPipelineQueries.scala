@@ -186,6 +186,56 @@ object DataPipelineQueries {
         .orderBy($"qid", $"rank")
     }),
 
+    // The persisted LSH index path under the gate: build the index at
+    // rest (partitionBy(bucket) parquet with precomputed norms), then
+    // search THROUGH it — the probed buckets become literal partition
+    // filters, so this drives the static-pruning scan path end-to-end.
+    // Buckets/probes/ranking are identical to the in-memory knn_lsh, so
+    // the same DuckDB twin gates both.
+    "knn_lsh_indexed" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+      val path = graft.util.TempDirs.create("graft-lsh-idx")
+      Similarity.writeLshIndex(tt, path, dim = 64)
+      Similarity.knnLshIndexed(s, path, q, dim = 64, k = 5)
+        .orderBy($"qid", $"rank")
+    }),
+
+    // The persisted IVF index path under the gate, with Lloyd-refined
+    // centroids reaching the index at rest (writeIvfIndex(lloydIters=2));
+    // probe cells prune partitions statically. Same cell layout, probe
+    // set, and ranking as the in-memory knn_ivf_lloyd -> same twin.
+    "knn_ivf_indexed" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+      val path = graft.util.TempDirs.create("graft-ivf-idx")
+      val centroids = Similarity.writeIvfIndex(tt, path, nCells = 16,
+        lloydIters = 2)
+      Similarity.knnIvfIndexed(s, path, centroids, q, k = 5, nProbe = 2)
+        .orderBy($"qid", $"rank")
+    }),
+
+    // The numPlanes knob at a NON-default width (8 planes = 256 buckets),
+    // oracle-gated: the DuckDB twin regenerates the plane literals at the
+    // same width, so the knob path — not just the default — is proven
+    // against an independent engine (the seeded family is prefix-stable;
+    // ScaleSpec covers 2^12).
+    "knn_lsh_wide" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+      Similarity.knnLsh(q, tt, dim = 64, k = 5, nProbe = 2, numPlanes = 8)
+        .orderBy($"qid", $"rank")
+    }),
+
     // ANN recall@k driver-gated as a number: both approximate paths
     // (multi-probe LSH, Lloyd-refined IVF) scored against the exact
     // brute-force top-5 on the same 50-query batch. Every kernel is
@@ -352,10 +402,11 @@ object DataPipelineQueries {
     * Plane components are floats on the Spark side; printing their exact
     * double values (Double.toString round-trips through DuckDB's
     * correctly-rounded parser) makes every projection term bit-identical. */
-  private def lshPlanesValuesSql(dim: Int): String =
-    graft.ops.Similarity.lshPlanes(dim).zipWithIndex.map { case (p, j) =>
-      s"($j, [${p.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
-    }.mkString(", ")
+  private def lshPlanesValuesSql(dim: Int, numPlanes: Int = 6): String =
+    graft.ops.Similarity.lshPlanes(dim, numPlanes).zipWithIndex
+      .map { case (p, j) =>
+        s"($j, [${p.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+      }.mkString(", ")
 
   /** Fixed-point cosine + per-query top-k over candidate (qid, tid) pairs
     * produced by CTE `cand` — shared tail of the three ANN oracles. */
@@ -479,11 +530,13 @@ object DataPipelineQueries {
        |ORDER BY qid, rank""".stripMargin
 
   /** Multi-probe LSH twin (nProbe=2): identical buckets/probe set from the
-    * same plane literals, fixed-point cosine top-5. */
-  private def knnLshSql: String =
+    * same plane literals, fixed-point cosine top-5. `numPlanes` regenerates
+    * the plane VALUES at any width (the rest of the derivation — bucket
+    * sum, smallest-|projection| flip — is width-independent SQL). */
+  private def knnLshSql(numPlanes: Int = 6): String =
     s"""WITH planes AS (
        |  SELECT j, unnest(pl) AS p, unnest(range(1, 65)) AS pos
-       |  FROM (VALUES ${lshPlanesValuesSql(64)}) t(j, pl)),
+       |  FROM (VALUES ${lshPlanesValuesSql(64, numPlanes)}) t(j, pl)),
        |vecs AS (
        |  SELECT vec_id, unnest(embedding) AS x,
        |         unnest(range(1, len(embedding) + 1)) AS pos
@@ -523,7 +576,7 @@ object DataPipelineQueries {
     * fixed-point, so the counts are bit-deterministic. */
   private def knnRecallSql: String =
     s"""WITH bf AS (SELECT qid, tid FROM (${knnBruteforceSql(maxQid = 50)})),
-       |lshr AS (SELECT qid, tid FROM ($knnLshSql)),
+       |lshr AS (SELECT qid, tid FROM (${knnLshSql()})),
        |ivfr AS (SELECT qid, tid FROM ($knnIvfLloydSql))
        |SELECT method, k, hits, possible FROM (
        |  SELECT 'ivf_lloyd' AS method, CAST(5 AS INT) AS k,
@@ -594,7 +647,10 @@ object DataPipelineQueries {
         |WHERE CAST(d AS DOUBLE)/sqrt(CAST(nx*ny AS DOUBLE)) > 0.3
         |ORDER BY id_1, id_2""".stripMargin,
     "knn_bruteforce" -> knnBruteforceSql(maxQid = 10),
-    "knn_lsh" -> knnLshSql,
+    "knn_lsh" -> knnLshSql(),
+    "knn_lsh_indexed" -> knnLshSql(), // same buckets/probes/ranking at rest
+    "knn_lsh_wide" -> knnLshSql(numPlanes = 8),
+    "knn_ivf_indexed" -> knnIvfLloydSql, // Lloyd centroids reach the index
     "knn_recall" -> knnRecallSql,
     "knn_ivf" ->
       ("""WITH tt AS (SELECT vec_id AS tid, embedding AS te FROM embeddings),
