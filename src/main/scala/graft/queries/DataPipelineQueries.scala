@@ -91,10 +91,7 @@ object DataPipelineQueries {
     // keeps gating the keep-first semantics via its batch twin.
     "stream_neardup_exec" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-neardup-exec")
-      tmp.toFile.deleteOnExit()
-      val src = tmp.resolve("src").toString
+      val src = graft.util.TempDirs.create("graft-neardup-exec") + "/src"
       val staged = t(s, dir, "documents")
         .filter(length(Dedup.normalized($"text")) > 0) // twin parity, no-op
         // base offset keeps every event time strictly above Spark's
@@ -247,7 +244,11 @@ object DataPipelineQueries {
       val q = e.filter($"vec_id" < 50)
         .select($"vec_id".as("qid"), $"embedding".as("qe"))
       val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
-      val bf = Similarity.knnBruteForce(q, tt, k = 5).select($"qid", $"tid")
+      // the brute-force baseline feeds three consumers (two hit joins +
+      // the possible count); localCheckpoint materializes the 50*k-row
+      // top-k once instead of re-running the all-pairs scoring per branch
+      val bf = Similarity.knnBruteForce(q, tt, k = 5)
+        .select($"qid", $"tid").localCheckpoint()
       val lsh = Similarity.knnLsh(q, tt, dim = 64, k = 5)
       val ivf = Similarity.knnIvf(q, tt, dim = 64, k = 5, nCells = 16,
         nProbe = 2, lloydIters = 2)

@@ -34,9 +34,11 @@ object PipelineQueries {
   private val NarrativePad: String =
     "the advisors continued detailed diligence across commercial legal and " +
       "financial workstreams while counsel refined covenant language and " +
-      "exchange mechanics through successive drafts circulated among the " +
-      "parties over several weeks of negotiation sessions before terms were " +
-      "presented for final approval by each board"
+      "exchange mechanics through successive negotiation drafts"
+  // shortest text is 47 chars -> narrative >= 2*47+1 + 1+NarrativePad.length
+  // = 246 chars; with the 26-char section header the winning chunk clears
+  // the >200 gate with margin even before the trailer — checked by the
+  // got_ok column at every SF
 
   private[graft] def flagshipDocs(s: SparkSession, dir: String,
       uniqueLines: Boolean): DataFrame = {
