@@ -54,6 +54,21 @@ object DataPipelineQueries {
         .orderBy($"id_1", $"id_2")
     }),
 
+    // The (numHashes, numBands) knob at a NON-default geometry (8 bands of
+    // 2 rows — the looser banding threshold), oracle-gated: the DuckDB
+    // twin regenerates the per-band signature columns and the chained
+    // XXH64 band hash at the same width, so the knob path is proven
+    // against an independent engine (ScaleSpec covers the subset/monotone
+    // relation between the two geometries).
+    "d3b_minhash_bands" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .filter(length(Dedup.normalized($"text")) >= 5)
+      Dedup.minhashDedupPairs(docs, "doc_id", "text",
+        k = 5, minJaccard = 0.2, numBands = 8)
+        .orderBy($"id_1", $"id_2")
+    }),
+
     // SimHash banding near-dup candidates; the FNV token hash + Charikar
     // bit-vote + banding walk is replayed exactly in SQL (HashOracleSql.d4Sql).
     "d4_simhash" -> ((s, dir) => {
@@ -591,7 +606,8 @@ object DataPipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "knn_ivf_lloyd" -> knnIvfLloydSql,
-    "d3_minhash_lsh" -> HashOracleSql.d3Sql,
+    "d3_minhash_lsh" -> HashOracleSql.d3Sql(),
+    "d3b_minhash_bands" -> HashOracleSql.d3Sql(numBands = 8),
     "d4_simhash" -> HashOracleSql.d4Sql,
     "stream_neardup_twin" -> HashOracleSql.streamNearDupTwinSql,
     "stream_neardup_exec" -> HashOracleSql.streamNearDupKeysSql,

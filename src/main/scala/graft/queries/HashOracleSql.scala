@@ -82,8 +82,15 @@ private[queries] object HashOracleSql {
     * over mix64'd FNV 5-char shingle hashes, signed minima) -> 4-band
     * XXH64 buckets (Spark xxhash64 chaining, seed 42) -> bounded-bucket
     * candidates -> exact hashed-shingle Jaccard verify at 0.2. */
-  val d3Sql: String = {
-    val permRows = (0 until 16).map { p =>
+  /** d3 twin, parameterized by the MinHash geometry knobs (defaults = the
+    * registered d3_minhash_lsh shape). `bandRows = numHashes / numBands`
+    * drives the per-band signature columns and the length of the chained
+    * XXH64 band hash (Spark's xxhash64(cols..., seed 42) is a left fold of
+    * single-long XXH64 steps — one chain link per band row). */
+  def d3Sql(numHashes: Int = 16, numBands: Int = 4): String = {
+    require(numHashes % numBands == 0)
+    val bandRows = numHashes / numBands
+    val permRows = (0 until numHashes).map { p =>
       val mult = ((2 * p + 1) * Gold) % M64
       s"($p, ${mult % (BigInt(1) << 32)}, ${mult >> 32}, ${(p * AddC) % M64})"
     }.mkString(", ")
@@ -97,11 +104,13 @@ private[queries] object HashOracleSql {
       "hms" -> s"xor(${sgn("u4")}, CAST(u4 // 8589934592 AS BIGINT))",
       "hm" -> uns("hms"))
     val mixedSql = layered("SELECT doc_id, h FROM wins", mixSteps)
-    val bucketSteps = xxhSteps("x1", "v0", "CAST(42 AS HUGEINT)") ++
-      xxhSteps("x2", "v1", "x1outu") ++
-      xxhSteps("x3", "v2", "x2outu") ++
-      xxhSteps("x4", "v3", "x3outu")
-    val bucketSql = layered("SELECT doc_id, band, v0, v1, v2, v3 FROM bandsig",
+    val vCols = (0 until bandRows).map(i => s"v$i")
+    val bucketSteps = (0 until bandRows).flatMap { i =>
+      val seed = if (i == 0) "CAST(42 AS HUGEINT)" else s"x${i}outu"
+      xxhSteps(s"x${i + 1}", s"v$i", seed)
+    }
+    val bucketSql = layered(
+      s"SELECT doc_id, band, ${vCols.mkString(", ")} FROM bandsig",
       bucketSteps)
     s"""WITH wins AS MATERIALIZED (
        |  SELECT doc_id,
@@ -118,13 +127,12 @@ private[queries] object HashOracleSql {
        |    FROM mixed CROSS JOIN (VALUES $permRows) perms(p, mlo, mhi, au)) z
        |  GROUP BY doc_id, p),
        |bandsig AS MATERIALIZED (
-       |  SELECT doc_id, p // 4 AS band,
-       |    MAX(CASE WHEN p % 4 = 0 THEN sv END) AS v0,
-       |    MAX(CASE WHEN p % 4 = 1 THEN sv END) AS v1,
-       |    MAX(CASE WHEN p % 4 = 2 THEN sv END) AS v2,
-       |    MAX(CASE WHEN p % 4 = 3 THEN sv END) AS v3
-       |  FROM sigs GROUP BY doc_id, p // 4),
-       |bb AS MATERIALIZED (SELECT doc_id, band, x4out AS bucket FROM ($bucketSql) bz),
+       |  SELECT doc_id, p // $bandRows AS band,
+       |    ${(0 until bandRows).map(i =>
+             s"MAX(CASE WHEN p % $bandRows = $i THEN sv END) AS v$i")
+             .mkString(",\n    ")}
+       |  FROM sigs GROUP BY doc_id, p // $bandRows),
+       |bb AS MATERIALIZED (SELECT doc_id, band, x${bandRows}out AS bucket FROM ($bucketSql) bz),
        |sized AS (
        |  SELECT band, bucket FROM bb GROUP BY band, bucket
        |  HAVING COUNT(*) BETWEEN 2 AND 64),
