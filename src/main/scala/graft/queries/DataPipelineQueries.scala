@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
@@ -380,6 +381,36 @@ object DataPipelineQueries {
           TextAnalysis.tokenCountBpe($"text").as("n_tokens"),
           TextAnalysis.stopwordRatio($"text").as("stopword_ratio"),
           TextAnalysis.qualityScore($"text").as("quality"))
+        .orderBy($"doc_id")
+    }),
+
+    // The operators composed as a training-data CURATION lineage — the
+    // shape a 100 TB corpus actually runs: quality-gate (exact-count
+    // formula), exact-dedup keep-first (fingerprint window), then a
+    // deterministic token-budget sample (best-quality-first running sum).
+    // Every stage's arithmetic is the already-gated kernels, so the whole
+    // composition hash-matches the DuckDB twin. The budget prefix uses a
+    // global running-sum window — fine for emitting a bounded sample (its
+    // input is already quality-filtered + deduped); at scale the same cut
+    // is a distributed sort + per-range token subtotals, with only the
+    // boundary range scanned row-by-row.
+    "curate_sample" -> ((s, dir) => {
+      import s.implicits._
+      val profiled = t(s, dir, "documents").select($"doc_id",
+        TextAnalysis.fingerprint($"text").as("fp"),
+        TextAnalysis.tokenCountBpe($"text").as("n_tokens"),
+        TextAnalysis.qualityScore($"text").as("quality"))
+        .filter($"quality" >= 0.8)
+      val wd = Window.partitionBy($"fp").orderBy($"doc_id")
+      val deduped = profiled
+        .withColumn("rn", row_number().over(wd))
+        .filter($"rn" === 1)
+      val ws = Window.orderBy($"quality".desc, $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deduped
+        .withColumn("cum_tokens", sum($"n_tokens".cast("long")).over(ws))
+        .filter($"cum_tokens" <= 100000L)
+        .select($"doc_id", $"n_tokens", $"cum_tokens", $"quality")
         .orderBy($"doc_id")
     }),
 
@@ -821,6 +852,40 @@ object DataPipelineQueries {
       """SELECT doc_id,
         | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // Same quality formula as ta_text_profile (identical double arithmetic
+    // -> identical filter and ordering decisions), then keep-first dedup
+    // and the running-sum budget prefix.
+    "curate_sample" ->
+      """WITH profiled AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_tokens,
+        |    least(CAST(length(text) AS DOUBLE)/400.0, 1.0)*0.4
+        |     + (CASE WHEN CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE)
+        |              / CAST(greatest(length(text),1) AS DOUBLE) <= 0.05
+        |        THEN 1.0 ELSE 0.5 END)*0.2
+        |     + least(CAST(len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\band\b'))
+        |         + len(regexp_extract_all(text, '\bof\b')) + len(regexp_extract_all(text, '\bis\b'))
+        |         + len(regexp_extract_all(text, '\ba\b')) + len(regexp_extract_all(text, '\bto\b'))
+        |         + len(regexp_extract_all(text, '\bin\b')) AS DOUBLE)
+        |        / CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE)*5.0, 1.0)*0.2
+        |     + (CASE WHEN CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |              / CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE)
+        |              BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END)*0.2 AS quality
+        |  FROM documents),
+        |filtered AS (SELECT * FROM profiled WHERE quality >= 0.8),
+        |deduped AS (
+        |  SELECT doc_id, n_tokens, quality FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |    FROM filtered) z WHERE rn = 1),
+        |sampled AS (
+        |  SELECT doc_id, n_tokens, quality,
+        |    SUM(CAST(n_tokens AS BIGINT)) OVER (ORDER BY quality DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM deduped)
+        |SELECT doc_id, n_tokens, cum_tokens, quality
+        |FROM sampled WHERE cum_tokens <= 100000
         |ORDER BY doc_id""".stripMargin,
     "mm_decode_stub" ->
       """SELECT doc_id,
