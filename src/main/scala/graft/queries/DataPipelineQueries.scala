@@ -60,10 +60,15 @@ object DataPipelineQueries {
     // twin regenerates the per-band signature columns and the chained
     // XXH64 band hash at the same width, so the knob path is proven
     // against an independent engine (ScaleSpec covers the subset/monotone
-    // relation between the two geometries).
+    // relation between the two geometries). Runs on the even-id half of
+    // the corpus: d3_minhash_lsh already gates the operator full-table;
+    // this row gates the GEOMETRY, and 2-row bands are deliberately
+    // collision-happy (that is the loose-threshold point), so the full
+    // table would pay ~4x the candidate volume just to re-prove the knob.
     "d3b_minhash_bands" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
+        .filter($"doc_id" % 2 === 0)
         .filter(length(Dedup.normalized($"text")) >= 5)
       Dedup.minhashDedupPairs(docs, "doc_id", "text",
         k = 5, minJaccard = 0.2, numBands = 8)
@@ -638,7 +643,8 @@ object DataPipelineQueries {
   val oracles: Map[String, String] = Map(
     "knn_ivf_lloyd" -> knnIvfLloydSql,
     "d3_minhash_lsh" -> HashOracleSql.d3Sql(),
-    "d3b_minhash_bands" -> HashOracleSql.d3Sql(numBands = 8),
+    "d3b_minhash_bands" ->
+      HashOracleSql.d3Sql(numBands = 8, docFilter = "doc_id % 2 = 0"),
     "d4_simhash" -> HashOracleSql.d4Sql,
     "stream_neardup_twin" -> HashOracleSql.streamNearDupTwinSql,
     "stream_neardup_exec" -> HashOracleSql.streamNearDupKeysSql,

@@ -87,7 +87,8 @@ private[queries] object HashOracleSql {
     * drives the per-band signature columns and the length of the chained
     * XXH64 band hash (Spark's xxhash64(cols..., seed 42) is a left fold of
     * single-long XXH64 steps — one chain link per band row). */
-  def d3Sql(numHashes: Int = 16, numBands: Int = 4): String = {
+  def d3Sql(numHashes: Int = 16, numBands: Int = 4,
+      docFilter: String = "TRUE"): String = {
     require(numHashes % numBands == 0)
     val bandRows = numHashes / numBands
     val permRows = (0 until numHashes).map { p =>
@@ -117,7 +118,7 @@ private[queries] object HashOracleSql {
        |    ${fnvReduce("substr(t, CAST(i AS INT), 5)")} AS h
        |  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 3)) AS i
        |        FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
-       |              FROM documents) n) w),
+       |              FROM documents WHERE $docFilter) n) w),
        |mixed AS MATERIALIZED (SELECT doc_id, hm FROM ($mixedSql) mz),
        |sigs AS MATERIALIZED (
        |  SELECT doc_id, p, MIN(${sgn("v")}) AS sv
