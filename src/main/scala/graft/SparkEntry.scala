@@ -12,8 +12,10 @@ import graft.queries._
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full MergeExtractor lineage: chunk -> header cascade -> hybrid
-    * rank -> top-1 -> window assembly -> validate/enrich (475 sections
-    * from 500 synthesized filings at sf0.001). */
+    * rank -> top-1 -> window assembly -> validate/enrich (every one of the
+    * 500 synthesized filings extracts by construction — the padded
+    * narrative clears the >200 promotion gate, and the invariant oracle's
+    * got_ok column enforces exactly that coverage). */
   def entry(spark: SparkSession): DataFrame =
     queries("pipeline_extract")(spark, "/root/testdata/sf0.001")
 

@@ -59,8 +59,8 @@ object DataPipelineQueries {
     // 2 rows — the looser banding threshold), oracle-gated: the DuckDB
     // twin regenerates the per-band signature columns and the chained
     // XXH64 band hash at the same width, so the knob path is proven
-    // against an independent engine (ScaleSpec covers the subset/monotone
-    // relation between the two geometries). Runs on the even-id half of
+    // against an independent engine (ScaleSpec covers the cap-free
+    // subset relation between the two geometries). Runs on the even-id half of
     // the corpus: d3_minhash_lsh already gates the operator full-table;
     // this row gates the GEOMETRY, and 2-row bands are deliberately
     // collision-happy (that is the loose-threshold point), so the full
@@ -123,13 +123,21 @@ object DataPipelineQueries {
       staged.write.mode("overwrite").parquet(src)
       val stream = s.readStream.schema(staged.schema).parquet(src)
       val name = s"neardup_exec_${StreamExecId.incrementAndGet()}"
+      // project to the key BEFORE the sink: the memory sink pins its rows
+      // in driver memory for the JVM lifetime, so it should hold one long
+      // column, not the surviving documents' text
       val q = graft.streaming.StreamOps.nearDupDedup(stream, "text")
+        .select($"__simhash".as("sh"))
         .writeStream.outputMode("append").format("memory").queryName(name)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination(240000)
       if (q.isActive) q.stop()
-      s.table(name).select($"__simhash".as("sh")).orderBy($"sh")
+      // copy the bounded key set out and drop the sink table so repeated
+      // invocations (bench reps) don't accumulate retained memory tables
+      val keys = s.table(name).select($"sh").as[Long].collect().sorted
+      s.catalog.dropTempView(name)
+      keys.toSeq.toDF("sh").orderBy($"sh")
     }),
 
     // Embedding-cosine near-dup pairs (fixed-point arithmetic -> exact
@@ -450,11 +458,33 @@ object DataPipelineQueries {
   private val scaledDotSql =
     "SUM(CAST(ROUND(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)*1000000) AS BIGINT))"
 
+  // Shared text-analysis fragments over a raw `text` column — single
+  // source for formulas that appear in more than one twin (ta_text_profile,
+  // ta_fingerprint, d1_exact_dedup, curate_sample), mirroring the single
+  // Scala kernels in ops.TextAnalysis / ops.Dedup.
+  private val fpSql =
+    """md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"""
+  private val tokenCountSql =
+    """len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))"""
+  private val wordCountSql =
+    """len(string_split_regex(trim(text), '\s+'))"""
+  private val stopCountSql =
+    """len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\band\b'))
+      |      + len(regexp_extract_all(text, '\bof\b')) + len(regexp_extract_all(text, '\bis\b'))
+      |      + len(regexp_extract_all(text, '\ba\b')) + len(regexp_extract_all(text, '\bto\b'))
+      |      + len(regexp_extract_all(text, '\bin\b'))""".stripMargin
+  private val qualityScoreSql =
+    s"""least(CAST(length(text) AS DOUBLE)/400.0, 1.0)*0.4
+       |   + (CASE WHEN CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE)/CAST(greatest(length(text),1) AS DOUBLE) <= 0.05 THEN 1.0 ELSE 0.5 END)*0.2
+       |   + least(CAST($stopCountSql AS DOUBLE)/CAST(greatest($wordCountSql, 1) AS DOUBLE)*5.0, 1.0)*0.2
+       |   + (CASE WHEN CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)/CAST(greatest($wordCountSql, 1) AS DOUBLE) BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END)*0.2""".stripMargin
+
   /** The seeded LSH hyperplanes as DuckDB VALUES rows `(j, DOUBLE[dim])`.
     * Plane components are floats on the Spark side; printing their exact
     * double values (Double.toString round-trips through DuckDB's
     * correctly-rounded parser) makes every projection term bit-identical. */
-  private def lshPlanesValuesSql(dim: Int, numPlanes: Int = 6): String =
+  private def lshPlanesValuesSql(dim: Int,
+      numPlanes: Int = graft.ops.Similarity.NumPlanes): String =
     graft.ops.Similarity.lshPlanes(dim, numPlanes).zipWithIndex
       .map { case (p, j) =>
         s"($j, [${p.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
@@ -585,7 +615,8 @@ object DataPipelineQueries {
     * same plane literals, fixed-point cosine top-5. `numPlanes` regenerates
     * the plane VALUES at any width (the rest of the derivation — bucket
     * sum, smallest-|projection| flip — is width-independent SQL). */
-  private def knnLshSql(numPlanes: Int = 6): String =
+  private def knnLshSql(
+      numPlanes: Int = graft.ops.Similarity.NumPlanes): String =
     s"""WITH planes AS (
        |  SELECT j, unnest(pl) AS p, unnest(range(1, 65)) AS pos
        |  FROM (VALUES ${lshPlanesValuesSql(64, numPlanes)}) t(j, pl)),
@@ -653,11 +684,11 @@ object DataPipelineQueries {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "d1_exact_dedup" ->
-      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
-        | MIN(doc_id) AS canonical_id, COUNT(*) AS n_members
+      (s"SELECT $fpSql AS fp,\n" +
+        """ MIN(doc_id) AS canonical_id, COUNT(*) AS n_members
         |FROM documents
         |GROUP BY 1
-        |ORDER BY fp""".stripMargin,
+        |ORDER BY fp""".stripMargin),
     "d2_ngram_jaccard" ->
       """WITH docs AS (
         |  SELECT doc_id,
@@ -800,8 +831,11 @@ object DataPipelineQueries {
         |             / (64 + length(text) % 577)) AS INT) AS out_height
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // pred_lang's marker scores stay inline (they appear once); n_words /
+    // n_tokens / s_stop and the whole quality formula come from the shared
+    // fragments so they cannot drift from curate_sample's copies.
     "ta_text_profile" ->
-      """WITH scored AS (
+      ("""WITH scored AS (
         |  SELECT doc_id, text,
         |    len(regexp_extract_all(text, '\bder\b')) + len(regexp_extract_all(text, '\bund\b'))
         |      + len(regexp_extract_all(text, '\bdie\b')) + len(regexp_extract_all(text, '\bnicht\b')) AS s_de,
@@ -813,15 +847,11 @@ object DataPipelineQueries {
         |      + len(regexp_extract_all(text, '\bdes\b')) + len(regexp_extract_all(text, '\best\b')) AS s_fr,
         |    len(regexp_extract_all(text, '\bde\b')) + len(regexp_extract_all(text, '\bshi\b'))
         |      + len(regexp_extract_all(text, '\bbu\b')) + len(regexp_extract_all(text, '\ble\b')) AS s_zh,
-        |    len(string_split_regex(trim(text), '\s+')) AS n_words,
-        |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_tokens,
-        |    len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\band\b'))
-        |      + len(regexp_extract_all(text, '\bof\b')) + len(regexp_extract_all(text, '\bis\b'))
-        |      + len(regexp_extract_all(text, '\ba\b')) + len(regexp_extract_all(text, '\bto\b'))
-        |      + len(regexp_extract_all(text, '\bin\b')) AS s_stop,
-        |    len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct,
-        |    length(regexp_replace(text, '\s+', '', 'g')) AS n_nonws
-        |  FROM documents)
+        |""".stripMargin +
+        s"    $wordCountSql AS n_words,\n" +
+        s"    $tokenCountSql AS n_tokens,\n" +
+        s"    $stopCountSql AS s_stop\n" +
+        """  FROM documents)
         |SELECT doc_id,
         |  CASE WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
         |       WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
@@ -832,13 +862,9 @@ object DataPipelineQueries {
         |  CAST(n_words AS INT) AS n_words,
         |  CAST(n_tokens AS INT) AS n_tokens,
         |  CAST(s_stop AS DOUBLE)/CAST(greatest(n_words, 1) AS DOUBLE) AS stopword_ratio,
-        |  least(CAST(length(text) AS DOUBLE)/400.0, 1.0)*0.4
-        |   + (CASE WHEN CAST(n_punct AS DOUBLE)/CAST(greatest(length(text),1) AS DOUBLE) <= 0.05 THEN 1.0 ELSE 0.5 END)*0.2
-        |   + least(CAST(s_stop AS DOUBLE)/CAST(greatest(n_words, 1) AS DOUBLE)*5.0, 1.0)*0.2
-        |   + (CASE WHEN CAST(n_nonws AS DOUBLE)/CAST(greatest(n_words, 1) AS DOUBLE) BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END)*0.2
-        |   AS quality
-        |FROM scored
-        |ORDER BY doc_id""".stripMargin,
+        |""".stripMargin +
+        s"  $qualityScoreSql AS quality\n" +
+        "FROM scored\nORDER BY doc_id"),
     "a4_vector_mean" ->
       """SELECT label, pos,
         |  CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE)*1000000) AS BIGINT)) AS DOUBLE)
@@ -855,31 +881,17 @@ object DataPipelineQueries {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "ta_fingerprint" ->
-      """SELECT doc_id,
-        | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-        |FROM documents
-        |ORDER BY doc_id""".stripMargin,
-    // Same quality formula as ta_text_profile (identical double arithmetic
-    // -> identical filter and ordering decisions), then keep-first dedup
-    // and the running-sum budget prefix.
+      (s"SELECT doc_id,\n $fpSql AS fp\n" +
+        "FROM documents\nORDER BY doc_id"),
+    // Same quality formula as ta_text_profile — literally: both oracles
+    // interpolate the one shared fragment, so filter and ordering
+    // decisions cannot drift.
     "curate_sample" ->
-      """WITH profiled AS (
-        |  SELECT doc_id,
-        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
-        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_tokens,
-        |    least(CAST(length(text) AS DOUBLE)/400.0, 1.0)*0.4
-        |     + (CASE WHEN CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE)
-        |              / CAST(greatest(length(text),1) AS DOUBLE) <= 0.05
-        |        THEN 1.0 ELSE 0.5 END)*0.2
-        |     + least(CAST(len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\band\b'))
-        |         + len(regexp_extract_all(text, '\bof\b')) + len(regexp_extract_all(text, '\bis\b'))
-        |         + len(regexp_extract_all(text, '\ba\b')) + len(regexp_extract_all(text, '\bto\b'))
-        |         + len(regexp_extract_all(text, '\bin\b')) AS DOUBLE)
-        |        / CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE)*5.0, 1.0)*0.2
-        |     + (CASE WHEN CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
-        |              / CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE)
-        |              BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END)*0.2 AS quality
-        |  FROM documents),
+      ("WITH profiled AS (\n  SELECT doc_id,\n" +
+        s"    $fpSql AS fp,\n" +
+        s"    CAST($tokenCountSql AS INT) AS n_tokens,\n" +
+        s"    $qualityScoreSql AS quality\n" +
+        """  FROM documents),
         |filtered AS (SELECT * FROM profiled WHERE quality >= 0.8),
         |deduped AS (
         |  SELECT doc_id, n_tokens, quality FROM (
@@ -892,7 +904,7 @@ object DataPipelineQueries {
         |  FROM deduped)
         |SELECT doc_id, n_tokens, cum_tokens, quality
         |FROM sampled WHERE cum_tokens <= 100000
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin),
     "mm_decode_stub" ->
       """SELECT doc_id,
         | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -439,7 +439,7 @@ object PipelineQueries {
     // assembly), the promotion gate is length(content) > 200, and the odd
     // docs' enrichment block is preamble + definition paragraph + header.
     "pipeline_extract_fixed" ->
-      """WITH built AS (
+      s"""WITH built AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 2 = 0
         |         THEN 'Acme' || CAST(doc_id AS VARCHAR) || ' Systems Inc'
@@ -472,9 +472,7 @@ object PipelineQueries {
         |  FROM kept)
         |SELECT doc_id,
         |  CASE WHEN doc_id % 2 = 0 THEN header || passage_text
-        |       ELSE 'Here are some potentially useful abbreviation '
-        |         || 'definitions that could help with analyzing the '
-        |         || '''Background'' section:' || chr(10)
+        |       ELSE ${OracleSql.sqlStr(graft.ops.Assemble.EnrichPreamble)}
         |         || chr(10) || 'Passage that defines the abbreviation ''Acme'
         |         || CAST(doc_id AS VARCHAR) || ' Systems Inc'':' || chr(10)
         |         || trim(bodyline) || chr(10)

@@ -177,15 +177,13 @@ object SinkQueries {
     // definition paragraph survives the html->blocks->quote-fold cleaning
     // byte-for-byte).
     "s8_patch_roundtrip" ->
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT doc_id,
         |    'The following provides details about the events leading up to '
         |      || 'the merger deal between Acme' || CAST(doc_id AS VARCHAR)
         |      || ' Systems Inc & Beta' || CAST(doc_id AS VARCHAR)
         |      || ' Holdings Corp:' || chr(10) AS hdr,
-        |    'Here are some potentially useful abbreviation definitions '
-        |      || 'that could help with analyzing the ''Background'' section:'
-        |      || chr(10) AS pre,
+        |    ${OracleSql.sqlStr(Assemble.EnrichPreamble)} AS pre,
         |    text
         |  FROM documents)
         |SELECT doc_id,

@@ -71,13 +71,17 @@ class ScaleSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.util.Tables.t(spark, dir, "documents")
       .filter(length(graft.ops.Dedup.normalized($"text")) >= 5)
+    // maxBucketSize is effectively off: the subset relation is a theorem
+    // only cap-free (a 2-row sub-band bucket can exceed the cap while its
+    // 4-row parent stays under it, dropping pairs from the looser
+    // geometry) — with the cap out of the way, any 4-row band agreement
+    // implies both sub-band agreements, so c4 must be a subset of c8
     def cands(bands: Int): Set[(Long, Long)] =
       Dedup.minhashCandidates(docs, "doc_id", "text", k = 5,
-        numHashes = 16, numBands = bands)
+        maxBucketSize = 1 << 20, numHashes = 16, numBands = bands)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val c4 = cands(4)  // 4 rows per band (the oracle-gated default)
-    val c8 = cands(8)  // 2 rows per band: any 4-row band agreement implies
-                       // both sub-band agreements, so c4 is a subset of c8
+    val c8 = cands(8)  // 2 rows per band (looser threshold)
     assert(c4.subsetOf(c8), s"missing: ${(c4 -- c8).take(5)}")
     intercept[IllegalArgumentException] {
       Dedup.lshBuckets(Dedup.minhashSignatures(docs, "doc_id", "text"),
