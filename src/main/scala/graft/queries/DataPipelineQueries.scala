@@ -140,6 +140,44 @@ object DataPipelineQueries {
       keys.toSeq.toDF("sh").orderBy($"sh")
     }),
 
+    // The watermarked windowed aggregation EXECUTED under the gate: the
+    // real streaming plan (10-min watermark, 5-min tumbling windows,
+    // append mode) over a file-stream staging of the events table. One
+    // data batch means no input row is ever late (the watermark is still
+    // at its initial value while the batch processes), so every event
+    // aggregates; the subsequent no-data batch finalizes exactly the
+    // windows whose end <= max(ts) - 10min — a closed-form, SQL-derivable
+    // emission set. Exact-decimal sums keep cross-engine value parity.
+    "stream_window_exec" -> ((s, dir) => {
+      import s.implicits._
+      val src = graft.util.TempDirs.create("graft-window-exec") + "/src"
+      val staged = events(s, dir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      // ONE staged file -> one data micro-batch: the watermark is still at
+      // its initial value while the batch processes, so no input row is
+      // ever dropped as late and the emission set is closed-form (several
+      // files would advance the watermark between batches and drop
+      // stragglers in file-listing order — correct streaming semantics,
+      // but not an oracle-checkable set)
+      staged.coalesce(1).write.parquet(src)
+      val stream = s.readStream.schema(staged.schema).parquet(src)
+      val name = s"window_exec_${StreamExecId.incrementAndGet()}"
+      val q = graft.streaming.StreamOps.windowedAgg(stream)
+        .select(date_format($"window.start", "yyyy-MM-dd HH:mm").as("w_start"),
+          $"event_type", $"n", $"total_value")
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(240000)
+      if (q.isActive) q.stop()
+      val tbl = s.table(name)
+      val schema = tbl.schema
+      val out = tbl.collect() // bounded: one row per finalized window
+      s.catalog.dropTempView(name)
+      s.createDataFrame(s.sparkContext.parallelize(out.toIndexedSeq, 1), schema)
+        .orderBy($"w_start", $"event_type")
+    }),
+
     // Embedding-cosine near-dup pairs (fixed-point arithmetic -> exact
     // DuckDB parity).
     "d5_embedding_neardup" -> ((s, dir) => {
@@ -679,6 +717,22 @@ object DataPipelineQueries {
     "d4_simhash" -> HashOracleSql.d4Sql,
     "stream_neardup_twin" -> HashOracleSql.streamNearDupTwinSql,
     "stream_neardup_exec" -> HashOracleSql.streamNearDupKeysSql,
+    // Single data batch -> no late drops, so every emitted window carries
+    // the full batch aggregate; the no-data batch then finalizes exactly
+    // the windows whose end <= max(ts) - 10min (verified at sf0.001/0.01:
+    // emitted set == this closed form, no boundary collision).
+    "stream_window_exec" ->
+      """WITH wm AS (SELECT MAX(epoch_us(ts)) - 600000000 AS wm_us FROM events),
+        |wins AS (
+        |  SELECT (epoch_us(ts) // 300000000) * 300000000 AS ws, event_type,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M') AS w_start,
+        |  event_type, n, total_value
+        |FROM wins, wm
+        |WHERE ws + 300000000 <= wm_us
+        |ORDER BY w_start, event_type""".stripMargin,
     "x3_embed_invariants" ->
       """SELECT doc_id, source, TRUE AS dim_ok, TRUE AS norm_ok
         |FROM documents
