@@ -234,6 +234,19 @@ object DataPipelineQueries {
         .orderBy($"qid", $"rank")
     }),
 
+    // The nCells knob at a NON-default width (32 Voronoi cells): the twin
+    // re-derives the seed layout at the same width, gating the IVF
+    // geometry path like knn_lsh_wide does for planes.
+    "knn_ivf_cells" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+      Similarity.knnIvf(q, tt, dim = 64, k = 5, nCells = 32, nProbe = 2)
+        .orderBy($"qid", $"rank")
+    }),
+
     // IVF with 2 Lloyd refinement steps. The mean update is fixed-point
     // (quantized sums, double division, float rounding), so both
     // refinement rounds — assignments, centroid updates, empty-cell
@@ -690,6 +703,47 @@ object DataPipelineQueries {
        |  WHERE q.vec_id <> bb.vec_id),
        |""".stripMargin + knnScoreTailSql(5)
 
+  /** Seed-centroid IVF twin (knnIvf with lloydIters = 0): every-7th-of-
+    * first-`7*nCells` seed layout, fixed-point assignment, `nProbe`-cell
+    * probe, cosine top-5 — parameterized by the geometry knobs so the
+    * non-default widths gate against the same derivation. */
+  private def knnIvfSeedSql(nCells: Int = 16, nProbe: Int = 2): String =
+    s"""WITH tt AS (SELECT vec_id AS tid, embedding AS te FROM embeddings),
+       |qq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |       WHERE vec_id < 50),
+       |seeds AS (
+       |  SELECT CAST((rn - 1) // 7 AS INT) AS cell, te AS ce
+       |  FROM (SELECT row_number() OVER (ORDER BY tid) AS rn, te
+       |        FROM (SELECT tid, te FROM tt ORDER BY tid LIMIT ${nCells * 7}) s1) s2
+       |  WHERE (rn - 1) % 7 = 0),
+       |tdots AS (
+       |  SELECT tid, cell,
+       |    SUM(CAST(ROUND(CAST(x AS DOUBLE)*CAST(c AS DOUBLE)*1000000) AS BIGINT)) AS d
+       |  FROM (SELECT tid, cell, unnest(te) AS x, unnest(ce) AS c
+       |        FROM tt, seeds) z
+       |  GROUP BY 1, 2),
+       |tcell AS (
+       |  SELECT tid, cell FROM (
+       |    SELECT tid, cell,
+       |      row_number() OVER (PARTITION BY tid ORDER BY d DESC, cell) AS rn
+       |    FROM tdots) z WHERE rn = 1),
+       |qdots AS (
+       |  SELECT qid, cell,
+       |    SUM(CAST(ROUND(CAST(x AS DOUBLE)*CAST(c AS DOUBLE)*1000000) AS BIGINT)) AS d
+       |  FROM (SELECT qid, cell, unnest(qe) AS x, unnest(ce) AS c
+       |        FROM qq, seeds) z
+       |  GROUP BY 1, 2),
+       |qcell AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT qid, cell,
+       |      row_number() OVER (PARTITION BY qid ORDER BY d DESC, cell) AS rn
+       |    FROM qdots) z WHERE rn <= $nProbe),
+       |cand AS (
+       |  SELECT q.qid, t.tid
+       |  FROM qcell q JOIN tcell t USING (cell)
+       |  WHERE q.qid <> t.tid),
+       |""".stripMargin + knnScoreTailSql(5)
+
   /** knn_recall twin: recall@5 of each approximate path against the exact
     * brute-force baseline on the same 50-query batch. Each twin runs as a
     * locally-scoped subquery (its CTE names shadow cleanly), and the hit
@@ -791,42 +845,8 @@ object DataPipelineQueries {
     "knn_lsh_wide" -> knnLshSql(numPlanes = 8),
     "knn_ivf_indexed" -> knnIvfLloydSql, // Lloyd centroids reach the index
     "knn_recall" -> knnRecallSql,
-    "knn_ivf" ->
-      ("""WITH tt AS (SELECT vec_id AS tid, embedding AS te FROM embeddings),
-        |qq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-        |       WHERE vec_id < 50),
-        |seeds AS (
-        |  SELECT CAST((rn - 1) // 7 AS INT) AS cell, te AS ce
-        |  FROM (SELECT row_number() OVER (ORDER BY tid) AS rn, te
-        |        FROM (SELECT tid, te FROM tt ORDER BY tid LIMIT 112) s1) s2
-        |  WHERE (rn - 1) % 7 = 0),
-        |tdots AS (
-        |  SELECT tid, cell,
-        |    SUM(CAST(ROUND(CAST(x AS DOUBLE)*CAST(c AS DOUBLE)*1000000) AS BIGINT)) AS d
-        |  FROM (SELECT tid, cell, unnest(te) AS x, unnest(ce) AS c
-        |        FROM tt, seeds) z
-        |  GROUP BY 1, 2),
-        |tcell AS (
-        |  SELECT tid, cell FROM (
-        |    SELECT tid, cell,
-        |      row_number() OVER (PARTITION BY tid ORDER BY d DESC, cell) AS rn
-        |    FROM tdots) z WHERE rn = 1),
-        |qdots AS (
-        |  SELECT qid, cell,
-        |    SUM(CAST(ROUND(CAST(x AS DOUBLE)*CAST(c AS DOUBLE)*1000000) AS BIGINT)) AS d
-        |  FROM (SELECT qid, cell, unnest(qe) AS x, unnest(ce) AS c
-        |        FROM qq, seeds) z
-        |  GROUP BY 1, 2),
-        |qcell AS (
-        |  SELECT qid, cell FROM (
-        |    SELECT qid, cell,
-        |      row_number() OVER (PARTITION BY qid ORDER BY d DESC, cell) AS rn
-        |    FROM qdots) z WHERE rn <= 2),
-        |cand AS (
-        |  SELECT q.qid, t.tid
-        |  FROM qcell q JOIN tcell t USING (cell)
-        |  WHERE q.qid <> t.tid),
-        |""".stripMargin + knnScoreTailSql(5)),
+    "knn_ivf" -> knnIvfSeedSql(),
+    "knn_ivf_cells" -> knnIvfSeedSql(nCells = 32),
     "x2_identify" ->
       """WITH sec AS (
         |  SELECT doc_id,
