@@ -140,4 +140,13 @@ class PlanSpec extends SparkSpec {
     val p = finalPlan("f2_month_shift")
     assert(p.contains("*("), "expected whole-stage codegen with custom expr")
   }
+
+  test("curate_sample: one scan of documents feeds the whole lineage") {
+    // quality gate, fingerprint dedup window and the budget window all
+    // derive from one projection — a second documents scan would mean the
+    // profile is being recomputed per consumer
+    val p = plan("curate_sample")
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n${p.take(1500)}")
+  }
 }

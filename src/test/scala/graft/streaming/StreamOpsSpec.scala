@@ -74,6 +74,26 @@ class StreamOpsSpec extends SparkSpec {
       .intersect(Set(1L, 2L, 4L)).size == 1)
   }
 
+  test("executed streaming window agg emits exactly the closed-form set " +
+      "(windows with end <= max(ts) - watermark)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("stream_window_exec")(spark, dir)
+    val ev = graft.util.Tables.events(spark, dir)
+    val wmUs = ev.agg(max(unix_micros($"ts"))).head.getLong(0) - 600000000L
+    // the single-file staging means no row is late: every emitted window
+    // must carry the FULL batch aggregate, and the emitted set must be
+    // exactly the watermark-closed windows
+    val expected = ev
+      .groupBy(expr("(unix_micros(ts) div 300000000) * 300000000").as("ws"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .filter($"ws" + 300000000L <= wmUs)
+      .select(date_format(timestamp_micros($"ws"), "yyyy-MM-dd HH:mm")
+        .as("w_start"), $"event_type", $"n")
+    assert(out.count() == expected.count())
+    assert(expected.except(out.select($"w_start", $"event_type", $"n")).isEmpty)
+  }
+
   test("executed streaming near-dup emits exactly the batch key set") {
     val dir = "/root/testdata/sf0.001"
     val batchKeys = graft.util.Tables.t(spark, dir, "documents")
