@@ -70,6 +70,24 @@ object SinkQueries {
         .orderBy($"doc_id")
     }),
 
+    // S9 at scale: the SAME ordered-CSV contract through the documented
+    // scale path — range-partitioned sorted files instead of a single-task
+    // coalesce(1). The read-back is the identical row set (same oracle
+    // shape as s9), proving the two sinks are interchangeable: per-file
+    // order + range-ordered file boundaries reassemble to the global
+    // order, with write parallelism = partitions instead of 1.
+    "s9_range_sorted" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmpDir("graft-s9b")
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", $"source", length($"text").as("tlen"))
+      graft.ops.Scale.rangeSortedWrite(docs, path, "doc_id", partitions = 8)
+      s.read.option("header", "true")
+        .schema("doc_id LONG, source STRING, tlen INT")
+        .csv(path)
+        .orderBy($"doc_id")
+    }),
+
     // S8+F7b+F17+T11/T12 composed: the reference's abbreviation re-patch
     // tool (tools/patchabbrev.py:165-229) as one lineage over the bucketed
     // store — read the extracted sections, skip already-enriched rows
@@ -169,6 +187,10 @@ object SinkQueries {
         |WHERE doc_id IN (7, 42, 137)
         |ORDER BY doc_id""".stripMargin,
     "s9_csv_roundtrip" ->
+      """SELECT doc_id, source, CAST(length(text) AS INT) AS tlen
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "s9_range_sorted" ->
       """SELECT doc_id, source, CAST(length(text) AS INT) AS tlen
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
