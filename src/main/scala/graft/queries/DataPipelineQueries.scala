@@ -178,6 +178,39 @@ object DataPipelineQueries {
         .orderBy($"w_start", $"event_type")
     }),
 
+    // The custom-state streaming path (flatMapGroupsWithState event-time
+    // sessionization) EXECUTED under the gate. Single data batch -> every
+    // user's full event list processes in arrival order with the watermark
+    // still initial, so all non-final sessions close in-batch; the no-data
+    // batch then times out exactly the final sessions whose
+    // (last event + gap) precedes the final watermark (max(ts) - gap,
+    // millisecond-floored — Spark watermarks are ms-based). Both emission
+    // classes are closed-form, so the full emitted session set is
+    // SQL-derivable from the o5_sessionize lag/cumsum construction.
+    "stream_sessionize_exec" -> ((s, dir) => {
+      import s.implicits._
+      val src = graft.util.TempDirs.create("graft-sess-exec") + "/src"
+      val staged = events(s, dir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      staged.coalesce(1).write.parquet(src)
+      val stream = s.readStream.schema(staged.schema).parquet(src)
+      val name = s"sess_exec_${StreamExecId.incrementAndGet()}"
+      val q = graft.streaming.StreamOps.sessionize(s, stream).toDF()
+        .select($"user_id", unix_micros($"start").as("start_us"),
+          unix_micros($"end").as("end_us"), $"n_events")
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(240000)
+      if (q.isActive) q.stop()
+      val tbl = s.table(name)
+      val schema = tbl.schema
+      val out = tbl.collect() // bounded: one row per emitted session
+      s.catalog.dropTempView(name)
+      s.createDataFrame(s.sparkContext.parallelize(out.toIndexedSeq, 1), schema)
+        .orderBy($"user_id", $"start_us")
+    }),
+
     // Embedding-cosine near-dup pairs (fixed-point arithmetic -> exact
     // DuckDB parity).
     "d5_embedding_neardup" -> ((s, dir) => {
@@ -775,6 +808,33 @@ object DataPipelineQueries {
     // the full batch aggregate; the no-data batch then finalizes exactly
     // the windows whose end <= max(ts) - 10min (verified at sf0.001/0.01:
     // emitted set == this closed form, no boundary collision).
+    // Emitted sessions = every non-final session per user (closed
+    // in-batch) + final sessions timed out by the last watermark
+    // (end_ms + gap < max_ms - gap); verified emission-exact at
+    // sf0.001/sf0.01 with no < / <= boundary collision.
+    "stream_sessionize_exec" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |wm AS (SELECT MAX(tus) // 1000 - 1800000 AS wm_ms FROM e),
+        |lagd AS (
+        |  SELECT *, lag(tus) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id) AS prev FROM e),
+        |flag AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR tus - prev > 1800000000
+        |    THEN 1 ELSE 0 END AS ns FROM lagd),
+        |sess AS (
+        |  SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS sno FROM flag),
+        |agg AS (
+        |  SELECT user_id, sno, CAST(COUNT(*) AS INT) AS n_events,
+        |    MIN(tus) AS start_us, MAX(tus) AS end_us
+        |  FROM sess GROUP BY user_id, sno),
+        |lastd AS (
+        |  SELECT *, MAX(sno) OVER (PARTITION BY user_id) AS max_sno FROM agg)
+        |SELECT user_id, start_us, end_us, n_events
+        |FROM lastd, wm
+        |WHERE sno < max_sno OR (end_us // 1000) + 1800000 < wm_ms
+        |ORDER BY user_id, start_us""".stripMargin,
     "stream_window_exec" ->
       """WITH wm AS (SELECT MAX(epoch_us(ts)) - 600000000 AS wm_us FROM events),
         |wins AS (
