@@ -34,6 +34,38 @@ object DataPipelineQueries {
       src
     })
 
+  /** Drain a finished memory-sink streaming query: fail LOUDLY if the
+    * stream did not complete (a truncated sink would otherwise surface as
+    * a confusing oracle mismatch far from the cause), copy the bounded
+    * row set out as a driver-local relation (no extra job), and always
+    * drop the sink table — the memory sink pins its rows in driver memory
+    * for the JVM lifetime. */
+  private def drainMemorySink(s: SparkSession,
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      name: String): DataFrame = {
+    q.awaitTermination(240000)
+    if (q.isActive) {
+      q.stop()
+      sys.error(s"streaming query $name did not complete within 240s")
+    }
+    try {
+      val tbl = s.table(name)
+      s.createDataFrame(java.util.Arrays.asList(tbl.collect(): _*), tbl.schema)
+    } finally s.catalog.dropTempView(name)
+  }
+
+  /** The shared single-file events staging used by both executed
+    * streaming gates over the events table (byte-identical projection, so
+    * one cache entry serves both). */
+  private def stagedEvents(s: SparkSession, dir: String): (String,
+      org.apache.spark.sql.types.StructType) = {
+    import s.implicits._
+    val staged = events(s, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    (stagedSrc("events-exec", dir)(staged.coalesce(1).write.parquet(_)),
+      staged.schema)
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup groups by content fingerprint (word salads do collide).
     "d1_exact_dedup" -> ((s, dir) => {
@@ -146,13 +178,7 @@ object DataPipelineQueries {
         .writeStream.outputMode("append").format("memory").queryName(name)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(240000)
-      if (q.isActive) q.stop()
-      // copy the bounded key set out and drop the sink table so repeated
-      // invocations (bench reps) don't accumulate retained memory tables
-      val keys = s.table(name).select($"sh").as[Long].collect().sorted
-      s.catalog.dropTempView(name)
-      keys.toSeq.toDF("sh").orderBy($"sh")
+      drainMemorySink(s, q, name).orderBy($"sh")
     }),
 
     // The watermarked windowed aggregation EXECUTED under the gate: the
@@ -165,17 +191,14 @@ object DataPipelineQueries {
     // emission set. Exact-decimal sums keep cross-engine value parity.
     "stream_window_exec" -> ((s, dir) => {
       import s.implicits._
-      val staged = events(s, dir)
-        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       // ONE staged file -> one data micro-batch: the watermark is still at
       // its initial value while the batch processes, so no input row is
       // ever dropped as late and the emission set is closed-form (several
       // files would advance the watermark between batches and drop
       // stragglers in file-listing order — correct streaming semantics,
       // but not an oracle-checkable set)
-      val src = stagedSrc("window-exec", dir)(
-        staged.coalesce(1).write.parquet(_))
-      val stream = s.readStream.schema(staged.schema).parquet(src)
+      val (src, schema) = stagedEvents(s, dir)
+      val stream = s.readStream.schema(schema).parquet(src)
       val name = s"window_exec_${StreamExecId.incrementAndGet()}"
       val q = graft.streaming.StreamOps.windowedAgg(stream)
         .select(date_format($"window.start", "yyyy-MM-dd HH:mm").as("w_start"),
@@ -183,13 +206,7 @@ object DataPipelineQueries {
         .writeStream.outputMode("append").format("memory").queryName(name)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(240000)
-      if (q.isActive) q.stop()
-      val tbl = s.table(name)
-      val schema = tbl.schema
-      val out = tbl.collect() // bounded: one row per finalized window
-      s.catalog.dropTempView(name)
-      s.createDataFrame(s.sparkContext.parallelize(out.toIndexedSeq, 1), schema)
+      drainMemorySink(s, q, name)
         .orderBy($"w_start", $"event_type")
     }),
 
@@ -204,11 +221,8 @@ object DataPipelineQueries {
     // SQL-derivable from the o5_sessionize lag/cumsum construction.
     "stream_sessionize_exec" -> ((s, dir) => {
       import s.implicits._
-      val staged = events(s, dir)
-        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
-      val src = stagedSrc("sess-exec", dir)(
-        staged.coalesce(1).write.parquet(_))
-      val stream = s.readStream.schema(staged.schema).parquet(src)
+      val (src, schema) = stagedEvents(s, dir)
+      val stream = s.readStream.schema(schema).parquet(src)
       val name = s"sess_exec_${StreamExecId.incrementAndGet()}"
       val q = graft.streaming.StreamOps.sessionize(s, stream).toDF()
         .select($"user_id", unix_micros($"start").as("start_us"),
@@ -216,13 +230,7 @@ object DataPipelineQueries {
         .writeStream.outputMode("append").format("memory").queryName(name)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(240000)
-      if (q.isActive) q.stop()
-      val tbl = s.table(name)
-      val schema = tbl.schema
-      val out = tbl.collect() // bounded: one row per emitted session
-      s.catalog.dropTempView(name)
-      s.createDataFrame(s.sparkContext.parallelize(out.toIndexedSeq, 1), schema)
+      drainMemorySink(s, q, name)
         .orderBy($"user_id", $"start_us")
     }),
 
