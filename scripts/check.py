@@ -37,6 +37,23 @@ def main(sf_dir, out_dir):
         gc = sorted(got.column_names); wc = sorted(want.column_names)
         if gc != wc:
             print(f"[BAD ] {name}: columns {gc} != {wc}"); n_bad += 1; continue
+        # The driver's hash is TYPE-sensitive (pandas dtypes), while Python
+        # `==` is not (Decimal(3) == 3). A DuckDB HUGEINT (uncast SUM) or
+        # DECIMAL column vs Spark int64/double passes value-compare but
+        # fails the driver — flag any cross-engine arrow-type family drift.
+        fam = lambda t: ("int" if "int" in str(t) else
+                         "float" if ("float" in str(t) or "double" in str(t)) else
+                         "decimal" if "decimal" in str(t) else
+                         "ts" if "timestamp" in str(t) else
+                         "str" if "string" in str(t) else str(t))
+        tdrift = [(c, got.schema.field(c).type, want.schema.field(c).type)
+                  for c in gc
+                  if fam(got.schema.field(c).type) != fam(want.schema.field(c).type)]
+        if tdrift:
+            c, a, b = tdrift[0]
+            print(f"[BAD ] {name}: type drift on '{c}': spark={a} duck={b}"
+                  f" (driver hash is type-sensitive)")
+            n_bad += 1; continue
         if len(g) != len(w):
             print(f"[BAD ] {name}: rows {len(g)} != {len(w)}"); n_bad += 1; continue
         mism = [(i, a, b) for i, (a, b) in enumerate(zip(g, w)) if a != b]

@@ -1109,8 +1109,8 @@ object DataPipelineQueries {
         |    FROM filtered) z WHERE rn = 1),
         |sampled AS (
         |  SELECT doc_id, n_tokens, quality,
-        |    SUM(CAST(n_tokens AS BIGINT)) OVER (ORDER BY quality DESC, doc_id
-        |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |    CAST(SUM(CAST(n_tokens AS BIGINT)) OVER (ORDER BY quality DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
         |  FROM deduped)
         |SELECT doc_id, n_tokens, cum_tokens, quality
         |FROM sampled WHERE cum_tokens <= 100000

@@ -490,7 +490,7 @@ object RelationalQueries {
         |  (200.0 * length(text)) / (2 * length(text) + 18) AS r_suffix,
         |  (200.0 * least(length(text), 100))
         |    / (least(length(text), 100) + length(text)) AS r_prefix,
-        |  100.0 AS pr_sub
+        |  CAST(100.0 AS DOUBLE) AS pr_sub
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "j2_fuzzy_join" ->
