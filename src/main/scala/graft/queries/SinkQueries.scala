@@ -42,13 +42,16 @@ object SinkQueries {
     }),
 
     // S7: point lookups against the bucketed layout — the explicit bucket
-    // predicate statically prunes to one partition directory per key.
+    // predicate statically prunes to one partition directory per key. The
+    // store is built once per testdata dir (TempDirs.cached): the lookup,
+    // not the staging write, is the operator under test.
     "s7_point_lookup" -> ((s, dir) => {
       import s.implicits._
-      val path = tmpDir("graft-s7")
-      val docs = t(s, dir, "documents")
-        .select($"doc_id", $"source", length($"text").as("tlen"))
-      Sinks.writeBucketed(docs, path, "doc_id")
+      val path = TempDirs.cached("s7-store", dir) { p =>
+        val docs = t(s, dir, "documents")
+          .select($"doc_id", $"source", length($"text").as("tlen"))
+        Sinks.writeBucketed(docs, p, "doc_id")
+      }
       Seq(7L, 42L, 137L)
         .map(i => Sinks.pointLookup(s, path, "doc_id", i))
         .reduce(_ unionByName _)

@@ -25,6 +25,21 @@ object TempDirs {
     d.toString
   }
 
+  private val cachedDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** Build-once temp payload keyed by (kind, key): `write` fills a fresh
+    * subdirectory the first time, later callers get the same path. For
+    * staged inputs / stores that are deterministic functions of the
+    * testdata dir, so repeated invocations (bench min-of-N reps) measure
+    * the operator under test, not the one-time staging write. */
+  def cached(kind: String, key: String)(write: String => Unit): String =
+    cachedDirs.computeIfAbsent((kind, key), { _ =>
+      val d = create(s"graft-$kind") + "/data"
+      write(d)
+      d
+    })
+
   private def delete(p: Path): Unit = {
     if (Files.isDirectory(p)) {
       val s = Files.list(p)
