@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-dup pair graph — the step that turns
+  * pairwise dedup output into an actionable keep/drop set (pick one
+  * canonical document per duplicate cluster), as in the C4/RefinedWeb-style
+  * curation pipelines the reference's corpus tooling feeds.
+  *
+  * The kernel is min-label propagation: every node starts labeled with its
+  * own id, and each round every node takes the minimum label among itself
+  * and its neighbors. After k rounds a node's label is the minimum id
+  * within k hops, so once k reaches the largest component diameter the
+  * labels are exactly the per-component minimum — the canonical
+  * representative. A fixed unroll keeps the computation deterministic and
+  * oracle-replicable; [[unconvergedCount]] proves (under the driver gate)
+  * that the chosen k actually converged on the corpus, which is the same
+  * stopping test a production fixpoint loop would run per round.
+  *
+  * Scale shape: the edge set is the OUTPUT of the bounded dedup miners
+  * (candidates per bucket are capped, so |edges| is linear-ish in corpus
+  * size, far below the document table), and each round is one shuffle
+  * join + one shuffle aggregation on 8-byte keys. At 100 TB the same
+  * rounds run with the labels checkpointed every few iterations to cut
+  * lineage, and the loop stops when a round changes nothing — min-label
+  * rounds needed = component diameter, and near-dup clusters are shallow
+  * (dup chains, not paths through the whole corpus).
+  */
+object Components {
+
+  /** Symmetrized (src, dst) view of an (id_1, id_2) pair set. */
+  private def symmetrized(pairs: DataFrame): DataFrame =
+    pairs.select(col("id_1").as("src"), col("id_2").as("dst"))
+      .union(pairs.select(col("id_2").as("src"), col("id_1").as("dst")))
+
+  /** Per-node component labels after `iters` min-label rounds:
+    * (id, rep) with rep = min id within `iters` hops — the component
+    * minimum once `iters` covers the component diameter.
+    *
+    * Each round references the previous labels twice (neighbor lookup +
+    * self union), so without a lineage cut the logical plan doubles per
+    * round — 2^iters copies of the upstream pair-mining subtree, which
+    * stalls the optimizer long before execution. localCheckpoint per
+    * round keeps the plan constant-size; at cluster scale the same cut is
+    * a reliable checkpoint every few rounds. */
+  def minLabelComponents(pairs: DataFrame, iters: Int): DataFrame = {
+    val edges = pairs.select(col("id_1"), col("id_2")).localCheckpoint()
+    val sym = symmetrized(edges)
+    // every edge endpoint appears as src in the symmetrized view
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("rep"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val viaEdges = sym
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("rep"))
+      labels = viaEdges.union(labels.select(col("id"), col("rep")))
+        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** The keep/drop verdict per clustered doc: its component representative
+    * (minimum doc id in the cluster) and whether this doc IS the keeper.
+    * Docs in no near-dup pair are implicitly keepers and not emitted —
+    * joining this back anti/semi against the corpus is the drop step. */
+  def dedupVerdicts(pairs: DataFrame, iters: Int): DataFrame =
+    minLabelComponents(pairs, iters)
+      .select(col("id"), col("rep"), (col("id") === col("rep")).as("keep"))
+
+  /** Number of nodes whose label would still change given one more round —
+    * 0 iff `iters` rounds reached the fixpoint on this graph. Emitted
+    * alongside component stats so convergence is gate-checkable, not
+    * assumed. */
+  def componentStats(pairs: DataFrame, iters: Int): DataFrame = {
+    val edges = pairs.select(col("id_1"), col("id_2")).localCheckpoint()
+    val sym = symmetrized(edges)
+    val at = minLabelComponents(edges, iters)
+    val next = sym.join(at.withColumnRenamed("id", "dst"), "dst")
+      .select(col("src").as("id"), col("rep"))
+      .union(at.select(col("id"), col("rep")))
+      .groupBy(col("id")).agg(min(col("rep")).as("rep"))
+    val changed = at.withColumnRenamed("rep", "rep_k")
+      .join(next.withColumnRenamed("rep", "rep_k1"), "id")
+      .filter(col("rep_k") =!= col("rep_k1"))
+    at.agg(
+      count(lit(1)).as("n_nodes"),
+      countDistinct(col("rep")).as("n_components"))
+      .crossJoin(changed.agg(count(lit(1)).as("n_unconverged")))
+  }
+}

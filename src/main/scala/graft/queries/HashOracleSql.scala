@@ -248,4 +248,46 @@ private[queries] object HashOracleSql {
     s"""
        |SELECT DISTINCT sh FROM shs
        |ORDER BY sh""".stripMargin
+
+  /** Shared CTE chain for the connected-components twins: the MinHash
+    * near-dup pair set (the full d3 twin as a scoped subquery), its
+    * symmetrized edge view, and `iters` unrolled min-label rounds
+    * l0..l`iters` — the exact replay of Components.minLabelComponents.
+    * MATERIALIZED barriers keep DuckDB from macro-expanding the round
+    * chain (see the lateral-alias blowup note above d3Sql). */
+  private def ccCtes(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT id, MIN(rep) AS rep FROM (
+         |    SELECT e.src AS id, l.rep FROM sym e JOIN l${i - 1} l ON l.id = e.dst
+         |    UNION ALL SELECT id, rep FROM l${i - 1}) z
+         |  GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""pairs AS MATERIALIZED (SELECT id_1, id_2 FROM (${d3Sql()}) __d3),
+       |sym AS (SELECT id_1 AS src, id_2 AS dst FROM pairs
+       |        UNION ALL SELECT id_2 AS src, id_1 AS dst FROM pairs),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS rep FROM sym),
+       |$rounds""".stripMargin
+  }
+
+  /** d6_neardup_components: per clustered doc its component representative
+    * (min doc id within `iters` hops = the component minimum once
+    * converged — gated by d6StatsSql's n_unconverged) and the keep bit. */
+  def d6Sql(iters: Int): String =
+    s"""WITH ${ccCtes(iters)}
+       |SELECT id, rep, id = rep AS keep
+       |FROM l$iters
+       |ORDER BY id""".stripMargin
+
+  /** d6b_component_stats: node/component counts plus the number of labels
+    * one more round would still change — 0 proves the unroll depth reached
+    * the fixpoint on this corpus (the convergence test a production loop
+    * runs per round, here driver-gated). */
+  def d6StatsSql(iters: Int): String =
+    s"""WITH ${ccCtes(iters + 1)}
+       |SELECT
+       |  (SELECT COUNT(*) FROM l$iters) AS n_nodes,
+       |  (SELECT COUNT(DISTINCT rep) FROM l$iters) AS n_components,
+       |  (SELECT COUNT(*) FROM l$iters a JOIN l${iters + 1} b
+       |     ON a.id = b.id AND a.rep <> b.rep) AS n_unconverged""".stripMargin
 }

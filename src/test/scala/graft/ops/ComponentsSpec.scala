@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a 5-chain (diameter 4), a triangle, and an isolated pair
+  private def pairs = Seq(
+    (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+    (20L, 21L), (21L, 22L), (20L, 22L),
+    (30L, 31L))
+    .toDF("id_1", "id_2")
+
+  test("min-label components converge to per-component minima") {
+    val got = Components.minLabelComponents(pairs, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
+
+  test("dedupVerdicts keeps exactly the component minimum") {
+    val v = Components.dedupVerdicts(pairs, iters = 4)
+      .as[(Long, Long, Boolean)].collect()
+    assert(v.filter(_._3).map(_._1).sorted.toSeq == Seq(1L, 20L, 30L))
+    assert(v.count(!_._3) == 7)
+  }
+
+  test("componentStats: converged at depth >= diameter, detects truncation") {
+    val ok = Components.componentStats(pairs, iters = 4).collect().head
+    assert((ok.getLong(0), ok.getLong(1), ok.getLong(2)) == ((10L, 3L, 0L)))
+    // depth 1 cannot close the 5-chain: the fixpoint test must say so
+    val short = Components.componentStats(pairs, iters = 1).collect().head
+    assert(short.getLong(2) > 0L)
+  }
+
+  test("labels after k rounds = min id within k hops (truncation semantics)") {
+    // chain 1-2-3-4-5 at iters=1: each node sees only direct neighbors
+    val l1 = Components.minLabelComponents(pairs, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(l1(5L) == 4L && l1(3L) == 2L && l1(2L) == 1L)
+  }
+}
