@@ -565,6 +565,52 @@ object DataPipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // Corpus-level stats per predicted language: counts, exact-integer
+    // mean, and exact DISCRETE percentiles — the value at position
+    // ceil(p*n) in (n_tokens, doc_id) order, located with pure integer
+    // arithmetic (`div`; 0.95*n in double could round the position). An
+    // interpolating percentile would hinge on both engines' float
+    // interpolation; the discrete one is bit-exact by construction.
+    "ta_corpus_stats" -> ((s, dir) => {
+      import s.implicits._
+      val prof = t(s, dir, "documents").select($"doc_id",
+        TextAnalysis.langId($"text").as("lang"),
+        TextAnalysis.tokenCountBpe($"text").as("n_tokens"))
+      val w = Window.partitionBy($"lang").orderBy($"n_tokens", $"doc_id")
+      val wc = Window.partitionBy($"lang")
+      prof
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wc))
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_tokens".cast("long")).as("sum_tokens"),
+          (sum($"n_tokens".cast("long")).cast("double") /
+            count(lit(1)).cast("double")).as("mean_tokens"),
+          max(when($"rn" === expr("(n + 1) div 2"), $"n_tokens"))
+            .as("median_tokens"),
+          max(when($"rn" === expr("(95 * n + 99) div 100"), $"n_tokens"))
+            .as("p95_tokens"))
+        .orderBy($"lang")
+    }),
+
+    // Deterministic seeded stratified sampling: rank docs inside each
+    // language stratum by xxhash64(doc_id) (a fixed, data-independent
+    // permutation) and keep the first 25 — the standard "uniform sample
+    // per stratum with an exact cap" curation step, reproducible across
+    // runs and engines (the twin replays Spark's XXH64 in mod-2^64 SQL).
+    // One window shuffle on the stratum key at any scale.
+    "sample_stratified" -> ((s, dir) => {
+      import s.implicits._
+      val prof = t(s, dir, "documents").select($"doc_id",
+        TextAnalysis.langId($"text").as("lang"),
+        xxhash64($"doc_id").as("h"))
+      val w = Window.partitionBy($"lang").orderBy($"h", $"doc_id")
+      prof.withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 25)
+        .orderBy($"lang", $"rk")
+    }),
+
     // The operators composed as a training-data CURATION lineage — the
     // shape a 100 TB corpus actually runs: quality-gate (exact-count
     // formula), exact-dedup keep-first (fingerprint window), then a
@@ -641,6 +687,27 @@ object DataPipelineQueries {
       |      + len(regexp_extract_all(text, '\bof\b')) + len(regexp_extract_all(text, '\bis\b'))
       |      + len(regexp_extract_all(text, '\ba\b')) + len(regexp_extract_all(text, '\bto\b'))
       |      + len(regexp_extract_all(text, '\bin\b'))""".stripMargin
+  // Per-language marker-score columns and the fixed-priority language
+  // CASE — the SQL twins of TextAnalysis.{langScore, langId}, shared by
+  // ta_text_profile / ta_corpus_stats / sample_stratified.
+  private val langScoresSql =
+    """len(regexp_extract_all(text, '\bder\b')) + len(regexp_extract_all(text, '\bund\b'))
+      |      + len(regexp_extract_all(text, '\bdie\b')) + len(regexp_extract_all(text, '\bnicht\b')) AS s_de,
+      |    len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\band\b'))
+      |      + len(regexp_extract_all(text, '\bof\b')) + len(regexp_extract_all(text, '\bis\b')) AS s_en,
+      |    len(regexp_extract_all(text, '\bel\b')) + len(regexp_extract_all(text, '\blos\b'))
+      |      + len(regexp_extract_all(text, '\bque\b')) + len(regexp_extract_all(text, '\bes\b')) AS s_es,
+      |    len(regexp_extract_all(text, '\ble\b')) + len(regexp_extract_all(text, '\bles\b'))
+      |      + len(regexp_extract_all(text, '\bdes\b')) + len(regexp_extract_all(text, '\best\b')) AS s_fr,
+      |    len(regexp_extract_all(text, '\bde\b')) + len(regexp_extract_all(text, '\bshi\b'))
+      |      + len(regexp_extract_all(text, '\bbu\b')) + len(regexp_extract_all(text, '\ble\b')) AS s_zh""".stripMargin
+  private val predLangCaseSql =
+    """CASE WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |       WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |       WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_en AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |       WHEN s_fr > 0 AND s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+      |       WHEN s_zh > 0 AND s_zh >= s_de AND s_zh >= s_en AND s_zh >= s_es AND s_zh >= s_fr THEN 'zh'
+      |       ELSE 'und' END""".stripMargin
   private val qualityScoreSql =
     s"""least(CAST(length(text) AS DOUBLE)/400.0, 1.0)*0.4
        |   + (CASE WHEN CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE)/CAST(greatest(length(text),1) AS DOUBLE) <= 0.05 THEN 1.0 ELSE 0.5 END)*0.2
@@ -1082,40 +1149,58 @@ object DataPipelineQueries {
         |             / (64 + length(text) % 577)) AS INT) AS out_height
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
-    // pred_lang's marker scores stay inline (they appear once); n_words /
-    // n_tokens / s_stop and the whole quality formula come from the shared
-    // fragments so they cannot drift from curate_sample's copies.
+    // pred_lang's marker scores and CASE come from the shared fragments
+    // (also consumed by ta_corpus_stats / sample_stratified); n_words /
+    // n_tokens / s_stop and the whole quality formula likewise cannot
+    // drift from curate_sample's copies.
     "ta_text_profile" ->
       ("""WITH scored AS (
         |  SELECT doc_id, text,
-        |    len(regexp_extract_all(text, '\bder\b')) + len(regexp_extract_all(text, '\bund\b'))
-        |      + len(regexp_extract_all(text, '\bdie\b')) + len(regexp_extract_all(text, '\bnicht\b')) AS s_de,
-        |    len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\band\b'))
-        |      + len(regexp_extract_all(text, '\bof\b')) + len(regexp_extract_all(text, '\bis\b')) AS s_en,
-        |    len(regexp_extract_all(text, '\bel\b')) + len(regexp_extract_all(text, '\blos\b'))
-        |      + len(regexp_extract_all(text, '\bque\b')) + len(regexp_extract_all(text, '\bes\b')) AS s_es,
-        |    len(regexp_extract_all(text, '\ble\b')) + len(regexp_extract_all(text, '\bles\b'))
-        |      + len(regexp_extract_all(text, '\bdes\b')) + len(regexp_extract_all(text, '\best\b')) AS s_fr,
-        |    len(regexp_extract_all(text, '\bde\b')) + len(regexp_extract_all(text, '\bshi\b'))
-        |      + len(regexp_extract_all(text, '\bbu\b')) + len(regexp_extract_all(text, '\ble\b')) AS s_zh,
         |""".stripMargin +
+        s"    $langScoresSql,\n" +
         s"    $wordCountSql AS n_words,\n" +
         s"    $tokenCountSql AS n_tokens,\n" +
         s"    $stopCountSql AS s_stop\n" +
         """  FROM documents)
         |SELECT doc_id,
-        |  CASE WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-        |       WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-        |       WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_en AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
-        |       WHEN s_fr > 0 AND s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
-        |       WHEN s_zh > 0 AND s_zh >= s_de AND s_zh >= s_en AND s_zh >= s_es AND s_zh >= s_fr THEN 'zh'
-        |       ELSE 'und' END AS pred_lang,
-        |  CAST(n_words AS INT) AS n_words,
+        |""".stripMargin +
+        s"  $predLangCaseSql AS pred_lang,\n" +
+        """  CAST(n_words AS INT) AS n_words,
         |  CAST(n_tokens AS INT) AS n_tokens,
         |  CAST(s_stop AS DOUBLE)/CAST(greatest(n_words, 1) AS DOUBLE) AS stopword_ratio,
         |""".stripMargin +
         s"  $qualityScoreSql AS quality\n" +
         "FROM scored\nORDER BY doc_id"),
+    // Corpus-level stats per predicted language with exact DISCRETE
+    // percentiles (value at ceil(p*n) in (n_tokens, doc_id) order —
+    // integer position arithmetic, so no interpolation float drift).
+    "ta_corpus_stats" ->
+      (s"""WITH scored AS (
+        |  SELECT doc_id, text,
+        |    $langScoresSql,
+        |    $tokenCountSql AS n_tokens
+        |  FROM documents),
+        |prof AS (SELECT doc_id, $predLangCaseSql AS lang,
+        |  CAST(n_tokens AS INT) AS n_tokens FROM scored),
+        |pos AS (SELECT *,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM prof)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS sum_tokens,
+        |  CAST(CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS mean_tokens,
+        |  MAX(CASE WHEN rn = (n + 1) // 2 THEN n_tokens END) AS median_tokens,
+        |  MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN n_tokens END) AS p95_tokens
+        |FROM pos GROUP BY lang
+        |ORDER BY lang""".stripMargin),
+    "sample_stratified" ->
+      HashOracleSql.stratifiedSampleSql(
+        s"""SELECT doc_id, $predLangCaseSql AS lang FROM (
+           |  SELECT doc_id, text,
+           |    $langScoresSql
+           |  FROM documents) scored""".stripMargin,
+        cap = 25),
     "a4_vector_mean" ->
       """SELECT label, pos,
         |  CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE)*1000000) AS BIGINT)) AS DOUBLE)

@@ -279,6 +279,23 @@ private[queries] object HashOracleSql {
        |FROM l$iters
        |ORDER BY id""".stripMargin
 
+  /** sample_stratified: deterministic per-stratum sampling — rank docs
+    * inside each stratum by Spark's xxhash64(doc_id) (seed 42, replayed
+    * here step-for-step in mod-2^64 arithmetic) and keep the first `cap`.
+    * `langPerDocSql` must yield (doc_id BIGINT, lang VARCHAR) rows. */
+  def stratifiedSampleSql(langPerDocSql: String, cap: Int): String = {
+    val hashed = layered(s"SELECT doc_id, lang FROM ($langPerDocSql) ld",
+      xxhSteps("smp", "doc_id", "CAST(42 AS HUGEINT)"))
+    s"""WITH hs AS MATERIALIZED (
+       |  SELECT doc_id, lang, smpout AS h FROM ($hashed) q),
+       |rk AS (SELECT doc_id, lang, h,
+       |  row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+       |  FROM hs)
+       |SELECT doc_id, lang, h, CAST(rk AS INT) AS rk
+       |FROM rk WHERE rk <= $cap
+       |ORDER BY lang, rk""".stripMargin
+  }
+
   /** d6b_component_stats: node/component counts plus the number of labels
     * one more round would still change — 0 proves the unroll depth reached
     * the fixpoint on this corpus (the convergence test a production loop

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The corpus-stats / stratified-sample query kernels: discrete
+  * percentile positioning and the seeded per-stratum cap. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ta_corpus_stats: discrete median/p95 land on exact sorted positions") {
+    val df = graft.SparkEntry.queries("ta_corpus_stats")(
+      spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val med = r.getAs[Int]("median_tokens")
+      val p95 = r.getAs[Int]("p95_tokens")
+      val mean = r.getAs[Double]("mean_tokens")
+      assert(med <= p95, s"median $med > p95 $p95")
+      assert(mean == r.getAs[Long]("sum_tokens").toDouble / n)
+    }
+  }
+
+  test("discrete percentile = value at ceil(p*n), no interpolation") {
+    // 4 values: median pos = (4+1) div 2 = 2 -> 20; p95 pos = (380+99) div 100 = 4 -> 40
+    val df = Seq((1L, 10), (2L, 20), (3L, 30), (4L, 40))
+      .toDF("doc_id", "n_tokens").withColumn("lang", lit("en"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"n_tokens", $"doc_id")
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+    val got = df
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wc))
+      .groupBy($"lang")
+      .agg(
+        max(when($"rn" === expr("(n + 1) div 2"), $"n_tokens")).as("med"),
+        max(when($"rn" === expr("(95 * n + 99) div 100"), $"n_tokens")).as("p95"))
+      .collect().head
+    assert(got.getInt(1) == 20 && got.getInt(2) == 40)
+  }
+
+  test("sample_stratified: per-stratum cap, deterministic, hash-ordered") {
+    val dir = "/root/testdata/sf0.001"
+    val a = graft.SparkEntry.queries("sample_stratified")(spark, dir).collect()
+    val b = graft.SparkEntry.queries("sample_stratified")(spark, dir).collect()
+    assert(a.toSeq == b.toSeq) // seeded: identical across runs
+    val perLang = a.groupBy(_.getAs[String]("lang"))
+    perLang.foreach { case (_, rows) =>
+      assert(rows.length <= 25)
+      val ranked = rows.sortBy(_.getAs[Int]("rk"))
+      val hs = ranked.map(_.getAs[Long]("h"))
+      assert(hs.sameElements(hs.sorted), "rank must follow hash order")
+    }
+  }
+}
