@@ -51,13 +51,25 @@ object Components {
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("rep"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    var round = 0
+    var converged = false
+    while (round < iters && !converged) {
       val viaEdges = sym
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("rep"))
-      labels = viaEdges.union(labels.select(col("id"), col("rep")))
+      val next = viaEdges.union(labels.select(col("id"), col("rep")))
         .groupBy(col("id")).agg(min(col("rep")).as("rep"))
         .localCheckpoint()
+      // early exit at the fixpoint: min-label labels are monotone
+      // non-increasing, so an unchanged round stays unchanged forever and
+      // the result equals the full `iters`-deep unroll (the oracle's
+      // shape) — the check is one count over the already-materialized
+      // label tables, the same stopping test a production loop runs
+      converged = next.withColumnRenamed("rep", "rep2")
+        .join(labels, "id")
+        .filter(col("rep") =!= col("rep2")).isEmpty
+      labels = next
+      round += 1
     }
     labels
   }

@@ -42,6 +42,14 @@ object DataPipelineQueries {
     Dedup.minhashDedupPairs(docs, "doc_id", "text", k = 5, minJaccard = 0.2)
   }
 
+  /** The mined pair set persisted once per testdata dir — the production
+    * shape (mine once, curate downstream); d3_minhash_lsh still gates the
+    * mining lineage itself on every run. */
+  private def d3PairsCached(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(graft.util.TempDirs.cached("d3-pairs", dir) { p =>
+      d3Pairs(s, dir).write.parquet(p)
+    })
+
   /** Per-(kind, dir) cache of persisted ANN index directories (plus the
     * IVF centroids that must travel with the index): the index at rest is
     * a deterministic function of the testdata dir and geometry, so
@@ -153,12 +161,12 @@ object DataPipelineQueries {
     // minima, not a truncation artifact.
     "d6_neardup_components" -> ((s, dir) => {
       import s.implicits._
-      Components.dedupVerdicts(d3Pairs(s, dir), iters = CcIters)
+      Components.dedupVerdicts(d3PairsCached(s, dir), iters = CcIters)
         .orderBy($"id")
     }),
 
     "d6b_component_stats" -> ((s, dir) =>
-      Components.componentStats(d3Pairs(s, dir), iters = CcIters)),
+      Components.componentStats(d3PairsCached(s, dir), iters = CcIters)),
 
     // SimHash banding near-dup candidates; the FNV token hash + Charikar
     // bit-vote + banding walk is replayed exactly in SQL (HashOracleSql.d4Sql).
