@@ -168,6 +168,20 @@ object DataPipelineQueries {
     "d6b_component_stats" -> ((s, dir) =>
       Components.componentStats(d3PairsCached(s, dir), iters = CcIters)),
 
+    // The APPLY step of near-dup dedup: the corpus minus every
+    // non-canonical cluster member — a broadcast anti-join at any scale
+    // (the drop set is bounded by the pair graph, far below the corpus).
+    "d6c_dedup_apply" -> ((s, dir) => {
+      import s.implicits._
+      val drops = Components
+        .dedupVerdicts(d3PairsCached(s, dir), iters = CcIters)
+        .filter(!$"keep").select($"id".as("doc_id"))
+      t(s, dir, "documents")
+        .join(broadcast(drops), Seq("doc_id"), "left_anti")
+        .select($"doc_id", length($"text").as("text_len"))
+        .orderBy($"doc_id")
+    }),
+
     // SimHash banding near-dup candidates; the FNV token hash + Charikar
     // bit-vote + banding walk is replayed exactly in SQL (HashOracleSql.d4Sql).
     "d4_simhash" -> ((s, dir) => {
@@ -965,6 +979,7 @@ object DataPipelineQueries {
     "d3_minhash_lsh" -> HashOracleSql.d3Sql(),
     "d6_neardup_components" -> HashOracleSql.d6Sql(iters = 8),
     "d6b_component_stats" -> HashOracleSql.d6StatsSql(iters = 8),
+    "d6c_dedup_apply" -> HashOracleSql.d6ApplySql(iters = 8),
     "d3b_minhash_bands" ->
       HashOracleSql.d3Sql(numBands = 8, docFilter = "doc_id % 2 = 0"),
     "d4_simhash" -> HashOracleSql.d4Sql,

@@ -296,6 +296,17 @@ private[queries] object HashOracleSql {
        |ORDER BY lang, rk""".stripMargin
   }
 
+  /** d6c_dedup_apply: the deduplicated corpus — every document minus the
+    * non-canonical members of each near-dup component (anti-join against
+    * the drop set; docs in no pair are implicitly kept). */
+  def d6ApplySql(iters: Int): String =
+    s"""WITH ${ccCtes(iters)},
+       |drops AS (SELECT id FROM l$iters WHERE id <> rep)
+       |SELECT d.doc_id, CAST(length(d.text) AS INT) AS text_len
+       |FROM documents d LEFT JOIN drops ON d.doc_id = drops.id
+       |WHERE drops.id IS NULL
+       |ORDER BY d.doc_id""".stripMargin
+
   /** d6b_component_stats: node/component counts plus the number of labels
     * one more round would still change — 0 proves the unroll depth reached
     * the fixpoint on this corpus (the convergence test a production loop
