@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Components, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Components, Dedup, Multimodal, Sampling, Similarity,
+  TextAnalysis}
 import graft.util.Tables._
 
 /** Training-data pipeline operators (driver north star): dedup family,
@@ -616,20 +617,23 @@ object DataPipelineQueries {
         .orderBy($"lang")
     }),
 
-    // Deterministic seeded stratified sampling: rank docs inside each
-    // language stratum by xxhash64(doc_id) (a fixed, data-independent
-    // permutation) and keep the first 25 — the standard "uniform sample
+    // Deterministic seeded stratified sampling: the 25 docs with the
+    // smallest xxhash64(doc_id) (a fixed, data-independent permutation)
+    // inside each language stratum, ranked — the standard "uniform sample
     // per stratum with an exact cap" curation step, reproducible across
-    // runs and engines (the twin replays Spark's XXH64 in mod-2^64 SQL).
-    // One window shuffle on the stratum key at any scale.
+    // runs and engines (the twin replays Spark's XXH64 in mod-2^64 SQL as
+    // a rank window — same rows by construction). Computed as a bounded
+    // TopKByKey aggregate, NOT a rank window: map-side partials keep <=25
+    // pairs per stratum per task, so the shuffle carries only partials
+    // and a billion-row stratum never funnels through one sort partition.
     "sample_stratified" -> ((s, dir) => {
       import s.implicits._
       val prof = t(s, dir, "documents").select($"doc_id",
         TextAnalysis.langId($"text").as("lang"),
         xxhash64($"doc_id").as("h"))
-      val w = Window.partitionBy($"lang").orderBy($"h", $"doc_id")
-      prof.withColumn("rk", row_number().over(w))
-        .filter($"rk" <= 25)
+      Sampling.stratifiedSample(prof, $"lang", $"doc_id", $"h", cap = 25)
+        .select($"id".as("doc_id"), $"stratum".as("lang"), $"hash".as("h"),
+          $"rk")
         .orderBy($"lang", $"rk")
     }),
 

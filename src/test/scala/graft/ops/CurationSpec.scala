@@ -42,6 +42,29 @@ class CurationSpec extends SparkSpec {
     assert(got.getInt(1) == 20 && got.getInt(2) == 40)
   }
 
+  test("TopKByKey sample == rank-window sample (exact parity)") {
+    val df = Seq.tabulate(200)(i => (i.toLong, s"s${i % 3}"))
+      .toDF("doc_id", "lang")
+      .withColumn("h", xxhash64($"doc_id"))
+    val agg = Sampling.stratifiedSample(df, $"lang", $"doc_id", $"h", cap = 7)
+      .select($"id", $"stratum", $"hash", $"rk")
+      .orderBy($"stratum", $"rk").collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"h", $"doc_id")
+    val win = df.withColumn("rk", row_number().over(w)).filter($"rk" <= 7)
+      .select($"doc_id", $"lang", $"h", $"rk".cast("int"))
+      .orderBy($"lang", $"rk").collect().toSeq
+    assert(agg == win)
+  }
+
+  test("TopKByKey aggregates partially (map-side), no rank-window sort") {
+    val plan = graft.SparkEntry.queries("sample_stratified")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(plan.contains("partial_top_k_by_key"),
+      s"expected a partial TopKByKey aggregate in:\n$plan")
+    assert(!plan.contains("row_number()"), "sample must not use a rank window")
+  }
+
   test("sample_stratified: per-stratum cap, deterministic, hash-ordered") {
     val dir = "/root/testdata/sf0.001"
     val a = graft.SparkEntry.queries("sample_stratified")(spark, dir).collect()
