@@ -590,29 +590,37 @@ object DataPipelineQueries {
 
     // Corpus-level stats per predicted language: counts, exact-integer
     // mean, and exact DISCRETE percentiles — the value at position
-    // ceil(p*n) in (n_tokens, doc_id) order, located with pure integer
-    // arithmetic (`div`; 0.95*n in double could round the position). An
+    // ceil(p*n) in sorted order, located with pure integer arithmetic
+    // (`div`; 0.95*n in double could round the position). An
     // interpolating percentile would hinge on both engines' float
     // interpolation; the discrete one is bit-exact by construction.
+    // Computed over the per-stratum VALUE HISTOGRAM, not a rank window:
+    // the distributed groupBy carries the full-table work, the cumulative
+    // window runs over (lang, distinct token count) rows — tiny — and the
+    // value at position p is the first histogram value whose cumulative
+    // count reaches p. No stratum ever sorts in one window partition
+    // (parity with the rank-window formulation proven in CurationSpec).
     "ta_corpus_stats" -> ((s, dir) => {
       import s.implicits._
       val prof = t(s, dir, "documents").select($"doc_id",
         TextAnalysis.langId($"text").as("lang"),
         TextAnalysis.tokenCountBpe($"text").as("n_tokens"))
-      val w = Window.partitionBy($"lang").orderBy($"n_tokens", $"doc_id")
-      val wc = Window.partitionBy($"lang")
-      prof
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(wc))
+      val hist = prof.groupBy($"lang", $"n_tokens")
+        .agg(count(lit(1)).as("c"))
+      val wcum = Window.partitionBy($"lang").orderBy($"n_tokens")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("cum", sum($"c").over(wcum))
+        .withColumn("n", sum($"c").over(Window.partitionBy($"lang")))
         .groupBy($"lang")
         .agg(
-          count(lit(1)).as("n_docs"),
-          sum($"n_tokens".cast("long")).as("sum_tokens"),
-          (sum($"n_tokens".cast("long")).cast("double") /
-            count(lit(1)).cast("double")).as("mean_tokens"),
-          max(when($"rn" === expr("(n + 1) div 2"), $"n_tokens"))
+          max($"n").as("n_docs"),
+          sum($"n_tokens".cast("long") * $"c").as("sum_tokens"),
+          (sum($"n_tokens".cast("long") * $"c").cast("double") /
+            max($"n").cast("double")).as("mean_tokens"),
+          min(when($"cum" >= expr("(n + 1) div 2"), $"n_tokens"))
             .as("median_tokens"),
-          max(when($"rn" === expr("(95 * n + 99) div 100"), $"n_tokens"))
+          min(when($"cum" >= expr("(95 * n + 99) div 100"), $"n_tokens"))
             .as("p95_tokens"))
         .orderBy($"lang")
     }),

@@ -24,6 +24,32 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("histogram percentile == rank-window percentile (exact parity)") {
+    // many ties + odd/even group sizes exercise the cum >= pos boundary
+    val df = Seq.tabulate(137)(i => (i.toLong, s"g${i % 2}", (i * 7) % 13))
+      .toDF("doc_id", "lang", "n_tokens")
+    val W = org.apache.spark.sql.expressions.Window
+    val wr = W.partitionBy($"lang").orderBy($"n_tokens", $"doc_id")
+    val wc = W.partitionBy($"lang")
+    val viaRank = df
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(wc))
+      .groupBy($"lang").agg(
+        max(when($"rn" === expr("(n + 1) div 2"), $"n_tokens")).as("med"),
+        max(when($"rn" === expr("(95 * n + 99) div 100"), $"n_tokens")).as("p95"))
+      .orderBy($"lang").collect().toSeq
+    val wcum = W.partitionBy($"lang").orderBy($"n_tokens")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val viaHist = df.groupBy($"lang", $"n_tokens").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(wcum))
+      .withColumn("n", sum($"c").over(W.partitionBy($"lang")))
+      .groupBy($"lang").agg(
+        min(when($"cum" >= expr("(n + 1) div 2"), $"n_tokens")).as("med"),
+        min(when($"cum" >= expr("(95 * n + 99) div 100"), $"n_tokens")).as("p95"))
+      .orderBy($"lang").collect().toSeq
+    assert(viaHist == viaRank)
+  }
+
   test("discrete percentile = value at ceil(p*n), no interpolation") {
     // 4 values: median pos = (4+1) div 2 = 2 -> 20; p95 pos = (380+99) div 100 = 4 -> 40
     val df = Seq((1L, 10), (2L, 20), (3L, 30), (4L, 40))
