@@ -172,11 +172,17 @@ object DataPipelineQueries {
     // The APPLY step of near-dup dedup: the corpus minus every
     // non-canonical cluster member — a broadcast anti-join at any scale
     // (the drop set is bounded by the pair graph, far below the corpus).
+    // Reads the verdicts persisted once per dir (components computed
+    // once, apply consuming them — the production split); the propagation
+    // kernel itself is still exercised per run by d6/d6b.
     "d6c_dedup_apply" -> ((s, dir) => {
       import s.implicits._
-      val drops = Components
-        .dedupVerdicts(d3PairsCached(s, dir), iters = CcIters)
-        .filter(!$"keep").select($"id".as("doc_id"))
+      val verdicts = s.read.parquet(
+        graft.util.TempDirs.cached("d6-verdicts", dir) { p =>
+          Components.dedupVerdicts(d3PairsCached(s, dir), iters = CcIters)
+            .write.parquet(p)
+        })
+      val drops = verdicts.filter(!$"keep").select($"id".as("doc_id"))
       t(s, dir, "documents")
         .join(broadcast(drops), Seq("doc_id"), "left_anti")
         .select($"doc_id", length($"text").as("text_len"))
