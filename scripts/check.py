@@ -37,10 +37,14 @@ def main(sf_dir, out_dir):
         gc = sorted(got.column_names); wc = sorted(want.column_names)
         if gc != wc:
             print(f"[BAD ] {name}: columns {gc} != {wc}"); n_bad += 1; continue
-        # The driver's hash is TYPE-sensitive (pandas dtypes), while Python
-        # `==` is not (Decimal(3) == 3). A DuckDB HUGEINT (uncast SUM) or
-        # DECIMAL column vs Spark int64/double passes value-compare but
-        # fails the driver — flag any cross-engine arrow-type family drift.
+        # The driver's hash is TYPE-CLASS-sensitive (pandas value hashing:
+        # ints cast to uint64, so int32 vs int64 agree — j2_fuzzy_join's
+        # BIGINT-vs-int32 levenshtein passes the driver — but int vs float
+        # vs decimal diverge), while Python `==` is not even that
+        # (Decimal(3) == 3). A DuckDB HUGEINT (uncast SUM) or DECIMAL
+        # column vs Spark int64/double passes value-compare but fails the
+        # driver — flag cross-engine arrow type-FAMILY drift; width drift
+        # within a family is fine.
         fam = lambda t: ("int" if "int" in str(t) else
                          "float" if ("float" in str(t) or "double" in str(t)) else
                          "decimal" if "decimal" in str(t) else

@@ -46,7 +46,13 @@ object Components {
     * a reliable checkpoint every few rounds. */
   def minLabelComponents(pairs: DataFrame, iters: Int): DataFrame = {
     val edges = pairs.select(col("id_1"), col("id_2")).localCheckpoint()
-    val sym = symmetrized(edges)
+    propagate(symmetrized(edges), iters)
+  }
+
+  /** The propagation rounds over an already-materialized symmetrized edge
+    * view (shared by [[minLabelComponents]] and [[componentStats]], which
+    * needs `sym` again for its extra round). */
+  private def propagate(sym: DataFrame, iters: Int): DataFrame = {
     // every edge endpoint appears as src in the symmetrized view
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("rep"))
@@ -89,7 +95,7 @@ object Components {
   def componentStats(pairs: DataFrame, iters: Int): DataFrame = {
     val edges = pairs.select(col("id_1"), col("id_2")).localCheckpoint()
     val sym = symmetrized(edges)
-    val at = minLabelComponents(edges, iters)
+    val at = propagate(sym, iters)
     val next = sym.join(at.withColumnRenamed("id", "dst"), "dst")
       .select(col("src").as("id"), col("rep"))
       .union(at.select(col("id"), col("rep")))

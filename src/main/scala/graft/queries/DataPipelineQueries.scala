@@ -177,10 +177,13 @@ object DataPipelineQueries {
     // kernel itself is still exercised per run by d6/d6b.
     "d6c_dedup_apply" -> ((s, dir) => {
       import s.implicits._
+      // resolve the pairs cache BEFORE entering the verdicts cache:
+      // nesting computeIfAbsent calls on one ConcurrentHashMap throws
+      // "Recursive update" when the two keys share a hash bin
+      val pairs = d3PairsCached(s, dir)
       val verdicts = s.read.parquet(
         graft.util.TempDirs.cached("d6-verdicts", dir) { p =>
-          Components.dedupVerdicts(d3PairsCached(s, dir), iters = CcIters)
-            .write.parquet(p)
+          Components.dedupVerdicts(pairs, iters = CcIters).write.parquet(p)
         })
       val drops = verdicts.filter(!$"keep").select($"id".as("doc_id"))
       t(s, dir, "documents")
@@ -995,9 +998,9 @@ object DataPipelineQueries {
   val oracles: Map[String, String] = Map(
     "knn_ivf_lloyd" -> knnIvfLloydSql,
     "d3_minhash_lsh" -> HashOracleSql.d3Sql(),
-    "d6_neardup_components" -> HashOracleSql.d6Sql(iters = 8),
-    "d6b_component_stats" -> HashOracleSql.d6StatsSql(iters = 8),
-    "d6c_dedup_apply" -> HashOracleSql.d6ApplySql(iters = 8),
+    "d6_neardup_components" -> HashOracleSql.d6Sql(iters = CcIters),
+    "d6b_component_stats" -> HashOracleSql.d6StatsSql(iters = CcIters),
+    "d6c_dedup_apply" -> HashOracleSql.d6ApplySql(iters = CcIters),
     "d3b_minhash_bands" ->
       HashOracleSql.d3Sql(numBands = 8, docFilter = "doc_id % 2 = 0"),
     "d4_simhash" -> HashOracleSql.d4Sql,

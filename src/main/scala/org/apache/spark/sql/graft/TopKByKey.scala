@@ -39,6 +39,10 @@ case class TopKByKey(key: Expression, id: Expression, k: Int,
   override def createAggregationBuffer(): ArrayBuffer[(Long, Long)] =
     ArrayBuffer.empty[(Long, Long)]
 
+  // primitive lexicographic compare — no Ordering/boxing on the per-row path
+  private def lt(a1: Long, a2: Long, b1: Long, b2: Long): Boolean =
+    a1 < b1 || (a1 == b1 && a2 < b2)
+
   private def insert(buf: ArrayBuffer[(Long, Long)],
       kv: (Long, Long)): Unit = {
     if (buf.length < k) { buf += kv; () }
@@ -46,10 +50,12 @@ case class TopKByKey(key: Expression, id: Expression, k: Int,
       var worst = 0
       var i = 1
       while (i < buf.length) {
-        if (Ordering.Tuple2[Long, Long].gt(buf(i), buf(worst))) worst = i
+        val c = buf(i); val w = buf(worst)
+        if (lt(w._1, w._2, c._1, c._2)) worst = i
         i += 1
       }
-      if (Ordering.Tuple2[Long, Long].lt(kv, buf(worst))) buf(worst) = kv
+      val w = buf(worst)
+      if (lt(kv._1, kv._2, w._1, w._2)) buf(worst) = kv
     }
   }
 
