@@ -703,6 +703,23 @@ object DataPipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // Feature extraction through the per-partition decoder, gated via
+    // invariants (the 16-dim feature vector itself is an array column —
+    // the driver compare needs scalars — so the gate pins the dimension
+    // and the unit-norm contract within fixed-point tolerance, the same
+    // style as x3_embed_invariants; a decoder regression that drops,
+    // truncates, or denormalizes features flips a row).
+    "mm_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.mediaTable(t(s, dir, "documents"))
+      Multimodal.decodeAll(s, media).toDF()
+        .select($"doc_id", $"media_type",
+          (size($"features") === 16).as("dim_ok"),
+          (abs(Similarity.scaledDot($"features", $"features") - 1000000L)
+            <= 16).as("norm_ok"))
+        .orderBy($"doc_id")
+    }),
+
     // Frame sampling over decoded video rows (explode-based).
     "mm_frame_sample" -> ((s, dir) => {
       import s.implicits._
@@ -1285,6 +1302,13 @@ object DataPipelineQueries {
         |SELECT doc_id, n_tokens, cum_tokens, quality
         |FROM sampled WHERE cum_tokens <= 100000
         |ORDER BY doc_id""".stripMargin),
+    "mm_features" ->
+      """SELECT doc_id,
+        | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS media_type,
+        | TRUE AS dim_ok, TRUE AS norm_ok
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "mm_decode_stub" ->
       """SELECT doc_id,
         | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
