@@ -276,13 +276,18 @@ object Similarity {
     * `numPlanes` must match the width the index was built with. */
   def knnLshIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, dim: Int, k: Int, nProbe: Int = 2,
-      numPlanes: Int = NumPlanes): DataFrame = {
+      numPlanes: Int = NumPlanes,
+      targetFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val qb0 = queries.withColumn("bucket",
       explode(lshProbeBuckets(col("qe"), dim, nProbe, numPlanes)))
     val buckets = qb0.select(col("bucket")).distinct().collect()
       .map(_.getLong(0)).toSeq
-    val tb = spark.read.parquet(path)
+    // filtered vector search: writeLshIndex preserves every target column,
+    // so a metadata predicate composes with the bucket partition pruning —
+    // both reach the parquet scan (partition filter + pushed data filter)
+    val tb0 = spark.read.parquet(path)
       .filter(col("bucket").isin(buckets: _*))
+    val tb = targetFilter.fold(tb0)(tb0.filter)
     val qb = broadcast(qb0.withColumn("qn", scaledDot(col("qe"), col("qe"))))
     val scored = qb.join(tb, Seq("bucket")).filter(col("qid") =!= col("tid"))
       .withColumn("cos", scaledDot(col("qe"), col("te")).cast("double") /

@@ -447,6 +447,43 @@ object DataPipelineQueries {
         .orderBy($"qid", $"rank")
     }),
 
+    // FILTERED vector search: ANN under a metadata predicate on the
+    // target side (the "filtered kNN" every vector store grows) — the
+    // filter composes with bucket pruning because bucket assignment is
+    // per-row: filter targets first, bucket the survivors. On the indexed
+    // layout the same predicate pushes into the partition-pruned scan.
+    "knn_lsh_filtered" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.filter($"label" % 2 === 0)
+        .select($"vec_id".as("tid"), $"embedding".as("te"))
+      Similarity.knnLsh(q, tt, dim = 64, k = 5, nProbe = 2)
+        .orderBy($"qid", $"rank")
+    }),
+
+    // The same filtered search THROUGH the persisted index: the index
+    // carries the metadata column (writeLshIndex preserves target
+    // columns), so the label predicate reaches the parquet scan as a
+    // pushed data filter COMPOSED with the bucket partition pruning
+    // (asserted in SimilaritySpec) — same twin as the in-memory variant.
+    "knn_lsh_filtered_indexed" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val (path, _) = builtIndex("lsh-idx-lab", dir) { p =>
+        Similarity.writeLshIndex(
+          e.select($"vec_id".as("tid"), $"embedding".as("te"), $"label"),
+          p, dim = 64)
+        Array.empty
+      }
+      Similarity.knnLshIndexed(s, path, q, dim = 64, k = 5,
+        targetFilter = Some($"label" % 2 === 0))
+        .orderBy($"qid", $"rank")
+    }),
+
     // The numPlanes knob at a NON-default width (8 planes = 256 buckets),
     // oracle-gated: the DuckDB twin regenerates the plane literals at the
     // same width, so the knob path — not just the default — is proven
@@ -931,7 +968,15 @@ object DataPipelineQueries {
     * the plane VALUES at any width (the rest of the derivation — bucket
     * sum, smallest-|projection| flip — is width-independent SQL). */
   private def knnLshSql(
-      numPlanes: Int = graft.ops.Similarity.NumPlanes): String =
+      numPlanes: Int = graft.ops.Similarity.NumPlanes,
+      targetFilter: String = ""): String = {
+    // optional metadata predicate on the target side (filtered vector
+    // search); bucket assignment is per-row, so filtering candidates here
+    // equals filtering targets before bucketing — empty keeps the
+    // unfiltered oracles byte-identical
+    val tf = if (targetFilter.isEmpty) ""
+      else s"""
+       |   AND bb.vec_id IN (SELECT vec_id FROM embeddings WHERE $targetFilter)""".stripMargin
     s"""WITH ${lshBucketsCtes(numPlanes)},
        |qprobe AS (
        |  -- multi-probe (nProbe=2): home bucket + the single-bit flip of
@@ -949,8 +994,9 @@ object DataPipelineQueries {
        |cand AS (
        |  SELECT q.vec_id AS qid, bb.vec_id AS tid
        |  FROM qprobe q JOIN buckets bb ON q.bucket = bb.bucket
-       |  WHERE q.vec_id <> bb.vec_id),
+       |  WHERE q.vec_id <> bb.vec_id$tf),
        |""".stripMargin + knnScoreTailSql(5)
+  }
 
   /** Seed-centroid IVF twin (knnIvf with lloydIters = 0): every-7th-of-
     * first-`7*nCells` seed layout, fixed-point assignment, `nProbe`-cell
@@ -1148,6 +1194,8 @@ object DataPipelineQueries {
     "knn_lsh" -> knnLshSql(),
     "knn_lsh_indexed" -> knnLshSql(), // same buckets/probes/ranking at rest
     "knn_lsh_wide" -> knnLshSql(numPlanes = 8),
+    "knn_lsh_filtered" -> knnLshSql(targetFilter = "label % 2 = 0"),
+    "knn_lsh_filtered_indexed" -> knnLshSql(targetFilter = "label % 2 = 0"),
     "knn_ivf_indexed" -> knnIvfLloydSql, // Lloyd centroids reach the index
     "knn_recall" -> knnRecallSql,
     "knn_ivf" -> knnIvfSeedSql(),

@@ -190,6 +190,31 @@ class SimilaritySpec extends SparkSpec {
       pf.replaceAll(".*PartitionFilters", "").contains(" IN "), pf.take(500))
   }
 
+  test("filtered indexed search: metadata predicate composes with pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshfil").toString
+    val e = embeddings
+    val q = e.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val t = e.select($"vec_id".as("tid"), $"embedding".as("te"),
+      ($"vec_id" % 3).as("label"))
+    Similarity.writeLshIndex(t, dir, dim = 16)
+    val indexed = Similarity.knnLshIndexed(spark, dir, q, dim = 16, k = 3,
+      targetFilter = Some($"label" % 2 === 0))
+    // same rows as filtering targets BEFORE the in-memory search
+    val direct = Similarity.knnLsh(q,
+      t.filter($"label" % 2 === 0).drop("label"), dim = 16, k = 3)
+    assert(indexed.collect().map(_.toSeq).toSet ==
+      direct.collect().map(_.toSeq).toSet)
+    // both layers reach the scan: bucket partition pruning AND the label
+    // predicate as a pushed data filter
+    val scan = indexed.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("PartitionFilters") || l.contains("PushedFilters"))
+      .mkString("\n")
+    assert(scan.replaceAll(".*PartitionFilters", "").contains("bucket#"),
+      scan.take(500))
+    assert(scan.contains("PushedFilters") && scan.contains("label"),
+      scan.take(500))
+  }
+
   test("scaled-dot cosine matches double-precision cosine closely") {
     val e = embeddings.limit(10).collect().map(_.getSeq[Float](1).toArray)
     val df = Seq((e(0), e(1))).toDF("a", "b")
