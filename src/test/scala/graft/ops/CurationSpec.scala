@@ -91,6 +91,26 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("row_number()"), "sample must not use a rank window")
   }
 
+  test("TopKByKey == sort.take(k) on seeded random inputs, k edge cases") {
+    val rnd = new scala.util.Random(42)
+    for (k <- Seq(1, 3, 50)) {
+      val rows = Seq.fill(300)((rnd.nextLong() % 97, rnd.nextLong() % 1000,
+        s"g${rnd.nextInt(4)}"))
+      val df = rows.toDF("h", "doc_id", "g")
+      val got = df.groupBy($"g")
+        .agg(Sampling.topKByKey($"h", $"doc_id", k).as("top"))
+        .collect().map(r => r.getString(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(s => (s.getLong(0), s.getLong(1))))
+        .toMap
+      // the aggregate keeps duplicate pairs like a sort would — the
+      // reference is the multiset head
+      val want = rows.groupBy(_._3).map { case (g, rs) =>
+        g -> rs.map(r => (r._1, r._2)).sorted.take(k)
+      }
+      assert(got == want, s"k=$k mismatch")
+    }
+  }
+
   test("sample_stratified: per-stratum cap, deterministic, hash-ordered") {
     val dir = "/root/testdata/sf0.001"
     val a = graft.SparkEntry.queries("sample_stratified")(spark, dir).collect()
