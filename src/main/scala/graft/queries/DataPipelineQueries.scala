@@ -154,6 +154,38 @@ object DataPipelineQueries {
         .orderBy($"id_1", $"id_2")
     }),
 
+    // INCREMENTAL dedup — the ingestion shape: a new batch (doc_id >=
+    // 400) deduped against the persisted fingerprint store of everything
+    // ingested before (doc_id < 400, built once per dir — the at-rest
+    // artifact), then keep-first within the batch. The anti-join against
+    // the store is the reference's J4 incremental-resume applied to
+    // dedup; at scale the store is bucketed by fingerprint so the join
+    // co-locates, and the batch side is the small one by construction.
+    "d7_incremental_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val storePath = graft.util.TempDirs.cached("d1-fp-store", dir) { p =>
+        t(s, dir, "documents").filter($"doc_id" < 400)
+          .select(TextAnalysis.fingerprint($"text").as("fp"))
+          .distinct().write.parquet(p)
+      }
+      // the batch: genuinely-new docs PLUS re-submissions of already-
+      // stored docs under fresh ingest ids (same text -> same fingerprint
+      // -> store hit) — the corpus has no exact dups, so without the
+      // re-submissions the anti-join would never fire and the gate would
+      // only prove plumbing; with them, every re-submission MUST drop
+      val docs = t(s, dir, "documents")
+      val fresh = docs.filter($"doc_id" >= 400)
+        .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+      val resub = docs.filter($"doc_id" < 400 && $"doc_id" % 7 === 0)
+        .select(($"doc_id" + 100000).as("doc_id"),
+          TextAnalysis.fingerprint($"text").as("fp"))
+      fresh.unionByName(resub)
+        .join(s.read.parquet(storePath), Seq("fp"), "left_anti")
+        .groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id", $"fp")
+        .orderBy($"doc_id")
+    }),
+
     // Near-dup pairs -> actionable keep/drop set: connected components by
     // min-label propagation (Components.scala) over the d3 MinHash pair
     // graph, unrolled CcIters rounds. The DuckDB twin replays the same
@@ -1061,6 +1093,20 @@ object DataPipelineQueries {
   val oracles: Map[String, String] = Map(
     "knn_ivf_lloyd" -> knnIvfLloydSql,
     "d3_minhash_lsh" -> HashOracleSql.d3Sql(),
+    "d7_incremental_dedup" ->
+      (s"""WITH batch AS (
+        |  SELECT doc_id, $fpSql AS fp FROM documents WHERE doc_id >= 400
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, $fpSql AS fp FROM documents
+        |  WHERE doc_id < 400 AND doc_id % 7 = 0),
+        |store AS (
+        |  SELECT DISTINCT $fpSql AS fp FROM documents WHERE doc_id < 400),
+        |fresh AS (
+        |  SELECT b.doc_id, b.fp FROM batch b
+        |  LEFT JOIN store s ON b.fp = s.fp WHERE s.fp IS NULL)
+        |SELECT MIN(doc_id) AS doc_id, fp
+        |FROM fresh GROUP BY fp
+        |ORDER BY doc_id""".stripMargin),
     "d6_neardup_components" -> HashOracleSql.d6Sql(iters = CcIters),
     "d6b_component_stats" -> HashOracleSql.d6StatsSql(iters = CcIters),
     "d6c_dedup_apply" -> HashOracleSql.d6ApplySql(iters = CcIters),
