@@ -217,6 +217,41 @@ object Dedup {
       .select(col("id_1"), col("id_2"), col("jaccard"))
   }
 
+  // --- Benchmark decontamination --------------------------------------
+
+  /** Training-data decontamination: per corpus doc, how many of its
+    * distinct word n-grams also occur anywhere in a benchmark/eval set
+    * (the overlap test LLM pipelines run before training so evaluation
+    * examples are not memorized; production settings use n in 8-13 — n is
+    * a caller knob here because the test corpus needs the denser n=3 for
+    * signal). Returns (id, n_grams, n_hits, contaminated).
+    *
+    * Scale shape: the benchmark side is small by nature (benchmarks are
+    * MBs against a 100 TB corpus), so its distinct hashed-gram set is
+    * broadcast and the corpus side never shuffles text — grams are hashed
+    * per-row (WordShingleHashes, one pass, distinct), the broadcast
+    * equi-join prunes map-side, and the only shuffle is the per-doc hit
+    * count on the 8-byte id, partially aggregated map-side. Gram identity
+    * is by 64-bit hash (collisions ~2^-64, deterministic), exactly the
+    * d2/d3 convention. */
+  def contaminationHits(corpus: DataFrame, benchmark: DataFrame, id: String,
+      text: String, n: Int, minHits: Int = 1): DataFrame = {
+    import org.apache.spark.sql.graft.{WordShingleHashes, internal}
+    def grams(of: Column) = internal.column(
+      WordShingleHashes(internal.expression(normalized(of)), n))
+    val benchGrams = benchmark
+      .select(explode(grams(col(text))).as("__h")).distinct()
+    val corpusGrams = corpus
+      .select(col(id), grams(col(text)).as("__g"))
+    val hits = corpusGrams.select(col(id), explode(col("__g")).as("__h"))
+      .join(broadcast(benchGrams), Seq("__h"))
+      .groupBy(col(id)).agg(count(lit(1)).as("n_hits"))
+    corpusGrams.select(col(id), size(col("__g")).as("n_grams"))
+      .join(hits, Seq(id), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contaminated", col("n_hits") >= minHits)
+  }
+
   // --- SimHash ---------------------------------------------------------
 
   /** 64-bit SimHash of the normalized text (custom expression). */

@@ -70,4 +70,81 @@ object TextAnalysis {
 
   /** Content-defined document fingerprint (md5 over normalized text). */
   def fingerprint(text: Column): Column = Dedup.fingerprint(text)
+
+  // --- Repetition quality filters (Gopher-style) -----------------------
+  // Per-document repetition signals used to drop low-quality boilerplate
+  // (duplicate-line fraction, duplicate-line CHARACTER fraction, most
+  // frequent word bigram). All four are per-row column expressions over
+  // the sorted line/bigram arrays — one O(len) pass per doc, no explode,
+  // no shuffle — so at 100 TB they cost a map stage and nothing else.
+
+  /** Lines of a document (split on newline, trailing \r trimmed). */
+  def docLines(text: Column): Column =
+    transform(split(text, "\n"), l => regexp_replace(l, "\r$", ""))
+
+  private val NoPrev: Column = lit(null).cast("string")
+
+  /** Count of distinct elements of a sorted array (adjacent-unequal;
+    * null-safe compare so the initial state never aliases an element). */
+  private def distinctCount(sorted: Column): Column =
+    aggregate(sorted,
+      struct(NoPrev.as("prev"), lit(0L).as("n")),
+      (st, x) => struct(x.as("prev"),
+        when(x <=> st.getField("prev"), st.getField("n"))
+          .otherwise(st.getField("n") + 1L).as("n")),
+      st => st.getField("n"))
+
+  /** Characters contributed by occurrences 2..k of each repeated element
+    * of a sorted array (the Gopher "characters in duplicate lines"
+    * numerator). */
+  private def dupChars(sorted: Column): Column =
+    aggregate(sorted,
+      struct(NoPrev.as("prev"), lit(0L).as("c")),
+      (st, x) => struct(x.as("prev"),
+        when(x <=> st.getField("prev"), st.getField("c") + length(x))
+          .otherwise(st.getField("c")).as("c")),
+      st => st.getField("c"))
+
+  /** (gram, count) of the most frequent element of a sorted array; ties
+    * resolve to the lexicographically smallest (first strict maximum in
+    * ascending order). */
+  private def topRun(sorted: Column): Column =
+    aggregate(sorted,
+      struct(NoPrev.as("prev"), lit(0L).as("run"),
+        lit("").as("best"), lit(0L).as("bestn")),
+      (st, x) => {
+        val run = when(x <=> st.getField("prev"), st.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          when(run > st.getField("bestn"), x)
+            .otherwise(st.getField("best")).as("best"),
+          when(run > st.getField("bestn"), run)
+            .otherwise(st.getField("bestn")).as("bestn"))
+      },
+      st => struct(st.getField("best").as("gram"),
+        st.getField("bestn").as("n")))
+
+  /** Word bigrams of the normalized text, in order (non-distinct). */
+  def wordBigrams(text: Column): Column = {
+    val words = split(Dedup.normalized(text), " ")
+    transform(sequence(lit(1), greatest(size(words) - 1, lit(1))),
+      i => concat_ws(" ", slice(words, i, lit(2))))
+  }
+
+  /** Gopher-style repetition profile: (n_lines, n_distinct_lines,
+    * dup_line_char_frac, top_bigram, top_bigram_count). Input must be the
+    * full document content (lines split on '\n'). */
+  def repetitionProfile(content: Column): Seq[Column] = {
+    val lines = array_sort(docLines(content))
+    val totalChars = aggregate(lines, lit(0L), (acc, x) => acc + length(x))
+    val bigrams = array_sort(wordBigrams(content))
+    val top = topRun(bigrams)
+    Seq(
+      size(lines).cast("long").as("n_lines"),
+      distinctCount(lines).as("n_distinct_lines"),
+      (dupChars(lines).cast("double") /
+        greatest(totalChars, lit(1L)).cast("double")).as("dup_line_char_frac"),
+      top.getField("gram").as("top_bigram"),
+      top.getField("n").as("top_bigram_count"))
+  }
 }

@@ -186,6 +186,23 @@ object DataPipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // Benchmark DECONTAMINATION — the pre-training hygiene pass: flag
+    // corpus docs sharing any word n-gram with the eval/benchmark set
+    // (every 10th doc stands in for the benchmark; n=3 because the test
+    // corpus needs denser grams for signal — production uses n in 8-13
+    // via the same knob). The benchmark gram set is broadcast (benchmarks
+    // are MBs against a 100 TB corpus); the corpus side shuffles only the
+    // per-doc hit count on the 8-byte id.
+    "d8_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationHits(
+        docs.filter($"doc_id" % 10 =!= 3),
+        docs.filter($"doc_id" % 10 === 3),
+        "doc_id", "text", n = 3)
+        .orderBy($"doc_id")
+    }),
+
     // Near-dup pairs -> actionable keep/drop set: connected components by
     // min-label propagation (Components.scala) over the d3 MinHash pair
     // graph, unrolled CcIters rounds. The DuckDB twin replays the same
@@ -666,6 +683,25 @@ object DataPipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // Gopher-style repetition filters: duplicate-line count, duplicate-
+    // line CHARACTER fraction, and the most frequent word bigram — the
+    // boilerplate signals quality pipelines threshold on. documents.text
+    // is single-line, so the query synthesizes known line structure (five
+    // 8-word lines, lines 0 and 2 repeated) and the oracle recomputes the
+    // same stats from the same construction; the kernels themselves are
+    // per-row folds over sorted arrays (no explode, no shuffle — a pure
+    // map stage at any scale).
+    "ta_repetition" -> ((s, dir) => {
+      import s.implicits._
+      val words = split(Dedup.normalized($"text"), " ")
+      def ln(i: Int) = concat_ws(" ", slice(words, 1 + 8 * i, 8))
+      val content = concat_ws("\n",
+        ln(0), ln(1), ln(2), ln(3), ln(4), ln(0), ln(2))
+      t(s, dir, "documents")
+        .select(($"doc_id" +: TextAnalysis.repetitionProfile(content)): _*)
+        .orderBy($"doc_id")
+    }),
+
     // Corpus-level stats per predicted language: counts, exact-integer
     // mean, and exact DISCRETE percentiles — the value at position
     // ceil(p*n) in sorted order, located with pure integer arithmetic
@@ -1107,6 +1143,31 @@ object DataPipelineQueries {
         |SELECT MIN(doc_id) AS doc_id, fp
         |FROM fresh GROUP BY fp
         |ORDER BY doc_id""".stripMargin),
+    // Gram identity is by 64-bit hash on the Spark side and by string
+    // here — identical modulo xxhash64 collisions (~2^-64, deterministic),
+    // the d2/d3 convention.
+    "d8_decontaminate" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(list_slice(w, CAST(i AS INT), CAST(i+2 AS INT)), ' ') AS s
+        |  FROM (SELECT doc_id, w,
+        |          unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i
+        |        FROM docs)),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 3),
+        |corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 3),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY 1),
+        |hits AS (
+        |  SELECT doc_id, COUNT(*) AS n_hits
+        |  FROM corpus JOIN bench USING (s) GROUP BY 1)
+        |SELECT z.doc_id, CAST(z.n_grams AS INT) AS n_grams,
+        |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  COALESCE(h.n_hits, 0) >= 1 AS contaminated
+        |FROM sizes z LEFT JOIN hits h ON z.doc_id = h.doc_id
+        |ORDER BY z.doc_id""".stripMargin,
     "d6_neardup_components" -> HashOracleSql.d6Sql(iters = CcIters),
     "d6b_component_stats" -> HashOracleSql.d6StatsSql(iters = CcIters),
     "d6c_dedup_apply" -> HashOracleSql.d6ApplySql(iters = CcIters),
@@ -1326,6 +1387,63 @@ object DataPipelineQueries {
         |""".stripMargin +
         s"  $qualityScoreSql AS quality\n" +
         "FROM scored\nORDER BY doc_id"),
+    // Repetition profile over the same deterministic 7-line construction
+    // as the Spark query; dup-char arithmetic is exact-integer, and the
+    // top-bigram tie-break (count DESC, gram ASC) mirrors the sorted-run
+    // fold's first-strict-maximum rule.
+    "ta_repetition" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |built AS (
+        |  -- COALESCE: array_to_string([]) is NULL in DuckDB, while Spark's
+        |  -- concat_ws over an empty slice is '' — short docs hit this
+        |  SELECT doc_id,
+        |    COALESCE(array_to_string(list_slice(w, 1, 8), ' '), '') AS l0,
+        |    COALESCE(array_to_string(list_slice(w, 9, 16), ' '), '') AS l1,
+        |    COALESCE(array_to_string(list_slice(w, 17, 24), ' '), '') AS l2,
+        |    COALESCE(array_to_string(list_slice(w, 25, 32), ' '), '') AS l3,
+        |    COALESCE(array_to_string(list_slice(w, 33, 40), ' '), '') AS l4
+        |  FROM docs),
+        |lines AS (
+        |  SELECT doc_id, unnest([l0, l1, l2, l3, l4, l0, l2]) AS line
+        |  FROM built),
+        |lgrp AS (SELECT doc_id, line, COUNT(*) AS c FROM lines GROUP BY 1, 2),
+        |lstat AS (
+        |  SELECT doc_id, COUNT(*) AS n_distinct_lines,
+        |    SUM((c - 1) * len(line)) AS dup_chars,
+        |    SUM(c * len(line)) AS total_chars
+        |  FROM lgrp GROUP BY 1),
+        |content AS (
+        |  SELECT doc_id,
+        |    l0 || chr(10) || l1 || chr(10) || l2 || chr(10) || l3 || chr(10)
+        |       || l4 || chr(10) || l0 || chr(10) || l2 AS c
+        |  FROM built),
+        |cw AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(c)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM content),
+        |bg AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_slice(w, CAST(i AS INT), CAST(i+1 AS INT)), ' ') AS s
+        |  FROM (SELECT doc_id, w,
+        |          unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS i
+        |        FROM cw)),
+        |bgrp AS (SELECT doc_id, s, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |top AS (
+        |  SELECT doc_id, s, c,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, s) AS rk
+        |  FROM bgrp)
+        |SELECT l.doc_id,
+        |  CAST(7 AS BIGINT) AS n_lines,
+        |  CAST(l.n_distinct_lines AS BIGINT) AS n_distinct_lines,
+        |  CAST(l.dup_chars AS DOUBLE)
+        |    / CAST(greatest(l.total_chars, 1) AS DOUBLE) AS dup_line_char_frac,
+        |  t.s AS top_bigram,
+        |  CAST(t.c AS BIGINT) AS top_bigram_count
+        |FROM lstat l JOIN top t ON l.doc_id = t.doc_id AND t.rk = 1
+        |ORDER BY l.doc_id""".stripMargin,
     // Corpus-level stats per predicted language with exact DISCRETE
     // percentiles (value at ceil(p*n) in (n_tokens, doc_id) order —
     // integer position arithmetic, so no interpolation float drift).

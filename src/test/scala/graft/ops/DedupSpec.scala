@@ -149,4 +149,33 @@ class DedupSpec extends SparkSpec {
     assert(v1 == TextImpl.simhash64(
       org.apache.spark.unsafe.types.UTF8String.fromString(base)))
   }
+
+  test("decontamination flags corpus docs overlapping the benchmark") {
+    val bench = Seq((100L, base)).toDF("doc_id", "text")
+    val corpus = Seq((1L, base), (2L, nearDup), (4L, unrelated))
+      .toDF("doc_id", "text")
+    val rows = Dedup.contaminationHits(corpus, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getBoolean(3))).toMap
+    // the benchmark copy: every distinct gram hits
+    val (g1, h1, c1) = rows(1L)
+    assert(c1 && h1 == g1.toLong)
+    // one changed word still contaminates (most grams shared)
+    val (_, h2, c2) = rows(2L)
+    assert(c2 && h2 > 0)
+    // disjoint vocabulary: zero hits
+    assert(rows(4L) == ((rows(4L)._1, 0L, false)))
+  }
+
+  test("decontamination minHits knob raises the flag threshold") {
+    // share exactly one 3-gram ("alpha beta gamma") with the benchmark
+    val bench = Seq((9L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "alpha beta gamma zz yy xx ww vv uu tt"))
+      .toDF("doc_id", "text")
+    def run(minHits: Int) =
+      Dedup.contaminationHits(corpus, bench, "doc_id", "text", n = 3,
+        minHits = minHits).collect().head.getBoolean(3)
+    assert(run(1))
+    assert(!run(3))
+  }
 }
