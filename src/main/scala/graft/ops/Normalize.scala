@@ -86,4 +86,25 @@ object Normalize {
 
   /** F14: hyphen-fallback variant of a name. */
   def hyphenToSpace(c: Column): Column = translate(c, "-", " ")
+
+  // --- PII redaction (training-data hygiene) ---------------------------
+  // Patterns stay inside the common Java-regex/RE2 subset (explicit
+  // classes, \b, bounded repeats) so the DuckDB twin runs them verbatim.
+  // The replace chain runs in a fixed order (email, SSN 3-2-4, phone
+  // 3-3-4, IPv4) and the oracle replays the same order, so any pattern
+  // overlap resolves identically in both engines.
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val SsnPattern = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  val PhonePattern = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Redact emails, SSN-shaped ids, phone numbers, and IPv4 addresses to
+    * fixed tags — a per-row regexp_replace chain (codegen'd, no UDF), so
+    * the scrub is a pure map stage at any corpus size. */
+  def redactPii(c: Column): Column = {
+    val noEmail = regexp_replace(c, EmailPattern, "<EMAIL>")
+    val noSsn = regexp_replace(noEmail, SsnPattern, "<ID>")
+    val noPhone = regexp_replace(noSsn, PhonePattern, "<PHONE>")
+    regexp_replace(noPhone, Ipv4Pattern, "<IP>")
+  }
 }

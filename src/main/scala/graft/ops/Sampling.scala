@@ -31,4 +31,24 @@ object Sampling {
       .select(col("__s.id").as("id"), col("stratum"),
         col("__s.key").as("hash"),
         (col("__pos") + 1).cast("int").as("rk"))
+
+  /** Deterministic weighted MIXTURE sampling: keep a row iff
+    * pmod(xxhash64(id), 10^6) < round(weight(source) * 10^6) — the
+    * reproducible down-sampling step that reshapes a corpus toward a
+    * target domain mixture (keep all of source A, 20% of source B, ...).
+    * The keep decision is a pure function of (id, source), so reruns,
+    * retries, and other engines reproduce the exact row set. A map-stage
+    * filter: no shuffle, no state — at 100 TB the mixture costs one scan.
+    * Sources absent from `weights` fall back to `default`. Returns the
+    * kept rows with the sampling `bucket` and `w_thresh` exposed. */
+  def mixtureSample(df: DataFrame, source: Column, id: Column,
+      weights: Map[String, Double], default: Double): DataFrame = {
+    def thresh(w: Double): Column = lit(math.round(w * 1000000L))
+    val wcol = weights.foldRight(thresh(default)) { case ((src, w), rest) =>
+      when(source === src, thresh(w)).otherwise(rest)
+    }
+    df.withColumn("bucket", pmod(xxhash64(id), lit(1000000L)))
+      .withColumn("w_thresh", wcol)
+      .filter(col("bucket") < col("w_thresh"))
+  }
 }

@@ -34,6 +34,12 @@ object DataPipelineQueries {
     * assumed) by d6b_component_stats' n_unconverged = 0 row. */
   private val CcIters = 8
 
+  /** Target mixture for sample_mixture — mirrored byte-for-byte by the
+    * CASE in [[HashOracleSql.mixtureSampleSql]]. */
+  private val MixtureWeights: Map[String, Double] = Map(
+    "src0" -> 1.0, "src1" -> 1.0, "src2" -> 0.5, "src3" -> 0.5,
+    "src4" -> 0.2, "src5" -> 0.2)
+
   /** The d3 MinHash near-dup pair set (same lineage as d3_minhash_lsh) —
     * shared input of the component queries. */
   private def d3Pairs(s: SparkSession, dir: String): DataFrame = {
@@ -683,6 +689,37 @@ object DataPipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // PII redaction — the compliance scrub a training corpus runs before
+    // anything ships: emails, SSN-shaped ids, phone numbers, and IPv4
+    // addresses to fixed tags. documents.text carries no PII, so the
+    // query injects a deterministic instance of each shape per doc and
+    // gates both the detector counts and the md5 of the scrubbed result
+    // (the oracle replays the same injection and the same ordered
+    // regexp_replace chain).
+    "pii_scrub" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ops.Normalize
+      val ids = $"doc_id".cast("string")
+      val last4 = lpad(($"doc_id" % 10000).cast("string"), 4, "0")
+      val content = concat(
+        substring($"text", 1, 200),
+        lit(" contact user"), ids, lit("@example.com now"),
+        lit(" or call 555-867-"), last4,
+        when($"doc_id" % 3 === 0, concat(lit(" id 123-45-"), last4))
+          .otherwise(lit("")),
+        lit(" from 10.0."), ($"doc_id" % 256).cast("string"), lit(".7 end"))
+      t(s, dir, "documents").select($"doc_id",
+        TextAnalysis.countMatches(content, Normalize.EmailPattern)
+          .as("n_emails"),
+        TextAnalysis.countMatches(content, Normalize.SsnPattern).as("n_ids"),
+        TextAnalysis.countMatches(content, Normalize.PhonePattern)
+          .as("n_phones"),
+        TextAnalysis.countMatches(content, Normalize.Ipv4Pattern).as("n_ips"),
+        length(Normalize.redactPii(content)).as("scrubbed_len"),
+        md5(Normalize.redactPii(content)).as("scrubbed_fp"))
+        .orderBy($"doc_id")
+    }),
+
     // Gopher-style repetition filters: duplicate-line count, duplicate-
     // line CHARACTER fraction, and the most frequent word bigram — the
     // boilerplate signals quality pipelines threshold on. documents.text
@@ -757,6 +794,20 @@ object DataPipelineQueries {
         .select($"id".as("doc_id"), $"stratum".as("lang"), $"hash".as("h"),
           $"rk")
         .orderBy($"lang", $"rk")
+    }),
+
+    // Deterministic weighted MIXTURE sampling: reshape the corpus toward
+    // a target per-source mixture (all of src0/src1, half of src2/src3,
+    // a fifth of src4/src5, 10% of the rest) by thresholding the seeded
+    // id-hash — reproducible across runs, engines, and retries, and a
+    // pure map-stage filter at any scale. The twin replays Spark's XXH64
+    // and the same integer compare.
+    "sample_mixture" -> ((s, dir) => {
+      import s.implicits._
+      Sampling.mixtureSample(
+        t(s, dir, "documents").select($"doc_id", $"source"),
+        $"source", $"doc_id", MixtureWeights, default = 0.1)
+        .orderBy($"doc_id")
     }),
 
     // The operators composed as a training-data CURATION lineage — the
@@ -1387,6 +1438,52 @@ object DataPipelineQueries {
         |""".stripMargin +
         s"  $qualityScoreSql AS quality\n" +
         "FROM scored\nORDER BY doc_id"),
+    // Same injection, same patterns (the regexes live in the common
+    // Java-regex/RE2 subset), same ordered replace chain with the 'g'
+    // flag DuckDB needs for replace-all parity.
+    "pii_scrub" ->
+      """WITH built AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 200)
+        |      || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com now'
+        |      || ' or call 555-867-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || CASE WHEN doc_id % 3 = 0
+        |           THEN ' id 123-45-'
+        |             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |           ELSE '' END
+        |      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 end'
+        |      AS content
+        |  FROM documents),
+        |scrubbed AS (
+        |  SELECT doc_id, content,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(content,
+        |            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |            '<EMAIL>', 'g'),
+        |          '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<ID>', 'g'),
+        |        '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+        |      '<IP>', 'g') AS s
+        |  FROM built)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(content,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(content,
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS INT) AS n_ids,
+        |  CAST(len(regexp_extract_all(content,
+        |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS INT) AS n_phones,
+        |  CAST(len(regexp_extract_all(content,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT)
+        |    AS n_ips,
+        |  CAST(len(s) AS INT) AS scrubbed_len,
+        |  md5(s) AS scrubbed_fp
+        |FROM scrubbed
+        |ORDER BY doc_id""".stripMargin,
     // Repetition profile over the same deterministic 7-line construction
     // as the Spark query; dup-char arithmetic is exact-integer, and the
     // top-bigram tie-break (count DESC, gram ASC) mirrors the sorted-run
@@ -1467,6 +1564,11 @@ object DataPipelineQueries {
         |  MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN n_tokens END) AS p95_tokens
         |FROM pos GROUP BY lang
         |ORDER BY lang""".stripMargin),
+    "sample_mixture" -> HashOracleSql.mixtureSampleSql(
+      """CASE WHEN source IN ('src0', 'src1') THEN 1000000
+        |       WHEN source IN ('src2', 'src3') THEN 500000
+        |       WHEN source IN ('src4', 'src5') THEN 200000
+        |       ELSE 100000 END""".stripMargin),
     "sample_stratified" ->
       HashOracleSql.stratifiedSampleSql(
         s"""SELECT doc_id, $predLangCaseSql AS lang FROM (

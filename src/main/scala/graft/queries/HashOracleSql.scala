@@ -296,6 +296,25 @@ private[queries] object HashOracleSql {
        |ORDER BY lang, rk""".stripMargin
   }
 
+  /** sample_mixture: Spark's xxhash64(doc_id) (seed 42) replayed, folded
+    * to a [0, 10^6) bucket with the same positive-mod arithmetic as
+    * Spark's pmod, kept when below the per-source threshold expression
+    * (a CASE over `source` mirroring the Scala weight map). */
+  def mixtureSampleSql(threshCase: String): String = {
+    val hashed = layered("SELECT doc_id, source FROM documents",
+      xxhSteps("mx", "doc_id", "CAST(42 AS HUGEINT)"))
+    s"""WITH hs AS MATERIALIZED (
+       |  SELECT doc_id, source, mxout AS h FROM ($hashed) q),
+       |bk AS (
+       |  SELECT doc_id, source,
+       |    CAST(((h % 1000000) + 1000000) % 1000000 AS BIGINT) AS bucket,
+       |    CAST($threshCase AS BIGINT) AS w_thresh
+       |  FROM hs)
+       |SELECT doc_id, source, bucket, w_thresh
+       |FROM bk WHERE bucket < w_thresh
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** d6c_dedup_apply: the deduplicated corpus — every document minus the
     * non-canonical members of each near-dup component (anti-join against
     * the drop set; docs in no pair are implicitly kept). */

@@ -124,4 +124,22 @@ class CurationSpec extends SparkSpec {
       assert(hs.sameElements(hs.sorted), "rank must follow hash order")
     }
   }
+
+  test("mixture sample: deterministic, weight-monotone keep rates") {
+    val df = Seq.tabulate(3000)(i => (i.toLong, s"s${i % 3}"))
+      .toDF("doc_id", "source")
+    val weights = Map("s0" -> 1.0, "s1" -> 0.3)
+    val a = Sampling.mixtureSample(df, $"source", $"doc_id", weights, 0.05)
+    val b = Sampling.mixtureSample(df, $"source", $"doc_id", weights, 0.05)
+    assert(a.collect().toSeq == b.collect().toSeq) // pure function of input
+    val per = a.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per("s0") == 1000) // weight 1.0 keeps everything
+    // 0.3 and the 0.05 default land near their expected rates (hash is
+    // uniform; 1000 draws — generous bounds, deterministic seed)
+    assert(per("s1") > 200 && per("s1") < 400, s"s1=${per("s1")}")
+    assert(per.getOrElse("s2", 0L) < 120, s"s2=${per.get("s2")}")
+    // every kept row satisfies the threshold it reports
+    assert(a.filter($"bucket" >= $"w_thresh").count() == 0)
+  }
 }

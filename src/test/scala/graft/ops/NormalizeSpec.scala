@@ -100,4 +100,18 @@ class NormalizeSpec extends SparkSpec {
       .collect().map(_.getBoolean(0)).toSeq
     assert(got == Seq(true, false))
   }
+
+  test("PII redaction scrubs each shape and leaves clean text alone") {
+    def scrub(s: String): String =
+      Seq(s).toDF("t").select(Normalize.redactPii($"t"))
+        .collect().head.getString(0)
+    assert(scrub("write to jane.doe+x@corp.example.org today") ==
+      "write to <EMAIL> today")
+    assert(scrub("ssn 123-45-6789 phone 555-867-5309 ip 10.0.3.7") ==
+      "ssn <ID> phone <PHONE> ip <IP>")
+    // dotted phone variant; embedded digits without the shapes untouched
+    assert(scrub("call 555.867.5309 ref 1234567") ==
+      "call <PHONE> ref 1234567")
+    assert(scrub("no pii here at all") == "no pii here at all")
+  }
 }
