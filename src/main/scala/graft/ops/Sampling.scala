@@ -32,6 +32,36 @@ object Sampling {
         col("__s.key").as("hash"),
         (col("__pos") + 1).cast("int").as("rk"))
 
+  /** Sequence PACKING (training-batch assembly): within each shard, docs
+    * in id order are laid head-to-tail and each is assigned to the fixed
+    * token-budget bin its first token lands in — the deterministic
+    * contiguous-fill approximation of first-fit packing (a doc whose span
+    * crosses a bin boundary is flagged; the trainer either splits it
+    * there or shifts it — both decisions need exactly these columns).
+    * Returns (id, shard, n_tokens, bin, bin_offset, spans_boundary).
+    *
+    * Scale shape: the running sum is windowed PER SHARD, so no global
+    * single-partition sort exists; a shard is a source/domain slice, and
+    * skew within one is bounded by how the corpus was sharded upstream
+    * (at 100 TB, shard = the ingest partition — millions of rows, not
+    * billions). All arithmetic is integer, so the assignment is exactly
+    * reproducible across engines and partitionings. */
+  def packSequences(df: DataFrame, shard: Column, id: Column,
+      tokens: Column, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(id.as("id"), shard.as("shard"),
+        tokens.cast("long").as("n_tokens"))
+      .withColumn("__start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      // `div`, not floor(/): long division stays exact past 2^53 tokens
+      .withColumn("bin", expr(s"__start div ${budget}L"))
+      .withColumn("bin_offset", (col("__start") % budget).cast("long"))
+      .withColumn("spans_boundary",
+        col("bin_offset") + col("n_tokens") > budget)
+      .drop("__start")
+  }
+
   /** Deterministic weighted MIXTURE sampling: keep a row iff
     * pmod(xxhash64(id), 10^6) < round(weight(source) * 10^6) — the
     * reproducible down-sampling step that reshapes a corpus toward a

@@ -796,6 +796,22 @@ object DataPipelineQueries {
         .orderBy($"lang", $"rk")
     }),
 
+    // Sequence packing: per-source contiguous fill into 2048-token bins
+    // over the already-gated BPE token counts — the batch-assembly step
+    // between curation and the trainer. Pure integer window arithmetic,
+    // windowed per shard (no global sort).
+    "pack_sequences" -> ((s, dir) => {
+      import s.implicits._
+      Sampling.packSequences(
+        t(s, dir, "documents")
+          .select($"doc_id", $"source",
+            TextAnalysis.tokenCountBpe($"text").as("nt")),
+        $"source", $"doc_id", $"nt", budget = 2048L)
+        .select($"id".as("doc_id"), $"shard".as("source"), $"n_tokens",
+          $"bin", $"bin_offset", $"spans_boundary")
+        .orderBy($"doc_id")
+    }),
+
     // Deterministic weighted MIXTURE sampling: reshape the corpus toward
     // a target per-source mixture (all of src0/src1, half of src2/src3,
     // a fifth of src4/src5, 10% of the rest) by thresholding the seeded
@@ -1564,6 +1580,24 @@ object DataPipelineQueries {
         |  MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN n_tokens END) AS p95_tokens
         |FROM pos GROUP BY lang
         |ORDER BY lang""".stripMargin),
+    // CAST the window sum: DuckDB's SUM over BIGINT is HUGEINT and the
+    // driver hash is type-sensitive (the curate_sample lesson).
+    "pack_sequences" ->
+      (s"""WITH toks AS (
+        |  SELECT doc_id, source,
+        |    CAST($tokenCountSql AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start
+        |  FROM toks)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(start // 2048 AS BIGINT) AS bin,
+        |  CAST(start % 2048 AS BIGINT) AS bin_offset,
+        |  (start % 2048) + n_tokens > 2048 AS spans_boundary
+        |FROM cum
+        |ORDER BY doc_id""".stripMargin),
     "sample_mixture" -> HashOracleSql.mixtureSampleSql(
       """CASE WHEN source IN ('src0', 'src1') THEN 1000000
         |       WHEN source IN ('src2', 'src3') THEN 500000

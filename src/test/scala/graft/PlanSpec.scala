@@ -149,4 +149,25 @@ class PlanSpec extends SparkSpec {
     val scans = "documents\\.parquet".r.findAllIn(p).length
     assert(scans == 1, s"expected 1 documents scan, got $scans:\n${p.take(1500)}")
   }
+
+  test("d8 decontamination: benchmark gram set broadcasts, corpus never shuffles text") {
+    // the corpus side must meet the benchmark grams through a broadcast
+    // hash join (benchmarks are MBs against a 100 TB corpus); a sort-merge
+    // join here would shuffle the full corpus gram table
+    val p = plan("d8_decontaminate")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+  }
+
+  test("mixture sample / pii scrub / repetition plan as pure map stages") {
+    // filters and per-row folds only — any Exchange before the final
+    // orderBy means the operator stopped being a scan-time decision
+    for (q <- Seq("sample_mixture", "pii_scrub", "ta_repetition")) {
+      val p = plan(q)
+      val exchanges = "Exchange ".r.findAllIn(p).length
+      // exactly the single range-partition exchange of the output orderBy
+      assert(exchanges <= 1, s"$q: expected <=1 exchange, got $exchanges:\n" +
+        p.take(1500))
+    }
+  }
 }

@@ -142,4 +142,23 @@ class CurationSpec extends SparkSpec {
     // every kept row satisfies the threshold it reports
     assert(a.filter($"bucket" >= $"w_thresh").count() == 0)
   }
+
+  test("sequence packing matches the sequential per-shard reference") {
+    val rows = Seq.tabulate(50)(i => (i.toLong, s"s${i % 2}", 300L + (i * 37) % 500))
+    val got = Sampling.packSequences(rows.toDF("doc_id", "source", "nt"),
+        $"source", $"doc_id", $"nt", budget = 1000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).sortBy(_._1)
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+      var cum = 0L
+      rs.sortBy(_._1).map { case (id, s, nt) =>
+        val start = cum; cum += nt
+        (id, s, nt, start / 1000L, start % 1000L, start % 1000L + nt > 1000L)
+      }
+    }.sortBy(_._1)
+    assert(got.toSeq == want)
+    // a boundary-spanning doc exists in this construction (sizes don't
+    // divide the budget) — the flag is load-bearing, not constant
+    assert(got.exists(_._6) && got.exists(!_._6))
+  }
 }
