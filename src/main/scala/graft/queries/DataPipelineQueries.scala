@@ -209,6 +209,26 @@ object DataPipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // The APPLY step of decontamination: the training split minus every
+    // doc whose benchmark overlap reaches the threshold (minHits=50 here
+    // — heavy overlap; at production n in 8-13 ANY hit is disqualifying
+    // and the same knob is 1). The drop set is a broadcast anti-join at
+    // any scale: it is bounded by the threshold choice, and if it ever
+    // approached corpus size the finding would be the contamination
+    // itself, not the join strategy.
+    "d8c_decontaminate_apply" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val train = docs.filter($"doc_id" % 10 =!= 3)
+      val drops = Dedup.contaminationHits(train,
+          docs.filter($"doc_id" % 10 === 3), "doc_id", "text", n = 3,
+          minHits = 50)
+        .filter($"contaminated").select($"doc_id")
+      train.join(broadcast(drops), Seq("doc_id"), "left_anti")
+        .select($"doc_id", length($"text").as("text_len"))
+        .orderBy($"doc_id")
+    }),
+
     // Near-dup pairs -> actionable keep/drop set: connected components by
     // min-label propagation (Components.scala) over the d3 MinHash pair
     // graph, unrolled CcIters rounds. The DuckDB twin replays the same
@@ -1235,6 +1255,26 @@ object DataPipelineQueries {
         |  COALESCE(h.n_hits, 0) >= 1 AS contaminated
         |FROM sizes z LEFT JOIN hits h ON z.doc_id = h.doc_id
         |ORDER BY z.doc_id""".stripMargin,
+    "d8c_decontaminate_apply" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(list_slice(w, CAST(i AS INT), CAST(i+2 AS INT)), ' ') AS s
+        |  FROM (SELECT doc_id, w,
+        |          unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i
+        |        FROM docs)),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 3),
+        |corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 3),
+        |drops AS (
+        |  SELECT doc_id FROM corpus JOIN bench USING (s)
+        |  GROUP BY 1 HAVING COUNT(*) >= 50)
+        |SELECT d.doc_id, CAST(length(d.text) AS INT) AS text_len
+        |FROM documents d LEFT JOIN drops ON d.doc_id = drops.doc_id
+        |WHERE d.doc_id % 10 <> 3 AND drops.doc_id IS NULL
+        |ORDER BY d.doc_id""".stripMargin,
     "d6_neardup_components" -> HashOracleSql.d6Sql(iters = CcIters),
     "d6b_component_stats" -> HashOracleSql.d6StatsSql(iters = CcIters),
     "d6c_dedup_apply" -> HashOracleSql.d6ApplySql(iters = CcIters),
