@@ -167,6 +167,26 @@ class DedupSpec extends SparkSpec {
     assert(rows(4L) == ((rows(4L)._1, 0L, false)))
   }
 
+  test("contamination counts match brute-force n-gram overlap on random docs") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    def doc() = Seq.fill(4 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+      .mkString(" ")
+    val corpus = Seq.tabulate(40)(i => (i.toLong, doc()))
+    val bench = Seq.tabulate(5)(i => (100L + i, doc()))
+    def grams(s: String) =
+      s.split(" ").toSeq.sliding(3).map(_.mkString(" ")).toSeq.distinct
+    val bset = bench.flatMap(b => grams(b._2)).toSet
+    val got = Dedup.contaminationHits(corpus.toDF("doc_id", "text"),
+        bench.toDF("doc_id", "text"), "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    corpus.foreach { case (id, s) =>
+      val g = grams(s)
+      assert(got(id)._1 == g.size, s"id=$id gram count")
+      assert(got(id)._2 == g.count(bset).toLong, s"id=$id hit count")
+    }
+  }
+
   test("decontamination minHits knob raises the flag threshold") {
     // share exactly one 3-gram ("alpha beta gamma") with the benchmark
     val bench = Seq((9L, "alpha beta gamma delta")).toDF("doc_id", "text")

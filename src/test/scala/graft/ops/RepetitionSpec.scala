@@ -44,6 +44,39 @@ class RepetitionSpec extends SparkSpec {
     assert(r.getString(3) == "hello" && r.getLong(4) == 1L)
   }
 
+  test("repetition profile matches a direct reference on randomized inputs") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val docs = Seq.tabulate(100) { i =>
+      val lines = Seq.fill(1 + rnd.nextInt(6))(
+        Seq.fill(1 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      (i.toLong, lines.mkString("\n"))
+    }
+    val got = docs.toDF("id", "c")
+      .select(($"id" +: TextAnalysis.repetitionProfile($"c")): _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4),
+          r.getLong(5))).toMap
+    docs.foreach { case (id, c) =>
+      val lines = c.split("\n", -1).toSeq
+      val total = lines.map(_.length).sum
+      val dup = lines.groupBy(identity).values
+        .map(g => (g.size - 1) * g.head.length).sum
+      val words = c.replaceAll("\\s+", " ").split(" ").toSeq
+      val bigrams =
+        if (words.size < 2) Seq(words.mkString(" "))
+        else words.sliding(2).map(_.mkString(" ")).toSeq
+      val best = bigrams.groupBy(identity).view.mapValues(_.size).toSeq
+        .sortBy { case (k, n) => (-n, k) }.head
+      val (gnl, gnd, gfr, gtb, gtc) = got(id)
+      assert(gnl == lines.size && gnd == lines.distinct.size)
+      assert(math.abs(gfr - dup.toDouble / math.max(total, 1)) < 1e-12)
+      assert(gtb == best._1 && gtc == best._2.toLong,
+        s"id=$id got=($gtb,$gtc) want=$best")
+    }
+  }
+
   test("line repetition across newline boundaries still normalizes for bigrams") {
     // normalized content folds '\n' into spaces, so the bigram spanning the
     // boundary ("bb cc") exists
