@@ -71,6 +71,38 @@ object TextAnalysis {
   /** Content-defined document fingerprint (md5 over normalized text). */
   def fingerprint(text: Column): Column = Dedup.fingerprint(text)
 
+  // --- Unigram-frequency quality proxy (CCNet-style) -------------------
+
+  /** Per-doc unigram log-frequency score — the exact-integer stand-in for
+    * the LM-perplexity quality filter (CCNet ranks docs by a small LM's
+    * perplexity; the distribution-shape signal survives with corpus
+    * unigram frequencies, and floor(log2(count)) = length(bin(count))-1
+    * keeps every number integer so both engines agree bit-for-bit — no
+    * float log). Docs averaging LOW log-frequency are rare-word-heavy
+    * (OCR noise, word salad) — the drop candidates.
+    *
+    * Two-pass corpus-model shape: pass 1 builds the unigram table (one
+    * shuffle on the 64-bit word hash — 8-byte keys, the d2/d8
+    * convention); pass 2 scores each occurrence through the model join
+    * and re-aggregates per doc. At 100 TB the vocabulary is Zipf-bounded
+    * (far below row count) — broadcast it when it fits, else this plain
+    * hash join co-partitions both sides on the word hash.
+    * Returns (id, n_words, logfreq_sum, logfreq_avg). */
+  def unigramLogFreq(docs: org.apache.spark.sql.DataFrame, id: String,
+      text: String): org.apache.spark.sql.DataFrame = {
+    val words = docs.select(col(id),
+      explode(split(Dedup.normalized(col(text)), " ")).as("__w"))
+      .select(col(id), xxhash64(col("__w")).as("__h"))
+    val vocab = words.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+    words.join(vocab, Seq("__h"))
+      .withColumn("__s", (length(bin(col("__c"))) - 1).cast("long"))
+      .groupBy(col(id)).agg(
+        count(lit(1)).as("n_words"),
+        sum(col("__s")).as("logfreq_sum"),
+        (sum(col("__s")).cast("double") / count(lit(1)).cast("double"))
+          .as("logfreq_avg"))
+  }
+
   // --- Repetition quality filters (Gopher-style) -----------------------
   // Per-document repetition signals used to drop low-quality boilerplate
   // (duplicate-line fraction, duplicate-line CHARACTER fraction, most

@@ -709,6 +709,16 @@ object DataPipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // Unigram log-frequency quality proxy (CCNet-style): build the corpus
+    // unigram model, score every occurrence with the exact-integer
+    // floor(log2(count)), re-aggregate per doc. Low average = rare-word-
+    // heavy = drop candidate.
+    "ta_unigram_logfreq" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.unigramLogFreq(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
     // PII redaction — the compliance scrub a training corpus runs before
     // anything ships: emails, SSN-shaped ids, phone numbers, and IPv4
     // addresses to fixed tags. documents.text carries no PII, so the
@@ -1494,6 +1504,26 @@ object DataPipelineQueries {
         |""".stripMargin +
         s"  $qualityScoreSql AS quality\n" +
         "FROM scored\nORDER BY doc_id"),
+    // Word identity is by 64-bit hash on the Spark side, by string here
+    // (the d8 convention); bin() renders identically in both engines so
+    // floor(log2) stays integer-exact.
+    "ta_unigram_logfreq" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(
+        |      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        |  FROM documents),
+        |vocab AS (SELECT w, COUNT(*) AS c FROM w GROUP BY 1),
+        |s AS (
+        |  SELECT doc_id, CAST(length(bin(c)) - 1 AS BIGINT) AS s
+        |  FROM w JOIN vocab USING (w))
+        |SELECT doc_id,
+        |  COUNT(*) AS n_words,
+        |  CAST(SUM(s) AS BIGINT) AS logfreq_sum,
+        |  CAST(CAST(SUM(s) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS logfreq_avg
+        |FROM s GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     // Same injection, same patterns (the regexes live in the common
     // Java-regex/RE2 subset), same ordered replace chain with the 'g'
     // flag DuckDB needs for replace-all parity.

@@ -44,6 +44,16 @@ class RepetitionSpec extends SparkSpec {
     assert(r.getString(3) == "hello" && r.getLong(4) == 1L)
   }
 
+  test("unigram log-frequency proxy: closed-form counts") {
+    // counts: a=4, b=2, c=1 -> floor(log2) = 2, 1, 0
+    val docs = Seq((1L, "a a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogFreq(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((5L, 9L, 1.8)))  // 4*2 + 1
+    assert(got(2L) == ((2L, 1L, 0.5)))  // 1 + 0
+  }
+
   test("repetition profile matches a direct reference on randomized inputs") {
     val rnd = new scala.util.Random(7)
     val vocab = Vector("aa", "bb", "cc", "dd")
