@@ -1,7 +1,6 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -13,7 +12,10 @@ object Sources {
     * named; the rest ride along as `_c4.._c153` strings. `main_index` is
     * the 0-based row key the whole reference pipeline joins on — derived
     * here by a deterministic sort on the leading deal-id column (a raw "file
-    * row number" is not stable under distributed reads).
+    * row number" is not stable under distributed reads), computed as a
+    * ranged running count (Sampling.rangedRunningSum) rather than an
+    * unpartitioned row_number window, so the deal table never funnels
+    * through a single window task however large the deal universe grows.
     */
   val dealSchema: StructType = StructType(
     StructField("deal_id", StringType) ::
@@ -24,8 +26,10 @@ object Sources {
 
   def deals(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.schema(dealSchema).csv(path)
-    raw.withColumn("main_index",
-      row_number().over(Window.orderBy(col("deal_id"))).cast("long") - 1)
+    graft.ops.Sampling
+      .rangedRunningSum(raw, Seq(col("deal_id")), lit(1L), "__rn",
+        numRanges = 8)
+      .withColumn("main_index", col("__rn") - 1).drop("__rn")
       .withColumn("announce_dt", to_date(col("announce_date"), "M/d/yyyy"))
   }
 

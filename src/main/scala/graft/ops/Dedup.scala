@@ -228,12 +228,14 @@ object Dedup {
     *
     * Scale shape: the benchmark side is small by nature (benchmarks are
     * MBs against a 100 TB corpus), so its distinct hashed-gram set is
-    * broadcast and the corpus side never shuffles text — grams are hashed
-    * per-row (WordShingleHashes, one pass, distinct), the broadcast
-    * equi-join prunes map-side, and the only shuffle is the per-doc hit
-    * count on the 8-byte id, partially aggregated map-side. Gram identity
-    * is by 64-bit hash (collisions ~2^-64, deterministic), exactly the
-    * d2/d3 convention. */
+    * broadcast and the corpus side never shuffles text — each doc is
+    * scanned and shingle-hashed exactly ONCE (gram count and gram
+    * explosion derive from one projection; `explode_outer` keeps
+    * zero-gram docs), the broadcast LEFT join marks benchmark hits
+    * map-side, and the only shuffle is the per-(id, n_grams) hit count,
+    * partially aggregated map-side to one row per doc per task. Gram
+    * identity is by 64-bit hash (collisions ~2^-64, deterministic),
+    * exactly the d2/d3 convention. */
   def contaminationHits(corpus: DataFrame, benchmark: DataFrame, id: String,
       text: String, n: Int, minHits: Int = 1): DataFrame = {
     import org.apache.spark.sql.graft.{WordShingleHashes, internal}
@@ -241,15 +243,16 @@ object Dedup {
       WordShingleHashes(internal.expression(normalized(of)), n))
     val benchGrams = benchmark
       .select(explode(grams(col(text))).as("__h")).distinct()
-    val corpusGrams = corpus
+    corpus
       .select(col(id), grams(col(text)).as("__g"))
-    val hits = corpusGrams.select(col(id), explode(col("__g")).as("__h"))
-      .join(broadcast(benchGrams), Seq("__h"))
-      .groupBy(col(id)).agg(count(lit(1)).as("n_hits"))
-    corpusGrams.select(col(id), size(col("__g")).as("n_grams"))
-      .join(hits, Seq(id), "left")
-      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .select(col(id), size(col("__g")).as("n_grams"),
+        explode_outer(col("__g")).as("__h"))
+      .join(broadcast(benchGrams.withColumn("__hit", lit(1))),
+        Seq("__h"), "left")
+      .groupBy(col(id), col("n_grams"))
+      .agg(count(col("__hit")).as("n_hits"))
       .withColumn("contaminated", col("n_hits") >= minHits)
+      .select(col(id), col("n_grams"), col("n_hits"), col("contaminated"))
   }
 
   // --- SimHash ---------------------------------------------------------

@@ -48,6 +48,7 @@ object Sampling {
     * reproducible across engines and partitionings. */
   def packSequences(df: DataFrame, shard: Column, id: Column,
       tokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"packSequences budget must be positive, got $budget")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard")).orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -60,6 +61,80 @@ object Sampling {
       .withColumn("spans_boundary",
         col("bin_offset") + col("n_tokens") > budget)
       .drop("__start")
+  }
+
+  /** Running sum over a GLOBAL total order without a single-partition
+    * window: range-partition the rows on the order, window PARTITIONED by
+    * the range id for the within-range running sum, and add each range's
+    * broadcast prefix offset. The only driver-side data is one subtotal
+    * per range partition (bounded by `numRanges`, not by the input), so
+    * the shape survives a corpus-sized input where an unpartitioned
+    * `Window.orderBy` funnels everything through one task.
+    *
+    * The ranged frame is localCheckpointed before use: it is evaluated
+    * twice (subtotal collect + final result) and the checkpoint pins one
+    * materialized partition assignment for both — at cluster scale the
+    * same pin is a persist/reliable checkpoint of the ranged frame.
+    * Returns the input columns plus `out` = the running `value` sum in
+    * `order` (each row inclusive of itself). */
+  def rangedRunningSum(df: DataFrame, order: Seq[Column], value: Column,
+      out: String, numRanges: Int): DataFrame = {
+    val (ranged, offsets) = rangedOffsets(df, order, value, numRanges)
+    withRunningSum(ranged, order, value, out, offsets)
+  }
+
+  /** The token-budget PREFIX of a totally-ordered corpus (best-first
+    * sampling: keep rows while the running `value` sum stays within
+    * `budget`) as a distributed plan. Beyond [[rangedRunningSum]] it
+    * statically prunes — via the driver-known offsets, BEFORE the window
+    * runs — every range whose starting offset already meets the budget:
+    * with nonnegative `value` no row of such a range can land inside the
+    * prefix, so only the ranges up to and including the boundary range
+    * are ever scanned by the window. */
+  def budgetPrefix(df: DataFrame, order: Seq[Column], value: Column,
+      out: String, budget: Long, numRanges: Int): DataFrame = {
+    require(budget > 0, s"budgetPrefix budget must be positive, got $budget")
+    val (ranged, offsets) = rangedOffsets(df, order, value, numRanges)
+    val live = offsets.collect { case (pid, off) if off < budget => pid }.toSeq
+    val pruned = ranged.filter(col("__pid").isInCollection(live))
+    withRunningSum(pruned, order, value, out, offsets)
+      .filter(col(out) <= budget)
+  }
+
+  /** Shared core of the ranged-running-sum shape: the checkpointed
+    * range-partitioned frame (with its `__pid` range id) and each range's
+    * exclusive prefix offset, collected as one subtotal row per range —
+    * bounded by `numRanges` by construction, never by the input. */
+  private def rangedOffsets(df: DataFrame, order: Seq[Column], value: Column,
+      numRanges: Int): (DataFrame, Map[Int, Long]) = {
+    require(numRanges > 0, s"numRanges must be positive, got $numRanges")
+    val ranged = df
+      .repartitionByRange(numRanges, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val subtotals = ranged.groupBy(col("__pid"))
+      .agg(sum(value.cast("long")).as("__sub"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    // range ids increase with the range order, so the exclusive prefix
+    // sum of subtotals in pid order is each range's starting offset
+    var acc = 0L
+    val offsets = subtotals.map { case (pid, sub) =>
+      val o = pid -> acc; acc += sub; o
+    }.toMap
+    (ranged, offsets)
+  }
+
+  private def withRunningSum(ranged: DataFrame, order: Seq[Column],
+      value: Column, out: String, offsets: Map[Int, Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn(out, sum(value.cast("long")).over(w) +
+        coalesce(element_at(typedLit(offsets), col("__pid")), lit(0L)))
+      .drop("__pid")
   }
 
   /** Deterministic weighted MIXTURE sampling: keep a row iff

@@ -49,6 +49,25 @@ object DataPipelineQueries {
     Dedup.minhashDedupPairs(docs, "doc_id", "text", k = 5, minJaccard = 0.2)
   }
 
+  /** curate_sample's pre-budget lineage (profile -> quality gate ->
+    * fingerprint keep-first dedup), exposed so PlanSpec can assert its
+    * one-documents-scan / partitioned-window shape directly — the budget
+    * stage localCheckpoints this frame (Sampling.budgetPrefix), which
+    * hides the upstream plan from the final query's executedPlan. */
+  private[graft] def curateDeduped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val profiled = t(s, dir, "documents").select($"doc_id",
+      TextAnalysis.fingerprint($"text").as("fp"),
+      TextAnalysis.tokenCountBpe($"text").as("n_tokens"),
+      TextAnalysis.qualityScore($"text").as("quality"))
+      .filter($"quality" >= 0.8)
+    val wd = Window.partitionBy($"fp").orderBy($"doc_id")
+    profiled
+      .withColumn("rn", row_number().over(wd))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"n_tokens", $"quality")
+  }
+
   /** The mined pair set persisted once per testdata dir — the production
     * shape (mine once, curate downstream); d3_minhash_lsh still gates the
     * mining lineage itself on every run. */
@@ -861,27 +880,17 @@ object DataPipelineQueries {
     // formula), exact-dedup keep-first (fingerprint window), then a
     // deterministic token-budget sample (best-quality-first running sum).
     // Every stage's arithmetic is the already-gated kernels, so the whole
-    // composition hash-matches the DuckDB twin. The budget prefix uses a
-    // global running-sum window — fine for emitting a bounded sample (its
-    // input is already quality-filtered + deduped); at scale the same cut
-    // is a distributed sort + per-range token subtotals, with only the
-    // boundary range scanned row-by-row.
+    // composition hash-matches the DuckDB twin. The budget prefix is the
+    // DISTRIBUTED shape (Sampling.budgetPrefix): range-partition on
+    // (quality desc, doc_id), per-range token subtotals, broadcast prefix
+    // offsets, with ranges wholly past the budget pruned before the
+    // window runs — no unpartitioned window anywhere in the lineage
+    // (asserted in PlanSpec), same rows and oracle as the global form.
     "curate_sample" -> ((s, dir) => {
       import s.implicits._
-      val profiled = t(s, dir, "documents").select($"doc_id",
-        TextAnalysis.fingerprint($"text").as("fp"),
-        TextAnalysis.tokenCountBpe($"text").as("n_tokens"),
-        TextAnalysis.qualityScore($"text").as("quality"))
-        .filter($"quality" >= 0.8)
-      val wd = Window.partitionBy($"fp").orderBy($"doc_id")
-      val deduped = profiled
-        .withColumn("rn", row_number().over(wd))
-        .filter($"rn" === 1)
-      val ws = Window.orderBy($"quality".desc, $"doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      deduped
-        .withColumn("cum_tokens", sum($"n_tokens".cast("long")).over(ws))
-        .filter($"cum_tokens" <= 100000L)
+      Sampling.budgetPrefix(curateDeduped(s, dir),
+          Seq($"quality".desc, $"doc_id"), $"n_tokens", "cum_tokens",
+          budget = 100000L, numRanges = 8)
         .select($"doc_id", $"n_tokens", $"cum_tokens", $"quality")
         .orderBy($"doc_id")
     }),

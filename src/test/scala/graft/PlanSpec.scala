@@ -142,12 +142,51 @@ class PlanSpec extends SparkSpec {
   }
 
   test("curate_sample: one scan of documents feeds the whole lineage") {
-    // quality gate, fingerprint dedup window and the budget window all
-    // derive from one projection — a second documents scan would mean the
-    // profile is being recomputed per consumer
-    val p = plan("curate_sample")
+    // quality gate and the fingerprint dedup window derive from one
+    // projection — a second documents scan would mean the profile is
+    // being recomputed per consumer. Asserted on the pre-budget stage:
+    // the budget stage localCheckpoints it, which hides the upstream
+    // plan from the final query's executedPlan.
+    val p = graft.queries.DataPipelineQueries
+      .curateDeduped(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
     val scans = "documents\\.parquet".r.findAllIn(p).length
     assert(scans == 1, s"expected 1 documents scan, got $scans:\n${p.take(1500)}")
+  }
+
+  test("curate_sample: no partition-less window anywhere in the lineage") {
+    // the budget prefix must be the distributed shape (range partitions +
+    // broadcast offsets), never a global running-sum window funneling the
+    // whole deduped corpus through one task — checked on the physical
+    // plans of BOTH stages (the final plan's upstream is hidden behind
+    // the budget stage's localCheckpoint, so the pre-budget stage is
+    // asserted separately)
+    def windows(df: org.apache.spark.sql.DataFrame) =
+      PlanSpec.collectWindows(df.queryExecution.executedPlan)
+    val full = windows(
+      SparkEntry.queries("curate_sample")(spark, sf("sf0.001")))
+    assert(full.nonEmpty, "expected the per-range running-sum window")
+    assert(full.forall(_.partitionSpec.nonEmpty),
+      "curate_sample has a partition-less WindowExec")
+    val dedup = windows(graft.queries.DataPipelineQueries
+      .curateDeduped(spark, sf("sf0.001")))
+    assert(dedup.nonEmpty && dedup.forall(_.partitionSpec.nonEmpty),
+      "curate_sample's dedup stage has a partition-less WindowExec")
+  }
+
+  test("deal table index assignment has no partition-less window") {
+    // Sources.deals derives main_index via the ranged running count —
+    // same distributed shape as the curate_sample budget prefix
+    val dir = java.nio.file.Files.createTempDirectory("deals-plan").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "deals.csv"),
+      (0 until 20).map(i => s"d$i,1/8/2001,T$i Inc,A$i Corp" + "," * 150)
+        .mkString("\n"))
+    val ws = PlanSpec.collectWindows(
+      graft.io.Sources.deals(spark, s"$dir/deals.csv")
+        .queryExecution.executedPlan)
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      "deals main_index must not use a global window")
   }
 
   test("d8 decontamination: benchmark gram set broadcasts, corpus never shuffles text") {
@@ -164,10 +203,28 @@ class PlanSpec extends SparkSpec {
     // orderBy means the operator stopped being a scan-time decision
     for (q <- Seq("sample_mixture", "pii_scrub", "ta_repetition")) {
       val p = plan(q)
-      val exchanges = "Exchange ".r.findAllIn(p).length
+      // count shuffle exchanges only — "Exchange " alone would also match
+      // BroadcastExchange and silently miscount a future broadcast join
+      val exchanges =
+        "Exchange (hashpartitioning|rangepartitioning|SinglePartition)"
+          .r.findAllIn(p).length
       // exactly the single range-partition exchange of the output orderBy
       assert(exchanges <= 1, s"$q: expected <=1 exchange, got $exchanges:\n" +
         p.take(1500))
     }
   }
+}
+
+object PlanSpec {
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+  import org.apache.spark.sql.execution.window.WindowExec
+
+  /** All WindowExec nodes, descending through the AdaptiveSparkPlanExec
+    * leaf wrapper (AQE hides the real tree from a plain collect). */
+  def collectWindows(p: SparkPlan): Seq[WindowExec] =
+    p.collect {
+      case w: WindowExec => Seq(w)
+      case a: AdaptiveSparkPlanExec => collectWindows(a.executedPlan)
+    }.flatten
 }
