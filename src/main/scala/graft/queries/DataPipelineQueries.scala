@@ -34,6 +34,14 @@ object DataPipelineQueries {
     * assumed) by d6b_component_stats' n_unconverged = 0 row. */
   private val CcIters = 8
 
+  /** The benchmark canary for d8b_decontaminate_prod: 10 lowercase words
+    * absent from the synthetic corpus (verified: zero docs contain any of
+    * them), appended verbatim on both the benchmark and the injected
+    * training side. Normalization (lower/trim/collapse) is identity on
+    * it, so its interior 8-grams are shared exactly. */
+  private[graft] val D8bLeak =
+    " zephyr quill marble onyx tundra vellum quartz ember lattice fjord"
+
   /** Target mixture for sample_mixture — mirrored byte-for-byte by the
     * CASE in [[HashOracleSql.mixtureSampleSql]]. */
   private val MixtureWeights: Map[String, Double] = Map(
@@ -225,6 +233,34 @@ object DataPipelineQueries {
         docs.filter($"doc_id" % 10 =!= 3),
         docs.filter($"doc_id" % 10 === 3),
         "doc_id", "text", n = 3)
+        .orderBy($"doc_id")
+    }),
+
+    // Decontamination at the PRODUCTION regime (n=8, minHits=1): any
+    // shared 8-gram disqualifies. The corpus's natural 8-gram signal is
+    // thin, so known benchmark sentences are injected into a
+    // deterministic subset of training docs (the pii_scrub injection
+    // pattern): a fixed 10-word canary appended to every benchmark doc
+    // and to train docs with doc_id % 17 == 0 — each injected doc then
+    // shares >= 3 pure-canary 8-grams with the benchmark set and MUST
+    // flag. The corpus also carries some real train/bench near-dup
+    // overlap at n=8 (the exact leakage decontamination exists to catch),
+    // so `injected` is emitted alongside `contaminated` and DedupSpec
+    // proves injection is exactly additive: flagged-with-injection ==
+    // natural-flags UNION injected docs, i.e. full sensitivity with zero
+    // injection-induced false positives.
+    "d8b_decontaminate_prod" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter($"doc_id" % 10 === 3)
+        .select($"doc_id", concat($"text", lit(D8bLeak)).as("text"))
+      val train = docs.filter($"doc_id" % 10 =!= 3)
+        .select($"doc_id",
+          when($"doc_id" % 17 === 0, concat($"text", lit(D8bLeak)))
+            .otherwise($"text").as("text"))
+      Dedup.contaminationHits(train, bench, "doc_id", "text",
+          n = 8, minHits = 1)
+        .withColumn("injected", $"doc_id" % 17 === 0)
         .orderBy($"doc_id")
     }),
 
@@ -620,6 +656,30 @@ object DataPipelineQueries {
         .crossJoin(bf.agg(count(lit(1)).as("possible")))
         .select($"method", $"k", $"hits", $"possible")
         .orderBy($"method")
+    }),
+
+    // Recall of FILTERED vector search: knn_lsh_filtered's filter-then-
+    // probe order scored against the filtered brute-force baseline (the
+    // exact top-5 over only the predicate-surviving targets) — the number
+    // a user tuning filtered search actually needs, since restricting the
+    // target set thins every LSH bucket and can cost recall the
+    // unfiltered gate never sees. Same fixed-point kernels, so hits and
+    // possible are bit-deterministic against the DuckDB twin.
+    "knn_recall_filtered" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.filter($"label" % 2 === 0)
+        .select($"vec_id".as("tid"), $"embedding".as("te"))
+      val bf = Similarity.knnBruteForce(q, tt, k = 5)
+        .select($"qid", $"tid").localCheckpoint()
+      val lsh = Similarity.knnLsh(q, tt, dim = 64, k = 5, nProbe = 2)
+      lsh.select($"qid", $"tid").join(bf, Seq("qid", "tid"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit("lsh_filtered").as("method"), lit(5).as("k"), $"hits")
+        .crossJoin(bf.agg(count(lit(1)).as("possible")))
+        .select($"method", $"k", $"hits", $"possible")
     }),
 
     // X2: the identifier stage over synthesized sections (mapPartitions LLM
@@ -1093,12 +1153,18 @@ object DataPipelineQueries {
 
   /** Exact brute-force cosine top-5 twin for the first `maxQid` query
     * vectors (the baseline the recall gate measures against). */
-  private def knnBruteforceSql(maxQid: Int): String =
+  private def knnBruteforceSql(maxQid: Int,
+      targetFilter: String = ""): String = {
+    // optional metadata predicate on the target side — the exact baseline
+    // for filtered vector search; empty keeps the unfiltered oracles
+    // byte-identical
+    val tf = if (targetFilter.isEmpty) "" else s"""
+       |    AND b.vec_id IN (SELECT vec_id FROM embeddings WHERE $targetFilter)""".stripMargin
     s"""WITH pairs AS (
        |  SELECT a.vec_id AS qid, b.vec_id AS tid,
        |         a.embedding AS qe, b.embedding AS te
        |  FROM embeddings a, embeddings b
-       |  WHERE a.vec_id < $maxQid AND a.vec_id <> b.vec_id),
+       |  WHERE a.vec_id < $maxQid AND a.vec_id <> b.vec_id$tf),
        |terms AS (SELECT qid, tid, unnest(qe) AS x, unnest(te) AS y
        |          FROM pairs),
        |dots AS (
@@ -1116,6 +1182,7 @@ object DataPipelineQueries {
        |SELECT qid, CAST(rank AS INT) AS rank, tid, cos
        |FROM ranked WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin
+  }
 
   /** Shared LSH bucket derivation (CTEs planes/vecs/projs/buckets over the
     * embeddings table) — the exact twin of `Similarity.lshBucket`. */
@@ -1232,6 +1299,18 @@ object DataPipelineQueries {
        |    (SELECT COUNT(*) FROM bf) AS possible)
        |ORDER BY method""".stripMargin
 
+  /** knn_recall_filtered twin: recall@5 of the filtered LSH search
+    * against the exact top-5 over only the predicate-surviving targets —
+    * both sides share the `label % 2 = 0` target restriction. */
+  private def knnRecallFilteredSql: String =
+    s"""WITH bf AS (SELECT qid, tid FROM (
+       |${knnBruteforceSql(maxQid = 50, targetFilter = "label % 2 = 0")})),
+       |lshr AS (SELECT qid, tid FROM (
+       |${knnLshSql(targetFilter = "label % 2 = 0")}))
+       |SELECT 'lsh_filtered' AS method, CAST(5 AS INT) AS k,
+       |  (SELECT COUNT(*) FROM lshr JOIN bf USING (qid, tid)) AS hits,
+       |  (SELECT COUNT(*) FROM bf) AS possible""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "knn_ivf_lloyd" -> knnIvfLloydSql,
     "d3_minhash_lsh" -> HashOracleSql.d3Sql(),
@@ -1274,6 +1353,36 @@ object DataPipelineQueries {
         |  COALESCE(h.n_hits, 0) >= 1 AS contaminated
         |FROM sizes z LEFT JOIN hits h ON z.doc_id = h.doc_id
         |ORDER BY z.doc_id""".stripMargin,
+    // Production-regime twin: same injection (canary appended to every
+    // bench doc and to train docs with doc_id % 17 = 0), 8-grams, any
+    // hit disqualifies. Gram identity by string here, by 64-bit hash on
+    // the Spark side — the d2/d3/d8 convention.
+    "d8b_decontaminate_prod" ->
+      (s"""WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(
+        |      text || CASE WHEN doc_id % 10 = 3 OR doc_id % 17 = 0
+        |                   THEN '$D8bLeak' ELSE '' END)),
+        |      '\\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(list_slice(w, CAST(i AS INT), CAST(i+7 AS INT)), ' ') AS s
+        |  FROM (SELECT doc_id, w,
+        |          unnest(range(1, greatest(len(w) - 7, 1) + 1)) AS i
+        |        FROM docs)),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 3),
+        |corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 3),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY 1),
+        |hits AS (
+        |  SELECT doc_id, COUNT(*) AS n_hits
+        |  FROM corpus JOIN bench USING (s) GROUP BY 1)
+        |SELECT z.doc_id, CAST(z.n_grams AS INT) AS n_grams,
+        |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  COALESCE(h.n_hits, 0) >= 1 AS contaminated,
+        |  z.doc_id % 17 = 0 AS injected
+        |FROM sizes z LEFT JOIN hits h ON z.doc_id = h.doc_id
+        |ORDER BY z.doc_id""".stripMargin),
     "d8c_decontaminate_apply" ->
       """WITH docs AS (
         |  SELECT doc_id,
@@ -1431,6 +1540,7 @@ object DataPipelineQueries {
     "knn_lsh_filtered_indexed" -> knnLshSql(targetFilter = "label % 2 = 0"),
     "knn_ivf_indexed" -> knnIvfLloydSql, // Lloyd centroids reach the index
     "knn_recall" -> knnRecallSql,
+    "knn_recall_filtered" -> knnRecallFilteredSql,
     "knn_ivf" -> knnIvfSeedSql(),
     "knn_ivf_cells" -> knnIvfSeedSql(nCells = 32),
     "x2_identify" ->

@@ -198,4 +198,36 @@ class DedupSpec extends SparkSpec {
     assert(run(1))
     assert(!run(3))
   }
+
+  test("d8b production regime: canary injection is exactly additive") {
+    // at n=8/minHits=1 on the real corpus, the flagged set with the
+    // canary injected must equal (naturally flagged docs) UNION (injected
+    // docs): full sensitivity — every injected doc flags — and zero
+    // injection-induced false positives. Natural flags are real
+    // train/bench near-dup leakage and must survive unchanged (injection
+    // only ever ADDS grams).
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val leak = graft.queries.DataPipelineQueries.D8bLeak
+    val benchRaw = docs.filter($"doc_id" % 10 === 3)
+    val trainRaw = docs.filter($"doc_id" % 10 =!= 3)
+    def flagged(bench: org.apache.spark.sql.DataFrame,
+        train: org.apache.spark.sql.DataFrame): Set[Long] =
+      Dedup.contaminationHits(train, bench, "doc_id", "text",
+          n = 8, minHits = 1)
+        .filter($"contaminated").select($"doc_id")
+        .collect().map(_.getLong(0)).toSet
+    val natural = flagged(benchRaw, trainRaw)
+    val withInjection = flagged(
+      benchRaw.select($"doc_id", concat($"text", lit(leak)).as("text")),
+      trainRaw.select($"doc_id",
+        when($"doc_id" % 17 === 0, concat($"text", lit(leak)))
+          .otherwise($"text").as("text")))
+    val injected = trainRaw.filter($"doc_id" % 17 === 0)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(injected.nonEmpty, "fixture must inject at least one doc")
+    assert(withInjection == natural.union(injected),
+      s"additivity broken: extra=${(withInjection -- natural -- injected)
+        .toSeq.sorted.take(5)} missing=${(natural.union(injected) --
+        withInjection).toSeq.sorted.take(5)}")
+  }
 }
