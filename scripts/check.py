@@ -5,11 +5,31 @@ testdata parquet tables and compare values exactly.
 
 Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
 """
-import json, sys, glob, os
+import json, sys, glob, os, re
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+def check_coverage_inventory(oracle):
+    """COVERAGE.md's generated inventory must list exactly the gated query
+    keys — doc drift (a query added without a COVERAGE entry, or a stale
+    count) fails the gate. Regenerate with scripts/gen_inventory.py."""
+    cov_path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    cov = open(cov_path).read()
+    m = re.search(r"<!-- inventory:begin -->(.*?)<!-- inventory:end -->",
+                  cov, re.S)
+    if not m:
+        print("[BAD ] COVERAGE.md: missing inventory markers"); return 1
+    listed = set(re.findall(r"`([A-Za-z0-9_]+)`", m.group(1)))
+    keys = set(oracle.keys())
+    if listed != keys:
+        extra = sorted(listed - keys); missing = sorted(keys - listed)
+        print(f"[BAD ] COVERAGE.md inventory drift: "
+              f"not-in-map={extra[:5]} not-in-doc={missing[:5]}")
+        return 1
+    print(f"[ OK ] COVERAGE.md inventory: {len(keys)} queries in sync")
+    return 0
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -19,6 +39,7 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    n_bad += check_coverage_inventory(oracle)
     for name, sql in sorted(oracle.items()):
         res_glob = f"{out_dir}/{name}/*.parquet"
         files = glob.glob(res_glob)

@@ -51,7 +51,8 @@ object Bench {
     val reps = math.max(1, scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt).getOrElse(3))
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
-    val best = scala.collection.mutable.Map.empty[String, Double]
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
     for (_ <- 1 to reps; (name, fn) <- named) {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
@@ -59,14 +60,20 @@ object Bench {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $name failed: $e")
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      if (dt < best.getOrElse(name, Double.MaxValue)) best(name) = dt
+      times(name) = (System.nanoTime() - t0) / 1e9 :: times(name)
     }
-    val results = named.map { case (name, _) => name -> best(name) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // headline = min-of-reps (steady state); median emitted alongside so
+    // round-over-round deltas can separate signal from scheduler noise
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted; s((s.length - 1) / 2)
+    }
+    val results = named.map { case (name, _) => name -> times(name).min }
+    def jmap(m: Seq[(String, Double)]) = m
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results)
+    val med = jmap(named.map { case (name, _) => name -> median(times(name)) })
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_median":$med,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -89,13 +89,23 @@ object Normalize {
 
   // --- PII redaction (training-data hygiene) ---------------------------
   // Patterns stay inside the common Java-regex/RE2 subset (explicit
-  // classes, \b, bounded repeats) so the DuckDB twin runs them verbatim.
-  // The replace chain runs in a fixed order (email, SSN 3-2-4, phone
-  // 3-3-4, IPv4) and the oracle replays the same order, so any pattern
-  // overlap resolves identically in both engines.
+  // classes, \b, bounded repeats, groups/alternation) so the DuckDB twin
+  // runs them verbatim. The replace chain runs in a fixed order (email,
+  // SSN 3-2-4, phone, IPv4) and the oracle replays the same order, so any
+  // pattern overlap resolves identically in both engines.
+  //
+  // Covered shapes (a gated proxy, not a compliance product): emails of
+  // the common user@host.tld form; SSN-shaped 3-2-4 ids; US phones as
+  // 3-3-4 with -, . or space separators plus the parenthesized-area-code
+  // form "(555) 867-5309" (optional space after the close paren); IPv4 as
+  // four 1-3 digit octets — deliberately lenient (999.999.999.999
+  // redacts: over-redaction is the safe failure mode for a scrub).
+  // International prefixes (+1), extensions, and letter-mask phones are
+  // out of scope here.
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val SsnPattern = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
-  val PhonePattern = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+  val PhonePattern =
+    "(\\([0-9]{3}\\) ?|\\b[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\\b"
   val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
   /** Redact emails, SSN-shaped ids, phone numbers, and IPv4 addresses to

@@ -814,6 +814,7 @@ object DataPipelineQueries {
         substring($"text", 1, 200),
         lit(" contact user"), ids, lit("@example.com now"),
         lit(" or call 555-867-"), last4,
+        lit(" or ring (555) 204-"), last4,
         when($"doc_id" % 3 === 0, concat(lit(" id 123-45-"), last4))
           .otherwise(lit("")),
         lit(" from 10.0."), ($"doc_id" % 256).cast("string"), lit(".7 end"))
@@ -1654,6 +1655,8 @@ object DataPipelineQueries {
         |      || '@example.com now'
         |      || ' or call 555-867-'
         |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' or ring (555) 204-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
         |      || CASE WHEN doc_id % 3 = 0
         |           THEN ' id 123-45-'
         |             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
@@ -1670,7 +1673,7 @@ object DataPipelineQueries {
         |            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
         |            '<EMAIL>', 'g'),
         |          '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<ID>', 'g'),
-        |        '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
+        |        '(\([0-9]{3}\) ?|\b[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'),
         |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
         |      '<IP>', 'g') AS s
         |  FROM built)
@@ -1681,7 +1684,7 @@ object DataPipelineQueries {
         |  CAST(len(regexp_extract_all(content,
         |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS INT) AS n_ids,
         |  CAST(len(regexp_extract_all(content,
-        |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS INT) AS n_phones,
+        |    '(\([0-9]{3}\) ?|\b[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\b')) AS INT) AS n_phones,
         |  CAST(len(regexp_extract_all(content,
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT)
         |    AS n_ips,

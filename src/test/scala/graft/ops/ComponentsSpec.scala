@@ -42,4 +42,28 @@ class ComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(l1(5L) == 4L && l1(3L) == 2L && l1(2L) == 1L)
   }
+
+  test("deep chain far past the production unroll: early exit at the true fixpoint") {
+    // a generated 41-node path graph (diameter 40, 5x the CcIters=8 the
+    // gated queries run) plus a shuffled 25-chain: proves the propagation
+    // LOOP converges on graphs much deeper than the corpus's — the gate's
+    // n_unconverged=0 shows 8 sufficed THERE; this shows the kernel is
+    // not silently capped at any fixed depth. iters is a generous ceiling
+    // (64): the early-exit test must stop the loop at the fixpoint, and
+    // one extra propagation round must then change nothing.
+    val chain = (0 until 40).map(i => (100L + i, 101L + i))
+    // interleaved ids so min-label floods AGAINST the edge direction too
+    val shuffled = (0 until 24).map(i =>
+      (1000L + ((i * 7) % 25), 1000L + ((i * 7 + 7) % 25)))
+    val deep = (chain ++ shuffled).toDF("id_1", "id_2")
+    val labels = Components.minLabelComponents(deep, iters = 64)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 41 + 25)
+    assert((0 to 40).forall(i => labels(100L + i) == 100L),
+      s"chain labels wrong: ${labels.filter(_._1 < 1000L).toSeq.sorted.take(8)}")
+    assert((0 until 25).forall(i => labels(1000L + i) == 1000L))
+    val stats = Components.componentStats(deep, iters = 64).collect().head
+    assert((stats.getLong(0), stats.getLong(1), stats.getLong(2)) ==
+      ((66L, 2L, 0L)))
+  }
 }

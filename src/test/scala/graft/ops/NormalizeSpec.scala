@@ -112,6 +112,11 @@ class NormalizeSpec extends SparkSpec {
     // dotted phone variant; embedded digits without the shapes untouched
     assert(scrub("call 555.867.5309 ref 1234567") ==
       "call <PHONE> ref 1234567")
+    // parenthesized area code (with and without the space) and space
+    // separators — the common US layouts beyond strict 3-3-4
+    assert(scrub("ring (555) 867-5309 or (555)8675309 is not a phone") ==
+      "ring <PHONE> or (555)8675309 is not a phone")
+    assert(scrub("cell 555 867 5309 ends") == "cell <PHONE> ends")
     assert(scrub("no pii here at all") == "no pii here at all")
   }
 }
