@@ -40,9 +40,20 @@ object TextAnalysis {
     size(split(trim(text), "\\s+"))
 
   /** BPE-ish subword token count: letter runs, digit runs, and individual
-    * punctuation marks each count as one token. */
+    * punctuation marks each count as one token. Retained as the proxy the
+    * earlier gates (ta_text_profile / ta_corpus_stats / pack_sequences /
+    * curate_sample) were built on; [[bpeTokenCount]] is the real merges
+    * tokenizer. */
   def tokenCountBpe(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** REAL merges-table BPE token count: greedy rank-order merges over the
+    * committed /graft/bpe_merges.txt fixture (BpeImpl), as a codegen'd
+    * Catalyst expression — pure map stage at any corpus size. */
+  def bpeTokenCount(text: Column): Column = {
+    import org.apache.spark.sql.graft.{BpeTokenCount, internal}
+    internal.column(BpeTokenCount(internal.expression(text)))
+  }
 
   def punctRatio(text: Column): Column =
     countMatches(text, "[.!?,;:]").cast("double") /

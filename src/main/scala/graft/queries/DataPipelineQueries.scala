@@ -956,6 +956,36 @@ object DataPipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // REAL BPE token counts (greedy rank-order merges over the committed
+    // fixture): per doc, word count + merged-token count. The DuckDB twin
+    // replays every merge rule as a replace step over a double-space
+    // token encoding on the DISTINCT word vocabulary, then joins counts
+    // back per occurrence — so the whole merge table is proven against an
+    // independent engine, not just the counts.
+    "ta_tokens_bpe" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id",
+        TextAnalysis.wordCount($"text").as("n_words"),
+        TextAnalysis.bpeTokenCount($"text").as("n_tokens_bpe"))
+        .orderBy($"doc_id")
+    }),
+
+    // Sequence packing budgeted in REAL BPE tokens (the unit a trainer
+    // actually bins by) — same per-shard windowed fill as pack_sequences,
+    // tighter 512 budget so bins and boundary flags genuinely differ from
+    // the proxy-token gate.
+    "pack_sequences_bpe" -> ((s, dir) => {
+      import s.implicits._
+      Sampling.packSequences(
+        t(s, dir, "documents")
+          .select($"doc_id", $"source",
+            TextAnalysis.bpeTokenCount($"text").as("nt")),
+        $"source", $"doc_id", $"nt", budget = 512L)
+        .select($"id".as("doc_id"), $"shard".as("source"), $"n_tokens",
+          $"bin", $"bin_offset", $"spans_boundary")
+        .orderBy($"doc_id")
+    }),
+
     // Content fingerprint (md5 over normalized text).
     "ta_fingerprint" -> ((s, dir) => {
       import s.implicits._
@@ -1000,6 +1030,32 @@ object DataPipelineQueries {
         .orderBy($"doc_id", $"frame_idx")
     })
   )
+
+  /** The committed BPE merge table replayed as a chain of DuckDB
+    * `replace` calls over a double-space token encoding: tokens are
+    * delimited by two spaces and each rule's pattern ' a  b ' -> ' ab '
+    * consumes ONE delimiter space per side, so consecutive occurrences
+    * keep matching and each replace is exactly the kernel's left-to-right
+    * non-overlapping merge pass (BpeSpec proves the equivalence on random
+    * words). */
+  private def bpeMergeChainSql(seqExpr: String): String =
+    graft.ops.BpeImpl.merges.foldLeft(seqExpr) { case (acc, (a, b)) =>
+      s"replace($acc, ' $a  $b ', ' $a$b ')"
+    }
+
+  /** Shared CTEs: per-doc word instances, the distinct vocabulary, and
+    * each vocab word's merged-token count (the merge chain runs once per
+    * DISTINCT word — the ta_unigram_logfreq two-pass trick). */
+  private def bpeVocabCtes: String =
+    s"""w AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+      |  FROM documents),
+      |vocab AS (SELECT DISTINCT w FROM w WHERE w <> ''),
+      |tok AS (
+      |  SELECT w, CAST(len(string_split(trim(${bpeMergeChainSql(
+      "'  ' || array_to_string(string_split(w, ''), '  ') || '  '")}), '  ')) AS BIGINT) AS nt
+      |  FROM vocab)""".stripMargin
 
   private val scaledDotSql =
     "SUM(CAST(ROUND(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)*1000000) AS BIGINT))"
@@ -1788,6 +1844,38 @@ object DataPipelineQueries {
         |  CAST(start // 2048 AS BIGINT) AS bin,
         |  CAST(start % 2048 AS BIGINT) AS bin_offset,
         |  (start % 2048) + n_tokens > 2048 AS spans_boundary
+        |FROM cum
+        |ORDER BY doc_id""".stripMargin),
+    // Every merge rule of the committed fixture replayed relationally on
+    // the distinct vocabulary; counts joined back per word occurrence.
+    "ta_tokens_bpe" ->
+      (s"""WITH $bpeVocabCtes,
+        |per_doc AS (
+        |  SELECT doc_id, COUNT(*) AS n_words,
+        |    CAST(SUM(nt) AS BIGINT) AS n_tokens_bpe
+        |  FROM w JOIN tok USING (w) GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(p.n_words, 0) AS INT) AS n_words,
+        |  CAST(COALESCE(p.n_tokens_bpe, 0) AS BIGINT) AS n_tokens_bpe
+        |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
+    "pack_sequences_bpe" ->
+      (s"""WITH $bpeVocabCtes,
+        |agg AS (
+        |  SELECT ww.doc_id, CAST(SUM(t.nt) AS BIGINT) AS n_tokens
+        |  FROM w ww JOIN tok t USING (w) GROUP BY 1),
+        |toks AS (
+        |  SELECT d.doc_id, d.source,
+        |    CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens
+        |  FROM documents d LEFT JOIN agg a USING (doc_id)),
+        |cum AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start
+        |  FROM toks)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(start // 512 AS BIGINT) AS bin,
+        |  CAST(start % 512 AS BIGINT) AS bin_offset,
+        |  (start % 512) + n_tokens > 512 AS spans_boundary
         |FROM cum
         |ORDER BY doc_id""".stripMargin),
     "sample_mixture" -> HashOracleSql.mixtureSampleSql(

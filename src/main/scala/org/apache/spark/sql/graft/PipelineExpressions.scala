@@ -150,6 +150,22 @@ case class MinHashSig(child: Expression, k: Int, numHashes: Int)
 /** Distinct word n-gram shingle hashes of a normalized (single-spaced)
   * string — the one-pass, allocation-free candidate-key generator for the
   * exact Jaccard dedup (see TextImpl.wordShingleHashes). */
+/** Greedy merges-table BPE token count over whitespace words (the real
+  * tokenizer, committed fixture — see graft.ops.BpeImpl for semantics and
+  * the rank-order == classical-BPE argument). Single static call, stays
+  * inside whole-stage codegen. */
+case class BpeTokenCount(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(s: Any): Any =
+    graft.ops.BpeImpl.tokenCount(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.ops.BpeImpl.tokenCount($s)")
+  override def prettyName: String = "bpe_token_count"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class WordShingleHashes(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {
   require(n > 0)
