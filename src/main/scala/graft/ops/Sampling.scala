@@ -104,7 +104,17 @@ object Sampling {
   /** Shared core of the ranged-running-sum shape: the checkpointed
     * range-partitioned frame (with its `__pid` range id) and each range's
     * exclusive prefix offset, collected as one subtotal row per range —
-    * bounded by `numRanges` by construction, never by the input. */
+    * bounded by `numRanges` by construction, never by the input.
+    *
+    * Fixed cost at tiny scale: the shape runs a bounded number of extra
+    * jobs versus the single-partition window it replaces (range sampling,
+    * the checkpoint, the subtotal collect) — a constant orchestration
+    * overhead independent of corpus size, which is exactly the trade: at
+    * sf0.1 it is ~1.5 s absolute; at 100 TB it is noise while the global
+    * window it replaces is the job. (Pinning the input with its own
+    * checkpoint before the range shuffle was measured SLOWER here — the
+    * upstream profile kernels are cheap and the extra materialization
+    * job dominates; revisit only if an upstream ever becomes the cost.) */
   private def rangedOffsets(df: DataFrame, order: Seq[Column], value: Column,
       numRanges: Int): (DataFrame, Map[Int, Long]) = {
     require(numRanges > 0, s"numRanges must be positive, got $numRanges")

@@ -196,12 +196,19 @@ class PlanSpec extends SparkSpec {
     val p = plan("d8_decontaminate")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       p.take(2000))
+    // single-pass shape: exactly two documents scans total (benchmark side
+    // + corpus side) — a third means the corpus is being re-scanned and
+    // re-shingle-hashed for the gram count, the pre-round-7 double cost
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans == 2, s"expected 2 documents scans (bench + corpus), " +
+      s"got $scans:\n${p.take(1500)}")
   }
 
-  test("mixture sample / pii scrub / repetition plan as pure map stages") {
+  test("mixture sample / pii scrub / repetition / bpe count plan as pure map stages") {
     // filters and per-row folds only — any Exchange before the final
     // orderBy means the operator stopped being a scan-time decision
-    for (q <- Seq("sample_mixture", "pii_scrub", "ta_repetition")) {
+    for (q <- Seq("sample_mixture", "pii_scrub", "ta_repetition",
+        "ta_tokens_bpe")) {
       val p = plan(q)
       // count shuffle exchanges only — "Exchange " alone would also match
       // BroadcastExchange and silently miscount a future broadcast join

@@ -143,6 +143,38 @@ class CurationSpec extends SparkSpec {
     assert(a.filter($"bucket" >= $"w_thresh").count() == 0)
   }
 
+  test("rangedRunningSum / budgetPrefix == global running-sum window (exact parity)") {
+    // the distributed budget-prefix shape (range partitions + per-range
+    // subtotals + broadcast offsets + static range pruning) must return
+    // exactly the rows and cumulative sums of the naive unpartitioned
+    // window it replaces — on seeded random data with ties in the leading
+    // order column and at several range counts (incl. more ranges than
+    // rows)
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 400).map(i =>
+      (i.toLong, rnd.nextInt(12), 1 + rnd.nextInt(50)))
+      .toDF("id", "q", "v")
+    val w = Window.orderBy($"q".desc, $"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = df.withColumn("cum", sum($"v".cast("long")).over(w))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id"), r.getAs[Long]("cum"))
+    val naiveAll = naive.collect().map(key).toSet
+    for (ranges <- Seq(1, 3, 8, 1000)) {
+      val ranged = Sampling.rangedRunningSum(df,
+        Seq($"q".desc, $"id"), $"v", "cum", numRanges = ranges)
+      assert(ranged.collect().map(key).toSet == naiveAll,
+        s"rangedRunningSum diverged at numRanges=$ranges")
+      val budget = 2000L
+      val naivePrefix = naive.filter($"cum" <= budget).collect().map(key).toSet
+      val pref = Sampling.budgetPrefix(df, Seq($"q".desc, $"id"), $"v",
+        "cum", budget = budget, numRanges = ranges)
+      assert(pref.collect().map(key).toSet == naivePrefix,
+        s"budgetPrefix diverged at numRanges=$ranges")
+    }
+  }
+
   test("sequence packing matches the sequential per-shard reference") {
     val rows = Seq.tabulate(50)(i => (i.toLong, s"s${i % 2}", 300L + (i * 37) % 500))
     val got = Sampling.packSequences(rows.toDF("doc_id", "source", "nt"),
