@@ -61,12 +61,18 @@ object DataPipelineQueries {
     * fingerprint keep-first dedup), exposed so PlanSpec can assert its
     * one-documents-scan / partitioned-window shape directly — the budget
     * stage localCheckpoints this frame (Sampling.budgetPrefix), which
-    * hides the upstream plan from the final query's executedPlan. */
-  private[graft] def curateDeduped(s: SparkSession, dir: String): DataFrame = {
+    * hides the upstream plan from the final query's executedPlan.
+    * `bpe = true` budgets in real merges-table tokens (curate_sample_bpe)
+    * instead of the regex proxy. */
+  private[graft] def curateDeduped(s: SparkSession, dir: String,
+      bpe: Boolean = false): DataFrame = {
     import s.implicits._
+    val tok =
+      if (bpe) TextAnalysis.bpeTokenCount($"text").cast("int")
+      else TextAnalysis.tokenCountBpe($"text")
     val profiled = t(s, dir, "documents").select($"doc_id",
       TextAnalysis.fingerprint($"text").as("fp"),
-      TextAnalysis.tokenCountBpe($"text").as("n_tokens"),
+      tok.as("n_tokens"),
       TextAnalysis.qualityScore($"text").as("quality"))
       .filter($"quality" >= 0.8)
     val wd = Window.partitionBy($"fp").orderBy($"doc_id")
@@ -74,6 +80,33 @@ object DataPipelineQueries {
       .withColumn("rn", row_number().over(wd))
       .filter($"rn" === 1)
       .select($"doc_id", $"n_tokens", $"quality")
+  }
+
+  /** Corpus stats over a (doc_id, lang, n_tokens:int) profile: counts,
+    * exact-integer mean, and exact DISCRETE percentiles computed over the
+    * per-stratum VALUE HISTOGRAM — the cumulative window runs over tiny
+    * (lang, distinct count) rows, never a per-doc sort (shared by the
+    * proxy-token and real-BPE gates). */
+  private def corpusStatsOf(prof: DataFrame): DataFrame = {
+    import prof.sparkSession.implicits._
+    val hist = prof.groupBy($"lang", $"n_tokens")
+      .agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy($"lang").orderBy($"n_tokens")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum($"c").over(wcum))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"lang")))
+      .groupBy($"lang")
+      .agg(
+        max($"n").as("n_docs"),
+        sum($"n_tokens".cast("long") * $"c").as("sum_tokens"),
+        (sum($"n_tokens".cast("long") * $"c").cast("double") /
+          max($"n").cast("double")).as("mean_tokens"),
+        min(when($"cum" >= expr("(n + 1) div 2"), $"n_tokens"))
+          .as("median_tokens"),
+        min(when($"cum" >= expr("(95 * n + 99) div 100"), $"n_tokens"))
+          .as("p95_tokens"))
+      .orderBy($"lang")
   }
 
   /** The mined pair set persisted once per testdata dir — the production
@@ -863,27 +896,19 @@ object DataPipelineQueries {
     // (parity with the rank-window formulation proven in CurationSpec).
     "ta_corpus_stats" -> ((s, dir) => {
       import s.implicits._
-      val prof = t(s, dir, "documents").select($"doc_id",
+      corpusStatsOf(t(s, dir, "documents").select($"doc_id",
         TextAnalysis.langId($"text").as("lang"),
-        TextAnalysis.tokenCountBpe($"text").as("n_tokens"))
-      val hist = prof.groupBy($"lang", $"n_tokens")
-        .agg(count(lit(1)).as("c"))
-      val wcum = Window.partitionBy($"lang").orderBy($"n_tokens")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      hist
-        .withColumn("cum", sum($"c").over(wcum))
-        .withColumn("n", sum($"c").over(Window.partitionBy($"lang")))
-        .groupBy($"lang")
-        .agg(
-          max($"n").as("n_docs"),
-          sum($"n_tokens".cast("long") * $"c").as("sum_tokens"),
-          (sum($"n_tokens".cast("long") * $"c").cast("double") /
-            max($"n").cast("double")).as("mean_tokens"),
-          min(when($"cum" >= expr("(n + 1) div 2"), $"n_tokens"))
-            .as("median_tokens"),
-          min(when($"cum" >= expr("(95 * n + 99) div 100"), $"n_tokens"))
-            .as("p95_tokens"))
-        .orderBy($"lang")
+        TextAnalysis.tokenCountBpe($"text").as("n_tokens")))
+    }),
+
+    // The same corpus stats budgeted in REAL merges-table BPE tokens —
+    // the unit a training run actually reports; the twin derives each
+    // doc's count through the full relational merge-chain replay.
+    "ta_corpus_stats_bpe" -> ((s, dir) => {
+      import s.implicits._
+      corpusStatsOf(t(s, dir, "documents").select($"doc_id",
+        TextAnalysis.langId($"text").as("lang"),
+        TextAnalysis.bpeTokenCount($"text").cast("int").as("n_tokens")))
     }),
 
     // Deterministic seeded stratified sampling: the 25 docs with the
@@ -950,6 +975,18 @@ object DataPipelineQueries {
     "curate_sample" -> ((s, dir) => {
       import s.implicits._
       Sampling.budgetPrefix(curateDeduped(s, dir),
+          Seq($"quality".desc, $"doc_id"), $"n_tokens", "cum_tokens",
+          budget = 100000L, numRanges = 8)
+        .select($"doc_id", $"n_tokens", $"cum_tokens", $"quality")
+        .orderBy($"doc_id")
+    }),
+
+    // The curation lineage budgeted in REAL BPE tokens — the budget a
+    // training run actually spends; same distributed budget prefix, the
+    // twin derives token counts through the full merge-chain replay.
+    "curate_sample_bpe" -> ((s, dir) => {
+      import s.implicits._
+      Sampling.budgetPrefix(curateDeduped(s, dir, bpe = true),
           Seq($"quality".desc, $"doc_id"), $"n_tokens", "cum_tokens",
           budget = 100000L, numRanges = 8)
         .select($"doc_id", $"n_tokens", $"cum_tokens", $"quality")
@@ -1828,6 +1865,32 @@ object DataPipelineQueries {
         |  MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN n_tokens END) AS p95_tokens
         |FROM pos GROUP BY lang
         |ORDER BY lang""".stripMargin),
+    // Same stats with per-doc counts derived through the relational merge
+    // chain (distinct-vocab tokenization joined back per doc).
+    "ta_corpus_stats_bpe" ->
+      (s"""WITH $bpeVocabCtes,
+        |bpe AS (
+        |  SELECT ww.doc_id, CAST(SUM(t.nt) AS BIGINT) AS nt
+        |  FROM w ww JOIN tok t USING (w) GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, text,
+        |    $langScoresSql
+        |  FROM documents),
+        |prof AS (SELECT s.doc_id, $predLangCaseSql AS lang,
+        |  CAST(b.nt AS INT) AS n_tokens
+        |  FROM scored s JOIN bpe b ON s.doc_id = b.doc_id),
+        |pos AS (SELECT *,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM prof)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS sum_tokens,
+        |  CAST(CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS mean_tokens,
+        |  MAX(CASE WHEN rn = (n + 1) // 2 THEN n_tokens END) AS median_tokens,
+        |  MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN n_tokens END) AS p95_tokens
+        |FROM pos GROUP BY lang
+        |ORDER BY lang""".stripMargin),
     // CAST the window sum: DuckDB's SUM over BIGINT is HUGEINT and the
     // driver hash is type-sensitive (the curate_sample lesson).
     "pack_sequences" ->
@@ -1917,6 +1980,32 @@ object DataPipelineQueries {
         s"    CAST($tokenCountSql AS INT) AS n_tokens,\n" +
         s"    $qualityScoreSql AS quality\n" +
         """  FROM documents),
+        |filtered AS (SELECT * FROM profiled WHERE quality >= 0.8),
+        |deduped AS (
+        |  SELECT doc_id, n_tokens, quality FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |    FROM filtered) z WHERE rn = 1),
+        |sampled AS (
+        |  SELECT doc_id, n_tokens, quality,
+        |    CAST(SUM(CAST(n_tokens AS BIGINT)) OVER (ORDER BY quality DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM deduped)
+        |SELECT doc_id, n_tokens, cum_tokens, quality
+        |FROM sampled WHERE cum_tokens <= 100000
+        |ORDER BY doc_id""".stripMargin),
+    // Same lineage with the budget spent in real BPE tokens (merge-chain
+    // replay on the distinct vocabulary, joined back per doc).
+    "curate_sample_bpe" ->
+      (s"""WITH $bpeVocabCtes,
+        |bpe AS (
+        |  SELECT ww.doc_id, CAST(SUM(t.nt) AS BIGINT) AS nt
+        |  FROM w ww JOIN tok t USING (w) GROUP BY 1),
+        |profiled AS (
+        |  SELECT d.doc_id,
+        |    $fpSql AS fp,
+        |    CAST(b.nt AS INT) AS n_tokens,
+        |    $qualityScoreSql AS quality
+        |  FROM documents d JOIN bpe b ON d.doc_id = b.doc_id),
         |filtered AS (SELECT * FROM profiled WHERE quality >= 0.8),
         |deduped AS (
         |  SELECT doc_id, n_tokens, quality FROM (
