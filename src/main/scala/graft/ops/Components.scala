@@ -88,6 +88,71 @@ object Components {
     minLabelComponents(pairs, iters)
       .select(col("id"), col("rep"), (col("id") === col("rep")).as("keep"))
 
+  /** Two-phase STAR CONTRACTION (the alternating large-star/small-star
+    * algorithm of Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"): each round hooks every node onto the minimum of its closed
+    * neighborhood, so component diameters roughly HALVE per round and the
+    * fixpoint arrives in O(log n) rounds — the scale answer to min-label
+    * propagation's diameter-bound round count (a 10^6-long dup chain
+    * needs ~20 star rounds, not 10^6 label rounds).
+    *
+    * large-star: every neighbor v > u connects to m(u) = min(N(u) ∪ u).
+    * small-star: every neighbor v <= u (v != m) connects to m(u).
+    * Both phases are one groupBy-min plus one join on 8-byte node ids —
+    * no unbounded per-node buffers — and the loop localCheckpoints per
+    * round (constant-size plan, same as propagate). Terminates when a
+    * round leaves the edge set unchanged; at the fixpoint the edges form
+    * one star per component centered at its minimum id, so labels read
+    * off directly. Throws loudly if `maxRounds` is hit unconverged
+    * (maxRounds is a guard rail, not a truncation: 24 covers components
+    * of ~2^24 diameter). Returns (id, rep) like [[minLabelComponents]]. */
+  def starContraction(pairs: DataFrame, maxRounds: Int = 24): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+    // m(u) over the CURRENT symmetric edge set
+    def mins(e: DataFrame): DataFrame =
+      e.groupBy(col("src")).agg(min(col("dst")).as("__mn"))
+        .select(col("src"), least(col("src"), col("__mn")).as("m"))
+    def phase(e: DataFrame, large: Boolean): DataFrame = {
+      val joined = e.join(mins(e), "src")
+      val hooked =
+        if (large)
+          joined.filter(col("dst") > col("src"))
+            .select(col("dst").as("src"), col("m").as("dst"))
+        else
+          joined.filter(col("dst") <= col("src") && col("dst") =!= col("m"))
+            .select(col("dst").as("src"), col("m").as("dst"))
+            .union(joined.select(col("src"), col("m").as("dst")))
+      sym(hooked)
+    }
+    var edges = sym(pairs.select(col("id_1").as("src"), col("id_2").as("dst")))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val next = phase(phase(edges, large = true), large = false)
+        .localCheckpoint()
+      // set equality: symmetric-difference emptiness over the two
+      // materialized (distinct) edge sets
+      converged = next.exceptAll(edges).isEmpty &&
+        edges.exceptAll(next).isEmpty
+      edges = next
+      round += 1
+    }
+    require(converged,
+      s"star contraction did not converge within $maxRounds rounds")
+    // fixpoint edge set = one star per component centered at the minimum
+    mins(edges).select(col("src").as("id"), col("m").as("rep"))
+  }
+
+  /** Keep/drop verdicts via star contraction — same output contract as
+    * [[dedupVerdicts]] (and the same oracle: both compute the exact
+    * per-component minima). */
+  def starVerdicts(pairs: DataFrame): DataFrame =
+    starContraction(pairs)
+      .select(col("id"), col("rep"), (col("id") === col("rep")).as("keep"))
+
   /** Number of nodes whose label would still change given one more round —
     * 0 iff `iters` rounds reached the fixpoint on this graph. Emitted
     * alongside component stats so convergence is gate-checkable, not

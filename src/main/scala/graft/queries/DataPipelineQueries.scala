@@ -31,8 +31,14 @@ object DataPipelineQueries {
 
   /** Min-label rounds for the d6 component queries — enough to cover the
     * largest near-dup component diameter on the gated corpora, PROVEN (not
-    * assumed) by d6b_component_stats' n_unconverged = 0 row. */
-  private val CcIters = 8
+    * assumed) by d6b_component_stats' n_unconverged = 0 row. 16 because
+    * the sf0.1 pair graph's deepest component needs 14 rounds (measured;
+    * sf0.01 needs 8 — the round-6 value of 8 was an sf0.01 accident that
+    * d6d_components_star exposed: star contraction computes TRUE minima
+    * and diverged from the 8-round truncation at sf0.1). Spark's
+    * propagate() exits at the fixpoint, so corpora that converge earlier
+    * pay nothing for the headroom; only the unrolled twin grows. */
+  private val CcIters = 16
 
   /** The benchmark canary for d8b_decontaminate_prod: 10 lowercase words
     * absent from the synthetic corpus (verified: zero docs contain any of
@@ -331,6 +337,17 @@ object DataPipelineQueries {
 
     "d6b_component_stats" -> ((s, dir) =>
       Components.componentStats(d3PairsCached(s, dir), iters = CcIters)),
+
+    // The same keep/drop verdicts via two-phase STAR CONTRACTION — the
+    // O(log n)-round kernel whose round count is diameter-INDEPENDENT
+    // (min-label needs diameter rounds; a million-long dup chain needs
+    // ~20 star rounds). Same fixpoint, same oracle as d6: both compute
+    // the exact per-component minima, so the unrolled min-label twin
+    // gates this kernel too.
+    "d6d_components_star" -> ((s, dir) => {
+      import s.implicits._
+      Components.starVerdicts(d3PairsCached(s, dir)).orderBy($"id")
+    }),
 
     // The APPLY step of near-dup dedup: the corpus minus every
     // non-canonical cluster member — a broadcast anti-join at any scale
@@ -1498,6 +1515,9 @@ object DataPipelineQueries {
         |WHERE d.doc_id % 10 <> 3 AND drops.doc_id IS NULL
         |ORDER BY d.doc_id""".stripMargin,
     "d6_neardup_components" -> HashOracleSql.d6Sql(iters = CcIters),
+    // star contraction reaches the same fixpoint (per-component minima),
+    // so the unrolled min-label twin is its oracle verbatim
+    "d6d_components_star" -> HashOracleSql.d6Sql(iters = CcIters),
     "d6b_component_stats" -> HashOracleSql.d6StatsSql(iters = CcIters),
     "d6c_dedup_apply" -> HashOracleSql.d6ApplySql(iters = CcIters),
     "d3b_minhash_bands" ->

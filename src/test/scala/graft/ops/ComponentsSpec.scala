@@ -66,4 +66,46 @@ class ComponentsSpec extends SparkSpec {
     assert((stats.getLong(0), stats.getLong(1), stats.getLong(2)) ==
       ((66L, 2L, 0L)))
   }
+
+  test("star contraction == min-label fixpoint on fixture and random graphs") {
+    // same per-component minima as the diameter-bound kernel, on the
+    // hand-built fixture and on seeded random graphs (including isolated
+    // pairs and larger joined clusters)
+    val fixture = Components.starContraction(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(fixture == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L))
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 150).map(_ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val df = edges.toDF("id_1", "id_2")
+    val star = Components.starContraction(df).as[(Long, Long)]
+      .collect().toMap
+    // union-find reference on the driver
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    // find() roots are not necessarily minima; normalize per component
+    val minOf = want.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+    assert(star == want.map { case (k, r) => k -> minOf(r) },
+      s"star labels diverge from union-find reference")
+  }
+
+  test("star contraction: deep chain converges in O(log n) rounds") {
+    // the 41-node path that needs ~40 min-label rounds must converge well
+    // inside star contraction's default 24-round guard (actually ~log2)
+    val chain = (0 until 40).map(i => (100L + i, 101L + i)).toDF("id_1", "id_2")
+    val labels = Components.starContraction(chain, maxRounds = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 41 && (0 to 40).forall(i => labels(100L + i) == 100L))
+  }
 }
