@@ -133,10 +133,11 @@ object Components {
     while (round < maxRounds && !converged) {
       val next = phase(phase(edges, large = true), large = false)
         .localCheckpoint()
-      // set equality: symmetric-difference emptiness over the two
-      // materialized (distinct) edge sets
-      converged = next.exceptAll(edges).isEmpty &&
-        edges.exceptAll(next).isEmpty
+      // set equality over the two materialized DISTINCT edge sets: equal
+      // cardinality plus one-sided difference emptiness suffices (and
+      // saves an except job per round vs the symmetric check)
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
       edges = next
       round += 1
     }
