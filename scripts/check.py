@@ -31,7 +31,7 @@ def check_coverage_inventory(oracle):
     print(f"[ OK ] COVERAGE.md inventory: {len(keys)} queries in sync")
     return 0
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -39,7 +39,12 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
-    n_bad += check_coverage_inventory(oracle)
+    if only:  # dev loop: prefix filter, inventory check skipped
+        pfx = only.split(",")
+        oracle = {k: v for k, v in oracle.items()
+                  if any(k.startswith(p) for p in pfx)}
+    else:
+        n_bad += check_coverage_inventory(oracle)
     for name, sql in sorted(oracle.items()):
         res_glob = f"{out_dir}/{name}/*.parquet"
         files = glob.glob(res_glob)
@@ -95,4 +100,5 @@ def main(sf_dir, out_dir):
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))

@@ -255,6 +255,63 @@ object Dedup {
       .select(col(id), col("n_grams"), col("n_hits"), col("contaminated"))
   }
 
+  // --- Corpus-level span dedup (C4-style) ------------------------------
+
+  /** Fixed-width word spans of a text as an ordered array — the span
+    * grain for corpus-level exact span removal. C4 dedups THREE-SENTENCE
+    * spans (ref: the C4 paper's "we discard all but one of any
+    * three-sentence span occurring more than once"); the synthetic corpus
+    * has no sentence marks, so the grain here is a fixed `spanWords`-word
+    * window and the operator is generic over the splitter. The last span
+    * may be shorter (slice clamps). */
+  def wordSpans(text: Column, spanWords: Int): Column = {
+    val words = split(text, " ")
+    val n = floor((size(words) + lit(spanWords - 1)).cast("double") /
+      lit(spanWords.toDouble)).cast("int")
+    transform(sequence(lit(0), n - 1), i =>
+      array_join(slice(words, i * spanWords + 1, lit(spanWords)), " "))
+  }
+
+  /** Corpus-level exact span dedup, keep-first: every occurrence of a
+    * span except the globally first (minimal (id, span index)) is
+    * removed, and each document is reassembled from its surviving spans
+    * in order. Returns (id, clean_text, n_spans, n_kept) for every input
+    * document (a doc whose every span was seen earlier keeps '').
+    *
+    * Scale shape: the dedup decision never shuffles text. Spans hash to
+    * 8 bytes map-side (the d2/d3 hashed-identity convention: collisions
+    * ~2^-64, deterministic); the keep-first winner per span is one
+    * min(struct) aggregation on the hash (map-side partials), and its
+    * output IS the kept (id, index) set — no join-back against the span
+    * table. Kept indexes regroup per doc (ints, not strings), and the
+    * only text movement in the whole plan is the final 8-byte-keyed join
+    * of that index list back to the corpus scan, where each doc
+    * re-slices ITS OWN words locally. A reassembly that instead grouped
+    * surviving span STRINGS would shuffle the entire corpus twice. */
+  def spanDedupKeepFirst(docs: DataFrame, id: String, text: String,
+      spanWords: Int = 10): DataFrame = {
+    require(spanWords > 0, s"spanWords must be positive, got $spanWords")
+    val spans = docs.select(col(id),
+      posexplode(wordSpans(col(text), spanWords)).as(Seq("__i", "__s")))
+      .select(col(id), col("__i"), xxhash64(col("__s")).as("__h"))
+    // first occurrence per distinct span: the aggregation output is the
+    // kept set itself (each distinct span keeps exactly its minimum)
+    val kept = spans.groupBy(col("__h"))
+      .agg(min(struct(col(id), col("__i"))).as("__f"))
+      .select(col(s"__f.$id").as(id), col("__f.__i").as("__i"))
+    val keptIdx = kept.groupBy(col(id))
+      .agg(sort_array(collect_list(col("__i"))).as("__ks"))
+    docs.select(col(id), split(col(text), " ").as("__w"))
+      .join(keptIdx, Seq(id), "left")
+      .select(col(id),
+        coalesce(array_join(transform(col("__ks"), i =>
+          array_join(slice(col("__w"), i * spanWords + 1, lit(spanWords)), " ")),
+          " "), lit("")).as("clean_text"),
+        floor((size(col("__w")) + lit(spanWords - 1)).cast("double") /
+          lit(spanWords.toDouble)).cast("long").as("n_spans"),
+        coalesce(size(col("__ks")), lit(0)).cast("long").as("n_kept"))
+  }
+
   // --- SimHash ---------------------------------------------------------
 
   /** 64-bit SimHash of the normalized text (custom expression). */

@@ -41,6 +41,58 @@ object Rank {
     lit(1.0) / (lit(1.0) + exp(-(sim * 8.0 - 4.0)))
   }
 
+  /** Okapi BM25 scoring of a fixed query-term list over a corpus — the
+    * lexical-retrieval complement of the cosine/hybrid path (T8/T9): the
+    * standard tf-saturation x document-length normalization x idf formula
+    * (k1 = 1.2, b = 0.75; idf = ln((N - df + 0.5)/(df + 0.5) + 1), the
+    * Lucene-style always-positive variant). `text` must be single-space
+    * tokenized (the corpus normal form); `terms` are matched as whole
+    * words.
+    *
+    * Scale shape: ONE corpus scan computes per-doc tf vector + length as
+    * map-side array folds (no explode — the term list is a few literals);
+    * a second aggregate reduces (N, sum dl, per-term df) to a single
+    * broadcast row; the score is then a pure map-stage formula. No
+    * shuffle ever carries text; top-k is TakeOrderedAndProject, not a
+    * global sort. The returned `score` is rounded to 6 dp: Spark's ln is
+    * StrictMath.log and an independent engine's libm can differ in the
+    * last ulp (~1e-16 relative — far inside the rounding margin), so the
+    * rounded value is the cross-engine-stable contract.
+    *
+    * Returns the `k` best (id, dl, tf_<term>..., score) rows by
+    * (score desc, id). */
+  def bm25TopK(docs: DataFrame, id: String, text: String,
+      terms: Seq[String], k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one term")
+    val words = split(col(text), " ")
+    val tfCols = terms.map(t =>
+      size(filter(words, w => w === t)).as(s"tf_$t"))
+    val profiled = docs.select(
+      col(id) +: size(words).as("dl") +: tfCols: _*)
+    val aggCols = count(lit(1)).as("__n") +:
+      sum(col("dl").cast("long")).as("__sumdl") +:
+      terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L))
+        .as(s"__df_$t"))
+    val stats = profiled.agg(aggCols.head, aggCols.tail: _*)
+    val n = col("__n").cast("double")
+    val avgdl = col("__sumdl").cast("double") / n
+    def termScore(t: String): Column = {
+      val tf = col(s"tf_$t").cast("double")
+      val df = col(s"__df_$t").cast("double")
+      val idf = log((n - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+      idf * (tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+    }
+    profiled.crossJoin(broadcast(stats))
+      .filter(terms.map(t => col(s"tf_$t") > 0).reduceLeft(_ || _))
+      .withColumn("score",
+        round(terms.map(termScore).reduceLeft(_ + _), 6))
+      .select(col(id) +: col("dl") +:
+        terms.map(t => col(s"tf_$t")) :+ col("score"): _*)
+      .orderBy(col("score").desc, col(id))
+      .limit(k)
+  }
+
   /** O3: deterministic top-1 per group — highest score, lowest tiebreak
     * (the reference keeps whichever future finished first; SURVEY §2.5 O4
     * mandates a deterministic rule instead). */

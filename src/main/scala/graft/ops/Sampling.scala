@@ -166,4 +166,37 @@ object Sampling {
       .withColumn("w_thresh", wcol)
       .filter(col("bucket") < col("w_thresh"))
   }
+
+  /** TEMPERATURE-scaled mixture sampling at alpha = 0.5: re-balance
+    * source sizes toward p_s^alpha — the multilingual-LM reweighting
+    * (mT5/XLM-R style) that keeps big sources from drowning small ones —
+    * realized as downsampling only (no upsampling): the kept count per
+    * source is proportional to sqrt(n_s), scaled so the smallest source
+    * keeps everything, i.e. rate_s = sqrt(min_n / n_s). Unlike
+    * [[mixtureSample]]'s operator-supplied weights, the rates here are
+    * DERIVED FROM THE DATA in a first pass. alpha is fixed at 0.5
+    * because sqrt is an exactly-rounded IEEE-754 op — the thresholds are
+    * bit-reproducible across engines, where a general pow() is
+    * libm-dependent. Keep decision: pmod(xxhash64(id), 10^6) <
+    * floor(10^6 * rate_s), the same seeded integer-threshold trick.
+    *
+    * Scale shape: pass 1 is one count aggregation bounded by the source
+    * alphabet (KBs); its rates broadcast-join back and pass 2 is a pure
+    * map-stage filter — at 100 TB the whole mixture costs two scans and
+    * no corpus-sized shuffle. Returns kept rows with (n_source, bucket,
+    * w_thresh) exposed. */
+  def temperatureSample(df: DataFrame, source: Column, id: Column): DataFrame = {
+    val counts = df.groupBy(source.as("source"))
+      .agg(count(lit(1)).as("n_source"))
+    val minN = counts.agg(min(col("n_source")).as("__minn"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .withColumn("w_thresh",
+        floor(lit(1000000.0) * sqrt(col("__minn").cast("double") /
+          col("n_source").cast("double"))))
+      .select(col("source"), col("n_source"), col("w_thresh"))
+    df.withColumn("source", source)
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("bucket", pmod(xxhash64(id), lit(1000000L)))
+      .filter(col("bucket") < col("w_thresh"))
+  }
 }

@@ -298,6 +298,42 @@ object Similarity {
       .select(col("qid"), col("rank"), col("tid"), col("cos"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) verdicts: semantic
+    * dedup by k-means clustering then within-cluster cosine pruning —
+    * near-duplicates in embedding space land in the same Voronoi cell, so
+    * the quadratic pair term is bounded by the cell-size distribution
+    * (sum of m_c^2), never n^2. A vector is dropped when an earlier
+    * (lower-id) SAME-CELL vector is >= `minCos` similar — keep-first, the
+    * d1/d6 canonical convention (the paper's keep-farthest-from-centroid
+    * is a policy choice on the same candidate structure). Reuses the
+    * gated IVF machinery: deterministic seed centroids + fixed-point
+    * Lloyd refinement + fixed-point cosine, so every cluster boundary and
+    * similarity reproduces bit-for-bit in the SQL twin.
+    *
+    * Scale shape: centroids are a KxD driver-side float matrix (the IVF
+    * convention, not a data collect); assignment is a map stage; the
+    * pair join shuffles once on the cell id. `nCells` is the knob that
+    * bounds cell population (SemDeDup's published runs use ~11k clusters
+    * for 1.3e9 docs — nCells grows with N, keeping cells self-joinable).
+    * `targets` must be (tid, te). Returns (tid, cell, keep). */
+  def semDedupVerdicts(targets: DataFrame, nCells: Int, lloydIters: Int,
+      minCos: Double): DataFrame = {
+    val centroids = ivfCentroids(targets, nCells, lloydIters)
+    val tb = targets.withColumn("cell", nearestCell(col("te"), centroids))
+      .withColumn("tn", scaledDot(col("te"), col("te")))
+    val a = tb.select(col("tid").as("id_1"), col("cell"),
+      col("te").as("e1"), col("tn").as("n1"))
+    val b = tb.select(col("tid").as("id_2"), col("cell"),
+      col("te").as("e2"), col("tn").as("n2"))
+    val drops = a.join(b, Seq("cell")).filter(col("id_1") < col("id_2"))
+      .withColumn("cos", scaledDot(col("e1"), col("e2")).cast("double") /
+        sqrt((col("n1") * col("n2")).cast("double")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_2").as("tid")).distinct()
+    tb.join(drops.withColumn("__dup", lit(1)), Seq("tid"), "left")
+      .select(col("tid"), col("cell"), col("__dup").isNull.as("keep"))
+  }
+
   /** LSH ANN: score candidates in the query's probed buckets (its own plus
     * the nProbe-1 nearest single-bit-flip neighbors — multi-probe trades a
     * small candidate-count increase for recall that plane count alone

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Components, Dedup, Multimodal, Sampling, Similarity,
-  TextAnalysis}
+import graft.ops.{Components, Dedup, Multimodal, Rank, Sampling,
+  Similarity, TextAnalysis}
 import graft.util.Tables._
 
 /** Training-data pipeline operators (driver north star): dedup family,
@@ -323,6 +323,20 @@ object DataPipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // Corpus-level exact SPAN dedup, C4-style: every 10-word span that
+    // occurs anywhere earlier in the corpus (by (doc_id, span index)
+    // order) is removed and the doc reassembled from its survivors — the
+    // cross-document boilerplate scrub C4 applies at three-sentence
+    // grain. The twin replays the keep-first choice over span STRINGS
+    // (the operator's 8-byte span hashing is the gated d2/d3 identity
+    // convention) and reassembles with an ordered string_agg.
+    "d9_span_dedup" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.spanDedupKeepFirst(t(s, dir, "documents"), "doc_id", "text",
+        spanWords = 10)
+        .orderBy($"doc_id")
+    }),
+
     // Near-dup pairs -> actionable keep/drop set: connected components by
     // min-label propagation (Components.scala) over the d3 MinHash pair
     // graph, unrolled CcIters rounds. The DuckDB twin replays the same
@@ -521,6 +535,21 @@ object DataPipelineQueries {
         .filter($"cos" > 0.3)
         .select($"id_1", $"id_2", $"cos")
         .orderBy($"id_1", $"id_2")
+    }),
+
+    // SemDeDup: semantic dedup over the embedding table — Lloyd-refined
+    // k-means cells (the gated knn_ivf_lloyd layout), within-cell
+    // fixed-point cosine, keep-first verdicts. The twin replays cluster
+    // boundaries AND similarities exactly; d5 stays the flat-threshold
+    // pair baseline, this is the clustered corpus-scale shape.
+    "d5c_semdedup" -> ((s, dir) => {
+      import s.implicits._
+      val tt = t(s, dir, "embeddings")
+        .select($"vec_id".as("tid"), $"embedding".as("te"))
+      Similarity.semDedupVerdicts(tt, nCells = 16, lloydIters = 2,
+        minCos = 0.35)
+        .select($"tid".as("vec_id"), $"cell", $"keep")
+        .orderBy($"vec_id")
     }),
 
     // Brute-force cosine top-5 neighbors for 10 query vectors (baseline).
@@ -848,6 +877,19 @@ object DataPipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // Okapi BM25 lexical retrieval (k1=1.2, b=0.75, Lucene-style
+    // always-positive idf) for a fixed 3-term query — the keyword side a
+    // hybrid retrieval stack runs next to the cosine path (t9). One
+    // corpus scan profiles (dl, tf vector) map-side; (N, sum dl, df) is
+    // a one-row broadcast; scoring is a map stage and top-k is
+    // TakeOrderedAndProject. Score gated at 6 dp (Spark ln is
+    // StrictMath.log; DuckDB's libm differs in the last ulp).
+    "bm25_rank" -> ((s, dir) => {
+      import s.implicits._
+      Rank.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("spark", "join", "window"), k = 20)
+    }),
+
     // PII redaction — the compliance scrub a training corpus runs before
     // anything ships: emails, SSN-shaped ids, phone numbers, and IPv4
     // addresses to fixed tags. documents.text carries no PII, so the
@@ -975,6 +1017,22 @@ object DataPipelineQueries {
       Sampling.mixtureSample(
         t(s, dir, "documents").select($"doc_id", $"source"),
         $"source", $"doc_id", MixtureWeights, default = 0.1)
+        .orderBy($"doc_id")
+    }),
+
+    // Temperature-scaled mixture (alpha = 0.5): per-stratum keep rates
+    // DERIVED FROM CORPUS COUNTS — sqrt(min_n / n_s), the multilingual
+    // reweighting that flattens language imbalance without upsampling.
+    // Stratified on `lang` (the SKEWED column — en is 3x fr — so the
+    // derived rates differ per stratum; `source` is uniform here and
+    // would gate nothing). sqrt/division/floor are exactly-rounded IEEE
+    // ops, so the data-derived thresholds hash-match bit-for-bit.
+    "sample_temperature" -> ((s, dir) => {
+      import s.implicits._
+      Sampling.temperatureSample(
+        t(s, dir, "documents").select($"doc_id", $"lang"),
+        $"lang", $"doc_id")
+        .select($"doc_id", $"source", $"n_source", $"bucket", $"w_thresh")
         .orderBy($"doc_id")
     }),
 
@@ -1215,12 +1273,11 @@ object DataPipelineQueries {
        |  SELECT s.cell, s.pos, COALESCE(m$i.c, s.c) AS c
        |  FROM $prev s LEFT JOIN m$i ON m$i.cell = s.cell AND m$i.pos = s.pos)""".stripMargin
 
-  /** knn_ivf_lloyd twin: seed centroids -> two exact Lloyd rounds ->
-    * final assignment + 2-cell probe -> fixed-point cosine top-5. */
-  private def knnIvfLloydSql: String =
-    s"""WITH tt AS (SELECT vec_id AS tid, embedding AS te FROM embeddings),
-       |qq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-       |       WHERE vec_id < 50),
+  /** Shared CTE chain of the Lloyd-refined twins: seed centroids -> two
+    * exact fixed-point Lloyd rounds (final centroids CTE `c2`) -> final
+    * per-target cell assignment (CTE `tcell`). */
+  private def ivfLloydAssignCtes: String =
+    s"""tt AS (SELECT vec_id AS tid, embedding AS te FROM embeddings),
        |seeds AS (
        |  SELECT CAST((rn - 1) // 7 AS INT) AS cell,
        |    CAST(unnest(range(0, len(te))) AS INT) AS pos,
@@ -1242,7 +1299,14 @@ object DataPipelineQueries {
        |  SELECT tid, cell FROM (
        |    SELECT tid, cell,
        |      row_number() OVER (PARTITION BY tid ORDER BY d DESC, cell) AS rn
-       |    FROM tfd) z WHERE rn = 1),
+       |    FROM tfd) z WHERE rn = 1)""".stripMargin
+
+  /** knn_ivf_lloyd twin: seed centroids -> two exact Lloyd rounds ->
+    * final assignment + 2-cell probe -> fixed-point cosine top-5. */
+  private def knnIvfLloydSql: String =
+    s"""WITH $ivfLloydAssignCtes,
+       |qq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |       WHERE vec_id < 50),
        |qexp AS (
        |  SELECT qid, CAST(unnest(range(0, len(qe))) AS INT) AS pos,
        |         unnest(qe) AS x
@@ -1261,6 +1325,33 @@ object DataPipelineQueries {
        |  FROM qcell q JOIN tcell t USING (cell)
        |  WHERE q.qid <> t.tid),
        |""".stripMargin + knnScoreTailSql(5)
+
+  /** semdedup twin: the same Lloyd-refined cell assignment, then
+    * within-cell (i < j) pairs scored with the fixed-point cosine; a
+    * vector keeps unless some earlier same-cell vector clears minCos. */
+  private def semDedupSql(minCos: Double): String =
+    s"""WITH $ivfLloydAssignCtes,
+       |cand AS (
+       |  SELECT a.tid AS qid, b.tid AS tid
+       |  FROM tcell a JOIN tcell b USING (cell)
+       |  WHERE a.tid < b.tid),
+       |terms AS (
+       |  SELECT c.qid, c.tid,
+       |         unnest(a.embedding) AS x, unnest(b.embedding) AS y
+       |  FROM cand c
+       |  JOIN embeddings a ON a.vec_id = c.qid
+       |  JOIN embeddings b ON b.vec_id = c.tid),
+       |dots AS (
+       |  SELECT qid, tid, $scaledDotSql AS d,
+       |    SUM(CAST(ROUND(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS nx,
+       |    SUM(CAST(ROUND(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)*1000000) AS BIGINT)) AS ny
+       |  FROM terms GROUP BY 1, 2),
+       |drops AS (
+       |  SELECT DISTINCT tid FROM dots
+       |  WHERE CAST(d AS DOUBLE)/sqrt(CAST(nx*ny AS DOUBLE)) >= $minCos)
+       |SELECT t.tid AS vec_id, t.cell, d.tid IS NULL AS keep
+       |FROM tcell t LEFT JOIN drops d USING (tid)
+       |ORDER BY vec_id""".stripMargin
 
   /** Exact brute-force cosine top-5 twin for the first `maxQid` query
     * vectors (the baseline the recall gate measures against). */
@@ -1424,6 +1515,7 @@ object DataPipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "knn_ivf_lloyd" -> knnIvfLloydSql,
+    "d5c_semdedup" -> semDedupSql(minCos = 0.35),
     "d3_minhash_lsh" -> HashOracleSql.d3Sql(),
     "d7_incremental_dedup" ->
       (s"""WITH batch AS (
@@ -1513,6 +1605,35 @@ object DataPipelineQueries {
         |SELECT d.doc_id, CAST(length(d.text) AS INT) AS text_len
         |FROM documents d LEFT JOIN drops ON d.doc_id = drops.doc_id
         |WHERE d.doc_id % 10 <> 3 AND drops.doc_id IS NULL
+        |ORDER BY d.doc_id""".stripMargin,
+    "d9_span_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |idx AS (
+        |  SELECT doc_id, words,
+        |    unnest(range(0, (len(words) + 9) // 10)) AS ci
+        |  FROM w),
+        |spans AS MATERIALIZED (
+        |  SELECT doc_id, ci,
+        |    array_to_string(words[CAST(ci*10+1 AS BIGINT) :
+        |                          CAST(ci*10+10 AS BIGINT)], ' ') AS line
+        |  FROM idx),
+        |firsts AS (SELECT line, MIN(doc_id) AS fd FROM spans GROUP BY line),
+        |kept AS (
+        |  SELECT s.line, s.doc_id, MIN(s.ci) AS ci
+        |  FROM spans s JOIN firsts f ON s.line = f.line AND s.doc_id = f.fd
+        |  GROUP BY s.line, s.doc_id),
+        |reasm AS (
+        |  SELECT doc_id,
+        |    string_agg(line, ' ' ORDER BY ci) AS clean_text,
+        |    COUNT(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(r.clean_text, '') AS clean_text,
+        |  CAST((len(string_split(d.text, ' ')) + 9) // 10 AS BIGINT)
+        |    AS n_spans,
+        |  COALESCE(CAST(r.n_kept AS BIGINT), 0) AS n_kept
+        |FROM documents d LEFT JOIN reasm r ON d.doc_id = r.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "d6_neardup_components" -> HashOracleSql.d6Sql(iters = CcIters),
     // star contraction reaches the same fixpoint (per-component minima),
@@ -1757,6 +1878,45 @@ object DataPipelineQueries {
         |    AS logfreq_avg
         |FROM s GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    // Every double op except ln is an exactly-rounded IEEE op written in
+    // the same association order as the Spark side, so the 6-dp rounding
+    // only has to absorb the one last-ulp libm divergence.
+    "bm25_rank" -> {
+      def tf(t: String) =
+        s"len(list_filter(string_split(text, ' '), w -> w = '$t'))"
+      def term(t: String) =
+        s"""ln((CAST(n AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5)
+           |      / (CAST(df_$t AS DOUBLE) + 0.5) + 1.0)
+           |    * (CAST(tf_$t AS DOUBLE) * 2.2)
+           |    / (CAST(tf_$t AS DOUBLE) + 1.2 * (0.25 + 0.75
+           |        * (CAST(dl AS DOUBLE)
+           |           / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))"""
+          .stripMargin
+      s"""WITH prof AS MATERIALIZED (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         |    ${tf("spark")} AS tf_spark,
+         |    ${tf("join")} AS tf_join,
+         |    ${tf("window")} AS tf_window
+         |  FROM documents),
+         |stats AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(dl) AS BIGINT) AS sumdl,
+         |    CAST(SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS df_spark,
+         |    CAST(SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS df_join,
+         |    CAST(SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS df_window
+         |  FROM prof)
+         |SELECT doc_id, dl, tf_spark, tf_join, tf_window,
+         |  round(${term("spark")}
+         |   + ${term("join")}
+         |   + ${term("window")}, 6) AS score
+         |FROM prof, stats
+         |WHERE tf_spark > 0 OR tf_join > 0 OR tf_window > 0
+         |ORDER BY score DESC, doc_id
+         |LIMIT 20""".stripMargin
+    },
     // Same injection, same patterns (the regexes live in the common
     // Java-regex/RE2 subset), same ordered replace chain with the 'g'
     // flag DuckDB needs for replace-all parity.
@@ -1966,6 +2126,7 @@ object DataPipelineQueries {
         |       WHEN source IN ('src2', 'src3') THEN 500000
         |       WHEN source IN ('src4', 'src5') THEN 200000
         |       ELSE 100000 END""".stripMargin),
+    "sample_temperature" -> HashOracleSql.temperatureSampleSql("lang"),
     "sample_stratified" ->
       HashOracleSql.stratifiedSampleSql(
         s"""SELECT doc_id, $predLangCaseSql AS lang FROM (

@@ -315,6 +315,35 @@ private[queries] object HashOracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** sample_temperature: per-source counts -> sqrt-scaled keep rates
+    * (alpha = 0.5 temperature reweighting; every double op is an
+    * exactly-rounded IEEE op, so the floor'd thresholds match Spark's
+    * bit-for-bit) -> the same XXH64 integer-threshold keep decision as
+    * the mixture twin. */
+  def temperatureSampleSql(stratum: String): String = {
+    val hashed = layered(s"SELECT doc_id, $stratum AS source FROM documents",
+      xxhSteps("tp", "doc_id", "CAST(42 AS HUGEINT)"))
+    s"""WITH cnt AS (
+       |  SELECT $stratum AS source, CAST(COUNT(*) AS BIGINT) AS n_source
+       |  FROM documents GROUP BY $stratum),
+       |mn AS (SELECT MIN(n_source) AS minn FROM cnt),
+       |rates AS (
+       |  SELECT source, n_source,
+       |    CAST(floor(1000000.0 * sqrt(CAST(minn AS DOUBLE)
+       |      / CAST(n_source AS DOUBLE))) AS BIGINT) AS w_thresh
+       |  FROM cnt, mn),
+       |hs AS MATERIALIZED (
+       |  SELECT doc_id, source, tpout AS h FROM ($hashed) q),
+       |bk AS (
+       |  SELECT doc_id, hs.source, n_source,
+       |    CAST(((h % 1000000) + 1000000) % 1000000 AS BIGINT) AS bucket,
+       |    w_thresh
+       |  FROM hs JOIN rates ON hs.source = rates.source)
+       |SELECT doc_id, source, n_source, bucket, w_thresh
+       |FROM bk WHERE bucket < w_thresh
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** d6c_dedup_apply: the deduplicated corpus — every document minus the
     * non-canonical members of each near-dup component (anti-join against
     * the drop set; docs in no pair are implicitly kept). */

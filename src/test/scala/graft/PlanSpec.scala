@@ -204,6 +204,48 @@ class PlanSpec extends SparkSpec {
       s"got $scans:\n${p.take(1500)}")
   }
 
+  test("bm25: one-row stats broadcast, no text shuffle, top-k not global sort") {
+    val p = plan("bm25_rank")
+    // the (N, sumdl, df) row meets the corpus through a broadcast join
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // no hash-partitioned shuffle anywhere: the only exchange is the
+    // one-row aggregate's SinglePartition gather
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    // top-k must be TakeOrderedAndProject, never a global range sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
+  }
+
+  test("d9 span dedup: only 8-byte keys shuffle — span text never does") {
+    val p = plan("d9_span_dedup")
+    // every hash exchange keys on the span hash or the doc id; a __s or
+    // clean_text key would mean the corpus text is crossing the wire to
+    // make the dedup decision
+    val keys = "Exchange hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1).takeWhile(_ != '#')).toSet
+    assert(keys.nonEmpty && keys.subsetOf(Set("__h", "doc_id", "__i")),
+      s"unexpected shuffle keys $keys:\n${p.take(1500)}")
+    // keep-first is an aggregation, not a global window
+    assert(PlanSpec.collectWindows(
+      SparkEntry.queries("d9_span_dedup")(spark, sf("sf0.001"))
+        .queryExecution.executedPlan).isEmpty,
+      "span dedup must not use window functions")
+  }
+
+  test("temperature sample: derived rates broadcast back, corpus scans stay map-side") {
+    val p = plan("sample_temperature")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+    // hash exchanges exist only on the tiny per-stratum counts subtree
+    // (keyed on the stratum — one per consumer of the counts frame); the
+    // kept-row filter itself must never shuffle corpus rows by doc_id
+    val keys = "Exchange hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1).takeWhile(_ != '#')).toSet
+    assert(keys.subsetOf(Set("source", "lang")),
+      s"unexpected shuffle keys $keys:\n${p.take(1500)}")
+  }
+
   test("mixture sample / pii scrub / repetition / bpe count plan as pure map stages") {
     // filters and per-row folds only — any Exchange before the final
     // orderBy means the operator stopped being a scan-time decision

@@ -143,6 +143,30 @@ class CurationSpec extends SparkSpec {
     assert(a.filter($"bucket" >= $"w_thresh").count() == 0)
   }
 
+  test("temperature sample: sqrt-scaled rates, smallest stratum kept whole") {
+    // strata of 1000 / 250 / 40 rows
+    val df = (Seq.tabulate(1000)(i => (i.toLong, "big")) ++
+      Seq.tabulate(250)(i => (1000L + i, "mid")) ++
+      Seq.tabulate(40)(i => (2000L + i, "small")))
+      .toDF("doc_id", "source")
+    val out = Sampling.temperatureSample(df, $"source", $"doc_id")
+    val thresh = out.select($"source", $"w_thresh").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // independent arithmetic: floor(1e6 * sqrt(min_n / n_s))
+    assert(thresh("small") == 1000000L)
+    assert(thresh("mid") == math.floor(1000000.0 * math.sqrt(40.0 / 250.0)).toLong)
+    assert(thresh("big") == math.floor(1000000.0 * math.sqrt(40.0 / 1000.0)).toLong)
+    val kept = out.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("small") == 40) // rate 1.0: nothing dropped
+    // uniform hash: kept counts land near n_s * rate (generous bounds)
+    assert(kept("big") > 130 && kept("big") < 270, s"big=${kept("big")}")
+    assert(kept("mid") > 50 && kept("mid") < 150, s"mid=${kept("mid")}")
+    // determinism
+    val again = Sampling.temperatureSample(df, $"source", $"doc_id")
+    assert(out.collect().toSeq == again.collect().toSeq)
+  }
+
   test("rangedRunningSum / budgetPrefix == global running-sum window (exact parity)") {
     // the distributed budget-prefix shape (range partitions + per-range
     // subtotals + broadcast offsets + static range pruning) must return

@@ -230,4 +230,36 @@ class DedupSpec extends SparkSpec {
         .toSeq.sorted.take(5)} missing=${(natural.union(injected) --
         withInjection).toSeq.sorted.take(5)}")
   }
+
+  test("span dedup keep-first: cross-doc, within-doc, and full-drop cases") {
+    val corpus = Seq(
+      (1L, "a b c d e f g"),   // spans: "a b c" "d e f" "g"
+      (2L, "a b c x y z"),     // "a b c" dup of doc 1 -> dropped
+      (3L, "d e f d e f"),     // both spans dup of doc 1 -> empty
+      (4L, "a b c d e f g"),   // exact dup of doc 1 -> empty
+      (5L, "p q r p q r"),     // within-doc repeat: keep the first
+      (6L, "u v")              // single short span, unique
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedupKeepFirst(corpus, "doc_id", "text",
+      spanWords = 3).orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, "a b c d e f g", 3L, 3L))) // first doc unchanged
+    assert(out(1) == ((2L, "x y z", 2L, 1L)))
+    assert(out(2) == ((3L, "", 2L, 0L)))
+    assert(out(3) == ((4L, "", 3L, 0L)))
+    assert(out(4) == ((5L, "p q r", 2L, 1L)))
+    assert(out(5) == ((6L, "u v", 1L, 1L)))
+  }
+
+  test("span dedup: all-unique corpus passes through unchanged") {
+    val corpus = Seq.tabulate(40)(i =>
+      (i.toLong, (0 until 25).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedupKeepFirst(corpus, "doc_id", "text",
+      spanWords = 10).join(corpus, Seq("doc_id"))
+    assert(out.filter($"clean_text" =!= $"text").count() == 0)
+    assert(out.filter($"n_kept" =!= $"n_spans").count() == 0)
+    // 25 words -> 3 spans of width 10
+    assert(out.filter($"n_spans" =!= 3).count() == 0)
+  }
 }

@@ -41,6 +41,39 @@ class ExtraOpsSpec extends SparkSpec {
     assert(math.abs(out(0) - exp) < 1e-9 && math.abs(out(1) - exp) < 1e-9)
   }
 
+  test("BM25: hand-computed score, tf saturation, length normalization") {
+    // 4 docs, query = ("cat", "dog"); doc 4 matches nothing -> excluded
+    val docs = Seq(
+      (1L, "cat dog bird"),           // both terms, short
+      (2L, "cat cat cat cat bird fish"), // saturated tf, longer
+      (3L, "dog fish bird frog owl pig hen cow fox elk"), // long, one term
+      (4L, "fish bird frog")
+    ).toDF("doc_id", "text")
+    val out = Rank.bm25TopK(docs, "doc_id", "text",
+      terms = Seq("cat", "dog"), k = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(2), r.getInt(3), r.getDouble(4))).toMap
+    assert(!out.contains(4L))
+    // independent reference computation (plain scala, same formula)
+    val dls = Map(1L -> 3.0, 2L -> 6.0, 3L -> 10.0, 4L -> 3.0)
+    val avgdl = dls.values.sum / 4.0
+    def idf(df: Int) = math.log((4.0 - df + 0.5) / (df + 0.5) + 1.0)
+    def term(tf: Int, df: Int, dl: Double) =
+      idf(df) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+    def score(tfCat: Int, tfDog: Int, dl: Double) =
+      term(tfCat, 2, dl) + term(tfDog, 2, dl)
+    Seq((1L, 1, 1), (2L, 4, 0), (3L, 0, 1)).foreach { case (id, tc, td) =>
+      assert(math.abs(out(id)._3 - score(tc, td, dls(id))) < 1e-6,
+        s"doc $id: got ${out(id)._3}, want ${score(tc, td, dls(id))}")
+      assert(out(id)._1 == tc && out(id)._2 == td)
+    }
+    // saturation: 4x the tf is far less than 4x the one-occurrence term
+    assert(out(2L)._3 < 4 * out(1L)._3)
+    // length normalization: same single-term tf scores lower in the
+    // 10-word doc than "dog" contributes to the 3-word doc
+    assert(term(1, 2, 10.0) < term(1, 2, 3.0))
+  }
+
   test("X1: fallback classifier keeps docs the LLM says have the section") {
     val docs = Seq(
       (1L, "x " * 150 + "Background of the Merger narrative follows here."),

@@ -215,6 +215,43 @@ class SimilaritySpec extends SparkSpec {
       scan.take(500))
   }
 
+  test("semdedup verdicts: keep-first within cells, drop iff an earlier " +
+      "same-cell vector clears the threshold") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .select($"vec_id".as("tid"), $"embedding".as("te"))
+    val minCos = 0.35
+    val out = Similarity.semDedupVerdicts(e, nCells = 8, lloydIters = 1,
+      minCos = minCos)
+    val verdicts = out.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(verdicts.length == e.count())
+    assert(verdicts.exists(!_._3), "threshold should drop something")
+    assert(verdicts.count(_._3) > verdicts.length / 2,
+      "most vectors should survive")
+    // per cell, the lowest id is always kept (keep-first has no earlier)
+    verdicts.groupBy(_._2).foreach { case (_, vs) =>
+      assert(vs.minBy(_._1)._3, "cell minimum must be kept")
+    }
+    // exact replay: dropped == exists earlier same-cell vec with
+    // cos >= minCos (recomputed through an independent pair join)
+    val cells = out.select($"tid", $"cell")
+    val pairs = cells.as("a").join(cells.as("b"),
+        $"a.cell" === $"b.cell" && $"a.tid" < $"b.tid")
+      .select($"a.tid".as("id_1"), $"b.tid".as("id_2"))
+      .join(e.select($"tid".as("id_1"), $"te".as("e1")), Seq("id_1"))
+      .join(e.select($"tid".as("id_2"), $"te".as("e2")), Seq("id_2"))
+      .withColumn("cos",
+        Similarity.scaledDot($"e1", $"e2").cast("double") /
+          sqrt((Similarity.scaledDot($"e1", $"e1") *
+            Similarity.scaledDot($"e2", $"e2")).cast("double")))
+    val expectedDrops = pairs.filter($"cos" >= minCos)
+      .select($"id_2").distinct().collect().map(_.getLong(0)).toSet
+    val actualDrops = verdicts.filter(!_._3).map(_._1).toSet
+    assert(actualDrops == expectedDrops,
+      s"extra=${(actualDrops -- expectedDrops).take(5)} " +
+        s"missing=${(expectedDrops -- actualDrops).take(5)}")
+  }
+
   test("scaled-dot cosine matches double-precision cosine closely") {
     val e = embeddings.limit(10).collect().map(_.getSeq[Float](1).toArray)
     val df = Seq((e(0), e(1))).toDF("a", "b")
