@@ -167,6 +167,28 @@ object Sampling {
       .filter(col("bucket") < col("w_thresh"))
   }
 
+  /** Deterministic training-order SHUFFLE + sharding: every row gets a
+    * pseudorandom but exactly reproducible position — shard =
+    * pmod(xxhash64(id), nShards), pos = 1-based rank of (hash, id)
+    * within the shard. The hash order is statistically independent of
+    * any meaningful column, which is all a training shuffle needs, and
+    * being a pure function of the id it survives reruns, retries, and
+    * engine changes (the property tf.data/torch seeds only approximate).
+    *
+    * Scale shape: one corpus-sized shuffle on the 8-byte shard key; the
+    * rank window is PARTITIONED by shard (pack_sequences posture — shard
+    * count is the knob bounding partition size; at 100 TB use 10k+
+    * shards), never a global sort. Returns (id, h, shard, pos). */
+  def shuffleShards(df: DataFrame, id: Column, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("id"))
+    df.select(id.as("id"))
+      .withColumn("h", xxhash64(col("id")))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   /** TEMPERATURE-scaled mixture sampling at alpha = 0.5: re-balance
     * source sizes toward p_s^alpha — the multilingual-LM reweighting
     * (mT5/XLM-R style) that keeps big sources from drowning small ones —

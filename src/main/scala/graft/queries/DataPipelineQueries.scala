@@ -1036,6 +1036,18 @@ object DataPipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // Deterministic training-order shuffle + sharding: hash-ordered
+    // positions within hash-assigned shards — reproducible global
+    // shuffling with the rank window partitioned per shard (never a
+    // global sort). The twin replays the XXH64 chain and the same rank.
+    "shuffle_shards" -> ((s, dir) => {
+      import s.implicits._
+      Sampling.shuffleShards(
+        t(s, dir, "documents").select($"doc_id"), $"doc_id", nShards = 8)
+        .select($"id", $"h", $"shard", $"pos")
+        .orderBy($"id")
+    }),
+
     // The operators composed as a training-data CURATION lineage — the
     // shape a 100 TB corpus actually runs: quality-gate (exact-count
     // formula), exact-dedup keep-first (fingerprint window), then a
@@ -2127,6 +2139,7 @@ object DataPipelineQueries {
         |       WHEN source IN ('src4', 'src5') THEN 200000
         |       ELSE 100000 END""".stripMargin),
     "sample_temperature" -> HashOracleSql.temperatureSampleSql("lang"),
+    "shuffle_shards" -> HashOracleSql.shuffleShardsSql(nShards = 8),
     "sample_stratified" ->
       HashOracleSql.stratifiedSampleSql(
         s"""SELECT doc_id, $predLangCaseSql AS lang FROM (

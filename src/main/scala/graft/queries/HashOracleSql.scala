@@ -315,6 +315,24 @@ private[queries] object HashOracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** shuffle_shards: Spark's xxhash64(doc_id) replayed; shard by
+    * positive mod, position by rank of (h, doc_id) within the shard. */
+  def shuffleShardsSql(nShards: Int): String = {
+    val hashed = layered("SELECT doc_id FROM documents",
+      xxhSteps("sh", "doc_id", "CAST(42 AS HUGEINT)"))
+    s"""WITH hs AS MATERIALIZED (
+       |  SELECT doc_id, shout AS h FROM ($hashed) q),
+       |sharded AS (
+       |  SELECT doc_id AS id, h,
+       |    CAST(((h % $nShards) + $nShards) % $nShards AS BIGINT) AS shard
+       |  FROM hs)
+       |SELECT id, h, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, id)
+       |    AS BIGINT) AS pos
+       |FROM sharded
+       |ORDER BY id""".stripMargin
+  }
+
   /** sample_temperature: per-source counts -> sqrt-scaled keep rates
     * (alpha = 0.5 temperature reweighting; every double op is an
     * exactly-rounded IEEE op, so the floor'd thresholds match Spark's

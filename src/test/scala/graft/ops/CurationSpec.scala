@@ -167,6 +167,31 @@ class CurationSpec extends SparkSpec {
     assert(out.collect().toSeq == again.collect().toSeq)
   }
 
+  test("shuffle shards: contiguous per-shard positions, scrambled order, " +
+      "deterministic") {
+    val df = Seq.tabulate(2000)(i => Tuple1(i.toLong)).toDF("doc_id")
+    val out = Sampling.shuffleShards(df, $"doc_id", nShards = 4)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 2000)
+    // per shard: positions are exactly 1..n
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq,
+        s"shard $shard positions not contiguous")
+      // hash order scrambles id order: the id sequence in position order
+      // must not be monotonic (probability ~0 under a real shuffle)
+      val idsByPos = rs.sortBy(_._3).map(_._1).toSeq
+      assert(idsByPos.sliding(2).exists(p => p(0) > p(1)),
+        s"shard $shard still in id order")
+    }
+    // shards near-uniform (hash balance; generous bounds at n=2000, k=4)
+    val sizes = rows.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.values.forall(n => n > 350 && n < 650), sizes.toMap.toString)
+    // reproducible
+    assert(Sampling.shuffleShards(df, $"doc_id", nShards = 4)
+      .collect().map(_.toSeq).toSeq == out.collect().map(_.toSeq).toSeq)
+  }
+
   test("rangedRunningSum / budgetPrefix == global running-sum window (exact parity)") {
     // the distributed budget-prefix shape (range partitions + per-range
     // subtotals + broadcast offsets + static range pruning) must return
