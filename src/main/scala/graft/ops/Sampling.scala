@@ -189,6 +189,31 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long"))
   }
 
+  /** Deterministic TRAIN/VAL/TEST split assignment: bucket =
+    * pmod(xxhash64(id), 100), split = the first band whose cumulative
+    * percentage exceeds the bucket. A pure function of the id, so the
+    * assignment survives reruns, re-partitioning, corpus growth (a doc's
+    * split never changes when others are added — the property a
+    * row_number-based split lacks), and other engines reproduce it
+    * exactly. Map-stage only: no shuffle, no state, one scan at 100 TB.
+    * Returns (id, bucket, split). */
+  def assignSplit(df: DataFrame, id: Column,
+      bands: Seq[(String, Int)]): DataFrame = {
+    require(bands.nonEmpty && bands.forall(_._2 > 0),
+      s"split bands must be positive, got $bands")
+    require(bands.map(_._2).sum == 100,
+      s"split bands must sum to 100, got ${bands.map(_._2).sum}")
+    val cum = bands.map(_._2).scanLeft(0)(_ + _).tail
+    val bucket = col("bucket")
+    // last band is the unconditional fallback: bucket < 100 always holds
+    val split = bands.init.zip(cum).foldRight(lit(bands.last._1)) {
+      case (((name, _), ub), rest) => when(bucket < ub, name).otherwise(rest)
+    }
+    df.select(id.as("id"))
+      .withColumn("bucket", pmod(xxhash64(col("id")), lit(100L)))
+      .withColumn("split", split)
+  }
+
   /** TEMPERATURE-scaled mixture sampling at alpha = 0.5: re-balance
     * source sizes toward p_s^alpha — the multilingual-LM reweighting
     * (mT5/XLM-R style) that keeps big sources from drowning small ones —

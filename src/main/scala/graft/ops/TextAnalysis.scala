@@ -114,6 +114,85 @@ object TextAnalysis {
           .as("logfreq_avg"))
   }
 
+  /** Per-doc BIGRAM conditional log-probability proxy — one LM order up
+    * from [[unigramLogFreq]] (CCNet ranks by a 5-gram KenLM; the bigram
+    * conditional carries the first slice of context signal the unigram
+    * misses: word-salad docs score low even when every word is common,
+    * because their word PAIRS are rare). Score of an occurrence (w1, w2)
+    * is floor(log2 c(w1,w2)) - floor(log2 c(w1·)) <= 0, an exact-integer
+    * stand-in for log2 p(w2|w1) with c(w1·) the bigram-prefix count, so
+    * both engines agree bit-for-bit — no float log.
+    *
+    * Same two-pass corpus-model shape as the unigram: pass 1 builds the
+    * bigram and prefix tables off ONE bigram projection (two group-bys,
+    * both shuffling 8-byte hashes); pass 2 scores each occurrence
+    * through the model joins and re-aggregates per doc. Vocab² is still
+    * Zipf-bounded far below corpus size at 100 TB — broadcast when it
+    * fits, else the joins co-partition on the hash. Docs with fewer than
+    * two words surface with n_bigrams = 0 and avg 0.0 (left join back).
+    * Returns (id, n_bigrams, logprob_sum, logprob_avg). */
+  def bigramLogProb(docs: org.apache.spark.sql.DataFrame, id: String,
+      text: String): org.apache.spark.sql.DataFrame = {
+    val bg = docs
+      .select(col(id), split(Dedup.normalized(col(text)), " ").as("__ws"))
+      .filter(size(col("__ws")) >= 2)
+      .select(col(id), explode(transform(
+        sequence(lit(1), size(col("__ws")) - 1),
+        i => concat_ws(" ", slice(col("__ws"), i, lit(2))))).as("__b"))
+      .select(col(id),
+        xxhash64(substring_index(col("__b"), " ", 1)).as("__h1"),
+        xxhash64(col("__b")).as("__h12"))
+    val m12 = bg.groupBy(col("__h12")).agg(count(lit(1)).as("__c12"))
+    val m1 = bg.groupBy(col("__h1")).agg(count(lit(1)).as("__c1"))
+    val scored = bg.join(m12, Seq("__h12")).join(m1, Seq("__h1"))
+      .withColumn("__s",
+        (length(bin(col("__c12"))) - length(bin(col("__c1")))).cast("long"))
+      .groupBy(col(id)).agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("__s")).as("logprob_sum"),
+        (sum(col("__s")).cast("double") / count(lit(1)).cast("double"))
+          .as("logprob_avg"))
+    docs.select(col(id)).join(scored, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("logprob_sum"), lit(0L)).as("logprob_sum"),
+        coalesce(col("logprob_avg"), lit(0.0)).as("logprob_avg"))
+  }
+
+  /** DSIR-style IMPORTANCE WEIGHTS (arXiv:2302.03169): score every doc by
+    * how much more likely its words are under a TARGET distribution (the
+    * domain you want more of) than under the raw corpus — the
+    * domain-adaptation selection signal, here with the same exact-integer
+    * log2 convention as [[unigramLogFreq]]: per word occurrence,
+    * s = floor(log2(c_target+1)) - floor(log2(c_raw+1)) (add-one smoothed
+    * so target-absent words contribute -floor(log2(c_raw+1))), per doc
+    * the sum and mean of s. Rank/threshold on the mean to select.
+    *
+    * Scale shape: BOTH models come from one grouped aggregation over one
+    * word projection (count + conditional count per 8-byte word hash —
+    * a single shuffle), then one score pass through the model join: the
+    * two-scan minimum for model-then-score. `target` is any boolean
+    * Column over the doc row (a lang/source/quality predicate).
+    * Returns (id, n_words, logratio_sum, logratio_avg). */
+  def importanceWeights(docs: org.apache.spark.sql.DataFrame, id: String,
+      text: String, target: Column): org.apache.spark.sql.DataFrame = {
+    val words = docs.select(col(id), target.as("__t"),
+        explode(split(Dedup.normalized(col(text)), " ")).as("__w"))
+      .select(col(id), col("__t"), xxhash64(col("__w")).as("__h"))
+    val model = words.groupBy(col("__h")).agg(
+      count(lit(1)).as("__cr"),
+      count(when(col("__t"), 1)).as("__ct"))
+    words.join(model, Seq("__h"))
+      .withColumn("__s",
+        (length(bin(col("__ct") + 1)) - length(bin(col("__cr") + 1)))
+          .cast("long"))
+      .groupBy(col(id)).agg(
+        count(lit(1)).as("n_words"),
+        sum(col("__s")).as("logratio_sum"),
+        (sum(col("__s")).cast("double") / count(lit(1)).cast("double"))
+          .as("logratio_avg"))
+  }
+
   // --- Repetition quality filters (Gopher-style) -----------------------
   // Per-document repetition signals used to drop low-quality boilerplate
   // (duplicate-line fraction, duplicate-line CHARACTER fraction, most

@@ -877,6 +877,17 @@ object DataPipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // Bigram conditional log-prob proxy — one LM order up from the
+    // unigram score: floor(log2 c(w1,w2)) - floor(log2 c(w1·)) per
+    // occurrence, summed and averaged per doc. Exact-integer (no float
+    // log), two-pass model-then-score; the twin recomputes per bigram
+    // STRING (hash collision-free on this vocabulary).
+    "ta_bigram_logprob" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
     // Okapi BM25 lexical retrieval (k1=1.2, b=0.75, Lucene-style
     // always-positive idf) for a fixed 3-term query — the keyword side a
     // hybrid retrieval stack runs next to the cosine path (t9). One
@@ -1046,6 +1057,32 @@ object DataPipelineQueries {
         t(s, dir, "documents").select($"doc_id"), $"doc_id", nShards = 8)
         .select($"id", $"h", $"shard", $"pos")
         .orderBy($"id")
+    }),
+
+    // Deterministic train/val/test split: hash-bucket each doc into
+    // [0,100) and band by cumulative percentage — a pure function of the
+    // id (stable under reruns, repartitioning, and corpus growth), one
+    // map-stage scan at any scale. The twin replays the XXH64 chain and
+    // the same band fold.
+    "split_assign" -> ((s, dir) => {
+      import s.implicits._
+      Sampling.assignSplit(t(s, dir, "documents").select($"doc_id"),
+        $"doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .orderBy($"id")
+    }),
+
+    // DSIR-style importance weights (arXiv:2302.03169): per-doc sum/mean
+    // of floor(log2(c_target+1)) - floor(log2(c_raw+1)) over word
+    // occurrences — how much more likely the doc's words are under the
+    // target distribution (here: the non-English slice) than the raw
+    // corpus. Both models come from ONE grouped aggregation (count +
+    // conditional count per word hash); the twin recomputes per word
+    // STRING (the 64-bit hash is collision-free on this vocabulary).
+    "dsir_weights" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.importanceWeights(t(s, dir, "documents"), "doc_id",
+        "text", target = $"lang" =!= "en")
+        .orderBy($"doc_id")
     }),
 
     // The operators composed as a training-data CURATION lineage — the
@@ -1890,6 +1927,59 @@ object DataPipelineQueries {
         |    AS logfreq_avg
         |FROM s GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    // Bigram model recomputed per STRING; the prefix count c(w1·) groups
+    // bigram FIRST WORDS (not raw unigrams), mirroring the Scala side's
+    // m1 over the bigram projection. Sub-2-word docs come back via the
+    // LEFT JOIN with zero counts and avg 0.0.
+    "ta_bigram_logprob" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |bg AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    ws[CAST(i + 1 AS BIGINT)] AS w1,
+        |    ws[CAST(i + 1 AS BIGINT)] || ' ' || ws[CAST(i + 2 AS BIGINT)] AS b
+        |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 1)) AS i
+        |        FROM w WHERE len(ws) >= 2)),
+        |m12 AS (SELECT b, COUNT(*) AS c12 FROM bg GROUP BY 1),
+        |m1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id, COUNT(*) AS n,
+        |    CAST(SUM(length(bin(c12)) - length(bin(c1))) AS BIGINT) AS s
+        |  FROM bg JOIN m12 USING (b) JOIN m1 USING (w1)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(CAST(sc.n AS BIGINT), 0) AS n_bigrams,
+        |  COALESCE(sc.s, 0) AS logprob_sum,
+        |  COALESCE(CAST(sc.s AS DOUBLE) / CAST(sc.n AS DOUBLE), 0.0)
+        |    AS logprob_avg
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // Raw and target unigram models from one grouped aggregation (count +
+    // filtered count), per-word strings; add-one smoothing keeps the
+    // target-absent branch defined without a CASE.
+    "dsir_weights" ->
+      """WITH w AS MATERIALIZED (
+        |  SELECT doc_id, (lang <> 'en') AS t,
+        |    unnest(string_split(
+        |      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        |  FROM documents),
+        |m AS (
+        |  SELECT w, COUNT(*) AS cr,
+        |    COUNT(*) FILTER (WHERE t) AS ct
+        |  FROM w GROUP BY 1),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(length(bin(ct + 1)) - length(bin(cr + 1)) AS BIGINT) AS s
+        |  FROM w JOIN m USING (w))
+        |SELECT doc_id,
+        |  COUNT(*) AS n_words,
+        |  CAST(SUM(s) AS BIGINT) AS logratio_sum,
+        |  CAST(CAST(SUM(s) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS logratio_avg
+        |FROM s GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     // Every double op except ln is an exactly-rounded IEEE op written in
     // the same association order as the Spark side, so the 6-dp rounding
     // only has to absorb the one last-ulp libm divergence.
@@ -2140,6 +2230,8 @@ object DataPipelineQueries {
         |       ELSE 100000 END""".stripMargin),
     "sample_temperature" -> HashOracleSql.temperatureSampleSql("lang"),
     "shuffle_shards" -> HashOracleSql.shuffleShardsSql(nShards = 8),
+    "split_assign" -> HashOracleSql.splitAssignSql(
+      Seq("train" -> 80, "val" -> 10, "test" -> 10)),
     "sample_stratified" ->
       HashOracleSql.stratifiedSampleSql(
         s"""SELECT doc_id, $predLangCaseSql AS lang FROM (

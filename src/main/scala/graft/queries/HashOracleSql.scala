@@ -333,6 +333,28 @@ private[queries] object HashOracleSql {
        |ORDER BY id""".stripMargin
   }
 
+  /** split_assign: Spark's xxhash64(doc_id) replayed; bucket by positive
+    * mod 100, split = first band whose cumulative upper bound exceeds the
+    * bucket (same fold order as Sampling.assignSplit). */
+  def splitAssignSql(bands: Seq[(String, Int)]): String = {
+    val hashed = layered("SELECT doc_id FROM documents",
+      xxhSteps("sp", "doc_id", "CAST(42 AS HUGEINT)"))
+    val cum = bands.map(_._2).scanLeft(0)(_ + _).tail
+    val cases = bands.init.zip(cum)
+      .map { case ((n, _), ub) => s"WHEN bucket < $ub THEN '$n'" }
+      .mkString(" ")
+    s"""WITH hs AS MATERIALIZED (
+       |  SELECT doc_id, spout AS h FROM ($hashed) q),
+       |bk AS (
+       |  SELECT doc_id AS id,
+       |    CAST(((h % 100) + 100) % 100 AS BIGINT) AS bucket
+       |  FROM hs)
+       |SELECT id, bucket,
+       |  CASE $cases ELSE '${bands.last._1}' END AS split
+       |FROM bk
+       |ORDER BY id""".stripMargin
+  }
+
   /** sample_temperature: per-source counts -> sqrt-scaled keep rates
     * (alpha = 0.5 temperature reweighting; every double op is an
     * exactly-rounded IEEE op, so the floor'd thresholds match Spark's

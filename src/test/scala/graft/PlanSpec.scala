@@ -250,7 +250,7 @@ class PlanSpec extends SparkSpec {
     // filters and per-row folds only — any Exchange before the final
     // orderBy means the operator stopped being a scan-time decision
     for (q <- Seq("sample_mixture", "pii_scrub", "ta_repetition",
-        "ta_tokens_bpe")) {
+        "ta_tokens_bpe", "split_assign")) {
       val p = plan(q)
       // count shuffle exchanges only — "Exchange " alone would also match
       // BroadcastExchange and silently miscount a future broadcast join
@@ -260,6 +260,20 @@ class PlanSpec extends SparkSpec {
       // exactly the single range-partition exchange of the output orderBy
       assert(exchanges <= 1, s"$q: expected <=1 exchange, got $exchanges:\n" +
         p.take(1500))
+    }
+  }
+
+  test("bigram/dsir model shuffles carry only 8-byte hashes and the doc id") {
+    // the model-then-score shape must shuffle word/bigram HASHES and the
+    // final per-doc regroup — never corpus text by any other key, and
+    // never a partition-less window
+    for ((q, ok) <- Seq(
+        "ta_bigram_logprob" -> Set("__h1", "__h12", "doc_id"),
+        "dsir_weights" -> Set("__h", "doc_id"))) {
+      val p = plan(q)
+      val keys = "Exchange hashpartitioning\\((\\w+)".r
+        .findAllMatchIn(p).map(_.group(1).takeWhile(_ != '#')).toSet
+      assert(keys.subsetOf(ok), s"$q: unexpected shuffle keys $keys")
     }
   }
 }

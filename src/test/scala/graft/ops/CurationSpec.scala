@@ -192,6 +192,34 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq == out.collect().map(_.toSeq).toSeq)
   }
 
+  test("split assignment: total, banded, stable under corpus growth") {
+    val bands = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    val small = Seq.tabulate(500)(i => Tuple1(i.toLong)).toDF("doc_id")
+    val big = Seq.tabulate(2000)(i => Tuple1(i.toLong)).toDF("doc_id")
+    val out = Sampling.assignSplit(big, $"doc_id", bands).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.size == 2000) // every row assigned exactly once
+    // split matches the band of the bucket
+    out.values.foreach { case (b, s) =>
+      assert(b >= 0 && b < 100)
+      val want = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(s == want, s"bucket $b -> $s")
+    }
+    // proportions near 80/10/10 (hash balance; generous at n=2000)
+    val n = out.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(n("train") > 1500 && n("train") < 1700, n.toString)
+    assert(n("val") > 120 && n("val") < 280, n.toString)
+    assert(n("test") > 120 && n("test") < 280, n.toString)
+    // growth stability: the 500-doc prefix gets identical assignments
+    val sub = Sampling.assignSplit(small, $"doc_id", bands).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    sub.foreach { case (id, v) => assert(out(id) == v) }
+    // invalid bands rejected
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(small, $"doc_id", Seq("a" -> 50, "b" -> 40))
+    }
+  }
+
   test("rangedRunningSum / budgetPrefix == global running-sum window (exact parity)") {
     // the distributed budget-prefix shape (range partitions + per-range
     // subtotals + broadcast offsets + static range pruning) must return

@@ -54,6 +54,45 @@ class RepetitionSpec extends SparkSpec {
     assert(got(2L) == ((2L, 1L, 0.5)))  // 1 + 0
   }
 
+  test("bigram log-prob proxy: closed-form conditional counts") {
+    // bigrams: "a b"=2, "b a"=1, "a c"=1; prefixes: a.=3, b.=1
+    // doc1 "a b a c": (a b): fl2(2)-fl2(3) = 1-1 = 0; (b a): 0-0 = 0;
+    //                 (a c): 0-1 = -1 -> sum -1 over 3
+    // doc2 "a b":     (a b): 0 -> sum 0 over 1
+    // doc3 "x":       no bigrams -> zeros via the left join
+    val docs = Seq((1L, "a b a c"), (2L, "a b"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((3L, -1L, -1.0 / 3.0)))
+    assert(got(2L) == ((1L, 0L, 0.0)))
+    assert(got(3L) == ((0L, 0L, 0.0)))
+  }
+
+  test("importance weights: closed-form target/raw log ratios") {
+    // raw: a=3, b=1, c=1; target (t): a=1, c=1
+    // s(a) = fl2(1+1)-fl2(3+1) = 1-2 = -1; s(b) = fl2(1)-fl2(2) = -1;
+    // s(c) = fl2(2)-fl2(2) = 0
+    val docs = Seq((1L, "a a b", false), (2L, "a c", true))
+      .toDF("doc_id", "text", "t")
+    val got = TextAnalysis.importanceWeights(docs, "doc_id", "text", $"t")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((3L, -3L, -1.0)))
+    assert(got(2L) == ((2L, -1L, -0.5)))
+  }
+
+  test("importance weights: target-skewed words rank target-like docs higher") {
+    // "zz" appears only in target docs; "qq" only outside -> a doc full
+    // of zz must out-score a doc full of qq
+    val docs = Seq((1L, "zz zz zz zz", true), (2L, "qq qq qq qq", false),
+      (3L, "zz zz qq qq", false)).toDF("doc_id", "text", "t")
+    val avg = TextAnalysis.importanceWeights(docs, "doc_id", "text", $"t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(avg(1L) > avg(3L) && avg(3L) > avg(2L), avg.toString)
+  }
+
   test("repetition profile matches a direct reference on randomized inputs") {
     val rnd = new scala.util.Random(7)
     val vocab = Vector("aa", "bb", "cc", "dd")
