@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter pre-gate for anti-join dedup (reference incremental-resume
+  * shape, BryanL43/MergeExtractor mergeExtractor.py:64-82, re-expressed as
+  * a set-membership sketch): a k-hash bitset over the at-rest fingerprint
+  * store, built by ONE aggregation whose output is bounded by the bitset
+  * size (a design constant, not the data), broadcast into the batch scan
+  * as a literal.
+  *
+  * Why it matters at 100 TB: a plain `batch ANTI JOIN store` shuffles the
+  * ENTIRE batch against the ENTIRE store every ingest. With the bloom
+  * pre-gate, bloom-negative rows (the overwhelming majority of a mostly-
+  * novel batch) are admitted map-side — zero shuffle — and only
+  * bloom-POSITIVE rows (true duplicates + the ~1% false-positive tail)
+  * pay the exact confirm join. The bloom can never produce a false
+  * NEGATIVE, so the composed result is bit-identical to the plain
+  * anti-join — which is exactly what the DuckDB gate checks.
+  *
+  * Everything stays in whole-stage codegen: the membership test is
+  * element_at + shiftright + bitwiseAND over a literal long array — no
+  * UDF, no broadcast variable plumbing.
+  */
+object Bloom {
+
+  /** Bit positions of `key` under k seed-varied XXH64 hashes, each in
+    * [0, mBits). Shared by build and probe so they can never disagree. */
+  private def positions(key: Column, mBits: Int, k: Int): Seq[Column] =
+    (0 until k).map(i => pmod(xxhash64(key, lit(i)), lit(mBits.toLong)))
+
+  /** Build the bitset: explode the k positions per key, OR them into
+    * 64-bit words, collect. The collect is bounded by mBits/64 words — a
+    * design constant (8 KiB at mBits = 2^16) independent of store size,
+    * the same boundedness class as the IVF centroid collects. */
+  def buildBits(store: DataFrame, key: Column, mBits: Int, k: Int): Array[Long] = {
+    require(mBits > 0 && mBits % 64 == 0,
+      s"mBits must be a positive multiple of 64, got $mBits")
+    require(k > 0, s"bloom hash count must be positive, got $k")
+    val words = store
+      .select(explode(array(positions(key, mBits, k): _*)).as("__p"))
+      .groupBy(shiftright(col("__p"), 6).as("__w"))
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(__p & 63 AS INT))"))
+        .as("__bits"))
+      .collect()
+    val out = new Array[Long](mBits / 64)
+    words.foreach(r => out(r.getLong(0).toInt) = r.getLong(1))
+    out
+  }
+
+  /** Membership test against a built bitset: all k bits set. Pure
+    * Catalyst over a literal array — codegen'd, map-stage. False
+    * positives possible (confirm exactly downstream); false negatives
+    * impossible (each insert set exactly these bits). */
+  def mightContain(key: Column, bits: Array[Long], k: Int): Column = {
+    val words = typedlit(bits.toSeq)
+    positions(key, bits.length * 64, k).map { p =>
+      val word = element_at(words, (shiftright(p, 6) + lit(1)).cast("int"))
+      call_function("shiftright", word, p.bitwiseAND(lit(63L)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Components, Dedup, Multimodal, Rank, Sampling,
+import graft.ops.{Bloom, Components, Dedup, Multimodal, Rank, Sampling,
   Similarity, TextAnalysis}
 import graft.util.Tables._
 
@@ -39,6 +39,37 @@ object DataPipelineQueries {
     * propagate() exits at the fixpoint, so corpora that converge earlier
     * pay nothing for the headroom; only the unrolled twin grows. */
   private val CcIters = 16
+
+  /** Bloom geometry for d7b: 4096 bits (64 literal longs, 512 B in the
+    * plan) over the 400-fingerprint store -> m/n ~ 10, k = 3 -> ~1.5 %
+    * false-positive rate. A production store sizes m to its cardinality;
+    * the shape (bounded bitset, map-side pre-gate) is what's under test. */
+  private val BloomBits = 4096
+  private val BloomK = 3
+
+  /** The at-rest fingerprint store (doc_id < 400, built once per dir) and
+    * the ingest batch d7/d7b dedup against it: genuinely-new docs PLUS
+    * re-submissions of already-stored docs under fresh ingest ids (same
+    * text -> same fingerprint -> store hit) — the corpus has no exact
+    * dups, so without the re-submissions the anti-join would never fire
+    * and the gate would only prove plumbing; with them, every
+    * re-submission MUST drop. */
+  private def d7StorePath(s: SparkSession, dir: String): String =
+    graft.util.TempDirs.cached("d1-fp-store", dir) { p =>
+      t(s, dir, "documents").filter(col("doc_id") < 400)
+        .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .distinct().write.parquet(p)
+    }
+  private def d7Batch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val fresh = docs.filter($"doc_id" >= 400)
+      .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+    val resub = docs.filter($"doc_id" < 400 && $"doc_id" % 7 === 0)
+      .select(($"doc_id" + 100000).as("doc_id"),
+        TextAnalysis.fingerprint($"text").as("fp"))
+    fresh.unionByName(resub)
+  }
 
   /** The benchmark canary for d8b_decontaminate_prod: 10 lowercase words
     * absent from the synthetic corpus (verified: zero docs contain any of
@@ -235,24 +266,31 @@ object DataPipelineQueries {
     // co-locates, and the batch side is the small one by construction.
     "d7_incremental_dedup" -> ((s, dir) => {
       import s.implicits._
-      val storePath = graft.util.TempDirs.cached("d1-fp-store", dir) { p =>
-        t(s, dir, "documents").filter($"doc_id" < 400)
-          .select(TextAnalysis.fingerprint($"text").as("fp"))
-          .distinct().write.parquet(p)
-      }
-      // the batch: genuinely-new docs PLUS re-submissions of already-
-      // stored docs under fresh ingest ids (same text -> same fingerprint
-      // -> store hit) — the corpus has no exact dups, so without the
-      // re-submissions the anti-join would never fire and the gate would
-      // only prove plumbing; with them, every re-submission MUST drop
-      val docs = t(s, dir, "documents")
-      val fresh = docs.filter($"doc_id" >= 400)
-        .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
-      val resub = docs.filter($"doc_id" < 400 && $"doc_id" % 7 === 0)
-        .select(($"doc_id" + 100000).as("doc_id"),
-          TextAnalysis.fingerprint($"text").as("fp"))
-      fresh.unionByName(resub)
-        .join(s.read.parquet(storePath), Seq("fp"), "left_anti")
+      d7Batch(s, dir)
+        .join(s.read.parquet(d7StorePath(s, dir)), Seq("fp"), "left_anti")
+        .groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id", $"fp")
+        .orderBy($"doc_id")
+    }),
+
+    // The SAME incremental dedup behind a Bloom pre-gate (Bloom.scala):
+    // bloom-negative batch rows are admitted map-side with NO join at
+    // all; only bloom-positives (true store hits + the ~1% false-positive
+    // tail) pay the exact anti-join confirm. The bloom cannot produce a
+    // false negative, so the result is bit-identical to d7's plain
+    // anti-join — and the oracle IS d7's oracle, making the gate a
+    // cross-engine proof that the optimized path changes nothing.
+    "d7b_bloom_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val store = s.read.parquet(d7StorePath(s, dir))
+      val bits = Bloom.buildBits(store, $"fp", mBits = BloomBits, k = BloomK)
+      val batch = d7Batch(s, dir)
+      val admitted = batch
+        .filter(!Bloom.mightContain($"fp", bits, BloomK))
+      val confirmed = batch
+        .filter(Bloom.mightContain($"fp", bits, BloomK))
+        .join(store, Seq("fp"), "left_anti")
+      admitted.unionByName(confirmed)
         .groupBy($"fp").agg(min($"doc_id").as("doc_id"))
         .select($"doc_id", $"fp")
         .orderBy($"doc_id")
@@ -1227,6 +1265,24 @@ object DataPipelineQueries {
   // Scala kernels in ops.TextAnalysis / ops.Dedup.
   private val fpSql =
     """md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"""
+
+  /** Incremental-dedup exact result — shared verbatim by d7 (plain
+    * anti-join) and d7b (bloom-pre-gated anti-join): same store, same
+    * batch, provably same rows. */
+  private lazy val d7OracleSql: String =
+    s"""WITH batch AS (
+       |  SELECT doc_id, $fpSql AS fp FROM documents WHERE doc_id >= 400
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id, $fpSql AS fp FROM documents
+       |  WHERE doc_id < 400 AND doc_id % 7 = 0),
+       |store AS (
+       |  SELECT DISTINCT $fpSql AS fp FROM documents WHERE doc_id < 400),
+       |fresh AS (
+       |  SELECT b.doc_id, b.fp FROM batch b
+       |  LEFT JOIN store s ON b.fp = s.fp WHERE s.fp IS NULL)
+       |SELECT MIN(doc_id) AS doc_id, fp
+       |FROM fresh GROUP BY fp
+       |ORDER BY doc_id""".stripMargin
   private val tokenCountSql =
     """len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))"""
   private val wordCountSql =
@@ -1566,20 +1622,12 @@ object DataPipelineQueries {
     "knn_ivf_lloyd" -> knnIvfLloydSql,
     "d5c_semdedup" -> semDedupSql(minCos = 0.35),
     "d3_minhash_lsh" -> HashOracleSql.d3Sql(),
-    "d7_incremental_dedup" ->
-      (s"""WITH batch AS (
-        |  SELECT doc_id, $fpSql AS fp FROM documents WHERE doc_id >= 400
-        |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, $fpSql AS fp FROM documents
-        |  WHERE doc_id < 400 AND doc_id % 7 = 0),
-        |store AS (
-        |  SELECT DISTINCT $fpSql AS fp FROM documents WHERE doc_id < 400),
-        |fresh AS (
-        |  SELECT b.doc_id, b.fp FROM batch b
-        |  LEFT JOIN store s ON b.fp = s.fp WHERE s.fp IS NULL)
-        |SELECT MIN(doc_id) AS doc_id, fp
-        |FROM fresh GROUP BY fp
-        |ORDER BY doc_id""".stripMargin),
+    "d7_incremental_dedup" -> d7OracleSql,
+    // The bloom pre-gate is correctness-neutral (no false negatives, and
+    // false positives are exactly confirmed), so d7b's oracle is d7's
+    // oracle VERBATIM: the cross-engine hash proves the optimized path
+    // returns the plain anti-join's exact result.
+    "d7b_bloom_dedup" -> d7OracleSql,
     // Gram identity is by 64-bit hash on the Spark side and by string
     // here — identical modulo xxhash64 collisions (~2^-64, deterministic),
     // the d2/d3 convention.

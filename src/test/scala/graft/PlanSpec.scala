@@ -263,6 +263,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d7b: bloom pre-gate reaches the scan; only positives meet the join") {
+    val p = plan("d7b_bloom_dedup")
+    // the membership test (element_at over the literal word array +
+    // dynamic shiftright) must appear as a scan-stage Filter — i.e. the
+    // pre-gate runs map-side before any join
+    assert(p.contains("shiftright"),
+      s"bloom bit test missing from physical plan:\n${p.take(1500)}")
+    // the anti-join runs only on the bloom-positive side; Catalyst pushes
+    // it through the 2-leg batch union (fresh + resubmissions), so 1 or 2
+    // instances — more would mean the admitted branch started joining
+    val antiJoins = "LeftAnti".r.findAllIn(p).length
+    assert(antiJoins >= 1 && antiJoins <= 2,
+      s"expected 1-2 anti-joins (one per batch leg), got $antiJoins")
+    // and a join-free admitted branch exists: its filter is the NEGATED
+    // probe (NOT bit0 OR NOT bit1 OR NOT bit2)
+    assert(p.contains("NOT ((shiftright"),
+      "no join-free bloom-negative branch in the plan")
+    // the literal-array probe is pure Catalyst — codegen stages survive
+    assert(finalPlan("d7b_bloom_dedup").contains("*("),
+      "expected whole-stage codegen around the bloom probe")
+  }
+
   test("bigram/dsir model shuffles carry only 8-byte hashes and the doc id") {
     // the model-then-score shape must shuffle word/bigram HASHES and the
     // final per-doc regroup — never corpus text by any other key, and
