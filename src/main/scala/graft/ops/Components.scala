@@ -88,6 +88,27 @@ object Components {
     minLabelComponents(pairs, iters)
       .select(col("id"), col("rep"), (col("id") === col("rep")).as("keep"))
 
+  /** Quality-aware keep/drop verdicts: per component keep the member with
+    * the HIGHEST quality (ties -> min id) — a production near-dup cluster
+    * keeps its best member, not its lowest id (the cluster's docs differ
+    * in boilerplate/truncation even when near-identical in content).
+    * `quality` is (id, quality) per doc. The argmax is a groupBy over a
+    * struct max — one shuffle on the 8-byte rep, no per-component window
+    * sort, no unbounded buffers. Docs in no pair are implicitly keepers
+    * and not emitted, like [[dedupVerdicts]]. */
+  def bestMemberVerdicts(pairs: DataFrame, quality: DataFrame,
+      iters: Int): DataFrame = {
+    val scored = minLabelComponents(pairs, iters).join(quality, "id")
+    // lexicographic struct max: highest quality, then highest -id = min id
+    val best = scored
+      .groupBy(col("rep"))
+      .agg(max(struct(col("quality"), (-col("id")).as("nid"))).as("b"))
+      .select(col("rep"), (-col("b.nid")).as("best_id"))
+    scored.join(best, "rep")
+      .select(col("id"), col("rep"), col("quality"),
+        (col("id") === col("best_id")).as("keep"))
+  }
+
   /** Two-phase STAR CONTRACTION (the alternating large-star/small-star
     * algorithm of Kiveris et al., "Connected Components in MapReduce and
     * Beyond"): each round hooks every node onto the minimum of its closed

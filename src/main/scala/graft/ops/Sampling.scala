@@ -189,6 +189,42 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long"))
   }
 
+  /** FineWeb-style QUANTILE gate: keep rows whose `score` clears the
+    * exact discrete p-th percentile of the corpus score distribution —
+    * curation by "keep the top (100-p)%" rather than a hand-picked
+    * absolute threshold, so the gate tracks the corpus as it drifts.
+    *
+    * Percentile convention matches ta_corpus_stats: the threshold is the
+    * smallest score value whose ascending cumulative count reaches
+    * (p*n + 99) div 100 — an exact order statistic, no interpolation, so
+    * both engines agree bit-for-bit. Ties AT the threshold are kept
+    * (score >= t), so the kept fraction is >= (100-p)%.
+    *
+    * Scale shape: the histogram is a groupBy on the score VALUE — rows
+    * bounded by the score formula's value lattice, not the corpus — and
+    * its cumulative count runs through [[rangedRunningSum]] (range-
+    * partitioned subtotals + broadcast offsets), so there is no
+    * partition-less window ANYWHERE even before the histogram bound
+    * kicks in. The one-row threshold then broadcasts back into a
+    * map-side filter; corpus rows are never sorted. */
+  def keepAboveQuantile(df: DataFrame, score: Column, p: Int): DataFrame = {
+    require(p >= 1 && p <= 99, s"percentile must be in [1,99], got $p")
+    val scored = df.withColumn("__s", score)
+    val hist = scored.groupBy(col("__s")).agg(count(lit(1)).as("__c"))
+    val cum = rangedRunningSum(hist, Seq(col("__s")), col("__c"),
+      "__cum", numRanges = 8)
+    // n = the last cumulative count; the percentile position is the
+    // ta_corpus_stats convention (p*n + 99) div 100, and the threshold is
+    // the smallest score value whose cumulative count reaches it
+    val thr = cum
+      .crossJoin(broadcast(cum.agg(max(col("__cum")).as("__n"))))
+      .agg(min(when(col("__cum") >= expr(s"($p * __n + 99) div 100"),
+        col("__s"))).as("__thr"))
+    scored.join(broadcast(thr))
+      .filter(col("__s") >= col("__thr"))
+      .drop("__s", "__thr")
+  }
+
   /** Deterministic TRAIN/VAL/TEST split assignment: bucket =
     * pmod(xxhash64(id), 100), split = the first band whose cumulative
     * percentage exceeds the bucket. A pure function of the id, so the

@@ -424,6 +424,27 @@ object DataPipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // Dedup apply, QUALITY-AWARE: each near-dup component keeps its
+    // highest-quality member (ties -> min id) instead of its minimum id —
+    // the canonical-selection policy a production curation run wants
+    // (cluster members differ in truncation/boilerplate; keep the best,
+    // not the first). Argmax per component is a struct-max groupBy on the
+    // 8-byte rep — no per-component window sort.
+    "d6e_dedup_apply_best" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val quality = docs.select($"doc_id".as("id"),
+        TextAnalysis.qualityScore($"text").as("quality"))
+      val verdicts = Components.bestMemberVerdicts(
+        d3PairsCached(s, dir), quality, iters = CcIters)
+      val drops = verdicts.filter(!$"keep").select($"id".as("doc_id"))
+      docs.join(broadcast(drops), Seq("doc_id"), "left_anti")
+        .select($"doc_id",
+          TextAnalysis.qualityScore($"text").as("quality"),
+          length($"text").as("text_len"))
+        .orderBy($"doc_id")
+    }),
+
     // SimHash banding near-dup candidates; the FNV token hash + Charikar
     // bit-vote + banding walk is replayed exactly in SQL (HashOracleSql.d4Sql).
     "d4_simhash" -> ((s, dir) => {
@@ -1109,6 +1130,29 @@ object DataPipelineQueries {
         .orderBy($"id")
     }),
 
+    // TRAIN/TEST LEAKAGE check — near-dup pairs that STRADDLE the
+    // deterministic split: the reason split_assign is a pure function of
+    // the id is so THIS query can certify, before any training run, that
+    // no eval doc has a near-duplicate in train. Pairs come from the
+    // persisted d3 mining artifact; the split table joins on 8-byte ids
+    // only (text never moves). Empty output = clean split; here the
+    // corpus's mined pairs genuinely straddle, so the gate has signal.
+    "leakage_check" -> ((s, dir) => {
+      import s.implicits._
+      val splits = Sampling.assignSplit(
+        t(s, dir, "documents").select($"doc_id"), $"doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select($"id", $"split")
+      d3PairsCached(s, dir).select($"id_1", $"id_2")
+        .join(splits.select($"id".as("id_1"), $"split".as("split_1")),
+          Seq("id_1"))
+        .join(splits.select($"id".as("id_2"), $"split".as("split_2")),
+          Seq("id_2"))
+        .filter($"split_1" =!= $"split_2")
+        .select($"id_1", $"id_2", $"split_1", $"split_2")
+        .orderBy($"id_1", $"id_2")
+    }),
+
     // DSIR-style importance weights (arXiv:2302.03169): per-doc sum/mean
     // of floor(log2(c_target+1)) - floor(log2(c_raw+1)) over word
     // occurrences — how much more likely the doc's words are under the
@@ -1140,6 +1184,20 @@ object DataPipelineQueries {
           Seq($"quality".desc, $"doc_id"), $"n_tokens", "cum_tokens",
           budget = 100000L, numRanges = 8)
         .select($"doc_id", $"n_tokens", $"cum_tokens", $"quality")
+        .orderBy($"doc_id")
+    }),
+
+    // QUANTILE curation gate — keep the top 30% by quality score via the
+    // exact discrete 70th percentile (Sampling.keepAboveQuantile): the
+    // FineWeb-style relative threshold that tracks corpus drift, instead
+    // of curate_sample's absolute quality >= 0.8. Histogram-bounded
+    // percentile, broadcast scalar threshold, map-side filter.
+    "curate_quantile" -> ((s, dir) => {
+      import s.implicits._
+      Sampling.keepAboveQuantile(
+        t(s, dir, "documents").select($"doc_id",
+          TextAnalysis.qualityScore($"text").as("quality")),
+        $"quality", p = 70)
         .orderBy($"doc_id")
     }),
 
@@ -1738,6 +1796,21 @@ object DataPipelineQueries {
     "d6d_components_star" -> HashOracleSql.d6Sql(iters = CcIters),
     "d6b_component_stats" -> HashOracleSql.d6StatsSql(iters = CcIters),
     "d6c_dedup_apply" -> HashOracleSql.d6ApplySql(iters = CcIters),
+    "d6e_dedup_apply_best" ->
+      HashOracleSql.d6ApplyBestSql(iters = CcIters, qualityScoreSql),
+    // Same percentile convention as ta_corpus_stats ((p*n+99) div 100 on
+    // the ascending value histogram); ties at the threshold kept.
+    "curate_quantile" ->
+      s"""WITH q AS (SELECT doc_id, $qualityScoreSql AS quality
+         |  FROM documents),
+         |h AS (SELECT quality AS v, COUNT(*) AS c FROM q GROUP BY 1),
+         |cw AS (SELECT v,
+         |  SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+         |  SUM(c) OVER () AS n FROM h),
+         |t AS (SELECT MIN(v) AS thr FROM cw
+         |      WHERE cum >= (70 * n + 99) // 100)
+         |SELECT doc_id, quality FROM q, t WHERE quality >= thr
+         |ORDER BY doc_id""".stripMargin,
     "d3b_minhash_bands" ->
       HashOracleSql.d3Sql(numBands = 8, docFilter = "doc_id % 2 = 0"),
     "d4_simhash" -> HashOracleSql.d4Sql,
@@ -2280,6 +2353,19 @@ object DataPipelineQueries {
     "shuffle_shards" -> HashOracleSql.shuffleShardsSql(nShards = 8),
     "split_assign" -> HashOracleSql.splitAssignSql(
       Seq("train" -> 80, "val" -> 10, "test" -> 10)),
+    // Composes the d3 pair twin with the split-assign hash replay — both
+    // already proven alone; the leakage join is pure SQL on top.
+    "leakage_check" ->
+      s"""WITH p AS (SELECT id_1, id_2 FROM (
+         |${HashOracleSql.d3Sql()}) d),
+         |sp AS (SELECT id, split FROM (
+         |${HashOracleSql.splitAssignSql(
+               Seq("train" -> 80, "val" -> 10, "test" -> 10))}) s)
+         |SELECT p.id_1, p.id_2, s1.split AS split_1, s2.split AS split_2
+         |FROM p JOIN sp s1 ON s1.id = p.id_1
+         |       JOIN sp s2 ON s2.id = p.id_2
+         |WHERE s1.split <> s2.split
+         |ORDER BY p.id_1, p.id_2""".stripMargin,
     "sample_stratified" ->
       HashOracleSql.stratifiedSampleSql(
         s"""SELECT doc_id, $predLangCaseSql AS lang FROM (

@@ -387,6 +387,31 @@ private[queries] object HashOracleSql {
   /** d6c_dedup_apply: the deduplicated corpus — every document minus the
     * non-canonical members of each near-dup component (anti-join against
     * the drop set; docs in no pair are implicitly kept). */
+  /** d6e_dedup_apply_best: corpus minus the non-BEST members of each
+    * near-dup component — argmax quality (ties min id) per component,
+    * replayed with a rank window over the joined label/quality view. */
+  def d6ApplyBestSql(iters: Int, qualitySql: String): String =
+    s"""WITH ${ccCtes(iters)},
+       |q AS (SELECT doc_id, $qualitySql AS quality FROM documents),
+       |scored AS (
+       |  SELECT l.id, l.rep, q.quality FROM l$iters l
+       |  JOIN q ON q.doc_id = l.id),
+       |best AS (
+       |  SELECT rep, id AS best_id FROM (
+       |    SELECT rep, id,
+       |      row_number() OVER (PARTITION BY rep
+       |        ORDER BY quality DESC, id) AS rn
+       |    FROM scored) z WHERE rn = 1),
+       |drops AS (
+       |  SELECT s.id FROM scored s JOIN best b USING (rep)
+       |  WHERE s.id <> b.best_id)
+       |SELECT d.doc_id, q.quality, CAST(length(d.text) AS INT) AS text_len
+       |FROM documents d
+       |JOIN q ON q.doc_id = d.doc_id
+       |LEFT JOIN drops ON d.doc_id = drops.id
+       |WHERE drops.id IS NULL
+       |ORDER BY d.doc_id""".stripMargin
+
   def d6ApplySql(iters: Int): String =
     s"""WITH ${ccCtes(iters)},
        |drops AS (SELECT id FROM l$iters WHERE id <> rep)

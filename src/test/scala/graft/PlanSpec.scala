@@ -263,6 +263,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("curate_quantile: histogram percentile, no partition-less window") {
+    // the cumulative count must run through the ranged-running-sum shape
+    // (windows keyed on the range id), and the corpus side must stay a
+    // filter — no global sort of documents anywhere
+    val df = SparkEntry.queries("curate_quantile")(spark, sf("sf0.001"))
+    val ws = PlanSpec.collectWindows(df.queryExecution.executedPlan)
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      "curate_quantile has a partition-less WindowExec")
+  }
+
   test("d7b: bloom pre-gate reaches the scan; only positives meet the join") {
     val p = plan("d7b_bloom_dedup")
     // the membership test (element_at over the literal word array +

@@ -100,6 +100,20 @@ class ComponentsSpec extends SparkSpec {
       s"star labels diverge from union-find reference")
   }
 
+  test("bestMemberVerdicts: argmax quality keeps, ties break to min id") {
+    // component {1,2,3}: 2 has the best quality -> sole keeper
+    // component {10,11}: tied quality -> min id 10 keeps
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_1", "id_2")
+    val quality = Seq(1L -> 0.1, 2L -> 0.9, 3L -> 0.5,
+      10L -> 0.7, 11L -> 0.7, 99L -> 0.0).toDF("id", "quality")
+    val v = Components.bestMemberVerdicts(pairs, quality, iters = 8)
+      .select("id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(v == Map(1L -> false, 2L -> true, 3L -> false,
+      10L -> true, 11L -> false), s"got $v")
+    // 99 is in no pair: implicitly a keeper, not emitted
+    assert(!v.contains(99L))
+  }
+
   test("star contraction: deep chain converges in O(log n) rounds") {
     // the 41-node path that needs ~40 min-label rounds must converge well
     // inside star contraction's default 24-round guard (actually ~log2)

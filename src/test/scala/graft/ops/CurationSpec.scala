@@ -24,6 +24,23 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("keepAboveQuantile: exact discrete threshold; boundary ties kept") {
+    // distinct scores 1..100, p=70: threshold lands exactly on 70 and the
+    // kept set is precisely {70..100}
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "s")
+    val kept = Sampling.keepAboveQuantile(df, $"s", p = 70)
+      .select("id").as[Long].collect().toSet
+    assert(kept == (70 to 100).map(_.toLong).toSet, s"got ${kept.size} rows")
+    // two-value distribution straddling the percentile: cum(1.0)=50 < 70,
+    // so the threshold is 2.0 and ALL fifty 2.0-ties are kept
+    val ties = (1 to 100).map(i => (i.toLong, if (i <= 50) 1.0 else 2.0))
+      .toDF("id", "s")
+    assert(Sampling.keepAboveQuantile(ties, $"s", p = 70).count() == 50)
+    // degenerate single-value corpus: everything ties the threshold
+    val flat = (1 to 10).map(i => (i.toLong, 0.5)).toDF("id", "s")
+    assert(Sampling.keepAboveQuantile(flat, $"s", p = 70).count() == 10)
+  }
+
   test("histogram percentile == rank-window percentile (exact parity)") {
     // many ties + odd/even group sizes exercise the cum >= pos boundary
     val df = Seq.tabulate(137)(i => (i.toLong, s"g${i % 2}", (i * 7) % 13))
