@@ -54,6 +54,84 @@ object Similarity {
       .select(col("qid"), col("rank"), col("tid"), col("cos"))
   }
 
+  /** Per-dimension max-abs over the target set — the scale vector for
+    * symmetric int8 quantization. One exploded aggregation shuffling
+    * (pos, partial max) only; the collect is bounded by `dim`, a design
+    * constant (the centroid-collect boundedness class). */
+  def sq8Scales(targets: DataFrame, vec: String, dim: Int): Array[Double] = {
+    val rows = targets
+      .select(posexplode(col(vec)).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(max(abs(col("x").cast("double"))).as("m"))
+      .collect()
+    val out = new Array[Double](dim)
+    rows.foreach(r => out(r.getInt(0)) = r.getDouble(1))
+    out
+  }
+
+  /** Symmetric int8 quantization against a per-dimension scale vector:
+    * q_i = round(x_i * 127.0 / s_i) (HALF_UP — DuckDB's ROUND rounds the
+    * same way, so quantized codes replay exactly); constant-zero
+    * dimensions quantize to 0. Shrinks a float corpus 4x — the memory
+    * move that keeps a 100 TB ANN index resident — while every
+    * downstream distance is EXACT integer math. */
+  def sq8Quantize(v: Column, scales: Array[Double]): Column =
+    zip_with(v, typedlit(scales.toSeq), (x, s) =>
+      when(s === 0.0, lit(0))
+        .otherwise(round(x.cast("double") * lit(127.0) / s).cast("int")))
+
+  /** Exact integer dot product of two int8 code arrays (max |term sum|
+    * ~ 127^2 * dim — well inside long range). */
+  def sq8Dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
+      lit(0L), (acc, t) => acc + t)
+
+  /** Brute-force cosine top-k over int8-quantized vectors — the scalar-
+    * quantization ANN baseline: 4x less memory traffic per scan than the
+    * float path, bit-deterministic ranking. Scales derive from the
+    * TARGET distribution and quantize both sides; dot and both norms are
+    * EXACT integer sums (each <= 127^2 * dim, products well inside
+    * double precision), so the cosine is one exactly-rounded IEEE
+    * divide/sqrt both engines reproduce. Norms are computed once per
+    * vector (map-side), not once per pair.
+    * Returns (qid, rank, tid, dot, cos). */
+  def knnSq8(queries: DataFrame, targets: DataFrame, dim: Int,
+      k: Int): DataFrame = {
+    val scales = sq8Scales(targets, "te", dim)
+    val q = queries.select(col("qid"), sq8Quantize(col("qe"), scales).as("qq"))
+      .withColumn("qn", sq8Dot(col("qq"), col("qq")))
+    val t = targets.select(col("tid"), sq8Quantize(col("te"), scales).as("tq"))
+      .withColumn("tn", sq8Dot(col("tq"), col("tq")))
+    val scored = broadcast(q).join(t, col("qid") =!= col("tid"))
+      .withColumn("dot", sq8Dot(col("qq"), col("tq")))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt((col("qn") * col("tn")).cast("double")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("tid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("tid"), col("dot"), col("cos"))
+  }
+
+  /** HARD-NEGATIVE MINING for contrastive training: per query vector,
+    * the k most-cosine-similar targets with a DIFFERENT label — the
+    * near-miss negatives that make an embedding model's loss informative
+    * (random negatives are too easy to carry gradient). Same fixed-point
+    * cosine and deterministic tie-break as [[knnBruteForce]]; the label
+    * inequality replaces the self-exclusion (a query's own label class
+    * is excluded wholesale). `queries` = (qid, qe, qlabel), `targets` =
+    * (tid, te, tlabel). Returns (qid, rank, tid, tlabel, cos). */
+  def hardNegatives(queries: DataFrame, targets: DataFrame,
+      k: Int): DataFrame = {
+    val q = queries.withColumn("qn", scaledDot(col("qe"), col("qe")))
+    val t = targets.withColumn("tn", scaledDot(col("te"), col("te")))
+    val scored = broadcast(q).join(t, col("qlabel") =!= col("tlabel"))
+      .withColumn("cos", scaledDot(col("qe"), col("te")).cast("double") /
+        sqrt((col("qn") * col("tn")).cast("double")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("tid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("tid"), col("tlabel"), col("cos"))
+  }
+
   /** A4: per-group vector mean as exploded (group, pos, mean_val) rows —
     * exact fixed-point sums so the result is engine-reproducible
     * (tools/createqueryembed.py:494-502). */

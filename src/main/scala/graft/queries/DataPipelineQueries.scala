@@ -820,6 +820,57 @@ object DataPipelineQueries {
         .select($"method", $"k", $"hits", $"possible")
     }),
 
+    // Scalar-quantized (int8) brute-force top-5 — the 4x-memory-shrink
+    // scan path for an ANN index that must stay resident at 100 TB.
+    // Target-derived per-dimension scales (bounded dim-sized collect),
+    // HALF_UP rounding shared by both engines, pure integer scoring —
+    // the whole quantize+rank lineage hash-replays in the twin.
+    "knn_sq8" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+      Similarity.knnSq8(q, tt, dim = 64, k = 5)
+        .orderBy($"qid", $"rank")
+    }),
+
+    // Recall of the int8-quantized ranking against the exact float
+    // baseline — the number that prices the 4x memory shrink (how many
+    // of the true top-5 survive quantization), bit-deterministic like
+    // knn_recall / knn_recall_filtered.
+    "knn_recall_sq8" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+      val bf = Similarity.knnBruteForce(q, tt, k = 5)
+        .select($"qid", $"tid").localCheckpoint()
+      val sq = Similarity.knnSq8(q, tt, dim = 64, k = 5)
+      sq.select($"qid", $"tid").join(bf, Seq("qid", "tid"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit("sq8").as("method"), lit(5).as("k"), $"hits")
+        .crossJoin(bf.agg(count(lit(1)).as("possible")))
+        .select($"method", $"k", $"hits", $"possible")
+    }),
+
+    // Hard-negative mining — per query embedding, the top-5 most-similar
+    // vectors of a DIFFERENT label: the contrastive-training negatives
+    // that actually carry gradient. Same fixed-point cosine kernel as
+    // knn_bruteforce with the label inequality as the pair predicate.
+    "mine_hard_negatives" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"),
+          $"label".as("qlabel"))
+      val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"),
+        $"label".as("tlabel"))
+      Similarity.hardNegatives(q, tt, k = 5)
+        .orderBy($"qid", $"rank")
+    }),
+
     // X2: the identifier stage over synthesized sections (mapPartitions LLM
     // stub -> from_json -> enum check -> sort). The synthesized header
     // pins the stub's NER/date/sentence picks to SQL-derivable values, so
@@ -1518,6 +1569,76 @@ object DataPipelineQueries {
 
   /** Exact brute-force cosine top-5 twin for the first `maxQid` query
     * vectors (the baseline the recall gate measures against). */
+  /** mine_hard_negatives twin: knn_bruteforce's fixed-point cosine with
+    * the label inequality as the pair predicate (self-exclusion is
+    * subsumed — a vector shares its own label). */
+  private def hardNegativesSql(maxQid: Int): String =
+    s"""WITH pairs AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS tid, b.label AS tlabel,
+       |         a.embedding AS qe, b.embedding AS te
+       |  FROM embeddings a, embeddings b
+       |  WHERE a.vec_id < $maxQid AND a.label <> b.label),
+       |terms AS (SELECT qid, tid, tlabel, unnest(qe) AS x, unnest(te) AS y
+       |          FROM pairs),
+       |dots AS (
+       |  SELECT qid, tid, tlabel, $scaledDotSql AS d,
+       |    SUM(CAST(ROUND(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS nx,
+       |    SUM(CAST(ROUND(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)*1000000) AS BIGINT)) AS ny
+       |  FROM terms GROUP BY 1, 2, 3),
+       |ranked AS (
+       |  SELECT qid, tid, tlabel,
+       |    CAST(d AS DOUBLE)/sqrt(CAST(nx*ny AS DOUBLE)) AS cos,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY CAST(d AS DOUBLE)/sqrt(CAST(nx*ny AS DOUBLE)) DESC,
+       |               tid) AS rank
+       |  FROM dots)
+       |SELECT qid, CAST(rank AS INT) AS rank, tid, tlabel, cos
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
+  /** knn_sq8 twin: per-dim max-abs scales, the same HALF_UP quantization
+    * formula in the same association order, exact integer dots. */
+  private def knnSq8Sql(maxQid: Int): String =
+    s"""WITH xs AS MATERIALIZED (
+       |  SELECT vec_id, unnest(embedding) AS x, unnest(range(0, 64)) AS pos
+       |  FROM embeddings),
+       |sc AS (SELECT pos, MAX(ABS(CAST(x AS DOUBLE))) AS s
+       |       FROM xs GROUP BY pos),
+       |qz AS MATERIALIZED (
+       |  SELECT vec_id, pos,
+       |    CASE WHEN s = 0 THEN 0
+       |         ELSE CAST(ROUND(CAST(x AS DOUBLE) * 127.0 / s) AS INT)
+       |    END AS q
+       |  FROM xs JOIN sc USING (pos)),
+       |nv AS (SELECT vec_id, CAST(SUM(CAST(q AS BIGINT) * q) AS BIGINT)
+       |         AS n2 FROM qz GROUP BY vec_id),
+       |dots AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS tid,
+       |    CAST(SUM(CAST(a.q AS BIGINT) * b.q) AS BIGINT) AS dot
+       |  FROM qz a JOIN qz b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < $maxQid
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT qid, tid, dot,
+       |    CAST(dot AS DOUBLE) / sqrt(CAST(qn.n2 * tn.n2 AS DOUBLE)) AS cos,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qn.n2 * tn.n2 AS DOUBLE))
+       |        DESC, tid) AS rank
+       |  FROM dots JOIN nv qn ON qn.vec_id = qid
+       |            JOIN nv tn ON tn.vec_id = tid)
+       |SELECT qid, CAST(rank AS INT) AS rank, tid, dot, cos
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
+  private def knnRecallSq8Sql: String =
+    s"""WITH bf AS (SELECT qid, tid FROM (
+       |${knnBruteforceSql(maxQid = 50)}) b),
+       |sq AS (SELECT qid, tid FROM (
+       |${knnSq8Sql(maxQid = 50)}) z)
+       |SELECT 'sq8' AS method, CAST(5 AS INT) AS k,
+       |  (SELECT COUNT(*) FROM sq JOIN bf USING (qid, tid)) AS hits,
+       |  (SELECT COUNT(*) FROM bf) AS possible""".stripMargin
+
   private def knnBruteforceSql(maxQid: Int,
       targetFilter: String = ""): String = {
     // optional metadata predicate on the target side — the exact baseline
@@ -1946,6 +2067,9 @@ object DataPipelineQueries {
     "knn_ivf_indexed" -> knnIvfLloydSql, // Lloyd centroids reach the index
     "knn_recall" -> knnRecallSql,
     "knn_recall_filtered" -> knnRecallFilteredSql,
+    "knn_sq8" -> knnSq8Sql(maxQid = 10),
+    "knn_recall_sq8" -> knnRecallSq8Sql,
+    "mine_hard_negatives" -> hardNegativesSql(maxQid = 10),
     "knn_ivf" -> knnIvfSeedSql(),
     "knn_ivf_cells" -> knnIvfSeedSql(nCells = 32),
     "x2_identify" ->

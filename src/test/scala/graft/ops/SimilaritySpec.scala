@@ -215,6 +215,79 @@ class SimilaritySpec extends SparkSpec {
       scan.take(500))
   }
 
+  test("sq8: codes bounded, dot matches driver reference, recall holds") {
+    val e = embeddings
+    val scales = Similarity.sq8Scales(
+      e.select($"vec_id".as("tid"), $"embedding".as("te")), "te", 16)
+    assert(scales.forall(_ >= 0.0) && scales.exists(_ > 0.0))
+    // quantized codes stay in the int8 range by construction
+    val codes = e.select(Similarity.sq8Quantize($"embedding", scales)
+      .as("q")).as[Seq[Int]].collect()
+    assert(codes.flatten.forall(c => c >= -127 && c <= 127))
+    // spark-side integer dot == driver replay of the same formula
+    val raw = e.as[(Long, Seq[Float])].collect().toMap
+    def quant(v: Seq[Float]): Seq[Long] = v.zip(scales).map { case (x, s) =>
+      if (s == 0.0) 0L
+      else BigDecimal(x.toDouble * 127.0 / s)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val got = e.filter($"vec_id" < 2)
+      .select($"vec_id", Similarity.sq8Dot(
+        Similarity.sq8Quantize($"embedding", scales),
+        Similarity.sq8Quantize(typedLit(raw(5L)), scales)).as("d"))
+      .as[(Long, Long)].collect().toMap
+    val want = (0L until 2L).map { i =>
+      i -> quant(raw(i)).zip(quant(raw(5L))).map { case (a, b) => a * b }.sum
+    }.toMap
+    assert(got == want, s"$got vs $want")
+    // quantized cosine tracks the float cosine closely (the per-pair
+    // error bound); rank-set recall is asserted separately on the real
+    // embeddings table because THIS fixture is adversarial for it — all
+    // same-cluster neighbors sit within ~1.5e-3 of cosine, under the
+    // ~1e-3 sq8 noise, so orderings legitimately churn
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+    val bf = Similarity.knnBruteForce(q, tt, k = 5)
+      .select($"qid", $"tid", $"cos".as("cf"))
+    val sq = Similarity.knnSq8(q, tt, dim = 16, k = 5)
+      .select($"qid", $"tid", $"cos".as("cq"))
+    val diffs = bf.join(sq, Seq("qid", "tid"))
+      .select(abs($"cf" - $"cq")).as[Double].collect()
+    assert(diffs.nonEmpty && diffs.forall(_ < 0.01),
+      s"quantized cosine drifted: max ${diffs.maxOption}")
+    // the honest recall number, on the real embedding distribution
+    val rec = graft.SparkEntry.queries("knn_recall_sq8")(
+      spark, "/root/testdata/sf0.001")
+      .select($"hits", $"possible").as[(Long, Long)].head()
+    assert(rec._1.toDouble / rec._2 >= 0.7,
+      s"sq8 recall@5 ${rec._1}/${rec._2} below floor on real embeddings")
+  }
+
+  test("hard negatives: cross-label only, cosine-ranked, self-class gone") {
+    val e = embeddings.withColumn("label",
+      ($"vec_id" % 3).cast("int"))
+    val q = e.filter($"vec_id" < 6)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"),
+        $"label".as("qlabel"))
+    val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"),
+      $"label".as("tlabel"))
+    val rows = Similarity.hardNegatives(q, tt, k = 5)
+      .select("qid", "rank", "tid", "tlabel")
+      .as[(Long, Int, Long, Int)].collect()
+    assert(rows.length == 6 * 5)
+    // every mined negative is cross-label (the fixture labels by id % 3)
+    rows.foreach { case (qid, _, tid, tlabel) =>
+      assert(tlabel == (tid % 3).toInt)
+      assert((qid % 3).toInt != tlabel,
+        s"qid $qid mined a same-label negative $tid")
+    }
+    // ranks are 1..5 per query
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted.toSeq == (1 to 5))
+    }
+  }
+
   test("semdedup verdicts: keep-first within cells, drop iff an earlier " +
       "same-cell vector clears the threshold") {
     val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
