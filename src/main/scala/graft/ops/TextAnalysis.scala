@@ -193,6 +193,32 @@ object TextAnalysis {
           .as("logratio_avg"))
   }
 
+  /** Gopher/C4-style FILTER FUNNEL: per-doc verdicts for a fixed,
+    * ordered rule chain plus the FIRST failing rule — the per-rule
+    * ablation table a curation run publishes so threshold changes can be
+    * priced before re-running the corpus. Rules (in funnel order):
+    * min_chars (>= 200), min_words (>= 40), stopword_ratio (>= 0.06),
+    * top_word_frac (<= 0.12, the Gopher most-common-word screen via a
+    * longest-run count over the sorted word array — per-row fold, no
+    * explode). Pure map stage: one corpus scan, no shuffle. */
+  def filterFunnel(text: Column): Seq[Column] = {
+    val words = split(Dedup.normalized(text), " ")
+    val topFrac = topRun(array_sort(words)).getField("n").cast("double") /
+      greatest(size(words), lit(1)).cast("double")
+    val passChars = length(text) >= 200
+    val passWords = size(words) >= 40
+    val passStop = stopwordRatio(text) >= 0.06
+    val passTop = topFrac <= 0.12
+    val firstFail = when(!passChars, "min_chars")
+      .when(!passWords, "min_words")
+      .when(!passStop, "stopword_ratio")
+      .when(!passTop, "top_word_frac")
+      .otherwise("none")
+    Seq(passChars.as("pass_min_chars"), passWords.as("pass_min_words"),
+      passStop.as("pass_stopword"), passTop.as("pass_top_word"),
+      firstFail.as("first_fail"))
+  }
+
   // --- Repetition quality filters (Gopher-style) -----------------------
   // Per-document repetition signals used to drop low-quality boilerplate
   // (duplicate-line fraction, duplicate-line CHARACTER fraction, most

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Bloom, Components, Dedup, Multimodal, Rank, Sampling,
-  Similarity, TextAnalysis}
+  Similarity, Sketch, TextAnalysis}
 import graft.util.Tables._
 
 /** Training-data pipeline operators (driver north star): dedup family,
@@ -1294,6 +1294,42 @@ object DataPipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // FILTER FUNNEL — per-doc verdicts of the ordered rule chain plus
+    // the first failing rule (TextAnalysis.filterFunnel): the ablation
+    // view that prices each threshold before a corpus re-run. Map-only.
+    "filter_funnel" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(($"doc_id" +: TextAnalysis.filterFunnel($"text")): _*)
+        .orderBy($"doc_id")
+    }),
+
+    // The funnel's published summary: docs by first failing rule — the
+    // table that answers "which rule costs the corpus most".
+    "filter_funnel_stats" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(TextAnalysis.filterFunnel($"text"): _*)
+        .groupBy($"first_fail").agg(count(lit(1)).as("n_docs"))
+        .orderBy($"first_fail")
+    }),
+
+    // HyperLogLog NDV per source (Sketch.hllNdv): at most 256 (register,
+    // max-rank) pairs shuffle per group regardless of corpus size; the
+    // exact NDV rides along so the raw sketch's bias stays visible. The
+    // 60-bit key is the fingerprint's hex prefix, parseable by both
+    // engines; the twin replays the XXH64 chain, the register walk, and
+    // the one closing double expression.
+    "approx_ndv" -> ((s, dir) => {
+      import s.implicits._
+      Sketch.hllNdv(t(s, dir, "documents"),
+        conv(substring(TextAnalysis.fingerprint($"text"), 1, 15), 16, 10)
+          .cast("long"),
+        $"source")
+        .withColumnRenamed("g", "source")
+        .orderBy($"source")
+    }),
+
     // Content fingerprint (md5 over normalized text).
     "ta_fingerprint" -> ((s, dir) => {
       import s.implicits._
@@ -1396,6 +1432,39 @@ object DataPipelineQueries {
     """len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))"""
   private val wordCountSql =
     """len(string_split_regex(trim(text), '\s+'))"""
+  /** filter_funnel verdicts (shared by the per-doc and stats twins):
+    * the ordered rule chain over one word projection. */
+  private lazy val funnelVerdictsSql: String =
+    s"""WITH w AS MATERIALIZED (
+       |  SELECT doc_id, text,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+       |  FROM documents),
+       |tw AS (
+       |  SELECT doc_id, MAX(c) AS topc FROM (
+       |    SELECT doc_id, x, COUNT(*) AS c
+       |    FROM (SELECT doc_id, unnest(ws) AS x FROM w) u
+       |    GROUP BY doc_id, x) g
+       |  GROUP BY doc_id),
+       |v AS (
+       |  SELECT w.doc_id,
+       |    length(text) >= 200 AS pass_min_chars,
+       |    len(ws) >= 40 AS pass_min_words,
+       |    CAST($stopCountSql AS DOUBLE)
+       |      / CAST(greatest($wordCountSql, 1) AS DOUBLE) >= 0.06
+       |      AS pass_stopword,
+       |    CAST(topc AS DOUBLE)
+       |      / CAST(greatest(len(ws), 1) AS DOUBLE) <= 0.12
+       |      AS pass_top_word
+       |  FROM w JOIN tw USING (doc_id))
+       |SELECT doc_id, pass_min_chars, pass_min_words, pass_stopword,
+       |  pass_top_word,
+       |  CASE WHEN NOT pass_min_chars THEN 'min_chars'
+       |       WHEN NOT pass_min_words THEN 'min_words'
+       |       WHEN NOT pass_stopword THEN 'stopword_ratio'
+       |       WHEN NOT pass_top_word THEN 'top_word_frac'
+       |       ELSE 'none' END AS first_fail
+       |FROM v""".stripMargin
+
   private val stopCountSql =
     """len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\band\b'))
       |      + len(regexp_extract_all(text, '\bof\b')) + len(regexp_extract_all(text, '\bis\b'))
@@ -1919,6 +1988,20 @@ object DataPipelineQueries {
     "d6c_dedup_apply" -> HashOracleSql.d6ApplySql(iters = CcIters),
     "d6e_dedup_apply_best" ->
       HashOracleSql.d6ApplyBestSql(iters = CcIters, qualityScoreSql),
+    // The funnel rule chain replayed over the same word projection; the
+    // top-word count via explode+group+max (Spark's sorted-run fold and
+    // MAX(per-word count) are the same number).
+    "filter_funnel" ->
+      (funnelVerdictsSql + "\nORDER BY doc_id"),
+    "filter_funnel_stats" ->
+      (s"""SELECT first_fail, COUNT(*) AS n_docs FROM (
+         |$funnelVerdictsSql) f
+         |GROUP BY first_fail
+         |ORDER BY first_fail""".stripMargin),
+    "approx_ndv" -> HashOracleSql.hllNdvSql(
+      s"""SELECT source,
+         |  CAST(concat('0x', substr($fpSql, 1, 15)) AS BIGINT) AS k
+         |FROM documents""".stripMargin),
     // Same percentile convention as ta_corpus_stats ((p*n+99) div 100 on
     // the ascending value histogram); ties at the threshold kept.
     "curate_quantile" ->

@@ -387,6 +387,38 @@ private[queries] object HashOracleSql {
   /** d6c_dedup_apply: the deduplicated corpus — every document minus the
     * non-canonical members of each near-dup component (anti-join against
     * the drop set; docs in no pair are implicitly kept). */
+  /** approx_ndv: HLL over xxhash64 of a 60-bit key — the register walk
+    * (index = hash low byte, rank = 57 - bitlength of the rest) in exact
+    * integers, the register sum in exact 2^-57 units (HUGEINT), and the
+    * raw estimate as the one closing double expression. `keySql` must
+    * yield (source, k BIGINT) rows. */
+  def hllNdvSql(keySql: String): String = {
+    val hashed = layered(keySql, xxhSteps("hl", "k", "CAST(42 AS HUGEINT)"))
+    s"""WITH hs AS MATERIALIZED (
+       |  SELECT source, k, hloutu AS u FROM ($hashed) q),
+       |regs AS (
+       |  SELECT source, CAST(u % 256 AS BIGINT) AS r,
+       |    MAX(CASE WHEN u // 256 = 0 THEN 57
+       |        ELSE 57 - length(bin(CAST(u // 256 AS BIGINT))) END) AS mk
+       |  FROM hs GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT source, COUNT(*) AS m_used,
+       |    SUM(CAST(CAST(1 AS BIGINT) << CAST(57 - mk AS INT) AS HUGEINT))
+       |      AS zs
+       |  FROM regs GROUP BY 1),
+       |fin AS (
+       |  SELECT source, m_used,
+       |    zs + (256 - m_used) * CAST(144115188075855872 AS HUGEINT) AS z
+       |  FROM agg),
+       |ex AS (SELECT source, COUNT(DISTINCT k) AS n_exact
+       |       FROM hs GROUP BY 1)
+       |SELECT ex.source, n_exact, m_used,
+       |  0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 144115188075855872.0
+       |    / CAST(z AS DOUBLE) AS hll_ndv
+       |FROM ex JOIN fin ON ex.source = fin.source
+       |ORDER BY ex.source""".stripMargin
+  }
+
   /** d6e_dedup_apply_best: corpus minus the non-BEST members of each
     * near-dup component — argmax quality (ties min id) per component,
     * replayed with a rank window over the joined label/quality view. */

@@ -250,7 +250,7 @@ class PlanSpec extends SparkSpec {
     // filters and per-row folds only — any Exchange before the final
     // orderBy means the operator stopped being a scan-time decision
     for (q <- Seq("sample_mixture", "pii_scrub", "ta_repetition",
-        "ta_tokens_bpe", "split_assign")) {
+        "ta_tokens_bpe", "split_assign", "filter_funnel")) {
       val p = plan(q)
       // count shuffle exchanges only — "Exchange " alone would also match
       // BroadcastExchange and silently miscount a future broadcast join

@@ -24,6 +24,25 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("filterFunnel: rule order decides first_fail; all-pass is 'none'") {
+    val good = (("the and of is a to in " * 10) + "alpha beta gamma " * 8).trim
+    val docs = Seq(
+      1L -> "tiny",                                  // fails min_chars first
+      2L -> ("x " * 110).trim,                       // long enough, fails stopword? no: fails top_word? x repeats
+      3L -> good,                                    // passes everything
+      4L -> (("the and of is a to in " * 6) + ("zz " * 70)).trim // stop ok, top_word fails on zz
+    ).toDF("doc_id", "text")
+    val got = docs
+      .select(($"doc_id" +: TextAnalysis.filterFunnel($"text")): _*)
+      .select("doc_id", "first_fail").as[(Long, String)].collect().toMap
+    assert(got(1L) == "min_chars", got)
+    // doc 2: 220 chars, 110 words, zero stopwords -> stopword fires
+    // BEFORE top_word even though both fail (funnel order)
+    assert(got(2L) == "stopword_ratio", got)
+    assert(got(3L) == "none", got)
+    assert(got(4L) == "top_word_frac", got)
+  }
+
   test("keepAboveQuantile: exact discrete threshold; boundary ties kept") {
     // distinct scores 1..100, p=70: threshold lands exactly on 70 and the
     // kept set is precisely {70..100}
