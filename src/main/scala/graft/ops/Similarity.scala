@@ -111,6 +111,39 @@ object Similarity {
       .select(col("qid"), col("rank"), col("tid"), col("dot"), col("cos"))
   }
 
+  /** Persist the int8-quantized index at rest: codes + integer norms,
+    * 4x smaller than the float vectors — the representation a resident
+    * 100 TB ANN scan actually reads. Returns the per-dim scales that
+    * MUST travel with the index (queries quantize against them); each
+    * scale is a widened float, so a float[] round-trip is exact. */
+  def writeSq8Index(targets: DataFrame, path: String,
+      dim: Int): Array[Double] = {
+    val scales = sq8Scales(targets, "te", dim)
+    targets.select(col("tid"), sq8Quantize(col("te"), scales).as("tq"))
+      .withColumn("tn", sq8Dot(col("tq"), col("tq")))
+      .write.mode("overwrite").parquet(path)
+    scales
+  }
+
+  /** Search the persisted int8 index: the scan touches only codes and
+    * precomputed norms (never the float vectors); ranking is identical
+    * to [[knnSq8]], so the same oracle gates both. */
+  def knnSq8Indexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, scales: Array[Double], k: Int): DataFrame = {
+    val t = spark.read.parquet(path)
+    val q = broadcast(queries
+      .select(col("qid"), sq8Quantize(col("qe"), scales).as("qq"))
+      .withColumn("qn", sq8Dot(col("qq"), col("qq"))))
+    val scored = q.join(t, col("qid") =!= col("tid"))
+      .withColumn("dot", sq8Dot(col("qq"), col("tq")))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt((col("qn") * col("tn")).cast("double")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("tid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("tid"), col("dot"), col("cos"))
+  }
+
   /** HARD-NEGATIVE MINING for contrastive training: per query vector,
     * the k most-cosine-similar targets with a DIFFERENT label — the
     * near-miss negatives that make an embedding model's loss informative

@@ -58,4 +58,50 @@ object Sketch {
     exact.join(sketch, "g")
       .select(col("g"), col("n_exact"), col("m_used"), col("hll_ndv"))
   }
+
+  /** COUNT-MIN SKETCH heavy hitters: word frequencies estimated from a
+    * d x w counter matrix (bounded memory — d*w longs regardless of
+    * vocabulary size), estimate = min over the d seeded rows. Collisions
+    * only ever OVER-count, so n_cms >= n_exact is a structural
+    * invariant the gate can check row by row.
+    *
+    * The top-k itself uses the bounded [[Sampling.topKByKey]] aggregate
+    * (key = -count), NOT a vocabulary-wide rank window — at corpus scale
+    * the vocabulary is millions of rows and must never funnel through
+    * one sort partition. The exact counts ride along as the baseline the
+    * sketch replaces. Words key through their md5 hex prefix (a 60-bit
+    * long both engines can derive), then the per-seed bucket is Spark's
+    * xxhash64(key, seed) — the two-step chain an oracle replays.
+    * Returns (rk, word, n_exact, n_cms) for the top `topK` words by
+    * exact count (ties by key). */
+  def cmsTopWords(docs: DataFrame, text: Column, topK: Int,
+      d: Int = 4, w: Int = 16): DataFrame = {
+    require(topK > 0 && d > 0 && w > 0)
+    val words = docs
+      .select(explode(split(Dedup.normalized(text), " ")).as("word"))
+      .withColumn("k",
+        conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long"))
+    val seeds = array((0 until d).map(i => lit(i.toLong)): _*)
+    def bucket(k: Column, sd: Column): Column =
+      pmod(xxhash64(k, sd), lit(w.toLong))
+    val sketch = words
+      .select(col("k"), explode(seeds).as("sd"))
+      .withColumn("bucket", bucket(col("k"), col("sd")))
+      .groupBy(col("sd"), col("bucket")).agg(count(lit(1)).as("c"))
+    val exact = words.groupBy(col("word"), col("k"))
+      .agg(count(lit(1)).as("n_exact"))
+    val top = exact
+      .agg(Sampling.topKByKey(-col("n_exact"), col("k"), topK).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "s")))
+      .select((col("pos") + 1).cast("int").as("rk"),
+        col("s.id").as("k"), (-col("s.key")).as("n_exact"))
+    val est = top
+      .withColumn("sd", explode(seeds))
+      .withColumn("bucket", bucket(col("k"), col("sd")))
+      .join(broadcast(sketch), Seq("sd", "bucket"))
+      .groupBy(col("rk"), col("k"), col("n_exact"))
+      .agg(min(col("c")).as("n_cms"))
+    est.join(exact.select(col("k"), col("word")), "k")
+      .select(col("rk"), col("word"), col("n_exact"), col("n_cms"))
+  }
 }

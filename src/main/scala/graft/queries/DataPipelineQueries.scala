@@ -835,6 +835,25 @@ object DataPipelineQueries {
         .orderBy($"qid", $"rank")
     }),
 
+    // The int8 index AT REST: codes + integer norms persisted once per
+    // dir (4x smaller than the float vectors — what a resident scan
+    // reads), scales traveling with the index; search replays knnSq8's
+    // exact ranking, so the same twin gates both. Wider query set (50)
+    // exercises build-once/search-many.
+    "knn_sq8_indexed" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+      val (path, scalesF) = builtIndex("sq8-idx", dir) { p =>
+        Array(Similarity.writeSq8Index(tt, p, dim = 64).map(_.toFloat))
+      }
+      Similarity.knnSq8Indexed(s, path, q,
+        scalesF.head.map(_.toDouble), k = 5)
+        .orderBy($"qid", $"rank")
+    }),
+
     // Recall of the int8-quantized ranking against the exact float
     // baseline — the number that prices the 4x memory shrink (how many
     // of the true top-5 survive quantization), bit-deterministic like
@@ -1328,6 +1347,18 @@ object DataPipelineQueries {
         $"source")
         .withColumnRenamed("g", "source")
         .orderBy($"source")
+    }),
+
+    // Count-min-sketch heavy hitters (Sketch.cmsTopWords): word counts
+    // from a bounded d x w counter matrix, estimate = min over seeded
+    // rows (collisions only OVER-count — n_cms >= n_exact row by row).
+    // w=16 on this vocabulary forces real collisions so the min matters;
+    // the top-k uses the bounded TopKByKey aggregate, never a
+    // vocabulary-wide sort.
+    "cms_heavyhitters" -> ((s, dir) => {
+      import s.implicits._
+      Sketch.cmsTopWords(t(s, dir, "documents"), $"text", topK = 20)
+        .orderBy($"rk")
     }),
 
     // Content fingerprint (md5 over normalized text).
@@ -1998,6 +2029,8 @@ object DataPipelineQueries {
          |$funnelVerdictsSql) f
          |GROUP BY first_fail
          |ORDER BY first_fail""".stripMargin),
+    "cms_heavyhitters" -> HashOracleSql.cmsTopWordsSql(
+      topK = 20, d = 4, w = 16),
     "approx_ndv" -> HashOracleSql.hllNdvSql(
       s"""SELECT source,
          |  CAST(concat('0x', substr($fpSql, 1, 15)) AS BIGINT) AS k
@@ -2151,6 +2184,7 @@ object DataPipelineQueries {
     "knn_recall" -> knnRecallSql,
     "knn_recall_filtered" -> knnRecallFilteredSql,
     "knn_sq8" -> knnSq8Sql(maxQid = 10),
+    "knn_sq8_indexed" -> knnSq8Sql(maxQid = 50), // same codes/ranking at rest
     "knn_recall_sq8" -> knnRecallSq8Sql,
     "mine_hard_negatives" -> hardNegativesSql(maxQid = 10),
     "knn_ivf" -> knnIvfSeedSql(),

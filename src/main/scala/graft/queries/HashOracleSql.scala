@@ -419,6 +419,44 @@ private[queries] object HashOracleSql {
        |ORDER BY ex.source""".stripMargin
   }
 
+  /** cms_heavyhitters: the d x w counter matrix from the word counts
+    * (sum-per-bucket == Spark's per-occurrence explode), buckets via the
+    * two-step XXH64 chain (word key, then seed), estimate = min over
+    * rows; top-k by (count desc, key) replayed as a rank window — the
+    * oracle may sort the vocabulary, the Spark side must not. */
+  def cmsTopWordsSql(topK: Int, d: Int, w: Int): String = {
+    val seedRows = (0 until d).map(i => s"(CAST($i AS BIGINT))")
+      .mkString(", ")
+    val hashed = layered(
+      "SELECT k, sd FROM (SELECT DISTINCT k FROM occ) kx " +
+        s"CROSS JOIN (VALUES $seedRows) s(sd)",
+      xxhSteps("c1", "k", "CAST(42 AS HUGEINT)") ++
+        xxhSteps("c2", "sd", "c1outu"))
+    s"""WITH occ AS MATERIALIZED (
+       |  SELECT word,
+       |    CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) AS k
+       |  FROM (SELECT unnest(string_split(regexp_replace(lower(trim(text)),
+       |    '\\s+', ' ', 'g'), ' ')) AS word FROM documents) wx),
+       |ex AS MATERIALIZED (
+       |  SELECT word, k, COUNT(*) AS n_exact FROM occ GROUP BY 1, 2),
+       |hk AS MATERIALIZED (
+       |  SELECT k, sd,
+       |    CAST(((c2out % $w) + $w) % $w AS BIGINT) AS bucket
+       |  FROM ($hashed) hx),
+       |sk AS (
+       |  SELECT sd, bucket, SUM(n_exact) AS c
+       |  FROM ex JOIN hk USING (k) GROUP BY 1, 2),
+       |top AS (
+       |  SELECT word, k, n_exact, CAST(rk AS INT) AS rk FROM (
+       |    SELECT word, k, n_exact,
+       |      row_number() OVER (ORDER BY n_exact DESC, k) AS rk
+       |    FROM ex) z WHERE rk <= $topK)
+       |SELECT t.rk, t.word, t.n_exact, CAST(MIN(s.c) AS BIGINT) AS n_cms
+       |FROM top t JOIN hk USING (k) JOIN sk s USING (sd, bucket)
+       |GROUP BY 1, 2, 3
+       |ORDER BY t.rk""".stripMargin
+  }
+
   /** d6e_dedup_apply_best: corpus minus the non-BEST members of each
     * near-dup component — argmax quality (ties min id) per component,
     * replayed with a rank window over the joined label/quality view. */

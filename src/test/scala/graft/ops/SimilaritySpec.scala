@@ -262,6 +262,14 @@ class SimilaritySpec extends SparkSpec {
       .select($"hits", $"possible").as[(Long, Long)].head()
     assert(rec._1.toDouble / rec._2 >= 0.7,
       s"sq8 recall@5 ${rec._1}/${rec._2} below floor on real embeddings")
+    // the persisted index returns the in-memory ranking exactly (codes,
+    // norms, and float-roundtripped scales all preserve the integers)
+    val dir2 = java.nio.file.Files.createTempDirectory("sq8idx").toString
+    val scales2 = Similarity.writeSq8Index(tt, dir2 + "/idx", dim = 16)
+    val atRest = Similarity.knnSq8Indexed(spark, dir2 + "/idx", q,
+      scales2.map(_.toFloat).map(_.toDouble), k = 5).collect().toSeq
+    val inMem = Similarity.knnSq8(q, tt, dim = 16, k = 5).collect().toSeq
+    assert(atRest == inMem, "persisted sq8 index diverged from in-memory")
   }
 
   test("hard negatives: cross-label only, cosine-ranked, self-class gone") {

@@ -37,6 +37,30 @@ class SketchSpec extends SparkSpec {
     assert(out == out2, s"duplicates changed the sketch: $out vs $out2")
   }
 
+  test("cms: never undercounts; exact when wide; min beats single row") {
+    val docs = Seq.tabulate(200)(i =>
+      s"alpha beta beta gamma${i % 7} delta${i % 3}").toDF("text")
+    // narrow sketch: collisions guaranteed, but never an undercount
+    val narrow = Sketch.cmsTopWords(docs, col("text"), topK = 10, w = 4)
+      .select($"word", $"n_exact", $"n_cms")
+      .as[(String, Long, Long)].collect()
+    assert(narrow.nonEmpty)
+    narrow.foreach { case (wd, ex, est) =>
+      assert(est >= ex, s"$wd undercounted: $est < $ex")
+    }
+    assert(narrow.exists { case (_, ex, est) => est > ex },
+      "w=4 over 12 words produced zero collisions — bucket walk suspect")
+    // wide sketch: no collisions -> estimates exactly equal
+    val wide = Sketch.cmsTopWords(docs, col("text"), topK = 10, w = 4096)
+      .select($"n_exact", $"n_cms").as[(Long, Long)].collect()
+    assert(wide.forall { case (ex, est) => est == ex },
+      s"collision at w=4096 on 12 words is ~impossible: $wide")
+    // the exact top-2 are beta (400) then alpha (200)
+    val byRank = Sketch.cmsTopWords(docs, col("text"), topK = 2, w = 4096)
+      .orderBy($"rk").select($"word").as[String].collect().toSeq
+    assert(byRank == Seq("beta", "alpha"), byRank)
+  }
+
   test("partitioning cannot change the result (exact register sum)") {
     val df = (0L until 3000L).map(i => (i * 7919, "g")).toDF("k", "g")
     val a = Sketch.hllNdv(df.repartition(1), $"k", $"g")
