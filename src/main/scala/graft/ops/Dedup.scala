@@ -217,6 +217,43 @@ object Dedup {
       .select(col("id_1"), col("id_2"), col("jaccard"))
   }
 
+  /** Sketch-accuracy gate for the MinHash signature: per LSH candidate
+    * pair, the agreeing-position count of the two signatures (n_agree /
+    * numHashes is the unbiased Jaccard estimator banding acts on) NEXT TO
+    * the exact char-shingle Jaccard — the per-pair error a geometry tuner
+    * reads before picking (numHashes, numBands) for a corpus. The
+    * estimate is integer (bit-deterministic); est and jaccard are each
+    * one exactly-rounded IEEE divide of exact integers.
+    *
+    * Scale shape: candidates are bounded by the banding caps; the
+    * signature join ships 8-byte ids plus numHashes longs; only the
+    * audited pairs' TEXT is joined (at 100 TB the accuracy audit runs on
+    * a pair sample, not the corpus — the shape is unchanged).
+    * Returns (id_1, id_2, n_agree, est, jaccard). */
+  def minhashAccuracy(docs: DataFrame, id: String, text: String,
+      k: Int = 5, numHashes: Int = NumHashes,
+      numBands: Int = NumBands): DataFrame = {
+    import org.apache.spark.sql.graft.{ShingleJaccard, internal}
+    val cands = minhashCandidates(docs, id, text, k,
+      numHashes = numHashes, numBands = numBands)
+    val sigs = minhashSignatures(docs, id, text, k, numHashes)
+    val norm = docs.select(col(id), normalized(col(text)).as("__t"))
+    cands
+      .join(sigs.select(col(id).as("id_1"), col("sig").as("__s1")), Seq("id_1"))
+      .join(sigs.select(col(id).as("id_2"), col("sig").as("__s2")), Seq("id_2"))
+      .join(norm.select(col(id).as("id_1"), col("__t").as("__t1")), Seq("id_1"))
+      .join(norm.select(col(id).as("id_2"), col("__t").as("__t2")), Seq("id_2"))
+      .withColumn("n_agree",
+        aggregate(zip_with(col("__s1"), col("__s2"),
+          (a, b) => when(a === b, 1L).otherwise(0L)), lit(0L), _ + _))
+      .withColumn("est",
+        col("n_agree").cast("double") / lit(numHashes.toDouble))
+      .withColumn("jaccard", internal.column(ShingleJaccard(
+        internal.expression(col("__t1")), internal.expression(col("__t2")), k)))
+      .select(col("id_1"), col("id_2"), col("n_agree"), col("est"),
+        col("jaccard"))
+  }
+
   // --- Benchmark decontamination --------------------------------------
 
   /** Training-data decontamination: per corpus doc, how many of its

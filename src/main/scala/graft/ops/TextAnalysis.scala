@@ -159,6 +159,61 @@ object TextAnalysis {
         coalesce(col("logprob_avg"), lit(0.0)).as("logprob_avg"))
   }
 
+  /** TOP-K COLLOCATIONS by pointwise mutual information — the adjacent
+    * word pairs that co-occur far beyond what their marginal frequencies
+    * predict (the "new york" detector every corpus profiler ships; high-
+    * PMI pairs are also the multi-word units a tokenizer vocabulary
+    * wants). All probabilities are over BIGRAM events, so one projection
+    * feeds everything: p(w1 w2) = c12/N, p(w1 ·) = prefix count/N,
+    * p(· w2) = suffix count/N, and PMI = log2(N*c12 / (c1*c2)) is kept
+    * exact-integer via the floor-log2 convention of [[unigramLogFreq]]:
+    * pmi_floor = floor(log2(N*c12)) - floor(log2(c1*c2)) (within 1 of
+    * floor(PMI) — the deterministic stand-in for the float log).
+    *
+    * Ranking is (pmi_floor desc, n_pair desc, md5-prefix key asc) via the
+    * bounded [[Sampling.topKByKey]] aggregate over a packed key — the
+    * vocabulary-squared pair table never funnels through one sort
+    * partition. `minCount` prunes the rare-pair noise floor (standard
+    * collocation practice: PMI is maximal for singletons). Counts are
+    * assumed < 2^40 per distinct pair (packing bound; holds to ~10^12
+    * occurrences of a single bigram). Returns
+    * (rk, gram, n_pair, n_left, n_right, pmi_floor). */
+  def pmiCollocations(docs: org.apache.spark.sql.DataFrame, text: String,
+      topK: Int, minCount: Long = 5L): org.apache.spark.sql.DataFrame = {
+    require(topK > 0 && minCount >= 1)
+    val bg = docs
+      .select(split(Dedup.normalized(col(text)), " ").as("__ws"))
+      .filter(size(col("__ws")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__ws")) - 1),
+        i => concat_ws(" ", slice(col("__ws"), i, lit(2))))).as("gram"))
+      .select(col("gram"),
+        xxhash64(substring_index(col("gram"), " ", 1)).as("__h1"),
+        xxhash64(substring_index(col("gram"), " ", -1)).as("__h2"))
+    val tot = bg.agg(count(lit(1)).as("__n"))
+    val pair = bg.groupBy(col("gram"), col("__h1"), col("__h2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val pre = bg.groupBy(col("__h1")).agg(count(lit(1)).as("n_left"))
+    val suf = bg.groupBy(col("__h2")).agg(count(lit(1)).as("n_right"))
+    val scored = pair.join(pre, Seq("__h1")).join(suf, Seq("__h2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi_floor",
+        (length(bin(col("__n") * col("n_pair"))) -
+          length(bin(col("n_left") * col("n_right")))).cast("long"))
+      .withColumn("__k",
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long"))
+    val top = scored
+      .agg(Sampling.topKByKey(
+        -((col("pmi_floor") + 128L) * lit(1L << 40) + col("n_pair")),
+        col("__k"), topK).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "s")))
+      .select((col("pos") + 1).cast("int").as("rk"), col("s.id").as("__k"))
+    top.join(scored, "__k")
+      .select(col("rk"), col("gram"), col("n_pair"), col("n_left"),
+        col("n_right"), col("pmi_floor"))
+  }
+
   /** DSIR-style IMPORTANCE WEIGHTS (arXiv:2302.03169): score every doc by
     * how much more likely its words are under a TARGET distribution (the
     * domain you want more of) than under the raw corpus — the

@@ -257,6 +257,20 @@ object DataPipelineQueries {
         .orderBy($"id_1", $"id_2")
     }),
 
+    // Sketch-accuracy gate for the MinHash estimator itself: per LSH
+    // candidate pair, the agreeing-signature-position count (n_agree/16
+    // is the Jaccard estimate banding acts on) NEXT TO the exact
+    // char-shingle Jaccard — the per-pair error table a geometry tuner
+    // reads before picking (numHashes, numBands). Same doc filter as d3
+    // (short docs are exact-dedup territory).
+    "d3c_minhash_accuracy" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .filter(length(Dedup.normalized($"text")) >= 5)
+      Dedup.minhashAccuracy(docs, "doc_id", "text", k = 5)
+        .orderBy($"id_1", $"id_2")
+    }),
+
     // INCREMENTAL dedup — the ingestion shape: a new batch (doc_id >=
     // 400) deduped against the persisted fingerprint store of everything
     // ingested before (doc_id < 400, built once per dir — the at-rest
@@ -874,6 +888,61 @@ object DataPipelineQueries {
         .select($"method", $"k", $"hits", $"possible")
     }),
 
+    // Product-quantized ANN (Similarity.knnPq): 4 subspaces x 16-entry
+    // codebooks (the deterministic seed layout sliced per subspace), so
+    // each 64-dim float vector compresses to 4 int codes — 128x — and
+    // scoring is asymmetric distance computation: the query precomputes
+    // a per-subspace dot table once, each target costs 4 lookups. All
+    // integer math; the twin replays codebooks, codes, and tables.
+    "knn_pq" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+      Similarity.knnPq(q, tt, dim = 64, k = 5)
+        .orderBy($"qid", $"rank")
+    }),
+
+    // The production PQ shape: ADC retrieves the top-100 candidates from
+    // the coded scan, then ONLY those float vectors are read back and
+    // exact-reranked (refine/N of the float reads at any scale). Output
+    // is the knnBruteForce shape, gated by the shared exact score tail.
+    "knn_pq_rerank" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+      Similarity.knnPqRerank(q, tt, dim = 64, k = 5)
+        .orderBy($"qid", $"rank")
+    }),
+
+    // Recall of both PQ operating points against the exact float
+    // baseline: raw ADC (the candidate generator) and ADC+rerank (the
+    // production search) — the two ends of the compression/recall
+    // frontier that price the coded scan.
+    "knn_recall_pq" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+      val bf = Similarity.knnBruteForce(q, tt, k = 5)
+        .select($"qid", $"tid").localCheckpoint()
+      val possible = bf.agg(count(lit(1)).as("possible"))
+      def row(name: String, res: org.apache.spark.sql.DataFrame) =
+        res.select($"qid", $"tid").join(bf, Seq("qid", "tid"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(name).as("method"), lit(5).as("k"), $"hits")
+          .crossJoin(possible)
+          .select($"method", $"k", $"hits", $"possible")
+      row("pq_adc", Similarity.knnPq(q, tt, dim = 64, k = 5))
+        .unionAll(row("pq_rerank",
+          Similarity.knnPqRerank(q, tt, dim = 64, k = 5)))
+        .orderBy($"method")
+    }),
+
     // Hard-negative mining — per query embedding, the top-5 most-similar
     // vectors of a DIFFERENT label: the contrastive-training negatives
     // that actually carry gradient. Same fixed-point cosine kernel as
@@ -1015,6 +1084,17 @@ object DataPipelineQueries {
       import s.implicits._
       TextAnalysis.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
         .orderBy($"doc_id")
+    }),
+
+    // Top-20 collocations by pointwise mutual information — the word
+    // pairs that co-occur beyond what their marginals predict. PMI stays
+    // exact-integer (floor-log2 over bigram-event counts, all off one
+    // bigram projection); ranking is (pmi desc, count desc, key asc) via
+    // the bounded TopKByKey aggregate, never a pair-table-wide sort.
+    "ta_pmi_collocations" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.pmiCollocations(t(s, dir, "documents"), "text",
+        topK = 20).orderBy($"rk")
     }),
 
     // Okapi BM25 lexical retrieval (k1=1.2, b=0.75, Lucene-style
@@ -1739,6 +1819,94 @@ object DataPipelineQueries {
        |  (SELECT COUNT(*) FROM sq JOIN bf USING (qid, tid)) AS hits,
        |  (SELECT COUNT(*) FROM bf) AS possible""".stripMargin
 
+  /** knn_pq twin: PQ codebooks = the seed layout (every 7th of the first
+    * 112 targets) sliced into 4 subspaces of 16 dims; codes = per-(tid,
+    * sub) argmax fixed-point dot (ties low cell); ADC = sum over
+    * subspaces of the query's dot with the coded entry — the identical
+    * integer quantity Spark's table lookups produce. */
+  private def knnPqSql(maxQid: Int, m: Int = 4, nCells: Int = 16): String =
+    s"""${knnPqCtes(maxQid, m, nCells)},
+       |ranked AS (
+       |  SELECT qid, tid, adc,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, tid)
+       |      AS rank
+       |  FROM score)
+       |SELECT qid, CAST(rank AS INT) AS rank, tid, adc
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
+  /** knn_pq_rerank twin: ADC top-`refine` candidates from the PQ chain,
+    * exact fixed-point cosine re-rank via the shared score tail. */
+  private def knnPqRerankSql(maxQid: Int, m: Int = 8, nCells: Int = 32,
+      refine: Int = 100): String =
+    s"""${knnPqCtes(maxQid, m, nCells)},
+       |cand AS (
+       |  SELECT qid, tid FROM (
+       |    SELECT qid, tid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY adc DESC, tid)
+       |        AS rk0
+       |    FROM score) z WHERE rk0 <= $refine),
+       |""".stripMargin + knnScoreTailSql(5)
+
+  private def knnPqCtes(maxQid: Int, m: Int, nCells: Int): String = {
+    val subDim = 64 / m
+    s"""WITH tt AS (SELECT vec_id AS tid, embedding AS te FROM embeddings),
+       |qq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |       WHERE vec_id < $maxQid),
+       |seeds AS (
+       |  SELECT CAST((rn - 1) // 7 AS INT) AS cell, te AS ce
+       |  FROM (SELECT row_number() OVER (ORDER BY tid) AS rn, te
+       |        FROM (SELECT tid, te FROM tt ORDER BY tid LIMIT ${nCells * 7}) s1) s2
+       |  WHERE (rn - 1) % 7 = 0),
+       |sx AS MATERIALIZED (
+       |  SELECT cell, CAST((pos - 1) // $subDim AS INT) AS sub, pos, c
+       |  FROM (SELECT cell, unnest(ce) AS c, unnest(range(1, 65)) AS pos
+       |        FROM seeds) z),
+       |tx AS MATERIALIZED (
+       |  SELECT tid, CAST((pos - 1) // $subDim AS INT) AS sub, pos, x
+       |  FROM (SELECT tid, unnest(te) AS x, unnest(range(1, 65)) AS pos
+       |        FROM tt) z),
+       |tdots AS (
+       |  SELECT tid, sub, cell,
+       |    SUM(CAST(ROUND(CAST(x AS DOUBLE)*CAST(c AS DOUBLE)*1000000) AS BIGINT)) AS d
+       |  FROM tx JOIN sx USING (sub, pos) GROUP BY 1, 2, 3),
+       |tcode AS (
+       |  SELECT tid, sub, cell FROM (
+       |    SELECT tid, sub, cell,
+       |      row_number() OVER (PARTITION BY tid, sub ORDER BY d DESC, cell)
+       |        AS rn
+       |    FROM tdots) z WHERE rn = 1),
+       |qx AS (
+       |  SELECT qid, CAST((pos - 1) // $subDim AS INT) AS sub, pos, x
+       |  FROM (SELECT qid, unnest(qe) AS x, unnest(range(1, 65)) AS pos
+       |        FROM qq) z),
+       |qtab AS (
+       |  SELECT qid, sub, cell,
+       |    SUM(CAST(ROUND(CAST(x AS DOUBLE)*CAST(c AS DOUBLE)*1000000) AS BIGINT)) AS d
+       |  FROM qx JOIN sx USING (sub, pos) GROUP BY 1, 2, 3),
+       |score AS (
+       |  SELECT q.qid, t.tid, CAST(SUM(q.d) AS BIGINT) AS adc
+       |  FROM tcode t JOIN qtab q ON q.sub = t.sub AND q.cell = t.cell
+       |  WHERE q.qid <> t.tid GROUP BY 1, 2)""".stripMargin
+  }
+
+  private def knnRecallPqSql: String =
+    s"""WITH bf AS (SELECT qid, tid FROM (
+       |${knnBruteforceSql(maxQid = 50)}) b),
+       |pq AS (SELECT qid, tid FROM (
+       |${knnPqSql(maxQid = 50)}) z),
+       |pqr AS (SELECT qid, tid FROM (
+       |${knnPqRerankSql(maxQid = 50)}) z2)
+       |SELECT method, k, hits, possible FROM (
+       |  SELECT 'pq_adc' AS method, CAST(5 AS INT) AS k,
+       |    (SELECT COUNT(*) FROM pq JOIN bf USING (qid, tid)) AS hits,
+       |    (SELECT COUNT(*) FROM bf) AS possible
+       |  UNION ALL
+       |  SELECT 'pq_rerank' AS method, CAST(5 AS INT) AS k,
+       |    (SELECT COUNT(*) FROM pqr JOIN bf USING (qid, tid)) AS hits,
+       |    (SELECT COUNT(*) FROM bf) AS possible)
+       |ORDER BY method""".stripMargin
+
   private def knnBruteforceSql(maxQid: Int,
       targetFilter: String = ""): String = {
     // optional metadata predicate on the target side — the exact baseline
@@ -1901,6 +2069,7 @@ object DataPipelineQueries {
     "knn_ivf_lloyd" -> knnIvfLloydSql,
     "d5c_semdedup" -> semDedupSql(minCos = 0.35),
     "d3_minhash_lsh" -> HashOracleSql.d3Sql(),
+    "d3c_minhash_accuracy" -> HashOracleSql.d3AccuracySql(),
     "d7_incremental_dedup" -> d7OracleSql,
     // The bloom pre-gate is correctness-neutral (no false negatives, and
     // false positives are exactly confirmed), so d7b's oracle is d7's
@@ -2186,6 +2355,9 @@ object DataPipelineQueries {
     "knn_sq8" -> knnSq8Sql(maxQid = 10),
     "knn_sq8_indexed" -> knnSq8Sql(maxQid = 50), // same codes/ranking at rest
     "knn_recall_sq8" -> knnRecallSq8Sql,
+    "knn_pq" -> knnPqSql(maxQid = 10),
+    "knn_pq_rerank" -> knnPqRerankSql(maxQid = 10),
+    "knn_recall_pq" -> knnRecallPqSql,
     "mine_hard_negatives" -> hardNegativesSql(maxQid = 10),
     "knn_ivf" -> knnIvfSeedSql(),
     "knn_ivf_cells" -> knnIvfSeedSql(nCells = 32),
@@ -2318,6 +2490,42 @@ object DataPipelineQueries {
         |    AS logprob_avg
         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // PMI per bigram STRING (the d8 convention); the rank window may
+    // sort the pair table here — the Spark side must not (TopKByKey).
+    // Tie order (pmi desc, n_pair desc, md5-prefix key asc) replayed
+    // exactly.
+    "ta_pmi_collocations" ->
+      """WITH w AS (
+        |  SELECT string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |bg AS MATERIALIZED (
+        |  SELECT ws[CAST(i + 1 AS BIGINT)] AS w1,
+        |    ws[CAST(i + 2 AS BIGINT)] AS w2,
+        |    ws[CAST(i + 1 AS BIGINT)] || ' ' || ws[CAST(i + 2 AS BIGINT)]
+        |      AS gram
+        |  FROM (SELECT ws, unnest(range(0, len(ws) - 1)) AS i
+        |        FROM w WHERE len(ws) >= 2)),
+        |tot AS (SELECT COUNT(*) AS n FROM bg),
+        |pair AS (
+        |  SELECT gram, w1, w2, COUNT(*) AS n_pair FROM bg
+        |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5),
+        |pre AS (SELECT w1, COUNT(*) AS n_left FROM bg GROUP BY 1),
+        |suf AS (SELECT w2, COUNT(*) AS n_right FROM bg GROUP BY 1),
+        |scored AS (
+        |  SELECT gram, n_pair, n_left, n_right,
+        |    CAST(length(bin(n * n_pair)) - length(bin(n_left * n_right))
+        |      AS BIGINT) AS pmi_floor,
+        |    CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS k
+        |  FROM pair JOIN pre USING (w1) JOIN suf USING (w2) CROSS JOIN tot),
+        |ranked AS (
+        |  SELECT *, row_number()
+        |    OVER (ORDER BY pmi_floor DESC, n_pair DESC, k) AS rk
+        |  FROM scored)
+        |SELECT CAST(rk AS INT) AS rk, gram, n_pair, n_left, n_right,
+        |  pmi_floor
+        |FROM ranked WHERE rk <= 20
+        |ORDER BY rk""".stripMargin,
     // Raw and target unigram models from one grouped aggregation (count +
     // filtered count), per-word strings; add-one smoothing keeps the
     // target-absent branch defined without a CASE.

@@ -88,7 +88,54 @@ private[queries] object HashOracleSql {
     * XXH64 band hash (Spark's xxhash64(cols..., seed 42) is a left fold of
     * single-long XXH64 steps — one chain link per band row). */
   def d3Sql(numHashes: Int = 16, numBands: Int = 4,
-      docFilter: String = "TRUE"): String = {
+      docFilter: String = "TRUE"): String =
+    s"""${d3Ctes(numHashes, numBands, docFilter)},
+       |inter AS (
+       |  SELECT c.id_1, c.id_2, COUNT(*) AS common
+       |  FROM cand c JOIN sh a ON a.doc_id = c.id_1
+       |              JOIN sh b ON b.doc_id = c.id_2 AND b.h = a.h
+       |  GROUP BY c.id_1, c.id_2)
+       |SELECT id_1, id_2,
+       |  CAST(common AS DOUBLE) / CAST(sa.ns + sb.ns - common AS DOUBLE) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = id_1 JOIN sizes sb ON sb.doc_id = id_2
+       |WHERE CAST(common AS DOUBLE) / CAST(sa.ns + sb.ns - common AS DOUBLE) >= 0.2
+       |ORDER BY id_1, id_2""".stripMargin
+
+  /** d3c_minhash_accuracy: the same signature/banding/candidate chain,
+    * emitting per candidate pair the agreeing-position count (the
+    * MinHash Jaccard estimator) beside the exact hashed-shingle Jaccard
+    * — LEFT-joined intersection so zero-overlap candidates keep a row. */
+  def d3AccuracySql(numHashes: Int = 16, numBands: Int = 4): String =
+    s"""${d3Ctes(numHashes, numBands, "TRUE")},
+       |agree AS (
+       |  SELECT c.id_1, c.id_2,
+       |    CAST(SUM(CASE WHEN a.sv = b.sv THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_agree
+       |  FROM cand c JOIN sigs a ON a.doc_id = c.id_1
+       |              JOIN sigs b ON b.doc_id = c.id_2 AND b.p = a.p
+       |  GROUP BY c.id_1, c.id_2),
+       |inter AS (
+       |  SELECT c.id_1, c.id_2, COUNT(*) AS common
+       |  FROM cand c JOIN sh a ON a.doc_id = c.id_1
+       |              JOIN sh b ON b.doc_id = c.id_2 AND b.h = a.h
+       |  GROUP BY c.id_1, c.id_2)
+       |SELECT g.id_1, g.id_2, g.n_agree,
+       |  CAST(g.n_agree AS DOUBLE) / CAST($numHashes AS DOUBLE) AS est,
+       |  CAST(COALESCE(i.common, 0) AS DOUBLE) /
+       |    CAST(sa.ns + sb.ns - COALESCE(i.common, 0) AS DOUBLE) AS jaccard
+       |FROM agree g
+       |LEFT JOIN inter i ON i.id_1 = g.id_1 AND i.id_2 = g.id_2
+       |JOIN sizes sa ON sa.doc_id = g.id_1
+       |JOIN sizes sb ON sb.doc_id = g.id_2
+       |ORDER BY g.id_1, g.id_2""".stripMargin
+
+  /** The shared d3 derivation chain: normalized text -> FNV 5-char
+    * shingle hashes (`wins`) -> mix64 (`mixed`) -> per-permutation signed
+    * minima (`sigs`) -> band signatures -> chained-XXH64 band buckets ->
+    * bounded buckets -> candidate pairs (`cand`), plus the distinct
+    * hashed-shingle sets (`sh`) and per-doc universe sizes (`sizes`). */
+  private def d3Ctes(numHashes: Int, numBands: Int,
+      docFilter: String): String = {
     require(numHashes % numBands == 0)
     val bandRows = numHashes / numBands
     val permRows = (0 until numHashes).map { p =>
@@ -143,17 +190,7 @@ private[queries] object HashOracleSql {
        |  FROM bounded a JOIN bounded b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
        |sh AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM wins),
-       |sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
-       |inter AS (
-       |  SELECT c.id_1, c.id_2, COUNT(*) AS common
-       |  FROM cand c JOIN sh a ON a.doc_id = c.id_1
-       |              JOIN sh b ON b.doc_id = c.id_2 AND b.h = a.h
-       |  GROUP BY c.id_1, c.id_2)
-       |SELECT id_1, id_2,
-       |  CAST(common AS DOUBLE) / CAST(sa.ns + sb.ns - common AS DOUBLE) AS jaccard
-       |FROM inter JOIN sizes sa ON sa.doc_id = id_1 JOIN sizes sb ON sb.doc_id = id_2
-       |WHERE CAST(common AS DOUBLE) / CAST(sa.ns + sb.ns - common AS DOUBLE) >= 0.2
-       |ORDER BY id_1, id_2""".stripMargin
+       |sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id)""".stripMargin
   }
 
   /** Shared per-doc SimHash64 derivation (ends in CTE `shs`:

@@ -103,6 +103,27 @@ class DedupSpec extends SparkSpec {
     assert(!verified.contains((1L, 4L)))
   }
 
+  test("minhash accuracy: exact dups agree fully, est tracks jaccard") {
+    val rows = Dedup.minhashAccuracy(docs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(rows.nonEmpty)
+    // every candidate pair collided in >= 1 band, and bucket equality
+    // means the whole band's signature values agree
+    rows.values.foreach { case (nAgree, est, jac) =>
+      assert(nAgree >= Dedup.NumHashes / Dedup.NumBands && nAgree <= Dedup.NumHashes)
+      assert(est == nAgree.toDouble / Dedup.NumHashes)
+      assert(jac >= 0.0 && jac <= 1.0)
+    }
+    // the exact-dup pair: all positions agree, exact jaccard 1.0
+    val (na13, est13, jac13) = rows((1L, 3L))
+    assert(na13 == Dedup.NumHashes && est13 == 1.0 && jac13 == 1.0)
+    // the unrelated doc, if it ever collides, must estimate low
+    rows.collect { case ((a, b), (na, _, _)) if a == 4L || b == 4L =>
+      assert(na < Dedup.NumHashes / 2, s"unrelated pair ($a,$b) agree=$na")
+    }
+  }
+
   test("minhash signature is stable and per-permutation minimal") {
     val sig1 = Dedup.minhashSignatures(docs, "doc_id", "text").orderBy($"doc_id")
       .collect().map(_.toSeq)

@@ -70,6 +70,28 @@ class RepetitionSpec extends SparkSpec {
     assert(got(3L) == ((0L, 0L, 0.0)))
   }
 
+  test("pmi collocations: bound pair outranks frequent independent pair") {
+    // "qq zz" always co-occurs (8x, only as a pair); "aa bb" occurs 8x
+    // but aa and bb also pair with everything else. N = 10 bigrams/doc
+    // x 8 docs = 80.
+    val docs = Seq.tabulate(8)(i =>
+      (i.toLong, "qq zz aa bb aa cc bb aa bb dd aa")).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(docs, "text",
+      topK = 5, minCount = 5L)
+      .orderBy($"rk").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(5)))
+    assert(got.nonEmpty)
+    // "qq zz": c12=8, left(qq.)=8, right(.zz)=8, N=80
+    //   pmi = fl2(80*8) - fl2(8*8) = 10 - 7 = 3 (bits of lift)
+    val qz = got.find(_._2 == "qq zz").get
+    assert(qz._3 == 8L && qz._4 == 3L, qz.toString)
+    // the bound pair ranks first; every other surviving pair has less lift
+    assert(got.head._2 == "qq zz", got.map(_._2).toSeq.toString)
+    assert(got.tail.forall(_._4 <= qz._4))
+    // ranks are contiguous from 1
+    assert(got.map(_._1).toSeq == (1 to got.length))
+  }
+
   test("importance weights: closed-form target/raw log ratios") {
     // raw: a=3, b=1, c=1; target (t): a=1, c=1
     // s(a) = fl2(1+1)-fl2(3+1) = 1-2 = -1; s(b) = fl2(1)-fl2(2) = -1;

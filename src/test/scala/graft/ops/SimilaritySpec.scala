@@ -272,6 +272,67 @@ class SimilaritySpec extends SparkSpec {
     assert(atRest == inMem, "persisted sq8 index diverged from in-memory")
   }
 
+  test("pq: codebook shape, codes in range, adc equals driver replay") {
+    val e = embeddings
+    val m = 4; val subDim = 4; val nCells = 8
+    val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+    val cbs = Similarity.pqCodebooks(tt, dim = 16, m = m, nCells = nCells)
+    assert(cbs.length == m && cbs.forall(_.length == nCells) &&
+      cbs.forall(_.forall(_.length == subDim)))
+    val codes = tt.select($"tid",
+      Similarity.pqEncode($"te", cbs, subDim).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes.values.forall(cs =>
+      cs.length == m && cs.forall(c => c >= 0 && c < nCells)))
+    // driver replay: encode each vector (argmax fixed-point dot, tie low)
+    // and score every pair as sum_s table[s][code_s] — must equal the
+    // Spark adc bit for bit
+    def rnd(v: Double): Long =
+      if (v >= 0) math.floor(v + 0.5).toLong else math.ceil(v - 0.5).toLong
+    def sdot(a: Seq[Float], b: Seq[Float]): Long =
+      a.zip(b).map { case (x, y) => rnd(x.toDouble * y.toDouble * 1e6) }.sum
+    val raw = e.as[(Long, Seq[Float])].collect().toMap
+    def sub(v: Seq[Float], s: Int) = v.slice(s * subDim, (s + 1) * subDim)
+    def encode(v: Seq[Float]): Seq[Int] = (0 until m).map { s =>
+      (0 until nCells).map(i => (sdot(sub(v, s), cbs(s)(i).toSeq), i))
+        .maxBy { case (d, i) => (d, -i) }._2
+    }
+    raw.foreach { case (id, v) =>
+      assert(codes(id) == encode(v), s"code mismatch for $id")
+    }
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val got = Similarity.knnPq(q, tt, dim = 16, k = 60, m = m,
+      nCells = nCells).select($"qid", $"tid", $"adc")
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    val want = for (qi <- 0L until 5L; ti <- raw.keys if ti != qi) yield {
+      val adc = (0 until m).map(s =>
+        sdot(sub(raw(qi), s), cbs(s)(encode(raw(ti))(s)).toSeq)).sum
+      (qi, ti) -> adc
+    }
+    want.foreach { case (k2, v) =>
+      assert(got(k2) == v, s"adc mismatch at $k2: ${got(k2)} vs $v")
+    }
+    // clustered fixture: the coded approximation still ranks same-cluster
+    // vectors first
+    val top = Similarity.knnPq(q, tt, dim = 16, k = 3, m = m,
+      nCells = nCells).collect()
+    top.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      val clusters = rows.map(_.getLong(2) % 3)
+      assert(clusters.forall(_ == qid % 3),
+        s"q$qid top3 clusters ${clusters.toSeq}")
+    }
+    // rerank with refine covering every target degenerates to EXACTLY
+    // the brute-force ranking (ADC only generated candidates; the exact
+    // cosine decided) — the property that makes refine a pure
+    // recall/cost knob
+    val rr = Similarity.knnPqRerank(q, tt, dim = 16, k = 5, m = m,
+      nCells = nCells, refine = 60).collect().toSeq
+    val bf = Similarity.knnBruteForce(q, tt, k = 5).collect().toSeq
+    assert(rr == bf, "full-refine PQ rerank diverged from brute force")
+  }
+
   test("hard negatives: cross-label only, cosine-ranked, self-class gone") {
     val e = embeddings.withColumn("label",
       ($"vec_id" % 3).cast("int"))
