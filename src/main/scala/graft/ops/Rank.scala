@@ -93,6 +93,77 @@ object Rank {
       .limit(k)
   }
 
+  /** Persist an INVERTED INDEX at rest — the lexical analogue of the
+    * persisted ANN indexes (Similarity.writeIvfIndex/writeLshIndex):
+    * postings `(term, doc_id, dl, tf)` written `partitionBy(bucket)`
+    * where bucket = xxhash64(term) mod `nBuckets`, plus a one-row corpus
+    * stats sidecar (N, sum dl). At scale a query reads ONLY its terms'
+    * buckets — ~|queryTerms|/nBuckets of the index — and never the
+    * corpus text. The build is the standard explode -> map-side-combined
+    * (term, doc, tf) aggregation; `text` must be single-space tokenized
+    * (the corpus normal form, same contract as [[bm25TopK]]). */
+  def writeInvertedIndex(docs: DataFrame, id: String, text: String,
+      path: String, nBuckets: Int = 64): Unit = {
+    val words = split(col(text), " ")
+    val profiled = docs.select(col(id).as("doc_id"), words.as("__ws"))
+      .withColumn("dl", size(col("__ws")))
+    profiled.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl").cast("long")).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(path + "/stats")
+    profiled.select(col("doc_id"), col("dl"), explode(col("__ws")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path + "/postings")
+  }
+
+  /** BM25 top-k against a persisted inverted index. The query terms'
+    * bucket ids (computed by the same engine xxhash64 the build used —
+    * a |terms|-row local job, never a reimplemented driver hash) become
+    * a LITERAL partition filter on the postings scan, so the source
+    * statically prunes every other bucket; df/N/avgdl come from the
+    * pruned postings plus the stats sidecar, never a corpus scan. The
+    * score replays [[bm25TopK]]'s formula with the same term order and
+    * operation order, so the two paths are bit-identical and one oracle
+    * gates both. Returns the same (doc_id, dl, tf_<term>..., score)
+    * shape. */
+  def bm25IndexedTopK(spark: org.apache.spark.sql.SparkSession,
+      path: String, terms: Seq[String], k: Int = 20,
+      nBuckets: Int = 64): DataFrame = {
+    require(terms.nonEmpty, "bm25IndexedTopK needs at least one term")
+    val buckets = spark.createDataFrame(terms.map(Tuple1(_))).toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(nBuckets)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val posts = spark.read.parquet(path + "/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+    val tfAggs = terms.map(t =>
+      sum(when(col("term") === t, col("tf")).otherwise(lit(0L)))
+        .cast("int").as(s"tf_$t"))
+    val wide = posts.groupBy(col("doc_id"), col("dl"))
+      .agg(tfAggs.head, tfAggs.tail: _*)
+    val dfAggs = terms.map(t =>
+      coalesce(sum(when(col("term") === t, lit(1L))), lit(0L)).as(s"__df_$t"))
+    val stats = posts.agg(dfAggs.head, dfAggs.tail: _*)
+      .crossJoin(spark.read.parquet(path + "/stats"))
+    val n = col("n_docs").cast("double")
+    val avgdl = col("sum_dl").cast("double") / n
+    def termScore(t: String): Column = {
+      val tf = col(s"tf_$t").cast("double")
+      val df = col(s"__df_$t").cast("double")
+      val idf = log((n - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+      idf * (tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+    }
+    wide.crossJoin(broadcast(stats))
+      .withColumn("score",
+        round(terms.map(termScore).reduceLeft(_ + _), 6))
+      .select(col("doc_id") +: col("dl") +:
+        terms.map(t => col(s"tf_$t")) :+ col("score"): _*)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** O3: deterministic top-1 per group — highest score, lowest tiebreak
     * (the reference keeps whichever future finished first; SURVEY §2.5 O4
     * mandates a deterministic rule instead). */

@@ -918,10 +918,25 @@ object DataPipelineQueries {
         .orderBy($"qid", $"rank")
     }),
 
-    // Recall of both PQ operating points against the exact float
-    // baseline: raw ADC (the candidate generator) and ADC+rerank (the
-    // production search) — the two ends of the compression/recall
-    // frontier that price the coded scan.
+    // IVF-PQ — the billion-scale composition: coarse cells prune the
+    // corpus to nProbe/nCells, PQ codes score the survivors (m integer
+    // lookups each), the refine best re-rank on exact float cosine. Both
+    // prunings multiply at scale: probed-cells-only row pruning x ~50x
+    // smaller coded payload x refine/N float reads.
+    "knn_ivfpq" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+      Similarity.knnIvfPq(q, tt, dim = 64, k = 5)
+        .orderBy($"qid", $"rank")
+    }),
+
+    // Recall of the PQ operating points against the exact float
+    // baseline: raw ADC (the candidate generator), ADC+rerank (the
+    // production flat-PQ search), and the IVF-PQ composition — the
+    // compression/recall frontier that prices the coded scan.
     "knn_recall_pq" -> ((s, dir) => {
       import s.implicits._
       val e = t(s, dir, "embeddings")
@@ -937,7 +952,8 @@ object DataPipelineQueries {
           .select(lit(name).as("method"), lit(5).as("k"), $"hits")
           .crossJoin(possible)
           .select($"method", $"k", $"hits", $"possible")
-      row("pq_adc", Similarity.knnPq(q, tt, dim = 64, k = 5))
+      row("ivf_pq", Similarity.knnIvfPq(q, tt, dim = 64, k = 5))
+        .unionAll(row("pq_adc", Similarity.knnPq(q, tt, dim = 64, k = 5)))
         .unionAll(row("pq_rerank",
           Similarity.knnPqRerank(q, tt, dim = 64, k = 5)))
         .orderBy($"method")
@@ -1107,6 +1123,22 @@ object DataPipelineQueries {
     "bm25_rank" -> ((s, dir) => {
       import s.implicits._
       Rank.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("spark", "join", "window"), k = 20)
+    }),
+
+    // BM25 through the persisted INVERTED INDEX — the lexical analogue
+    // of knn_*_indexed: postings (term, doc_id, dl, tf) at rest
+    // partitioned by term-hash bucket (built once per dir), the query
+    // terms' buckets becoming a literal partition filter, df/avgdl from
+    // the pruned postings + a one-row stats sidecar. Replays bm25TopK's
+    // exact arithmetic, so the same twin gates both paths.
+    "bm25_indexed" -> ((s, dir) => {
+      import s.implicits._
+      val (path, _) = builtIndex("bm25-idx", dir) { p =>
+        Rank.writeInvertedIndex(t(s, dir, "documents"), "doc_id", "text", p)
+        Array.empty
+      }
+      Rank.bm25IndexedTopK(s, path,
         terms = Seq("spark", "join", "window"), k = 20)
     }),
 
@@ -1819,6 +1851,48 @@ object DataPipelineQueries {
        |  (SELECT COUNT(*) FROM sq JOIN bf USING (qid, tid)) AS hits,
        |  (SELECT COUNT(*) FROM bf) AS possible""".stripMargin
 
+  /** bm25_rank / bm25_indexed twin: one corpus pass profiles (dl, tf
+    * vector); (N, sumdl, df) reduce to one row; Lucene-style BM25 at 6 dp
+    * (Spark ln is StrictMath.log; DuckDB's libm differs in the last
+    * ulp). The indexed path replays the identical arithmetic, so one
+    * twin serves both keys. */
+  private def bm25OracleSql: String = {
+    def tf(t: String) =
+      s"len(list_filter(string_split(text, ' '), w -> w = '$t'))"
+    def term(t: String) =
+      s"""ln((CAST(n AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5)
+         |      / (CAST(df_$t AS DOUBLE) + 0.5) + 1.0)
+         |    * (CAST(tf_$t AS DOUBLE) * 2.2)
+         |    / (CAST(tf_$t AS DOUBLE) + 1.2 * (0.25 + 0.75
+         |        * (CAST(dl AS DOUBLE)
+         |           / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))"""
+        .stripMargin
+    s"""WITH prof AS MATERIALIZED (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |    ${tf("spark")} AS tf_spark,
+       |    ${tf("join")} AS tf_join,
+       |    ${tf("window")} AS tf_window
+       |  FROM documents),
+       |stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(dl) AS BIGINT) AS sumdl,
+       |    CAST(SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS df_spark,
+       |    CAST(SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS df_join,
+       |    CAST(SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS df_window
+       |  FROM prof)
+       |SELECT doc_id, dl, tf_spark, tf_join, tf_window,
+       |  round(${term("spark")}
+       |   + ${term("join")}
+       |   + ${term("window")}, 6) AS score
+       |FROM prof, stats
+       |WHERE tf_spark > 0 OR tf_join > 0 OR tf_window > 0
+       |ORDER BY score DESC, doc_id
+       |LIMIT 20""".stripMargin
+  }
+
   /** knn_pq twin: PQ codebooks = the seed layout (every 7th of the first
     * 112 targets) sliced into 4 subspaces of 16 dims; codes = per-(tid,
     * sub) argmax fixed-point dot (ties low cell); ADC = sum over
@@ -1840,19 +1914,84 @@ object DataPipelineQueries {
   private def knnPqRerankSql(maxQid: Int, m: Int = 8, nCells: Int = 32,
       refine: Int = 100): String =
     s"""${knnPqCtes(maxQid, m, nCells)},
-       |cand AS (
+       |${adcCandSql(refine)},
+       |""".stripMargin + knnScoreTailSql(5)
+
+  /** knn_ivfpq twin: the PQ ADC chain constrained to coarse-cell matches
+    * (CTE `cpair` — targets in a probed cell of the query), ADC
+    * top-`refine`, exact re-rank. Both quantizers replayed from the
+    * table alone. */
+  private def knnIvfPqSql(maxQid: Int, nCells: Int = 16, nProbe: Int = 2,
+      m: Int = 8, pqCells: Int = 32, refine: Int = 50): String =
+    s"""${knnPqCtes(maxQid, m, pqCells, coarse = Some((nCells, nProbe)))},
+       |${adcCandSql(refine)},
+       |""".stripMargin + knnScoreTailSql(5)
+
+  /** ADC top-`refine` per query from CTE `score` — the candidate set the
+    * rerank paths feed into the shared score tail. */
+  private def adcCandSql(refine: Int): String =
+    s"""cand AS (
        |  SELECT qid, tid FROM (
        |    SELECT qid, tid,
        |      row_number() OVER (PARTITION BY qid ORDER BY adc DESC, tid)
        |        AS rk0
-       |    FROM score) z WHERE rk0 <= $refine),
-       |""".stripMargin + knnScoreTailSql(5)
+       |    FROM score) z WHERE rk0 <= $refine)""".stripMargin
 
-  private def knnPqCtes(maxQid: Int, m: Int, nCells: Int): String = {
+  /** The PQ CTE chain ending in `score`(qid, tid, adc). With `coarse` =
+    * Some((nCells0, nProbe)) the score is additionally constrained to
+    * pairs sharing a probed coarse cell (the IVF-PQ composition): coarse
+    * seed cells are the same every-7th layout over `nCells0` cells, a
+    * target belongs to its argmax cell, a query probes its top-`nProbe`
+    * — so `cpair` has each (qid, tid) at most once and the ADC SUM is
+    * never double-counted. */
+  private def knnPqCtes(maxQid: Int, m: Int, nCells: Int,
+      coarse: Option[(Int, Int)] = None): String = {
     val subDim = 64 / m
+    val coarseCtes = coarse.map { case (n0, nProbe) =>
+      s"""|cseeds AS (
+          |  SELECT CAST((rn - 1) // 7 AS INT) AS cell0, te AS ce
+          |  FROM (SELECT row_number() OVER (ORDER BY tid) AS rn, te
+          |        FROM (SELECT tid, te FROM tt ORDER BY tid LIMIT ${n0 * 7}) c1) c2
+          |  WHERE (rn - 1) % 7 = 0),
+          |ctd AS (
+          |  SELECT tid, cell0,
+          |    SUM(CAST(ROUND(CAST(x AS DOUBLE)*CAST(c AS DOUBLE)*1000000) AS BIGINT)) AS d
+          |  FROM (SELECT tid, cell0, unnest(te) AS x, unnest(ce) AS c
+          |        FROM tt, cseeds) z GROUP BY 1, 2),
+          |tcell0 AS (
+          |  SELECT tid, cell0 FROM (
+          |    SELECT tid, cell0,
+          |      row_number() OVER (PARTITION BY tid ORDER BY d DESC, cell0) AS rn
+          |    FROM ctd) z WHERE rn = 1),
+          |cqd AS (
+          |  SELECT qid, cell0,
+          |    SUM(CAST(ROUND(CAST(x AS DOUBLE)*CAST(c AS DOUBLE)*1000000) AS BIGINT)) AS d
+          |  FROM (SELECT qid, cell0, unnest(qe) AS x, unnest(ce) AS c
+          |        FROM qq, cseeds) z GROUP BY 1, 2),
+          |qcell0 AS (
+          |  SELECT qid, cell0 FROM (
+          |    SELECT qid, cell0,
+          |      row_number() OVER (PARTITION BY qid ORDER BY d DESC, cell0) AS rn
+          |    FROM cqd) z WHERE rn <= $nProbe),
+          |cpair AS (
+          |  SELECT q.qid, t.tid
+          |  FROM qcell0 q JOIN tcell0 t USING (cell0)
+          |  WHERE q.qid <> t.tid),
+          |""".stripMargin
+    }.getOrElse("")
+    val scoreFrom = coarse match {
+      case Some(_) =>
+        """FROM tcode t JOIN qtab q ON q.sub = t.sub AND q.cell = t.cell
+          |  JOIN cpair p ON p.qid = q.qid AND p.tid = t.tid
+          |  GROUP BY 1, 2)""".stripMargin
+      case None =>
+        """FROM tcode t JOIN qtab q ON q.sub = t.sub AND q.cell = t.cell
+          |  WHERE q.qid <> t.tid GROUP BY 1, 2)""".stripMargin
+    }
     s"""WITH tt AS (SELECT vec_id AS tid, embedding AS te FROM embeddings),
        |qq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
        |       WHERE vec_id < $maxQid),
+       |$coarseCtes
        |seeds AS (
        |  SELECT CAST((rn - 1) // 7 AS INT) AS cell, te AS ce
        |  FROM (SELECT row_number() OVER (ORDER BY tid) AS rn, te
@@ -1886,8 +2025,7 @@ object DataPipelineQueries {
        |  FROM qx JOIN sx USING (sub, pos) GROUP BY 1, 2, 3),
        |score AS (
        |  SELECT q.qid, t.tid, CAST(SUM(q.d) AS BIGINT) AS adc
-       |  FROM tcode t JOIN qtab q ON q.sub = t.sub AND q.cell = t.cell
-       |  WHERE q.qid <> t.tid GROUP BY 1, 2)""".stripMargin
+       |  $scoreFrom""".stripMargin
   }
 
   private def knnRecallPqSql: String =
@@ -1896,8 +2034,14 @@ object DataPipelineQueries {
        |pq AS (SELECT qid, tid FROM (
        |${knnPqSql(maxQid = 50)}) z),
        |pqr AS (SELECT qid, tid FROM (
-       |${knnPqRerankSql(maxQid = 50)}) z2)
+       |${knnPqRerankSql(maxQid = 50)}) z2),
+       |ivp AS (SELECT qid, tid FROM (
+       |${knnIvfPqSql(maxQid = 50)}) z3)
        |SELECT method, k, hits, possible FROM (
+       |  SELECT 'ivf_pq' AS method, CAST(5 AS INT) AS k,
+       |    (SELECT COUNT(*) FROM ivp JOIN bf USING (qid, tid)) AS hits,
+       |    (SELECT COUNT(*) FROM bf) AS possible
+       |  UNION ALL
        |  SELECT 'pq_adc' AS method, CAST(5 AS INT) AS k,
        |    (SELECT COUNT(*) FROM pq JOIN bf USING (qid, tid)) AS hits,
        |    (SELECT COUNT(*) FROM bf) AS possible
@@ -2357,6 +2501,7 @@ object DataPipelineQueries {
     "knn_recall_sq8" -> knnRecallSq8Sql,
     "knn_pq" -> knnPqSql(maxQid = 10),
     "knn_pq_rerank" -> knnPqRerankSql(maxQid = 10),
+    "knn_ivfpq" -> knnIvfPqSql(maxQid = 10),
     "knn_recall_pq" -> knnRecallPqSql,
     "mine_hard_negatives" -> hardNegativesSql(maxQid = 10),
     "knn_ivf" -> knnIvfSeedSql(),
@@ -2553,42 +2698,11 @@ object DataPipelineQueries {
     // Every double op except ln is an exactly-rounded IEEE op written in
     // the same association order as the Spark side, so the 6-dp rounding
     // only has to absorb the one last-ulp libm divergence.
-    "bm25_rank" -> {
-      def tf(t: String) =
-        s"len(list_filter(string_split(text, ' '), w -> w = '$t'))"
-      def term(t: String) =
-        s"""ln((CAST(n AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5)
-           |      / (CAST(df_$t AS DOUBLE) + 0.5) + 1.0)
-           |    * (CAST(tf_$t AS DOUBLE) * 2.2)
-           |    / (CAST(tf_$t AS DOUBLE) + 1.2 * (0.25 + 0.75
-           |        * (CAST(dl AS DOUBLE)
-           |           / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))"""
-          .stripMargin
-      s"""WITH prof AS MATERIALIZED (
-         |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
-         |    ${tf("spark")} AS tf_spark,
-         |    ${tf("join")} AS tf_join,
-         |    ${tf("window")} AS tf_window
-         |  FROM documents),
-         |stats AS (
-         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         |    CAST(SUM(dl) AS BIGINT) AS sumdl,
-         |    CAST(SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS df_spark,
-         |    CAST(SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS df_join,
-         |    CAST(SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS df_window
-         |  FROM prof)
-         |SELECT doc_id, dl, tf_spark, tf_join, tf_window,
-         |  round(${term("spark")}
-         |   + ${term("join")}
-         |   + ${term("window")}, 6) AS score
-         |FROM prof, stats
-         |WHERE tf_spark > 0 OR tf_join > 0 OR tf_window > 0
-         |ORDER BY score DESC, doc_id
-         |LIMIT 20""".stripMargin
-    },
+    "bm25_rank" -> bm25OracleSql,
+    // The persisted-index path replays bm25TopK's exact arithmetic (same
+    // term order, same operation order), so the same twin gates it: the
+    // index is a layout change, never a semantics change.
+    "bm25_indexed" -> bm25OracleSql,
     // Same injection, same patterns (the regexes live in the common
     // Java-regex/RE2 subset), same ordered replace chain with the 'g'
     // flag DuckDB needs for replace-all parity.

@@ -74,6 +74,33 @@ class ExtraOpsSpec extends SparkSpec {
     assert(term(1, 2, 10.0) < term(1, 2, 3.0))
   }
 
+  test("BM25 inverted index: bit-identical to the corpus scan, buckets pruned") {
+    val docs = Seq(
+      (1L, "cat dog bird"),
+      (2L, "cat cat cat cat bird fish"),
+      (3L, "dog fish bird frog owl pig hen cow fox elk"),
+      (4L, "fish bird frog")
+    ).toDF("doc_id", "text")
+    val path = graft.util.TempDirs.create("bm25-spec") + "/idx"
+    Rank.writeInvertedIndex(docs, "doc_id", "text", path, nBuckets = 8)
+    val got = Rank.bm25IndexedTopK(spark, path,
+      terms = Seq("cat", "dog"), k = 10, nBuckets = 8).collect().toSeq
+    val want = Rank.bm25TopK(docs, "doc_id", "text",
+      terms = Seq("cat", "dog"), k = 10).collect().toSeq
+    assert(got == want, s"indexed $got vs scan $want")
+    // the postings scan must carry a partition filter on bucket (static
+    // pruning — a query reads only its terms' buckets, never the corpus)
+    val planned = Rank.bm25IndexedTopK(spark, path,
+      terms = Seq("cat", "dog"), k = 10, nBuckets = 8)
+    val expl = planned.queryExecution.executedPlan.toString
+    assert(expl.contains("PartitionFilters") &&
+      expl.contains("bucket"), expl.take(2000))
+    // a term with no postings contributes zero, never a null score
+    val lone = Rank.bm25IndexedTopK(spark, path,
+      terms = Seq("cat", "zzz_absent"), k = 10, nBuckets = 8).collect()
+    assert(lone.nonEmpty && lone.forall(!_.isNullAt(4)))
+  }
+
   test("X1: fallback classifier keeps docs the LLM says have the section") {
     val docs = Seq(
       (1L, "x " * 150 + "Background of the Merger narrative follows here."),

@@ -331,6 +331,29 @@ class SimilaritySpec extends SparkSpec {
       nCells = nCells, refine = 60).collect().toSeq
     val bf = Similarity.knnBruteForce(q, tt, k = 5).collect().toSeq
     assert(rr == bf, "full-refine PQ rerank diverged from brute force")
+    // IVF-PQ with every coarse cell probed and full refine also
+    // degenerates to exact brute force — both prunings are pure
+    // recall/cost knobs, never correctness knobs
+    val ip = Similarity.knnIvfPq(q, tt, dim = 16, k = 5, nCells = 4,
+      nProbe = 4, m = m, pqCells = nCells, refine = 60).collect().toSeq
+    assert(ip == bf, "all-probe full-refine IVF-PQ diverged from brute force")
+    // with the default pruning the candidate pool per query shrinks to
+    // the probed cells only — the result is a subset of those cells'
+    // members (the structural pruning claim)
+    val coarse = Similarity.ivfSeedCentroids(tt, 4)
+    val cellOf = tt.select($"tid",
+      Similarity.nearestCell($"te", coarse).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    val probed = q.select($"qid",
+      Similarity.probeCells($"qe", coarse, 2).as("cells"))
+      .as[(Long, Seq[Int])].collect().toMap
+    Similarity.knnIvfPq(q, tt, dim = 16, k = 5, nCells = 4, nProbe = 2,
+      m = m, pqCells = nCells, refine = 60)
+      .select($"qid", $"tid").as[(Long, Long)].collect()
+      .foreach { case (qid, tid) =>
+        assert(probed(qid).contains(cellOf(tid)),
+          s"q$qid returned t$tid outside its probed cells")
+      }
   }
 
   test("hard negatives: cross-label only, cosine-ranked, self-class gone") {
