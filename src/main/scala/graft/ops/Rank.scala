@@ -164,6 +164,42 @@ object Rank {
       .limit(k)
   }
 
+  /** 1-based rank column for an ALREADY-BOUNDED retrieval list by
+    * (score desc, id). The global window is fine here BY CONSTRUCTION:
+    * the input must be a top-k result (a `limit` upstream), so the
+    * single-partition funnel is k rows at any corpus scale — never hand
+    * this a corpus-sized frame (that shape lives in
+    * Sampling.rangedRunningSum). */
+  def asRanked(list: DataFrame, id: String, score: String): DataFrame =
+    list.withColumn("rank",
+      row_number().over(Window.orderBy(col(score).desc, col(id))))
+
+  /** RECIPROCAL RANK FUSION of named top-k lists `(id, rank)` — the
+    * standard hybrid-retrieval combiner (Cormack et al.: score =
+    * sum_lists 1/(c + rank), c=60): rank-based, so BM25 and cosine need
+    * no score calibration against each other, unlike the weighted-sum
+    * fusion in [[hybrid]]. A doc missing from a list contributes 0
+    * for it (ranks stay NULL in the output — the fused set is the UNION
+    * of the lists). All inputs are k-bounded, so the full-outer joins
+    * and final sort touch O(k * lists) rows at any corpus scale; the
+    * expensive part is producing the lists, which is the retrieval
+    * operators' own (already scale-shaped) job. Returns
+    * (id, rank_<name>..., rrf) top-k by (rrf desc, id). */
+  def rrfFuse(lists: Seq[(String, DataFrame)], id: String,
+      c: Int = 60, k: Int = 20): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one list")
+    val renamed = lists.map { case (nm, df) =>
+      df.select(col(id), col("rank").as(s"rank_$nm")) }
+    val joined = renamed.reduceLeft((a, b) => a.join(b, Seq(id), "full_outer"))
+    val rrf = lists.map { case (nm, _) =>
+      when(col(s"rank_$nm").isNotNull,
+        lit(1.0) / (lit(c).cast("double") + col(s"rank_$nm").cast("double")))
+        .otherwise(lit(0.0)) }.reduceLeft(_ + _)
+    joined.withColumn("rrf", rrf)
+      .orderBy(col("rrf").desc, col(id))
+      .limit(k)
+  }
+
   /** O3: deterministic top-1 per group — highest score, lowest tiebreak
     * (the reference keeps whichever future finished first; SURVEY §2.5 O4
     * mandates a deterministic rule instead). */

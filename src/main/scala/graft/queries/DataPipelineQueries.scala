@@ -518,6 +518,33 @@ object DataPipelineQueries {
       drainMemorySink(s, q, name).orderBy($"sh")
     }),
 
+    // Incremental dedup EXECUTED as a stream — the d7 ingestion shape on
+    // the real streaming engine: the staged ingest batch (fresh docs +
+    // forced re-submissions, fingerprints precomputed) anti-joins the
+    // at-rest fingerprint store per micro-batch (stream-static join) and
+    // dedups in-flight within the watermark. Gated on the surviving
+    // fingerprint SET (arrival-order-independent; which member survives
+    // is not — the stream_neardup_exec convention).
+    "stream_incrdedup_exec" -> ((s, dir) => {
+      import s.implicits._
+      val staged = d7Batch(s, dir)
+        // base offset keeps every event time strictly above Spark's
+        // initial watermark (epoch 0) — the neardup-exec convention
+        .select($"doc_id", $"fp",
+          timestamp_micros($"doc_id" + lit(1600000000000000L)).as("ts"))
+      val src = stagedSrc("incrdedup-exec", dir)(
+        staged.write.mode("overwrite").parquet(_))
+      val stream = s.readStream.schema(staged.schema).parquet(src)
+      val store = s.read.parquet(d7StorePath(s, dir))
+      val name = s"incrdedup_exec_${StreamExecId.incrementAndGet()}"
+      val q = graft.streaming.StreamOps.incrementalDedup(stream, store, "fp")
+        .select($"fp")
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      drainMemorySink(s, q, name).orderBy($"fp")
+    }),
+
     // The watermarked windowed aggregation EXECUTED under the gate: the
     // real streaming plan (10-min watermark, 5-min tumbling windows,
     // append mode) over a file-stream staging of the events table. One
@@ -1140,6 +1167,27 @@ object DataPipelineQueries {
       }
       Rank.bm25IndexedTopK(s, path,
         terms = Seq("spark", "join", "window"), k = 20)
+    }),
+
+    // Reciprocal rank fusion — the hybrid-retrieval combiner that needs
+    // no score calibration: BM25 top-50 (lexical) and brute-force cosine
+    // top-50 for query vector 0 (semantic; vec_id aligns with doc_id),
+    // fused as sum 1/(60+rank). Lists are k-bounded so fusion touches
+    // O(k) rows at any scale; ranks stay NULL where a doc missed a list.
+    "rrf_fusion" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val lex = Rank.asRanked(
+        Rank.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          terms = Seq("spark", "join", "window"), k = 50)
+          .select($"doc_id", $"score"), "doc_id", "score")
+        .select($"doc_id", $"rank")
+      val q0 = e.filter($"vec_id" === 0)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+      val vec = Similarity.knnBruteForce(q0, tt, k = 50)
+        .select($"tid".as("doc_id"), $"rank")
+      Rank.rrfFuse(Seq("lex" -> lex, "vec" -> vec), "doc_id", c = 60, k = 20)
     }),
 
     // PII redaction — the compliance scrub a training corpus runs before
@@ -1856,7 +1904,7 @@ object DataPipelineQueries {
     * (Spark ln is StrictMath.log; DuckDB's libm differs in the last
     * ulp). The indexed path replays the identical arithmetic, so one
     * twin serves both keys. */
-  private def bm25OracleSql: String = {
+  private def bm25OracleSql(k: Int = 20): String = {
     def tf(t: String) =
       s"len(list_filter(string_split(text, ' '), w -> w = '$t'))"
     def term(t: String) =
@@ -1890,8 +1938,33 @@ object DataPipelineQueries {
        |FROM prof, stats
        |WHERE tf_spark > 0 OR tf_join > 0 OR tf_window > 0
        |ORDER BY score DESC, doc_id
-       |LIMIT 20""".stripMargin
+       |LIMIT $k""".stripMargin
   }
+
+  /** rrf_fusion twin: the bm25 twin (top-50) re-ranked 1..50, the
+    * brute-force cosine twin for query 0 (top-50), fused as
+    * 1/(60+rank_lex) + 1/(60+rank_vec) with a missing list contributing
+    * 0 — operand order fixed (lex + vec) on both engines, so the double
+    * sum is bit-identical. */
+  private def rrfFusionSql: String =
+    s"""WITH lexb AS (SELECT doc_id, score FROM (
+       |${bm25OracleSql(k = 50)}) lb),
+       |lex AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+       |      AS rank_lex
+       |  FROM lexb),
+       |vec AS (SELECT tid AS doc_id, rank AS rank_vec FROM (
+       |${knnBruteforceSql(maxQid = 1, k = 50)}) vb),
+       |fused AS (
+       |  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       |    l.rank_lex, v.rank_vec,
+       |    COALESCE(1.0 / CAST(60 + l.rank_lex AS DOUBLE), 0.0)
+       |      + COALESCE(1.0 / CAST(60 + v.rank_vec AS DOUBLE), 0.0) AS rrf
+       |  FROM lex l FULL JOIN vec v ON l.doc_id = v.doc_id)
+       |SELECT doc_id, rank_lex, rank_vec, rrf
+       |FROM fused ORDER BY rrf DESC, doc_id
+       |LIMIT 20""".stripMargin
 
   /** knn_pq twin: PQ codebooks = the seed layout (every 7th of the first
     * 112 targets) sliced into 4 subspaces of 16 dims; codes = per-(tid,
@@ -2052,7 +2125,7 @@ object DataPipelineQueries {
        |ORDER BY method""".stripMargin
 
   private def knnBruteforceSql(maxQid: Int,
-      targetFilter: String = ""): String = {
+      targetFilter: String = "", k: Int = 5): String = {
     // optional metadata predicate on the target side — the exact baseline
     // for filtered vector search; empty keeps the unfiltered oracles
     // byte-identical
@@ -2078,7 +2151,7 @@ object DataPipelineQueries {
        |               tid) AS rank
        |  FROM dots)
        |SELECT qid, CAST(rank AS INT) AS rank, tid, cos
-       |FROM ranked WHERE rank <= 5
+       |FROM ranked WHERE rank <= $k
        |ORDER BY qid, rank""".stripMargin
   }
 
@@ -2366,6 +2439,20 @@ object DataPipelineQueries {
     "d4_simhash" -> HashOracleSql.d4Sql,
     "stream_neardup_twin" -> HashOracleSql.streamNearDupTwinSql,
     "stream_neardup_exec" -> HashOracleSql.streamNearDupKeysSql,
+    // d7's anti-join replayed over fingerprints only: the surviving-fp
+    // set is arrival-order-independent (which member survives is not —
+    // the key-set gating convention of stream_neardup_exec).
+    "stream_incrdedup_exec" ->
+      s"""WITH batch AS (
+         |  SELECT $fpSql AS fp FROM documents WHERE doc_id >= 400
+         |  UNION ALL
+         |  SELECT $fpSql AS fp FROM documents
+         |  WHERE doc_id < 400 AND doc_id % 7 = 0),
+         |store AS (
+         |  SELECT DISTINCT $fpSql AS fp FROM documents WHERE doc_id < 400)
+         |SELECT DISTINCT b.fp AS fp FROM batch b
+         |LEFT JOIN store s ON b.fp = s.fp WHERE s.fp IS NULL
+         |ORDER BY 1""".stripMargin,
     // Single data batch -> no late drops, so every emitted window carries
     // the full batch aggregate; the no-data batch then finalizes exactly
     // the windows whose end <= max(ts) - 10min (verified at sf0.001/0.01:
@@ -2698,11 +2785,12 @@ object DataPipelineQueries {
     // Every double op except ln is an exactly-rounded IEEE op written in
     // the same association order as the Spark side, so the 6-dp rounding
     // only has to absorb the one last-ulp libm divergence.
-    "bm25_rank" -> bm25OracleSql,
+    "bm25_rank" -> bm25OracleSql(),
     // The persisted-index path replays bm25TopK's exact arithmetic (same
     // term order, same operation order), so the same twin gates it: the
     // index is a layout change, never a semantics change.
-    "bm25_indexed" -> bm25OracleSql,
+    "bm25_indexed" -> bm25OracleSql(),
+    "rrf_fusion" -> rrfFusionSql,
     // Same injection, same patterns (the regexes live in the common
     // Java-regex/RE2 subset), same ordered replace chain with the 'g'
     // flag DuckDB needs for replace-all parity.

@@ -70,6 +70,26 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("__simhash")
 
+  /** Streaming ingestion dedup against the AT-REST fingerprint store —
+    * the d7 incremental-dedup shape executed as a stream, which is how a
+    * 100 TB corpus actually ingests: every arriving doc is checked
+    * against everything ever stored WITHOUT scanning the store per batch
+    * (a stream-static anti-join: the static side is a parquet relation
+    * the join reads by key like any batch join, per micro-batch), and
+    * against the in-flight stream itself via
+    * `dropDuplicatesWithinWatermark` on the fingerprint (state bounded
+    * by the watermark horizon, the [[nearDupDedup]] trade). `batch`
+    * must carry an event-time `ts` column and `fpCol`; `store` holds the
+    * at-rest fingerprints. Emits only genuinely-new rows — the set of
+    * surviving fingerprints is arrival-order-independent (which MEMBER
+    * of an in-batch duplicate group survives is not, the streaming
+    * caveat shared with nearDupDedup). */
+  def incrementalDedup(batch: DataFrame, store: DataFrame,
+      fpCol: String, watermark: String = "1 hour"): DataFrame =
+    batch.join(store.select(col(fpCol)), Seq(fpCol), "left_anti")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(fpCol)
+
   /** Watermarked tumbling-window counts + exact-decimal sums (append mode
     * emits only finalized windows). */
   def windowedAgg(events: DataFrame, windowLen: String = "5 minutes",

@@ -101,6 +101,25 @@ class ExtraOpsSpec extends SparkSpec {
     assert(lone.nonEmpty && lone.forall(!_.isNullAt(4)))
   }
 
+  test("RRF: fused score is sum of 1/(c+rank), missing list = 0, union kept") {
+    val lex = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("doc_id", "rank")
+    val vec = Seq((11L, 1), (13L, 2)).toDF("doc_id", "rank")
+    val out = Rank.rrfFuse(Seq("lex" -> lex, "vec" -> vec), "doc_id",
+      c = 60, k = 10).collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getDouble(3))).toMap
+    assert(out.keySet == Set(10L, 11L, 12L, 13L))
+    // doc 11 in both lists: 1/62 + 1/61
+    assert(out(11L) == ((Some(2), Some(1), 1.0 / 62 + 1.0 / 61)))
+    // doc 10 lex-only: vec rank NULL, contributes 0
+    assert(out(10L) == ((Some(1), None, 1.0 / 61)))
+    assert(out(13L) == ((None, Some(2), 1.0 / 62)))
+    // ranking: 11 (both lists) first; 13 (1/62) above 12 (1/63)
+    val order = Rank.rrfFuse(Seq("lex" -> lex, "vec" -> vec), "doc_id",
+      c = 60, k = 10).collect().map(_.getLong(0)).toSeq
+    assert(order == Seq(11L, 10L, 13L, 12L))
+  }
+
   test("X1: fallback classifier keeps docs the LLM says have the section") {
     val docs = Seq(
       (1L, "x " * 150 + "Background of the Merger narrative follows here."),

@@ -106,6 +106,23 @@ class StreamOpsSpec extends SparkSpec {
     assert(batchKeys.except(execKeys).isEmpty)
   }
 
+  test("executed streaming incremental dedup emits exactly the d7 fp set") {
+    val dir = "/root/testdata/sf0.001"
+    // batch truth: the d7 anti-join's surviving fingerprints (stream
+    // member choice is arrival-dependent; the fp SET is not)
+    val batchFps = graft.SparkEntry.queries("d7_incremental_dedup")(spark, dir)
+      .select($"fp").distinct()
+    val execFps = graft.SparkEntry.queries("stream_incrdedup_exec")(spark, dir)
+    assert(execFps.count() == batchFps.count())
+    assert(batchFps.except(execFps).isEmpty)
+    // re-submissions (store hits) must have been dropped by the
+    // stream-static anti-join: no store fp may appear
+    val store = graft.util.Tables.t(spark, dir, "documents")
+      .filter($"doc_id" < 400)
+      .select(graft.ops.TextAnalysis.fingerprint($"text").as("fp"))
+    assert(execFps.join(store, Seq("fp")).isEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization matches batch gap sessions") {
     val stream = StreamOps.eventsStream(spark, streamDir)
     val sessions = runToMemory(
