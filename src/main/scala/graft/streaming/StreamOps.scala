@@ -15,26 +15,30 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
-  /** Streaming view of the driver's events table. The parquet carries
-    * TIMESTAMP(NANOS), so read `ts` as long and rebuild the timestamp. */
+  /** Streaming view of the driver's events table. The table has shipped
+    * with two physical `ts` encodings — TIMESTAMP(NANOS) (readable only as
+    * a long under the nanosAsLong legacy conf) and TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false (surfaces as NTZ). A FileStreamSource needs an
+    * explicit schema, so probe the on-disk type with one batch footer read
+    * and normalize either shape to TimestampType (watermarks require it;
+    * the session timezone is pinned to UTC so the NTZ cast is identity). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value",
-        org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props",
-        org.apache.spark.sql.types.StringType)))
-    spark.readStream.schema(schema)
-      .parquet(s"$dir")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val raw = spark.readStream.schema(schema).parquet(s"$dir")
+    tsType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** J4 streaming: once-per-key append via watermark + dedup. Uses

@@ -23,14 +23,22 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries a parquet TIMESTAMP(NANOS) column, which Spark
-    * only reads via the nanosAsLong legacy conf; normalize `ts` back to a
-    * microsecond TimestampType so downstream ops see a regular timestamp.
+  /** The events table has shipped with two physical `ts` encodings: parquet
+    * TIMESTAMP(NANOS) (readable only as a long via the nanosAsLong legacy
+    * conf) and plain TIMESTAMP(MICROS). Normalize either to a microsecond
+    * TimestampType so downstream ops always see a regular timestamp.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = t(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // TIMESTAMP(MICROS) with isAdjustedToUTC=false surfaces as NTZ; the
+      // session timezone is pinned to UTC so this cast is value-identity,
+      // and watermarks require TimestampType.
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** Exact 2-decimal fixed-point view of a money/measure double column. */
