@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Character-n-gram rank-profile language ID (Cavnar & Trenkle 1994,
+  * "N-Gram-Based Text Categorization") — the real-algorithm upgrade of
+  * [[TextAnalysis.langId]]'s stopword-marker heuristic (kept as the
+  * cheaper gate the earlier rows were built on).
+  *
+  * A language profile is the rank-ordered list of its most frequent
+  * character trigrams, trained here over a small committed sample corpus
+  * ([[TrainText]]). A document is classified by the out-of-place measure:
+  * for each trigram in the document's own top-[[ProfileSize]] profile,
+  * the |doc rank - language rank| distance (or [[ProfileSize]] when the
+  * trigram is absent from the language profile), summed; lowest total
+  * wins, ties resolve alphabetically. Everything is exact integer
+  * arithmetic over deterministic orderings, so the full classification
+  * replays bit-for-bit in the DuckDB twin (profiles are exported as
+  * VALUES rows from the same Scala constants — the lshPlanes convention).
+  *
+  * Scale shape: trigram extraction is a flatMap; per-doc counting and
+  * ranking shuffle on doc_id only (rank windows are per-doc, bounded by
+  * document length — never a global window); the language profiles are a
+  * 4 x ProfileSize literal table, broadcast; the final argmin is again a
+  * per-doc window. One doc-keyed shuffle end to end beyond the counting
+  * exchange — the per-doc-verdict floor.
+  */
+object LangIdNgram {
+
+  val ProfileSize = 15
+
+  /** Committed training corpus — a few public-domain-style sample
+    * sentences per language. Apostrophe-free so the same literals embed
+    * verbatim in the SQL twin. */
+  val TrainText: Seq[(String, String)] = Seq(
+    "de" -> ("der schnelle braune fuchs springt ueber den faulen hund und " +
+      "die kinder spielen in dem garten waehrend die sonne scheint und " +
+      "der alte mann liest die zeitung nicht ohne seine brille"),
+    "en" -> ("the quick brown fox jumps over the lazy dog and the " +
+      "children are playing in the garden while the sun is shining and " +
+      "the old man reads the newspaper with his glasses on the table"),
+    "es" -> ("el zorro marron salta sobre el perro perezoso y los ninos " +
+      "juegan en el jardin mientras brilla el sol y el hombre viejo lee " +
+      "el periodico con sus gafas en la mesa de la casa"),
+    "fr" -> ("le renard brun saute par dessus le chien paresseux et les " +
+      "enfants jouent dans le jardin pendant que le soleil brille et le " +
+      "vieil homme lit le journal avec ses lunettes sur la table"))
+
+  /** Held-out test sentences (not in [[TrainText]]) injected as synthetic
+    * docs by the gate so the classifier provably discriminates — the
+    * documents table itself is language-agnostic word salad. */
+  val TestSentences: Seq[(String, String)] = Seq(
+    "de" -> "die frau kauft das brot und den kaese in der stadt weil der laden heute offen ist",
+    "de" -> "wir haben nicht gewusst dass der zug schon um acht uhr faehrt",
+    "en" -> "the woman buys the bread and the cheese in the town because the shop is open today",
+    "en" -> "we did not know that the train leaves at eight in the morning",
+    "es" -> "la mujer compra el pan y el queso en la ciudad porque la tienda esta abierta hoy",
+    "es" -> "no sabiamos que el tren sale a las ocho de la manana",
+    "fr" -> "la femme achete le pain et le fromage dans la ville parce que le magasin est ouvert",
+    "fr" -> "nous ne savions pas que le train part a huit heures du matin")
+
+  /** Normalize exactly as both engines will: lower, collapse whitespace,
+    * pad with single spaces so word boundaries contribute edge trigrams. */
+  private def normalize(s: String): String =
+    " " + s.toLowerCase.trim.replaceAll("\\s+", " ") + " "
+
+  /** Rank-ordered top-[[ProfileSize]] trigrams of one training text:
+    * count desc, trigram asc — the same total order the SQL twin and the
+    * DataFrame op use. Computed once at class load (pure string ops). */
+  def profile(text: String): Seq[(String, Int)] = {
+    val n = normalize(text)
+    n.sliding(3).toSeq
+      .groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (t, c) => (-c, t) }
+      .take(ProfileSize)
+      .zipWithIndex.map { case ((t, _), i) => (t, i + 1) }
+  }
+
+  /** (lang, trigram, rank) rows for every language profile. */
+  lazy val ProfileRows: Seq[(String, String, Int)] =
+    TrainText.flatMap { case (lang, txt) =>
+      profile(txt).map { case (t, r) => (lang, t, r) }
+    }
+
+  /** The profiles as DuckDB VALUES rows `('lang', 'tri', rank)` — single
+    * source with the Spark side (trigram literals are quote-free by
+    * construction of [[TrainText]]). */
+  def profileValuesSql: String =
+    ProfileRows.map { case (l, t, r) => s"('$l', '$t', $r)" }.mkString(", ")
+
+  /** The injected test docs as VALUES rows `(doc_id, 'lang', 'text')`. */
+  def testDocValuesSql(baseId: Long): String =
+    TestSentences.zipWithIndex.map { case ((lang, s), i) =>
+      s"(${baseId + i}, '$lang', '$s')"
+    }.mkString(", ")
+
+  /** Spark-side normalization of a text column — must mirror
+    * [[normalize]] term for term. */
+  def normalizeCol(text: Column): Column =
+    concat(lit(" "),
+      regexp_replace(lower(trim(text)), "\\s+", " "), lit(" "))
+
+  /** Classify every row of `docs` (id, text): returns
+    * (id, pred_lang, best_dist). */
+  def classify(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val langs = TrainText.map(_._1)
+
+    val norm = docs.select(col("id"), normalizeCol(col("text")).as("t"))
+    // every char trigram: substr over a 1..len-2 position range (flatMap).
+    // Spark's sequence(1, 0) DESCENDS, so texts too short for a trigram
+    // must map to an explicit empty position array.
+    val tris = norm
+      .select(col("id"), col("t"),
+        explode(when(length(col("t")) >= 3,
+            sequence(lit(1), length(col("t")) - 2))
+          .otherwise(array().cast("array<int>"))).as("p"))
+      .select(col("id"), expr("substring(t, p, 3)").as("tri"))
+    // doc profile: top-K by (count desc, trigram asc), rank 1..K
+    val wDoc = Window.partitionBy(col("id"))
+      .orderBy(col("c").desc, col("tri"))
+    val docProf = tris.groupBy(col("id"), col("tri"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("dr", row_number().over(wDoc))
+      .filter(col("dr") <= ProfileSize)
+      .select(col("id"), col("tri"), col("dr"))
+    // language profiles: tiny literal table, broadcast
+    val prof = broadcast(
+      ProfileRows.toDF("lang", "tri", "lr"))
+    // out-of-place distance per (doc, lang): cross the doc profile with
+    // the 4 languages, left-join the profile rank, penalty when absent
+    val langsDf = broadcast(langs.toDF("lang"))
+    val dists = docProf.crossJoin(langsDf)
+      .join(prof, Seq("lang", "tri"), "left")
+      .withColumn("d", coalesce(abs(col("dr") - col("lr")),
+        lit(ProfileSize)))
+      .groupBy(col("id"), col("lang"))
+      .agg(sum(col("d")).as("dist"))
+    val wBest = Window.partitionBy(col("id"))
+      .orderBy(col("dist"), col("lang"))
+    dists.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("lang").as("pred_lang"),
+        col("dist").cast("long").as("best_dist"))
+  }
+}

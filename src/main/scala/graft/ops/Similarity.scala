@@ -492,6 +492,22 @@ object Similarity {
     centroids
   }
 
+  /** APPEND a new vector batch to a persisted IVF index without a
+    * rebuild — the index-freshness move a continuously-ingesting 100 TB
+    * corpus needs: cells come from the centroids FROZEN at build time (no
+    * re-clustering, so existing partitions are never rewritten) and the
+    * batch lands as new files inside its cell partitions
+    * (`mode(append)` + `partitionBy` — partition discovery picks them up
+    * on the next scan, and probe-set partition pruning applies to old and
+    * new files alike). Centroid drift under sustained append is the
+    * documented trade: periodic re-build re-balances cells; between
+    * builds, recall degrades only as far as the data distribution does. */
+  def appendIvfIndex(batch: DataFrame, path: String,
+      centroids: Array[Array[Float]]): Unit =
+    batch.withColumn("cell", nearestCell(col("te"), centroids))
+      .withColumn("tn", scaledDot(col("te"), col("te")))
+      .write.mode("append").partitionBy("cell").parquet(path)
+
   /** ANN search against a persisted IVF index. The distinct probe-cell
     * set of the query batch (at most nCells values — a tiny driver-side
     * collect, like the centroids themselves) becomes a LITERAL partition
@@ -591,6 +607,43 @@ object Similarity {
       .select(col("id_2").as("tid")).distinct()
     tb.join(drops.withColumn("__dup", lit(1)), Seq("tid"), "left")
       .select(col("tid"), col("cell"), col("__dup").isNull.as("keep"))
+  }
+
+  /** Per-target Voronoi cell over the gated IVF machinery (deterministic
+    * seed centroids + fixed-point Lloyd + fixed-point nearest-cell), as a
+    * public building block for cluster-keyed curation (cluster-balanced
+    * sampling, cluster stats). `targets` must be (tid, te); returns the
+    * input plus an int `cell` column. Assignment is a pure map stage —
+    * the KxD centroid matrix rides the closure, never a shuffle. */
+  def cellAssignments(targets: DataFrame, nCells: Int,
+      lloydIters: Int): DataFrame = {
+    val centroids = ivfCentroids(targets, nCells, lloydIters)
+    targets.withColumn("cell", nearestCell(col("te"), centroids))
+  }
+
+  /** SEMANTIC decontamination: flag corpus vectors whose cosine to ANY
+    * benchmark vector clears `minCos` — the embedding-space complement of
+    * the n-gram d8 gate (catches paraphrased benchmark leakage that
+    * shares no 8-gram). `corpus` is (tid, te), `bench` is (bid, be).
+    * Returns (tid, max_cos, contaminated) for every corpus vector.
+    *
+    * Scale shape: benchmark sets are small by construction (validation
+    * suites, not corpora), so the bench side broadcasts and the scan is
+    * one map-side nested loop per corpus partition; norms are computed
+    * once per vector. The groupBy collapses |bench| scored rows back to
+    * one row per corpus doc with map-side partial aggregation, so the
+    * only shuffle carries one row per doc — the floor for any per-doc
+    * verdict. Fixed-point dots keep the verdict bit-reproducible. */
+  def semanticContamination(corpus: DataFrame, bench: DataFrame,
+      minCos: Double): DataFrame = {
+    val c = corpus.withColumn("tn", scaledDot(col("te"), col("te")))
+    val b = bench.withColumn("bn", scaledDot(col("be"), col("be")))
+    c.join(broadcast(b), col("tid") =!= col("bid"))
+      .withColumn("cos", scaledDot(col("te"), col("be")).cast("double") /
+        sqrt((col("tn") * col("bn")).cast("double")))
+      .groupBy(col("tid"))
+      .agg(max(col("cos")).as("max_cos"))
+      .withColumn("contaminated", col("max_cos") >= minCos)
   }
 
   /** LSH ANN: score candidates in the query's probed buckets (its own plus

@@ -39,6 +39,18 @@ object TextAnalysis {
   def wordCount(text: Column): Column =
     size(split(trim(text), "\\s+"))
 
+  /** Rule-grade ORG mention pattern: a run of capitalized tokens ending
+    * in a corporate suffix token — the pattern upgrade of the gazetteer
+    * X4 NER (no lexicon needed; the capitalization + suffix rules carry
+    * the signal). Shared verbatim with the DuckDB twin (RE2 and
+    * java.util.regex agree on this subset). */
+  val OrgPattern: String =
+    "(?:[A-Z][A-Za-z]+ )+(?:Inc|Corp|LLC|Ltd|GmbH|Co)\\b"
+
+  /** All ORG-shaped mentions in order of occurrence (pure map stage). */
+  def orgMentions(text: Column): Column =
+    regexp_extract_all(text, lit(OrgPattern), lit(0))
+
   /** BPE-ish subword token count: letter runs, digit runs, and individual
     * punctuation marks each count as one token. Retained as the proxy the
     * earlier gates (ta_text_profile / ta_corpus_stats / pack_sequences /

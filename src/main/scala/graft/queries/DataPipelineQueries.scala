@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Bloom, Components, Dedup, Multimodal, Rank, Sampling,
-  Similarity, Sketch, TextAnalysis}
+import graft.ops.{Bloom, Components, Dedup, LangIdNgram, Layout, Multimodal,
+  Rank, Sampling, Similarity, Sketch, TextAnalysis}
 import graft.util.Tables._
 
 /** Training-data pipeline operators (driver north star): dedup family,
@@ -1563,6 +1563,159 @@ object DataPipelineQueries {
       val media = Multimodal.mediaTable(t(s, dir, "documents"))
       Multimodal.sampleFrames(Multimodal.decodeAll(s, media).toDF(), stride = 2)
         .orderBy($"doc_id", $"frame_idx")
+    }),
+
+    // SEMANTIC decontamination — the embedding-space complement of the
+    // n-gram d8 gate: a held-out benchmark slice (vec_id % 37 = 0, the
+    // small-broadcast side) is scanned against the remaining corpus and
+    // any corpus vector within cosine 0.35 of a benchmark vector flags
+    // (the d5 near-dup band, so paraphrase-grade leakage that shares no
+    // 8-gram still trips). 12 of 486 flag at sf0.01 — discriminative in
+    // both directions.
+    "d8d_semantic_decon" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val bench = e.filter($"vec_id" % 37 === 0)
+        .select($"vec_id".as("bid"), $"embedding".as("be"))
+      val corpus = e.filter($"vec_id" % 37 =!= 0)
+        .select($"vec_id".as("tid"), $"embedding".as("te"))
+      Similarity.semanticContamination(corpus, bench, minCos = 0.35)
+        .select($"tid".as("vec_id"), $"max_cos", $"contaminated")
+        .orderBy($"vec_id")
+    }),
+
+    // Cluster-BALANCED sampling (the DCLM/SemDeDup curation shape): cap
+    // each Voronoi cell of the embedding space at `cap` docs so no dense
+    // topic cluster dominates the sampled corpus. Composes the two gated
+    // bounded primitives — IVF Lloyd cell assignment (map stage, KxD
+    // centroid closure) and TopKByKey per-cell seeded selection (<= cap
+    // pairs per cell per map task, no cell ever funnels through one sort
+    // partition).
+    "sample_cluster_balanced" -> ((s, dir) => {
+      import s.implicits._
+      val tt = t(s, dir, "embeddings")
+        .select($"vec_id".as("tid"), $"embedding".as("te"))
+      val assigned = Similarity.cellAssignments(tt, nCells = 16,
+        lloydIters = 2)
+        .select($"tid", $"cell", xxhash64($"tid").as("h"))
+      Sampling.stratifiedSample(assigned, $"cell", $"tid", $"h", cap = 20)
+        .select($"id".as("vec_id"), $"stratum".as("cell"), $"hash".as("h"),
+          $"rk")
+        .orderBy($"cell", $"rk")
+    }),
+
+    // Character-n-gram rank-profile language ID (Cavnar-Trenkle) — the
+    // real-algorithm upgrade of the stopword-marker langId. The corpus
+    // itself is language-agnostic word salad, so the gate injects held-out
+    // test sentences (the pii_scrub injection convention) and requires
+    // every injected doc to classify correctly while the corpus docs get
+    // deterministic, oracle-replayed verdicts.
+    "ta_langid_ngram" -> ((s, dir) => {
+      import s.implicits._
+      val injBase = 1000000L
+      val inj = LangIdNgram.TestSentences.zipWithIndex.map {
+        case ((lang, txt), i) => (injBase + i, lang, txt)
+      }.toDF("id", "expected_lang", "text")
+      val docs = t(s, dir, "documents")
+        .select($"doc_id".as("id"), lit(null).cast("string")
+          .as("expected_lang"), $"text")
+        .unionByName(inj)
+      LangIdNgram.classify(docs.select($"id", $"text"))
+        .join(docs.select($"id", $"expected_lang"), Seq("id"))
+        .select($"id".as("doc_id"), $"pred_lang", $"best_dist",
+          $"expected_lang",
+          when($"expected_lang".isNull, lit(null).cast("boolean"))
+            .otherwise($"pred_lang" === $"expected_lang").as("correct"))
+        .orderBy($"doc_id")
+    }),
+
+    // Rule-grade ORG NER — the pattern upgrade of the gazetteer X4:
+    // capitalized token runs ending in a corporate suffix. The lowercase
+    // corpus can never fire it, so mentions are injected deterministically
+    // (two per doc, one name keyed by doc_id % 4) and the gate requires
+    // exactly those spans back, in order.
+    "x4_ner_rule" -> ((s, dir) => {
+      import s.implicits._
+      val name = $"doc_id" % 4
+      val injected = concat(
+        substring($"text", 1, 150),
+        lit(" filed by Acme Widget Corp against "),
+        when(name === 0, lit("Orange Tree"))
+          .when(name === 1, lit("Blue River"))
+          .when(name === 2, lit("Quick Fox"))
+          .otherwise(lit("Global Data")),
+        lit(" Inc today"))
+      val orgs = TextAnalysis.orgMentions(injected)
+      t(s, dir, "documents").select($"doc_id",
+        size(orgs).as("n_orgs"),
+        array_join(orgs, "|").as("orgs"))
+        .orderBy($"doc_id")
+    }),
+
+    // Index FRESHNESS under the gate: build the persisted IVF index over
+    // the initial corpus (vec_id % 5 <> 0, Lloyd centroids frozen at
+    // build), append the remaining fifth WITHOUT a rebuild
+    // (appendIvfIndex: frozen-centroid assignment, append-mode partition
+    // files), then search the updated index — appended vectors must rank
+    // exactly as the twin's full recomputation says (SimilaritySpec
+    // additionally asserts appended ids actually surface in the top-5s).
+    "knn_ivf_updated" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val init = e.filter($"vec_id" % 5 =!= 0)
+        .select($"vec_id".as("tid"), $"embedding".as("te"))
+      val batch = e.filter($"vec_id" % 5 === 0)
+        .select($"vec_id".as("tid"), $"embedding".as("te"))
+      val (path, centroids) = builtIndex("ivf-incr", dir) { p =>
+        val cs = Similarity.writeIvfIndex(init, p, nCells = 16,
+          lloydIters = 2)
+        Similarity.appendIvfIndex(batch, p, cs)
+        cs
+      }
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      Similarity.knnIvfIndexed(s, path, centroids, q, k = 5, nProbe = 2)
+        .orderBy($"qid", $"rank")
+    }),
+
+    // Z-ORDER layout key over events: x = user_id, y = absolute hour
+    // index, both masked to 16 bits, Morton-interleaved into the 1-D
+    // sort key whose contiguous ranges are axis-aligned tiles — the
+    // layout that lets a 100 TB scan prune files on user_id AND time
+    // predicates simultaneously (LayoutSpec drives the physical
+    // zorderWrite and asserts per-file bounding boxes shrink; this gate
+    // pins the exact key arithmetic cross-engine).
+    "zorder_layout" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir).select($"event_id",
+          $"user_id".bitwiseAND(lit(65535L)).as("x"),
+          expr("unix_micros(ts) div 3600000000")
+            .bitwiseAND(lit(65535L)).as("y"))
+        .withColumn("z", Layout.interleaveBits($"x", $"y"))
+        .withColumn("tile", Layout.tileId($"z", level = 10))
+        .orderBy($"event_id")
+    }),
+
+    // Per-tile locality stats of the same layout: every level-10 quadtree
+    // tile must span at most 64 in each axis (the Morton invariant — the
+    // spec asserts it, this gate hash-pins the full tile histogram). The
+    // per-tile x/y min/max are exactly what parquet footers would carry
+    // per file after zorderWrite — i.e. the pruning power, quantified.
+    "zorder_stats" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir).select(
+          $"user_id".bitwiseAND(lit(65535L)).as("x"),
+          expr("unix_micros(ts) div 3600000000")
+            .bitwiseAND(lit(65535L)).as("y"))
+        .withColumn("tile",
+          Layout.tileId(Layout.interleaveBits($"x", $"y"), level = 10))
+        .groupBy($"tile")
+        .agg(count(lit(1)).as("n_events"),
+          min($"x").as("x_min"), max($"x").as("x_max"),
+          min($"y").as("y_min"), max($"y").as("y_max"))
+        .withColumn("span_x", $"x_max" - $"x_min" + 1)
+        .withColumn("span_y", $"y_max" - $"y_min" + 1)
+        .orderBy($"tile")
     })
   )
 
@@ -1749,9 +1902,16 @@ object DataPipelineQueries {
 
   /** Shared CTE chain of the Lloyd-refined twins: seed centroids -> two
     * exact fixed-point Lloyd rounds (final centroids CTE `c2`) -> final
-    * per-target cell assignment (CTE `tcell`). */
-  private def ivfLloydAssignCtes: String =
-    s"""tt AS (SELECT vec_id AS tid, embedding AS te FROM embeddings),
+    * per-target cell assignment (CTE `tcell`). `trainWhere` restricts the
+    * set that seeds and refines the centroids; `assignWhere` the set that
+    * gets assigned — they differ only for the index-append twin, where
+    * centroids are frozen at build time over the initial corpus while
+    * assignment covers initial + appended vectors (the freshness
+    * semantics of knn_ivf_updated). */
+  private def ivfLloydAssignCtes(trainWhere: String = "TRUE",
+      assignWhere: String = "TRUE"): String =
+    s"""tt AS (SELECT vec_id AS tid, embedding AS te FROM embeddings
+       |       WHERE $trainWhere),
        |seeds AS (
        |  SELECT CAST((rn - 1) // 7 AS INT) AS cell,
        |    CAST(unnest(range(0, len(te))) AS INT) AS pos,
@@ -1765,10 +1925,15 @@ object DataPipelineQueries {
        |  FROM tt),
        |${lloydRoundSql(1, "seeds")},
        |${lloydRoundSql(2, "c1")},
+       |taexp AS (
+       |  SELECT vec_id AS tid, CAST(unnest(range(0, len(embedding))) AS INT)
+       |           AS pos,
+       |         unnest(embedding) AS x
+       |  FROM embeddings WHERE $assignWhere),
        |tfd AS (
        |  SELECT t.tid, s.cell,
        |    SUM(CAST(ROUND(CAST(t.x AS DOUBLE)*CAST(s.c AS DOUBLE)*1000000) AS BIGINT)) AS d
-       |  FROM texp t JOIN c2 s USING (pos) GROUP BY t.tid, s.cell),
+       |  FROM taexp t JOIN c2 s USING (pos) GROUP BY t.tid, s.cell),
        |tcell AS (
        |  SELECT tid, cell FROM (
        |    SELECT tid, cell,
@@ -1776,9 +1941,12 @@ object DataPipelineQueries {
        |    FROM tfd) z WHERE rn = 1)""".stripMargin
 
   /** knn_ivf_lloyd twin: seed centroids -> two exact Lloyd rounds ->
-    * final assignment + 2-cell probe -> fixed-point cosine top-5. */
-  private def knnIvfLloydSql: String =
-    s"""WITH $ivfLloydAssignCtes,
+    * final assignment + 2-cell probe -> fixed-point cosine top-5.
+    * `trainWhere`/`assignWhere` thread through to the assignment CTEs for
+    * the index-append twin (defaults reproduce the original). */
+  private def knnIvfLloydSql(trainWhere: String = "TRUE",
+      assignWhere: String = "TRUE"): String =
+    s"""WITH ${ivfLloydAssignCtes(trainWhere, assignWhere)},
        |qq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
        |       WHERE vec_id < 50),
        |qexp AS (
@@ -1804,7 +1972,7 @@ object DataPipelineQueries {
     * within-cell (i < j) pairs scored with the fixed-point cosine; a
     * vector keeps unless some earlier same-cell vector clears minCos. */
   private def semDedupSql(minCos: Double): String =
-    s"""WITH $ivfLloydAssignCtes,
+    s"""WITH ${ivfLloydAssignCtes()},
        |cand AS (
        |  SELECT a.tid AS qid, b.tid AS tid
        |  FROM tcell a JOIN tcell b USING (cell)
@@ -2259,7 +2427,7 @@ object DataPipelineQueries {
   private def knnRecallSql: String =
     s"""WITH bf AS (SELECT qid, tid FROM (${knnBruteforceSql(maxQid = 50)})),
        |lshr AS (SELECT qid, tid FROM (${knnLshSql()})),
-       |ivfr AS (SELECT qid, tid FROM ($knnIvfLloydSql))
+       |ivfr AS (SELECT qid, tid FROM (${knnIvfLloydSql()}))
        |SELECT method, k, hits, possible FROM (
        |  SELECT 'ivf_lloyd' AS method, CAST(5 AS INT) AS k,
        |    (SELECT COUNT(*) FROM ivfr JOIN bf USING (qid, tid)) AS hits,
@@ -2282,8 +2450,146 @@ object DataPipelineQueries {
        |  (SELECT COUNT(*) FROM lshr JOIN bf USING (qid, tid)) AS hits,
        |  (SELECT COUNT(*) FROM bf) AS possible""".stripMargin
 
+  /** d8d twin: benchmark slice cross corpus, fixed-point cosine, per-doc
+    * max — the d5 dot/norm construction with a groupBy tail. */
+  private def semanticDeconSql(minCos: Double): String =
+    s"""WITH b AS (SELECT vec_id AS bid, embedding AS be FROM embeddings
+       |           WHERE vec_id % 37 = 0),
+       |c AS (SELECT vec_id AS tid, embedding AS te FROM embeddings
+       |      WHERE vec_id % 37 <> 0),
+       |terms AS (SELECT tid, bid, unnest(te) AS x, unnest(be) AS y
+       |          FROM c, b),
+       |dots AS (
+       |  SELECT tid, bid, $scaledDotSql AS d,
+       |    SUM(CAST(ROUND(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS nx,
+       |    SUM(CAST(ROUND(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)*1000000) AS BIGINT)) AS ny
+       |  FROM terms GROUP BY 1, 2),
+       |m AS (
+       |  SELECT tid, MAX(CAST(d AS DOUBLE)/sqrt(CAST(nx*ny AS DOUBLE)))
+       |    AS max_cos
+       |  FROM dots GROUP BY 1)
+       |SELECT tid AS vec_id, max_cos, max_cos >= $minCos AS contaminated
+       |FROM m
+       |ORDER BY vec_id""".stripMargin
+
+  /** sample_cluster_balanced twin: the Lloyd-refined cell assignment CTEs
+    * feed the shared XXH64 per-stratum sampler. */
+  private def clusterBalancedSql: String =
+    HashOracleSql.clusterBalancedSampleSql(
+      s"WITH ${ivfLloydAssignCtes()} SELECT tid AS vec_id, cell FROM tcell",
+      cap = 20)
+
+  /** ta_langid_ngram twin: the full Cavnar-Trenkle replay — injected test
+    * docs and language profiles come from the same Scala constants as the
+    * Spark side (LangIdNgram.{testDocValuesSql, profileValuesSql}), and
+    * every step (normalize, trigram positions, count-desc/trigram-asc doc
+    * ranks, out-of-place distance with the profile-size penalty, argmin
+    * with alphabetical ties) is integer-exact. */
+  private def langIdNgramSql: String = {
+    val k = graft.ops.LangIdNgram.ProfileSize
+    s"""WITH inj AS (SELECT * FROM (VALUES ${
+      graft.ops.LangIdNgram.testDocValuesSql(1000000L)})
+       |  AS v(doc_id, elang, txt)),
+       |docs AS (
+       |  SELECT doc_id AS id, CAST(NULL AS VARCHAR) AS elang, text AS t0
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT CAST(doc_id AS BIGINT), elang, txt FROM inj),
+       |norm AS (
+       |  SELECT id,
+       |    ' ' || regexp_replace(lower(trim(t0)), '\\s+', ' ', 'g') || ' '
+       |    AS t
+       |  FROM docs),
+       |tris AS (
+       |  SELECT id, substr(t, CAST(p AS INT), 3) AS tri
+       |  FROM (SELECT id, t,
+       |          unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS p
+       |        FROM norm)),
+       |cnt AS (SELECT id, tri, COUNT(*) AS c FROM tris GROUP BY 1, 2),
+       |dp AS (
+       |  SELECT id, tri,
+       |    row_number() OVER (PARTITION BY id ORDER BY c DESC, tri) AS dr
+       |  FROM cnt),
+       |dpk AS (SELECT * FROM dp WHERE dr <= $k),
+       |prof AS (SELECT * FROM (VALUES ${
+      graft.ops.LangIdNgram.profileValuesSql}) AS p(lang, tri, lr)),
+       |langs AS (SELECT DISTINCT lang FROM prof),
+       |dist AS (
+       |  SELECT d.id, l.lang,
+       |    CAST(SUM(COALESCE(abs(d.dr - p.lr), $k)) AS BIGINT) AS dist
+       |  FROM dpk d CROSS JOIN langs l
+       |  LEFT JOIN prof p ON p.lang = l.lang AND p.tri = d.tri
+       |  GROUP BY 1, 2),
+       |best AS (
+       |  SELECT id, lang, dist,
+       |    row_number() OVER (PARTITION BY id ORDER BY dist, lang) AS rn
+       |  FROM dist)
+       |SELECT b.id AS doc_id, b.lang AS pred_lang, b.dist AS best_dist,
+       |  d.elang AS expected_lang,
+       |  CASE WHEN d.elang IS NULL THEN NULL
+       |       ELSE b.lang = d.elang END AS correct
+       |FROM best b JOIN docs d ON d.id = b.id
+       |WHERE b.rn = 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** x4_ner_rule twin: the same injection and the same RE2-safe pattern
+    * (shared literal TextAnalysis.OrgPattern). */
+  private def nerRuleSql: String =
+    s"""WITH inj AS (
+       |  SELECT doc_id,
+       |    substr(text, 1, 150) || ' filed by Acme Widget Corp against ' ||
+       |    CASE CAST(doc_id % 4 AS INT)
+       |      WHEN 0 THEN 'Orange Tree' WHEN 1 THEN 'Blue River'
+       |      WHEN 2 THEN 'Quick Fox' ELSE 'Global Data' END ||
+       |    ' Inc today' AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '${TextAnalysis.OrgPattern}'))
+       |    AS INT) AS n_orgs,
+       |  array_to_string(regexp_extract_all(t, '${TextAnalysis.OrgPattern}'),
+       |    '|') AS orgs
+       |FROM inj
+       |ORDER BY doc_id""".stripMargin
+
+  /** zorder twins: the same mask/interleave bit arithmetic, generated
+    * from the same Bits constant (Layout.interleaveBitsSql). */
+  private def zorderXySql: String =
+    """SELECT event_id, user_id & 65535 AS x,
+      |    (epoch_us(ts) // 3600000000) & 65535 AS y
+      |  FROM events""".stripMargin
+
+  private def zorderLayoutSql: String =
+    s"""WITH xy AS ($zorderXySql),
+       |zc AS (SELECT event_id, x, y,
+       |         ${graft.ops.Layout.interleaveBitsSql("x", "y")} AS z
+       |       FROM xy)
+       |SELECT event_id, x, y, z, z >> 12 AS tile
+       |FROM zc
+       |ORDER BY event_id""".stripMargin
+
+  private def zorderStatsSql: String =
+    s"""WITH xy AS ($zorderXySql),
+       |zc AS (SELECT x, y,
+       |         (${graft.ops.Layout.interleaveBitsSql("x", "y")}) >> 12
+       |           AS tile
+       |       FROM xy)
+       |SELECT tile, COUNT(*) AS n_events,
+       |  MIN(x) AS x_min, MAX(x) AS x_max,
+       |  MIN(y) AS y_min, MAX(y) AS y_max,
+       |  MAX(x) - MIN(x) + 1 AS span_x,
+       |  MAX(y) - MIN(y) + 1 AS span_y
+       |FROM zc GROUP BY tile
+       |ORDER BY tile""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "knn_ivf_lloyd" -> knnIvfLloydSql,
+    "zorder_layout" -> zorderLayoutSql,
+    "zorder_stats" -> zorderStatsSql,
+    "d8d_semantic_decon" -> semanticDeconSql(minCos = 0.35),
+    "sample_cluster_balanced" -> clusterBalancedSql,
+    "ta_langid_ngram" -> langIdNgramSql,
+    "x4_ner_rule" -> nerRuleSql,
+    "knn_ivf_lloyd" -> knnIvfLloydSql(),
     "d5c_semdedup" -> semDedupSql(minCos = 0.35),
     "d3_minhash_lsh" -> HashOracleSql.d3Sql(),
     "d3c_minhash_accuracy" -> HashOracleSql.d3AccuracySql(),
@@ -2580,7 +2886,11 @@ object DataPipelineQueries {
     "knn_lsh_wide" -> knnLshSql(numPlanes = 8),
     "knn_lsh_filtered" -> knnLshSql(targetFilter = "label % 2 = 0"),
     "knn_lsh_filtered_indexed" -> knnLshSql(targetFilter = "label % 2 = 0"),
-    "knn_ivf_indexed" -> knnIvfLloydSql, // Lloyd centroids reach the index
+    "knn_ivf_indexed" -> knnIvfLloydSql(), // Lloyd centroids reach the index
+    // append twin: centroids trained on the initial 4/5 only, assignment
+    // (and thus candidate cells) over the full corpus — exactly what the
+    // frozen-centroid append produces at rest
+    "knn_ivf_updated" -> knnIvfLloydSql(trainWhere = "vec_id % 5 <> 0"),
     "knn_recall" -> knnRecallSql,
     "knn_recall_filtered" -> knnRecallFilteredSql,
     "knn_sq8" -> knnSq8Sql(maxQid = 10),

