@@ -308,6 +308,48 @@ class PlanSpec extends SparkSpec {
       assert(keys.subsetOf(ok), s"$q: unexpected shuffle keys $keys")
     }
   }
+
+  test("zorder: the Morton key is a pure map-stage expression; stats " +
+      "aggregate partially with no window and no join") {
+    val p = plan("zorder_stats")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      "expected map-side partial aggregation")
+    assert(PlanSpec.collectWindows(SparkEntry.queries("zorder_stats")(
+      spark, sf("sf0.001")).queryExecution.executedPlan).isEmpty,
+      "zorder_stats must not window")
+    assert(!p.contains("Join"), "zorder_stats must not join")
+  }
+
+  test("d8d: benchmark side broadcasts; per-doc max aggregates partially") {
+    val p = plan("d8d_semantic_decon")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "bench x corpus must never shuffle-join")
+    assert(p.contains("partial_max"), "expected partial max aggregation")
+  }
+
+  test("ta_langid_ngram: every window is per-doc; the profile join " +
+      "broadcasts") {
+    val df = SparkEntry.queries("ta_langid_ngram")(spark, sf("sf0.001"))
+    val ws = PlanSpec.collectWindows(df.queryExecution.executedPlan)
+    assert(ws.nonEmpty, "expected the doc-profile and argmin rank windows")
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      "ta_langid_ngram has a partition-less WindowExec")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastHashJoin"),
+      "language profiles must broadcast, never shuffle the trigram side")
+  }
+
+  test("knn_ivf_updated: the probe set prunes index partitions " +
+      "statically (appended files included)") {
+    val df = SparkEntry.queries("knn_ivf_updated")(spark, sf("sf0.001"))
+    val p = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      "expected a partition filter on cell in the index scan: " +
+        p.take(2000))
+  }
 }
 
 object PlanSpec {
