@@ -63,6 +63,28 @@ object Sampling {
       .drop("__start")
   }
 
+  /** CURRICULUM ordering for training: docs grouped into difficulty bins
+    * (the caller's `bin` — e.g. a length bucket for the classic
+    * short-to-long warm-up), sharded inside each bin by the seeded id
+    * hash, and positioned deterministically within each (bin, shard) by
+    * (hash, id). The trainer consumes bins in ascending order and a
+    * bin's shards in parallel — so no GLOBAL sequence is ever
+    * materialized and every window here is partitioned by (bin, shard),
+    * the same skew-proof stance as packSequences. Returns
+    * (id, bin, shard, pos). */
+  def curriculumOrder(df: DataFrame, id: Column, bin: Column,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, s"curriculumOrder nShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("bin"), col("shard"))
+      .orderBy(col("__h"), col("id"))
+    df.select(id.as("id"), bin.as("bin"))
+      .withColumn("__h", xxhash64(col("id")))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w))
+      .select(col("id"), col("bin"), col("shard"), col("pos"))
+  }
+
   /** Running sum over a GLOBAL total order without a single-partition
     * window: range-partition the rows on the order, window PARTITIONED by
     * the range id for the within-range running sum, and add each range's

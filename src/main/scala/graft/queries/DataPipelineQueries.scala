@@ -287,6 +287,28 @@ object DataPipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // The WRITE side of the ingestion loop d7 reads: fold the batch's
+    // surviving fingerprints back into the at-rest store as an
+    // append-only DELTA file set (the old store is never rewritten —
+    // survivors land as new files, exactly how an immutable fingerprint
+    // store rolls forward at 100 TB), then read back store + delta with
+    // provenance. Survivors are anti-joined, so the two origins are
+    // provably disjoint and the union IS the next ingestion's store set.
+    "d7c_store_update" -> ((s, dir) => {
+      import s.implicits._
+      val store = s.read.parquet(d7StorePath(s, dir)).select($"fp")
+      val deltaPath = graft.util.TempDirs.cached("d7c-delta", dir) { p =>
+        d7Batch(s, dir)
+          .join(store, Seq("fp"), "left_anti")
+          .select($"fp").distinct()
+          .write.parquet(p)
+      }
+      store.withColumn("origin", lit("store"))
+        .unionByName(s.read.parquet(deltaPath)
+          .withColumn("origin", lit("new")))
+        .orderBy($"fp", $"origin")
+    }),
+
     // The SAME incremental dedup behind a Bloom pre-gate (Bloom.scala):
     // bloom-negative batch rows are admitted map-side with NO join at
     // all; only bloom-positives (true store hits + the ~1% false-positive
@@ -1652,6 +1674,22 @@ object DataPipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // CURRICULUM ordering: length-binned (the classic short-to-long
+    // warm-up), seeded-shuffled within each bin, sharded for parallel
+    // consumption — the deterministic training order between curation and
+    // the trainer. Bins and shards are the only window partitions (never
+    // a global sequence).
+    "curriculum_order" -> ((s, dir) => {
+      import s.implicits._
+      Sampling.curriculumOrder(
+        t(s, dir, "documents"),
+        $"doc_id",
+        least(expr("length(text) div 100"), lit(7L)).cast("int"),
+        nShards = 8)
+        .select($"id".as("doc_id"), $"bin", $"shard", $"pos")
+        .orderBy($"doc_id")
+    }),
+
     // Index FRESHNESS under the gate: build the persisted IVF index over
     // the initial corpus (vec_id % 5 <> 0, Lloyd centroids frozen at
     // build), append the remaining fifth WITHOUT a rebuild
@@ -1772,6 +1810,24 @@ object DataPipelineQueries {
        |SELECT MIN(doc_id) AS doc_id, fp
        |FROM fresh GROUP BY fp
        |ORDER BY doc_id""".stripMargin
+  /** d7c twin: the same batch/store/fresh CTEs as d7, with the rolled-
+    * forward store emitted as store ∪ distinct-fresh plus provenance. */
+  private lazy val d7cStoreUpdateSql: String =
+    s"""WITH batch AS (
+       |  SELECT doc_id, $fpSql AS fp FROM documents WHERE doc_id >= 400
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id, $fpSql AS fp FROM documents
+       |  WHERE doc_id < 400 AND doc_id % 7 = 0),
+       |store AS (
+       |  SELECT DISTINCT $fpSql AS fp FROM documents WHERE doc_id < 400),
+       |fresh AS (
+       |  SELECT DISTINCT b.fp FROM batch b
+       |  LEFT JOIN store s ON b.fp = s.fp WHERE s.fp IS NULL)
+       |SELECT fp, origin FROM (
+       |  SELECT fp, 'store' AS origin FROM store
+       |  UNION ALL SELECT fp, 'new' AS origin FROM fresh) u
+       |ORDER BY fp, origin""".stripMargin
+
   private val tokenCountSql =
     """len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))"""
   private val wordCountSql =
@@ -2594,6 +2650,9 @@ object DataPipelineQueries {
     "d3_minhash_lsh" -> HashOracleSql.d3Sql(),
     "d3c_minhash_accuracy" -> HashOracleSql.d3AccuracySql(),
     "d7_incremental_dedup" -> d7OracleSql,
+    "d7c_store_update" -> d7cStoreUpdateSql,
+    "curriculum_order" -> HashOracleSql.curriculumOrderSql(
+      "CAST(least(length(text) // 100, 7) AS INT)", nShards = 8),
     // The bloom pre-gate is correctness-neutral (no false negatives, and
     // false positives are exactly confirmed), so d7b's oracle is d7's
     // oracle VERBATIM: the cross-engine hash proves the optimized path

@@ -388,6 +388,26 @@ private[queries] object HashOracleSql {
        |ORDER BY id""".stripMargin
   }
 
+  /** curriculum_order: Spark's xxhash64(doc_id) replayed; difficulty bin
+    * from `binSql` (over the raw documents row), shard by positive mod,
+    * position by rank of (h, doc_id) within (bin, shard). */
+  def curriculumOrderSql(binSql: String, nShards: Int): String = {
+    val hashed = layered(
+      s"SELECT doc_id, $binSql AS bin FROM documents",
+      xxhSteps("cu", "doc_id", "CAST(42 AS HUGEINT)"))
+    s"""WITH hs AS MATERIALIZED (
+       |  SELECT doc_id, bin, cuout AS h FROM ($hashed) q),
+       |sharded AS (
+       |  SELECT doc_id, bin, h,
+       |    CAST(((h % $nShards) + $nShards) % $nShards AS BIGINT) AS shard
+       |  FROM hs)
+       |SELECT doc_id, bin, shard,
+       |  CAST(row_number() OVER (PARTITION BY bin, shard ORDER BY h, doc_id)
+       |    AS INT) AS pos
+       |FROM sharded
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** split_assign: Spark's xxhash64(doc_id) replayed; bucket by positive
     * mod 100, split = first band whose cumulative upper bound exceeds the
     * bucket (same fold order as Sampling.assignSplit). */

@@ -306,4 +306,44 @@ class CurationSpec extends SparkSpec {
     // divide the budget) — the flag is load-bearing, not constant
     assert(got.exists(_._6) && got.exists(!_._6))
   }
+
+  test("curriculum_order: positions contiguous per (bin, shard), " +
+      "bins length-monotone, deterministic") {
+    val q = graft.SparkEntry.queries("curriculum_order")
+    val a = q(spark, "/root/testdata/sf0.001").collect()
+    assert(a.toSeq == q(spark, "/root/testdata/sf0.001").collect().toSeq)
+    a.groupBy(r => (r.getAs[Int]("bin"), r.getAs[Long]("shard")))
+      .foreach { case (k, rows) =>
+        assert(rows.map(_.getAs[Int]("pos")).sorted.toSeq ==
+          (1 to rows.length), s"gap in positions of $k")
+      }
+    // bins really order by length: every bin-0 doc is shorter than any
+    // bin-7 doc (the warm-up contract)
+    val lens = graft.util.Tables.t(spark, "/root/testdata/sf0.001",
+        "documents").select($"doc_id", length($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byBin = a.groupBy(_.getAs[Int]("bin"))
+    val bins = byBin.keys.toSeq.sorted
+    assert(bins.size > 1, "length binning must actually split the corpus")
+    val maxOfFirst = byBin(bins.head).map(r => lens(r.getLong(0))).max
+    val minOfLast = byBin(bins.last).map(r => lens(r.getLong(0))).min
+    assert(maxOfFirst < minOfLast + 100,
+      s"bin ${bins.head} max len $maxOfFirst vs bin ${bins.last} " +
+        s"min len $minOfLast")
+  }
+
+  test("d7c_store_update: origins disjoint and the union equals " +
+      "store + d7 survivors") {
+    val dir = "/root/testdata/sf0.001"
+    val upd = graft.SparkEntry.queries("d7c_store_update")(spark, dir)
+    val byOrigin = upd.groupBy($"origin").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byOrigin.keySet == Set("store", "new"))
+    // no fp may carry both origins (survivors were anti-joined)
+    assert(upd.groupBy($"fp").count().filter($"count" > 1).isEmpty)
+    val survivors = graft.SparkEntry.queries("d7_incremental_dedup")(
+      spark, dir).select($"fp").distinct().count()
+    assert(byOrigin("new") == survivors,
+      s"delta ${byOrigin("new")} != d7 survivors $survivors")
+  }
 }
