@@ -543,6 +543,17 @@ object Similarity {
       .withColumn("tn", scaledDot(col("te"), col("te")))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
+  /** Append a batch to a persisted LSH index. Unlike IVF there is no
+    * trained state to freeze: buckets are pure functions of the vector
+    * (fixed seeded planes), so an appended index is BIT-IDENTICAL to a
+    * from-scratch rebuild — which is exactly what the knn_lsh_updated
+    * gate proves by reusing the full-recompute twin verbatim. */
+  def appendLshIndex(batch: DataFrame, path: String, dim: Int,
+      numPlanes: Int = NumPlanes): Unit =
+    batch.withColumn("bucket", lshBucket(col("te"), dim, numPlanes))
+      .withColumn("tn", scaledDot(col("te"), col("te")))
+      .write.mode("append").partitionBy("bucket").parquet(path)
+
   /** ANN search against a persisted LSH index: the query batch's distinct
     * probed buckets (at most 2^NumPlanes values) become a literal
     * partition filter, so the scan statically prunes every unprobed
@@ -620,6 +631,12 @@ object Similarity {
     val centroids = ivfCentroids(targets, nCells, lloydIters)
     targets.withColumn("cell", nearestCell(col("te"), centroids))
   }
+
+  /** Nearest-cell assignment under FROZEN caller-held centroids — the
+    * column-level face of nearestCell for the append/drift path, where
+    * the centroids must be the build-time ones, not a recompute. */
+  def cellFor(v: Column, centroids: Array[Array[Float]]): Column =
+    nearestCell(v, centroids)
 
   /** SEMANTIC decontamination: flag corpus vectors whose cosine to ANY
     * benchmark vector clears `minCos` — the embedding-space complement of

@@ -39,6 +39,25 @@ object TextAnalysis {
   def wordCount(text: Column): Column =
     size(split(trim(text), "\\s+"))
 
+  /** Syllable-count proxy: vowel-group runs (the standard readability
+    * heuristic — each maximal [aeiouy]+ run counts one syllable). */
+  def syllableCount(text: Column): Column =
+    countMatches(lower(text), "[aeiouy]+")
+
+  /** Sentence count with the >= 1 floor every readability formula
+    * assumes (a fragment with no terminal punctuation is one sentence). */
+  def sentenceCount(text: Column): Column =
+    greatest(countMatches(text, "[.!?]+"), lit(1))
+
+  /** Flesch reading ease from the exact integer counts — the operand
+    * order is pinned (two divides, two multiplies, left-assoc subtract)
+    * so both engines produce the identical IEEE double. */
+  def fleschEase(words: Column, sentences: Column,
+      syllables: Column): Column =
+    lit(206.835) -
+      lit(1.015) * (words.cast("double") / sentences.cast("double")) -
+      lit(84.6) * (syllables.cast("double") / words.cast("double"))
+
   /** Rule-grade ORG mention pattern: a run of capitalized tokens ending
     * in a corporate suffix token — the pattern upgrade of the gazetteer
     * X4 NER (no lexicon needed; the capitalization + suffix rules carry

@@ -1587,6 +1587,35 @@ object DataPipelineQueries {
         .orderBy($"doc_id", $"frame_idx")
     }),
 
+    // Audio-video ALIGNMENT: every 25fps video frame matched to the
+    // nearest-earlier window of its own audio track (window starts carry
+    // a deterministic jitter so the match is a genuine as-of lookup, not
+    // modulo arithmetic) — the J8 as-of join machinery applied to
+    // multimodal stream metadata, which is how paired AV training samples
+    // are cut at scale. Frames before the first window keep NULL (no
+    // audio context exists yet) — a real alignment edge case the gate
+    // pins. Per-doc windows only; text/payload never moves.
+    "mm_av_align" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.mediaTable(t(s, dir, "documents"))
+      val vids = Multimodal.decodeAll(s, media).toDF()
+        .filter($"media_type" === "video")
+      val frames = Multimodal.sampleFrames(vids, stride = 1)
+        .select($"doc_id".as("k"),
+          ($"frame_idx" * 40L).as("t_us"), $"frame_idx")
+      val wins = vids
+        .select($"doc_id",
+          explode(sequence(lit(0),
+            expr("(n_frames * 40) div 100").cast("int"))).as("win_idx"))
+        .select($"doc_id".as("k"),
+          ($"win_idx" * 100L +
+            pmod($"doc_id" * 31L + $"win_idx" * 7L, lit(37L))).as("t_us"))
+      graft.ops.AsofJoin.asofTime(frames, wins, "k", "t_us")
+        .select($"k".as("doc_id"), $"frame_idx",
+          $"t_us".as("frame_ms"), $"asof_t_us".as("audio_win_ms"))
+        .orderBy($"doc_id", $"frame_idx")
+    }),
+
     // SEMANTIC decontamination — the embedding-space complement of the
     // n-gram d8 gate: a held-out benchmark slice (vec_id % 37 = 0, the
     // small-broadcast side) is scanned against the remaining corpus and
@@ -1672,6 +1701,143 @@ object DataPipelineQueries {
         size(orgs).as("n_orgs"),
         array_join(orgs, "|").as("orgs"))
         .orderBy($"doc_id")
+    }),
+
+    // The REBUILD TRIGGER for the append-only index: per-cell centroid
+    // drift after the knn_ivf_updated append — fixed-point squared
+    // distance between each build-time (frozen) centroid and the
+    // post-append cell mean, next to the cell population. An operator
+    // watches drift_sq grow under sustained ingest and schedules the
+    // re-cluster when it crosses policy; emitting it from the engine
+    // (exact integers, cross-engine gated) is what makes that policy
+    // testable. Reuses the SAME cached index build as knn_ivf_updated.
+    "knn_centroid_drift" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val init = e.filter($"vec_id" % 5 =!= 0)
+        .select($"vec_id".as("tid"), $"embedding".as("te"))
+      val batch = e.filter($"vec_id" % 5 === 0)
+        .select($"vec_id".as("tid"), $"embedding".as("te"))
+      val (_, centroids) = builtIndex("ivf-incr", dir) { p =>
+        val cs = Similarity.writeIvfIndex(init, p, nCells = 16,
+          lloydIters = 2)
+        Similarity.appendIvfIndex(batch, p, cs)
+        cs
+      }
+      val cDf = broadcast(centroids.zipWithIndex.flatMap {
+        case (c, i) => c.zipWithIndex.map { case (v, p) => (i, p, v) }
+      }.toSeq.toDF("cell", "pos", "c"))
+      val all = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+        .withColumn("cell", Similarity.cellFor($"te", centroids))
+      val means = all
+        .select($"cell", posexplode($"te").as(Seq("pos", "v")))
+        .groupBy($"cell", $"pos")
+        .agg((sum(round($"v".cast("double") * 1e6).cast("long"))
+          .cast("double") / lit(1000000.0) / count(lit(1)).cast("double"))
+          .cast("float").as("m"))
+      val drift = means.join(cDf, Seq("cell", "pos"))
+        .groupBy($"cell")
+        .agg(sum(
+          (round($"m".cast("double") * 1e6).cast("long") -
+            round($"c".cast("double") * 1e6).cast("long")) *
+          (round($"m".cast("double") * 1e6).cast("long") -
+            round($"c".cast("double") * 1e6).cast("long")))
+          .as("drift_sq"))
+      all.groupBy($"cell").agg(count(lit(1)).as("n_vecs"))
+        .join(drift, Seq("cell"))
+        .orderBy($"cell")
+    }),
+
+    // Trainer-handoff MANIFEST: one row per (split, shard) output file —
+    // doc count, token and char totals, and an order-independent content
+    // fingerprint (bit_xor of 60-bit fp keys: bounded aggregation state
+    // at any shard size, unlike an ordered fp concatenation; certifies
+    // multiset-parity of delivered docs — the transfer-integrity check a
+    // training job runs before touching the data).
+    "export_manifest" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id",
+        TextAnalysis.fingerprint($"text").as("fp"),
+        TextAnalysis.tokenCountBpe($"text").as("nt"),
+        length($"text").as("nc"))
+      docs.withColumn("h", xxhash64($"doc_id"))
+        .withColumn("bucket", pmod($"h", lit(100L)))
+        .withColumn("shard", pmod($"h", lit(4L)))
+        .withColumn("split", when($"bucket" < 80, "train")
+          .when($"bucket" < 90, "val").otherwise("test"))
+        .withColumn("fpk",
+          conv(substring($"fp", 1, 15), 16, 10).cast("long"))
+        .groupBy($"split", $"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"nt".cast("long")).as("n_tokens"),
+          sum($"nc".cast("long")).as("n_chars"),
+          expr("bit_xor(fpk)").as("content_fp"))
+        .withColumn("file", concat($"split", lit("-"),
+          $"shard".cast("string"), lit(".parquet")))
+        .select($"split", $"shard", $"file", $"n_docs", $"n_tokens",
+          $"n_chars", $"content_fp")
+        .orderBy($"split", $"shard")
+    }),
+
+    // Readability scoring (Flesch reading ease over the vowel-group
+    // syllable proxy) — the classic document-difficulty signal quality
+    // pipelines and curricula threshold on; exact integer counts, one
+    // pinned-order double formula.
+    "ta_readability" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id",
+          TextAnalysis.wordCount($"text").as("n_words"),
+          TextAnalysis.sentenceCount($"text").as("n_sentences"),
+          TextAnalysis.syllableCount($"text").as("n_syllables"))
+        .withColumn("flesch", TextAnalysis.fleschEase(
+          $"n_words", $"n_sentences", $"n_syllables"))
+        .orderBy($"doc_id")
+    }),
+
+    // T5-style span-corruption PLAN: tokens partitioned into fixed
+    // 20-token windows, one 3-token mask span per window at a seeded
+    // offset — ~15% masking, non-overlapping by construction, and a pure
+    // function of (doc_id, window) so the trainer's masking is exactly
+    // reproducible across runs and engines. Map stage + a bounded
+    // explode; no shuffle beyond the gate's own orderBy.
+    "span_corruption_plan" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", TextAnalysis.wordCount($"text").as("nw"))
+        .withColumn("win", explode(sequence(lit(0),
+          expr("(nw - 1) div 20").cast("int"))))
+        .withColumn("win_len",
+          least(lit(20), $"nw" - $"win" * 20))
+        .withColumn("h", xxhash64($"doc_id" * 4096 + $"win"))
+        .withColumn("span_start", ($"win" * 20).cast("long") +
+          pmod($"h", greatest($"win_len" - 2, lit(1)).cast("long")))
+        .withColumn("span_len",
+          least(lit(3L), $"nw".cast("long") - $"span_start"))
+        .select($"doc_id", $"win", $"span_start", $"span_len")
+        .orderBy($"doc_id", $"win")
+    }),
+
+    // LSH-index freshness twin of knn_ivf_updated: build the persisted
+    // LSH index over the initial 4/5, append the rest (appendLshIndex —
+    // buckets are pure vector functions, no trained state), search the
+    // updated index. The oracle is the FULL-RECOMPUTE twin verbatim:
+    // the cross-engine hash proves append-at-rest changes nothing.
+    "knn_lsh_updated" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val init = e.filter($"vec_id" % 5 =!= 0)
+        .select($"vec_id".as("tid"), $"embedding".as("te"))
+      val batch = e.filter($"vec_id" % 5 === 0)
+        .select($"vec_id".as("tid"), $"embedding".as("te"))
+      val (path, _) = builtIndex("lsh-incr", dir) { p =>
+        Similarity.writeLshIndex(init, p, dim = 64)
+        Similarity.appendLshIndex(batch, p, dim = 64)
+        Array.empty
+      }
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      Similarity.knnLshIndexed(s, path, q, dim = 64, k = 5)
+        .orderBy($"qid", $"rank")
     }),
 
     // CURRICULUM ordering: length-binned (the classic short-to-long
@@ -2608,6 +2774,30 @@ object DataPipelineQueries {
        |FROM inj
        |ORDER BY doc_id""".stripMargin
 
+  /** knn_centroid_drift twin: the append twin's CTEs (train-filtered
+    * centroids, full-corpus assignment) + the Lloyd m-step mean formula
+    * verbatim for the post-append means + exact integer squared drift. */
+  private def centroidDriftSql: String =
+    s"""WITH ${ivfLloydAssignCtes("vec_id % 5 <> 0", "TRUE")},
+       |m AS (
+       |  SELECT tc.cell, t.pos,
+       |    CAST(CAST(SUM(CAST(ROUND(CAST(t.x AS DOUBLE)*1000000) AS BIGINT)) AS DOUBLE)
+       |         / 1000000 / CAST(COUNT(*) AS DOUBLE) AS REAL) AS m
+       |  FROM taexp t JOIN tcell tc USING (tid) GROUP BY tc.cell, t.pos),
+       |d AS (
+       |  SELECT m.cell,
+       |    SUM((CAST(ROUND(CAST(m.m AS DOUBLE)*1000000) AS BIGINT) -
+       |         CAST(ROUND(CAST(s.c AS DOUBLE)*1000000) AS BIGINT)) *
+       |        (CAST(ROUND(CAST(m.m AS DOUBLE)*1000000) AS BIGINT) -
+       |         CAST(ROUND(CAST(s.c AS DOUBLE)*1000000) AS BIGINT)))
+       |      AS drift_sq
+       |  FROM m JOIN c2 s ON s.cell = m.cell AND s.pos = m.pos
+       |  GROUP BY m.cell),
+       |n AS (SELECT cell, COUNT(*) AS n_vecs FROM tcell GROUP BY cell)
+       |SELECT n.cell, n.n_vecs, CAST(d.drift_sq AS BIGINT) AS drift_sq
+       |FROM n JOIN d USING (cell)
+       |ORDER BY cell""".stripMargin
+
   /** zorder twins: the same mask/interleave bit arithmetic, generated
     * from the same Bits constant (Layout.interleaveBitsSql). */
   private def zorderXySql: String =
@@ -2653,6 +2843,54 @@ object DataPipelineQueries {
     "d7c_store_update" -> d7cStoreUpdateSql,
     "curriculum_order" -> HashOracleSql.curriculumOrderSql(
       "CAST(least(length(text) // 100, 7) AS INT)", nShards = 8),
+    "ta_readability" ->
+      s"""SELECT doc_id,
+         |  CAST($wordCountSql AS INT) AS n_words,
+         |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS INT)
+         |    AS n_sentences,
+         |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INT)
+         |    AS n_syllables,
+         |  206.835
+         |    - 1.015 * (CAST($wordCountSql AS DOUBLE) /
+         |        CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+         |          AS DOUBLE))
+         |    - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+         |          AS DOUBLE) /
+         |        CAST($wordCountSql AS DOUBLE)) AS flesch
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+    "span_corruption_plan" ->
+      HashOracleSql.spanCorruptionSql(winSize = 20, spanLen = 3),
+    "knn_lsh_updated" -> knnLshSql(), // append == rebuild, proven verbatim
+    "export_manifest" ->
+      HashOracleSql.manifestSql(fpSql, tokenCountSql, nShards = 4),
+    "knn_centroid_drift" -> centroidDriftSql,
+    "mm_av_align" ->
+      """WITH vids AS (
+        |  SELECT doc_id, CAST(1 + length(text) % 7 AS INT) AS n_frames
+        |  FROM documents WHERE CAST(doc_id % 3 AS INT) = 2),
+        |f AS (
+        |  SELECT doc_id, CAST(unnest(range(0, n_frames)) AS INT)
+        |    AS frame_idx
+        |  FROM vids),
+        |fms AS (SELECT doc_id, frame_idx,
+        |          CAST(frame_idx * 40 AS BIGINT) AS frame_ms FROM f),
+        |w AS (
+        |  SELECT doc_id, CAST(unnest(range(0, ((n_frames * 40) // 100) + 1))
+        |    AS INT) AS win_idx
+        |  FROM vids),
+        |wms AS (
+        |  SELECT doc_id,
+        |    CAST(win_idx * 100 +
+        |      (((doc_id * 31 + win_idx * 7) % 37) + 37) % 37 AS BIGINT)
+        |      AS win_ms
+        |  FROM w)
+        |SELECT fms.doc_id, fms.frame_idx, fms.frame_ms,
+        |  MAX(wms.win_ms) AS audio_win_ms
+        |FROM fms LEFT JOIN wms
+        |  ON wms.doc_id = fms.doc_id AND wms.win_ms <= fms.frame_ms
+        |GROUP BY fms.doc_id, fms.frame_idx, fms.frame_ms
+        |ORDER BY fms.doc_id, frame_idx""".stripMargin,
     // The bloom pre-gate is correctness-neutral (no false negatives, and
     // false positives are exactly confirmed), so d7b's oracle is d7's
     // oracle VERBATIM: the cross-engine hash proves the optimized path

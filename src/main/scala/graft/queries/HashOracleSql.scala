@@ -408,6 +408,64 @@ private[queries] object HashOracleSql {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** export_manifest: one XXH64(doc_id) drives both the 80/10/10 split
+    * band and the shard mod; per-(split, shard) totals plus the
+    * order-independent bit_xor content fingerprint over 60-bit fp keys.
+    * `fpSql`/`tokSql` are expressions over a raw documents row. */
+  def manifestSql(fpSql: String, tokSql: String, nShards: Int): String = {
+    val hashed = layered("SELECT doc_id FROM documents",
+      xxhSteps("mf", "doc_id", "CAST(42 AS HUGEINT)"))
+    s"""WITH hs AS MATERIALIZED (
+       |  SELECT doc_id, mfout AS h FROM ($hashed) q),
+       |base AS (
+       |  SELECT d.doc_id,
+       |    CAST(((h % 100) + 100) % 100 AS BIGINT) AS bucket,
+       |    CAST(((h % $nShards) + $nShards) % $nShards AS BIGINT) AS shard,
+       |    CAST(concat('0x', substr($fpSql, 1, 15)) AS BIGINT) AS fpk,
+       |    $tokSql AS nt, length(text) AS nc
+       |  FROM hs JOIN documents d USING (doc_id)),
+       |sb AS (SELECT *, CASE WHEN bucket < 80 THEN 'train'
+       |                      WHEN bucket < 90 THEN 'val'
+       |                      ELSE 'test' END AS split FROM base)
+       |SELECT split, shard,
+       |  split || '-' || CAST(shard AS VARCHAR) || '.parquet' AS file,
+       |  COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+       |  bit_xor(fpk) AS content_fp
+       |FROM sb GROUP BY split, shard
+       |ORDER BY split, shard""".stripMargin
+  }
+
+  /** span_corruption_plan: Spark's xxhash64(doc_id * 4096 + win)
+    * replayed; one masked span per fixed token window, offset seeded by
+    * the hash — the deterministic T5-style corruption plan. `winSize`
+    * and `spanLen` must match the Scala constants. */
+  def spanCorruptionSql(winSize: Int, spanLen: Int): String = {
+    val hashed = layered(
+      s"""SELECT doc_id, nw, win, doc_id * 4096 + win AS k FROM (
+         |  SELECT doc_id, nw,
+         |    CAST(unnest(range(0, ((nw - 1) // $winSize) + 1)) AS INT)
+         |      AS win
+         |  FROM (SELECT doc_id,
+         |          len(string_split_regex(trim(text), '\\s+')) AS nw
+         |        FROM documents) b) w""".stripMargin,
+      xxhSteps("sc", "k", "CAST(42 AS HUGEINT)"))
+    s"""WITH hs AS MATERIALIZED (
+       |  SELECT doc_id, nw, win, scout AS h FROM ($hashed) q),
+       |sp AS (
+       |  SELECT doc_id, win, nw,
+       |    CAST(win * $winSize AS BIGINT) +
+       |      CAST(((h % m) + m) % m AS BIGINT) AS span_start
+       |  FROM (SELECT *,
+       |          greatest(least($winSize, nw - win * $winSize) -
+       |            ${spanLen - 1}, 1) AS m
+       |        FROM hs) g)
+       |SELECT doc_id, win, span_start,
+       |  CAST(least($spanLen, nw - span_start) AS BIGINT) AS span_len
+       |FROM sp
+       |ORDER BY doc_id, win""".stripMargin
+  }
+
   /** split_assign: Spark's xxhash64(doc_id) replayed; bucket by positive
     * mod 100, split = first band whose cumulative upper bound exceeds the
     * bucket (same fold order as Sampling.assignSplit). */

