@@ -204,10 +204,13 @@ object Similarity {
     * dim floats — at m=4, nCells=16 a 64-dim float vector compresses
     * 128x, the shrink that keeps a 100 TB corpus's codes in memory. */
   def pqEncode(v: Column, codebooks: Array[Array[Array[Float]]],
-      subDim: Int): Column =
-    array(codebooks.zipWithIndex.map { case (cb, s) =>
-      nearestCell(subVec(v, s, subDim), cb)
-    }.toIndexedSeq: _*)
+      subDim: Int): Column = {
+    require(codebooks.forall(_.forall(_.length == subDim)),
+      s"codebook entries must all be $subDim-dimensional")
+    org.apache.spark.sql.graft.internal.column(
+      org.apache.spark.sql.graft.PqEncode(
+        org.apache.spark.sql.graft.internal.expression(v), codebooks))
+  }
 
   /** PQ ANN search by ASYMMETRIC DISTANCE COMPUTATION: the query stays
     * float and precomputes, per subspace, its fixed-point dot with every

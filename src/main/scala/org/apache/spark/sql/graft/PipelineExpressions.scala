@@ -131,6 +131,27 @@ case class NormalizeQuotes(child: Expression) extends StaticStringUnary {
 /** Per-row MinHash signature: `numHashes` permutation minima over k-char
   * shingles, computed in ONE pass over the string — turns signature
   * generation into a map-side scalar op (no shingle explode, no shuffle). */
+/** Fused PQ encoder (see graft.ops.VecImpl.pqEncode): one static call per
+  * target vector instead of a subspaces x cells ScaledDot/slice expression
+  * tree — the tree version generated ~256 expression nodes at the default
+  * geometry, blowing the generated method past JIT-friendly size on the
+  * coded-scan hot path. The codebook rides as a codegen reference object. */
+case class PqEncode(child: Expression, cbs: Array[Array[Array[Float]]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(cbs.nonEmpty && cbs.forall(_.nonEmpty))
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    graft.ops.VecImpl.pqEncode(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], cbs)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebooks", cbs, "float[][][]")
+    defineCodeGen(ctx, ev, v => s"graft.ops.VecImpl.pqEncode($v, $ref)")
+  }
+  override def prettyName: String = "pq_encode"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class MinHashSig(child: Expression, k: Int, numHashes: Int)
     extends UnaryExpression with ExpectsInputTypes {
   require(k > 0 && numHashes > 0)

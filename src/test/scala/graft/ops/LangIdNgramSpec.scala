@@ -21,6 +21,19 @@ class LangIdNgramSpec extends SparkSpec {
     assert(byLang.values.map(_.sortBy(_._3).map(_._2)).toSet.size == 4)
   }
 
+  test("each training text classifies as its own language " +
+      "(self-consistency)") {
+    val docs = LangIdNgram.TrainText.zipWithIndex.map {
+      case ((lang, txt), i) => (i.toLong, lang, txt)
+    }.toDF("id", "lang", "text")
+    val got = LangIdNgram.classify(docs.select($"id", $"text"))
+      .join(docs.select($"id", $"lang"), Seq("id"))
+      .select($"lang", $"pred_lang").as[(String, String)].collect()
+    got.foreach { case (want, pred) =>
+      assert(pred == want, s"training text for $want classified as $pred")
+    }
+  }
+
   test("ta_langid_ngram classifies every injected held-out sentence " +
       "correctly") {
     val out = graft.SparkEntry.queries("ta_langid_ngram")(
