@@ -64,7 +64,7 @@ object LangIdNgram {
   /** Normalize exactly as both engines will: lower, collapse whitespace,
     * pad with single spaces so word boundaries contribute edge trigrams. */
   private def normalize(s: String): String =
-    " " + s.toLowerCase.trim.replaceAll("\\s+", " ") + " "
+    " " + s.toLowerCase(java.util.Locale.ROOT).trim.replaceAll("\\s+", " ") + " "
 
   /** Rank-ordered top-[[ProfileSize]] trigrams of one training text:
     * count desc, trigram asc — the same total order the SQL twin and the
@@ -101,6 +101,76 @@ object LangIdNgram {
   def normalizeCol(text: Column): Column =
     concat(lit(" "),
       regexp_replace(lower(trim(text)), "\\s+", " "), lit(" "))
+
+  /** Language profiles as (lang -> trigram -> rank) lookup maps, langs in
+    * alphabetical order — the kernel-side view of [[ProfileRows]]. */
+  lazy val ProfileMaps: Seq[(String, Map[String, Int])] =
+    ProfileRows.groupBy(_._1).view
+      .mapValues(_.map { case (_, t, r) => t -> r }.toMap)
+      .toSeq.sortBy(_._1)
+
+  /** The whole classification as ONE per-row kernel (the map-stage face
+    * of [[classify]]): normalize, count trigrams, rank the top
+    * [[ProfileSize]], score each language's out-of-place distance, argmin
+    * with alphabetical ties. Identical term for term to the relational
+    * plan — same normalize regex, same (count desc, trigram asc) rank
+    * order (binary string compare — ASCII here), same penalty, same tie
+    * rule — which the shared DuckDB twin proves. Returns null for texts
+    * too short to carry a trigram (the relational plan emits no row).
+    * O(len + K·langs) per row, zero shuffles at any corpus size. */
+  def classifyKernel(raw: String): (String, Long) = {
+    // mirror normalizeCol exactly: Spark trim() strips ASCII space ONLY
+    // (Java String.trim strips all <= 0x20 — a silent divergence on
+    // leading tabs), then lower, then collapse
+    var b = 0
+    var e = raw.length
+    while (b < e && raw.charAt(b) == ' ') b += 1
+    while (e > b && raw.charAt(e - 1) == ' ') e -= 1
+    val t = " " + raw.substring(b, e).toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ") + " "
+    if (t.length < 3) return (null, -1L)
+    val counts = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i + 3 <= t.length) {
+      counts.merge(t.substring(i, i + 3), 1, Integer.sum _)
+      i += 1
+    }
+    import scala.jdk.CollectionConverters._
+    val top = counts.asScala.toSeq
+      .sortBy { case (tri, c) => (-c, tri) }.take(ProfileSize)
+    var bestLang: String = null
+    var bestDist = Long.MaxValue
+    ProfileMaps.foreach { case (lang, prof) =>
+      var d = 0L
+      var idx = 0
+      top.foreach { case (tri, _) =>
+        d += (prof.get(tri) match {
+          case Some(lr) => math.abs(idx + 1 - lr).toLong
+          case None => ProfileSize.toLong
+        })
+        idx += 1
+      }
+      if (d < bestDist) { bestDist = d; bestLang = lang }
+    }
+    (bestLang, bestDist)
+  }
+
+  /** Codegen bridge: [[classifyKernel]] boxed as an InternalRow (null for
+    * trigram-less text, surfacing as a NULL struct). */
+  def classifyRow(s: org.apache.spark.unsafe.types.UTF8String):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val (lang, d) = classifyKernel(s.toString)
+    if (lang == null) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(lang), d))
+  }
+
+  /** [[classifyKernel]] as a codegen'd Catalyst column: one static call
+    * per row returning struct(pred_lang, best_dist). */
+  def classifyCol(text: Column): Column = {
+    import org.apache.spark.sql.graft.{LangIdNgramExpr, internal}
+    internal.column(LangIdNgramExpr(internal.expression(text)))
+  }
 
   /** Classify every row of `docs` (id, text): returns
     * (id, pred_lang, best_dist). */

@@ -1680,6 +1680,31 @@ object DataPipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // The SAME Cavnar-Trenkle classification as ONE map-stage expression
+    // (LangIdNgramExpr -> classifyKernel): no explode, no counting
+    // shuffle, no rank windows — per-doc-local work belongs in a per-row
+    // kernel at 100 TB. The oracle is ta_langid_ngram's twin VERBATIM:
+    // the cross-engine hash proves kernel == relational plan == DuckDB.
+    "ta_langid_map" -> ((s, dir) => {
+      import s.implicits._
+      val injBase = 1000000L
+      val inj = LangIdNgram.TestSentences.zipWithIndex.map {
+        case ((lang, txt), i) => (injBase + i, lang, txt)
+      }.toDF("id", "expected_lang", "text")
+      val docs = t(s, dir, "documents")
+        .select($"doc_id".as("id"), lit(null).cast("string")
+          .as("expected_lang"), $"text")
+        .unionByName(inj)
+      docs.withColumn("cls", LangIdNgram.classifyCol($"text"))
+        .filter($"cls".isNotNull)
+        .select($"id".as("doc_id"),
+          $"cls.pred_lang".as("pred_lang"),
+          $"cls.best_dist".as("best_dist"), $"expected_lang",
+          when($"expected_lang".isNull, lit(null).cast("boolean"))
+            .otherwise($"cls.pred_lang" === $"expected_lang").as("correct"))
+        .orderBy($"doc_id")
+    }),
+
     // Rule-grade ORG NER — the pattern upgrade of the gazetteer X4:
     // capitalized token runs ending in a corporate suffix. The lowercase
     // corpus can never fire it, so mentions are injected deterministically
@@ -2834,6 +2859,8 @@ object DataPipelineQueries {
     "d8d_semantic_decon" -> semanticDeconSql(minCos = 0.35),
     "sample_cluster_balanced" -> clusterBalancedSql,
     "ta_langid_ngram" -> langIdNgramSql,
+    // kernel == relational plan == DuckDB, proven by the shared twin
+    "ta_langid_map" -> langIdNgramSql,
     "x4_ner_rule" -> nerRuleSql,
     "knn_ivf_lloyd" -> knnIvfLloydSql(),
     "d5c_semdedup" -> semDedupSql(minCos = 0.35),

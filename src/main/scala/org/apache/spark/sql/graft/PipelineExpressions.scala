@@ -131,6 +131,28 @@ case class NormalizeQuotes(child: Expression) extends StaticStringUnary {
 /** Per-row MinHash signature: `numHashes` permutation minima over k-char
   * shingles, computed in ONE pass over the string — turns signature
   * generation into a map-side scalar op (no shingle explode, no shuffle). */
+/** Whole Cavnar-Trenkle language classification as one per-row call (see
+  * graft.ops.LangIdNgram.classifyKernel) — the map-stage alternative to
+  * the relational explode/groupBy/window plan, proven equivalent by the
+  * shared DuckDB twin. NULL for texts too short to carry a trigram. */
+case class LangIdNgramExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("pred_lang", StringType, nullable = false),
+    StructField("best_dist", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def nullSafeEval(s: Any): Any =
+    graft.ops.LangIdNgram.classifyRow(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => s"""
+      ${ev.value} = graft.ops.LangIdNgram.classifyRow($s);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override def prettyName: String = "langid_ngram"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Fused PQ encoder (see graft.ops.VecImpl.pqEncode): one static call per
   * target vector instead of a subspaces x cells ScaledDot/slice expression
   * tree — the tree version generated ~256 expression nodes at the default

@@ -342,6 +342,16 @@ class PlanSpec extends SparkSpec {
       "language profiles must broadcast, never shuffle the trigram side")
   }
 
+  test("ta_langid_map: the kernel classification is a pure map stage — " +
+      "no hash exchange, no window, no generate") {
+    val df = SparkEntry.queries("ta_langid_map")(spark, sf("sf0.001"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      "map-stage langid must not shuffle: " + p.take(1500))
+    assert(PlanSpec.collectWindows(df.queryExecution.executedPlan).isEmpty)
+    assert(!p.contains("Generate "), "map-stage langid must not explode")
+  }
+
   test("knn_ivf_updated: the probe set prunes index partitions " +
       "statically (appended files included)") {
     val df = SparkEntry.queries("knn_ivf_updated")(spark, sf("sf0.001"))

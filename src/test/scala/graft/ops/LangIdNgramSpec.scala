@@ -52,6 +52,21 @@ class LangIdNgramSpec extends SparkSpec {
     assert(total >= 500, s"expected corpus + injected rows, got $total")
   }
 
+  test("classifyKernel == relational classify row for row (both corpora)") {
+    val docs = graft.util.Tables.t(spark, sf("sf0.001"), "documents")
+      .select($"doc_id".as("id"), $"text")
+    val rel = LangIdNgram.classify(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val ker = docs.withColumn("cls", LangIdNgram.classifyCol($"text"))
+      .filter($"cls".isNotNull)
+      .select($"id", $"cls.pred_lang", $"cls.best_dist").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(ker == rel)
+    // whitespace / short-text edges the corpus can't exercise
+    assert(LangIdNgram.classifyKernel("") == (null, -1L))
+    assert(LangIdNgram.classifyKernel("ab")._1 != null) // " ab " has trigrams
+  }
+
   test("orgMentions: capitalized runs with corporate suffix, in order") {
     val got = Seq(
       "deal with Acme Widget Corp and Orange Tree Inc today",
