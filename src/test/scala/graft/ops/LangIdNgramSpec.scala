@@ -67,6 +67,28 @@ class LangIdNgramSpec extends SparkSpec {
     assert(LangIdNgram.classifyKernel("ab")._1 != null) // " ab " has trigrams
   }
 
+  test("kernel == relational on randomized texts incl. whitespace and " +
+      "accented chars (fuzz)") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdefghij klmnopqrs tuvwxyz \t\n  .!?ñéüß"
+    val texts = Seq.tabulate(80) { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(150))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }.toDF("id", "text")
+    val rel = LangIdNgram.classify(texts).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val ker = texts.withColumn("cls", LangIdNgram.classifyCol($"text"))
+      .filter($"cls".isNotNull)
+      .select($"id", $"cls.pred_lang", $"cls.best_dist").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(ker == rel, {
+      val diff = (ker.keySet ++ rel.keySet)
+        .filter(k => ker.get(k) != rel.get(k)).take(3)
+      s"diverged on ids $diff: kernel=${diff.map(ker.get)} " +
+        s"relational=${diff.map(rel.get)}"
+    })
+  }
+
   test("orgMentions: capitalized runs with corporate suffix, in order") {
     val got = Seq(
       "deal with Acme Widget Corp and Orange Tree Inc today",
