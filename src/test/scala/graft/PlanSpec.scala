@@ -352,6 +352,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Generate "), "map-stage langid must not explode")
   }
 
+  test("round-8 batch ops keep their scale shapes: manifest aggregates " +
+      "partially, span plan and readability stay map-side, AV-align " +
+      "windows are per-doc") {
+    val manifest = plan("export_manifest")
+    assert(manifest.contains("partial_count") ||
+      manifest.contains("partial_sum"), "manifest must combine map-side")
+    val span = SparkEntry.queries("span_corruption_plan")(
+      spark, sf("sf0.001"))
+    assert(PlanSpec.collectWindows(span.queryExecution.executedPlan).isEmpty)
+    assert(!span.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      "span plan must not shuffle")
+    val read = SparkEntry.queries("ta_readability")(spark, sf("sf0.001"))
+    assert(!read.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      "readability must not shuffle")
+    val av = SparkEntry.queries("mm_av_align")(spark, sf("sf0.001"))
+    val ws = PlanSpec.collectWindows(av.queryExecution.executedPlan)
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      "mm_av_align must window per doc only")
+  }
+
   test("knn_ivf_updated: the probe set prunes index partitions " +
       "statically (appended files included)") {
     val df = SparkEntry.queries("knn_ivf_updated")(spark, sf("sf0.001"))
