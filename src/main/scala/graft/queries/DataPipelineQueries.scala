@@ -1804,6 +1804,29 @@ object DataPipelineQueries {
         .orderBy($"split", $"shard")
     }),
 
+    // Distributed BPE TRAINING: learn the first 8 merges from the corpus
+    // itself (the complement of the committed-fixture tokenizer) —
+    // classical pair-count/argmax/apply rounds, each an aggregation over
+    // the DISTINCT vocabulary with a one-row argmax collect. The twin
+    // unrolls the same 8 rounds in SQL (the Lloyd pattern for tokenizer
+    // training), so every learned merge and its support count hash-match.
+    "bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val rows = graft.ops.BpeTrain.train(
+        t(s, dir, "documents"), "text", rounds = 8)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("round",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("left",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("right",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_pairs",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .orderBy($"round")
+    }),
+
     // Readability scoring (Flesch reading ease over the vowel-group
     // syllable proxy) — the classic document-difficulty signal quality
     // pipelines and curricula threshold on; exact integer counts, one
@@ -2892,6 +2915,7 @@ object DataPipelineQueries {
     "export_manifest" ->
       HashOracleSql.manifestSql(fpSql, tokenCountSql, nShards = 4),
     "knn_centroid_drift" -> centroidDriftSql,
+    "bpe_train" -> graft.ops.BpeTrain.trainSql(rounds = 8),
     "mm_av_align" ->
       """WITH vids AS (
         |  SELECT doc_id, CAST(1 + length(text) % 7 AS INT) AS n_frames

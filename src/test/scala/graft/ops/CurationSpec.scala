@@ -332,6 +332,20 @@ class CurationSpec extends SparkSpec {
         s"min len $minOfLast")
   }
 
+  test("bpe_train learns the hand-computed merge sequence on the " +
+      "classic corpus (ties resolve left-asc)") {
+    // Sennrich-style fixture: low x5, lower x2, newest x6, widest x3
+    val docs = Seq((1L, ("low " * 5) + ("lower " * 2) +
+      ("newest " * 6) + ("widest " * 3))).toDF("doc_id", "text")
+    val got = BpeTrain.train(docs, "text", rounds = 4)
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (e,s) and (s,t) tie at 9 -> left-asc picks (e,s);
+    // round 2: (es,t)=9; round 3: (l,o)/(o,w) tie at 7 -> (l,o);
+    // round 4: (lo,w)=7
+    assert(got == Seq((1, "e", "s", 9L), (2, "es", "t", 9L),
+      (3, "l", "o", 7L), (4, "lo", "w", 7L)), got)
+  }
+
   test("flesch readability: hand-computed fixture and monotone difficulty") {
     val got = Seq(
       (1L, "The cat sat. The dog ran."),          // short words, 2 sentences
