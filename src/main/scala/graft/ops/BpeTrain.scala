@@ -70,11 +70,12 @@ object BpeTrain {
     out.result()
   }
 
-  /** The twin's unrolled CTE chain: round r's pair counts from the
+  /** The shared unrolled CTE chain: round r's pair counts from the
     * (r-1)-merged vocabulary, one-row argmax `m$r`, then the merge
     * applied by the same double-space replace — the lloydRoundSql
-    * pattern for tokenizer training. */
-  def trainSql(rounds: Int): String = {
+    * pattern for tokenizer training. Exposes `w$rounds` (the fully
+    * merged vocabulary) and `m1..m$rounds` (the learned merges). */
+  private def trainCtes(rounds: Int): String = {
     val w0 =
       """w0 AS (
         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c,
@@ -100,12 +101,45 @@ object BpeTrain {
          |                 ' ' || m.a || m.b || ' ') AS enc
          |  FROM w${r - 1}, m$r m)""".stripMargin
     }.mkString(",\n")
+    s"$w0,\n$perRound"
+  }
+
+  /** bpe_train twin: the learned merges, one row per round. */
+  def trainSql(rounds: Int): String = {
     val rows = (1 to rounds)
       .map(r => s"SELECT $r AS round, a AS left, b AS right, n AS n_pairs FROM m$r")
       .mkString("\nUNION ALL ")
-    s"""WITH $w0,
-       |$perRound
+    s"""WITH ${trainCtes(rounds)}
        |$rows
        |ORDER BY round""".stripMargin
   }
+
+  /** bpe_train_apply twin: per-doc token counts under the learned
+    * merges — the fully merged vocabulary `w$rounds` joined back to the
+    * corpus word multiset (the two-pass vocabulary trick). */
+  def applySql(rounds: Int): String =
+    s"""WITH ${trainCtes(rounds)},
+       |tok AS (
+       |  SELECT w, CAST(len(string_split(trim(enc), '  ')) AS INT) AS nt
+       |  FROM w$rounds),
+       |dw AS (
+       |  SELECT doc_id, unnest(string_split(
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+       |  FROM documents)
+       |SELECT doc_id, CAST(SUM(nt) AS BIGINT) AS n_tokens_learned,
+       |  COUNT(*) AS n_words
+       |FROM dw JOIN tok USING (w)
+       |WHERE w <> ''
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** Per-word token counts under `merges` (from [[train]]) — the learned
+    * tokenizer applied to the vocabulary, Spark side. */
+  def tokenizedVocab(docs: DataFrame, textCol: String,
+      merges: Seq[Row]): DataFrame =
+    merges.foldLeft(vocab(docs, textCol)) { (df, m) =>
+      val (a, b) = (m.getString(1), m.getString(2))
+      df.withColumn("enc", expr(s"replace(enc, ' $a  $b ', ' $a$b ')"))
+    }.withColumn("nt", size(split(trim(col("enc")), "  ")))
+      .select(col("w"), col("nt"))
 }

@@ -1827,6 +1827,25 @@ object DataPipelineQueries {
         .orderBy($"round")
     }),
 
+    // The learned tokenizer APPLIED: per-doc token counts under the 8
+    // corpus-trained merges — train on the corpus, tokenize the corpus
+    // (vocabulary tokenized once, joined back to the word multiset; the
+    // two-pass trick, never a per-occurrence merge chain).
+    "bpe_train_apply" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val merges = graft.ops.BpeTrain.train(docs, "text", rounds = 8)
+      val tok = graft.ops.BpeTrain.tokenizedVocab(docs, "text", merges)
+      docs.select($"doc_id", explode(split(
+          regexp_replace(lower(trim($"text")), "\\s+", " "), " ")).as("w"))
+        .filter($"w" =!= "")
+        .join(tok, Seq("w"))
+        .groupBy($"doc_id")
+        .agg(sum($"nt").cast("long").as("n_tokens_learned"),
+          count(lit(1)).as("n_words"))
+        .orderBy($"doc_id")
+    }),
+
     // Readability scoring (Flesch reading ease over the vowel-group
     // syllable proxy) — the classic document-difficulty signal quality
     // pipelines and curricula threshold on; exact integer counts, one
@@ -2916,6 +2935,7 @@ object DataPipelineQueries {
       HashOracleSql.manifestSql(fpSql, tokenCountSql, nShards = 4),
     "knn_centroid_drift" -> centroidDriftSql,
     "bpe_train" -> graft.ops.BpeTrain.trainSql(rounds = 8),
+    "bpe_train_apply" -> graft.ops.BpeTrain.applySql(rounds = 8),
     "mm_av_align" ->
       """WITH vids AS (
         |  SELECT doc_id, CAST(1 + length(text) % 7 AS INT) AS n_frames

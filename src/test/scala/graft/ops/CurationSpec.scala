@@ -346,6 +346,23 @@ class CurationSpec extends SparkSpec {
       (3, "l", "o", 7L), (4, "lo", "w", 7L)), got)
   }
 
+  test("bpe_train_apply: learned merges compress — tokens per doc " +
+      "strictly between word count and letter count") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("bpe_train_apply")(spark, dir)
+    val chars = graft.util.Tables.t(spark, dir, "documents")
+      .select($"doc_id",
+        length(regexp_replace($"text", "\\s+", "")).as("nl"))
+    val joined = out.join(chars, Seq("doc_id")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (nt, nw, nl) = (r.getAs[Long]("n_tokens_learned"),
+        r.getAs[Long]("n_words"), r.getAs[Int]("nl").toLong)
+      assert(nt >= nw, s"fewer tokens than words: $nt < $nw")
+      assert(nt < nl, s"merges learned nothing: $nt tokens for $nl chars")
+    }
+  }
+
   test("flesch readability: hand-computed fixture and monotone difficulty") {
     val got = Seq(
       (1L, "The cat sat. The dog ran."),          // short words, 2 sentences
