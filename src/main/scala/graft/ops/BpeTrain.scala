@@ -77,7 +77,7 @@ object BpeTrain {
     * merged vocabulary) and `m1..m$rounds` (the learned merges). */
   private def trainCtes(rounds: Int): String = {
     val w0 =
-      """w0 AS (
+      """w0 AS MATERIALIZED (
         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c,
         |    ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS enc
         |  FROM (SELECT unnest(string_split(
@@ -93,9 +93,9 @@ object BpeTrain {
          |        FROM (SELECT c, string_split(trim(enc), '  ') AS ts
          |              FROM w${r - 1}) q$r)
          |  GROUP BY 1, 2),
-         |m$r AS (SELECT a, b, CAST(n AS BIGINT) AS n FROM p$r
+         |m$r AS MATERIALIZED (SELECT a, b, CAST(n AS BIGINT) AS n FROM p$r
          |        ORDER BY n DESC, a, b LIMIT 1),
-         |w$r AS (
+         |w$r AS MATERIALIZED (
          |  SELECT w, c,
          |    replace(enc, ' ' || m.a || '  ' || m.b || ' ',
          |                 ' ' || m.a || m.b || ' ') AS enc

@@ -1814,16 +1814,19 @@ object DataPipelineQueries {
       import s.implicits._
       val rows = graft.ops.BpeTrain.train(
         t(s, dir, "documents"), "text", rounds = 8)
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("round",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("left",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("right",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("n_pairs",
-          org.apache.spark.sql.types.LongType, nullable = false)))
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), BpeTrainSchema)
+        .orderBy($"round")
+    }),
+
+    // The rounds knob at double depth (the d3b/knn_ivf_cells convention):
+    // 16 learned merges, generator and driver loop re-derived in lockstep
+    // — a depth-dependent truncation or drift on either side flips the
+    // hash (the d6 unroll lesson, applied to tokenizer training).
+    "bpe_train_r16" -> ((s, dir) => {
+      import s.implicits._
+      val rows = graft.ops.BpeTrain.train(
+        t(s, dir, "documents"), "text", rounds = 16)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), BpeTrainSchema)
         .orderBy($"round")
     }),
 
@@ -2841,6 +2844,17 @@ object DataPipelineQueries {
        |FROM inj
        |ORDER BY doc_id""".stripMargin
 
+  /** Schema of the bpe_train family's driver-assembled merge rows. */
+  private val BpeTrainSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("round",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("left",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("right",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_pairs",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
   /** knn_centroid_drift twin: the append twin's CTEs (train-filtered
     * centroids, full-corpus assignment) + the Lloyd m-step mean formula
     * verbatim for the post-append means + exact integer squared drift. */
@@ -2935,6 +2949,7 @@ object DataPipelineQueries {
       HashOracleSql.manifestSql(fpSql, tokenCountSql, nShards = 4),
     "knn_centroid_drift" -> centroidDriftSql,
     "bpe_train" -> graft.ops.BpeTrain.trainSql(rounds = 8),
+    "bpe_train_r16" -> graft.ops.BpeTrain.trainSql(rounds = 16),
     "bpe_train_apply" -> graft.ops.BpeTrain.applySql(rounds = 8),
     "mm_av_align" ->
       """WITH vids AS (
