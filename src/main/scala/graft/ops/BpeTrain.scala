@@ -7,8 +7,7 @@ import org.apache.spark.sql.functions._
   * (the complement of [[BpeImpl]], which tokenizes with a committed
   * fixture): the classical algorithm (Sennrich et al. 2016,
   * arXiv:1508.07909) run as `rounds` Spark aggregations. Each round
-  * counts adjacent token pairs over the distinct-word vocabulary
-  * (weighted by word frequency), takes the argmax — ties resolved
+  * takes the argmax over a MAINTAINED pair-count table — ties resolved
   * (count desc, left asc, right asc) so the learned table is
   * deterministic — and applies the merge to the vocabulary encoding.
   *
@@ -16,15 +15,32 @@ import org.apache.spark.sql.functions._
   * already proved equivalent to the kernel's left-to-right
   * non-overlapping merge pass (' a  b ' -> ' ab ' consumes one delimiter
   * space per side), so both the application step here and the DuckDB
-  * twin's replay use plain `replace`.
+  * twin's replay use plain `replace`. All merge application goes through
+  * the Column API (`functions.replace` with `lit` patterns) — learned
+  * tokens never pass through a SQL parser, so corpora containing quotes,
+  * backslashes, or any other metacharacter train safely (BpeTrainSpec
+  * fuzzes exactly that against an in-memory reference trainer).
   *
-  * Scale shape: pair counting shuffles (a, b) keys over the DISTINCT
-  * vocabulary (the ta_unigram_logfreq two-pass trick — corpus text is
-  * scanned once for word counts, never per round); the per-round argmax
-  * is a TakeOrdered(1), a one-row driver collect; the merge application
-  * is a map-stage string replace. Rounds are sequential by nature (each
-  * merge conditions the next) — the distributed work is inside each
-  * round, which is exactly how production BPE trainers parallelize.
+  * Scale shape, per round:
+  *  - argmax = TakeOrdered(1) over the materialized pair-count table
+  *    (a one-row driver collect);
+  *  - INCREMENTAL pair-delta counting, the production-trainer
+  *    optimization: only vocabulary words whose encoding contains the
+  *    merged pair change between rounds, so the delta pass explodes
+  *    pairs for that filtered subset only (old encoding weighted -c,
+  *    merged encoding +c) and folds it into the count table — the full
+  *    vocabulary is pair-exploded exactly once, at round 0;
+  *  - the count table is localCheckpoint'ed each round (it IS the
+  *    incremental state) and the vocabulary encoding every
+  *    `checkpointEvery` rounds, so plan depth is O(checkpointEvery),
+  *    not O(rounds) — the Components.propagate cadence, which is what
+  *    lets the loop run to production vocab sizes without a
+  *    driver-side analysis blowup. Superseded checkpoints are
+  *    unpersisted so executor storage stays O(vocab), not O(rounds).
+  *
+  * Rounds are sequential by nature (each merge conditions the next) —
+  * the distributed work is inside each round, which is exactly how
+  * production BPE trainers parallelize.
   */
 object BpeTrain {
 
@@ -38,23 +54,33 @@ object BpeTrain {
       .withColumn("enc",
         concat(lit(" "), concat_ws("  ", split(col("w"), "")), lit(" ")))
 
+  /** Adjacent-pair explode of `enc`, each pair weighted `sign * c` —
+    * the unit both the initial count and the per-round delta share. */
+  private def pairs(df: DataFrame, sign: Int): DataFrame =
+    df.withColumn("ts", split(trim(col("enc")), "  "))
+      .filter(size(col("ts")) >= 2)
+      .select((col("c") * sign).cast("long").as("cc"), explode(expr(
+        "transform(sequence(1, size(ts) - 1), " +
+          "i -> struct(element_at(ts, i) as a, element_at(ts, i + 1) as b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("cc"))
+
   /** Learn `rounds` merges; returns (round, left, right, n_pairs) rows.
     * Stops early if no pair remains (tiny corpora). */
-  def train(docs: DataFrame, textCol: String, rounds: Int): Seq[Row] = {
+  def train(docs: DataFrame, textCol: String, rounds: Int,
+      checkpointEvery: Int = 8): Seq[Row] = {
+    require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery")
     var enc = vocab(docs, textCol).localCheckpoint()
+    var encCk = enc          // last checkpointed ancestor (for unpersist)
+    var encDepth = 0         // replaces chained since encCk
+    var counts = pairs(enc, 1)
+      .groupBy(col("a"), col("b")).agg(sum(col("cc")).as("n"))
+      .localCheckpoint()
     val out = Seq.newBuilder[Row]
     var r = 1
     var done = false
     while (r <= rounds && !done) {
-      val top = enc
-        .withColumn("ts", split(trim(col("enc")), "  "))
-        .filter(size(col("ts")) >= 2)
-        .select(col("c"), explode(expr(
-          "transform(sequence(1, size(ts) - 1), " +
-            "i -> struct(element_at(ts, i) as a, element_at(ts, i + 1) as b))"))
-          .as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("c")).as("n"))
+      val top = counts
         .orderBy(col("n").desc, col("a"), col("b"))
         .limit(1).collect()
       if (top.isEmpty) done = true
@@ -62,11 +88,36 @@ object BpeTrain {
         val (a, b, n) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += Row(r, a, b, n)
-        enc = enc.withColumn("enc",
-          expr(s"replace(enc, ' $a  $b ', ' $a$b ')"))
+        val pat = lit(s" $a  $b ")
+        val rep = lit(s" $a$b ")
+        // Delta: only words containing the merged pair change. Recount
+        // their pairs before (-c) and after (+c) the merge; everything
+        // else in the count table carries over untouched.
+        val affected = enc.filter(col("enc").contains(pat))
+        val delta = pairs(affected, -1).union(
+          pairs(affected.withColumn("enc",
+            replace(col("enc"), pat, rep)), 1))
+        val next = counts.select(col("a"), col("b"), col("n").as("cc"))
+          .union(delta)
+          .groupBy(col("a"), col("b")).agg(sum(col("cc")).as("n"))
+          .filter(col("n") > 0)
+          .localCheckpoint()          // eager: materialized before the
+        counts.unpersist()            // old state is released
+        counts = next
+        enc = enc.withColumn("enc", replace(col("enc"), pat, rep))
+        encDepth += 1
+        if (encDepth >= checkpointEvery) {
+          val ck = enc.localCheckpoint()
+          encCk.unpersist()
+          encCk = ck
+          enc = ck
+          encDepth = 0
+        }
         r += 1
       }
     }
+    counts.unpersist()
+    encCk.unpersist()
     out.result()
   }
 
@@ -74,7 +125,10 @@ object BpeTrain {
     * (r-1)-merged vocabulary, one-row argmax `m$r`, then the merge
     * applied by the same double-space replace — the lloydRoundSql
     * pattern for tokenizer training. Exposes `w$rounds` (the fully
-    * merged vocabulary) and `m1..m$rounds` (the learned merges). */
+    * merged vocabulary) and `m1..m$rounds` (the learned merges). The
+    * merge step LEFT JOINs the one-row argmax so a dried-up round
+    * (empty m$r) carries the vocabulary through unchanged, matching
+    * the Spark side's early stop instead of collapsing to zero rows. */
   private def trainCtes(rounds: Int): String = {
     val w0 =
       """w0 AS MATERIALIZED (
@@ -97,9 +151,9 @@ object BpeTrain {
          |        ORDER BY n DESC, a, b LIMIT 1),
          |w$r AS MATERIALIZED (
          |  SELECT w, c,
-         |    replace(enc, ' ' || m.a || '  ' || m.b || ' ',
-         |                 ' ' || m.a || m.b || ' ') AS enc
-         |  FROM w${r - 1}, m$r m)""".stripMargin
+         |    COALESCE(replace(enc, ' ' || m.a || '  ' || m.b || ' ',
+         |                 ' ' || m.a || m.b || ' '), enc) AS enc
+         |  FROM w${r - 1} LEFT JOIN m$r m ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"$w0,\n$perRound"
   }
@@ -134,12 +188,20 @@ object BpeTrain {
        |ORDER BY doc_id""".stripMargin
 
   /** Per-word token counts under `merges` (from [[train]]) — the learned
-    * tokenizer applied to the vocabulary, Spark side. */
+    * tokenizer applied to the vocabulary, Spark side. Column-API
+    * replaces (no SQL parse of learned tokens), checkpointed every 8
+    * folds so the fold survives production-depth merge tables. */
   def tokenizedVocab(docs: DataFrame, textCol: String,
-      merges: Seq[Row]): DataFrame =
-    merges.foldLeft(vocab(docs, textCol)) { (df, m) =>
+      merges: Seq[Row]): DataFrame = {
+    var df = vocab(docs, textCol)
+    merges.zipWithIndex.foreach { case (m, i) =>
       val (a, b) = (m.getString(1), m.getString(2))
-      df.withColumn("enc", expr(s"replace(enc, ' $a  $b ', ' $a$b ')"))
-    }.withColumn("nt", size(split(trim(col("enc")), "  ")))
+      df = df.withColumn("enc",
+        replace(col("enc"), lit(s" $a  $b "), lit(s" $a$b ")))
+      if ((i + 1) % 8 == 0 && i + 1 < merges.length)
+        df = df.localCheckpoint()
+    }
+    df.withColumn("nt", size(split(trim(col("enc")), "  ")))
       .select(col("w"), col("nt"))
+  }
 }
