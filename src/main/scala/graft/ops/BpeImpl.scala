@@ -67,6 +67,78 @@ object BpeImpl {
     toks
   }
 
+  /** Tokenize one word under an ARBITRARY flattened merges table
+    * [a0,b0,a1,b1,...] in rank order — the learned-tokenizer complement
+    * of [[tokens]]. A table learned by classical BPE (BpeTrain) is
+    * well-formed by construction (each merge's sides are tokens at its
+    * own learning step), so the same single-pass-per-rule argument
+    * applies verbatim. */
+  def tokensWith(word: String, merges: Array[String]): Array[String] = {
+    if (word.isEmpty) return Array.empty
+    var toks: Array[String] = Array.tabulate(word.length)(i =>
+      String.valueOf(word.charAt(i)))
+    var m = 0
+    while (m + 1 < merges.length) {
+      val a = merges(m)
+      val b = merges(m + 1)
+      if (toks.length >= 2) {
+        val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+            out += a + b
+            i += 2
+          } else {
+            out += toks(i)
+            i += 1
+          }
+        }
+        if (out.length < toks.length) toks = out.toArray
+      }
+      m += 2
+    }
+    toks
+  }
+
+  // One bounded word->count memo per merges-table INSTANCE (identity
+  // key: the table ships as a single codegen reference object per query,
+  // so executors see one array instance per trained tokenizer). Same
+  // Zipf argument as the fixture cache below.
+  private val learnedCaches = new java.util.concurrent.ConcurrentHashMap[
+    Array[String], java.util.concurrent.ConcurrentHashMap[String, Integer]]()
+  private val MaxLearnedTables = 64
+
+  /** Total token count of a text under a learned merges table: lower/
+    * trim, split on whitespace runs, sum of per-word token counts —
+    * the kernel path of the trained tokenizer (static entry point for
+    * both interpreted eval and codegen). */
+  def learnedTokenCount(text: UTF8String, merges: Array[String]): Long = {
+    val cache =
+      if (learnedCaches.size() < MaxLearnedTables ||
+          learnedCaches.containsKey(merges))
+        learnedCaches.computeIfAbsent(merges,
+          _ => new java.util.concurrent.ConcurrentHashMap[String, Integer]())
+      else null
+    val words = text.toLowerCase.toString.trim.split("\\s+")
+    var sum = 0L
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      if (w.nonEmpty) {
+        val hit = if (cache == null) null else cache.get(w)
+        if (hit != null) sum += hit.intValue()
+        else {
+          val n = tokensWith(w, merges).length
+          if (cache != null && cache.size() < MaxCacheEntries)
+            cache.put(w, Integer.valueOf(n))
+          sum += n
+        }
+      }
+      i += 1
+    }
+    sum
+  }
+
   // Zipf makes the hot vocabulary tiny; bound the memo so an adversarial
   // unique-word corpus cannot grow executor memory without limit
   private val MaxCacheEntries = 1 << 16

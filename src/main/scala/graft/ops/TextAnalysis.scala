@@ -86,6 +86,16 @@ object TextAnalysis {
     internal.column(BpeTokenCount(internal.expression(text)))
   }
 
+  /** Token count under a LEARNED merges table (the (left, right) pairs
+    * from BpeTrain.train, rank order) — one codegen'd kernel call per
+    * row; the map-stage way to apply a corpus-trained tokenizer. */
+  def bpeTokenCountLearned(text: Column,
+      merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.graft.{BpeLearnedTokenCount, internal}
+    internal.column(BpeLearnedTokenCount(internal.expression(text),
+      merges.iterator.flatMap(m => Iterator(m._1, m._2)).toArray))
+  }
+
   def punctRatio(text: Column): Column =
     countMatches(text, "[.!?,;:]").cast("double") /
       greatest(length(text), lit(1)).cast("double")

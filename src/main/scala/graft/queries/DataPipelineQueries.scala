@@ -1849,6 +1849,25 @@ object DataPipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // The trained tokenizer through the KERNEL path: same learned merges
+    // as bpe_train_apply, but applied by the codegen'd per-row
+    // BpeLearnedTokenCount expression (map stage, zero shuffle) instead
+    // of the vocabulary join. Gated against the SAME DuckDB twin as the
+    // join path, so trainer, join application, and kernel application
+    // are proven to agree token-for-token.
+    "bpe_train_kernel" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val merges = graft.ops.BpeTrain.train(docs, "text", rounds = 8)
+        .map(r => (r.getString(1), r.getString(2)))
+      docs.filter(trim($"text") =!= "")
+        .select($"doc_id",
+          TextAnalysis.bpeTokenCountLearned($"text", merges)
+            .as("n_tokens_learned"),
+          TextAnalysis.wordCount($"text").cast("long").as("n_words"))
+        .orderBy($"doc_id")
+    }),
+
     // Readability scoring (Flesch reading ease over the vowel-group
     // syllable proxy) — the classic document-difficulty signal quality
     // pipelines and curricula threshold on; exact integer counts, one
@@ -2951,6 +2970,8 @@ object DataPipelineQueries {
     "bpe_train" -> graft.ops.BpeTrain.trainSql(rounds = 8),
     "bpe_train_r16" -> graft.ops.BpeTrain.trainSql(rounds = 16),
     "bpe_train_apply" -> graft.ops.BpeTrain.applySql(rounds = 8),
+    // kernel application == join application, proven by the shared twin
+    "bpe_train_kernel" -> graft.ops.BpeTrain.applySql(rounds = 8),
     "mm_av_align" ->
       """WITH vids AS (
         |  SELECT doc_id, CAST(1 + length(text) % 7 AS INT) AS n_frames

@@ -128,9 +128,6 @@ case class NormalizeQuotes(child: Expression) extends StaticStringUnary {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
-/** Per-row MinHash signature: `numHashes` permutation minima over k-char
-  * shingles, computed in ONE pass over the string — turns signature
-  * generation into a map-side scalar op (no shingle explode, no shuffle). */
 /** Whole Cavnar-Trenkle language classification as one per-row call (see
   * graft.ops.LangIdNgram.classifyKernel) — the map-stage alternative to
   * the relational explode/groupBy/window plan, proven equivalent by the
@@ -174,6 +171,9 @@ case class PqEncode(child: Expression, cbs: Array[Array[Array[Float]]])
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Per-row MinHash signature: `numHashes` permutation minima over k-char
+  * shingles, computed in ONE pass over the string — turns signature
+  * generation into a map-side scalar op (no shingle explode, no shuffle). */
 case class MinHashSig(child: Expression, k: Int, numHashes: Int)
     extends UnaryExpression with ExpectsInputTypes {
   require(k > 0 && numHashes > 0)
@@ -206,6 +206,28 @@ case class BpeTokenCount(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, s => s"graft.ops.BpeImpl.tokenCount($s)")
   override def prettyName: String = "bpe_token_count"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Token count under a LEARNED merges table (BpeTrain.train output,
+  * flattened [a0,b0,a1,b1,...] in rank order) — the kernel path of the
+  * trained tokenizer, complement of the committed-fixture
+  * [[BpeTokenCount]]. The table rides as a codegen reference object
+  * serialized with the expression, so executors get it without any
+  * driver-side registry (the PqEncode codebook pattern). */
+case class BpeLearnedTokenCount(child: Expression, merges: Array[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(merges.nonEmpty && merges.length % 2 == 0)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(s: Any): Any =
+    graft.ops.BpeImpl.learnedTokenCount(s.asInstanceOf[UTF8String], merges)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeLearnedMerges", merges, "java.lang.String[]")
+    defineCodeGen(ctx, ev,
+      s => s"graft.ops.BpeImpl.learnedTokenCount($s, $ref)")
+  }
+  override def prettyName: String = "bpe_learned_token_count"
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 

@@ -116,6 +116,28 @@ class BpeTrainSpec extends SparkSpec {
       s"first divergence at ${got.zip(want).indexWhere(p => p._1 != p._2)}")
   }
 
+  test("kernel application of learned merges == join-based " +
+      "tokenizedVocab, metacharacters included") {
+    val texts = Seq("don't don't can't o'clock a\\b a\\b 100% 100% [x]",
+      "don't can't \"quoted\" \"quoted\" it''s a\\b")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = BpeTrain.train(docs, "text", rounds = 10)
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(merges.nonEmpty)
+    val tok = BpeTrain.tokenizedVocab(docs, "text",
+      BpeTrain.train(docs, "text", rounds = 10))
+    val joinSide = docs.select($"doc_id", explode(split(
+        regexp_replace(lower(trim($"text")), "\\s+", " "), " ")).as("w"))
+      .filter($"w" =!= "").join(tok, Seq("w"))
+      .groupBy($"doc_id").agg(sum($"nt").cast("long").as("nt"))
+      .as[(Long, Long)].collect().toMap
+    val kernelSide = docs.select($"doc_id",
+        TextAnalysis.bpeTokenCountLearned($"text", merges))
+      .as[(Long, Long)].collect().toMap
+    assert(joinSide == kernelSide, s"$joinSide != $kernelSide")
+  }
+
   test("early stop: a corpus that dries up returns fewer rounds and " +
       "tokenizedVocab folds only the learned merges") {
     val texts = Seq("ab ab ab")  // one word: merges (a,b) then done
