@@ -455,13 +455,20 @@ object Similarity {
     slice(array_sort(array(scored: _*)), 1, nProbe).getField("cell")
   }
 
-  /** IVF ANN search: queries(qid, qe) x targets(tid, te). */
+  /** IVF ANN search: queries(qid, qe) x targets(tid, te). `targetFilter`
+    * is the filtered-search hook: centroids still train on the FULL
+    * target set (the index layout a vector store shares across every
+    * predicate), and the metadata predicate restricts only the
+    * probed-cell candidate set — per-row cell assignment commutes with
+    * the filter, so filtering survivors equals filtering candidates. */
   def knnIvf(queries: DataFrame, targets: DataFrame, dim: Int, k: Int,
-      nCells: Int = 16, nProbe: Int = 2, lloydIters: Int = 0): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 2, lloydIters: Int = 0,
+      targetFilter: Option[Column] = None): DataFrame = {
     val centroids =
       if (lloydIters == 0) ivfSeedCentroids(targets, nCells)
       else ivfCentroids(targets, nCells, lloydIters)
-    val tb = targets.withColumn("cell", nearestCell(col("te"), centroids))
+    val tb0 = targetFilter.fold(targets)(targets.filter)
+    val tb = tb0.withColumn("cell", nearestCell(col("te"), centroids))
       .withColumn("tn", scaledDot(col("te"), col("te")))
     val qb = broadcast(queries
       .withColumn("cell", explode(probeCells(col("qe"), centroids, nProbe)))
@@ -519,13 +526,18 @@ object Similarity {
     * of its total size. */
   def knnIvfIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       centroids: Array[Array[Float]], queries: DataFrame, k: Int,
-      nProbe: Int = 2): DataFrame = {
+      nProbe: Int = 2, targetFilter: Option[Column] = None): DataFrame = {
     val probed = queries
       .withColumn("cell", explode(probeCells(col("qe"), centroids, nProbe)))
     val cells = probed.select(col("cell")).distinct().collect()
       .map(_.getInt(0)).toSeq
-    val tb = spark.read.parquet(path)
+    // filtered vector search: writeIvfIndex preserves every target
+    // column, so a metadata predicate composes with the probe-cell
+    // partition pruning — both reach the parquet scan (partition filter
+    // + pushed data filter), the knnLshIndexed convention
+    val tb0 = spark.read.parquet(path)
       .filter(col("cell").isin(cells: _*))
+    val tb = targetFilter.fold(tb0)(tb0.filter)
     val qb = broadcast(probed
       .withColumn("qn", scaledDot(col("qe"), col("qe"))))
     val scored = qb.join(tb, Seq("cell")).filter(col("qid") =!= col("tid"))

@@ -815,6 +815,40 @@ object DataPipelineQueries {
         .orderBy($"qid", $"rank")
     }),
 
+    // FILTERED search on the IVF index: centroids train on the FULL
+    // corpus (the shared index layout), the metadata predicate restricts
+    // only the probed-cell candidate set — per-row cell assignment
+    // commutes with the filter, so the twin just threads the predicate
+    // into its assignment CTE (assignWhere) over the same Lloyd layout.
+    "knn_ivf_filtered" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"), $"label")
+      Similarity.knnIvf(q, tt, dim = 64, k = 5, nCells = 16, nProbe = 2,
+        lloydIters = 2, targetFilter = Some($"label" % 2 === 0))
+        .orderBy($"qid", $"rank")
+    }),
+
+    // The same filtered search THROUGH the persisted IVF index: the
+    // label column rides in the index at rest, so the predicate reaches
+    // the parquet scan as a pushed data filter COMPOSED with the
+    // probe-cell partition pruning — same twin as the in-memory variant.
+    "knn_ivf_filtered_indexed" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"), $"label")
+      val (path, centroids) = builtIndex("ivf-idx-lab", dir) { p =>
+        Similarity.writeIvfIndex(tt, p, nCells = 16, lloydIters = 2)
+      }
+      Similarity.knnIvfIndexed(s, path, centroids, q, k = 5, nProbe = 2,
+        targetFilter = Some($"label" % 2 === 0))
+        .orderBy($"qid", $"rank")
+    }),
+
     // The numPlanes knob at a NON-default width (8 planes = 256 buckets),
     // oracle-gated: the DuckDB twin regenerates the plane literals at the
     // same width, so the knob path — not just the default — is proven
@@ -871,16 +905,25 @@ object DataPipelineQueries {
       val e = t(s, dir, "embeddings")
       val q = e.filter($"vec_id" < 50)
         .select($"vec_id".as("qid"), $"embedding".as("qe"))
-      val tt = e.filter($"label" % 2 === 0)
+      val tf = e.filter($"label" % 2 === 0)
         .select($"vec_id".as("tid"), $"embedding".as("te"))
-      val bf = Similarity.knnBruteForce(q, tt, k = 5)
+      val bf = Similarity.knnBruteForce(q, tf, k = 5)
         .select($"qid", $"tid").localCheckpoint()
-      val lsh = Similarity.knnLsh(q, tt, dim = 64, k = 5, nProbe = 2)
-      lsh.select($"qid", $"tid").join(bf, Seq("qid", "tid"))
-        .agg(count(lit(1)).as("hits"))
-        .select(lit("lsh_filtered").as("method"), lit(5).as("k"), $"hits")
+      val lsh = Similarity.knnLsh(q, tf, dim = 64, k = 5, nProbe = 2)
+      // IVF trains its cell layout on the FULL corpus and filters only
+      // the candidate set (knn_ivf_filtered's exact semantics)
+      val ivf = Similarity.knnIvf(q,
+        e.select($"vec_id".as("tid"), $"embedding".as("te"), $"label"),
+        dim = 64, k = 5, nCells = 16, nProbe = 2, lloydIters = 2,
+        targetFilter = Some($"label" % 2 === 0))
+      def hits(method: String, ann: DataFrame): DataFrame =
+        ann.select($"qid", $"tid").join(bf, Seq("qid", "tid"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(method).as("method"), lit(5).as("k"), $"hits")
+      hits("ivf_filtered", ivf).unionAll(hits("lsh_filtered", lsh))
         .crossJoin(bf.agg(count(lit(1)).as("possible")))
         .select($"method", $"k", $"hits", $"possible")
+        .orderBy($"method")
     }),
 
     // Scalar-quantized (int8) brute-force top-5 — the 4x-memory-shrink
@@ -2749,17 +2792,27 @@ object DataPipelineQueries {
        |    (SELECT COUNT(*) FROM bf) AS possible)
        |ORDER BY method""".stripMargin
 
-  /** knn_recall_filtered twin: recall@5 of the filtered LSH search
-    * against the exact top-5 over only the predicate-surviving targets —
-    * both sides share the `label % 2 = 0` target restriction. */
+  /** knn_recall_filtered twin: recall@5 of the filtered LSH and IVF
+    * searches against the exact top-5 over only the predicate-surviving
+    * targets — every side shares the `label % 2 = 0` target restriction
+    * (the IVF line trains centroids on the full corpus and filters the
+    * assignment, knn_ivf_filtered's exact semantics). */
   private def knnRecallFilteredSql: String =
     s"""WITH bf AS (SELECT qid, tid FROM (
        |${knnBruteforceSql(maxQid = 50, targetFilter = "label % 2 = 0")})),
        |lshr AS (SELECT qid, tid FROM (
-       |${knnLshSql(targetFilter = "label % 2 = 0")}))
-       |SELECT 'lsh_filtered' AS method, CAST(5 AS INT) AS k,
-       |  (SELECT COUNT(*) FROM lshr JOIN bf USING (qid, tid)) AS hits,
-       |  (SELECT COUNT(*) FROM bf) AS possible""".stripMargin
+       |${knnLshSql(targetFilter = "label % 2 = 0")})),
+       |ivfr AS (SELECT qid, tid FROM (
+       |${knnIvfLloydSql(assignWhere = "label % 2 = 0")}))
+       |SELECT method, k, hits, possible FROM (
+       |  SELECT 'ivf_filtered' AS method, CAST(5 AS INT) AS k,
+       |    (SELECT COUNT(*) FROM ivfr JOIN bf USING (qid, tid)) AS hits,
+       |    (SELECT COUNT(*) FROM bf) AS possible
+       |  UNION ALL
+       |  SELECT 'lsh_filtered' AS method, CAST(5 AS INT) AS k,
+       |    (SELECT COUNT(*) FROM lshr JOIN bf USING (qid, tid)) AS hits,
+       |    (SELECT COUNT(*) FROM bf) AS possible)
+       |ORDER BY method""".stripMargin
 
   /** d8d twin: benchmark slice cross corpus, fixed-point cosine, per-doc
     * max — the d5 dot/norm construction with a groupBy tail. */
@@ -3291,6 +3344,10 @@ object DataPipelineQueries {
     "knn_lsh_filtered" -> knnLshSql(targetFilter = "label % 2 = 0"),
     "knn_lsh_filtered_indexed" -> knnLshSql(targetFilter = "label % 2 = 0"),
     "knn_ivf_indexed" -> knnIvfLloydSql(), // Lloyd centroids reach the index
+    // filtered IVF: full-corpus training, predicate-restricted assignment
+    "knn_ivf_filtered" -> knnIvfLloydSql(assignWhere = "label % 2 = 0"),
+    "knn_ivf_filtered_indexed" ->
+      knnIvfLloydSql(assignWhere = "label % 2 = 0"),
     // append twin: centroids trained on the initial 4/5 only, assignment
     // (and thus candidate cells) over the full corpus — exactly what the
     // frozen-centroid append produces at rest

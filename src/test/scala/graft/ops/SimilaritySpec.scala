@@ -215,6 +215,31 @@ class SimilaritySpec extends SparkSpec {
       scan.take(500))
   }
 
+  test("filtered IVF: candidate filter == pre-assignment filter, and " +
+      "the indexed path composes cell pruning with the pushed predicate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivffil").toString
+    val e = embeddings
+    val q = e.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val t = e.select($"vec_id".as("tid"), $"embedding".as("te"),
+      ($"vec_id" % 3).as("label"))
+    val centroids = Similarity.writeIvfIndex(t, dir, nCells = 4, lloydIters = 1)
+    val indexed = Similarity.knnIvfIndexed(spark, dir, centroids, q, k = 3,
+      targetFilter = Some($"label" % 2 === 0))
+    val inMemory = Similarity.knnIvf(q, t, dim = 16, k = 3, nCells = 4,
+      nProbe = 2, lloydIters = 1, targetFilter = Some($"label" % 2 === 0))
+    assert(indexed.collect().map(_.toSeq).toSet ==
+      inMemory.collect().map(_.toSeq).toSet)
+    // both layers reach the scan: cell partition pruning AND the label
+    // predicate as a pushed data filter
+    val scan = indexed.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("PartitionFilters") || l.contains("PushedFilters"))
+      .mkString("\n")
+    assert(scan.replaceAll(".*PartitionFilters", "").contains("cell#"),
+      scan.take(500))
+    assert(scan.contains("PushedFilters") && scan.contains("label"),
+      scan.take(500))
+  }
+
   test("sq8: codes bounded, dot matches driver reference, recall holds") {
     val e = embeddings
     val scales = Similarity.sq8Scales(
