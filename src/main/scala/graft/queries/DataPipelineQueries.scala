@@ -3413,14 +3413,21 @@ object DataPipelineQueries {
         |  FROM documents)
         |SELECT org, COUNT(*) AS n
         |FROM orgs GROUP BY org ORDER BY org""".stripMargin,
+    // image rows re-derive the PNG-encoded dims (16+len%113, 12+len%97 —
+    // the Spark side round-trips them through a real PNG header);
+    // audio/video keep the stub formulas
     "mm_resize" ->
-      """SELECT doc_id,
-        |  CAST(64 + length(text) % 577 AS INT) AS width,
-        |  CAST(48 + length(text) % 433 AS INT) AS height,
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN CAST(16 + length(text) % 113 AS INT)
+        |         ELSE CAST(64 + length(text) % 577 AS INT) END AS width,
+        |    CASE WHEN doc_id % 3 = 0 THEN CAST(12 + length(text) % 97 AS INT)
+        |         ELSE CAST(48 + length(text) % 433 AS INT) END AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height,
         |  256 AS out_width,
-        |  CAST(round((48 + length(text) % 433) * 256
-        |             / (64 + length(text) % 577)) AS INT) AS out_height
-        |FROM documents
+        |  CAST(round(height * 256 / width) AS INT) AS out_height
+        |FROM dims
         |ORDER BY doc_id""".stripMargin,
     // pred_lang's marker scores and CASE come from the shared fragments
     // (also consumed by ta_corpus_stats / sample_stratified); n_words /
@@ -3868,12 +3875,16 @@ object DataPipelineQueries {
         | TRUE AS dim_ok, TRUE AS norm_ok
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // image width/height re-derive the PNG-encoded dims the Spark side
+    // recovers by actually parsing the IHDR chunk; audio/video stay stub
     "mm_decode_stub" ->
       """SELECT doc_id,
         | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |      ELSE 'video' END AS media_type,
-        | CAST(64 + length(text) % 577 AS INT) AS width,
-        | CAST(48 + length(text) % 433 AS INT) AS height,
+        | CASE WHEN doc_id % 3 = 0 THEN CAST(16 + length(text) % 113 AS INT)
+        |      ELSE CAST(64 + length(text) % 577 AS INT) END AS width,
+        | CASE WHEN doc_id % 3 = 0 THEN CAST(12 + length(text) % 97 AS INT)
+        |      ELSE CAST(48 + length(text) % 433 AS INT) END AS height,
         | CAST(CASE CAST(doc_id % 3 AS INT)
         |      WHEN 0 THEN 1 WHEN 1 THEN 0
         |      ELSE 1 + length(text) % 7 END AS INT) AS n_frames

@@ -209,6 +209,22 @@ case class BpeTokenCount(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Real PNG payload from a text column: dims derived from the code-point
+  * length (graft.ops.Multimodal.imageDims), bytes a spec-valid PNG
+  * (signature/IHDR/deflated IDAT/CRCs — Multimodal.pngEncode). Keeps the
+  * media-table synthesis fully relational (no typed map in the plan). */
+case class PngPayload(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(s: Any): Any =
+    graft.ops.Multimodal.pngPayloadOf(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.ops.Multimodal.pngPayloadOf($s)")
+  override def prettyName: String = "png_payload"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Token count under a LEARNED merges table (BpeTrain.train output,
   * flattened [a0,b0,a1,b1,...] in rank order) — the kernel path of the
   * trained tokenizer, complement of the committed-fixture

@@ -20,13 +20,15 @@ class MultimodalSpec extends SparkSpec {
     assert(types == Seq("image", "audio", "video", "image", "audio", "video"))
   }
 
-  test("stub decode through mapPartitions is deterministic and batch-shaped") {
+  test("decode through mapPartitions is deterministic and batch-shaped; " +
+      "image dims come from the real PNG header") {
     val decoded = Multimodal.decodeAll(spark, Multimodal.mediaTable(docs))
     val rows = decoded.collect().sortBy(_.doc_id)
     assert(rows.length == 6)
     val img = rows(0)
-    assert(img.width == 64 + img.doc_id.toInt.toString.length * 0 +
-      "an image payload with enough bytes to be interesting".length % 577)
+    val txtLen = "an image payload with enough bytes to be interesting".length
+    assert(img.width == 16 + txtLen % 113)
+    assert(img.height == 12 + txtLen % 97)
     assert(rows(1).n_frames == 0) // audio
     assert(rows(2).n_frames >= 1) // video
     assert(rows.forall(_.features.length == 16))
@@ -34,6 +36,38 @@ class MultimodalSpec extends SparkSpec {
     val again = Multimodal.decodeAll(spark, Multimodal.mediaTable(docs))
       .collect().sortBy(_.doc_id)
     assert(rows.map(_.width).toSeq == again.map(_.width).toSeq)
+  }
+
+  test("pngEncode emits REAL PNGs: the JDK's independent ImageIO codec " +
+      "decodes them with the same dims pngDims parses") {
+    Seq((1, 1), (16, 12), (128, 108), (300, 2), (2, 300)).foreach {
+      case (w, h) =>
+        val bytes = Multimodal.pngEncode(w, h)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        assert(img != null, s"ImageIO rejected pngEncode($w, $h)")
+        assert(img.getWidth == w && img.getHeight == h,
+          s"ImageIO saw ${img.getWidth}x${img.getHeight}, wanted ${w}x$h")
+        assert(Multimodal.pngDims(bytes) == (w, h))
+    }
+  }
+
+  test("pngDims parses a PNG produced by the independent ImageIO encoder " +
+      "(multi-byte big-endian dims included) and rejects corruption") {
+    val img = new java.awt.image.BufferedImage(517, 311,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out))
+    assert(Multimodal.pngDims(out.toByteArray) == (517, 311))
+    // corrupt signature
+    val bad = Multimodal.pngEncode(4, 4); bad(1) = 'X'
+    intercept[IllegalArgumentException](Multimodal.pngDims(bad))
+    // corrupt a dim byte without fixing the CRC -> caught by CRC check
+    val crcBad = Multimodal.pngEncode(4, 4); crcBad(19) = 9
+    intercept[IllegalArgumentException](Multimodal.pngDims(crcBad))
+    // truncated
+    intercept[IllegalArgumentException](
+      Multimodal.pngDims(Multimodal.pngEncode(4, 4).take(20)))
   }
 
   test("frame sampling explodes only media with frames") {
