@@ -39,12 +39,18 @@ object Layout {
       s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
     }.mkString("(", " + ", ")")
 
+  /** Morton-code right-shift that yields the tile id at `level` — THE
+    * shared constant both the Spark tileId and the DuckDB twins derive
+    * their shift from (hardcoding it on one side desynchronizes the
+    * oracle the moment Bits or the gate's level moves). */
+  def tileShift(level: Int): Int = 2 * (Bits - level)
+
   /** Quadtree tile id at `level` subdivisions per axis: the top `level`
     * interleaved bit pairs of the Morton code. Every tile is an
     * axis-aligned square of side 2^(Bits - level) — the invariant
     * LayoutSpec asserts and zorder_stats exposes as per-tile spans. */
   def tileId(z: Column, level: Int): Column =
-    shiftright(z, 2 * (Bits - level))
+    shiftright(z, tileShift(level))
 
   /** Physically lay a DataFrame out in Morton order: range-partition on
     * the z key (Spark samples split points — an even-sized distributed

@@ -2982,15 +2982,16 @@ object DataPipelineQueries {
        |zc AS (SELECT event_id, x, y,
        |         ${graft.ops.Layout.interleaveBitsSql("x", "y")} AS z
        |       FROM xy)
-       |SELECT event_id, x, y, z, z >> 12 AS tile
+       |SELECT event_id, x, y, z,
+       |  z >> ${graft.ops.Layout.tileShift(10)} AS tile
        |FROM zc
        |ORDER BY event_id""".stripMargin
 
   private def zorderStatsSql: String =
     s"""WITH xy AS ($zorderXySql),
        |zc AS (SELECT x, y,
-       |         (${graft.ops.Layout.interleaveBitsSql("x", "y")}) >> 12
-       |           AS tile
+       |         (${graft.ops.Layout.interleaveBitsSql("x", "y")})
+       |           >> ${graft.ops.Layout.tileShift(10)} AS tile
        |       FROM xy)
        |SELECT tile, COUNT(*) AS n_events,
        |  MIN(x) AS x_min, MAX(x) AS x_max,

@@ -73,4 +73,74 @@ class LayoutSpec extends SparkSpec {
     assert(meanArea < 0.5 * gx * gy,
       s"no locality: mean bbox $meanArea vs global ${gx * gy}")
   }
+
+  test("pruning proof: z-order skips files on BOTH axes where the " +
+      "x-sorted layout of the same data prunes only x") {
+    val zDir = java.nio.file.Files.createTempDirectory("graft-zprune")
+    val xDir = java.nio.file.Files.createTempDirectory("graft-xprune")
+    Seq(zDir, xDir).foreach(_.toFile.deleteOnExit())
+    // NORMALIZE each dimension onto the full 2^Bits domain first — the
+    // production prerequisite for Morton layout: with raw values (x
+    // spans 150 ids, y a ~720-hour band) the interleave's top bits are
+    // all y, and 16 files split on y alone (measured: zero x pruning)
+    val raw = graft.util.Tables.events(spark, sf("sf0.01")).select(
+      $"event_id",
+      $"user_id".as("x0"),
+      expr("unix_micros(ts) div 3600000000").as("y0"))
+    val b = raw.agg(min($"x0"), max($"x0"), min($"y0"), max($"y0"))
+      .collect()(0)
+    def norm(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+      ((c - lo) * 65535L / math.max(hi - lo, 1L)).cast("long")
+    val ev = raw.select($"event_id",
+      norm($"x0", b.getLong(0), b.getLong(1)).as("x"),
+      norm($"y0", b.getLong(2), b.getLong(3)).as("y"))
+    val nFiles = 16
+    Layout.zorderWrite(ev, Layout.interleaveBits($"x", $"y"),
+      zDir.toString, nFiles)
+    // the one-dimensional baseline: same data, same file count, sorted
+    // on x only
+    ev.repartitionByRange(nFiles, $"x").sortWithinPartitions($"x")
+      .write.mode("overwrite").parquet(xDir.toString)
+
+    // per-file [min,max] of each original column == the parquet footer
+    // stats a reader prunes on; a file must be read iff its interval
+    // intersects the predicate range
+    def bboxes(dir: String) = spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg(min($"x").as("x_min"), max($"x").as("x_max"),
+        min($"y").as("y_min"), max($"y").as("y_max"))
+      .collect()
+    def mustRead(boxes: Array[org.apache.spark.sql.Row], axis: String,
+        lo: Long, hi: Long): Int =
+      boxes.count(r => r.getAs[Long](s"${axis}_max") >= lo &&
+        r.getAs[Long](s"${axis}_min") <= hi)
+    val zb = bboxes(zDir.toString)
+    val xb = bboxes(xDir.toString)
+    assert(zb.length == nFiles && xb.length == nFiles)
+
+    // central ~6% range per axis (data-derived, layout-independent)
+    def centralRange(axis: String): (Long, Long) = {
+      val lo = zb.map(_.getAs[Long](s"${axis}_min")).min
+      val hi = zb.map(_.getAs[Long](s"${axis}_max")).max
+      val mid = (lo + hi) / 2
+      val w = math.max((hi - lo) / 32, 1L)
+      (mid - w / 2, mid + w / 2)
+    }
+    val (xlo, xhi) = centralRange("x")
+    val (ylo, yhi) = centralRange("y")
+
+    val zOnX = mustRead(zb, "x", xlo, xhi)
+    val zOnY = mustRead(zb, "y", ylo, yhi)
+    val xsOnX = mustRead(xb, "x", xlo, xhi)
+    val xsOnY = mustRead(xb, "y", ylo, yhi)
+    // the x-sorted layout has no y clustering: a y predicate reads it all
+    assert(xsOnY == nFiles, s"x-sorted pruned y?! $xsOnY/$nFiles")
+    // z-order prunes strictly on BOTH axes...
+    assert(zOnX < nFiles, s"z-order read all files on x: $zOnX")
+    assert(zOnY < nFiles, s"z-order read all files on y: $zOnY")
+    // ...and strictly beats the x-sorted layout on the y predicate
+    assert(zOnY < xsOnY, s"z $zOnY !< x-sorted $xsOnY on y")
+    // sanity: the baseline's x pruning works (it sorted on x, after all)
+    assert(xsOnX < nFiles)
+  }
 }
