@@ -73,7 +73,18 @@ object Bench {
     val qs = jmap(results)
     val med = jmap(named.map { case (name, _) => name -> median(times(name)) })
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_median":$med,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_median":$med,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's artifact keeps only a truncated log tail; persist the
+    // COMPLETE line so every per-query min+median stays readable
+    // round-over-round (best effort — the bench must not fail on I/O)
+    try {
+      val out = java.nio.file.Paths.get("bench")
+      java.nio.file.Files.createDirectories(out)
+      java.nio.file.Files.writeString(out.resolve("full_latest.json"), line)
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not persist full line: $e")
+    }
     spark.stop()
   }
 }

