@@ -223,10 +223,14 @@ object Similarity {
     * baseline); compose with the IVF cell filter for the pruned
     * IVF-PQ shape. Returns (qid, rank, tid, adc). */
   def knnPq(queries: DataFrame, targets: DataFrame, dim: Int, k: Int,
-      m: Int = 4, nCells: Int = 16): DataFrame = {
+      m: Int = 4, nCells: Int = 16,
+      targetFilter: Option[Column] = None): DataFrame = {
+    // filtered search: codebooks still train on the FULL target set (the
+    // shared index layout — the knnIvf targetFilter convention); the
+    // predicate restricts only the coded scan
     val cbs = pqCodebooks(targets, dim, m, nCells)
     val subDim = dim / m
-    val t = targets.select(col("tid"),
+    val t = targetFilter.fold(targets)(targets.filter).select(col("tid"),
       pqEncode(col("te"), cbs, subDim).as("codes"))
     val q = broadcast(queries.select(col("qid"),
       adcTables(col("qe"), cbs, subDim).as("tabs")))
@@ -249,8 +253,9 @@ object Similarity {
     * gate prices both points). Returns (qid, rank, tid, cos) — the
     * [[knnBruteForce]] shape, so the shared score tail gates it. */
   def knnPqRerank(queries: DataFrame, targets: DataFrame, dim: Int, k: Int,
-      m: Int = 8, nCells: Int = 32, refine: Int = 100): DataFrame = {
-    val cand = knnPq(queries, targets, dim, refine, m, nCells)
+      m: Int = 8, nCells: Int = 32, refine: Int = 100,
+      targetFilter: Option[Column] = None): DataFrame = {
+    val cand = knnPq(queries, targets, dim, refine, m, nCells, targetFilter)
       .select(col("qid"), col("tid"))
     exactRerank(cand, queries, targets, k)
   }

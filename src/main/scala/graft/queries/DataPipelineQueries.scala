@@ -923,15 +923,19 @@ object DataPipelineQueries {
       val lsh = Similarity.knnLsh(q, tf, dim = 64, k = 5, nProbe = 2)
       // IVF trains its cell layout on the FULL corpus and filters only
       // the candidate set (knn_ivf_filtered's exact semantics)
-      val ivf = Similarity.knnIvf(q,
-        e.select($"vec_id".as("tid"), $"embedding".as("te"), $"label"),
+      val tLab = e.select($"vec_id".as("tid"), $"embedding".as("te"),
+        $"label")
+      val ivf = Similarity.knnIvf(q, tLab,
         dim = 64, k = 5, nCells = 16, nProbe = 2, lloydIters = 2,
+        targetFilter = Some($"label" % 2 === 0))
+      val pqr = Similarity.knnPqRerank(q, tLab, dim = 64, k = 5,
         targetFilter = Some($"label" % 2 === 0))
       def hits(method: String, ann: DataFrame): DataFrame =
         ann.select($"qid", $"tid").join(bf, Seq("qid", "tid"))
           .agg(count(lit(1)).as("hits"))
           .select(lit(method).as("method"), lit(5).as("k"), $"hits")
       hits("ivf_filtered", ivf).unionAll(hits("lsh_filtered", lsh))
+        .unionAll(hits("pq_rerank_filtered", pqr))
         .crossJoin(bf.agg(count(lit(1)).as("possible")))
         .select($"method", $"k", $"hits", $"possible")
         .orderBy($"method")
@@ -1018,6 +1022,23 @@ object DataPipelineQueries {
         .select($"vec_id".as("qid"), $"embedding".as("qe"))
       val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
       Similarity.knnPqRerank(q, tt, dim = 64, k = 5)
+        .orderBy($"qid", $"rank")
+    }),
+
+    // FILTERED PQ search (rerank shape — the production path): codebooks
+    // train on the full corpus, the label predicate restricts only the
+    // coded scan, and the ADC survivors re-rank on exact float cosine —
+    // completing the filtered-search recipe across all three index
+    // families (LSH, IVF, PQ). The twin threads the same predicate into
+    // its coded-scan CTE over the identical codebook layout.
+    "knn_pq_filtered" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"), $"label")
+      Similarity.knnPqRerank(q, tt, dim = 64, k = 5,
+        targetFilter = Some($"label" % 2 === 0))
         .orderBy($"qid", $"rank")
     }),
 
@@ -2535,8 +2556,8 @@ object DataPipelineQueries {
   /** knn_pq_rerank twin: ADC top-`refine` candidates from the PQ chain,
     * exact fixed-point cosine re-rank via the shared score tail. */
   private def knnPqRerankSql(maxQid: Int, m: Int = 8, nCells: Int = 32,
-      refine: Int = 100): String =
-    s"""${knnPqCtes(maxQid, m, nCells)},
+      refine: Int = 100, scanWhere: String = "TRUE"): String =
+    s"""${knnPqCtes(maxQid, m, nCells, scanWhere = scanWhere)},
        |${adcCandSql(refine)},
        |""".stripMargin + knnScoreTailSql(5)
 
@@ -2568,7 +2589,8 @@ object DataPipelineQueries {
     * — so `cpair` has each (qid, tid) at most once and the ADC SUM is
     * never double-counted. */
   private def knnPqCtes(maxQid: Int, m: Int, nCells: Int,
-      coarse: Option[(Int, Int)] = None): String = {
+      coarse: Option[(Int, Int)] = None,
+      scanWhere: String = "TRUE"): String = {
     val subDim = 64 / m
     val coarseCtes = coarse.map { case (n0, nProbe) =>
       s"""|cseeds AS (
@@ -2627,7 +2649,9 @@ object DataPipelineQueries {
        |tx AS MATERIALIZED (
        |  SELECT tid, CAST((pos - 1) // $subDim AS INT) AS sub, pos, x
        |  FROM (SELECT tid, unnest(te) AS x, unnest(range(1, 65)) AS pos
-       |        FROM tt) z),
+       |        FROM tt
+       |        WHERE tid IN (SELECT vec_id FROM embeddings
+       |                      WHERE $scanWhere)) z),
        |tdots AS (
        |  SELECT tid, sub, cell,
        |    SUM(CAST(ROUND(CAST(x AS DOUBLE)*CAST(c AS DOUBLE)*1000000) AS BIGINT)) AS d
@@ -2831,7 +2855,9 @@ object DataPipelineQueries {
        |lshr AS (SELECT qid, tid FROM (
        |${knnLshSql(targetFilter = "label % 2 = 0")})),
        |ivfr AS (SELECT qid, tid FROM (
-       |${knnIvfLloydSql(assignWhere = "label % 2 = 0")}))
+       |${knnIvfLloydSql(assignWhere = "label % 2 = 0")})),
+       |pqfr AS (SELECT qid, tid FROM (
+       |${knnPqRerankSql(maxQid = 50, scanWhere = "label % 2 = 0")}))
        |SELECT method, k, hits, possible FROM (
        |  SELECT 'ivf_filtered' AS method, CAST(5 AS INT) AS k,
        |    (SELECT COUNT(*) FROM ivfr JOIN bf USING (qid, tid)) AS hits,
@@ -2839,6 +2865,10 @@ object DataPipelineQueries {
        |  UNION ALL
        |  SELECT 'lsh_filtered' AS method, CAST(5 AS INT) AS k,
        |    (SELECT COUNT(*) FROM lshr JOIN bf USING (qid, tid)) AS hits,
+       |    (SELECT COUNT(*) FROM bf) AS possible
+       |  UNION ALL
+       |  SELECT 'pq_rerank_filtered' AS method, CAST(5 AS INT) AS k,
+       |    (SELECT COUNT(*) FROM pqfr JOIN bf USING (qid, tid)) AS hits,
        |    (SELECT COUNT(*) FROM bf) AS possible)
        |ORDER BY method""".stripMargin
 
@@ -3396,6 +3426,9 @@ object DataPipelineQueries {
     "knn_recall_sq8" -> knnRecallSq8Sql,
     "knn_pq" -> knnPqSql(maxQid = 10),
     "knn_pq_rerank" -> knnPqRerankSql(maxQid = 10),
+    // filtered PQ: full-corpus codebooks, predicate-restricted coded scan
+    "knn_pq_filtered" ->
+      knnPqRerankSql(maxQid = 10, scanWhere = "label % 2 = 0"),
     "knn_ivfpq" -> knnIvfPqSql(maxQid = 10),
     "knn_recall_pq" -> knnRecallPqSql,
     "mine_hard_negatives" -> hardNegativesSql(maxQid = 10),
