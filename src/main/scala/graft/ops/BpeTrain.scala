@@ -187,6 +187,30 @@ object BpeTrain {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Persist a learned merges table at rest (rank-ordered parquet) — the
+    * tokenizer artifact a training job ships: train once, store, load
+    * anywhere. One tiny file; the table is vocab-sized by construction. */
+  def writeMerges(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Row], path: String): Unit = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("round", IntegerType, nullable = false),
+      StructField("left", StringType, nullable = false),
+      StructField("right", StringType, nullable = false),
+      StructField("n_pairs", LongType, nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(merges: _*), schema)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a merges table from rest, rank order restored. Driver-side
+    * collect is bounded by the vocabulary size — exactly how a tokenizer
+    * loads its vocab file. */
+  def readMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy(col("round"))
+      .select(col("left"), col("right"))
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+
   /** Per-word token counts under `merges` (from [[train]]) — the learned
     * tokenizer applied to the vocabulary, Spark side. Column-API
     * replaces (no SQL parse of learned tokens), checkpointed every 8

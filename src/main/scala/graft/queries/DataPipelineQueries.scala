@@ -1960,6 +1960,27 @@ object DataPipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // The trained tokenizer AT REST: learned merges persisted as a
+    // rank-ordered parquet artifact, loaded back, and applied through
+    // the kernel path — train once / store / tokenize anywhere, the
+    // knn_*_indexed at-rest convention for the tokenizer. Same twin as
+    // the in-memory paths: a store round-trip that changed one merge,
+    // its order, or a token byte flips the hash.
+    "bpe_store_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val path = graft.util.TempDirs.create("graft-bpe-store") + "/merges"
+      graft.ops.BpeTrain.writeMerges(s,
+        trainedMerges(s, dir, rounds = 8), path)
+      val merges = graft.ops.BpeTrain.readMerges(s, path)
+      docs.filter(trim($"text") =!= "")
+        .select($"doc_id",
+          TextAnalysis.bpeTokenCountLearned($"text", merges)
+            .as("n_tokens_learned"),
+          TextAnalysis.wordCount($"text").cast("long").as("n_words"))
+        .orderBy($"doc_id")
+    }),
+
     // Readability scoring (Flesch reading ease over the vowel-group
     // syllable proxy) — the classic document-difficulty signal quality
     // pipelines and curricula threshold on; exact integer counts, one
@@ -3092,6 +3113,8 @@ object DataPipelineQueries {
     "bpe_train_apply" -> graft.ops.BpeTrain.applySql(rounds = 8),
     // kernel application == join application, proven by the shared twin
     "bpe_train_kernel" -> graft.ops.BpeTrain.applySql(rounds = 8),
+    // store round-trip == in-memory merges, proven by the same twin
+    "bpe_store_roundtrip" -> graft.ops.BpeTrain.applySql(rounds = 8),
     "mm_av_align" ->
       """WITH vids AS (
         |  SELECT doc_id, CAST(1 + length(text) % 7 AS INT) AS n_frames

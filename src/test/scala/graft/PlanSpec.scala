@@ -382,6 +382,38 @@ class PlanSpec extends SparkSpec {
       "expected a partition filter on cell in the index scan: " +
         p.take(2000))
   }
+
+  test("round-9 shapes: trained-tokenizer application is a pure map " +
+      "stage; filtered IVF pushes the label predicate to the scan; " +
+      "langid accuracy aggregates partially off the kernel") {
+    // kernel + store-roundtrip application: scan -> filter -> project ->
+    // order. No hash shuffle, no window, no explode — the trained
+    // tokenizer costs the same plan as any scalar expression.
+    Seq("bpe_train_kernel", "bpe_store_roundtrip").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name must not hash-shuffle: " + p.take(1500))
+      assert(PlanSpec.collectWindows(df.queryExecution.executedPlan).isEmpty,
+        s"$name must not window")
+      assert(!p.contains("Generate "), s"$name must not explode")
+    }
+    // filtered IVF: label predicate reaches the parquet scan pushed, and
+    // the per-query ranking windows stay per-qid
+    val ivf = SparkEntry.queries("knn_ivf_filtered")(spark, sf("sf0.001"))
+    val pIvf = ivf.queryExecution.executedPlan.toString
+    assert(pIvf.contains("PushedFilters") && pIvf.contains("label"),
+      "label predicate must push to the embeddings scan: " + pIvf.take(1500))
+    val ws = PlanSpec.collectWindows(ivf.queryExecution.executedPlan)
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      "filtered IVF ranking must window per qid only")
+    // accuracy confusion row: kernel map stage into a partial aggregate
+    val acc = SparkEntry.queries("ta_langid_accuracy")(spark, sf("sf0.001"))
+    val pAcc = acc.queryExecution.executedPlan.toString
+    assert(pAcc.contains("partial_count") || pAcc.contains("partial_sum"),
+      "accuracy row must combine map-side: " + pAcc.take(1500))
+    assert(!pAcc.contains("Generate "), "accuracy row must not explode")
+  }
 }
 
 object PlanSpec {
