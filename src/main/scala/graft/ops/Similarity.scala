@@ -507,6 +507,32 @@ object Similarity {
     centroids
   }
 
+  /** Persist the centroid matrix BESIDE the index (`<path>.centroids`)
+    * so the index is self-contained at rest: a fresh driver — or another
+    * engine — can reload probe state without retraining. Row-major
+    * (cell, pos, c) float cells; exact float round-trip through parquet. */
+  def writeIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Float]], path: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.flatMap { case (c, cell) =>
+      c.zipWithIndex.map { case (v, pos) => (cell, pos, v) }
+    }.toSeq.toDF("cell", "pos", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path.centroids")
+  }
+
+  /** Reload the centroid sidecar written by [[writeIvfCentroids]] —
+    * a KxD driver-side collect, the same bound as training them. */
+  def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Float]] = {
+    val rows = spark.read.parquet(s"$path.centroids")
+      .select(col("cell"), col("pos"), col("c")).collect()
+    val nCells = rows.map(_.getInt(0)).max + 1
+    val dim = rows.map(_.getInt(1)).max + 1
+    val out = Array.ofDim[Float](nCells, dim)
+    rows.foreach(r => out(r.getInt(0))(r.getInt(1)) = r.getFloat(2))
+    out
+  }
+
   /** APPEND a new vector batch to a persisted IVF index without a
     * rebuild — the index-freshness move a continuously-ingesting 100 TB
     * corpus needs: cells come from the centroids FROZEN at build time (no

@@ -789,6 +789,27 @@ object DataPipelineQueries {
         .orderBy($"qid", $"rank")
     }),
 
+    // The IVF index RELOADED cold: centroids come back from the at-rest
+    // sidecar (writeIvfCentroids beside the partitioned index), not from
+    // the training run's driver memory — the restart path a production
+    // vector store must survive. Probe set, pruning, and ranking replay
+    // exactly, so the in-memory Lloyd twin gates the reload verbatim.
+    "knn_ivf_reloaded" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+      val (path, _) = builtIndex("ivf-idx-sc", dir) { p =>
+        val cs = Similarity.writeIvfIndex(tt, p, nCells = 16, lloydIters = 2)
+        Similarity.writeIvfCentroids(s, cs, p)
+        cs
+      }
+      val reloaded = Similarity.readIvfCentroids(s, path)
+      Similarity.knnIvfIndexed(s, path, reloaded, q, k = 5, nProbe = 2)
+        .orderBy($"qid", $"rank")
+    }),
+
     // FILTERED vector search: ANN under a metadata predicate on the
     // target side (the "filtered kNN" every vector store grows) — the
     // filter composes with bucket pruning because bucket assignment is
@@ -3434,6 +3455,8 @@ object DataPipelineQueries {
     "knn_lsh_filtered" -> knnLshSql(targetFilter = "label % 2 = 0"),
     "knn_lsh_filtered_indexed" -> knnLshSql(targetFilter = "label % 2 = 0"),
     "knn_ivf_indexed" -> knnIvfLloydSql(), // Lloyd centroids reach the index
+    // reload-from-sidecar == training-run centroids, proven verbatim
+    "knn_ivf_reloaded" -> knnIvfLloydSql(),
     // filtered IVF: full-corpus training, predicate-restricted assignment
     "knn_ivf_filtered" -> knnIvfLloydSql(assignWhere = "label % 2 = 0"),
     "knn_ivf_filtered_indexed" ->

@@ -240,6 +240,26 @@ class SimilaritySpec extends SparkSpec {
       scan.take(500))
   }
 
+  test("IVF centroid sidecar round-trips bit-for-bit and the reloaded " +
+      "search equals the training-run search") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfsc").toString
+    val e = embeddings
+    val q = e.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val t = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+    val written = Similarity.writeIvfIndex(t, dir, nCells = 4, lloydIters = 2)
+    Similarity.writeIvfCentroids(spark, written, dir)
+    val reloaded = Similarity.readIvfCentroids(spark, dir)
+    assert(reloaded.length == written.length)
+    written.zip(reloaded).foreach { case (w, r) =>
+      assert(java.util.Arrays.equals(w, r), "centroid float drift")
+    }
+    val a = Similarity.knnIvfIndexed(spark, dir, written, q, k = 3)
+      .collect().map(_.toSeq).toSet
+    val b = Similarity.knnIvfIndexed(spark, dir, reloaded, q, k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("sq8: codes bounded, dot matches driver reference, recall holds") {
     val e = embeddings
     val scales = Similarity.sq8Scales(
