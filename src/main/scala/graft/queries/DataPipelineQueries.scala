@@ -2002,6 +2002,37 @@ object DataPipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // END-TO-END TRAINING PREP — the composed "corpus in, splits out"
+    // run a data team actually executes: quality funnel (keep docs that
+    // pass every rule) -> exact-fingerprint dedup keep-first -> pure-
+    // function split assignment -> per-split doc/REAL-BPE-token totals.
+    // Every stage is an already-gated operator; this row proves they
+    // COMPOSE (one scan feeds funnel + fingerprint + token count; only
+    // 8-byte fingerprints and ids shuffle — text never moves past the
+    // map stage). The twin chains the same four gated fragments.
+    "e2e_train_prep" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val kept = docs
+        .select(($"doc_id" +: $"text" +:
+          TextAnalysis.filterFunnel($"text")): _*)
+        .filter($"first_fail" === "none")
+        .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"),
+          TextAnalysis.bpeTokenCount($"text").as("nt"))
+      val canon = kept
+        .groupBy($"fp")
+        .agg(min(struct($"doc_id", $"nt")).as("m"))
+        .select($"m.doc_id".as("doc_id"), $"m.nt".as("nt"))
+      val splits = Sampling.assignSplit(canon.select($"doc_id"),
+        $"doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select($"id".as("doc_id"), $"split")
+      canon.join(splits, Seq("doc_id"))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"nt").cast("long").as("n_tokens"))
+        .orderBy($"split")
+    }),
+
     // Readability scoring (Flesch reading ease over the vowel-group
     // syllable proxy) — the classic document-difficulty signal quality
     // pipelines and curricula threshold on; exact integer counts, one
@@ -3136,6 +3167,31 @@ object DataPipelineQueries {
     "bpe_train_kernel" -> graft.ops.BpeTrain.applySql(rounds = 8),
     // store round-trip == in-memory merges, proven by the same twin
     "bpe_store_roundtrip" -> graft.ops.BpeTrain.applySql(rounds = 8),
+    // the four gated fragments (funnel, fingerprint keep-first, split
+    // bands, BPE vocabulary join) chained exactly as the Spark side
+    // composes them
+    "e2e_train_prep" ->
+      (s"""WITH $bpeVocabCtes,
+         |fun AS (SELECT doc_id FROM ($funnelVerdictsSql) fv
+         |        WHERE first_fail = 'none'),
+         |tokc AS (
+         |  SELECT w.doc_id, CAST(SUM(t.nt) AS BIGINT) AS nt
+         |  FROM w JOIN tok t USING (w)
+         |  WHERE w.doc_id IN (SELECT doc_id FROM fun)
+         |  GROUP BY w.doc_id),
+         |fps AS (
+         |  SELECT doc_id, $fpSql AS fp FROM documents
+         |  WHERE doc_id IN (SELECT doc_id FROM fun)),
+         |canon AS (SELECT fp, MIN(doc_id) AS doc_id FROM fps GROUP BY fp),
+         |spl AS (SELECT id, split FROM (${HashOracleSql.splitAssignSql(
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))}) sq)
+         |SELECT s.split, COUNT(*) AS n_docs,
+         |  CAST(SUM(tc.nt) AS BIGINT) AS n_tokens
+         |FROM canon c
+         |JOIN spl s ON s.id = c.doc_id
+         |JOIN tokc tc ON tc.doc_id = c.doc_id
+         |GROUP BY s.split
+         |ORDER BY split""".stripMargin),
     "mm_av_align" ->
       """WITH vids AS (
         |  SELECT doc_id, CAST(1 + length(text) % 7 AS INT) AS n_frames
