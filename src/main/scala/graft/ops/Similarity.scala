@@ -181,6 +181,85 @@ object Similarity {
       element_at(element_at(col("tabs"), s + 1),
         element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
 
+  /** Persist a PQ index at rest: the CODES (m ints per vector — what a
+    * resident 100 TB coded scan actually reads; the float vectors never
+    * need to be loaded again for ADC) plus the codebook sidecar
+    * (`<path>.codebooks`) so the index is self-contained — the
+    * writeIvfCentroids convention. Returns the codebooks for the build
+    * session; a fresh driver reloads them with [[readPqCodebooks]]. */
+  def writePqIndex(targets: DataFrame, path: String, dim: Int,
+      m: Int = 4, nCells: Int = 16): Array[Array[Array[Float]]] = {
+    val cbs = pqCodebooks(targets, dim, m, nCells)
+    val subDim = dim / m
+    targets.select(col("tid"), pqEncode(col("te"), cbs, subDim).as("codes"))
+      .write.mode("overwrite").parquet(path)
+    val spark = targets.sparkSession
+    import spark.implicits._
+    cbs.zipWithIndex.flatMap { case (cb, sub) =>
+      cb.zipWithIndex.flatMap { case (entry, cell) =>
+        entry.zipWithIndex.map { case (v, pos) => (sub, cell, pos, v) }
+      }
+    }.toSeq.toDF("sub", "cell", "pos", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path.codebooks")
+    cbs
+  }
+
+  /** Reload the PQ codebook sidecar — m x nCells x subDim floats, a
+    * bounded driver collect (the same size as training them). */
+  def readPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Array[Float]]] = {
+    val rows = spark.read.parquet(s"$path.codebooks")
+      .select(col("sub"), col("cell"), col("pos"), col("c")).collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val nCells = rows.map(_.getInt(1)).max + 1
+    val subDim = rows.map(_.getInt(2)).max + 1
+    val out = Array.ofDim[Float](m, nCells, subDim)
+    rows.foreach(r => out(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+      r.getFloat(3))
+    out
+  }
+
+  /** ADC search against the persisted PQ index: the scan reads codes
+    * only (never float vectors); per-query lookup tables come from the
+    * (possibly sidecar-reloaded) codebooks; ranking is identical to
+    * [[knnPq]], so the same oracle gates both. */
+  def knnPqIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      cbs: Array[Array[Array[Float]]], queries: DataFrame, dim: Int,
+      k: Int): DataFrame = {
+    val m = cbs.length
+    val subDim = dim / m
+    val t = spark.read.parquet(path)
+    val q = broadcast(queries.select(col("qid"),
+      adcTables(col("qe"), cbs, subDim).as("tabs")))
+    val scored = q.join(t, col("qid") =!= col("tid"))
+      .withColumn("adc", adcSum(m))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("tid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("tid"), col("adc"))
+  }
+
+  /** Persist the per-dimension SQ8 scales beside the int8 index
+    * (`<path>.scales`) so it, too, survives a driver restart without
+    * retraining — the writeIvfCentroids convention. */
+  def writeSq8Scales(spark: org.apache.spark.sql.SparkSession,
+      scales: Array[Double], path: String): Unit = {
+    import spark.implicits._
+    scales.zipWithIndex.map { case (v, pos) => (pos, v) }.toSeq
+      .toDF("pos", "s")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path.scales")
+  }
+
+  /** Reload the SQ8 scales sidecar (dim-sized driver collect). */
+  def readSq8Scales(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Double] = {
+    val rows = spark.read.parquet(s"$path.scales")
+      .select(col("pos"), col("s")).collect()
+    val out = new Array[Double](rows.map(_.getInt(0)).max + 1)
+    rows.foreach(r => out(r.getInt(0)) = r.getDouble(1))
+    out
+  }
+
   /** Exact fixed-point-cosine re-rank of candidate (qid, tid) pairs —
     * the shared rerank tail every coded/pruned ANN path funnels into
     * (mirrors the oracle's shared score-tail SQL). Only the candidates'

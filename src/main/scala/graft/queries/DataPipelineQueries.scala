@@ -1063,6 +1063,46 @@ object DataPipelineQueries {
         .orderBy($"qid", $"rank")
     }),
 
+    // The PQ index AT REST, reloaded cold: codes persisted once (what a
+    // resident coded scan reads — float vectors never load again for
+    // ADC), codebooks reloaded from the at-rest sidecar rather than the
+    // build session's driver memory. Ranking replays knnPq exactly, so
+    // the in-memory twin gates layout, sidecar round-trip, and scan in
+    // one hash.
+    "knn_pq_indexed" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+      val (path, _) = builtIndex("pq-idx", dir) { p =>
+        Similarity.writePqIndex(tt, p, dim = 64); Array.empty
+      }
+      val cbs = Similarity.readPqCodebooks(s, path)
+      Similarity.knnPqIndexed(s, path, cbs, q, dim = 64, k = 5)
+        .orderBy($"qid", $"rank")
+    }),
+
+    // The int8 index reloaded cold: scales come back from the at-rest
+    // sidecar — with the PQ and IVF reload gates, every trained-state
+    // index family (IVF centroids, PQ codebooks, SQ8 scales) is now
+    // self-contained on disk; LSH needs no sidecar by construction.
+    "knn_sq8_reloaded" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+      val (path, _) = builtIndex("sq8-idx-sc", dir) { p =>
+        val scales = Similarity.writeSq8Index(tt, p, dim = 64)
+        Similarity.writeSq8Scales(s, scales, p)
+        Array(scales.map(_.toFloat))
+      }
+      val reloaded = Similarity.readSq8Scales(s, path)
+      Similarity.knnSq8Indexed(s, path, q, reloaded, k = 5)
+        .orderBy($"qid", $"rank")
+    }),
+
     // IVF-PQ — the billion-scale composition: coarse cells prune the
     // corpus to nProbe/nCells, PQ codes score the survivors (m integer
     // lookups each), the refine best re-rank on exact float cosine. Both
@@ -3525,6 +3565,10 @@ object DataPipelineQueries {
     "knn_recall_filtered" -> knnRecallFilteredSql,
     "knn_sq8" -> knnSq8Sql(maxQid = 10),
     "knn_sq8_indexed" -> knnSq8Sql(maxQid = 50), // same codes/ranking at rest
+    // scales reloaded from the sidecar == build-session scales, verbatim
+    "knn_sq8_reloaded" -> knnSq8Sql(maxQid = 50),
+    // codes at rest + sidecar-reloaded codebooks == in-memory PQ, verbatim
+    "knn_pq_indexed" -> knnPqSql(maxQid = 10),
     "knn_recall_sq8" -> knnRecallSq8Sql,
     "knn_pq" -> knnPqSql(maxQid = 10),
     "knn_pq_rerank" -> knnPqRerankSql(maxQid = 10),
