@@ -66,18 +66,40 @@ object BpeTrain {
       .select(col("p.a").as("a"), col("p.b").as("b"), col("cc"))
 
   /** Learn `rounds` merges; returns (round, left, right, n_pairs) rows.
-    * Stops early if no pair remains (tiny corpora). */
+    * Stops early if no pair remains (tiny corpora).
+    *
+    * `initial` RESUMES training from an already-learned prefix (e.g. a
+    * [[readMerges]]-style store): the prefix is replayed onto the
+    * vocabulary encoding (map-stage replaces under the checkpoint
+    * cadence — no pair counting), the count table is built once from
+    * the resumed state, and learning continues at round
+    * `initial.size + 1`. Because every step is deterministic, resumed
+    * training is byte-identical to training the full depth in one run —
+    * the bpe_train_resume gate proves it cross-engine. */
   def train(docs: DataFrame, textCol: String, rounds: Int,
-      checkpointEvery: Int = 8): Seq[Row] = {
+      checkpointEvery: Int = 8, initial: Seq[Row] = Nil): Seq[Row] = {
     require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery")
+    require(initial.size <= rounds,
+      s"initial ${initial.size} merges exceed rounds=$rounds")
     var enc = vocab(docs, textCol).localCheckpoint()
     var encCk = enc          // last checkpointed ancestor (for unpersist)
     var encDepth = 0         // replaces chained since encCk
+    initial.foreach { m =>
+      val (a, b) = (m.getString(1), m.getString(2))
+      enc = enc.withColumn("enc",
+        replace(col("enc"), lit(s" $a  $b "), lit(s" $a$b ")))
+      encDepth += 1
+      if (encDepth >= checkpointEvery) {
+        val ck = enc.localCheckpoint()
+        encCk.unpersist(); encCk = ck; enc = ck; encDepth = 0
+      }
+    }
     var counts = pairs(enc, 1)
       .groupBy(col("a"), col("b")).agg(sum(col("cc")).as("n"))
       .localCheckpoint()
     val out = Seq.newBuilder[Row]
-    var r = 1
+    out ++= initial
+    var r = initial.size + 1
     var done = false
     while (r <= rounds && !done) {
       val top = counts

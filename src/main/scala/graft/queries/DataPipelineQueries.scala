@@ -1983,6 +1983,21 @@ object DataPipelineQueries {
         .orderBy($"round")
     }),
 
+    // Training RESUMED from the at-rest prefix: the 8 stored merges
+    // replay onto the vocabulary (map-stage, no recounting), learning
+    // continues to 16 — and because every step is deterministic, the
+    // result is byte-identical to one uninterrupted r16 run, which is
+    // exactly what gating against bpe_train_r16's twin proves. The
+    // trainer-restart story: checkpoint the merges, resume anywhere.
+    "bpe_train_resume" -> ((s, dir) => {
+      import s.implicits._
+      val rows = graft.ops.BpeTrain.train(
+        t(s, dir, "documents"), "text", rounds = 16,
+        initial = trainedMerges(s, dir, rounds = 8))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), BpeTrainSchema)
+        .orderBy($"round")
+    }),
+
     // The learned tokenizer APPLIED: per-doc token counts under the 8
     // corpus-trained merges — train on the corpus, tokenize the corpus
     // (vocabulary tokenized once, joined back to the word multiset; the
@@ -3202,6 +3217,8 @@ object DataPipelineQueries {
     "knn_centroid_drift" -> centroidDriftSql,
     "bpe_train" -> graft.ops.BpeTrain.trainSql(rounds = 8),
     "bpe_train_r16" -> graft.ops.BpeTrain.trainSql(rounds = 16),
+    // resumed-from-store == one uninterrupted run, proven verbatim
+    "bpe_train_resume" -> graft.ops.BpeTrain.trainSql(rounds = 16),
     "bpe_train_apply" -> graft.ops.BpeTrain.applySql(rounds = 8),
     // kernel application == join application, proven by the shared twin
     "bpe_train_kernel" -> graft.ops.BpeTrain.applySql(rounds = 8),

@@ -138,6 +138,24 @@ class BpeTrainSpec extends SparkSpec {
     assert(joinSide == kernelSide, s"$joinSide != $kernelSide")
   }
 
+  test("resumed training == one uninterrupted run, metacharacters and " +
+      "checkpoint cadence included") {
+    val texts = Seq("don't don't can't o'clock a\\b a\\b 100% 100% [x]",
+      "don't can't \"quoted\" \"quoted\" it''s a\\b low low lower lower")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val full = BpeTrain.train(docs, "text", rounds = 12,
+      checkpointEvery = 4)
+    val prefix = BpeTrain.train(docs, "text", rounds = 5,
+      checkpointEvery = 4)
+    val resumed = BpeTrain.train(docs, "text", rounds = 12,
+      checkpointEvery = 4, initial = prefix)
+    def tup(rs: Seq[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(tup(resumed) == tup(full))
+    assert(tup(resumed).take(5) == tup(prefix))
+  }
+
   test("early stop: a corpus that dries up returns fewer rounds and " +
       "tokenizedVocab folds only the learned merges") {
     val texts = Seq("ab ab ab")  // one word: merges (a,b) then done
