@@ -66,6 +66,48 @@ object Sinks {
     df.orderBy(col(sortCol)).coalesce(1)
       .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
+  /** JSONL export — the LLM-pipeline interchange format (one JSON object
+    * per line, sharded): `numShards` evenly-sized files so a downstream
+    * trainer's data loader can fan out over shards. Spark's json sink IS
+    * JSONL (one object per line); the repartition pins the shard count. */
+  def writeJsonlShards(df: DataFrame, path: String, numShards: Int): Unit =
+    df.repartition(numShards)
+      .write.mode(SaveMode.Overwrite).json(path)
+
+  /** JSONL ingest with an explicit schema — never schema-inference (an
+    * inference pass would double-scan 100 TB and can drift types between
+    * runs; a declared schema also lets the reader prune columns). */
+  def readJsonl(spark: SparkSession, path: String, schema: String): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Small-file compaction — the maintenance pass every long-lived 100 TB
+    * table needs once streaming/incremental ingest has fragmented it
+    * (file-open overhead and scheduler pressure scale with file count,
+    * not bytes). Rewrites the directory into `numFiles` round-robin
+    * balanced files; with an explicit partition count AQE will not
+    * re-coalesce it. Returns the row count written. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      numFiles: Int): Long = {
+    val df = spark.read.parquet(inPath)
+    df.repartition(numFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    spark.read.parquet(outPath).count()
+  }
+
+  /** Data-file count of a sink directory (driver-side listing — bounded
+    * by file count, which is exactly what compaction manages). */
+  def dataFileCount(path: String, suffix: String = ".parquet"): Int = {
+    val stream = Files.walk(Paths.get(path))
+    try {
+      val it = stream.iterator()
+      var n = 0
+      while (it.hasNext) {
+        if (it.next().getFileName.toString.endsWith(suffix)) n += 1
+      }
+      n
+    } finally stream.close()
+  }
+
   /** S10: one text file per record, named `{idx}_{A}_&_{B}.txt` with a URL
     * header line (tools/dumpdata.py:4-31); `foreachPartition` writer. */
   def dumpFiles(df: DataFrame, dir: String): Unit = {

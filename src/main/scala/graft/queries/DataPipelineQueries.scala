@@ -180,6 +180,15 @@ object DataPipelineQueries {
     TrainedMerges.computeIfAbsent((dir, rounds), _ =>
       graft.ops.BpeTrain.train(t(s, dir, "documents"), "text", rounds))
 
+  // Tree training is likewise deterministic per dir — the three qc_tree
+  // queries (and bench reps) share one trained split table.
+  private val TrainedTrees = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[graft.ops.Classifier.Split]]()
+  private def trainedTree(s: SparkSession,
+      dir: String): Seq[graft.ops.Classifier.Split] =
+    TrainedTrees.computeIfAbsent(dir, _ =>
+      graft.ops.Classifier.trainTree(t(s, dir, "documents")))
+
   /** Drain a finished memory-sink streaming query: fail LOUDLY if the
     * stream did not complete (a truncated sink would otherwise surface as
     * a confusing oracle mismatch far from the cause), copy the bounded
@@ -920,6 +929,35 @@ object DataPipelineQueries {
           .agg(count(lit(1)).as("hits"))
           .select(lit(method).as("method"), lit(5).as("k"), $"hits")
       hits("ivf_lloyd", ivf).unionAll(hits("lsh_p2", lsh))
+        .crossJoin(bf.agg(count(lit(1)).as("possible")))
+        .select($"method", $"k", $"hits", $"possible")
+        .orderBy($"method")
+    }),
+
+    // Recall cost of PREFIX-TRUNCATED embeddings (the Matryoshka storage
+    // knob, arXiv:2205.13147): exact top-5 on the first 8/16/32 of 64
+    // components scored against the full-dim exact top-5. Truncation
+    // cuts vector bytes (and every downstream ANN cost) 2-8x; this gate
+    // is the number that decides how far to cut. Same fixed-point
+    // kernels on sliced arrays — bit-deterministic vs the DuckDB twin.
+    // (The synthetic embeddings are not MRL-trained, so this measures
+    // naive truncation — the honest baseline for untrained prefixes.)
+    "knn_recall_truncated" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      def q(d: Int) = e.filter($"vec_id" < 50).select($"vec_id".as("qid"),
+        (if (d > 0) slice($"embedding", 1, d) else $"embedding").as("qe"))
+      def tt(d: Int) = e.select($"vec_id".as("tid"),
+        (if (d > 0) slice($"embedding", 1, d) else $"embedding").as("te"))
+      val bf = Similarity.knnBruteForce(q(0), tt(0), k = 5)
+        .select($"qid", $"tid").localCheckpoint()
+      def hits(method: String, d: Int): DataFrame =
+        Similarity.knnBruteForce(q(d), tt(d), k = 5)
+          .select($"qid", $"tid").join(bf, Seq("qid", "tid"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(method).as("method"), lit(5).as("k"), $"hits")
+      hits("dim_08", 8).unionAll(hits("dim_16", 16))
+        .unionAll(hits("dim_32", 32))
         .crossJoin(bf.agg(count(lit(1)).as("possible")))
         .select($"method", $"k", $"hits", $"possible")
         .orderBy($"method")
@@ -2229,7 +2267,44 @@ object DataPipelineQueries {
         .withColumn("span_x", $"x_max" - $"x_min" + 1)
         .withColumn("span_y", $"y_max" - $"y_min" + 1)
         .orderBy($"tile")
-    })
+    }),
+
+    // QUALITY-CLASSIFIER DISTILLATION (the CCNet/WebText/LLaMA pipeline
+    // step: label a slice with an expensive signal, train a cheap model
+    // on-cluster, filter the full corpus with the model). Teacher =
+    // the gated qualityScore threshold; students below. All arithmetic
+    // is exact integers (misclassification-error splits; floor-log2 NB
+    // weights), so both engines replay training bit-for-bit.
+    //
+    // Depth-4 CART tree (error criterion): one row per learned split
+    // with the node's counts — the interpretable artifact a curation
+    // team reviews before deploying the filter.
+    "qc_tree_train" -> ((s, dir) =>
+      graft.ops.Classifier.treeTrainDf(s, t(s, dir, "documents"),
+        trainedTree(s, dir))),
+
+    // Every doc routed to its leaf with the leaf-majority prediction —
+    // the deploy face of the tree (a chain of presence tests; at 100 TB
+    // this is a map-only scan once the split table is broadcast).
+    "qc_tree_score" -> ((s, dir) =>
+      graft.ops.Classifier.treeScore(t(s, dir, "documents"),
+        trainedTree(s, dir))),
+
+    // Train accuracy vs the majority baseline — the go/no-go number
+    // (~0.91-0.95 vs ~0.57 majority on the gated corpora).
+    "qc_tree_eval" -> ((s, dir) =>
+      graft.ops.Classifier.treeEval(t(s, dir, "documents"),
+        trainedTree(s, dir))),
+
+    // Bernoulli Naive Bayes model table: ONE grouped aggregation trains
+    // it (per-feature class counts -> integer log-likelihood weights).
+    "qc_nb" -> ((s, dir) =>
+      graft.ops.Classifier.nbModel(t(s, dir, "documents"))),
+
+    // NB scoring: prior + absent-sum + per-present deltas — a broadcast
+    // join + one per-doc aggregation, the lexical-only cheap filter.
+    "qc_nb_score" -> ((s, dir) =>
+      graft.ops.Classifier.nbScore(t(s, dir, "documents")))
   )
 
   /** The committed BPE merge table replayed as a chain of DuckDB
@@ -2827,15 +2902,19 @@ object DataPipelineQueries {
        |ORDER BY method""".stripMargin
 
   private def knnBruteforceSql(maxQid: Int,
-      targetFilter: String = "", k: Int = 5): String = {
+      targetFilter: String = "", k: Int = 5, sliceDim: Int = 0): String = {
     // optional metadata predicate on the target side — the exact baseline
     // for filtered vector search; empty keeps the unfiltered oracles
     // byte-identical
     val tf = if (targetFilter.isEmpty) "" else s"""
        |    AND b.vec_id IN (SELECT vec_id FROM embeddings WHERE $targetFilter)""".stripMargin
+    // optional prefix-truncation (the Matryoshka storage knob): score on
+    // the first sliceDim components only
+    val emb = (s: String) =>
+      if (sliceDim > 0) s"$s.embedding[1:$sliceDim]" else s"$s.embedding"
     s"""WITH pairs AS (
        |  SELECT a.vec_id AS qid, b.vec_id AS tid,
-       |         a.embedding AS qe, b.embedding AS te
+       |         ${emb("a")} AS qe, ${emb("b")} AS te
        |  FROM embeddings a, embeddings b
        |  WHERE a.vec_id < $maxQid AND a.vec_id <> b.vec_id$tf),
        |terms AS (SELECT qid, tid, unnest(qe) AS x, unnest(te) AS y
@@ -2969,6 +3048,30 @@ object DataPipelineQueries {
        |  UNION ALL
        |  SELECT 'lsh_p2' AS method, CAST(5 AS INT) AS k,
        |    (SELECT COUNT(*) FROM lshr JOIN bf USING (qid, tid)) AS hits,
+       |    (SELECT COUNT(*) FROM bf) AS possible)
+       |ORDER BY method""".stripMargin
+
+  /** knn_recall_truncated twin: the brute-force twin at three prefix
+    * widths, each hit-joined against the full-dim exact baseline. */
+  private def knnRecallTruncatedSql: String =
+    s"""WITH bf AS (SELECT qid, tid FROM (${knnBruteforceSql(maxQid = 50)})),
+       |t8 AS (SELECT qid, tid FROM (
+       |${knnBruteforceSql(maxQid = 50, sliceDim = 8)})),
+       |t16 AS (SELECT qid, tid FROM (
+       |${knnBruteforceSql(maxQid = 50, sliceDim = 16)})),
+       |t32 AS (SELECT qid, tid FROM (
+       |${knnBruteforceSql(maxQid = 50, sliceDim = 32)}))
+       |SELECT method, k, hits, possible FROM (
+       |  SELECT 'dim_08' AS method, CAST(5 AS INT) AS k,
+       |    (SELECT COUNT(*) FROM t8 JOIN bf USING (qid, tid)) AS hits,
+       |    (SELECT COUNT(*) FROM bf) AS possible
+       |  UNION ALL
+       |  SELECT 'dim_16' AS method, CAST(5 AS INT) AS k,
+       |    (SELECT COUNT(*) FROM t16 JOIN bf USING (qid, tid)) AS hits,
+       |    (SELECT COUNT(*) FROM bf) AS possible
+       |  UNION ALL
+       |  SELECT 'dim_32' AS method, CAST(5 AS INT) AS k,
+       |    (SELECT COUNT(*) FROM t32 JOIN bf USING (qid, tid)) AS hits,
        |    (SELECT COUNT(*) FROM bf) AS possible)
        |ORDER BY method""".stripMargin
 
@@ -3579,6 +3682,7 @@ object DataPipelineQueries {
     // frozen-centroid append produces at rest
     "knn_ivf_updated" -> knnIvfLloydSql(trainWhere = "vec_id % 5 <> 0"),
     "knn_recall" -> knnRecallSql,
+    "knn_recall_truncated" -> knnRecallTruncatedSql,
     "knn_recall_filtered" -> knnRecallFilteredSql,
     "knn_sq8" -> knnSq8Sql(maxQid = 10),
     "knn_sq8_indexed" -> knnSq8Sql(maxQid = 50), // same codes/ranking at rest
@@ -4122,6 +4226,20 @@ object DataPipelineQueries {
         |      WHEN 0 THEN 1 WHEN 1 THEN 0
         |      ELSE 1 + length(text) % 7 END AS INT) AS n_frames
         |FROM documents
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // Classifier-distillation twins: featurization (top-24 DF words +
+    // length buckets), teacher labels from the SAME qualityScoreSql as
+    // the curate twins, then the unrolled per-level split/assign chain
+    // (tree) or the one-aggregation model (NB) — every number integer.
+    "qc_tree_train" ->
+      graft.ops.Classifier.treeTrainSql(qualityScoreSql),
+    "qc_tree_score" ->
+      graft.ops.Classifier.treeScoreSql(qualityScoreSql),
+    "qc_tree_eval" ->
+      graft.ops.Classifier.treeEvalSql(qualityScoreSql),
+    "qc_nb" ->
+      graft.ops.Classifier.nbModelSql(qualityScoreSql),
+    "qc_nb_score" ->
+      graft.ops.Classifier.nbScoreSql(qualityScoreSql)
   )
 }

@@ -174,6 +174,64 @@ object SinkQueries {
         .select(element_at(split(input_file_name(), "/"), -1).as("fname"),
           length($"value").as("body_len"))
         .orderBy($"fname")
+    }),
+
+    // JSONL export/ingest roundtrip — the LLM-interchange format. Write
+    // the corpus as 4 JSONL shards, read back with a DECLARED schema (no
+    // inference pass), and prove per-lang fidelity with exact counts,
+    // total text length, and an order-independent content checksum (sum
+    // of md5-prefix fingerprints — any mangled char in any doc moves it).
+    "jsonl_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmpDir("graft-jsonl")
+      Sinks.writeJsonlShards(
+        t(s, dir, "documents").select($"doc_id", $"lang", $"text"),
+        path, numShards = 4)
+      Sinks.readJsonl(s, path, "doc_id LONG, lang STRING, text STRING")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length($"text")).as("sum_len"),
+          sum(conv(substring(md5($"text"), 1, 11), 16, 10).cast("long"))
+            .as("fp_sum"))
+        .orderBy($"lang")
+    }),
+
+    // ORC roundtrip with partition pruning — the other columnar warehouse
+    // format Spark ships natively. Write lang-partitioned ORC, read back
+    // with a partition predicate (only en/de directories are scanned),
+    // prove values + schema survive the format change.
+    "orc_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmpDir("graft-orc")
+      t(s, dir, "documents")
+        .select($"doc_id", $"lang", length($"text").as("tlen"))
+        .write.mode("overwrite").partitionBy("lang").orc(path)
+      s.read.orc(path)
+        .filter($"lang".isin("en", "de"))
+        .select($"doc_id", $"lang", $"tlen")
+        .orderBy($"doc_id")
+    }),
+
+    // Small-file compaction: stage the corpus as a 64-way partitioned
+    // store (one file per bucket — the fragmentation an incremental
+    // ingest leaves behind), compact to 8 balanced files, and emit the
+    // before/after (file count, row count) — rows must be preserved
+    // exactly while the file count drops 8x.
+    "compact_small_files" -> ((s, dir) => {
+      import s.implicits._
+      val small = tmpDir("graft-compact-in")
+      val out = tmpDir("graft-compact-out")
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", $"lang", length($"text").as("tlen"))
+      docs.withColumn("b", pmod($"doc_id", lit(64)))
+        .repartition(64, $"b")
+        .write.mode("overwrite").partitionBy("b").parquet(small)
+      val nBefore = s.read.parquet(small).count()
+      val rowsAfter = Sinks.compact(s, small, out, numFiles = 8)
+      Seq(("after", Sinks.dataFileCount(out), rowsAfter),
+        ("before", Sinks.dataFileCount(small), nBefore))
+        .toDF("phase", "n_files", "n_rows")
+        .orderBy($"phase")
     })
   )
 
@@ -236,6 +294,33 @@ object SinkQueries {
         |    + length(CAST(doc_id AS VARCHAR)) + 2 + length(text) AS INT)
         |    AS body_len
         |FROM documents
-        |ORDER BY fname""".stripMargin
+        |ORDER BY fname""".stripMargin,
+    // Roundtrip identity: the read-back aggregate must equal the same
+    // aggregate over the source parquet (md5 prefixes are engine-neutral
+    // string hashes of the exact text bytes).
+    "jsonl_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+        |  CAST(SUM(CAST(concat('0x', substr(md5(text), 1, 11)) AS BIGINT))
+        |    AS BIGINT) AS fp_sum
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    // Pruned read-back equals the same filter over the parquet source —
+    // the lang column comes back from the partition directory values.
+    "orc_roundtrip" ->
+      """SELECT doc_id, lang, CAST(length(text) AS INT) AS tlen
+        |FROM documents
+        |WHERE lang IN ('en', 'de')
+        |ORDER BY doc_id""".stripMargin,
+    // The layout is closed-form: 64 one-file buckets before (doc_id is
+    // dense, so all 64 pmod classes are non-empty at every gated SF),
+    // 8 balanced files after, rows preserved exactly.
+    "compact_small_files" ->
+      """SELECT 'after' AS phase, 8 AS n_files, COUNT(*) AS n_rows
+        |FROM documents
+        |UNION ALL
+        |SELECT 'before', 64, COUNT(*) FROM documents
+        |ORDER BY phase""".stripMargin
   )
 }

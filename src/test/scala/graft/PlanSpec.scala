@@ -414,6 +414,32 @@ class PlanSpec extends SparkSpec {
       "accuracy row must combine map-side: " + pAcc.take(1500))
     assert(!pAcc.contains("Generate "), "accuracy row must not explode")
   }
+
+  test("qc: classifier distillation keeps bounded shapes — split argmin " +
+      "is a hash aggregation (no window anywhere), leaf/model tables " +
+      "broadcast, NB per-doc sums combine map-side") {
+    // tree training runs inside the builder (driver loop, bounded
+    // collects); the returned plans must carry no window at all — the
+    // argmin is min_by, the leaf join broadcast
+    val score = SparkEntry.queries("qc_tree_score")(spark, sf("sf0.001"))
+    assert(PlanSpec.collectWindows(score.queryExecution.executedPlan).isEmpty,
+      "qc_tree_score must not window")
+    val pScore = score.queryExecution.executedPlan.toString
+    assert(pScore.contains("BroadcastHashJoin"),
+      "leaf-prediction join must broadcast: " + pScore.take(1500))
+    val train = SparkEntry.queries("qc_tree_train")(spark, sf("sf0.001"))
+    assert(train.queryExecution.executedPlan.toString
+        .contains("LocalTableScan"),
+      "qc_tree_train output is the bounded collected split table")
+    val nb = SparkEntry.queries("qc_nb_score")(spark, sf("sf0.001"))
+    assert(PlanSpec.collectWindows(nb.queryExecution.executedPlan).isEmpty,
+      "qc_nb_score must not window")
+    val pNb = nb.queryExecution.executedPlan.toString
+    assert(pNb.contains("partial_sum"),
+      "NB per-doc delta sums must combine map-side: " + pNb.take(1500))
+    assert(pNb.contains("BroadcastHashJoin"),
+      "NB model join must broadcast: " + pNb.take(1500))
+  }
 }
 
 object PlanSpec {

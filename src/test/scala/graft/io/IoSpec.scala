@@ -93,6 +93,40 @@ class IoSpec extends SparkSpec {
     assert(Files.readString(f) == "URL: http://x/5.txt\n\nbody text")
   }
 
+  test("JSONL shards: declared-schema roundtrip preserves rows; shard " +
+      "count pinned; reader prunes to the selected columns") {
+    val dir = tmp("jsonl")
+    val df = (0L until 100L).map(i => (i, s"lang${i % 3}", s"text body $i"))
+      .toDF("doc_id", "lang", "text")
+    Sinks.writeJsonlShards(df, dir, numShards = 4)
+    assert(Sinks.dataFileCount(dir, ".json") == 4)
+    val back = Sinks.readJsonl(spark, dir,
+      "doc_id LONG, lang STRING, text STRING")
+    assert(back.count() == 100)
+    assert(back.orderBy($"doc_id").as[(Long, String, String)].collect()
+      .sameElements(df.orderBy($"doc_id").as[(Long, String, String)].collect()))
+    // declared schema => the scan reads only requested fields, no
+    // inference job; ReadSchema must carry just doc_id
+    val pruned = back.select($"doc_id")
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("ReadSchema: struct<doc_id:bigint>"))
+  }
+
+  test("compaction: 64 fragment files -> 8 balanced files, rows intact") {
+    val in = tmp("compact-in"); val out = tmp("compact-out")
+    val df = (0L until 640L).map(i => (i, i % 64)).toDF("id", "b")
+    df.repartition(64, $"b").write.mode("overwrite")
+      .partitionBy("b").parquet(in)
+    assert(Sinks.dataFileCount(in) == 64)
+    val n = Sinks.compact(spark, in, out, numFiles = 8)
+    assert(n == 640)
+    assert(Sinks.dataFileCount(out) == 8)
+    // balanced: no file carries more than 2x the mean (round-robin)
+    val sizes = spark.read.parquet(out)
+      .groupBy(input_file_name()).count().as[(String, Long)].collect()
+    assert(sizes.length == 8 && sizes.forall(_._2 <= 160))
+  }
+
   test("S1: deal CSV reader names 4 columns, keeps 150 passthrough") {
     val dir = tmp("deals")
     val csv = Seq(

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Quality-classifier distillation: tree splits are the exact-integer
+  * error argmin (hand-checked on a tiny corpus), pure/unsplittable nodes
+  * become leaves, the learned filter beats the majority baseline on real
+  * testdata, and the NB weights follow the floor-log2 formula. */
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A corpus where quality >= 0.8 is exactly "long docs": word-salad
+    * text with enough stopwords that stopOk saturates, punctuation-free,
+    * mean word len in band — so label = (lenOk*0.4 >= 0.4) = len >= 400,
+    * and the best first split must be a length bucket. */
+  private def corpus(n: Int) = {
+    val filler = "the and is to in of a data table query batch spark "
+    (0 until n).map { i =>
+      val reps = if (i % 2 == 0) 9 else 3   // ~468 vs ~156 chars
+      (i.toLong, filler * reps)
+    }.toDF("doc_id", "text")
+  }
+
+  test("labels follow the quality threshold; features are binary") {
+    val docs = corpus(10)
+    val lab = Classifier.labels(docs).as[(Long, Int)].collect().toMap
+    assert((0 until 10).forall(i => lab(i.toLong) == (if (i % 2 == 0) 1 else 0)))
+    val vocab = Classifier.vocabulary(docs)
+    assert(vocab.size <= Classifier.NumWords)
+    assert(vocab.map(_._2) == (1 to vocab.size))
+    val feats = Classifier.features(docs, vocab)
+    // binary: no duplicate (doc, fidx)
+    assert(feats.count() == feats.distinct().count())
+    // exactly one bucket feature per doc
+    val nb = feats.filter(col("fidx") > Classifier.NumWords)
+      .groupBy(col("doc_id")).count().select(col("count")).distinct()
+      .as[Long].collect().toSeq
+    assert(nb == Seq(1L))
+  }
+
+  test("tree separates a length-labeled corpus perfectly at the root") {
+    val docs = corpus(20)
+    val splits = Classifier.trainTree(docs)
+    val root = splits.find(_.node == 0).get
+    // the only separating feature is the length bucket (word features
+    // are identical across docs): err must be 0 there
+    assert(root.fidx > Classifier.NumWords, s"root split $root")
+    assert(root.err == 0)
+    assert(root.n == 20 && root.p == 10)
+    // children are pure -> no deeper splits
+    assert(splits.size == 1)
+    val score = Classifier.treeScore(docs, splits)
+    assert(score.filter(col("correct") === 0).count() == 0)
+  }
+
+  test("pure corpus learns no splits and predicts the single class") {
+    val docs = (0 until 8).map(i =>
+      (i.toLong, "the and is to in of a data table query " * 9))
+      .toDF("doc_id", "text")
+    val splits = Classifier.trainTree(docs)
+    assert(splits.isEmpty)
+    val score = Classifier.treeScore(docs, splits)
+      .as[(Long, Int, Int, Int, Int)].collect()
+    assert(score.forall { case (_, leaf, pred, y, c) =>
+      leaf == 0 && pred == 1 && y == 1 && c == 1 })
+  }
+
+  test("tree beats the majority baseline on testdata") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val Seq((n, pos, correct, majority)) =
+      Classifier.treeEval(docs, Classifier.trainTree(docs))
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(n == pos + (n - pos))
+    assert(correct > majority + n / 10,
+      s"tree $correct should clearly beat majority $majority of $n")
+  }
+
+  test("nb weights follow the floor-log2 Laplace formula") {
+    val docs = corpus(10)
+    def blen(x: Long): Int = java.lang.Long.toBinaryString(x).length
+    val n1 = 5L; val n0 = 5L
+    val model = Classifier.nbModel(docs)
+      .as[(Int, String, Long, Long, Long, Long)].collect()
+    assert(model.length == Classifier.NumFeatures)
+    model.foreach { case (fidx, _, cPos, cNeg, wp, wa) =>
+      assert(wp == (blen(cPos + 1) - blen(n1 + 2)) -
+        (blen(cNeg + 1) - blen(n0 + 2)), s"fidx $fidx present")
+      assert(wa == (blen(n1 + 1 - cPos) - blen(n1 + 2)) -
+        (blen(n0 + 1 - cNeg) - blen(n0 + 2)), s"fidx $fidx absent")
+    }
+    // bucket features of the two length classes carry opposite signal
+    val byName = model.map(m => (m._2, m)).toMap
+    val longB = byName(s"len_bucket_4")    // 468-char docs: bucket 4
+    assert(longB._3 == 5 && longB._4 == 0)  // only long docs in that bucket
+  }
+
+  test("nb score = prior + absent sum + present deltas, and is exact") {
+    val docs = corpus(10)
+    val model = Classifier.nbModel(docs)
+      .select(col("fidx"), col("w_present"), col("w_absent"))
+      .as[(Int, Long, Long)].collect()
+    val score = Classifier.nbScore(docs)
+      .as[(Long, Long, Int, Int, Int)].collect()
+    assert(score.length == 10)
+    // recompute doc 0's score by hand from the model + its features
+    val vocab = Classifier.vocabulary(docs)
+    val f0 = Classifier.features(docs, vocab)
+      .filter(col("doc_id") === 0).select(col("fidx"))
+      .as[Int].collect().toSet
+    val prior = 0L  // n1 == n0
+    val expected = prior + model.map { case (f, wp, wa) =>
+      if (f0.contains(f)) wp else wa }.sum
+    assert(score.find(_._1 == 0L).get._2 == expected)
+  }
+}
