@@ -229,6 +229,44 @@ object Classifier {
       .orderBy(col("doc_id"))
   }
 
+  /** Leaf-majority predictions (node -> pred, ties predict 1) — bounded
+    * collect (<= 2^TreeDepth rows). */
+  def leafPredictions(docs: DataFrame, splits: Seq[Split]): Map[Int, Int] =
+    applyTree(docs, splits).groupBy(col("node"))
+      .agg(count(lit(1)).as("ln"), sum(col("y")).as("lp"))
+      .select(col("node"),
+        when(col("lp") * 2 >= col("ln"), 1).otherwise(0).as("pred"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+
+  /** The trained tree COMPILED to one scalar Column over the text — the
+    * deploy face: a nested CASE of word-presence / length-bucket tests.
+    * No joins, no aggregation, fully codegen'd — which is what makes the
+    * distilled filter a map-only scan over 100 TB and directly usable
+    * inside a Structured Streaming ingest (the stream_qc_filter_exec
+    * gate runs exactly that). Must agree row-for-row with the relational
+    * [[applyTree]] + leaf-majority path (ClassifierSpec proves it; the
+    * shared DuckDB twin gates it). */
+  def predictCol(text: Column, vocab: Seq[(String, Int)],
+      splits: Seq[Split], leafPred: Map[Int, Int]): Column = {
+    val words = array_distinct(split(Dedup.normalized(text), " "))
+    val bucket = (lit(NumWords + 1) +
+      least(floor(length(text) / 100).cast("int"),
+        lit(NumBuckets - 1))).cast("int")
+    val wordOf = vocab.map { case (w, f) => f -> w }.toMap
+    val splitMap = splits.map(s => s.node -> s.fidx).toMap
+    def present(f: Int): Column =
+      if (f <= NumWords) array_contains(words, lit(wordOf(f)))
+      else bucket === lit(f)
+    def node(n: Int): Column = splitMap.get(n) match {
+      case Some(f) => when(present(f), node(2 * n + 1))
+        .otherwise(node(2 * n + 2))
+      // every reachable leaf has training docs (both split children are
+      // non-empty by the nL bounds); the default covers unreachable ids
+      case None => lit(leafPred.getOrElse(n, 1))
+    }
+    node(0)
+  }
+
   /** qc_tree_eval face: train accuracy vs the majority baseline — all
     * exact integer counts. */
   def treeEval(docs: DataFrame, splits: Seq[Split]): DataFrame =
@@ -404,6 +442,31 @@ object Classifier {
        |$rows
        |ORDER BY node""".stripMargin
   }
+
+  /** qc_tree_deploy twin: the scalar-compiled prediction must equal the
+    * relational apply, so the twin IS the relational chain projected to
+    * (doc_id, pred). */
+  def treeDeploySql(qualitySql: String): String =
+    s"""WITH ${treeCtesSql(qualitySql)},
+       |leaves AS (
+       |  SELECT node,
+       |    CASE WHEN 2 * SUM(y) >= COUNT(*) THEN 1 ELSE 0 END AS pred
+       |  FROM a$TreeDepth JOIN lab USING (doc_id) GROUP BY node)
+       |SELECT a.doc_id, l.pred
+       |FROM a$TreeDepth a JOIN leaves l USING (node)
+       |ORDER BY a.doc_id""".stripMargin
+
+  /** stream_qc_filter_exec twin: the doc ids the deployed filter keeps. */
+  def treeStreamFilterSql(qualitySql: String): String =
+    s"""WITH ${treeCtesSql(qualitySql)},
+       |leaves AS (
+       |  SELECT node,
+       |    CASE WHEN 2 * SUM(y) >= COUNT(*) THEN 1 ELSE 0 END AS pred
+       |  FROM a$TreeDepth JOIN lab USING (doc_id) GROUP BY node)
+       |SELECT a.doc_id
+       |FROM a$TreeDepth a JOIN leaves l USING (node)
+       |WHERE l.pred = 1
+       |ORDER BY a.doc_id""".stripMargin
 
   /** qc_tree_score twin. */
   def treeScoreSql(qualitySql: String): String =

@@ -189,6 +189,21 @@ object DataPipelineQueries {
     TrainedTrees.computeIfAbsent(dir, _ =>
       graft.ops.Classifier.trainTree(t(s, dir, "documents")))
 
+  // The deploy artifact (vocabulary + splits + leaf predictions) the
+  // scalar-compiled filter needs — one training run serves the deploy
+  // and streaming gates too.
+  private val DeployModels = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(String, Int)], Seq[graft.ops.Classifier.Split],
+      Map[Int, Int])]()
+  private def deployModel(s: SparkSession, dir: String):
+      (Seq[(String, Int)], Seq[graft.ops.Classifier.Split], Map[Int, Int]) =
+    DeployModels.computeIfAbsent(dir, _ => {
+      val docs = t(s, dir, "documents")
+      val splits = trainedTree(s, dir)
+      (graft.ops.Classifier.vocabulary(docs), splits,
+        graft.ops.Classifier.leafPredictions(docs, splits))
+    })
+
   /** Drain a finished memory-sink streaming query: fail LOUDLY if the
     * stream did not complete (a truncated sink would otherwise surface as
     * a confusing oracle mismatch far from the cause), copy the bounded
@@ -2296,6 +2311,43 @@ object DataPipelineQueries {
       graft.ops.Classifier.treeEval(t(s, dir, "documents"),
         trainedTree(s, dir))),
 
+    // The DEPLOY face: the trained tree compiled to one scalar CASE of
+    // word-presence / length-bucket tests — no joins, no aggregation, a
+    // map-only scan at 100 TB. Must agree row-for-row with the
+    // relational apply (same twin chain, projected to pred).
+    "qc_tree_deploy" -> ((s, dir) => {
+      import s.implicits._
+      val (vocab, splits, leaves) = deployModel(s, dir)
+      t(s, dir, "documents")
+        .select($"doc_id",
+          graft.ops.Classifier.predictCol($"text", vocab, splits, leaves)
+            .as("pred"))
+        .orderBy($"doc_id")
+    }),
+
+    // The distilled filter deployed INSIDE a streaming ingest — the
+    // production shape: train in batch, filter the stream. The scalar
+    // expression needs no state, no watermark, no shuffle; the real
+    // streaming engine executes it (AvailableNow -> memory sink) and the
+    // surviving doc-id set is gated against the batch twin.
+    "stream_qc_filter_exec" -> ((s, dir) => {
+      import s.implicits._
+      val (vocab, splits, leaves) = deployModel(s, dir)
+      val staged = t(s, dir, "documents").select($"doc_id", $"text")
+      val src = stagedSrc("qcfilter-exec", dir)(
+        staged.coalesce(1).write.mode("overwrite").parquet(_))
+      val stream = s.readStream.schema(staged.schema).parquet(src)
+      val name = s"qc_filter_exec_${StreamExecId.incrementAndGet()}"
+      val q = stream
+        .withColumn("pred",
+          graft.ops.Classifier.predictCol($"text", vocab, splits, leaves))
+        .filter($"pred" === 1).select($"doc_id")
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      drainMemorySink(s, q, name).orderBy($"doc_id")
+    }),
+
     // Bernoulli Naive Bayes model table: ONE grouped aggregation trains
     // it (per-feature class counts -> integer log-likelihood weights).
     "qc_nb" -> ((s, dir) =>
@@ -4237,6 +4289,10 @@ object DataPipelineQueries {
       graft.ops.Classifier.treeScoreSql(qualityScoreSql),
     "qc_tree_eval" ->
       graft.ops.Classifier.treeEvalSql(qualityScoreSql),
+    "qc_tree_deploy" ->
+      graft.ops.Classifier.treeDeploySql(qualityScoreSql),
+    "stream_qc_filter_exec" ->
+      graft.ops.Classifier.treeStreamFilterSql(qualityScoreSql),
     "qc_nb" ->
       graft.ops.Classifier.nbModelSql(qualityScoreSql),
     "qc_nb_score" ->

@@ -77,6 +77,22 @@ class ClassifierSpec extends SparkSpec {
       s"tree $correct should clearly beat majority $majority of $n")
   }
 
+  test("scalar-compiled deploy expression == relational apply, doc for doc") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val splits = Classifier.trainTree(docs)
+    val vocab = Classifier.vocabulary(docs)
+    val leaves = Classifier.leafPredictions(docs, splits)
+    val rel = Classifier.treeScore(docs, splits)
+      .select(col("doc_id"), col("pred"))
+    val dep = docs.select(col("doc_id"),
+      Classifier.predictCol(col("text"), vocab, splits, leaves).as("pred"))
+    assert(rel.exceptAll(dep).isEmpty && dep.exceptAll(rel).isEmpty)
+    // and the compiled form is a pure scalar: no join/aggregate/window
+    val p = dep.queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("Aggregate") &&
+      !p.contains("Window"), p.take(800))
+  }
+
   test("nb weights follow the floor-log2 Laplace formula") {
     val docs = corpus(10)
     def blen(x: Long): Int = java.lang.Long.toBinaryString(x).length
