@@ -118,6 +118,41 @@ object Rank {
       .write.mode("overwrite").partitionBy("bucket").parquet(path + "/postings")
   }
 
+  /** APPEND a document batch to a persisted inverted index without a
+    * rebuild — the freshness move of [[graft.ops.Similarity.appendIvfIndex]]
+    * for the lexical side: postings rows are purely additive (a new
+    * doc's (term, doc_id, dl, tf) rows land as new files inside their
+    * term-hash bucket partitions via mode(append) + partitionBy, picked
+    * up by partition discovery; bucket pruning applies to old and new
+    * files alike), and the one-row stats sidecar rolls its totals
+    * forward. Because df/N/avgdl re-derive from postings + sidecar at
+    * query time, build(old) + append(new) is BIT-IDENTICAL to
+    * build(old ∪ new) — the bm25_index_updated gate pins that with the
+    * full-corpus oracle. */
+  def appendInvertedIndex(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, id: String, text: String, path: String,
+      nBuckets: Int = 64): Unit = {
+    val words = split(col(text), " ")
+    val profiled = docs.select(col(id).as("doc_id"), words.as("__ws"))
+      .withColumn("dl", size(col("__ws")))
+      .localCheckpoint()       // materialized before the sidecar rewrite
+    val batch = profiled.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("dl").cast("long")).as("s")).collect()(0)
+    val old = spark.read.parquet(path + "/stats").collect()(0)
+    profiled.select(col("doc_id"), col("dl"), explode(col("__ws")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
+      .write.mode("append").partitionBy("bucket").parquet(path + "/postings")
+    import spark.implicits._
+    Seq((old.getAs[Long]("n_docs") + batch.getLong(0),
+        old.getAs[Long]("sum_dl") + batch.getLong(1)))
+      .toDF("n_docs", "sum_dl")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/stats")
+    profiled.unpersist()
+  }
+
   /** BM25 top-k against a persisted inverted index. The query terms'
     * bucket ids (computed by the same engine xxhash64 the build used —
     * a |terms|-row local job, never a reimplemented driver hash) become

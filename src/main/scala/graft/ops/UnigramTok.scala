@@ -1,0 +1,223 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** UNIGRAM-LM tokenizer (the SentencePiece family — Kudo 2018,
+  * arXiv:1804.10959): a piece vocabulary scored by corpus frequency and a
+  * VITERBI segmentation that picks, per word, the piece sequence with
+  * maximal total score (ties: fewest pieces). The complement of the BPE
+  * family ([[BpeImpl]]/[[BpeTrain]]): BPE builds words bottom-up by
+  * learned merges; unigram segments top-down against a scored vocabulary.
+  * This is the inference half of SentencePiece with the count-based
+  * initial vocabulary (Kudo's starting point); the EM vocabulary pruning
+  * loop is out of scope and documented as such.
+  *
+  * Exact cross-engine arithmetic throughout: piece scores are the
+  * floor-log2 integer surrogate (length(bin(count)) — the
+  * ta_unigram_logfreq convention), the DP value is an integer pair
+  * (total score, piece count) under lexicographic max, so both engines
+  * replay segmentation bit-for-bit with no float log anywhere.
+  *
+  * Scale shape: piece counting is one explode + one 8-byte-key groupBy
+  * over the DISTINCT word table (the two-pass vocabulary trick — corpus
+  * text is scanned once to build word counts; everything after runs on
+  * the Zipf-bounded vocabulary). The Viterbi DP is relational: one level
+  * per character position (<= [[MaxWordLen]]), each level a broadcast
+  * join of the previous <= [[MaxPiece]] levels against the tiny piece
+  * table plus a per-word argmax aggregation (min_by on the integer pair
+  * — no windows). Levels are localCheckpoint'ed on the Components
+  * cadence so plan depth stays O(checkpoint interval).
+  */
+object UnigramTok {
+
+  /** Longest piece considered (chars). */
+  val MaxPiece = 4
+
+  /** Words longer than this are excluded from segmentation (and from the
+    * token counts) — the documented domain cap that bounds the DP unroll
+    * in both engines. The gated corpora max out at 8. */
+  val MaxWordLen = 16
+
+  /** Multi-char pieces kept (top by count desc, piece asc); ALL single
+    * chars are always kept so every word stays segmentable. */
+  val MultiPieces = 48
+
+  /** Distinct corpus words with occurrence counts: (w, c). */
+  def words(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(Dedup.normalized(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("c"))
+
+  /** The scored piece vocabulary: every substring of length
+    * 1..[[MaxPiece]] weighted by word count; all single chars plus the
+    * top [[MultiPieces]] multi-char pieces. Score is the exact-integer
+    * LOG-PROBABILITY surrogate floor(log2 cnt) - floor(log2 Ntot)
+    * (bin-length difference, Ntot = total count over the selected
+    * vocabulary) — NEGATIVE, so each extra piece costs ~log2(Ntot) and
+    * Viterbi genuinely trades piece frequency against piece count, as in
+    * the real unigram LM. Returns (p, cnt, sc). */
+  def pieceVocab(w: DataFrame): DataFrame = {
+    val cand = w.select(col("w"), col("c"), explode(expr(
+        s"flatten(transform(sequence(1, length(w)), st -> " +
+          s"transform(sequence(1, least($MaxPiece, length(w) - st + 1)), " +
+          s"pl -> substring(w, st, pl))))")).as("p"))
+      .groupBy(col("p")).agg(sum(col("c")).as("cnt"))
+    val singles = cand.filter(length(col("p")) === 1)
+    val multi = cand.filter(length(col("p")) > 1)
+      .orderBy(col("cnt").desc, col("p")).limit(MultiPieces)
+    val sel = singles.unionByName(multi)
+    sel.crossJoin(broadcast(sel.agg(sum(col("cnt")).as("ntot"))))
+      .withColumn("sc",
+        (length(bin(col("cnt"))) - length(bin(col("ntot")))).cast("long"))
+      .drop("ntot")
+  }
+
+  /** Viterbi segmentation of every word of length <= [[MaxWordLen]]:
+    * (w, n_pieces, total_score). The DP state at position i is the best
+    * (score desc, pieces asc) integer pair over all segmentations of the
+    * first i chars; level i draws from levels i-MaxPiece..i-1 through
+    * the piece join and reduces with a max-of-struct aggregation. */
+  def segments(w: DataFrame, pieces: DataFrame): DataFrame = {
+    // checkpoint the DP inputs once: every level references them, and an
+    // unmaterialized piece plan would otherwise be re-planned into every
+    // level's tree
+    val eligible = w.filter(length(col("w")) <= MaxWordLen).localCheckpoint()
+    val p = broadcast(pieces.select(col("p"), col("sc")).localCheckpoint())
+    // dp levels; levels(i) holds rows (w, pos=i, best, np). EVERY level
+    // is checkpointed: each references up to MaxPiece prior levels, so
+    // un-materialized levels would branch the plan MaxPiece-ways per
+    // position (exponential analysis cost); per-level rows are bounded
+    // by the word table, so the checkpoints are cheap.
+    val v0 = eligible.select(col("w"), lit(0).as("pos"),
+      lit(0L).as("best"), lit(0).as("np")).localCheckpoint()
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](v0)
+    (1 to MaxWordLen).foreach { i =>
+      val from = ((i - MaxPiece) max 0) until i
+      val prev = from.map(levels(_)).reduce(_ unionByName _)
+      val cands = prev.filter(length(col("w")) >= i)
+        .withColumn("p", expr(s"substring(w, pos + 1, $i - pos)"))
+        .join(p, "p")
+        .select(col("w"), (col("best") + col("sc")).as("b2"),
+          (col("np") + 1).as("np2"))
+      // argmax of (b2 desc, np2 asc) as a hash aggregation: max of the
+      // struct (b2, -np2, np2) — lexicographic, deterministic, window-free
+      val lvl = cands.groupBy(col("w"))
+        .agg(max(struct(col("b2"), (-col("np2")).as("nn"), col("np2")))
+          .as("s"))
+        .select(col("w"), lit(i).as("pos"), col("s.b2").as("best"),
+          col("s.np2").as("np"))
+      levels += lvl.localCheckpoint()
+    }
+    val all = levels.drop(1).reduce(_ unionByName _)
+    val out = eligible.join(all, Seq("w"))
+      .filter(col("pos") === length(col("w")))
+      .select(col("w"), col("c"), col("np").as("n_pieces"),
+        col("best").as("total_score"))
+      .localCheckpoint()   // materialize before the levels are released
+    levels.foreach(_.unpersist())
+    eligible.unpersist()
+    out
+  }
+
+  /** Per-doc token counts under the unigram segmentation — the two-pass
+    * trick: doc words inner-join the segmented vocabulary `segs` (from
+    * [[segments]], possibly reloaded from rest; words past the
+    * [[MaxWordLen]] cap drop out, the documented domain). Returns
+    * (id, n_words, n_tokens). */
+  def tokenCounts(docs: DataFrame, id: String, textCol: String,
+      segs: DataFrame): DataFrame =
+    docs.select(col(id),
+        explode(split(Dedup.normalized(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(segs.select(col("w"), col("n_pieces"))), "w")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).cast("long").as("n_tokens"))
+
+  // --- DuckDB twins -----------------------------------------------------
+
+  /** Shared CTEs: word counts, piece candidates, the selected scored
+    * vocabulary `usel`, and the unrolled Viterbi levels v0..v[[MaxWordLen]]
+    * with final per-word rows in `usegs`. */
+  def sqlCtes: String = {
+    val levels = (1 to MaxWordLen).map { i =>
+      val from = ((i - MaxPiece) max 0) until i
+      val prev = from.map(j => s"SELECT * FROM v$j").mkString("\n    UNION ALL ")
+      s"""c$i AS (
+         |  SELECT v.w, v.best + s.sc AS b2, v.np + 1 AS np2
+         |  FROM ($prev) v
+         |  JOIN usel s ON s.p = substr(v.w, v.pos + 1, $i - v.pos)
+         |  WHERE length(v.w) >= $i),
+         |v$i AS MATERIALIZED (
+         |  SELECT w, $i AS pos, b2 AS best, np2 AS np FROM (
+         |    SELECT w, b2, np2,
+         |      row_number() OVER (PARTITION BY w ORDER BY b2 DESC, np2)
+         |        AS rn
+         |    FROM c$i)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val allV = (1 to MaxWordLen).map(i => s"SELECT * FROM v$i")
+      .mkString("\n  UNION ALL ")
+    s"""uwords AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(string_split(
+       |          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+       |          AS w
+       |        FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |ucand AS (
+       |  SELECT substr(w, CAST(st AS INT), CAST(pl AS INT)) AS p,
+       |    CAST(SUM(c) AS BIGINT) AS cnt
+       |  FROM (SELECT w, c, st,
+       |          unnest(range(1, least($MaxPiece, length(w) - st + 1) + 1))
+       |            AS pl
+       |        FROM (SELECT w, c, unnest(range(1, length(w) + 1)) AS st
+       |              FROM uwords))
+       |  GROUP BY 1),
+       |umulti AS (SELECT p, cnt FROM ucand WHERE length(p) > 1
+       |           ORDER BY cnt DESC, p LIMIT $MultiPieces),
+       |upick AS (SELECT p, cnt FROM ucand WHERE length(p) = 1
+       |          UNION ALL SELECT p, cnt FROM umulti),
+       |usel AS MATERIALIZED (
+       |  SELECT p, cnt,
+       |    CAST(length(bin(cnt)) - length(bin(ntot)) AS BIGINT) AS sc
+       |  FROM upick CROSS JOIN
+       |    (SELECT CAST(SUM(cnt) AS BIGINT) AS ntot FROM upick)),
+       |v0 AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS best, 0 AS np
+       |       FROM uwords WHERE length(w) <= $MaxWordLen),
+       |$levels,
+       |usegs AS MATERIALIZED (
+       |  SELECT u.w, u.c, v.np AS n_pieces, v.best AS total_score
+       |  FROM uwords u JOIN ($allV) v
+       |    ON v.w = u.w AND v.pos = length(u.w))""".stripMargin
+  }
+
+  /** unigram_vocab twin. */
+  def vocabSql: String =
+    s"""WITH $sqlCtes
+       |SELECT p AS piece, cnt, sc AS score FROM usel
+       |ORDER BY piece""".stripMargin
+
+  /** unigram_segments twin. */
+  def segmentsSql: String =
+    s"""WITH $sqlCtes
+       |SELECT w, c AS word_count, CAST(n_pieces AS INT) AS n_pieces,
+       |  total_score
+       |FROM usegs
+       |ORDER BY w""".stripMargin
+
+  /** ta_tokens_unigram twin. */
+  def tokenCountsSql: String =
+    s"""WITH $sqlCtes,
+       |dw AS (
+       |  SELECT doc_id, unnest(string_split(
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+       |  FROM documents)
+       |SELECT doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(n_pieces) AS BIGINT) AS n_tokens
+       |FROM dw JOIN usegs USING (w)
+       |WHERE w <> ''
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+}

@@ -189,6 +189,15 @@ object DataPipelineQueries {
     TrainedTrees.computeIfAbsent(dir, _ =>
       graft.ops.Classifier.trainTree(t(s, dir, "documents")))
 
+  // The unigram-Viterbi segmentation of the corpus vocabulary, at rest
+  // per dir — the unigram tokenizer's trained artifact.
+  private def unigramSegsPath(s: SparkSession, dir: String): String =
+    graft.util.TempDirs.cached("unigram-segs", dir) { p =>
+      val w = graft.ops.UnigramTok.words(t(s, dir, "documents"), "text")
+      graft.ops.UnigramTok.segments(w, graft.ops.UnigramTok.pieceVocab(w))
+        .write.parquet(p)
+    }
+
   // The deploy artifact (vocabulary + splits + leaf predictions) the
   // scalar-compiled filter needs — one training run serves the deploy
   // and streaming gates too.
@@ -1380,6 +1389,27 @@ object DataPipelineQueries {
         terms = Seq("spark", "join", "window"), k = 20)
     }),
 
+    // Incremental index freshness on the lexical side: build the
+    // inverted index on the first 400 docs, APPEND the rest (additive
+    // postings files + stats-sidecar roll-forward), query the combined
+    // index. Gated with the FULL-corpus oracle: build+append must be
+    // bit-identical to a from-scratch build — the knn_ivf_updated
+    // convention for BM25.
+    "bm25_index_updated" -> ((s, dir) => {
+      import s.implicits._
+      val (path, _) = builtIndex("bm25-idx-incr", dir) { p =>
+        Rank.writeInvertedIndex(
+          t(s, dir, "documents").filter($"doc_id" < 400),
+          "doc_id", "text", p)
+        Rank.appendInvertedIndex(s,
+          t(s, dir, "documents").filter($"doc_id" >= 400),
+          "doc_id", "text", p)
+        Array.empty
+      }
+      Rank.bm25IndexedTopK(s, path,
+        terms = Seq("spark", "join", "window"), k = 20)
+    }),
+
     // Reciprocal rank fusion — the hybrid-retrieval combiner that needs
     // no score calibration: BM25 top-50 (lexical) and brute-force cosine
     // top-50 for query vector 0 (semantic; vec_id aligns with doc_id),
@@ -2284,6 +2314,67 @@ object DataPipelineQueries {
         .orderBy($"tile")
     }),
 
+    // UNIGRAM-LM TOKENIZER (the SentencePiece family, Kudo 2018) — the
+    // second tokenizer family next to BPE: a frequency-scored piece
+    // vocabulary (exact-integer log-prob surrogate) and a relational
+    // Viterbi segmentation (one DP level per char position, argmax as a
+    // max-of-struct aggregation — no windows, no kernel). Three gates:
+    // the scored vocabulary, the per-word segmentation (optimal score +
+    // min piece count — the DP's substantive outputs), and per-doc token
+    // counts through the two-pass vocabulary trick.
+    "unigram_vocab" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.UnigramTok.pieceVocab(
+          graft.ops.UnigramTok.words(t(s, dir, "documents"), "text"))
+        .select($"p".as("piece"), $"cnt", $"sc".as("score"))
+        .orderBy($"piece")
+    }),
+
+    // segments run the relational Viterbi once per dir (TempDirs.cached
+    // at-rest table — the trained-state convention); the token-count
+    // gate reloads it, proving the artifact roundtrips.
+    "unigram_segments" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(unigramSegsPath(s, dir))
+        .select($"w", $"c".as("word_count"), $"n_pieces", $"total_score")
+        .orderBy($"w")
+    }),
+
+    "ta_tokens_unigram" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.UnigramTok.tokenCounts(t(s, dir, "documents"), "doc_id",
+        "text", s.read.parquet(unigramSegsPath(s, dir)))
+        .orderBy($"doc_id")
+    }),
+
+    // Corpus SNAPSHOT DIFF — the versioning report a dataset release
+    // ships (what changed since v1?): v2 synthesized deterministically
+    // from the corpus (every 13th doc dropped, every 7th edited, 20 new
+    // ids appended), then a full-outer fingerprint join classifies every
+    // id as added/removed/changed/unchanged. Only (id, md5) pairs
+    // shuffle — text never leaves the map stage; at 100 TB this is the
+    // cheapest possible two-version comparison.
+    "snapshot_diff" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val v1 = docs.select($"doc_id", md5($"text").as("fp1"))
+      val v2 = docs.filter($"doc_id" % 13 =!= 0)
+        .select($"doc_id",
+          md5(when($"doc_id" % 7 === 0, concat($"text", lit(" v2 edit")))
+            .otherwise($"text")).as("fp2"))
+        .unionByName(docs.filter($"doc_id" < 20)
+          .select(($"doc_id" + 100000).as("doc_id"),
+            md5(concat(lit("new doc "), $"doc_id".cast("string")))
+              .as("fp2")))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(when($"fp1".isNull, "added")
+          .when($"fp2".isNull, "removed")
+          .when($"fp1" =!= $"fp2", "changed")
+          .otherwise("unchanged").as("status"))
+        .groupBy($"status").agg(count(lit(1)).as("n_docs"))
+        .orderBy($"status")
+    }),
+
     // QUALITY-CLASSIFIER DISTILLATION (the CCNet/WebText/LLaMA pipeline
     // step: label a slice with an expensive signal, train a cheap model
     // on-cluster, filter the full corpus with the model). Teacher =
@@ -2346,6 +2437,60 @@ object DataPipelineQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       drainMemorySink(s, q, name).orderBy($"doc_id")
+    }),
+
+    // The distilled filter placed INSIDE the curation funnel — the
+    // composition a production corpus actually runs once the teacher is
+    // too expensive for the full corpus: classifier-kept docs -> quality
+    // ranking -> distributed token-budget prefix (budgetPrefix, the
+    // curate_sample machinery). Twin = tree chain + the curate tail.
+    "curate_by_classifier" -> ((s, dir) => {
+      import s.implicits._
+      val (vocab, splits, leaves) = deployModel(s, dir)
+      val kept = t(s, dir, "documents")
+        .filter(graft.ops.Classifier
+          .predictCol($"text", vocab, splits, leaves) === 1)
+        .select($"doc_id",
+          TextAnalysis.tokenCountBpe($"text").as("n_tokens"),
+          TextAnalysis.qualityScore($"text").as("quality"))
+      Sampling.budgetPrefix(kept, Seq($"quality".desc, $"doc_id"),
+          $"n_tokens", "cum_tokens", budget = 50000L, numRanges = 8)
+        .select($"doc_id", $"n_tokens", $"cum_tokens", $"quality")
+        .orderBy($"doc_id")
+    }),
+
+    // STREAM-STREAM JOIN executed under the gate — the one Structured
+    // Streaming join shape the other five exec gates don't cover: each
+    // click joined to the same user's views in the preceding 6 hours,
+    // both sides watermarked (state eviction bound), inner join with a
+    // time-interval condition. One staged file -> one data micro-batch,
+    // so the emission set is closed-form and the batch self-join twin
+    // gates it exactly.
+    "stream_join_exec" -> ((s, dir) => {
+      import s.implicits._
+      val (src, schema) = stagedEvents(s, dir)
+      val a = s.readStream.schema(schema).parquet(src)
+        .filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("ts_a"), $"event_id".as("click_id"))
+        .withWatermark("ts_a", "7 hours")
+      val b = s.readStream.schema(schema).parquet(src)
+        .filter($"event_type" === "view")
+        .select($"user_id".as("user_id_b"), $"ts".as("ts_b"),
+          $"event_id".as("view_id"))
+        .withWatermark("ts_b", "7 hours")
+      val joined = a.join(b,
+        $"user_id" === $"user_id_b" &&
+          $"ts_b" >= $"ts_a" - expr("interval 6 hours") &&
+          $"ts_b" <= $"ts_a")
+        .select($"user_id", $"click_id", $"view_id")
+      val name = s"join_exec_${StreamExecId.incrementAndGet()}"
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      drainMemorySink(s, q, name)
+        .groupBy($"user_id").agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"user_id")
     }),
 
     // Bernoulli Naive Bayes model table: ONE grouped aggregation trains
@@ -3957,6 +4102,9 @@ object DataPipelineQueries {
     // term order, same operation order), so the same twin gates it: the
     // index is a layout change, never a semantics change.
     "bm25_indexed" -> bm25OracleSql(),
+    // build+append must equal the from-scratch build, so the full-corpus
+    // twin gates the incremental path too.
+    "bm25_index_updated" -> bm25OracleSql(),
     "rrf_fusion" -> rrfFusionSql,
     // Same injection, same patterns (the regexes live in the common
     // Java-regex/RE2 subset), same ordered replace chain with the 'g'
@@ -4283,6 +4431,29 @@ object DataPipelineQueries {
     // length buckets), teacher labels from the SAME qualityScoreSql as
     // the curate twins, then the unrolled per-level split/assign chain
     // (tree) or the one-aggregation model (NB) — every number integer.
+    "unigram_vocab" -> graft.ops.UnigramTok.vocabSql,
+    "unigram_segments" -> graft.ops.UnigramTok.segmentsSql,
+    "ta_tokens_unigram" -> graft.ops.UnigramTok.tokenCountsSql,
+    // Same v2 synthesis, same fingerprint classification.
+    "snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2 edit'
+        |             ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    md5('new doc ' || CAST(doc_id AS VARCHAR))
+        |  FROM documents WHERE doc_id < 20),
+        |j AS (
+        |  SELECT CASE WHEN a.fp IS NULL THEN 'added'
+        |              WHEN b.fp IS NULL THEN 'removed'
+        |              WHEN a.fp <> b.fp THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT status, COUNT(*) AS n_docs FROM j
+        |GROUP BY status ORDER BY status""".stripMargin,
     "qc_tree_train" ->
       graft.ops.Classifier.treeTrainSql(qualityScoreSql),
     "qc_tree_score" ->
@@ -4291,6 +4462,44 @@ object DataPipelineQueries {
       graft.ops.Classifier.treeEvalSql(qualityScoreSql),
     "qc_tree_deploy" ->
       graft.ops.Classifier.treeDeploySql(qualityScoreSql),
+    // tree chain -> kept ids -> the curate_sample tail over them.
+    "curate_by_classifier" ->
+      (s"""WITH ${graft.ops.Classifier.treeCtesSql(qualityScoreSql)},
+         |leaves AS (
+         |  SELECT node,
+         |    CASE WHEN 2 * SUM(y) >= COUNT(*) THEN 1 ELSE 0 END AS pred
+         |  FROM a${graft.ops.Classifier.TreeDepth} JOIN lab USING (doc_id)
+         |  GROUP BY node),
+         |keep AS (
+         |  SELECT a.doc_id FROM a${graft.ops.Classifier.TreeDepth} a
+         |  JOIN leaves l USING (node) WHERE l.pred = 1),
+         |q AS (
+         |  SELECT doc_id,
+         |""".stripMargin +
+        s"    $tokenCountSql AS n_tokens,\n" +
+        s"    $qualityScoreSql AS quality\n" +
+        """  FROM documents JOIN keep USING (doc_id)),
+         |sampled AS (
+         |  SELECT doc_id, n_tokens, quality,
+         |    CAST(SUM(CAST(n_tokens AS BIGINT)) OVER (
+         |      ORDER BY quality DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM q)
+         |SELECT doc_id, n_tokens, cum_tokens, quality
+         |FROM sampled WHERE cum_tokens <= 50000
+         |ORDER BY doc_id""".stripMargin),
+    "stream_join_exec" ->
+      """WITH a AS (
+        |  SELECT user_id, ts AS ts_a, event_id AS click_id FROM events
+        |  WHERE event_type = 'click'),
+        |b AS (
+        |  SELECT user_id AS ub, ts AS ts_b, event_id AS view_id
+        |  FROM events WHERE event_type = 'view')
+        |SELECT user_id, COUNT(*) AS n_pairs
+        |FROM a JOIN b ON user_id = ub
+        |  AND ts_b >= ts_a - INTERVAL 6 HOUR AND ts_b <= ts_a
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "stream_qc_filter_exec" ->
       graft.ops.Classifier.treeStreamFilterSql(qualityScoreSql),
     "qc_nb" ->

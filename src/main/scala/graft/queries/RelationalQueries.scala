@@ -401,6 +401,74 @@ object RelationalQueries {
           .as("hour"), $"event_type")
         .agg(count(lit(1)).as("n"), sumMoney($"value").as("total_value"))
         .orderBy($"hour", $"event_type")
+    }),
+
+    // ANALYZE-style per-column statistics — the maintenance pass that
+    // feeds a cost-based optimizer and a data-quality dashboard: nulls,
+    // exact NDV, min/max for four representative lineitem columns, all
+    // from ONE scan (a single multi-aggregate + stack unpivot; Catalyst
+    // plans the distinct-count expand map-side). Min/max cross-engine
+    // via type-stable renderings: longs verbatim, doubles through the
+    // exact DECIMAL(18,2) money domain, timestamps as dates.
+    "table_stats" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem").agg(
+          count(lit(1)).as("n_rows"),
+          sum(when($"l_orderkey".isNull, 1).otherwise(0)).cast("long")
+            .as("nn1"),
+          count_distinct($"l_orderkey").as("nd1"),
+          min($"l_orderkey").cast("string").as("mn1"),
+          max($"l_orderkey").cast("string").as("mx1"),
+          sum(when($"l_quantity".isNull, 1).otherwise(0)).cast("long")
+            .as("nn2"),
+          count_distinct($"l_quantity").as("nd2"),
+          min(money($"l_quantity")).cast("string").as("mn2"),
+          max(money($"l_quantity")).cast("string").as("mx2"),
+          sum(when($"l_returnflag".isNull, 1).otherwise(0)).cast("long")
+            .as("nn3"),
+          count_distinct($"l_returnflag").as("nd3"),
+          min($"l_returnflag").as("mn3"),
+          max($"l_returnflag").as("mx3"),
+          sum(when($"l_shipdate".isNull, 1).otherwise(0)).cast("long")
+            .as("nn4"),
+          count_distinct($"l_shipdate").as("nd4"),
+          date_format(min($"l_shipdate"), "yyyy-MM-dd").as("mn4"),
+          date_format(max($"l_shipdate"), "yyyy-MM-dd").as("mx4"))
+        .selectExpr("n_rows",
+          "stack(4, " +
+            "'l_orderkey', nn1, nd1, mn1, mx1, " +
+            "'l_quantity', nn2, nd2, mn2, mx2, " +
+            "'l_returnflag', nn3, nd3, mn3, mx3, " +
+            "'l_shipdate', nn4, nd4, mn4, mx4) " +
+            "AS (col_name, n_nulls, ndv, min_v, max_v)")
+        .select($"col_name", $"n_rows", $"n_nulls", $"ndv", $"min_v",
+          $"max_v")
+        .orderBy($"col_name")
+    }),
+
+    // Join-key SKEW diagnosis — the report a team reads before choosing a
+    // salt factor: per-key counts of orders.o_custkey reduced to exact
+    // integer summary stats. The p50 is the histogram-of-counts order
+    // statistic (the keepAboveQuantile convention: smallest count whose
+    // cumulative key tally reaches (50n+99) div 100, cumulated through
+    // rangedRunningSum — no partition-less window), and salt_factor =
+    // ceil(max/p50) is the replication a salted join would need to level
+    // the hottest key to median load.
+    "skew_report" -> ((s, dir) => {
+      import s.implicits._
+      val kc = t(s, dir, "orders").groupBy($"o_custkey")
+        .agg(count(lit(1)).as("c"))
+      val h = kc.groupBy($"c").agg(count(lit(1)).as("nk"))
+      val cum = graft.ops.Sampling.rangedRunningSum(h, Seq($"c"), $"nk",
+        "cumk", numRanges = 8)
+      val n = kc.agg(count(lit(1)).as("n_keys"), sum($"c").as("n_rows"),
+        max($"c").as("max_cnt"))
+      val p50 = cum.crossJoin(broadcast(n))
+        .agg(min(when($"cumk" >= expr("(50 * n_keys + 99) div 100"), $"c"))
+          .as("p50_cnt"))
+      n.crossJoin(broadcast(p50))
+        .select($"n_keys", $"n_rows", $"max_cnt", $"p50_cnt",
+          expr("(max_cnt + p50_cnt - 1) div p50_cnt").as("salt_factor"))
     })
   )
 
@@ -605,6 +673,59 @@ object RelationalQueries {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY 1, 2
-        |ORDER BY hour, event_type""".stripMargin
+        |ORDER BY hour, event_type""".stripMargin,
+    // One multi-aggregate scan unpivoted to a row per column; value
+    // renderings are type-stable on both engines (bigint verbatim,
+    // DECIMAL(18,2) keeps its two-digit scale through VARCHAR, dates
+    // via strftime).
+    "table_stats" ->
+      """WITH a AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn1,
+        |    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nd1,
+        |    CAST(MIN(l_orderkey) AS VARCHAR) AS mn1,
+        |    CAST(MAX(l_orderkey) AS VARCHAR) AS mx1,
+        |    CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn2,
+        |    CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS nd2,
+        |    CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS mn2,
+        |    CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS mx2,
+        |    CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn3,
+        |    CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS nd3,
+        |    MIN(l_returnflag) AS mn3, MAX(l_returnflag) AS mx3,
+        |    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn4,
+        |    CAST(COUNT(DISTINCT l_shipdate) AS BIGINT) AS nd4,
+        |    strftime(MIN(l_shipdate), '%Y-%m-%d') AS mn4,
+        |    strftime(MAX(l_shipdate), '%Y-%m-%d') AS mx4
+        |  FROM lineitem)
+        |SELECT col_name, n_rows, n_nulls, ndv, min_v, max_v FROM (
+        |  SELECT 'l_orderkey' AS col_name, n_rows, nn1 AS n_nulls,
+        |    nd1 AS ndv, mn1 AS min_v, mx1 AS max_v FROM a
+        |  UNION ALL
+        |  SELECT 'l_quantity', n_rows, nn2, nd2, mn2, mx2 FROM a
+        |  UNION ALL
+        |  SELECT 'l_returnflag', n_rows, nn3, nd3, mn3, mx3 FROM a
+        |  UNION ALL
+        |  SELECT 'l_shipdate', n_rows, nn4, nd4, mn4, mx4 FROM a)
+        |ORDER BY col_name""".stripMargin,
+    // Histogram-of-counts p50 (the keepAboveQuantile order-statistic
+    // convention) + ceil-div salt recommendation, all integers.
+    "skew_report" ->
+      """WITH kc AS (
+        |  SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY 1),
+        |h AS (SELECT c, COUNT(*) AS nk FROM kc GROUP BY 1),
+        |cum AS (SELECT c, SUM(nk) OVER (ORDER BY c
+        |  ROWS UNBOUNDED PRECEDING) AS cumk FROM h),
+        |n AS (SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  CAST(MAX(c) AS BIGINT) AS max_cnt FROM kc),
+        |p50 AS (SELECT CAST(MIN(c) AS BIGINT) AS p50_cnt
+        |  FROM cum CROSS JOIN n
+        |  WHERE cumk >= (50 * n_keys + 99) // 100)
+        |SELECT n_keys, n_rows, max_cnt, p50_cnt,
+        |  CAST((max_cnt + p50_cnt - 1) // p50_cnt AS BIGINT) AS salt_factor
+        |FROM n CROSS JOIN p50""".stripMargin
   )
 }

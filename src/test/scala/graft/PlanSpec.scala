@@ -415,6 +415,26 @@ class PlanSpec extends SparkSpec {
     assert(!pAcc.contains("Generate "), "accuracy row must not explode")
   }
 
+  test("maintenance ops: table_stats is ONE scan of lineitem; skew_report " +
+      "has no partition-less window; snapshot_diff shuffles ids+md5 only") {
+    val stats = SparkEntry.queries("table_stats")(spark, sf("sf0.001"))
+    val pStats = stats.queryExecution.executedPlan.toString
+    assert(pStats.split("Scan parquet").length - 1 == 1,
+      "table_stats must read lineitem exactly once: " + pStats.take(1200))
+    val skew = SparkEntry.queries("skew_report")(spark, sf("sf0.001"))
+    assert(PlanSpec.collectWindows(skew.queryExecution.executedPlan)
+        .forall(_.partitionSpec.nonEmpty),
+      "skew_report must not have a partition-less window")
+    val diff = SparkEntry.queries("snapshot_diff")(spark, sf("sf0.001"))
+    val pDiff = diff.queryExecution.executedPlan.toString
+    // the join inputs project to (doc_id, md5) before any exchange: no
+    // raw text column appears in an Exchange's partitioning
+    val exchanges = pDiff.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(!_.contains("text")),
+      "snapshot_diff must never shuffle document text: " +
+        exchanges.mkString("; "))
+  }
+
   test("qc: classifier distillation keeps bounded shapes — split argmin " +
       "is a hash aggregation (no window anywhere), leaf/model tables " +
       "broadcast, NB per-doc sums combine map-side") {

@@ -101,6 +101,31 @@ class ExtraOpsSpec extends SparkSpec {
     assert(lone.nonEmpty && lone.forall(!_.isNullAt(4)))
   }
 
+  test("BM25 append: build(old)+append(new) == build(old ∪ new), " +
+      "bit for bit; sidecar totals roll forward") {
+    val old = Seq(
+      (1L, "cat dog bird"),
+      (2L, "cat cat cat cat bird fish")).toDF("doc_id", "text")
+    val batch = Seq(
+      (3L, "dog fish bird frog owl pig hen cow fox elk"),
+      (4L, "fish bird frog")).toDF("doc_id", "text")
+    val incr = graft.util.TempDirs.create("bm25-incr-spec") + "/idx"
+    Rank.writeInvertedIndex(old, "doc_id", "text", incr, nBuckets = 8)
+    Rank.appendInvertedIndex(spark, batch, "doc_id", "text", incr,
+      nBuckets = 8)
+    val full = graft.util.TempDirs.create("bm25-full-spec") + "/idx"
+    Rank.writeInvertedIndex(old.unionByName(batch), "doc_id", "text",
+      full, nBuckets = 8)
+    val got = Rank.bm25IndexedTopK(spark, incr,
+      terms = Seq("cat", "fish"), k = 10, nBuckets = 8).collect().toSeq
+    val want = Rank.bm25IndexedTopK(spark, full,
+      terms = Seq("cat", "fish"), k = 10, nBuckets = 8).collect().toSeq
+    assert(got == want, s"incr $got vs full $want")
+    val stats = spark.read.parquet(incr + "/stats")
+      .as[(Long, Long)].head()
+    assert(stats == ((4L, 3L + 6L + 10L + 3L)))
+  }
+
   test("RRF: fused score is sum of 1/(c+rank), missing list = 0, union kept") {
     val lex = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("doc_id", "rank")
     val vec = Seq((11L, 1), (13L, 2)).toDF("doc_id", "rank")
