@@ -267,6 +267,16 @@ object Classifier {
     node(0)
   }
 
+  /** qc_tree_reliability face: per-leaf calibration — how pure each
+    * leaf's prediction actually is (the table a curation team reads to
+    * decide which leaves to trust or prune). */
+  def treeReliability(docs: DataFrame, splits: Seq[Split]): DataFrame =
+    treeScore(docs, splits)
+      .groupBy(col("leaf"), col("pred"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("correct")).as("n_correct"))
+      .orderBy(col("leaf"))
+
   /** qc_tree_eval face: train accuracy vs the majority baseline — all
     * exact integer counts. */
   def treeEval(docs: DataFrame, splits: Seq[Split]): DataFrame =
@@ -480,6 +490,23 @@ object Classifier {
        |FROM a$TreeDepth a JOIN leaves l USING (node) JOIN lab b
        |  USING (doc_id)
        |ORDER BY a.doc_id""".stripMargin
+
+  /** qc_tree_reliability twin: per-leaf calibration counts. */
+  def treeReliabilitySql(qualitySql: String): String =
+    s"""WITH ${treeCtesSql(qualitySql)},
+       |leaves AS (
+       |  SELECT node,
+       |    CASE WHEN 2 * SUM(y) >= COUNT(*) THEN 1 ELSE 0 END AS pred
+       |  FROM a$TreeDepth JOIN lab USING (doc_id) GROUP BY node)
+       |SELECT CAST(a.node AS INT) AS leaf, l.pred,
+       |  COUNT(*) AS n,
+       |  CAST(SUM(b.y) AS BIGINT) AS n_pos,
+       |  CAST(SUM(CASE WHEN l.pred = b.y THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_correct
+       |FROM a$TreeDepth a JOIN leaves l USING (node) JOIN lab b
+       |  USING (doc_id)
+       |GROUP BY a.node, l.pred
+       |ORDER BY leaf""".stripMargin
 
   /** qc_tree_eval twin. */
   def treeEvalSql(qualitySql: String): String =

@@ -2439,6 +2439,40 @@ object DataPipelineQueries {
       drainMemorySink(s, q, name).orderBy($"doc_id")
     }),
 
+    // Per-leaf calibration of the distilled tree — which leaves are
+    // trustworthy (pure) and which are coin flips; the reviewability
+    // table that justifies deploying (or pruning) the filter.
+    "qc_tree_reliability" -> ((s, dir) =>
+      graft.ops.Classifier.treeReliability(t(s, dir, "documents"),
+        trainedTree(s, dir))),
+
+    // CONVERSION FUNNEL over event time: per user, first click and the
+    // first purchase at-or-after it; converted = within 24 h. The
+    // first-touch attribution query every event pipeline runs — two
+    // keyed aggregations and one join, all on (user_id, 8-byte
+    // timestamps); exact integer microseconds cross-engine.
+    "conversion_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+      val clicks = ev.filter($"event_type" === "click")
+        .groupBy($"user_id")
+        .agg(min(unix_micros($"ts")).as("first_click_us"))
+      val after = ev.filter($"event_type" === "purchase")
+        .select($"user_id", unix_micros($"ts").as("p_us"))
+        .join(clicks, "user_id")
+        .filter($"p_us" >= $"first_click_us")
+        .groupBy($"user_id")
+        .agg(min($"p_us").as("first_purchase_after_us"))
+      clicks.join(after, Seq("user_id"), "left")
+        .withColumn("converted",
+          when($"first_purchase_after_us".isNotNull &&
+            $"first_purchase_after_us" <=
+              $"first_click_us" + lit(86400000000L), 1).otherwise(0))
+        .select($"user_id", $"first_click_us", $"first_purchase_after_us",
+          $"converted")
+        .orderBy($"user_id")
+    }),
+
     // The distilled filter placed INSIDE the curation funnel — the
     // composition a production corpus actually runs once the teacher is
     // too expensive for the full corpus: classifier-kept docs -> quality
@@ -4462,6 +4496,25 @@ object DataPipelineQueries {
       graft.ops.Classifier.treeEvalSql(qualityScoreSql),
     "qc_tree_deploy" ->
       graft.ops.Classifier.treeDeploySql(qualityScoreSql),
+    "qc_tree_reliability" ->
+      graft.ops.Classifier.treeReliabilitySql(qualityScoreSql),
+    "conversion_funnel" ->
+      """WITH c AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS first_click_us
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS first_purchase_after_us
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(e.ts) >= c.first_click_us
+        |  GROUP BY e.user_id)
+        |SELECT c.user_id, c.first_click_us, p.first_purchase_after_us,
+        |  CASE WHEN p.first_purchase_after_us IS NOT NULL
+        |        AND p.first_purchase_after_us
+        |          <= c.first_click_us + 86400000000 THEN 1 ELSE 0 END
+        |    AS converted
+        |FROM c LEFT JOIN p ON c.user_id = p.user_id
+        |ORDER BY c.user_id""".stripMargin,
     // tree chain -> kept ids -> the curate_sample tail over them.
     "curate_by_classifier" ->
       (s"""WITH ${graft.ops.Classifier.treeCtesSql(qualityScoreSql)},
