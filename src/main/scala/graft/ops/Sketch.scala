@@ -59,6 +59,42 @@ object Sketch {
       .select(col("g"), col("n_exact"), col("m_used"), col("hll_ndv"))
   }
 
+  /** The MERGE path of the HLL sketch — the property that makes it a
+    * distributed sketch at all: each `shard` builds its own (register,
+    * max-rank) sketch independently (what a 1000-executor fleet would
+    * ship to the coordinator: m pairs per shard, never keys), and the
+    * shards combine by register-wise MAX. Because max is associative and
+    * commutative, merge(shard sketches) == sketch(whole corpus) exactly
+    * — so the direct one-group twin gates this two-stage path
+    * bit-for-bit, and SketchSpec asserts the equality against [[hllNdv]]
+    * in-engine too. Returns one row ('all', n_exact, m_used, hll_ndv). */
+  def hllNdvMerged(df: DataFrame, key: Column, shard: Column): DataFrame = {
+    val h = xxhash64(key)
+    val rem = shiftrightunsigned(h, 8)
+    val rows = df.select(shard.as("sh"), key.as("kk"),
+      h.bitwiseAND(lit((HllM - 1).toLong)).as("r"),
+      when(rem === 0L, lit(57))
+        .otherwise(lit(57) - length(bin(rem))).as("k0"))
+    val perShard = rows.groupBy(col("sh"), col("r"))
+      .agg(max(col("k0")).as("mk"))
+    val merged = perShard.groupBy(col("r")).agg(max(col("mk")).as("mk"))
+      .withColumn("w",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(57 - mk AS INT))"))
+    val sketch = merged.agg(
+        count(lit(1)).as("m_used"),
+        sum(col("w").cast("decimal(38,0)")).as("zs"))
+      .withColumn("z", col("zs") +
+        (lit(HllM.toLong) - col("m_used")).cast("decimal(38,0)") *
+          lit(TwoPow57))
+      .withColumn("hll_ndv",
+        lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0) *
+          lit(1.44115188075855872e17) / col("z").cast("double"))
+    val exact = rows.agg(countDistinct(col("kk")).as("n_exact"))
+    exact.crossJoin(sketch)
+      .select(lit("all").as("source"), col("n_exact"), col("m_used"),
+        col("hll_ndv"))
+  }
+
   /** COUNT-MIN SKETCH heavy hitters: word frequencies estimated from a
     * d x w counter matrix (bounded memory — d*w longs regardless of
     * vocabulary size), estimate = min over the d seeded rows. Collisions

@@ -1750,6 +1750,43 @@ object DataPipelineQueries {
         .orderBy($"source")
     }),
 
+    // The sketch MERGE path: per-source HLL sketches max-merged into the
+    // corpus estimate — the shuffle shape a 1000-executor NDV actually
+    // uses (m register pairs per shard, never keys). Merge(shards) ==
+    // direct by max-associativity, so the one-group direct twin gates
+    // the two-stage path bit-for-bit.
+    "approx_ndv_merged" -> ((s, dir) => {
+      import s.implicits._
+      Sketch.hllNdvMerged(t(s, dir, "documents"),
+        conv(substring(TextAnalysis.fingerprint($"text"), 1, 15), 16, 10)
+          .cast("long"),
+        $"source")
+    }),
+
+    // Exact per-type latency-style percentiles of the event value — the
+    // p50/p95/p99 dashboard row, via the histogram order statistic
+    // ((p*n+99) div 100 on the ascending value histogram, the
+    // ta_corpus_stats convention): the per-type window runs over the
+    // bounded value lattice, never the event rows.
+    "event_value_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      val hist = events(s, dir)
+        .groupBy($"event_type", money($"value").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val wc = Window.partitionBy($"event_type").orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum($"c").over(wc))
+      val n = hist.groupBy($"event_type").agg(sum($"c").as("n"))
+      def pct(p: Int) =
+        min(when($"cum" >= expr(s"($p * n + 99) div 100"), $"v"))
+          .cast("double")
+      cum.join(n, "event_type")
+        .groupBy($"event_type", $"n")
+        .agg(pct(50).as("p50"), pct(95).as("p95"), pct(99).as("p99"))
+        .select($"event_type", $"n", $"p50", $"p95", $"p99")
+        .orderBy($"event_type")
+    }),
+
     // Count-min-sketch heavy hitters (Sketch.cmsTopWords): word counts
     // from a bounded d x w counter matrix, estimate = min over seeded
     // rows (collisions only OVER-count — n_cms >= n_exact row by row).
@@ -3742,6 +3779,35 @@ object DataPipelineQueries {
       s"""SELECT source,
          |  CAST(concat('0x', substr($fpSql, 1, 15)) AS BIGINT) AS k
          |FROM documents""".stripMargin),
+    // merge(per-source sketches) == direct one-group sketch, so the
+    // direct chain with a single 'all' group IS the merged twin.
+    "approx_ndv_merged" -> HashOracleSql.hllNdvSql(
+      s"""SELECT 'all' AS source,
+         |  CAST(concat('0x', substr($fpSql, 1, 15)) AS BIGINT) AS k
+         |FROM documents""".stripMargin),
+    // Histogram order statistic per type; thresholds rendered back to
+    // double from the exact 2-decimal money domain.
+    "event_value_percentiles" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cw AS (
+        |  SELECT event_type, v, c,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n
+        |  FROM h)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN v END)
+        |    AS DOUBLE) AS p50,
+        |  CAST(MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN v END)
+        |    AS DOUBLE) AS p95,
+        |  CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN v END)
+        |    AS DOUBLE) AS p99
+        |FROM cw
+        |GROUP BY event_type, n
+        |ORDER BY event_type""".stripMargin,
     // Same percentile convention as ta_corpus_stats ((p*n+99) div 100 on
     // the ascending value histogram); ties at the threshold kept.
     "curate_quantile" ->

@@ -69,4 +69,19 @@ class SketchSpec extends SparkSpec {
       .select($"hll_ndv").as[Double].head()
     assert(a == b, s"partitioning changed the estimate: $a vs $b")
   }
+
+  test("merge(per-shard sketches) == direct sketch, bit for bit") {
+    // 3000 keys scattered over 10 shards; the two-stage shard-merge path
+    // must reproduce the one-group direct estimate exactly (register max
+    // is associative) — the property that makes HLL distributable
+    val df = (0L until 3000L).map(i => (i * 7919, s"shard${i % 10}", "g"))
+      .toDF("k", "shard", "g")
+    val direct = Sketch.hllNdv(df, $"k", $"g")
+      .select($"n_exact", $"m_used", $"hll_ndv")
+      .as[(Long, Long, Double)].head()
+    val merged = Sketch.hllNdvMerged(df, $"k", $"shard")
+      .select($"n_exact", $"m_used", $"hll_ndv")
+      .as[(Long, Long, Double)].head()
+    assert(merged == direct, s"merged $merged vs direct $direct")
+  }
 }
