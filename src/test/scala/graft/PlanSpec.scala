@@ -435,6 +435,28 @@ class PlanSpec extends SparkSpec {
         exchanges.mkString("; "))
   }
 
+  test("round-9 tail ops keep their scale shapes: funnel aggregates " +
+      "partially, percentile windows are per-type over the histogram, " +
+      "HLL merge combines map-side") {
+    val funnel = SparkEntry.queries("conversion_funnel")(spark, sf("sf0.001"))
+    val pF = funnel.queryExecution.executedPlan.toString
+    assert(pF.contains("partial_min") || pF.contains("partial_count"),
+      "funnel min-aggregations must combine map-side: " + pF.take(1200))
+    assert(PlanSpec.collectWindows(funnel.queryExecution.executedPlan).isEmpty,
+      "conversion_funnel needs no window at all")
+    val pct = SparkEntry.queries("event_value_percentiles")(
+      spark, sf("sf0.001"))
+    val ws = PlanSpec.collectWindows(pct.queryExecution.executedPlan)
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      "percentile windows must partition by event_type")
+    val hll = SparkEntry.queries("approx_ndv_merged")(spark, sf("sf0.001"))
+    val pH = hll.queryExecution.executedPlan.toString
+    assert(pH.contains("partial_max") || pH.contains("partial_count"),
+      "register maxima must combine map-side: " + pH.take(1200))
+    assert(PlanSpec.collectWindows(hll.queryExecution.executedPlan).isEmpty,
+      "hll merge needs no window")
+  }
+
   test("qc: classifier distillation keeps bounded shapes — split argmin " +
       "is a hash aggregation (no window anywhere), leaf/model tables " +
       "broadcast, NB per-doc sums combine map-side") {
