@@ -50,7 +50,18 @@ object Bench {
     // isolates steady-state per-query cost without forking JVMs.
     val reps = math.max(1, scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt).getOrElse(3))
-    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Family-filter mode: SPARK_GRAFT_BENCH_FILTER is a comma-separated
+    // list of query-name prefixes (e.g. "knn_,d"). When set, only matching
+    // queries are timed — run in a FRESH JVM to measure a family's cost
+    // isolated from the full suite's working set. Used to attribute
+    // round-over-round drift: isolated ≈ prior round ⇒ shared-JVM
+    // working-set cost; isolated still slow ⇒ real per-query regression.
+    val filterPrefixes = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    val named = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      filterPrefixes.forall(_.exists(n.startsWith))
+    }
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     for (_ <- 1 to reps; (name, fn) <- named) {
@@ -73,15 +84,21 @@ object Bench {
     val qs = jmap(results)
     val med = jmap(named.map { case (name, _) => name -> median(times(name)) })
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_median":$med,"sf":"$sfDir"}"""
+    val filterTag = filterPrefixes.map(ps =>
+      ",\"filter\":\"" + ps.mkString(",") + "\"").getOrElse("")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps$filterTag,"queries":$qs,"queries_median":$med,"sf":"$sfDir"}"""
     println(line)
     // the driver's artifact keeps only a truncated log tail; persist the
     // COMPLETE line so every per-query min+median stays readable
-    // round-over-round (best effort — the bench must not fail on I/O)
+    // round-over-round (best effort — the bench must not fail on I/O).
+    // Filtered runs land in a separate file so they never masquerade as
+    // the full-suite comparator.
     try {
       val out = java.nio.file.Paths.get("bench")
       java.nio.file.Files.createDirectories(out)
-      java.nio.file.Files.writeString(out.resolve("full_latest.json"), line)
+      val fname = if (filterPrefixes.isDefined) "filtered_latest.json"
+                  else "full_latest.json"
+      java.nio.file.Files.writeString(out.resolve(fname), line)
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not persist full line: $e")
     }

@@ -15,9 +15,17 @@ import org.apache.spark.sql.functions._
   * codec. MultimodalSpec referees both directions against the JDK's
   * independent ImageIO PNG codec.
   *
-  * The AUDIO/VIDEO paths remain clearly-marked STUBS (no codec libraries
-  * in this container): deterministic fake dimensions derived from the
-  * payload bytes. The Spark-side plumbing is identical for all three —
+  * The AUDIO path is REAL too: payloads are spec-valid RIFF/WAVE PCM16
+  * files ([[wavEncode]], JDK primitives only) and the decoder recovers
+  * sample rate / channels / frame count / exact integer-microsecond
+  * duration by walking the RIFF chunks ([[wavProbe]]). MultimodalSpec
+  * referees both directions against the JDK's independent
+  * `javax.sound.sampled.AudioSystem` WAV codec.
+  *
+  * The VIDEO path remains a clearly-marked STUB (no video codec
+  * libraries in this container): deterministic fake dimensions derived
+  * from the payload bytes. The Spark-side plumbing is identical for all
+  * three —
   * binary schema, typed Datasets, `mapPartitions` batching with a
   * lazily-initialized per-partition decoder (the executor-singleton
   * pattern used for real codecs/models), and explode-based frame
@@ -27,7 +35,8 @@ object Multimodal {
 
   case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
   case class DecodedMedia(doc_id: Long, media_type: String, width: Int,
-    height: Int, n_frames: Int, features: Array[Float])
+    height: Int, n_frames: Int, sample_rate: Int, channels: Int,
+    n_samples: Int, duration_us: Long, features: Array[Float])
 
   private val PngSignature: Array[Byte] =
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
@@ -95,6 +104,89 @@ object Multimodal {
   private[ops] def imageDims(nChars: Int): (Int, Int) =
     (16 + nChars % 113, 12 + nChars % 97)
 
+  // Audio params derived the same way (oracle re-derives from
+  // length(text); the gate proves WAV encode->probe round-trips them).
+  // 16-bit PCM always; nSamples counts per-channel frames.
+  private[ops] def audioParams(nChars: Int): (Int, Int, Int) =
+    (8000 + (nChars % 5) * 2000,  // sample rate
+      1 + nChars % 2,             // channels
+      50 + nChars % 211)          // frames (samples per channel)
+
+  /** Build a spec-valid WAV (RIFF/WAVE, PCM16): "RIFF" size "WAVE" +
+    * "fmt " chunk (audio format 1, channels, rate, byte rate, block
+    * align, 16 bits) + "data" chunk with a deterministic triangle-ish
+    * ramp. JDK-only byte arithmetic; MultimodalSpec referees the output
+    * against the JDK's independent `javax.sound.sampled.AudioSystem`
+    * WAV codec. */
+  def wavEncode(sampleRate: Int, channels: Int, nSamples: Int): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && nSamples >= 0,
+      s"bad wav params $sampleRate/$channels/$nSamples")
+    val blockAlign = channels * 2 // PCM16
+    val dataLen = nSamples * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.put("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.putInt(16)                       // PCM fmt chunk size
+    bb.putShort(1)                      // audio format: PCM
+    bb.putShort(channels.toShort)
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * blockAlign)  // byte rate
+    bb.putShort(blockAlign.toShort)
+    bb.putShort(16)                     // bits per sample
+    bb.put("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.putInt(dataLen)
+    var i = 0
+    while (i < nSamples * channels) {   // deterministic non-zero samples
+      bb.putShort(((i * 37) % 8192 - 4096).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** REAL WAV header probe: validate RIFF/WAVE, walk chunks to "fmt "
+    * (requiring PCM16) and "data", and return (sampleRate, channels,
+    * nSamples, durationUs). Header-probe only — no sample decode — the
+    * O(1) metadata pass an ingest pipeline runs before resampling.
+    * durationUs = nSamples * 1e6 / rate in exact integer arithmetic. */
+  def wavProbe(payload: Array[Byte]): (Int, Int, Int, Long) = {
+    require(payload.length >= 44, "not a WAV: truncated")
+    def ascii(o: Int, s: String): Boolean =
+      (0 until s.length).forall(i => payload(o + i) == s.charAt(i).toByte)
+    require(ascii(0, "RIFF") && ascii(8, "WAVE"), "not a WAV: bad RIFF header")
+    def le32(o: Int): Int =
+      (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+        ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
+    def le16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    var off = 12
+    var rate = -1; var channels = -1; var blockAlign = -1; var dataLen = -1
+    while (off + 8 <= payload.length && (rate < 0 || dataLen < 0)) {
+      val len = le32(off + 4)
+      if (ascii(off, "fmt ")) {
+        require(len >= 16, s"not a WAV: fmt chunk length $len")
+        require(le16(off + 8) == 1, "not a WAV: not PCM")
+        channels = le16(off + 10)
+        rate = le32(off + 12)
+        blockAlign = le16(off + 20)
+        require(le16(off + 22) == 16, "not a WAV: not 16-bit")
+        require(blockAlign == channels * 2,
+          s"not a WAV: blockAlign $blockAlign for $channels ch PCM16")
+      } else if (ascii(off, "data")) {
+        require(rate > 0, "not a WAV: data chunk before fmt")
+        dataLen = len
+        require(off + 8 + dataLen <= payload.length, "not a WAV: data truncated")
+        require(dataLen % blockAlign == 0,
+          s"not a WAV: data length $dataLen not frame-aligned")
+      }
+      off += 8 + len + (len & 1) // chunks are word-aligned per RIFF
+    }
+    require(rate > 0 && dataLen >= 0, "not a WAV: missing fmt/data chunk")
+    val nSamples = dataLen / blockAlign
+    (rate, channels, nSamples, nSamples * 1000000L / rate)
+  }
+
   /** Static entry point for the [[org.apache.spark.sql.graft.PngPayload]]
     * expression: text-length-derived dims, real PNG bytes. */
   def pngPayloadOf(text: org.apache.spark.unsafe.types.UTF8String): Array[Byte] = {
@@ -102,35 +194,49 @@ object Multimodal {
     pngEncode(w, h)
   }
 
+  /** Static entry point for the [[org.apache.spark.sql.graft.WavPayload]]
+    * expression: text-length-derived params, real RIFF/WAVE PCM16 bytes. */
+  def wavPayloadOf(text: org.apache.spark.unsafe.types.UTF8String): Array[Byte] = {
+    val (rate, ch, n) = audioParams(text.numChars())
+    wavEncode(rate, ch, n)
+  }
+
   /** Synthesize a media table from a text DataFrame: media_type
     * round-robins image/audio/video by doc_id. IMAGE payloads are real
-    * PNGs ([[pngEncode]], via the codegen'd PngPayload expression) with
-    * text-length-derived dimensions; audio/video payloads remain the raw
-    * UTF-8 bytes (stub decoders). */
+    * PNGs ([[pngEncode]], via the codegen'd PngPayload expression) and
+    * AUDIO payloads are real RIFF/WAVE PCM16 files ([[wavEncode]], via
+    * WavPayload), both with text-length-derived parameters; video
+    * payloads remain the raw UTF-8 bytes (stub decoder). */
   def mediaTable(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.graft.{PngPayload, internal}
+    import org.apache.spark.sql.graft.{PngPayload, WavPayload, internal}
     val png = internal.column(PngPayload(internal.expression(col("text"))))
+    val wav = internal.column(WavPayload(internal.expression(col("text"))))
     docs.select(col("doc_id"),
       element_at(typedLit(Seq("image", "audio", "video")),
         (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
       when(col("doc_id") % 3 === 0, png)
+        .when(col("doc_id") % 3 === 1, wav)
         .otherwise(col("text").cast("binary")).as("payload"))
   }
 
   /** Per-partition decoder: the IMAGE branch is a real PNG header parse
-    * ([[pngDims]]); AUDIO/VIDEO remain honest stubs (deterministic fake
-    * dimensions from payload bytes — no codec libraries here). */
+    * ([[pngDims]]) and the AUDIO branch a real WAV header probe
+    * ([[wavProbe]]); VIDEO remains an honest stub (deterministic fake
+    * dimensions from payload bytes — no video codec libraries here). */
   class MediaDecoder {
     def decode(m: MediaRow): DecodedMedia = {
       val len = m.payload.length
-      val (w, h, frames) = m.media_type match {
+      val (w, h, frames, rate, ch, nSamp, durUs) = m.media_type match {
         case "image" =>
           val (pw, ph) = pngDims(m.payload) // REAL decode
-          (pw, ph, 1)
-        case "audio" => (64 + len % 577, 48 + len % 433, 0) // STUB
-        case _ => (64 + len % 577, 48 + len % 433, 1 + len % 7) // STUB
+          (pw, ph, 1, 0, 0, 0, 0L)
+        case "audio" =>
+          val (r, c, n, d) = wavProbe(m.payload) // REAL decode
+          (0, 0, 0, r, c, n, d)
+        case _ =>
+          (64 + len % 577, 48 + len % 433, 1 + len % 7, 0, 0, 0, 0L) // STUB
       }
-      DecodedMedia(m.doc_id, m.media_type, w, h, frames,
+      DecodedMedia(m.doc_id, m.media_type, w, h, frames, rate, ch, nSamp, durUs,
         features = TextImpl.pseudoEmbedding(
           new String(m.payload, java.nio.charset.StandardCharsets.UTF_8), 16))
     }

@@ -95,6 +95,76 @@ object Sketch {
         col("hll_ndv"))
   }
 
+  /** MERGEABLE QUANTILE SKETCH on a base-2 exponential lattice — the
+    * percentile complement of [[hllNdvMerged]]: bounded memory, exact
+    * integer arithmetic, and merge(shard sketches) == direct sketch
+    * BIT-FOR-BIT (bucket counts merge by SUM, which is associative and
+    * commutative — stronger than GK/KLL, whose merge is only
+    * error-bounded, and deterministic cross-engine unlike t-digest).
+    *
+    * The lattice (the log-free core of a DDSketch-style relative-error
+    * histogram): nonnegative integer values below 2^[[QLatticeBase]] map
+    * to themselves (exact); larger values map to octave
+    * e = bitlength(v) (`length(bin(v))` — the repo's transcendental-free
+    * floor-log2) plus the next [[QLatticeBits]] mantissa bits. Bucket
+    * width / lower bound <= 2^-QLatticeBits, so every reported quantile
+    * is a true value lower bound within 6.25% relative error, and the
+    * whole domain of 63-bit values needs <= 960 buckets — the sketch a
+    * 1000-executor fleet ships per group instead of the full value set.
+    */
+  val QLatticeBits = 4
+  private val QLatticeBase = 1L << QLatticeBits // values below stay exact
+
+  /** Lattice bucket id of a nonnegative long `v` (monotone in v). */
+  def latticeBucket(v: Column): Column = {
+    val e = length(bin(v)).cast("int") // bitlength: floor(log2 v) + 1
+    val s = e - (QLatticeBits + 1)     // mantissa shift for this octave
+    when(v < QLatticeBase, v).otherwise(
+      s.cast("long") * QLatticeBase +
+        call_function("shiftright", v, s))
+  }
+
+  /** Lower bound of lattice bucket `b` — the deterministic quantile
+    * representative (exact inverse of [[latticeBucket]]'s truncation). */
+  def latticeLow(b: Column): Column = {
+    val s = call_function("div", b, lit(QLatticeBase)) - 1L
+    when(b < QLatticeBase, b).otherwise(
+      call_function("shiftleft", b - s * QLatticeBase, s.cast("int")))
+  }
+
+  /** The MERGE path of the quantile sketch: each `shard` builds its own
+    * bounded (bucket, count) histogram (map-side combined — at most ~960
+    * rows per shard per group leave an executor), shards merge by bucket
+    * SUM, and each requested percentile is the lattice lower bound of
+    * the smallest bucket whose merged cumulative count reaches
+    * `(p*n + 99) div 100` — the repo's histogram order-statistic
+    * convention, applied to the bucket lattice instead of the raw value
+    * lattice. The per-group window runs over the BOUNDED merged
+    * histogram (<= 960 rows per group by construction), never the
+    * rows. Returns (g, n, q_<p> ...) with quantiles in the input's
+    * integer units. */
+  def latticeQuantilesMerged(df: DataFrame, value: Column, group: Column,
+      shard: Column, ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 100))
+    val perShard = df
+      .select(group.as("g"), shard.as("sh"), latticeBucket(value).as("bk"))
+      .groupBy(col("g"), col("sh"), col("bk")).agg(count(lit(1)).as("c"))
+    val merged = perShard.groupBy(col("g"), col("bk"))
+      .agg(sum(col("c")).as("c"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("bk"))
+      .rowsBetween(Long.MinValue, 0)
+    val cum = merged.withColumn("cum", sum(col("c")).over(wc))
+      .withColumn("low", latticeLow(col("bk")))
+    val n = merged.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    def pct(p: Int) =
+      min(when(col("cum") >= expr(s"($p * n + 99) div 100"), col("low")))
+        .as(s"p$p")
+    cum.join(n, "g")
+      .groupBy(col("g"), col("n"))
+      .agg(pct(ps.head), ps.tail.map(pct): _*)
+  }
+
   /** COUNT-MIN SKETCH heavy hitters: word frequencies estimated from a
     * d x w counter matrix (bounded memory — d*w longs regardless of
     * vocabulary size), estimate = min over the d seeded rows. Collisions

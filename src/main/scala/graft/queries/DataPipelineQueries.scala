@@ -1253,10 +1253,12 @@ object DataPipelineQueries {
     }),
 
     // Multimodal resize: pure metadata transform (aspect-preserving).
+    // Spatial media only — audio rows have no width/height to resize.
     "mm_resize" -> ((s, dir) => {
       import s.implicits._
       val media = Multimodal.mediaTable(t(s, dir, "documents"))
-      Multimodal.resizeMeta(Multimodal.decodeAll(s, media).toDF(),
+      Multimodal.resizeMeta(Multimodal.decodeAll(s, media).toDF()
+          .filter($"media_type" =!= "audio"),
         targetWidth = 256)
         .select($"doc_id", $"width", $"height", $"out_width", $"out_height")
         .orderBy($"doc_id")
@@ -1808,13 +1810,16 @@ object DataPipelineQueries {
     }),
 
     // Multimodal: binary payload + typed metadata through the mapPartitions
-    // stub decoder; metadata is deterministic -> oracle-checkable even
-    // though it flowed through typed Datasets.
+    // decoder. Image rows are REAL PNG header parses and audio rows REAL
+    // WAV fmt/data probes (the oracle re-derives the encoded params from
+    // length(text), so the gate proves both encode->probe round-trips);
+    // video metadata stays an honest stub.
     "mm_decode_stub" -> ((s, dir) => {
       import s.implicits._
       val media = Multimodal.mediaTable(t(s, dir, "documents"))
       Multimodal.decodeAll(s, media).toDF()
-        .select($"doc_id", $"media_type", $"width", $"height", $"n_frames")
+        .select($"doc_id", $"media_type", $"width", $"height", $"n_frames",
+          $"sample_rate", $"channels", $"n_samples", $"duration_us")
         .orderBy($"doc_id")
     }),
 
@@ -4048,8 +4053,9 @@ object DataPipelineQueries {
         |SELECT org, COUNT(*) AS n
         |FROM orgs GROUP BY org ORDER BY org""".stripMargin,
     // image rows re-derive the PNG-encoded dims (16+len%113, 12+len%97 —
-    // the Spark side round-trips them through a real PNG header);
-    // audio/video keep the stub formulas
+    // the Spark side round-trips them through a real PNG header); video
+    // keeps the stub formulas; audio rows carry no spatial dims and are
+    // excluded from resize on both sides
     "mm_resize" ->
       """WITH dims AS (
         |  SELECT doc_id,
@@ -4057,7 +4063,7 @@ object DataPipelineQueries {
         |         ELSE CAST(64 + length(text) % 577 AS INT) END AS width,
         |    CASE WHEN doc_id % 3 = 0 THEN CAST(12 + length(text) % 97 AS INT)
         |         ELSE CAST(48 + length(text) % 433 AS INT) END AS height
-        |  FROM documents)
+        |  FROM documents WHERE doc_id % 3 <> 1)
         |SELECT doc_id, width, height,
         |  256 AS out_width,
         |  CAST(round(height * 256 / width) AS INT) AS out_height
@@ -4513,18 +4519,34 @@ object DataPipelineQueries {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     // image width/height re-derive the PNG-encoded dims the Spark side
-    // recovers by actually parsing the IHDR chunk; audio/video stay stub
+    // recovers by actually parsing the IHDR chunk, and audio rows the
+    // WAV-encoded rate/channels/frames the Spark side recovers by walking
+    // the RIFF fmt/data chunks (duration_us is exact integer microseconds
+    // n_samples*1e6 // rate); video stays stub
     "mm_decode_stub" ->
       """SELECT doc_id,
         | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |      ELSE 'video' END AS media_type,
-        | CASE WHEN doc_id % 3 = 0 THEN CAST(16 + length(text) % 113 AS INT)
-        |      ELSE CAST(64 + length(text) % 577 AS INT) END AS width,
-        | CASE WHEN doc_id % 3 = 0 THEN CAST(12 + length(text) % 97 AS INT)
-        |      ELSE CAST(48 + length(text) % 433 AS INT) END AS height,
+        | CAST(CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN 16 + length(text) % 113 WHEN 1 THEN 0
+        |      ELSE 64 + length(text) % 577 END AS INT) AS width,
+        | CAST(CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN 12 + length(text) % 97 WHEN 1 THEN 0
+        |      ELSE 48 + length(text) % 433 END AS INT) AS height,
         | CAST(CASE CAST(doc_id % 3 AS INT)
         |      WHEN 0 THEN 1 WHEN 1 THEN 0
-        |      ELSE 1 + length(text) % 7 END AS INT) AS n_frames
+        |      ELSE 1 + length(text) % 7 END AS INT) AS n_frames,
+        | CAST(CASE WHEN doc_id % 3 = 1
+        |      THEN 8000 + (length(text) % 5) * 2000 ELSE 0 END AS INT)
+        |   AS sample_rate,
+        | CAST(CASE WHEN doc_id % 3 = 1
+        |      THEN 1 + length(text) % 2 ELSE 0 END AS INT) AS channels,
+        | CAST(CASE WHEN doc_id % 3 = 1
+        |      THEN 50 + length(text) % 211 ELSE 0 END AS INT) AS n_samples,
+        | CAST(CASE WHEN doc_id % 3 = 1
+        |      THEN ((50 + length(text) % 211) * 1000000)
+        |           // (8000 + (length(text) % 5) * 2000)
+        |      ELSE 0 END AS BIGINT) AS duration_us
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     // Classifier-distillation twins: featurization (top-24 DF words +

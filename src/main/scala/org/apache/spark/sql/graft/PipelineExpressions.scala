@@ -225,6 +225,23 @@ case class PngPayload(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Real WAV payload from a text column: params derived from the
+  * code-point length (graft.ops.Multimodal.audioParams), bytes a
+  * spec-valid RIFF/WAVE PCM16 file (Multimodal.wavEncode). The audio
+  * sibling of [[PngPayload]] — keeps the media-table synthesis fully
+  * relational. */
+case class WavPayload(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(s: Any): Any =
+    graft.ops.Multimodal.wavPayloadOf(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.ops.Multimodal.wavPayloadOf($s)")
+  override def prettyName: String = "wav_payload"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Token count under a LEARNED merges table (BpeTrain.train output,
   * flattened [a0,b0,a1,b1,...] in rank order) — the kernel path of the
   * trained tokenizer, complement of the committed-fixture

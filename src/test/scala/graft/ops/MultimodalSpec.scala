@@ -70,6 +70,68 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.pngDims(Multimodal.pngEncode(4, 4).take(20)))
   }
 
+  test("wavEncode emits REAL WAVs: the JDK's independent AudioSystem " +
+      "codec reads them with the same format wavProbe parses") {
+    Seq((8000, 1, 0), (8000, 1, 50), (16000, 2, 260), (12000, 2, 1),
+      (44100, 1, 441)).foreach { case (rate, ch, n) =>
+      val bytes = Multimodal.wavEncode(rate, ch, n)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      assert(fmt.getSampleRate == rate.toFloat, s"rate ${fmt.getSampleRate}")
+      assert(fmt.getChannels == ch, s"channels ${fmt.getChannels}")
+      assert(fmt.getSampleSizeInBits == 16)
+      assert(ais.getFrameLength == n.toLong, s"frames ${ais.getFrameLength}")
+      assert(Multimodal.wavProbe(bytes) ==
+        ((rate, ch, n, n * 1000000L / rate)))
+    }
+  }
+
+  test("wavProbe parses a WAV produced by the independent AudioSystem " +
+      "encoder and rejects corruption") {
+    val fmt = new javax.sound.sampled.AudioFormat(22050f, 16, 2, true, false)
+    val pcm = new Array[Byte](22050 * 2 * 2 / 10) // 0.1 s stereo PCM16
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / 4)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val (rate, ch, n, durUs) = Multimodal.wavProbe(out.toByteArray)
+    assert(rate == 22050 && ch == 2 && n == pcm.length / 4)
+    assert(durUs == n * 1000000L / 22050)
+    // corrupt RIFF tag
+    val bad = Multimodal.wavEncode(8000, 1, 10); bad(1) = 'X'
+    intercept[IllegalArgumentException](Multimodal.wavProbe(bad))
+    // non-PCM format code
+    val notPcm = Multimodal.wavEncode(8000, 1, 10); notPcm(20) = 3
+    intercept[IllegalArgumentException](Multimodal.wavProbe(notPcm))
+    // data chunk truncated vs its declared length
+    intercept[IllegalArgumentException](
+      Multimodal.wavProbe(Multimodal.wavEncode(8000, 1, 10).dropRight(4)))
+    // whole header truncated
+    intercept[IllegalArgumentException](
+      Multimodal.wavProbe(Multimodal.wavEncode(8000, 1, 10).take(30)))
+  }
+
+  test("audio decode recovers the WAV-encoded params through the media " +
+      "table (audioParams round-trip) and carries exact duration") {
+    val decoded = Multimodal.decodeAll(spark, Multimodal.mediaTable(docs))
+      .collect().sortBy(_.doc_id)
+    Seq(1, 4).foreach { i =>
+      val a = decoded(i)
+      assert(a.media_type == "audio")
+      val txtLen = docs.collect().find(_.getLong(0) == a.doc_id).get
+        .getString(1).length
+      val (rate, ch, n) = (8000 + (txtLen % 5) * 2000, 1 + txtLen % 2,
+        50 + txtLen % 211)
+      assert(a.sample_rate == rate && a.channels == ch && a.n_samples == n)
+      assert(a.duration_us == n * 1000000L / rate)
+      assert(a.width == 0 && a.height == 0 && a.n_frames == 0)
+    }
+    // image/video rows carry no audio params
+    assert(decoded(0).sample_rate == 0 && decoded(2).sample_rate == 0)
+  }
+
   test("frame sampling explodes only media with frames") {
     val decoded = Multimodal.decodeAll(spark, Multimodal.mediaTable(docs)).toDF()
     val frames = Multimodal.sampleFrames(decoded, stride = 2)
@@ -103,6 +165,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("resize keeps aspect ratio in metadata") {
     val decoded = Multimodal.decodeAll(spark, Multimodal.mediaTable(docs)).toDF()
+      .filter($"media_type" =!= "audio") // audio has no spatial dims
     val resized = Multimodal.resizeMeta(decoded, targetWidth = 128)
       .select($"width", $"height", $"out_width", $"out_height").collect()
     resized.foreach { r =>
