@@ -10,8 +10,13 @@ import org.apache.spark.sql.functions._
   * family ([[BpeImpl]]/[[BpeTrain]]): BPE builds words bottom-up by
   * learned merges; unigram segments top-down against a scored vocabulary.
   * This is the inference half of SentencePiece with the count-based
-  * initial vocabulary (Kudo's starting point); the EM vocabulary pruning
-  * loop is out of scope and documented as such.
+  * initial vocabulary (Kudo's starting point), plus ONE round of the EM
+  * vocabulary-pruning loop ([[segmentsWithPieces]] /
+  * [[pieceUsage]] / [[emPrune]]): E-step = Viterbi segmentation under
+  * the current vocabulary (hard EM, as in Kudo's practical variant),
+  * M-step = re-count each piece's usage over those segmentations, drop
+  * the bottom quartile of multi-char pieces by usage, re-score the
+  * survivors from usage counts, and re-segment.
   *
   * Exact cross-engine arithmetic throughout: piece scores are the
   * floor-log2 integer surrogate (length(bin(count)) — the
@@ -120,6 +125,93 @@ object UnigramTok {
     out
   }
 
+  /** Viterbi segmentation that also CARRIES the winning piece sequence —
+    * the E-step of the EM pruning round, which needs to know WHICH
+    * pieces each word's best segmentation uses, not just how many. Same
+    * DP as [[segments]] with the state extended by the piece array and
+    * the argmax made a TOTAL order by adding the array as the final
+    * tiebreak key (arrays compare lexicographically element-wise in both
+    * engines, and ties only arise between equal-length sequences because
+    * piece count is the preceding key) — so the recovered segmentation
+    * is deterministic and cross-engine replayable. Rows stay bounded by
+    * the word table; the carried array is <= MaxWordLen strings.
+    * Returns (w, c, n_pieces, total_score, ps). */
+  def segmentsWithPieces(w: DataFrame, pieces: DataFrame): DataFrame = {
+    val eligible = w.filter(length(col("w")) <= MaxWordLen).localCheckpoint()
+    val p = broadcast(pieces.select(col("p"), col("sc")).localCheckpoint())
+    val v0 = eligible.select(col("w"), lit(0).as("pos"),
+      lit(0L).as("best"), lit(0).as("np"),
+      array().cast("array<string>").as("ps")).localCheckpoint()
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](v0)
+    (1 to MaxWordLen).foreach { i =>
+      val from = ((i - MaxPiece) max 0) until i
+      val prev = from.map(levels(_)).reduce(_ unionByName _)
+      val cands = prev.filter(length(col("w")) >= i)
+        .withColumn("p", expr(s"substring(w, pos + 1, $i - pos)"))
+        .join(p, "p")
+        .select(col("w"), (col("best") + col("sc")).as("b2"),
+          (col("np") + 1).as("np2"),
+          concat(col("ps"), array(col("p"))).as("ps2"))
+      val lvl = cands.groupBy(col("w"))
+        .agg(max(struct(col("b2"), (-col("np2")).as("nn"), col("np2"),
+          col("ps2"))).as("s"))
+        .select(col("w"), lit(i).as("pos"), col("s.b2").as("best"),
+          col("s.np2").as("np"), col("s.ps2").as("ps"))
+      levels += lvl.localCheckpoint()
+    }
+    val all = levels.drop(1).reduce(_ unionByName _)
+    val out = eligible.join(all, Seq("w"))
+      .filter(col("pos") === length(col("w")))
+      .select(col("w"), col("c"), col("np").as("n_pieces"),
+        col("best").as("total_score"), col("ps"))
+      .localCheckpoint()
+    levels.foreach(_.unpersist())
+    eligible.unpersist()
+    out
+  }
+
+  /** M-step usage counts: how often each piece appears in the Viterbi
+    * segmentations, weighted by word occurrence count. One explode + one
+    * groupBy over the segmented vocabulary (Zipf-bounded, never the
+    * corpus). Returns (p, uc). */
+  def pieceUsage(segsP: DataFrame): DataFrame =
+    segsP.select(col("c"), explode(col("ps")).as("p"))
+      .groupBy(col("p")).agg(sum(col("c")).as("uc"))
+
+  /** One EM pruning round's M-step on the vocabulary: drop the
+    * [[MultiPieces]]/4 least-used multi-char pieces (usage asc, piece
+    * asc — zero-usage pieces drop first), keep ALL single chars
+    * (segmentability), and re-score the survivors from their USAGE
+    * counts (floor-log2 of greatest(uc, 1) minus floor-log2 of the
+    * total — the greatest() guard keeps a zero-usage survivor scorable;
+    * it can only matter when more than a quartile of pieces go unused).
+    * The drop count is the fixed constant MultiPieces/4 in BOTH engines,
+    * so the builder REQUIREs the vocabulary to be dense (exactly
+    * MultiPieces multi-char pieces) rather than letting a sparse corpus
+    * silently shift the quartile. Returns (p, uc, sc). */
+  def emPrune(vocab: DataFrame, usage: DataFrame): DataFrame = {
+    val withUse = vocab.select(col("p"))
+      .join(usage, Seq("p"), "left")
+      .withColumn("uc", coalesce(col("uc"), lit(0L)))
+    val multi = withUse.filter(length(col("p")) > 1)
+    val nMulti = multi.count()
+    require(nMulti == MultiPieces,
+      s"emPrune expects a dense vocabulary of $MultiPieces multi-char " +
+        s"pieces, got $nMulti — quartile constant would silently shift")
+    // bounded collect: the drop set is MultiPieces/4 pieces by (uc, p)
+    val dropSet = multi.orderBy(col("uc").asc, col("p").asc)
+      .limit(MultiPieces / 4).select(col("p"))
+      .collect().map(_.getString(0)).toSeq
+    val kept = withUse.filter(length(col("p")) === 1 ||
+      !col("p").isInCollection(dropSet))
+    kept.crossJoin(broadcast(
+        kept.agg(sum(greatest(col("uc"), lit(1L))).as("ntot"))))
+      .withColumn("sc",
+        (length(bin(greatest(col("uc"), lit(1L)))) -
+          length(bin(col("ntot")))).cast("long"))
+      .drop("ntot")
+  }
+
   /** Per-doc token counts under the unigram segmentation — the two-pass
     * trick: doc words inner-join the segmented vocabulary `segs` (from
     * [[segments]], possibly reloaded from rest; words past the
@@ -192,6 +284,107 @@ object UnigramTok {
        |  FROM uwords u JOIN ($allV) v
        |    ON v.w = u.w AND v.pos = length(u.w))""".stripMargin
   }
+
+  /** EM-round CTEs on top of [[sqlCtes]]: the list-carrying Viterbi
+    * (`vp*`, tiebreak ORDER BY b2 DESC, np2, ps2 DESC — the exact mirror
+    * of the Spark struct-max total order), usage counts `uusage`, the
+    * quartile drop set `udrop`, the re-scored pruned vocabulary `usel2`,
+    * and the re-segmentation `w1..` under it ending in `usegs2`. */
+  def sqlCtesPruned: String = {
+    val lvlP = (1 to MaxWordLen).map { i =>
+      val from = ((i - MaxPiece) max 0) until i
+      val prev = from.map(j => s"SELECT * FROM vp$j").mkString("\n    UNION ALL ")
+      s"""cp$i AS (
+         |  SELECT v.w, v.best + s.sc AS b2, v.np + 1 AS np2,
+         |    list_append(v.ps, s.p) AS ps2
+         |  FROM ($prev) v
+         |  JOIN usel s ON s.p = substr(v.w, v.pos + 1, $i - v.pos)
+         |  WHERE length(v.w) >= $i),
+         |vp$i AS MATERIALIZED (
+         |  SELECT w, $i AS pos, b2 AS best, np2 AS np, ps2 AS ps FROM (
+         |    SELECT w, b2, np2, ps2,
+         |      row_number() OVER (PARTITION BY w
+         |        ORDER BY b2 DESC, np2, ps2 DESC) AS rn
+         |    FROM cp$i)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val allVp = (1 to MaxWordLen).map(i => s"SELECT * FROM vp$i")
+      .mkString("\n  UNION ALL ")
+    val lvl2 = (1 to MaxWordLen).map { i =>
+      val from = ((i - MaxPiece) max 0) until i
+      val prev = from.map(j => s"SELECT * FROM w$j").mkString("\n    UNION ALL ")
+      s"""cw$i AS (
+         |  SELECT v.w, v.best + s.sc AS b2, v.np + 1 AS np2
+         |  FROM ($prev) v
+         |  JOIN usel2 s ON s.p = substr(v.w, v.pos + 1, $i - v.pos)
+         |  WHERE length(v.w) >= $i),
+         |w$i AS MATERIALIZED (
+         |  SELECT w, $i AS pos, b2 AS best, np2 AS np FROM (
+         |    SELECT w, b2, np2,
+         |      row_number() OVER (PARTITION BY w ORDER BY b2 DESC, np2)
+         |        AS rn
+         |    FROM cw$i)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val allW = (1 to MaxWordLen).map(i => s"SELECT * FROM w$i")
+      .mkString("\n  UNION ALL ")
+    s"""$sqlCtes,
+       |vp0 AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS best, 0 AS np,
+       |          CAST([] AS VARCHAR[]) AS ps
+       |        FROM uwords WHERE length(w) <= $MaxWordLen),
+       |$lvlP,
+       |usegsp AS MATERIALIZED (
+       |  SELECT u.w, u.c, v.ps
+       |  FROM uwords u JOIN ($allVp) v
+       |    ON v.w = u.w AND v.pos = length(u.w)),
+       |uusage AS MATERIALIZED (
+       |  SELECT p, CAST(SUM(c) AS BIGINT) AS uc
+       |  FROM (SELECT c, unnest(ps) AS p FROM usegsp)
+       |  GROUP BY p),
+       |uwithuse AS (
+       |  SELECT s.p, COALESCE(u.uc, 0) AS uc
+       |  FROM usel s LEFT JOIN uusage u ON s.p = u.p),
+       |udrop AS (
+       |  SELECT p FROM uwithuse WHERE length(p) > 1
+       |  ORDER BY uc ASC, p ASC LIMIT ${MultiPieces / 4}),
+       |ukept AS (
+       |  SELECT p, uc FROM uwithuse
+       |  WHERE length(p) = 1 OR p NOT IN (SELECT p FROM udrop)),
+       |usel2 AS MATERIALIZED (
+       |  SELECT p, uc,
+       |    CAST(length(bin(greatest(uc, 1)))
+       |         - length(bin(ntot)) AS BIGINT) AS sc
+       |  FROM ukept CROSS JOIN
+       |    (SELECT CAST(SUM(greatest(uc, 1)) AS BIGINT) AS ntot
+       |     FROM ukept)),
+       |w0 AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS best, 0 AS np
+       |       FROM uwords WHERE length(w) <= $MaxWordLen),
+       |$lvl2,
+       |usegs2 AS MATERIALIZED (
+       |  SELECT u.w, u.c, v.np AS n_pieces, v.best AS total_score
+       |  FROM uwords u JOIN ($allW) v
+       |    ON v.w = u.w AND v.pos = length(u.w))""".stripMargin
+  }
+
+  /** unigram_vocab_pruned twin. */
+  def vocabPrunedSql: String =
+    s"""WITH $sqlCtesPruned
+       |SELECT p AS piece, uc AS usage_cnt, sc AS score FROM usel2
+       |ORDER BY piece""".stripMargin
+
+  /** ta_tokens_unigram_pruned twin. */
+  def tokenCountsPrunedSql: String =
+    s"""WITH $sqlCtesPruned,
+       |dw2 AS (
+       |  SELECT doc_id, unnest(string_split(
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+       |  FROM documents)
+       |SELECT doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(n_pieces) AS BIGINT) AS n_tokens
+       |FROM dw2 JOIN usegs2 USING (w)
+       |WHERE w <> ''
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 
   /** unigram_vocab twin. */
   def vocabSql: String =

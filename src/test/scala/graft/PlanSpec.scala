@@ -447,14 +447,32 @@ class PlanSpec extends SparkSpec {
     val pct = SparkEntry.queries("event_value_percentiles")(
       spark, sf("sf0.001"))
     val ws = PlanSpec.collectWindows(pct.queryExecution.executedPlan)
+    // the cumulative sum must run through the RANGED shape: every window
+    // partitions by the range id (__pid), never by event_type alone — a
+    // per-type partition funnels a dominant type's whole lattice through
+    // one task, the r9 minor this guard now excludes
     assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
-      "percentile windows must partition by event_type")
+      "percentile windows must be partitioned")
+    assert(ws.forall(_.partitionSpec.exists(_.toString.contains("__pid"))),
+      "percentile cumulative sum must partition by the range id, not " +
+        "event_type alone: " + ws.map(_.partitionSpec).mkString("; "))
     val hll = SparkEntry.queries("approx_ndv_merged")(spark, sf("sf0.001"))
     val pH = hll.queryExecution.executedPlan.toString
     assert(pH.contains("partial_max") || pH.contains("partial_count"),
       "register maxima must combine map-side: " + pH.take(1200))
     assert(PlanSpec.collectWindows(hll.queryExecution.executedPlan).isEmpty,
       "hll merge needs no window")
+    // quantile sketch: shard histograms combine map-side, and the only
+    // window runs over the BOUNDED merged bucket lattice partitioned per
+    // group — never over event rows
+    val qs = SparkEntry.queries("approx_percentiles_merged")(
+      spark, sf("sf0.001"))
+    val pQ = qs.queryExecution.executedPlan.toString
+    assert(pQ.contains("partial_count") || pQ.contains("partial_sum"),
+      "shard histograms must combine map-side: " + pQ.take(1500))
+    val qws = PlanSpec.collectWindows(qs.queryExecution.executedPlan)
+    assert(qws.nonEmpty && qws.forall(_.partitionSpec.nonEmpty),
+      "quantile-sketch window must partition per group")
   }
 
   test("qc: classifier distillation keeps bounded shapes — split argmin " +

@@ -84,4 +84,63 @@ class SketchSpec extends SparkSpec {
       .as[(Long, Long, Double)].head()
     assert(merged == direct, s"merged $merged vs direct $direct")
   }
+
+  test("quantile lattice: buckets are monotone, contiguous, and within " +
+      "2^-4 relative error; decode is the exact lower bound") {
+    // exhaustive over the exact range and dense probes across octaves
+    val vals = (0L until 2048L) ++
+      Seq(4095L, 4096L, 65535L, 65536L, 1L << 40, (1L << 40) + 12345L,
+        (1L << 62) - 1, Long.MaxValue / 2)
+    val df = vals.map(Tuple1(_)).toDF("v")
+      .select($"v", Sketch.latticeBucket($"v").as("b"))
+      .select($"v", $"b", Sketch.latticeLow($"b").as("low"),
+        Sketch.latticeLow($"b" + 1L).as("nextLow"))
+    df.collect().foreach { r =>
+      val (v, b, low, next) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))
+      assert(low <= v, s"low $low above v=$v (bucket $b)")
+      assert(v < next, s"v=$v not below next bucket's low $next (bucket $b)")
+      if (v >= 16)
+        assert((v - low).toDouble / v <= 1.0 / 16 + 1e-12,
+          s"relative error above 6.25% at v=$v: low=$low")
+      else assert(low == v, s"small values must be exact: v=$v low=$low")
+    }
+    // monotone: bucket of a larger value never decreases
+    val bs = vals.sorted.map(v => Seq(Tuple1(v)).toDF("v")
+      .select(Sketch.latticeBucket($"v")).as[Long].head())
+    assert(bs == bs.sorted, "bucket ids must be monotone in v")
+  }
+
+  test("quantile sketch: merge(per-shard histograms) == direct, and " +
+      "quantiles are true lower bounds of the exact order statistic") {
+    val n = 5000
+    val rows = (0 until n).map { i =>
+      val v = (i.toLong * 7919) % 100000 // deterministic spread
+      (v, s"sh${i % 8}", if (i % 2 == 0) "a" else "b")
+    }
+    val df = rows.toDF("v", "sh", "g")
+    val out = Sketch.latticeQuantilesMerged(df, $"v", $"g", $"sh",
+      Seq(50, 95, 99)).orderBy($"g").collect()
+    assert(out.length == 2)
+    // direct path: single shard — must be IDENTICAL (sum-associativity)
+    val direct = Sketch.latticeQuantilesMerged(df, $"v", $"g", lit("one"),
+      Seq(50, 95, 99)).orderBy($"g").collect()
+    assert(out.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq,
+      s"merge path diverged from direct: ${out.toSeq} vs ${direct.toSeq}")
+    // lower-bound property vs the exact percentile, within 6.25%
+    out.foreach { r =>
+      val g = r.getString(0)
+      val exactVals = rows.filter(_._3 == g).map(_._1).sorted
+      val cnt = exactVals.length
+      Seq(("p50", 50), ("p95", 95), ("p99", 99)).foreach { case (cn, p) =>
+        val q = r.getAs[Long](cn)
+        val rank = (p * cnt + 99) / 100 // ceil-ish convention
+        val exact = exactVals(rank - 1)
+        assert(q <= exact, s"$g $cn: sketch $q above exact $exact")
+        if (exact >= 16)
+          assert((exact - q).toDouble / exact <= 1.0 / 16 + 1e-12,
+            s"$g $cn: error beyond design band: sketch $q exact $exact")
+      }
+    }
+  }
 }

@@ -57,4 +57,125 @@ class UnigramTokSpec extends SparkSpec {
       .as[(Long, Long, Long)].head()
     assert(tc == ((0L, 3L, 5L)))  // 2 + 2 pieces for ababab x2, 1 for cd
   }
+
+  test("emPrune refuses a sparse vocabulary (quartile constant would " +
+      "silently shift)") {
+    val w = UnigramTok.words(docs, "text")
+    val vocab = UnigramTok.pieceVocab(w)
+    val usage = UnigramTok.pieceUsage(UnigramTok.segmentsWithPieces(w, vocab))
+    intercept[IllegalArgumentException](
+      UnigramTok.emPrune(vocab, usage).collect())
+  }
+
+  test("one EM pruning round matches an in-memory reference and changes " +
+      "at least one segmentation") {
+    // Corpus: three high-frequency structured words plus a one-off tail
+    // of every two-char combo over a..h — enough distinct multi-char
+    // candidates to fill the 48-piece vocabulary, with a rare tail whose
+    // whole-word pieces get pruned (forcing re-segmentation to singles).
+    val freq = Seq.fill(20)("abab cdcd efef").mkString(" ")
+    val tailW = (for (c1 <- 'a' to 'h'; c2 <- 'a' to 'h')
+      yield s"$c1$c2").mkString(" ")
+    val d = Seq((0L, freq), (1L, tailW)).toDF("doc_id", "text")
+
+    // ---- in-memory reference of the whole EM round ----
+    def blen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val wordCounts: Map[String, Long] =
+      (Seq.fill(20)(Seq("abab", "cdcd", "efef")).flatten ++
+        (for (c1 <- 'a' to 'h'; c2 <- 'a' to 'h') yield s"$c1$c2"))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    def candidates(wc: Map[String, Long]): Map[String, Long] = {
+      val m = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      wc.foreach { case (w0, c) =>
+        for (st <- 0 until w0.length;
+             pl <- 1 to math.min(UnigramTok.MaxPiece, w0.length - st))
+          m(w0.substring(st, st + pl)) += c
+      }
+      m.toMap
+    }
+    def selectVocab(cand: Map[String, Long]): Map[String, Long] = {
+      val singles = cand.filter(_._1.length == 1)
+      val multi = cand.filter(_._1.length > 1).toSeq
+        .sortBy { case (p, c) => (-c, p) }.take(UnigramTok.MultiPieces)
+      singles ++ multi
+    }
+    def score(sel: Map[String, Long]): Map[String, Long] = {
+      val ntot = sel.values.sum
+      sel.map { case (p, c) => p -> (blen(c) - blen(ntot)) }
+    }
+    // Viterbi with the engine's total-order tiebreak:
+    // (score desc, pieces asc, piece-list lexicographically LARGEST)
+    def viterbi(w0: String, sc: Map[String, Long]): (Long, Int, List[String]) = {
+      val ord = new Ordering[(Long, Int, List[String])] {
+        def compare(a: (Long, Int, List[String]),
+            b: (Long, Int, List[String])): Int = {
+          val c1 = java.lang.Long.compare(a._1, b._1)
+          if (c1 != 0) return c1
+          val c2 = Integer.compare(b._2, a._2) // fewer pieces wins
+          if (c2 != 0) return c2
+          a._3.zip(b._3).foreach { case (x, y) =>
+            val c = x.compareTo(y); if (c != 0) return c }
+          0
+        }
+      }
+      val dp = Array.fill[Option[(Long, Int, List[String])]](w0.length + 1)(None)
+      dp(0) = Some((0L, 0, Nil))
+      for (i <- 1 to w0.length;
+           j <- math.max(0, i - UnigramTok.MaxPiece) until i;
+           prev <- dp(j); s <- sc.get(w0.substring(j, i))) {
+        val cand = (prev._1 + s, prev._2 + 1, prev._3 :+ w0.substring(j, i))
+        if (dp(i).forall(ord.compare(cand, _) > 0)) dp(i) = Some(cand)
+      }
+      dp(w0.length).get
+    }
+    val cand = candidates(wordCounts)
+    val sel0 = selectVocab(cand)
+    val sc0 = score(sel0)
+    val segs0 = wordCounts.map { case (w0, c) => w0 -> viterbi(w0, sc0) }
+    val usageRef = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    segs0.foreach { case (w0, (_, _, ps)) =>
+      ps.foreach(p => usageRef(p) += wordCounts(w0)) }
+    val multiByUse = sel0.keys.filter(_.length > 1).toSeq
+      .sortBy(p => (usageRef(p), p))
+    val dropSet = multiByUse.take(UnigramTok.MultiPieces / 4).toSet
+    val keptUse: Map[String, Long] = sel0.keys.toSeq
+      .filter(p => p.length == 1 || !dropSet(p))
+      .map(p => p -> usageRef(p)).toMap
+    val ntot2 = keptUse.values.map(math.max(_, 1L)).sum
+    val sc2 = keptUse.map { case (p, u) =>
+      p -> (blen(math.max(u, 1L)) - blen(ntot2)) }
+    val segs2 = wordCounts.map { case (w0, _) => w0 -> viterbi(w0, sc2) }
+
+    // ---- distributed EM round ----
+    val w = UnigramTok.words(d, "text")
+    val vocab = UnigramTok.pieceVocab(w)
+    val usage = UnigramTok.pieceUsage(UnigramTok.segmentsWithPieces(w, vocab))
+    val pruned = UnigramTok.emPrune(vocab, usage)
+    val got = pruned.select(col("p"), col("uc"), col("sc"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    assert(got.keySet == keptUse.keySet,
+      s"pruned piece set diverged: extra=${got.keySet -- keptUse.keySet} " +
+        s"missing=${keptUse.keySet -- got.keySet}")
+    got.foreach { case (p, (uc, s)) =>
+      assert(uc == keptUse(p), s"usage of '$p': got $uc want ${keptUse(p)}")
+      assert(s == sc2(p), s"score of '$p': got $s want ${sc2(p)}")
+    }
+    val resegs = UnigramTok.segments(w, pruned)
+      .select(col("w"), col("n_pieces"), col("total_score"))
+      .as[(String, Int, Long)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    resegs.foreach { case (w0, (np, ts)) =>
+      assert((ts, np) == ((segs2(w0)._1, segs2(w0)._2)),
+        s"re-segmentation of '$w0': got ($np, $ts) want ${segs2(w0)}")
+    }
+    // the round must genuinely change the tokenizer: at least one word
+    // re-segments differently after pruning
+    val before = segs0.map { case (w0, (ts, np, _)) => w0 -> ((np, ts)) }
+    val after = resegs.map { case (w0, (np, ts)) => w0 -> ((np, ts)) }
+    assert(before != after,
+      "pruning must change at least one segmentation on this corpus")
+  }
 }
