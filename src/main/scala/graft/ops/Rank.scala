@@ -107,8 +107,14 @@ object Rank {
     val words = split(col(text), " ")
     val profiled = docs.select(col(id).as("doc_id"), words.as("__ws"))
       .withColumn("dl", size(col("__ws")))
+    // sidecar carries the bucket GEOMETRY (asserted on append — an
+    // append with a different nBuckets would silently split terms across
+    // inconsistent bucket numbering that query pruning then misses) and
+    // the max doc_id (the append-disjointness watermark)
     profiled.agg(count(lit(1)).as("n_docs"),
-        sum(col("dl").cast("long")).as("sum_dl"))
+        coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl"),
+        lit(nBuckets).as("n_buckets"),
+        coalesce(max(col("doc_id").cast("long")), lit(-1L)).as("max_doc_id"))
       .coalesce(1).write.mode("overwrite").parquet(path + "/stats")
     profiled.select(col("doc_id"), col("dl"), explode(col("__ws")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
@@ -116,6 +122,29 @@ object Rank {
       .withColumn("bucket",
         pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path + "/postings")
+  }
+
+  /** Replace the one-row stats sidecar via write-to-temp + rename swap:
+    * the swap is the COMMIT POINT of every index mutation (append /
+    * delete) — postings/tombstones are written first and become visible
+    * only when the sidecar lands, so a failure mid-mutation leaves the
+    * old sidecar intact (a re-run re-stages; nothing is half-counted),
+    * and a crash can never leave a torn sidecar the way an in-place
+    * parquet overwrite could. */
+  private def swapStats(spark: org.apache.spark.sql.SparkSession,
+      path: String, row: DataFrame): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stats = new org.apache.hadoop.fs.Path(path + "/stats")
+    val next = new org.apache.hadoop.fs.Path(path + "/stats.next")
+    val old = new org.apache.hadoop.fs.Path(path + "/stats.old")
+    val fs = stats.getFileSystem(conf)
+    row.coalesce(1).write.mode("overwrite").parquet(next.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(stats)) require(fs.rename(stats, old),
+      s"could not retire old stats sidecar at $stats")
+    require(fs.rename(next, stats),
+      s"could not commit stats sidecar at $stats")
+    fs.delete(old, true)
   }
 
   /** APPEND a document batch to a persisted inverted index without a
@@ -136,9 +165,22 @@ object Rank {
     val profiled = docs.select(col(id).as("doc_id"), words.as("__ws"))
       .withColumn("dl", size(col("__ws")))
       .localCheckpoint()       // materialized before the sidecar rewrite
+    // empty-batch-safe: sums aggregate to NULL on zero rows
     val batch = profiled.agg(count(lit(1)).cast("long").as("n"),
-      sum(col("dl").cast("long")).as("s")).collect()(0)
+      coalesce(sum(col("dl").cast("long")), lit(0L)).as("s"),
+      coalesce(min(col("doc_id").cast("long")), lit(Long.MaxValue)).as("lo"),
+      coalesce(max(col("doc_id").cast("long")), lit(-1L)).as("hi"))
+      .collect()(0)
     val old = spark.read.parquet(path + "/stats").collect()(0)
+    require(old.getAs[Int]("n_buckets") == nBuckets,
+      s"append with nBuckets=$nBuckets against an index built with " +
+        s"${old.getAs[Int]("n_buckets")} — bucket numbering would diverge")
+    // disjointness watermark: re-appending already-indexed ids would
+    // double-count df/tf silently
+    require(batch.getLong(0) == 0L ||
+      batch.getAs[Long]("lo") > old.getAs[Long]("max_doc_id"),
+      s"append batch doc_ids start at ${batch.getAs[Long]("lo")} but the " +
+        s"index already covers up to ${old.getAs[Long]("max_doc_id")}")
     profiled.select(col("doc_id"), col("dl"), explode(col("__ws")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
@@ -146,11 +188,84 @@ object Rank {
         pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
       .write.mode("append").partitionBy("bucket").parquet(path + "/postings")
     import spark.implicits._
-    Seq((old.getAs[Long]("n_docs") + batch.getLong(0),
-        old.getAs[Long]("sum_dl") + batch.getLong(1)))
-      .toDF("n_docs", "sum_dl")
-      .coalesce(1).write.mode("overwrite").parquet(path + "/stats")
+    // sidecar swap LAST = the mutation's commit point (see swapStats)
+    swapStats(spark, path, Seq((old.getAs[Long]("n_docs") + batch.getLong(0),
+        old.getAs[Long]("sum_dl") + batch.getLong(1), nBuckets,
+        math.max(old.getAs[Long]("max_doc_id"), batch.getAs[Long]("hi"))))
+      .toDF("n_docs", "sum_dl", "n_buckets", "max_doc_id"))
     profiled.unpersist()
+  }
+
+  /** DELETE documents from a persisted inverted index WITHOUT rewriting
+    * postings: the doc_ids land in a tombstone table that query-time
+    * scoring anti-joins, and the stats sidecar subtracts the deleted
+    * docs' count and length mass — so delete(ids) + query is
+    * BIT-IDENTICAL to a from-scratch build over the surviving corpus
+    * (df re-derives from the anti-joined postings; N/avgdl from the
+    * adjusted sidecar). The deferred rewrite is
+    * [[compactInvertedIndex]]. */
+  def deleteFromInvertedIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    if (ids.isEmpty) return
+    // the deleted docs' (doc_id, dl) — one partition-pruned-by-nothing
+    // but term-deduped probe; bounded by the delete batch
+    val gone = spark.read.parquet(path + "/postings")
+      .filter(col("doc_id").isInCollection(ids))
+      .select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl").cast("long")), lit(0L)).as("s")).collect()(0)
+    require(gone.getLong(0) == ids.distinct.size,
+      s"delete batch names ${ids.distinct.size} doc_ids but only " +
+        s"${gone.getLong(0)} are in the index")
+    val old = spark.read.parquet(path + "/stats").collect()(0)
+    ids.distinct.toDF("doc_id")
+      .coalesce(1).write.mode("append").parquet(path + "/tombstones")
+    // sidecar swap LAST = commit point
+    swapStats(spark, path, Seq((old.getAs[Long]("n_docs") - gone.getLong(0),
+        old.getAs[Long]("sum_dl") - gone.getLong(1),
+        old.getAs[Int]("n_buckets"), old.getAs[Long]("max_doc_id")))
+      .toDF("n_docs", "sum_dl", "n_buckets", "max_doc_id"))
+  }
+
+  /** COMPACT a tombstoned index: rewrite ONLY the bucket partitions that
+    * contain deleted postings (dynamic partition overwrite — untouched
+    * buckets keep their files), drop the tombstone table, done. Query
+    * results are unchanged (the gate pins hash equality before/after);
+    * the win is the dropped tombstone anti-join and the reclaimed
+    * files. The survivors are localCheckpointed before the overwrite —
+    * Spark refuses to overwrite a path it is concurrently reading. */
+  def compactInvertedIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tomb = new org.apache.hadoop.fs.Path(path + "/tombstones")
+    val fs = tomb.getFileSystem(conf)
+    if (!fs.exists(tomb)) return // nothing to compact
+    val dead = spark.read.parquet(tomb.toString)
+    val posts = spark.read.parquet(path + "/postings")
+    // buckets to rewrite: bounded collect (<= nBuckets ints)
+    val touched = posts.join(dead, "doc_id")
+      .select(col("bucket")).distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.nonEmpty) {
+      val survivors = posts
+        .filter(col("bucket").isInCollection(touched))
+        .join(dead, Seq("doc_id"), "left_anti")
+        .repartition(col("bucket")) // one output file per rewritten bucket
+        .localCheckpoint()
+      survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(path + "/postings")
+      // a touched bucket whose every posting was tombstoned gets no row
+      // in the dynamic overwrite — its stale files must go explicitly
+      val alive = survivors.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      touched.filterNot(alive).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          path + s"/postings/bucket=$b"), true)
+      }
+      survivors.unpersist()
+    }
+    fs.delete(tomb, true)
   }
 
   /** BM25 top-k against a persisted inverted index. The query terms'
@@ -170,8 +285,18 @@ object Rank {
     val buckets = spark.createDataFrame(terms.map(Tuple1(_))).toDF("term")
       .select(pmod(xxhash64(col("term")), lit(nBuckets)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val posts = spark.read.parquet(path + "/postings")
+    val rawPosts = spark.read.parquet(path + "/postings")
       .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+    // tombstone-aware: deleted docs (deleteFromInvertedIndex) drop out of
+    // the pruned postings here, so df/tf re-derive over survivors only;
+    // after compactInvertedIndex the table is gone and the join with it
+    val tombPath = new org.apache.hadoop.fs.Path(path + "/tombstones")
+    val posts =
+      if (tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(tombPath))
+        rawPosts.join(broadcast(spark.read.parquet(tombPath.toString)),
+          Seq("doc_id"), "left_anti")
+      else rawPosts
     val tfAggs = terms.map(t =>
       sum(when(col("term") === t, col("tf")).otherwise(lit(0L)))
         .cast("int").as(s"tf_$t"))

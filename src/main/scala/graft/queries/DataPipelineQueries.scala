@@ -198,6 +198,25 @@ object DataPipelineQueries {
         .write.parquet(p)
     }
 
+  // One EM pruning round's artifacts at rest: the usage-re-scored pruned
+  // vocabulary and the re-segmentation under it (shared by the two
+  // pruned gates and bench reps — the trained-state convention).
+  private def unigramPrunedVocabPath(s: SparkSession, dir: String): String =
+    graft.util.TempDirs.cached("unigram-pruned-vocab", dir) { p =>
+      val w = graft.ops.UnigramTok.words(t(s, dir, "documents"), "text")
+      val vocab = graft.ops.UnigramTok.pieceVocab(w)
+      val usage = graft.ops.UnigramTok.pieceUsage(
+        graft.ops.UnigramTok.segmentsWithPieces(w, vocab))
+      graft.ops.UnigramTok.emPrune(vocab, usage).write.parquet(p)
+    }
+  private def unigramPrunedSegsPath(s: SparkSession, dir: String): String =
+    graft.util.TempDirs.cached("unigram-pruned-segs", dir) { p =>
+      val w = graft.ops.UnigramTok.words(t(s, dir, "documents"), "text")
+      graft.ops.UnigramTok.segments(w,
+          s.read.parquet(unigramPrunedVocabPath(s, dir)))
+        .write.parquet(p)
+    }
+
   // The deploy artifact (vocabulary + splits + leaf predictions) the
   // scalar-compiled filter needs — one training run serves the deploy
   // and streaming gates too.
@@ -1412,6 +1431,41 @@ object DataPipelineQueries {
         terms = Seq("spark", "join", "window"), k = 20)
     }),
 
+    // Index MAINTENANCE, delete half: tombstone the first 100 doc_ids
+    // (no postings rewrite — query-time anti-join + sidecar mass
+    // subtraction), then query. Gated with the oracle over the SURVIVING
+    // corpus: delete+query must be bit-identical to a from-scratch build
+    // without the deleted docs (df from anti-joined postings, N/avgdl
+    // from the adjusted sidecar).
+    "bm25_index_deleted" -> ((s, dir) => {
+      import s.implicits._
+      val (path, _) = builtIndex("bm25-idx-del", dir) { p =>
+        Rank.writeInvertedIndex(t(s, dir, "documents"), "doc_id", "text", p)
+        Rank.deleteFromInvertedIndex(s, p, (0L until 100L).toSeq)
+        Array.empty
+      }
+      Rank.bm25IndexedTopK(s, path,
+        terms = Seq("spark", "join", "window"), k = 20)
+    }),
+
+    // Index MAINTENANCE, compact half: same delete, then the deferred
+    // rewrite — only buckets containing tombstoned postings are
+    // rewritten (dynamic partition overwrite), the tombstone table
+    // drops, and the SAME oracle gates the result: compaction must not
+    // move a single score. RankSpec pins the file-count drop and the
+    // untouched-bucket preservation.
+    "bm25_index_compacted" -> ((s, dir) => {
+      import s.implicits._
+      val (path, _) = builtIndex("bm25-idx-cmp", dir) { p =>
+        Rank.writeInvertedIndex(t(s, dir, "documents"), "doc_id", "text", p)
+        Rank.deleteFromInvertedIndex(s, p, (0L until 100L).toSeq)
+        Rank.compactInvertedIndex(s, p)
+        Array.empty
+      }
+      Rank.bm25IndexedTopK(s, path,
+        terms = Seq("spark", "join", "window"), k = 20)
+    }),
+
     // Reciprocal rank fusion — the hybrid-retrieval combiner that needs
     // no score calibration: BM25 top-50 (lexical) and brute-force cosine
     // top-50 for query vector 0 (semantic; vec_id aligns with doc_id),
@@ -1768,17 +1822,32 @@ object DataPipelineQueries {
     // Exact per-type latency-style percentiles of the event value — the
     // p50/p95/p99 dashboard row, via the histogram order statistic
     // ((p*n+99) div 100 on the ascending value histogram, the
-    // ta_corpus_stats convention): the per-type window runs over the
-    // bounded value lattice, never the event rows.
+    // ta_corpus_stats convention). The cumulative count runs through the
+    // RANGE-PARTITIONED running-sum shape (Sampling.rangedRunningSum over
+    // the global (type, value) order): even when one event type dominates
+    // a wide value lattice, no single task sees more than one range — the
+    // per-type reset is a subtraction of the type's global prefix offset,
+    // derived from the per-type totals (bounded by the event taxonomy,
+    // collected once).
     "event_value_percentiles" -> ((s, dir) => {
       import s.implicits._
       val hist = events(s, dir)
         .groupBy($"event_type", money($"value").as("v"))
         .agg(count(lit(1)).as("c"))
-      val wc = Window.partitionBy($"event_type").orderBy($"v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = hist.withColumn("cum", sum($"c").over(wc))
+      val cumG = Sampling.rangedRunningSum(hist,
+        Seq($"event_type", $"v"), $"c", "cumg", numRanges = 32)
       val n = hist.groupBy($"event_type").agg(sum($"c").as("n"))
+      // exclusive global prefix per type: one bounded row per event type
+      val offs = {
+        var acc = 0L
+        n.orderBy($"event_type").collect().map { r =>
+          val o = (r.getString(0), acc); acc += r.getLong(1); o
+        }
+      }
+      val offCol = offs.foldLeft(lit(0L)) { case (c, (ty, o)) =>
+        when($"event_type" === ty, lit(o)).otherwise(c)
+      }
+      val cum = cumG.withColumn("cum", $"cumg" - offCol)
       def pct(p: Int) =
         min(when($"cum" >= expr(s"($p * n + 99) div 100"), $"v"))
           .cast("double")
@@ -1786,6 +1855,30 @@ object DataPipelineQueries {
         .groupBy($"event_type", $"n")
         .agg(pct(50).as("p50"), pct(95).as("p95"), pct(99).as("p99"))
         .select($"event_type", $"n", $"p50", $"p95", $"p99")
+        .orderBy($"event_type")
+    }),
+
+    // MERGEABLE QUANTILE SKETCH (Sketch.latticeQuantilesMerged): each of
+    // 8 shards builds a bounded (bucket, count) histogram on the base-2
+    // exponential lattice, shards merge by bucket SUM, and percentiles
+    // read off the merged histogram — merge(shards) == direct holds
+    // bit-for-bit (sum-associativity), so the DIRECT single-pass twin
+    // gates the two-stage merge path, mirroring approx_ndv_merged. The
+    // quantile values are lattice lower bounds (true value lower bounds
+    // within 2^-4 = 6.25% relative error); the exact twin row
+    // (event_value_percentiles) stays gated alongside so the sketch's
+    // error is visible, not papered over.
+    "approx_percentiles_merged" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir).select($"event_type",
+        (money($"value") * 100).cast("long").as("cents"),
+        pmod(xxhash64($"event_id"), lit(8L)).as("sh"))
+      Sketch.latticeQuantilesMerged(ev, $"cents", $"event_type", $"sh",
+        Seq(50, 95, 99))
+        .select($"g".as("event_type"), $"n",
+          ($"p50".cast("double") / 100.0).as("p50"),
+          ($"p95".cast("double") / 100.0).as("p95"),
+          ($"p99".cast("double") / 100.0).as("p99"))
         .orderBy($"event_type")
     }),
 
@@ -2389,6 +2482,26 @@ object DataPipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // ONE EM PRUNING ROUND (Kudo 2018 §3.2, the hard-EM variant): E-step
+    // = Viterbi segmentation carrying the winning piece sequences
+    // (deterministic total-order argmax both engines replay), M-step =
+    // usage-weighted piece counts, drop the quartile of least-used
+    // multi-char pieces, re-score survivors from usage, re-segment. Two
+    // gates: the pruned+re-scored vocabulary and token counts under it.
+    "unigram_vocab_pruned" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(unigramPrunedVocabPath(s, dir))
+        .select($"p".as("piece"), $"uc".as("usage_cnt"), $"sc".as("score"))
+        .orderBy($"piece")
+    }),
+
+    "ta_tokens_unigram_pruned" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.UnigramTok.tokenCounts(t(s, dir, "documents"), "doc_id",
+        "text", s.read.parquet(unigramPrunedSegsPath(s, dir)))
+        .orderBy($"doc_id")
+    }),
+
     // Corpus SNAPSHOT DIFF — the versioning report a dataset release
     // ships (what changed since v1?): v2 synthesized deterministically
     // from the corpus (every 13th doc dropped, every 7th edited, 20 new
@@ -2414,6 +2527,49 @@ object DataPipelineQueries {
           .when($"fp1" =!= $"fp2", "changed")
           .otherwise("unchanged").as("status"))
         .groupBy($"status").agg(count(lit(1)).as("n_docs"))
+        .orderBy($"status")
+    }),
+
+    // SNAPSHOT DIFF AT REST — the operator a release pipeline actually
+    // runs: BOTH versions are persisted parquet stores (staged once per
+    // dir via the stagedSrc convention; v2 = the same deterministic
+    // synthesis snapshot_diff uses, but with real text materialized so
+    // the store is a genuine corpus version, not a fingerprint table)
+    // and the diff reads them from disk. Beyond counts, the report adds
+    // per-status byte totals (bytes of the surviving/new version — v2
+    // when present, else the removed v1 text): the number a release
+    // manifest needs. Shuffle still carries only (id, fp, byte-length) —
+    // text never leaves the scan stage.
+    "snapshot_diff_store" -> ((s, dir) => {
+      import s.implicits._
+      val v1Path = stagedSrc("snapshot-v1", dir)(p =>
+        t(s, dir, "documents").select($"doc_id", $"text")
+          .coalesce(4).write.parquet(p))
+      val v2Path = stagedSrc("snapshot-v2", dir)(p => {
+        val docs = t(s, dir, "documents")
+        docs.filter($"doc_id" % 13 =!= 0)
+          .select($"doc_id",
+            when($"doc_id" % 7 === 0, concat($"text", lit(" v2 edit")))
+              .otherwise($"text").as("text"))
+          .unionByName(docs.filter($"doc_id" < 20)
+            .select(($"doc_id" + 100000).as("doc_id"),
+              concat(lit("new doc "), $"doc_id".cast("string")).as("text")))
+          .coalesce(4).write.parquet(p)
+      })
+      val v1 = s.read.parquet(v1Path)
+        .select($"doc_id", md5($"text").as("fp1"),
+          octet_length($"text").cast("long").as("b1"))
+      val v2 = s.read.parquet(v2Path)
+        .select($"doc_id", md5($"text").as("fp2"),
+          octet_length($"text").cast("long").as("b2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(when($"fp1".isNull, "added")
+          .when($"fp2".isNull, "removed")
+          .when($"fp1" =!= $"fp2", "changed")
+          .otherwise("unchanged").as("status"),
+          coalesce($"b2", $"b1").as("bytes"))
+        .groupBy($"status")
+        .agg(count(lit(1)).as("n_docs"), sum($"bytes").as("total_bytes"))
         .orderBy($"status")
     }),
 
@@ -2951,7 +3107,7 @@ object DataPipelineQueries {
     * (Spark ln is StrictMath.log; DuckDB's libm differs in the last
     * ulp). The indexed path replays the identical arithmetic, so one
     * twin serves both keys. */
-  private def bm25OracleSql(k: Int = 20): String = {
+  private def bm25OracleSql(k: Int = 20, where: String = ""): String = {
     def tf(t: String) =
       s"len(list_filter(string_split(text, ' '), w -> w = '$t'))"
     def term(t: String) =
@@ -2967,7 +3123,7 @@ object DataPipelineQueries {
        |    ${tf("spark")} AS tf_spark,
        |    ${tf("join")} AS tf_join,
        |    ${tf("window")} AS tf_window
-       |  FROM documents),
+       |  FROM documents $where),
        |stats AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
        |    CAST(SUM(dl) AS BIGINT) AS sumdl,
@@ -3813,6 +3969,47 @@ object DataPipelineQueries {
         |FROM cw
         |GROUP BY event_type, n
         |ORDER BY event_type""".stripMargin,
+    // Direct single-pass twin of the shard-merge quantile sketch: the
+    // same base-2 lattice (bucket = bitlength octave + 4 mantissa bits,
+    // both engines via length(bin(v))), same (p*n+99)//100 order
+    // statistic over the bucket histogram, same lower-bound decode —
+    // merge(shards) == direct by sum-associativity, so hash equality
+    // against this direct chain gates the Spark merge path (the
+    // approx_ndv_merged convention).
+    "approx_percentiles_merged" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type,
+        |    CASE WHEN v < 16 THEN v
+        |         ELSE (length(bin(v)) - 5) * 16
+        |              + (v >> CAST(length(bin(v)) - 5 AS INT)) END AS bk,
+        |    COUNT(*) AS c
+        |  FROM e GROUP BY 1, 2),
+        |cw AS (
+        |  SELECT event_type, bk, c,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY bk
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n
+        |  FROM b),
+        |lw AS (
+        |  SELECT *,
+        |    CASE WHEN bk < 16 THEN bk
+        |         ELSE (bk - ((bk // 16) - 1) * 16)
+        |              << CAST((bk // 16) - 1 AS INT) END AS low
+        |  FROM cw)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN low END)
+        |    AS DOUBLE) / 100 AS p50,
+        |  CAST(MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN low END)
+        |    AS DOUBLE) / 100 AS p95,
+        |  CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN low END)
+        |    AS DOUBLE) / 100 AS p99
+        |FROM lw
+        |GROUP BY event_type, n
+        |ORDER BY event_type""".stripMargin,
     // Same percentile convention as ta_corpus_stats ((p*n+99) div 100 on
     // the ascending value histogram); ties at the threshold kept.
     "curate_quantile" ->
@@ -4211,6 +4408,11 @@ object DataPipelineQueries {
     // build+append must equal the from-scratch build, so the full-corpus
     // twin gates the incremental path too.
     "bm25_index_updated" -> bm25OracleSql(),
+    // delete/compact twins: from-scratch BM25 over the surviving corpus
+    "bm25_index_deleted" -> bm25OracleSql(
+      where = "WHERE doc_id >= 100"),
+    "bm25_index_compacted" -> bm25OracleSql(
+      where = "WHERE doc_id >= 100"),
     "rrf_fusion" -> rrfFusionSql,
     // Same injection, same patterns (the regexes live in the common
     // Java-regex/RE2 subset), same ordered replace chain with the 'g'
@@ -4556,6 +4758,8 @@ object DataPipelineQueries {
     "unigram_vocab" -> graft.ops.UnigramTok.vocabSql,
     "unigram_segments" -> graft.ops.UnigramTok.segmentsSql,
     "ta_tokens_unigram" -> graft.ops.UnigramTok.tokenCountsSql,
+    "unigram_vocab_pruned" -> graft.ops.UnigramTok.vocabPrunedSql,
+    "ta_tokens_unigram_pruned" -> graft.ops.UnigramTok.tokenCountsPrunedSql,
     // Same v2 synthesis, same fingerprint classification.
     "snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS fp FROM documents),
@@ -4576,6 +4780,36 @@ object DataPipelineQueries {
         |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
         |SELECT status, COUNT(*) AS n_docs FROM j
         |GROUP BY status ORDER BY status""".stripMargin,
+    // At-rest twin: same deterministic v2 synthesis with real text (the
+    // Spark side stages both versions to parquet and diffs from disk —
+    // staging is content-deterministic, so the SQL re-derivation is
+    // byte-identical); bytes = strlen of the surviving/new version.
+    "snapshot_diff_store" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, md5(text) AS fp, strlen(text) AS b
+        |  FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2 edit'
+        |             ELSE text END) AS fp,
+        |    strlen(CASE WHEN doc_id % 7 = 0 THEN text || ' v2 edit'
+        |           ELSE text END) AS b
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    md5('new doc ' || CAST(doc_id AS VARCHAR)),
+        |    strlen('new doc ' || CAST(doc_id AS VARCHAR))
+        |  FROM documents WHERE doc_id < 20),
+        |j AS (
+        |  SELECT CASE WHEN a.fp IS NULL THEN 'added'
+        |              WHEN b.fp IS NULL THEN 'removed'
+        |              WHEN a.fp <> b.fp THEN 'changed'
+        |              ELSE 'unchanged' END AS status,
+        |    COALESCE(b.b, a.b) AS bytes
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT status, COUNT(*) AS n_docs,
+        |  CAST(SUM(bytes) AS BIGINT) AS total_bytes
+        |FROM j GROUP BY status ORDER BY status""".stripMargin,
     "qc_tree_train" ->
       graft.ops.Classifier.treeTrainSql(qualityScoreSql),
     "qc_tree_score" ->

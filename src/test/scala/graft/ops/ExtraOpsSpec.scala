@@ -122,8 +122,101 @@ class ExtraOpsSpec extends SparkSpec {
       terms = Seq("cat", "fish"), k = 10, nBuckets = 8).collect().toSeq
     assert(got == want, s"incr $got vs full $want")
     val stats = spark.read.parquet(incr + "/stats")
-      .as[(Long, Long)].head()
-    assert(stats == ((4L, 3L + 6L + 10L + 3L)))
+      .select("n_docs", "sum_dl", "n_buckets", "max_doc_id")
+      .as[(Long, Long, Int, Long)].head()
+    assert(stats == ((4L, 3L + 6L + 10L + 3L, 8, 4L)))
+  }
+
+  test("BM25 append guards: empty batch is a no-op, nBuckets mismatch " +
+      "and overlapping doc_ids are refused") {
+    val old = Seq((1L, "cat dog"), (2L, "cat fish")).toDF("doc_id", "text")
+    val path = graft.util.TempDirs.create("bm25-guard-spec") + "/idx"
+    Rank.writeInvertedIndex(old, "doc_id", "text", path, nBuckets = 8)
+    // empty batch: no NPE, sidecar unchanged
+    Rank.appendInvertedIndex(spark, old.filter($"doc_id" > 99),
+      "doc_id", "text", path, nBuckets = 8)
+    val st = spark.read.parquet(path + "/stats")
+      .select("n_docs", "sum_dl").as[(Long, Long)].head()
+    assert(st == ((2L, 4L)))
+    // geometry mismatch: bucket numbering would diverge
+    intercept[IllegalArgumentException](Rank.appendInvertedIndex(spark,
+      Seq((3L, "owl")).toDF("doc_id", "text"), "doc_id", "text", path,
+      nBuckets = 16))
+    // re-appending an already-indexed id would double-count df
+    intercept[IllegalArgumentException](Rank.appendInvertedIndex(spark,
+      Seq((2L, "cat")).toDF("doc_id", "text"), "doc_id", "text", path,
+      nBuckets = 8))
+  }
+
+  test("BM25 delete: tombstoned query == from-scratch build over the " +
+      "survivors; sidecar mass subtracts; unknown ids refused") {
+    val docs = Seq(
+      (1L, "cat dog bird"),
+      (2L, "cat cat cat cat bird fish"),
+      (3L, "dog fish bird frog owl pig hen cow fox elk"),
+      (4L, "fish bird frog")).toDF("doc_id", "text")
+    val path = graft.util.TempDirs.create("bm25-del-spec") + "/idx"
+    Rank.writeInvertedIndex(docs, "doc_id", "text", path, nBuckets = 8)
+    Rank.deleteFromInvertedIndex(spark, path, Seq(2L))
+    val got = Rank.bm25IndexedTopK(spark, path,
+      terms = Seq("cat", "fish"), k = 10, nBuckets = 8).collect().toSeq
+    val fresh = graft.util.TempDirs.create("bm25-del-fresh") + "/idx"
+    Rank.writeInvertedIndex(docs.filter($"doc_id" =!= 2L), "doc_id", "text",
+      fresh, nBuckets = 8)
+    val want = Rank.bm25IndexedTopK(spark, fresh,
+      terms = Seq("cat", "fish"), k = 10, nBuckets = 8).collect().toSeq
+    assert(got == want, s"deleted $got vs fresh $want")
+    val st = spark.read.parquet(path + "/stats")
+      .select("n_docs", "sum_dl").as[(Long, Long)].head()
+    assert(st == ((3L, 3L + 10L + 3L)))
+    intercept[IllegalArgumentException](
+      Rank.deleteFromInvertedIndex(spark, path, Seq(99L)))
+  }
+
+  test("BM25 compact: rewrites only tombstoned buckets, file count " +
+      "drops, tombstones vanish, scores unchanged") {
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) s"cat w$i" else s"dog w$i")).toDF("doc_id", "text")
+    val path = graft.util.TempDirs.create("bm25-cmp-spec") + "/idx"
+    // build + append so tombstoned buckets hold MULTIPLE files — the
+    // compaction coalesces them, which is the file-count win under test
+    Rank.writeInvertedIndex(docs.filter($"doc_id" <= 20L),
+      "doc_id", "text", path, nBuckets = 8)
+    Rank.appendInvertedIndex(spark, docs.filter($"doc_id" > 20L),
+      "doc_id", "text", path, nBuckets = 8)
+    Rank.deleteFromInvertedIndex(spark, path, (1L to 10L).toSeq)
+    val before = Rank.bm25IndexedTopK(spark, path,
+      terms = Seq("cat", "dog"), k = 40, nBuckets = 8).collect().toSeq
+    def parquetFiles(p: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(p))
+    }
+    val filesBefore = parquetFiles(path + "/postings")
+    // untouched-bucket preservation: record the files of buckets that
+    // hold no tombstoned postings — compaction must not rewrite them
+    val touched = spark.read.parquet(path + "/postings")
+      .filter($"doc_id" <= 10L).select($"bucket").distinct()
+      .as[Int].collect().toSet
+    val untouchedFiles = filesBefore.filterNot(f =>
+      touched.exists(b => f.getPath.contains(s"bucket=$b")))
+      .map(f => (f.getPath, f.lastModified)).sorted
+    Rank.compactInvertedIndex(spark, path)
+    assert(!new java.io.File(path + "/tombstones").exists())
+    val filesAfter = parquetFiles(path + "/postings")
+    assert(filesAfter.size < filesBefore.size,
+      s"compaction must drop files: ${filesBefore.size} -> ${filesAfter.size}")
+    val untouchedAfter = filesAfter.filterNot(f =>
+      touched.exists(b => f.getPath.contains(s"bucket=$b")))
+      .map(f => (f.getPath, f.lastModified)).sorted
+    assert(untouchedAfter == untouchedFiles,
+      "compaction must leave untombstoned buckets' files byte-untouched")
+    assert(spark.read.parquet(path + "/postings")
+      .filter($"doc_id" <= 10L).count() == 0)
+    val after = Rank.bm25IndexedTopK(spark, path,
+      terms = Seq("cat", "dog"), k = 40, nBuckets = 8).collect().toSeq
+    assert(after == before, "compaction moved a score")
   }
 
   test("RRF: fused score is sum of 1/(c+rank), missing list = 0, union kept") {
