@@ -52,17 +52,20 @@ object Classifier {
   /** Teacher label: qualityScore(text) >= this (the curate_sample gate). */
   val QualityThreshold = 0.8
 
-  /** Deterministic feature vocabulary: (word, fidx 1..NumWords) by
+  /** Deterministic feature vocabulary: (word, fidx 1..numWords) by
     * document frequency desc, word asc. Driver collect bounded by
-    * NumWords. */
-  def vocabulary(docs: DataFrame): Seq[(String, Int)] =
+    * numWords. The width is a parameter (default [[NumWords]]) so the
+    * headroom spec can train wider without touching the gated
+    * geometry. */
+  def vocabulary(docs: DataFrame,
+      numWords: Int = NumWords): Seq[(String, Int)] =
     docs.select(col("doc_id"),
         explode(array_distinct(split(Dedup.normalized(col("text")), " ")))
           .as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w"))
-      .limit(NumWords).collect()
+      .limit(numWords).collect()
       .zipWithIndex.map { case (r, i) => (r.getString(0), i + 1) }
 
   /** Display name of a feature index (word, or len_bucket_k). */
@@ -72,10 +75,17 @@ object Classifier {
     else s"len_bucket_${fidx - NumWords - 1}"
 
   /** Sparse binary features (doc_id, fidx): word presence + the one
-    * length-bucket hot. */
-  def features(docs: DataFrame, vocab: Seq[(String, Int)]): DataFrame = {
+    * length-bucket hot. `numWords` fixes the bucket fidx base
+    * (numWords + 1 + k) and must match the width `vocab` was built
+    * with — it stays a parameter (not vocab.size) so a degenerate
+    * corpus with fewer distinct words keeps the same feature-index
+    * geometry the twins unroll. */
+  def features(docs: DataFrame, vocab: Seq[(String, Int)],
+      numWords: Int = NumWords): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    require(vocab.size <= numWords,
+      s"vocabulary of ${vocab.size} words exceeds the declared width $numWords")
     val vdf = broadcast(vocab.toDF("w", "fidx"))
     val words = docs.select(col("doc_id"),
         explode(array_distinct(split(Dedup.normalized(col("text")), " ")))
@@ -83,7 +93,7 @@ object Classifier {
       .join(vdf, "w")
       .select(col("doc_id"), col("fidx"))
     val buckets = docs.select(col("doc_id"),
-      (lit(NumWords + 1) +
+      (lit(numWords + 1) +
         least(floor(length(col("text")) / 100).cast("int"),
           lit(NumBuckets - 1))).cast("int").as("fidx"))
     words.unionByName(buckets)
@@ -105,16 +115,17 @@ object Classifier {
     * nodes with no valid split (every feature all-left or all-right)
     * stay put and become leaves at their current id. Every checkpoint
     * taken during training is unpersisted before returning. */
-  def trainTree(docs: DataFrame): Seq[Split] = {
+  def trainTree(docs: DataFrame, depth: Int = TreeDepth,
+      numWords: Int = NumWords): Seq[Split] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val vocab = vocabulary(docs)
-    val feats = features(docs, vocab).localCheckpoint()
+    val vocab = vocabulary(docs, numWords)
+    val feats = features(docs, vocab, numWords).localCheckpoint()
     val lab = labels(docs).localCheckpoint()
     var assign = lab.select(col("doc_id"), lit(0).as("node"))
     var assignCk: DataFrame = null       // previous checkpoint to release
     val splits = Seq.newBuilder[Split]
-    (0 until TreeDepth).foreach { level =>
+    (0 until depth).foreach { level =>
       val withY = assign.join(lab, "doc_id")
       val tot = withY.groupBy(col("node"))
         .agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
@@ -173,15 +184,22 @@ object Classifier {
   /** Route every doc through a trained split table: (doc_id, node, y).
     * Per level one broadcast join against the <=2^level split rows plus
     * a feature-presence probe — a map-side-joinable scan at any corpus
-    * size, the deploy shape of the filter. */
-  def applyTree(docs: DataFrame, splits: Seq[Split]): DataFrame = {
+    * size, the deploy shape of the filter.
+    *
+    * `vocab` must be the TRAINING vocabulary (the one the split table's
+    * fidx values were learned against — same contract as [[predictCol]]):
+    * re-deriving a vocabulary from the corpus being scored would silently
+    * bind the learned fidx values to different words on any corpus other
+    * than the training one. */
+  def applyTree(docs: DataFrame, splits: Seq[Split],
+      vocab: Seq[(String, Int)], depth: Int = TreeDepth,
+      numWords: Int = NumWords): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val vocab = vocabulary(docs)
-    val feats = features(docs, vocab)
+    val feats = features(docs, vocab, numWords)
     val lab = labels(docs)
     var assign = lab.select(col("doc_id"), lit(0).as("node"))
-    (0 until TreeDepth).foreach { level =>
+    (0 until depth).foreach { level =>
       val lv = splits.filter(_.depth == level)
       if (lv.nonEmpty) {
         val spDf = broadcast(
@@ -200,11 +218,11 @@ object Classifier {
     assign.join(lab, "doc_id")
   }
 
-  /** qc_tree_train face: one row per learned split, feature named. */
-  def treeTrainDf(spark: SparkSession, docs: DataFrame,
+  /** qc_tree_train face: one row per learned split, feature named
+    * against the TRAINING vocabulary. */
+  def treeTrainDf(spark: SparkSession, vocab: Seq[(String, Int)],
       splits: Seq[Split]): DataFrame = {
     import spark.implicits._
-    val vocab = vocabulary(docs)
     splits
       .map(s => (s.node, s.depth, s.fidx, featureName(vocab, s.fidx),
         s.n, s.p, s.nLeft, s.pLeft, s.err))
@@ -214,9 +232,12 @@ object Classifier {
   }
 
   /** qc_tree_score face: every doc routed to its leaf, predicted by leaf
-    * majority (ties predict 1), compared to the teacher label. */
-  def treeScore(docs: DataFrame, splits: Seq[Split]): DataFrame = {
-    val assign = applyTree(docs, splits)
+    * majority (ties predict 1), compared to the teacher label. `vocab`
+    * is the training vocabulary (see [[applyTree]]). */
+  def treeScore(docs: DataFrame, splits: Seq[Split],
+      vocab: Seq[(String, Int)], depth: Int = TreeDepth,
+      numWords: Int = NumWords): DataFrame = {
+    val assign = applyTree(docs, splits, vocab, depth, numWords)
     val leaves = assign.groupBy(col("node"))
       .agg(count(lit(1)).as("ln"), sum(col("y")).as("lp"))
       .withColumn("pred",
@@ -230,9 +251,11 @@ object Classifier {
   }
 
   /** Leaf-majority predictions (node -> pred, ties predict 1) — bounded
-    * collect (<= 2^TreeDepth rows). */
-  def leafPredictions(docs: DataFrame, splits: Seq[Split]): Map[Int, Int] =
-    applyTree(docs, splits).groupBy(col("node"))
+    * collect (<= 2^TreeDepth rows). `vocab` is the training vocabulary
+    * (see [[applyTree]]). */
+  def leafPredictions(docs: DataFrame, splits: Seq[Split],
+      vocab: Seq[(String, Int)]): Map[Int, Int] =
+    applyTree(docs, splits, vocab).groupBy(col("node"))
       .agg(count(lit(1)).as("ln"), sum(col("y")).as("lp"))
       .select(col("node"),
         when(col("lp") * 2 >= col("ln"), 1).otherwise(0).as("pred"))
@@ -270,8 +293,9 @@ object Classifier {
   /** qc_tree_reliability face: per-leaf calibration — how pure each
     * leaf's prediction actually is (the table a curation team reads to
     * decide which leaves to trust or prune). */
-  def treeReliability(docs: DataFrame, splits: Seq[Split]): DataFrame =
-    treeScore(docs, splits)
+  def treeReliability(docs: DataFrame, splits: Seq[Split],
+      vocab: Seq[(String, Int)]): DataFrame =
+    treeScore(docs, splits, vocab)
       .groupBy(col("leaf"), col("pred"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
         sum(col("correct")).as("n_correct"))
@@ -279,8 +303,10 @@ object Classifier {
 
   /** qc_tree_eval face: train accuracy vs the majority baseline — all
     * exact integer counts. */
-  def treeEval(docs: DataFrame, splits: Seq[Split]): DataFrame =
-    treeScore(docs, splits).agg(
+  def treeEval(docs: DataFrame, splits: Seq[Split],
+      vocab: Seq[(String, Int)], depth: Int = TreeDepth,
+      numWords: Int = NumWords): DataFrame =
+    treeScore(docs, splits, vocab, depth, numWords).agg(
       count(lit(1)).as("n_docs"),
       sum(col("y")).as("n_pos"),
       sum(col("correct")).as("n_correct"),
@@ -440,7 +466,9 @@ object Classifier {
     val rows = (0 until TreeDepth).map { l =>
       s"""SELECT CAST(node AS INT) AS node, $l AS depth, fidx,
          |  CASE WHEN fidx <= $NumWords
-         |       THEN (SELECT w FROM cvocab v WHERE v.fidx = sp$l.fidx)
+         |       THEN COALESCE(
+         |         (SELECT w FROM cvocab v WHERE v.fidx = sp$l.fidx),
+         |         'word_' || CAST(fidx AS VARCHAR))
          |       ELSE 'len_bucket_' || CAST(fidx - $NumWords - 1 AS VARCHAR)
          |       END AS feature,
          |  CAST(n AS BIGINT) AS n, CAST(p AS BIGINT) AS p,
@@ -538,7 +566,9 @@ object Classifier {
        |model AS MATERIALIZED (
        |  SELECT r.fidx,
        |    CASE WHEN r.fidx <= $NumWords
-       |         THEN (SELECT w FROM cvocab v WHERE v.fidx = r.fidx)
+       |         THEN COALESCE(
+       |           (SELECT w FROM cvocab v WHERE v.fidx = r.fidx),
+       |           'word_' || CAST(r.fidx AS VARCHAR))
        |         ELSE 'len_bucket_' || CAST(r.fidx - $NumWords - 1 AS VARCHAR)
        |         END AS feature,
        |    COALESCE(c.c_pos, 0) AS c_pos, COALESCE(c.c_neg, 0) AS c_neg,

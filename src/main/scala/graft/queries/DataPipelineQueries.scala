@@ -180,14 +180,21 @@ object DataPipelineQueries {
     TrainedMerges.computeIfAbsent((dir, rounds), _ =>
       graft.ops.BpeTrain.train(t(s, dir, "documents"), "text", rounds))
 
-  // Tree training is likewise deterministic per dir — the three qc_tree
-  // queries (and bench reps) share one trained split table.
+  // Tree training is likewise deterministic per dir — the qc_tree
+  // queries (and bench reps) share one trained (vocabulary, split table)
+  // pair. The vocabulary travels WITH the splits: fidx values only mean
+  // anything against the vocabulary they were learned on, so every apply
+  // site consumes this pair rather than re-deriving a vocabulary from
+  // whatever corpus it happens to score.
   private val TrainedTrees = new java.util.concurrent.ConcurrentHashMap[
-    String, Seq[graft.ops.Classifier.Split]]()
-  private def trainedTree(s: SparkSession,
-      dir: String): Seq[graft.ops.Classifier.Split] =
-    TrainedTrees.computeIfAbsent(dir, _ =>
-      graft.ops.Classifier.trainTree(t(s, dir, "documents")))
+    String, (Seq[(String, Int)], Seq[graft.ops.Classifier.Split])]()
+  private def trainedTree(s: SparkSession, dir: String):
+      (Seq[(String, Int)], Seq[graft.ops.Classifier.Split]) =
+    TrainedTrees.computeIfAbsent(dir, _ => {
+      val docs = t(s, dir, "documents")
+      (graft.ops.Classifier.vocabulary(docs),
+        graft.ops.Classifier.trainTree(docs))
+    })
 
   // The unigram-Viterbi segmentation of the corpus vocabulary, at rest
   // per dir — the unigram tokenizer's trained artifact.
@@ -227,9 +234,9 @@ object DataPipelineQueries {
       (Seq[(String, Int)], Seq[graft.ops.Classifier.Split], Map[Int, Int]) =
     DeployModels.computeIfAbsent(dir, _ => {
       val docs = t(s, dir, "documents")
-      val splits = trainedTree(s, dir)
-      (graft.ops.Classifier.vocabulary(docs), splits,
-        graft.ops.Classifier.leafPredictions(docs, splits))
+      val (vocab, splits) = trainedTree(s, dir)
+      (vocab, splits,
+        graft.ops.Classifier.leafPredictions(docs, splits, vocab))
     })
 
   /** Drain a finished memory-sink streaming query: fail LOUDLY if the
@@ -2583,22 +2590,25 @@ object DataPipelineQueries {
     // Depth-4 CART tree (error criterion): one row per learned split
     // with the node's counts — the interpretable artifact a curation
     // team reviews before deploying the filter.
-    "qc_tree_train" -> ((s, dir) =>
-      graft.ops.Classifier.treeTrainDf(s, t(s, dir, "documents"),
-        trainedTree(s, dir))),
+    "qc_tree_train" -> ((s, dir) => {
+      val (vocab, splits) = trainedTree(s, dir)
+      graft.ops.Classifier.treeTrainDf(s, vocab, splits)
+    }),
 
     // Every doc routed to its leaf with the leaf-majority prediction —
     // the deploy face of the tree (a chain of presence tests; at 100 TB
     // this is a map-only scan once the split table is broadcast).
-    "qc_tree_score" -> ((s, dir) =>
-      graft.ops.Classifier.treeScore(t(s, dir, "documents"),
-        trainedTree(s, dir))),
+    "qc_tree_score" -> ((s, dir) => {
+      val (vocab, splits) = trainedTree(s, dir)
+      graft.ops.Classifier.treeScore(t(s, dir, "documents"), splits, vocab)
+    }),
 
     // Train accuracy vs the majority baseline — the go/no-go number
     // (~0.91-0.95 vs ~0.57 majority on the gated corpora).
-    "qc_tree_eval" -> ((s, dir) =>
-      graft.ops.Classifier.treeEval(t(s, dir, "documents"),
-        trainedTree(s, dir))),
+    "qc_tree_eval" -> ((s, dir) => {
+      val (vocab, splits) = trainedTree(s, dir)
+      graft.ops.Classifier.treeEval(t(s, dir, "documents"), splits, vocab)
+    }),
 
     // The DEPLOY face: the trained tree compiled to one scalar CASE of
     // word-presence / length-bucket tests — no joins, no aggregation, a
@@ -2640,9 +2650,11 @@ object DataPipelineQueries {
     // Per-leaf calibration of the distilled tree — which leaves are
     // trustworthy (pure) and which are coin flips; the reviewability
     // table that justifies deploying (or pruning) the filter.
-    "qc_tree_reliability" -> ((s, dir) =>
-      graft.ops.Classifier.treeReliability(t(s, dir, "documents"),
-        trainedTree(s, dir))),
+    "qc_tree_reliability" -> ((s, dir) => {
+      val (vocab, splits) = trainedTree(s, dir)
+      graft.ops.Classifier.treeReliability(t(s, dir, "documents"), splits,
+        vocab)
+    }),
 
     // CONVERSION FUNNEL over event time: per user, first click and the
     // first purchase at-or-after it; converted = within 24 h. The

@@ -313,14 +313,19 @@ object SinkQueries {
         |FROM documents
         |WHERE lang IN ('en', 'de')
         |ORDER BY doc_id""".stripMargin,
-    // The layout is closed-form: 64 one-file buckets before (doc_id is
-    // dense, so all 64 pmod classes are non-empty at every gated SF),
-    // 8 balanced files after, rows preserved exactly.
+    // The layout derives from the data, not from constants: before = one
+    // file per NON-EMPTY pmod-64 class (a sparse corpus yields fewer
+    // than 64), after = least(n_rows, 8) round-robin files (Spark writes
+    // no file for an empty partition). Rows preserved exactly.
     "compact_small_files" ->
-      """SELECT 'after' AS phase, 8 AS n_files, COUNT(*) AS n_rows
+      """SELECT 'after' AS phase,
+        |  CAST(least(COUNT(*), 8) AS INT) AS n_files,
+        |  COUNT(*) AS n_rows
         |FROM documents
         |UNION ALL
-        |SELECT 'before', 64, COUNT(*) FROM documents
+        |SELECT 'before', CAST(COUNT(DISTINCT doc_id % 64) AS INT),
+        |  COUNT(*)
+        |FROM documents
         |ORDER BY phase""".stripMargin
   )
 }

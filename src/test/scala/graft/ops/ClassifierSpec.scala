@@ -51,7 +51,8 @@ class ClassifierSpec extends SparkSpec {
     assert(root.n == 20 && root.p == 10)
     // children are pure -> no deeper splits
     assert(splits.size == 1)
-    val score = Classifier.treeScore(docs, splits)
+    val score = Classifier.treeScore(docs, splits,
+      Classifier.vocabulary(docs))
     assert(score.filter(col("correct") === 0).count() == 0)
   }
 
@@ -61,7 +62,8 @@ class ClassifierSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val splits = Classifier.trainTree(docs)
     assert(splits.isEmpty)
-    val score = Classifier.treeScore(docs, splits)
+    val score = Classifier.treeScore(docs, splits,
+      Classifier.vocabulary(docs))
       .as[(Long, Int, Int, Int, Int)].collect()
     assert(score.forall { case (_, leaf, pred, y, c) =>
       leaf == 0 && pred == 1 && y == 1 && c == 1 })
@@ -70,7 +72,8 @@ class ClassifierSpec extends SparkSpec {
   test("tree beats the majority baseline on testdata") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val Seq((n, pos, correct, majority)) =
-      Classifier.treeEval(docs, Classifier.trainTree(docs))
+      Classifier.treeEval(docs, Classifier.trainTree(docs),
+        Classifier.vocabulary(docs))
         .as[(Long, Long, Long, Long)].collect().toSeq
     assert(n == pos + (n - pos))
     assert(correct > majority + n / 10,
@@ -81,8 +84,8 @@ class ClassifierSpec extends SparkSpec {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val splits = Classifier.trainTree(docs)
     val vocab = Classifier.vocabulary(docs)
-    val leaves = Classifier.leafPredictions(docs, splits)
-    val rel = Classifier.treeScore(docs, splits)
+    val leaves = Classifier.leafPredictions(docs, splits, vocab)
+    val rel = Classifier.treeScore(docs, splits, vocab)
       .select(col("doc_id"), col("pred"))
     val dep = docs.select(col("doc_id"),
       Classifier.predictCol(col("text"), vocab, splits, leaves).as("pred"))
@@ -129,5 +132,39 @@ class ClassifierSpec extends SparkSpec {
     val expected = prior + model.map { case (f, wp, wa) =>
       if (f0.contains(f)) wp else wa }.sum
     assert(score.find(_._1 == 0L).get._2 == expected)
+  }
+
+  test("depth/width headroom: depth-6 x 64-word training keeps every " +
+      "level's split collect within 2^level rows and wall time " +
+      "near-linear in depth") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .localCheckpoint() // pin the input so timing measures training only
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    // warm-up at the gated geometry (JIT/codegen paid once)
+    Classifier.trainTree(docs)
+    val (s3, t3) = timed(Classifier.trainTree(docs, depth = 3, numWords = 64))
+    val (s6, t6) = timed(Classifier.trainTree(docs, depth = 6, numWords = 64))
+    // the per-level argmin collect is exactly the level's split rows —
+    // bounded by the impure-node count, never the corpus
+    (0 until 6).foreach { l =>
+      assert(s6.count(_.depth == l) <= (1 << l),
+        s"level $l collected ${s6.count(_.depth == l)} splits > 2^$l")
+    }
+    // deeper levels see FEWER candidate rows (purity prunes nodes), so
+    // doubling depth must cost at most ~double, with generous slack for
+    // scheduler noise on sub-second levels
+    assert(t6 < t3 * 2 * 2.5,
+      s"depth 6 took ${t6}s vs ${t3}s at depth 3 — super-linear growth")
+    // refining a partition never lowers leaf-majority train accuracy
+    val vocab = Classifier.vocabulary(docs, numWords = 64)
+    def acc(splits: Seq[Classifier.Split], depth: Int): Long =
+      Classifier.treeEval(docs, splits, vocab, depth, numWords = 64)
+        .select(col("n_correct")).as[Long].head()
+    val a3 = acc(s3, 3); val a6 = acc(s6, 6)
+    assert(a6 >= a3, s"depth-6 accuracy $a6 fell below depth-3 $a3")
+    docs.unpersist()
   }
 }
