@@ -628,6 +628,64 @@ object Similarity {
       .withColumn("tn", scaledDot(col("te"), col("te")))
       .write.mode("append").partitionBy("cell").parquet(path)
 
+  /** DELETE vectors from a persisted IVF index WITHOUT rewriting cell
+    * partitions: the vec_ids land in a tombstone sidecar
+    * (`<path>.tombstones`, the centroid-sidecar convention — NOT inside
+    * the partitioned dir, where a foreign subdir would break partition
+    * discovery) that [[knnIvfIndexed]] anti-joins at probe time. IVF
+    * scoring has no corpus-level stats (unlike BM25's N/avgdl), so the
+    * tombstones alone make delete+query identical to an index built
+    * without the deleted vectors. The deferred rewrite is
+    * [[compactIvfIndex]]. */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    if (ids.isEmpty) return
+    val found = spark.read.parquet(path)
+      .filter(col("tid").isInCollection(ids))
+      .select(col("tid")).distinct().count()
+    require(found == ids.distinct.size,
+      s"delete batch names ${ids.distinct.size} vec_ids but only $found " +
+        "are in the index")
+    ids.distinct.toDF("tid")
+      .coalesce(1).write.mode("append").parquet(path + ".tombstones")
+  }
+
+  /** COMPACT a tombstoned IVF index: rewrite ONLY the cell partitions
+    * containing deleted vectors (dynamic partition overwrite — untouched
+    * cells keep their files), drop emptied cells and the tombstone
+    * sidecar. Search results are unchanged (the compacted gate reuses
+    * the deleted gate's twin); the win is the dropped anti-join and the
+    * reclaimed files. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tomb = new org.apache.hadoop.fs.Path(path + ".tombstones")
+    val fs = tomb.getFileSystem(conf)
+    if (!fs.exists(tomb)) return
+    val dead = spark.read.parquet(tomb.toString)
+    val idx = spark.read.parquet(path)
+    val touched = idx.join(dead, "tid")
+      .select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.nonEmpty) {
+      val survivors = idx
+        .filter(col("cell").isInCollection(touched))
+        .join(dead, Seq("tid"), "left_anti")
+        .repartition(col("cell"))
+        .localCheckpoint() // never overwrite a path being read
+      survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(path)
+      val alive = survivors.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      touched.filterNot(alive).foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(path + s"/cell=$c"), true)
+      }
+      survivors.unpersist()
+    }
+    fs.delete(tomb, true)
+  }
+
   /** ANN search against a persisted IVF index. The distinct probe-cell
     * set of the query batch (at most nCells values — a tiny driver-side
     * collect, like the centroids themselves) becomes a LITERAL partition
@@ -645,8 +703,18 @@ object Similarity {
     // column, so a metadata predicate composes with the probe-cell
     // partition pruning — both reach the parquet scan (partition filter
     // + pushed data filter), the knnLshIndexed convention
-    val tb0 = spark.read.parquet(path)
+    val tb1 = spark.read.parquet(path)
       .filter(col("cell").isin(cells: _*))
+    // tombstone-aware: vectors deleted by deleteFromIvfIndex drop out of
+    // the probed candidate set; after compactIvfIndex the sidecar is
+    // gone and so is this join
+    val tombPath = new org.apache.hadoop.fs.Path(path + ".tombstones")
+    val tb0 =
+      if (tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(tombPath))
+        tb1.join(broadcast(spark.read.parquet(tombPath.toString)),
+          Seq("tid"), "left_anti")
+      else tb1
     val tb = targetFilter.fold(tb0)(tb0.filter)
     val qb = broadcast(probed
       .withColumn("qn", scaledDot(col("qe"), col("qe"))))

@@ -145,18 +145,34 @@ object Sketch {
     * integer units. */
   def latticeQuantilesMerged(df: DataFrame, value: Column, group: Column,
       shard: Column, ps: Seq[Int]): DataFrame = {
-    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 100))
     val perShard = df
       .select(group.as("g"), shard.as("sh"), latticeBucket(value).as("bk"))
       .groupBy(col("g"), col("sh"), col("bk")).agg(count(lit(1)).as("c"))
-    val merged = perShard.groupBy(col("g"), col("bk"))
-      .agg(sum(col("c")).as("c"))
+    latticeQuantiles(
+      perShard.groupBy(col("g"), col("bk")).agg(sum(col("c")).as("c")), ps)
+  }
+
+  /** The sketch itself as a table: per-group (g, bk, c) bucket counts —
+    * what a shard PERSISTS (a few hundred rows per group at any corpus
+    * size); stores merge by unioning and re-summing per bucket, exactly
+    * the [[latticeQuantilesMerged]] in-flight path at rest. */
+  def latticeHistogram(df: DataFrame, value: Column,
+      group: Column): DataFrame =
+    df.select(group.as("g"), latticeBucket(value).as("bk"))
+      .groupBy(col("g"), col("bk")).agg(count(lit(1)).as("c"))
+
+  /** Quantiles off a (g, bk, c) bucket histogram (merged or single):
+    * smallest bucket whose cumulative count reaches (p*n + 99) div 100,
+    * reported as the bucket's lattice lower bound. The window runs over
+    * the BOUNDED histogram (<= ~960 rows per group by construction). */
+  def latticeQuantiles(hist: DataFrame, ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 100))
     val wc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("g")).orderBy(col("bk"))
       .rowsBetween(Long.MinValue, 0)
-    val cum = merged.withColumn("cum", sum(col("c")).over(wc))
+    val cum = hist.withColumn("cum", sum(col("c")).over(wc))
       .withColumn("low", latticeLow(col("bk")))
-    val n = merged.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val n = hist.groupBy(col("g")).agg(sum(col("c")).as("n"))
     def pct(p: Int) =
       min(when(col("cum") >= expr(s"($p * n + 99) div 100"), col("low")))
         .as(s"p$p")

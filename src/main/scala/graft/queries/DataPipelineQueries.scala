@@ -666,6 +666,38 @@ object DataPipelineQueries {
         .orderBy($"w_start", $"event_type")
     }),
 
+    // The quantile SKETCH AS STREAMING STATE: hourly tumbling windows
+    // aggregate (window, lattice bucket) counts — bounded state
+    // (<= ~960 buckets per window) no matter how many events flow, which
+    // is why a sketch, not a value list, is what a streaming percentile
+    // keeps. The real streaming engine runs the histogram aggregation
+    // (10-min watermark, append mode — same closed-form emission set as
+    // stream_window_exec); the drained finalized histograms then yield
+    // p50/p95 through the shared lattice order statistic.
+    "stream_percentiles_exec" -> ((s, dir) => {
+      import s.implicits._
+      val (src, schema) = stagedEvents(s, dir)
+      val stream = s.readStream.schema(schema).parquet(src)
+      val name = s"pct_exec_${StreamExecId.incrementAndGet()}"
+      val q = stream
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "1 hour").as("w"),
+          Sketch.latticeBucket((money($"value") * 100).cast("long"))
+            .as("bk"))
+        .agg(count(lit(1)).as("c"))
+        .select(date_format($"w.start", "yyyy-MM-dd HH:mm").as("g"),
+          $"bk", $"c")
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val hists = drainMemorySink(s, q, name)
+      Sketch.latticeQuantiles(hists, Seq(50, 95))
+        .select($"g".as("w_start"), $"n",
+          ($"p50".cast("double") / 100.0).as("p50"),
+          ($"p95".cast("double") / 100.0).as("p95"))
+        .orderBy($"w_start")
+    }),
+
     // The custom-state streaming path (flatMapGroupsWithState event-time
     // sessionization) EXECUTED under the gate. Single data batch -> every
     // user's full event list processes in arrival order with the watermark
@@ -866,6 +898,49 @@ object DataPipelineQueries {
       }
       val reloaded = Similarity.readIvfCentroids(s, path)
       Similarity.knnIvfIndexed(s, path, reloaded, q, k = 5, nProbe = 2)
+        .orderBy($"qid", $"rank")
+    }),
+
+    // Vector-index MAINTENANCE, delete half: tombstone 40 vec_ids (a
+    // sidecar beside the index — no cell partition rewritten), query
+    // through the index. The twin assigns only the SURVIVING vectors to
+    // cells (assignWhere) under centroids trained on the full corpus at
+    // build time — delete+query must equal an index that never held the
+    // deleted vectors.
+    "knn_ivf_deleted" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+      val (path, centroids) = builtIndex("ivf-idx-del", dir) { p =>
+        val cs = Similarity.writeIvfIndex(tt, p, nCells = 16, lloydIters = 2)
+        Similarity.deleteFromIvfIndex(s, p, (0L until 40L).toSeq)
+        cs
+      }
+      Similarity.knnIvfIndexed(s, path, centroids, q, k = 5, nProbe = 2)
+        .orderBy($"qid", $"rank")
+    }),
+
+    // Vector-index MAINTENANCE, compact half: same delete, then the
+    // deferred rewrite — only cells containing tombstoned vectors are
+    // rewritten (dynamic partition overwrite), the sidecar drops, and
+    // the SAME twin gates the result: compaction must not move a single
+    // neighbor. SimilaritySpec pins the file-count drop and clean-cell
+    // preservation.
+    "knn_ivf_compacted" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+      val (path, centroids) = builtIndex("ivf-idx-cmp", dir) { p =>
+        val cs = Similarity.writeIvfIndex(tt, p, nCells = 16, lloydIters = 2)
+        Similarity.deleteFromIvfIndex(s, p, (0L until 40L).toSeq)
+        Similarity.compactIvfIndex(s, p)
+        cs
+      }
+      Similarity.knnIvfIndexed(s, path, centroids, q, k = 5, nProbe = 2)
         .orderBy($"qid", $"rank")
     }),
 
@@ -1883,6 +1958,57 @@ object DataPipelineQueries {
       Sketch.latticeQuantilesMerged(ev, $"cents", $"event_type", $"sh",
         Seq(50, 95, 99))
         .select($"g".as("event_type"), $"n",
+          ($"p50".cast("double") / 100.0).as("p50"),
+          ($"p95".cast("double") / 100.0).as("p95"),
+          ($"p99".cast("double") / 100.0).as("p99"))
+        .orderBy($"event_type")
+    }),
+
+    // The quantile sketch AT REST: two shard groups persist their bucket
+    // histograms as parquet stores (what a 1000-executor fleet ships —
+    // a few hundred rows per group, never values), a reader loads both
+    // stores, merges by bucket SUM, and reads percentiles off the merged
+    // histogram. Store + merge-at-rest must equal the direct single-pass
+    // sketch — the same twin gates both (the approx_ndv_merged
+    // convention applied to persisted state).
+    "approx_percentiles_stored" -> ((s, dir) => {
+      import s.implicits._
+      def shardHist(lo: Int, hi: Int) = Sketch.latticeHistogram(
+        events(s, dir)
+          .filter(pmod(xxhash64($"event_id"), lit(8L)).between(lo, hi)),
+        (money($"value") * 100).cast("long"), $"event_type")
+      val pa = stagedSrc("qsketch-a", dir)(p =>
+        shardHist(0, 3).coalesce(1).write.parquet(p))
+      val pb = stagedSrc("qsketch-b", dir)(p =>
+        shardHist(4, 7).coalesce(1).write.parquet(p))
+      val merged = s.read.parquet(pa).unionByName(s.read.parquet(pb))
+        .groupBy($"g", $"bk").agg(sum($"c").as("c"))
+      Sketch.latticeQuantiles(merged, Seq(50, 95, 99))
+        .select($"g".as("event_type"), $"n",
+          ($"p50".cast("double") / 100.0).as("p50"),
+          ($"p95".cast("double") / 100.0).as("p95"),
+          ($"p99".cast("double") / 100.0).as("p99"))
+        .orderBy($"event_type")
+    }),
+
+    // APPROXIMATE TABLE STATS — the 100 TB ANALYZE: per event type, row
+    // count, user NDV by HyperLogLog (exact NDV rides along, the
+    // approx_ndv convention), and value percentiles off the bounded
+    // quantile lattice. Two bounded-shuffle aggregation passes over one
+    // projection — at most (256 registers + ~960 buckets) rows per group
+    // ever leave an executor, vs the every-key shuffle the exact
+    // ANALYZE (table_stats) pays.
+    "approx_table_stats" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+      val ndv = Sketch.hllNdv(ev, $"user_id", $"event_type")
+        .select($"g", $"n_exact".as("n_users"), $"hll_ndv".as("hll_users"))
+      val pct = Sketch.latticeQuantiles(
+        Sketch.latticeHistogram(ev, (money($"value") * 100).cast("long"),
+          $"event_type"), Seq(50, 95, 99))
+      ndv.join(pct, "g")
+        .select($"g".as("event_type"), $"n".as("n_rows"), $"n_users",
+          $"hll_users",
           ($"p50".cast("double") / 100.0).as("p50"),
           ($"p95".cast("double") / 100.0).as("p95"),
           ($"p99".cast("double") / 100.0).as("p99"))
@@ -2955,6 +3081,48 @@ object DataPipelineQueries {
     * centroids are frozen at build time over the initial corpus while
     * assignment covers initial + appended vectors (the freshness
     * semantics of knn_ivf_updated). */
+  /** Base-2 exponential lattice fragments (Sketch.latticeBucket/
+    * latticeLow in SQL): bucket from bitlength octave + 4 mantissa bits,
+    * lower-bound decode — the no-transcendentals quantile lattice. */
+  private def latticeBucketSql(v: String): String =
+    s"""CASE WHEN $v < 16 THEN $v
+       |         ELSE (length(bin($v)) - 5) * 16
+       |              + ($v >> CAST(length(bin($v)) - 5 AS INT)) END"""
+      .stripMargin
+  private def latticeLowSql(b: String): String =
+    s"""CASE WHEN $b < 16 THEN $b
+       |         ELSE ($b - (($b // 16) - 1) * 16)
+       |              << CAST(($b // 16) - 1 AS INT) END""".stripMargin
+
+  /** Direct single-pass lattice-percentile twin over events per type —
+    * gates the in-flight merge, the at-rest store merge, and the
+    * table-stats composition. */
+  private def latticePercentilesSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+       |  FROM events),
+       |b AS (
+       |  SELECT event_type, ${latticeBucketSql("v")} AS bk, COUNT(*) AS c
+       |  FROM e GROUP BY 1, 2),
+       |cw AS (
+       |  SELECT event_type, bk, c,
+       |    SUM(c) OVER (PARTITION BY event_type ORDER BY bk
+       |      ROWS UNBOUNDED PRECEDING) AS cum,
+       |    SUM(c) OVER (PARTITION BY event_type) AS n
+       |  FROM b),
+       |lw AS (SELECT *, ${latticeLowSql("bk")} AS low FROM cw)
+       |SELECT event_type, CAST(n AS BIGINT) AS n,
+       |  CAST(MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN low END)
+       |    AS DOUBLE) / 100 AS p50,
+       |  CAST(MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN low END)
+       |    AS DOUBLE) / 100 AS p95,
+       |  CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN low END)
+       |    AS DOUBLE) / 100 AS p99
+       |FROM lw
+       |GROUP BY event_type, n
+       |ORDER BY event_type""".stripMargin
+
   private def ivfLloydAssignCtes(trainWhere: String = "TRUE",
       assignWhere: String = "TRUE"): String =
     s"""tt AS (SELECT vec_id AS tid, embedding AS te FROM embeddings
@@ -3987,41 +4155,51 @@ object DataPipelineQueries {
     // statistic over the bucket histogram, same lower-bound decode —
     // merge(shards) == direct by sum-associativity, so hash equality
     // against this direct chain gates the Spark merge path (the
-    // approx_ndv_merged convention).
-    "approx_percentiles_merged" ->
-      """WITH e AS (
-        |  SELECT event_type,
-        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
-        |  FROM events),
-        |b AS (
-        |  SELECT event_type,
-        |    CASE WHEN v < 16 THEN v
-        |         ELSE (length(bin(v)) - 5) * 16
-        |              + (v >> CAST(length(bin(v)) - 5 AS INT)) END AS bk,
-        |    COUNT(*) AS c
-        |  FROM e GROUP BY 1, 2),
-        |cw AS (
-        |  SELECT event_type, bk, c,
-        |    SUM(c) OVER (PARTITION BY event_type ORDER BY bk
-        |      ROWS UNBOUNDED PRECEDING) AS cum,
-        |    SUM(c) OVER (PARTITION BY event_type) AS n
-        |  FROM b),
-        |lw AS (
-        |  SELECT *,
-        |    CASE WHEN bk < 16 THEN bk
-        |         ELSE (bk - ((bk // 16) - 1) * 16)
-        |              << CAST((bk // 16) - 1 AS INT) END AS low
-        |  FROM cw)
-        |SELECT event_type, CAST(n AS BIGINT) AS n,
-        |  CAST(MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN low END)
-        |    AS DOUBLE) / 100 AS p50,
-        |  CAST(MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN low END)
-        |    AS DOUBLE) / 100 AS p95,
-        |  CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN low END)
-        |    AS DOUBLE) / 100 AS p99
-        |FROM lw
-        |GROUP BY event_type, n
-        |ORDER BY event_type""".stripMargin,
+    // approx_ndv_merged convention). The SAME twin gates the at-rest
+    // variant: persisted shard histograms merged by bucket sum are the
+    // in-flight merge with a parquet hop in the middle.
+    "approx_percentiles_merged" -> latticePercentilesSql,
+    "approx_percentiles_stored" -> latticePercentilesSql,
+    // hll chain (xxhash64 register walk) x lattice chain, joined per
+    // type — each half is its gated twin verbatim.
+    "approx_table_stats" ->
+      s"""SELECT h.source AS event_type, p.n AS n_rows,
+         |  h.n_exact AS n_users, h.hll_ndv AS hll_users,
+         |  p.p50, p.p95, p.p99
+         |FROM (${HashOracleSql.hllNdvSql(
+               "SELECT event_type AS source, user_id AS k FROM events")}) h
+         |JOIN ($latticePercentilesSql) p ON h.source = p.event_type
+         |ORDER BY event_type""".stripMargin,
+    // Streaming percentiles: hour windows, closed-form emission set
+    // (window end <= max(ts) - 10 min — the stream_window_exec
+    // convention), then the lattice order statistic per emitted window.
+    "stream_percentiles_exec" ->
+      s"""WITH wm AS (
+         |  SELECT MAX(epoch_us(ts)) - 600000000 AS wm_us FROM events),
+         |e AS (
+         |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         |  FROM events),
+         |b AS (
+         |  SELECT ws, ${latticeBucketSql("v")} AS bk, COUNT(*) AS c
+         |  FROM e GROUP BY 1, 2),
+         |fin AS (SELECT b.* FROM b, wm WHERE ws + 3600000000 <= wm_us),
+         |cw AS (
+         |  SELECT ws, bk, c,
+         |    SUM(c) OVER (PARTITION BY ws ORDER BY bk
+         |      ROWS UNBOUNDED PRECEDING) AS cum,
+         |    SUM(c) OVER (PARTITION BY ws) AS n
+         |  FROM fin),
+         |lw AS (SELECT *, ${latticeLowSql("bk")} AS low FROM cw)
+         |SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M') AS w_start,
+         |  CAST(n AS BIGINT) AS n,
+         |  CAST(MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN low END)
+         |    AS DOUBLE) / 100 AS p50,
+         |  CAST(MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN low END)
+         |    AS DOUBLE) / 100 AS p95
+         |FROM lw
+         |GROUP BY ws, n
+         |ORDER BY w_start""".stripMargin,
     // Same percentile convention as ta_corpus_stats ((p*n+99) div 100 on
     // the ascending value histogram); ties at the threshold kept.
     "curate_quantile" ->
@@ -4182,6 +4360,10 @@ object DataPipelineQueries {
     "knn_lsh_filtered" -> knnLshSql(targetFilter = "label % 2 = 0"),
     "knn_lsh_filtered_indexed" -> knnLshSql(targetFilter = "label % 2 = 0"),
     "knn_ivf_indexed" -> knnIvfLloydSql(), // Lloyd centroids reach the index
+    // delete/compact twins: full-corpus centroids, survivors-only
+    // assignment — an index that never held the deleted vectors
+    "knn_ivf_deleted" -> knnIvfLloydSql(assignWhere = "vec_id >= 40"),
+    "knn_ivf_compacted" -> knnIvfLloydSql(assignWhere = "vec_id >= 40"),
     // reload-from-sidecar == training-run centroids, proven verbatim
     "knn_ivf_reloaded" -> knnIvfLloydSql(),
     // filtered IVF: full-corpus training, predicate-restricted assignment

@@ -500,6 +500,35 @@ class PlanSpec extends SparkSpec {
     assert(pNb.contains("BroadcastHashJoin"),
       "NB model join must broadcast: " + pNb.take(1500))
   }
+
+  test("round-10 ops keep their scale shapes: tombstoned IVF probe still " +
+      "prunes partitions and broadcasts the tombstones; approx table " +
+      "stats aggregate map-side with only bounded windows; the stored " +
+      "sketch merge reads histogram stores, not events") {
+    val del = SparkEntry.queries("knn_ivf_deleted")(spark, sf("sf0.001"))
+    val pDel = del.queryExecution.executedPlan.toString
+    assert(pDel.contains("PartitionFilters") && pDel.contains("cell"),
+      "deleted-index probe must still prune cell partitions: " +
+        pDel.take(1500))
+    assert(pDel.contains("BroadcastHashJoin") &&
+      pDel.contains("LeftAnti"),
+      "tombstone anti-join must broadcast: " + pDel.take(1500))
+    val ats = SparkEntry.queries("approx_table_stats")(spark, sf("sf0.001"))
+    val pAts = ats.queryExecution.executedPlan.toString
+    assert(pAts.contains("partial_count") || pAts.contains("partial_sum"),
+      "sketch aggregations must combine map-side: " + pAts.take(1500))
+    assert(PlanSpec.collectWindows(ats.queryExecution.executedPlan)
+        .forall(_.partitionSpec.nonEmpty),
+      "approx stats windows must partition per group")
+    val stored = SparkEntry.queries("approx_percentiles_stored")(
+      spark, sf("sf0.001"))
+    val pSt = stored.queryExecution.executedPlan.toString
+    // the merge path reads the two persisted histogram stores — the
+    // events table itself must not appear in the final plan's scans
+    assert(!pSt.contains("events.parquet"),
+      "stored-sketch merge must read histogram stores, not events: " +
+        pSt.take(1500))
+  }
 }
 
 object PlanSpec {

@@ -484,6 +484,66 @@ class SimilaritySpec extends SparkSpec {
       "no appended (vec_id % 5 = 0) vector ever ranked")
   }
 
+  test("IVF delete: tombstoned search == index built without the deleted " +
+      "vectors; compact drops files, keeps clean cells byte-untouched, " +
+      "and moves no neighbor") {
+    val e = embeddings
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+    val path = graft.util.TempDirs.create("ivf-del-spec") + "/idx"
+    val cs = Similarity.writeIvfIndex(tt.filter($"tid" < 40L), path,
+      nCells = 4, lloydIters = 1)
+    // append so tombstoned cells carry multiple files (the compaction win)
+    Similarity.appendIvfIndex(tt.filter($"tid" >= 40L), path, cs)
+    val dead = (10L until 20L).toSeq
+    Similarity.deleteFromIvfIndex(spark, path, dead)
+    val got = Similarity.knnIvfIndexed(spark, path, cs, q, k = 5)
+      .collect().map(_.toSeq).toSeq
+    // reference: an index that never held the deleted vectors, SAME
+    // centroids (delete must not re-train the layout)
+    val fresh = graft.util.TempDirs.create("ivf-del-fresh") + "/idx"
+    Similarity.appendIvfIndex(tt.filter(!$"tid".isInCollection(dead)),
+      fresh, cs) // append-to-empty = build under the same frozen centroids
+    val want = Similarity.knnIvfIndexed(spark, fresh, cs, q, k = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, s"deleted-index search diverged from fresh build")
+    assert(got.nonEmpty && !got.exists(r => dead.contains(
+      r(2).asInstanceOf[Long])), "a deleted vector ranked")
+    // ---- compact ----
+    def parquetFiles(p: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(p))
+    }
+    val before = parquetFiles(path)
+    val touched = spark.read.parquet(path)
+      .filter($"tid".isInCollection(dead)).select($"cell").distinct()
+      .as[Int].collect().toSet
+    val cleanBefore = before.filterNot(f =>
+      touched.exists(c => f.getPath.contains(s"cell=$c")))
+      .map(f => (f.getPath, f.lastModified)).sorted
+    Similarity.compactIvfIndex(spark, path)
+    assert(!new java.io.File(path + ".tombstones").exists())
+    val after = parquetFiles(path)
+    assert(after.size < before.size,
+      s"compaction must drop files: ${before.size} -> ${after.size}")
+    val cleanAfter = after.filterNot(f =>
+      touched.exists(c => f.getPath.contains(s"cell=$c")))
+      .map(f => (f.getPath, f.lastModified)).sorted
+    assert(cleanAfter == cleanBefore,
+      "compaction must leave untombstoned cells byte-untouched")
+    assert(spark.read.parquet(path)
+      .filter($"tid".isInCollection(dead)).count() == 0)
+    val again = Similarity.knnIvfIndexed(spark, path, cs, q, k = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(again == got, "compaction moved a neighbor")
+    // deleting an id the index does not hold must refuse
+    intercept[IllegalArgumentException](
+      Similarity.deleteFromIvfIndex(spark, path, Seq(9999L)))
+  }
+
   test("scaled-dot cosine matches double-precision cosine closely") {
     val e = embeddings.limit(10).collect().map(_.getSeq[Float](1).toArray)
     val df = Seq((e(0), e(1))).toDF("a", "b")
