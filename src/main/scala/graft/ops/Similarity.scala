@@ -638,6 +638,17 @@ object Similarity {
     * without the deleted vectors. The deferred rewrite is
     * [[compactIvfIndex]]. */
   def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: Seq[Long]): Unit =
+    tombstoneVectors(spark, path, ids)
+
+  /** LSH sibling of [[deleteFromIvfIndex]] — the layouts share the
+    * `tid`-keyed tombstone sidecar; only the partition column differs,
+    * which deletion never touches. */
+  def deleteFromLshIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: Seq[Long]): Unit =
+    tombstoneVectors(spark, path, ids)
+
+  private def tombstoneVectors(spark: org.apache.spark.sql.SparkSession,
       path: String, ids: Seq[Long]): Unit = {
     import spark.implicits._
     if (ids.isEmpty) return
@@ -658,7 +669,17 @@ object Similarity {
     * the deleted gate's twin); the win is the dropped anti-join and the
     * reclaimed files. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
+      path: String): Unit =
+    compactVectorIndex(spark, path, "cell")
+
+  /** LSH sibling of [[compactIvfIndex]] — same rewrite, partitioned by
+    * `bucket` instead of `cell`. */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    compactVectorIndex(spark, path, "bucket")
+
+  private def compactVectorIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, partCol: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val tomb = new org.apache.hadoop.fs.Path(path + ".tombstones")
     val fs = tomb.getFileSystem(conf)
@@ -666,20 +687,20 @@ object Similarity {
     val dead = spark.read.parquet(tomb.toString)
     val idx = spark.read.parquet(path)
     val touched = idx.join(dead, "tid")
-      .select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
+      .select(col(partCol)).distinct().collect().map(_.get(0)).toSeq
     if (touched.nonEmpty) {
       val survivors = idx
-        .filter(col("cell").isInCollection(touched))
+        .filter(col(partCol).isInCollection(touched))
         .join(dead, Seq("tid"), "left_anti")
-        .repartition(col("cell"))
+        .repartition(col(partCol))
         .localCheckpoint() // never overwrite a path being read
       survivors.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cell").parquet(path)
-      val alive = survivors.select(col("cell")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      touched.filterNot(alive).foreach { c =>
-        fs.delete(new org.apache.hadoop.fs.Path(path + s"/cell=$c"), true)
+        .partitionBy(partCol).parquet(path)
+      val alive = survivors.select(col(partCol)).distinct()
+        .collect().map(_.get(0)).toSet
+      touched.filterNot(alive).foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(path + s"/$partCol=$v"), true)
       }
       survivors.unpersist()
     }
@@ -764,8 +785,16 @@ object Similarity {
     // filtered vector search: writeLshIndex preserves every target column,
     // so a metadata predicate composes with the bucket partition pruning —
     // both reach the parquet scan (partition filter + pushed data filter)
-    val tb0 = spark.read.parquet(path)
+    val tb1 = spark.read.parquet(path)
       .filter(col("bucket").isin(buckets: _*))
+    // tombstone-aware (deleteFromLshIndex), the knnIvfIndexed convention
+    val tombPath = new org.apache.hadoop.fs.Path(path + ".tombstones")
+    val tb0 =
+      if (tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(tombPath))
+        tb1.join(broadcast(spark.read.parquet(tombPath.toString)),
+          Seq("tid"), "left_anti")
+      else tb1
     val tb = targetFilter.fold(tb0)(tb0.filter)
     val qb = broadcast(qb0.withColumn("qn", scaledDot(col("qe"), col("qe"))))
     val scored = qb.join(tb, Seq("bucket")).filter(col("qid") =!= col("tid"))

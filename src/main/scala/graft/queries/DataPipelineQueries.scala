@@ -901,6 +901,41 @@ object DataPipelineQueries {
         .orderBy($"qid", $"rank")
     }),
 
+    // LSH-index maintenance: the same tombstone-then-compact cycle on
+    // the bucket-partitioned layout — buckets are pure vector functions,
+    // so the twin just filters targets to the survivors (the
+    // knn_lsh_filtered convention with the delete set as predicate).
+    "knn_lsh_deleted" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val (path, _) = builtIndex("lsh-idx-del", dir) { p =>
+        Similarity.writeLshIndex(
+          e.select($"vec_id".as("tid"), $"embedding".as("te")), p, dim = 64)
+        Similarity.deleteFromLshIndex(s, p, (0L until 40L).toSeq)
+        Array.empty
+      }
+      Similarity.knnLshIndexed(s, path, q, dim = 64, k = 5)
+        .orderBy($"qid", $"rank")
+    }),
+
+    "knn_lsh_compacted" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val (path, _) = builtIndex("lsh-idx-cmp", dir) { p =>
+        Similarity.writeLshIndex(
+          e.select($"vec_id".as("tid"), $"embedding".as("te")), p, dim = 64)
+        Similarity.deleteFromLshIndex(s, p, (0L until 40L).toSeq)
+        Similarity.compactLshIndex(s, p)
+        Array.empty
+      }
+      Similarity.knnLshIndexed(s, path, q, dim = 64, k = 5)
+        .orderBy($"qid", $"rank")
+    }),
+
     // Vector-index MAINTENANCE, delete half: tombstone 40 vec_ids (a
     // sidecar beside the index — no cell partition rewritten), query
     // through the index. The twin assigns only the SURVIVING vectors to
@@ -2635,6 +2670,59 @@ object DataPipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // RIGHT-TO-BE-FORGOTTEN SWEEP — the data-governance operator GDPR
+    // imposes on every corpus pipeline: one deletion list purged across
+    // EVERY persisted artifact that could resurface the documents — the
+    // corpus store (checkpoint + in-place rewrite), the fingerprint
+    // store, the BM25 inverted index (tombstone + compact), and the IVF
+    // vector index (tombstone + compact) — then a verification report:
+    // per artifact, surviving rows and REMAINING TRACES of the deleted
+    // ids, which must be zero. The whole sweep runs once per dir at
+    // staging (the trained-state convention); the gate reads the
+    // post-sweep stores from disk.
+    "e2e_forget" -> ((s, dir) => {
+      import s.implicits._
+      val ids = (0L until 60L).toSeq
+      val root = graft.util.TempDirs.cached("forget-suite", dir) { p =>
+        val docs = t(s, dir, "documents")
+        val tt = t(s, dir, "embeddings")
+          .select($"vec_id".as("tid"), $"embedding".as("te"))
+        docs.select($"doc_id", $"text")
+          .coalesce(4).write.parquet(p + "/corpus")
+        docs.select($"doc_id", md5($"text").as("fp"))
+          .coalesce(4).write.parquet(p + "/fps")
+        Rank.writeInvertedIndex(docs, "doc_id", "text", p + "/bm25")
+        val cs = Similarity.writeIvfIndex(tt, p + "/ivf",
+          nCells = 16, lloydIters = 2)
+        Similarity.writeIvfCentroids(s, cs, p + "/ivf")
+        // --- the sweep ---
+        Seq("/corpus", "/fps").foreach { st =>
+          val surv = s.read.parquet(p + st)
+            .filter(!$"doc_id".isInCollection(ids))
+            .localCheckpoint() // in-place rewrite of the store being read
+          surv.coalesce(4).write.mode("overwrite").parquet(p + st)
+          surv.unpersist()
+        }
+        Rank.deleteFromInvertedIndex(s, p + "/bm25", ids)
+        Rank.compactInvertedIndex(s, p + "/bm25")
+        Similarity.deleteFromIvfIndex(s, p + "/ivf", ids)
+        Similarity.compactIvfIndex(s, p + "/ivf")
+      }
+      def report(artifact: String, df: DataFrame, idCol: String) =
+        df.agg(lit(artifact).as("artifact"), count(lit(1)).as("n_rows"),
+          sum(when(col(idCol).isInCollection(ids), 1L).otherwise(0L))
+            .as("traces"))
+      report("bm25_postings",
+          s.read.parquet(root + "/bm25/postings"), "doc_id")
+        .unionByName(report("corpus", s.read.parquet(root + "/corpus"),
+          "doc_id"))
+        .unionByName(report("fingerprints", s.read.parquet(root + "/fps"),
+          "doc_id"))
+        .unionByName(report("ivf_vectors", s.read.parquet(root + "/ivf"),
+          "tid"))
+        .orderBy($"artifact")
+    }),
+
     // Corpus SNAPSHOT DIFF — the versioning report a dataset release
     // ships (what changed since v1?): v2 synthesized deterministically
     // from the corpus (every 13th doc dropped, every 7th edited, 20 new
@@ -4359,6 +4447,9 @@ object DataPipelineQueries {
     "knn_lsh_wide" -> knnLshSql(numPlanes = 8),
     "knn_lsh_filtered" -> knnLshSql(targetFilter = "label % 2 = 0"),
     "knn_lsh_filtered_indexed" -> knnLshSql(targetFilter = "label % 2 = 0"),
+    // delete/compact twins: survivors-only target set, same buckets
+    "knn_lsh_deleted" -> knnLshSql(targetFilter = "vec_id >= 40"),
+    "knn_lsh_compacted" -> knnLshSql(targetFilter = "vec_id >= 40"),
     "knn_ivf_indexed" -> knnIvfLloydSql(), // Lloyd centroids reach the index
     // delete/compact twins: full-corpus centroids, survivors-only
     // assignment — an index that never held the deleted vectors
@@ -4974,6 +5065,29 @@ object DataPipelineQueries {
         |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
         |SELECT status, COUNT(*) AS n_docs FROM j
         |GROUP BY status ORDER BY status""".stripMargin,
+    // Post-sweep store sizes re-derived from the testdata (the stores'
+    // pre-sweep content is deterministic, so 'what must survive' is
+    // closed-form); traces is a REAL count Spark-side — the oracle pins
+    // it at zero.
+    "e2e_forget" ->
+      """SELECT 'bm25_postings' AS artifact,
+        |  (SELECT COUNT(*) FROM (
+        |     SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+        |     FROM documents WHERE doc_id >= 60) pw) AS n_rows,
+        |  CAST(0 AS BIGINT) AS traces
+        |UNION ALL
+        |SELECT 'corpus',
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id >= 60),
+        |  CAST(0 AS BIGINT)
+        |UNION ALL
+        |SELECT 'fingerprints',
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id >= 60),
+        |  CAST(0 AS BIGINT)
+        |UNION ALL
+        |SELECT 'ivf_vectors',
+        |  (SELECT COUNT(*) FROM embeddings WHERE vec_id >= 60),
+        |  CAST(0 AS BIGINT)
+        |ORDER BY artifact""".stripMargin,
     // At-rest twin: same deterministic v2 synthesis with real text (the
     // Spark side stages both versions to parquet and diffs from disk —
     // staging is content-deterministic, so the SQL re-derivation is
