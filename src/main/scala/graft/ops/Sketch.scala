@@ -196,6 +196,24 @@ object Sketch {
     * xxhash64(key, seed) — the two-step chain an oracle replays.
     * Returns (rk, word, n_exact, n_cms) for the top `topK` words by
     * exact count (ties by key). */
+  /** The CMS counter MATRIX itself — (sd, bucket, n), the d x w bounded
+    * state a sketch build maintains. Works on a STREAMING input too:
+    * the aggregation's group count is bounded by the geometry (d*w rows
+    * regardless of stream length), which is what makes a complete-mode
+    * streaming CMS legitimate at any scale. */
+  def cmsMatrix(docs: DataFrame, text: Column,
+      d: Int = 4, w: Int = 16): DataFrame = {
+    require(d > 0 && w > 0)
+    val seeds = array((0 until d).map(i => lit(i.toLong)): _*)
+    docs.select(explode(split(Dedup.normalized(text), " ")).as("word"))
+      .withColumn("k",
+        conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long"))
+      .select(col("k"), explode(seeds).as("sd"))
+      .withColumn("bucket", pmod(xxhash64(col("k"), col("sd")),
+        lit(w.toLong)))
+      .groupBy(col("sd"), col("bucket")).agg(count(lit(1)).as("n"))
+  }
+
   def cmsTopWords(docs: DataFrame, text: Column, topK: Int,
       d: Int = 4, w: Int = 16): DataFrame = {
     require(topK > 0 && d > 0 && w > 0)
@@ -206,10 +224,7 @@ object Sketch {
     val seeds = array((0 until d).map(i => lit(i.toLong)): _*)
     def bucket(k: Column, sd: Column): Column =
       pmod(xxhash64(k, sd), lit(w.toLong))
-    val sketch = words
-      .select(col("k"), explode(seeds).as("sd"))
-      .withColumn("bucket", bucket(col("k"), col("sd")))
-      .groupBy(col("sd"), col("bucket")).agg(count(lit(1)).as("c"))
+    val sketch = cmsMatrix(docs, text, d, w).withColumnRenamed("n", "c")
     val exact = words.groupBy(col("word"), col("k"))
       .agg(count(lit(1)).as("n_exact"))
     val top = exact

@@ -698,6 +698,27 @@ object DataPipelineQueries {
         .orderBy($"w_start")
     }),
 
+    // The SECOND sketch as streaming state: a count-min counter matrix
+    // built ON the stream — the aggregation's group count is bounded by
+    // the geometry (d*w = 64 rows no matter how many words flow), which
+    // is exactly why complete-mode output is legitimate here where a
+    // per-word streaming count would be unbounded state. Gated against
+    // the batch matrix chain: a micro-batched build must land on the
+    // same counters (count merge is associative).
+    "stream_cms_exec" -> ((s, dir) => {
+      import s.implicits._
+      val staged = t(s, dir, "documents").select($"doc_id", $"text")
+      val src = stagedSrc("docs-exec", dir)(
+        staged.coalesce(1).write.parquet(_))
+      val stream = s.readStream.schema(staged.schema).parquet(src)
+      val name = s"cms_exec_${StreamExecId.incrementAndGet()}"
+      val q = Sketch.cmsMatrix(stream, $"text")
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      drainMemorySink(s, q, name).orderBy($"sd", $"bucket")
+    }),
+
     // The custom-state streaming path (flatMapGroupsWithState event-time
     // sessionization) EXECUTED under the gate. Single data batch -> every
     // user's full event list processes in arrival order with the watermark
@@ -4204,6 +4225,7 @@ object DataPipelineQueries {
          |ORDER BY first_fail""".stripMargin),
     "cms_heavyhitters" -> HashOracleSql.cmsTopWordsSql(
       topK = 20, d = 4, w = 16),
+    "stream_cms_exec" -> HashOracleSql.cmsMatrixSql(d = 4, w = 16),
     "approx_ndv" -> HashOracleSql.hllNdvSql(
       s"""SELECT source,
          |  CAST(concat('0x', substr($fpSql, 1, 15)) AS BIGINT) AS k

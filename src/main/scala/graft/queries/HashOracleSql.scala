@@ -590,6 +590,33 @@ private[queries] object HashOracleSql {
        |ORDER BY t.rk""".stripMargin
   }
 
+  /** stream_cms_exec: just the d x w counter MATRIX (the bounded sketch
+    * state a streaming build maintains) — the same occ/hash/bucket chain
+    * as [[cmsTopWordsSql]], emitted as (sd, bucket, n) rows. */
+  def cmsMatrixSql(d: Int, w: Int): String = {
+    val seedRows = (0 until d).map(i => s"(CAST($i AS BIGINT))")
+      .mkString(", ")
+    val hashed = layered(
+      "SELECT k, sd FROM (SELECT DISTINCT k FROM occ) kx " +
+        s"CROSS JOIN (VALUES $seedRows) s(sd)",
+      xxhSteps("c1", "k", "CAST(42 AS HUGEINT)") ++
+        xxhSteps("c2", "sd", "c1outu"))
+    s"""WITH occ AS MATERIALIZED (
+       |  SELECT word,
+       |    CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) AS k
+       |  FROM (SELECT unnest(string_split(regexp_replace(lower(trim(text)),
+       |    '\\s+', ' ', 'g'), ' ')) AS word FROM documents) wx),
+       |ex AS (SELECT k, COUNT(*) AS n_occ FROM occ GROUP BY 1),
+       |hk AS (
+       |  SELECT k, sd,
+       |    CAST(((c2out % $w) + $w) % $w AS BIGINT) AS bucket
+       |  FROM ($hashed) hx)
+       |SELECT sd, bucket, CAST(SUM(n_occ) AS BIGINT) AS n
+       |FROM ex JOIN hk USING (k)
+       |GROUP BY 1, 2
+       |ORDER BY sd, bucket""".stripMargin
+  }
+
   /** d6e_dedup_apply_best: corpus minus the non-BEST members of each
     * near-dup component — argmax quality (ties min id) per component,
     * replayed with a rank window over the joined label/quality view. */
