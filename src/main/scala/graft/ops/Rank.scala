@@ -203,7 +203,12 @@ object Rank {
     * BIT-IDENTICAL to a from-scratch build over the surviving corpus
     * (df re-derives from the anti-joined postings; N/avgdl from the
     * adjusted sidecar). The deferred rewrite is
-    * [[compactInvertedIndex]]. */
+    * [[compactInvertedIndex]].
+    *
+    * Cost note: recovering the deleted docs' length mass scans the
+    * postings once (term-hash partitioning cannot prune a doc-id
+    * predicate), so deletes should be BATCHED — one scan amortizes over
+    * the whole batch, the same discipline as the compaction itself. */
   def deleteFromInvertedIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, ids: Seq[Long]): Unit = {
     import spark.implicits._

@@ -130,7 +130,8 @@ object Similarity {
     * to [[knnSq8]], so the same oracle gates both. */
   def knnSq8Indexed(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, scales: Array[Double], k: Int): DataFrame = {
-    val t = spark.read.parquet(path)
+    // tombstone-aware (deleteFromSq8Index), the knnIvfIndexed convention
+    val t = withoutTombstones(spark, path, spark.read.parquet(path))
     val q = broadcast(queries
       .select(col("qid"), sq8Quantize(col("qe"), scales).as("qq"))
       .withColumn("qn", sq8Dot(col("qq"), col("qq"))))
@@ -228,7 +229,8 @@ object Similarity {
       k: Int): DataFrame = {
     val m = cbs.length
     val subDim = dim / m
-    val t = spark.read.parquet(path)
+    // tombstone-aware (deleteFromPqIndex), the knnIvfIndexed convention
+    val t = withoutTombstones(spark, path, spark.read.parquet(path))
     val q = broadcast(queries.select(col("qid"),
       adcTables(col("qe"), cbs, subDim).as("tabs")))
     val scored = q.join(t, col("qid") =!= col("tid"))
@@ -648,6 +650,27 @@ object Similarity {
       path: String, ids: Seq[Long]): Unit =
     tombstoneVectors(spark, path, ids)
 
+  /** PQ / SQ8 siblings: the flat code stores carry the same tid-keyed
+    * tombstone sidecar; [[compactFlatIndex]] is their rewrite. */
+  def deleteFromPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: Seq[Long]): Unit =
+    tombstoneVectors(spark, path, ids)
+  def deleteFromSq8Index(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: Seq[Long]): Unit =
+    tombstoneVectors(spark, path, ids)
+
+  /** Anti-join an index scan against its tombstone sidecar when one
+    * exists (shared by every tid-keyed index layout). */
+  private def withoutTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame): DataFrame = {
+    val tomb = new org.apache.hadoop.fs.Path(path + ".tombstones")
+    if (tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(tomb))
+      df.join(broadcast(spark.read.parquet(tomb.toString)),
+        Seq("tid"), "left_anti")
+    else df
+  }
+
   private def tombstoneVectors(spark: org.apache.spark.sql.SparkSession,
       path: String, ids: Seq[Long]): Unit = {
     import spark.implicits._
@@ -677,6 +700,27 @@ object Similarity {
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit =
     compactVectorIndex(spark, path, "bucket")
+
+  /** Compact a FLAT (unpartitioned) code store — the PQ/SQ8 layouts:
+    * with no partition column there is nothing to rewrite selectively,
+    * so compaction is a full store rewrite minus the tombstoned ids.
+    * Bounded by the store itself, which for these layouts is the point:
+    * codes are 8-50x smaller than the float vectors, so the rewrite
+    * reads and writes only the shrunken payload. */
+  def compactFlatIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tomb = new org.apache.hadoop.fs.Path(path + ".tombstones")
+    val fs = tomb.getFileSystem(conf)
+    if (!fs.exists(tomb)) return
+    val dead = spark.read.parquet(tomb.toString)
+    val survivors = spark.read.parquet(path)
+      .join(dead, Seq("tid"), "left_anti")
+      .localCheckpoint() // never overwrite a path being read
+    survivors.write.mode("overwrite").parquet(path)
+    survivors.unpersist()
+    fs.delete(tomb, true)
+  }
 
   private def compactVectorIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, partCol: String): Unit = {

@@ -1215,6 +1215,78 @@ object DataPipelineQueries {
         .orderBy($"qid", $"rank")
     }),
 
+    // FLAT-STORE index maintenance (PQ + SQ8): the same tid-keyed
+    // tombstone sidecar; compaction is a full store rewrite (no
+    // partition column to prune — which for the code layouts is the
+    // point: the rewrite touches only the 8-50x-shrunken payload).
+    // Codebooks/scales stay FROZEN at build; the twins filter only the
+    // coded target scan to the survivors.
+    "knn_pq_deleted" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+      val (path, _) = builtIndex("pq-idx-del", dir) { p =>
+        Similarity.writePqIndex(tt, p, dim = 64)
+        Similarity.deleteFromPqIndex(s, p, (0L until 40L).toSeq)
+        Array.empty
+      }
+      val cbs = Similarity.readPqCodebooks(s, path)
+      Similarity.knnPqIndexed(s, path, cbs, q, dim = 64, k = 5)
+        .orderBy($"qid", $"rank")
+    }),
+
+    "knn_pq_compacted" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+      val (path, _) = builtIndex("pq-idx-cmp", dir) { p =>
+        Similarity.writePqIndex(tt, p, dim = 64)
+        Similarity.deleteFromPqIndex(s, p, (0L until 40L).toSeq)
+        Similarity.compactFlatIndex(s, p)
+        Array.empty
+      }
+      val cbs = Similarity.readPqCodebooks(s, path)
+      Similarity.knnPqIndexed(s, path, cbs, q, dim = 64, k = 5)
+        .orderBy($"qid", $"rank")
+    }),
+
+    "knn_sq8_deleted" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+      val (path, scalesF) = builtIndex("sq8-idx-del", dir) { p =>
+        val sc = Similarity.writeSq8Index(tt, p, dim = 64)
+        Similarity.deleteFromSq8Index(s, p, (0L until 40L).toSeq)
+        Array(sc.map(_.toFloat))
+      }
+      Similarity.knnSq8Indexed(s, path, q,
+        scalesF.head.map(_.toDouble), k = 5)
+        .orderBy($"qid", $"rank")
+    }),
+
+    "knn_sq8_compacted" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+      val (path, scalesF) = builtIndex("sq8-idx-cmp", dir) { p =>
+        val sc = Similarity.writeSq8Index(tt, p, dim = 64)
+        Similarity.deleteFromSq8Index(s, p, (0L until 40L).toSeq)
+        Similarity.compactFlatIndex(s, p)
+        Array(sc.map(_.toFloat))
+      }
+      Similarity.knnSq8Indexed(s, path, q,
+        scalesF.head.map(_.toDouble), k = 5)
+        .orderBy($"qid", $"rank")
+    }),
+
     // Recall of the int8-quantized ranking against the exact float
     // baseline — the number that prices the 4x memory shrink (how many
     // of the true top-5 survive quantization), bit-deterministic like
@@ -3350,7 +3422,7 @@ object DataPipelineQueries {
 
   /** knn_sq8 twin: per-dim max-abs scales, the same HALF_UP quantization
     * formula in the same association order, exact integer dots. */
-  private def knnSq8Sql(maxQid: Int): String =
+  private def knnSq8Sql(maxQid: Int, targetWhere: String = "TRUE"): String =
     s"""WITH xs AS MATERIALIZED (
        |  SELECT vec_id, unnest(embedding) AS x, unnest(range(0, 64)) AS pos
        |  FROM embeddings),
@@ -3369,6 +3441,8 @@ object DataPipelineQueries {
        |    CAST(SUM(CAST(a.q AS BIGINT) * b.q) AS BIGINT) AS dot
        |  FROM qz a JOIN qz b ON a.pos = b.pos AND a.vec_id <> b.vec_id
        |  WHERE a.vec_id < $maxQid
+       |    AND b.vec_id IN (SELECT vec_id FROM embeddings
+       |                     WHERE $targetWhere)
        |  GROUP BY 1, 2),
        |ranked AS (
        |  SELECT qid, tid, dot,
@@ -3463,8 +3537,9 @@ object DataPipelineQueries {
     * sub) argmax fixed-point dot (ties low cell); ADC = sum over
     * subspaces of the query's dot with the coded entry — the identical
     * integer quantity Spark's table lookups produce. */
-  private def knnPqSql(maxQid: Int, m: Int = 4, nCells: Int = 16): String =
-    s"""${knnPqCtes(maxQid, m, nCells)},
+  private def knnPqSql(maxQid: Int, m: Int = 4, nCells: Int = 16,
+      scanWhere: String = "TRUE"): String =
+    s"""${knnPqCtes(maxQid, m, nCells, scanWhere = scanWhere)},
        |ranked AS (
        |  SELECT qid, tid, adc,
        |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, tid)
@@ -4492,10 +4567,19 @@ object DataPipelineQueries {
     "knn_recall_filtered" -> knnRecallFilteredSql,
     "knn_sq8" -> knnSq8Sql(maxQid = 10),
     "knn_sq8_indexed" -> knnSq8Sql(maxQid = 50), // same codes/ranking at rest
+    // delete/compact twins: frozen scales, survivors-only coded scan
+    "knn_sq8_deleted" -> knnSq8Sql(maxQid = 50,
+      targetWhere = "vec_id >= 40"),
+    "knn_sq8_compacted" -> knnSq8Sql(maxQid = 50,
+      targetWhere = "vec_id >= 40"),
     // scales reloaded from the sidecar == build-session scales, verbatim
     "knn_sq8_reloaded" -> knnSq8Sql(maxQid = 50),
     // codes at rest + sidecar-reloaded codebooks == in-memory PQ, verbatim
     "knn_pq_indexed" -> knnPqSql(maxQid = 10),
+    // delete/compact twins: frozen codebooks, survivors-only coded scan
+    "knn_pq_deleted" -> knnPqSql(maxQid = 10, scanWhere = "vec_id >= 40"),
+    "knn_pq_compacted" -> knnPqSql(maxQid = 10,
+      scanWhere = "vec_id >= 40"),
     "knn_recall_sq8" -> knnRecallSq8Sql,
     "knn_pq" -> knnPqSql(maxQid = 10),
     "knn_pq_rerank" -> knnPqRerankSql(maxQid = 10),
