@@ -163,11 +163,21 @@ object DataPipelineQueries {
   private val BuiltIndexes = new java.util.concurrent.ConcurrentHashMap[
     (String, String), (String, Array[Array[Float]])]()
   private def builtIndex(kind: String, dir: String)(
-      build: String => Array[Array[Float]]): (String, Array[Array[Float]]) =
-    BuiltIndexes.computeIfAbsent((kind, dir), { _ =>
+      build: String => Array[Array[Float]]): (String, Array[Array[Float]]) = {
+    // build OUTSIDE the map's locks (the TempDirs.cached discipline): a
+    // builder that resolves another cached entry must never run inside
+    // computeIfAbsent — nested updates on one ConcurrentHashMap can
+    // livelock when two keys share a bin
+    val k = (kind, dir)
+    val hit = BuiltIndexes.get(k)
+    if (hit != null) hit
+    else {
       val path = graft.util.TempDirs.create(s"graft-$kind") + "/idx"
-      (path, build(path))
-    })
+      val v = (path, build(path))
+      val prev = BuiltIndexes.putIfAbsent(k, v)
+      if (prev != null) prev else v
+    }
+  }
 
   // BPE training is deterministic per (dir, rounds) — cache the learned
   // merges across the queries that share them (bpe_train, _apply,
@@ -216,13 +226,19 @@ object DataPipelineQueries {
         graft.ops.UnigramTok.segmentsWithPieces(w, vocab))
       graft.ops.UnigramTok.emPrune(vocab, usage).write.parquet(p)
     }
-  private def unigramPrunedSegsPath(s: SparkSession, dir: String): String =
+  private def unigramPrunedSegsPath(s: SparkSession, dir: String): String = {
+    // resolve the vocab store BEFORE entering the cached builder: a
+    // nested computeIfAbsent on the shared cache map is a documented
+    // ConcurrentHashMap hazard (recursive-update/livelock when the two
+    // keys land in one bin — surfaced once as a whole-suite-run-only
+    // failure of this very query)
+    val vocabPath = unigramPrunedVocabPath(s, dir)
     graft.util.TempDirs.cached("unigram-pruned-segs", dir) { p =>
       val w = graft.ops.UnigramTok.words(t(s, dir, "documents"), "text")
-      graft.ops.UnigramTok.segments(w,
-          s.read.parquet(unigramPrunedVocabPath(s, dir)))
+      graft.ops.UnigramTok.segments(w, s.read.parquet(vocabPath))
         .write.parquet(p)
     }
+  }
 
   // The deploy artifact (vocabulary + splits + leaf predictions) the
   // scalar-compiled filter needs — one training run serves the deploy

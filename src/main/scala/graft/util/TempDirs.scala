@@ -32,13 +32,27 @@ object TempDirs {
     * subdirectory the first time, later callers get the same path. For
     * staged inputs / stores that are deterministic functions of the
     * testdata dir, so repeated invocations (bench min-of-N reps) measure
-    * the operator under test, not the one-time staging write. */
-  def cached(kind: String, key: String)(write: String => Unit): String =
-    cachedDirs.computeIfAbsent((kind, key), { _ =>
+    * the operator under test, not the one-time staging write.
+    *
+    * The build runs OUTSIDE the map's locks (get, then build, then
+    * putIfAbsent) so a builder may itself resolve OTHER cached entries:
+    * computeIfAbsent would make that a nested update on one
+    * ConcurrentHashMap — a recursive-update/livelock hazard whenever two
+    * keys share a bin, which surfaced as a whole-suite-only transient
+    * failure. Callers are driver-side and effectively single-threaded;
+    * if two threads ever did race a miss, both builds are deterministic
+    * and the first publish wins (the loser's dir is cleaned at exit). */
+  def cached(kind: String, key: String)(write: String => Unit): String = {
+    val k = (kind, key)
+    val hit = cachedDirs.get(k)
+    if (hit != null) hit
+    else {
       val d = create(s"graft-$kind") + "/data"
       write(d)
-      d
-    })
+      val prev = cachedDirs.putIfAbsent(k, d)
+      if (prev != null) prev else d
+    }
+  }
 
   private def delete(p: Path): Unit = {
     if (Files.isDirectory(p)) {
