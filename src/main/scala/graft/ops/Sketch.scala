@@ -29,21 +29,33 @@ object Sketch {
   /** Per-`group` exact NDV and raw HLL estimate of `key` (a 64-bit-ish
     * long; hashing uses Spark's xxhash64 so an oracle can replay the
     * chain). Returns (g, n_exact, m_used, hll_ndv). */
-  def hllNdv(df: DataFrame, key: Column, group: Column): DataFrame = {
+  /** The HLL REGISTER TABLE — (g, r, mk): the sketch's whole state, at
+    * most [[HllM]] rows per group no matter the key count. Works on a
+    * STREAMING input too (a bounded max-aggregation — complete-mode
+    * legitimate the way the CMS matrix is), and is what a shard would
+    * persist; register tables merge by per-register MAX. */
+  def hllRegisters(df: DataFrame, key: Column, group: Column): DataFrame = {
     val h = xxhash64(key)
     val rem = shiftrightunsigned(h, 8)
-    val rows = df.select(group.as("g"), key.as("kk"),
-      h.bitwiseAND(lit((HllM - 1).toLong)).as("r"),
-      when(rem === 0L, lit(57))
-        .otherwise(lit(57) - length(bin(rem))).as("k0"))
-    val byReg = rows.groupBy(col("g"), col("r")).agg(max(col("k0")).as("mk"))
+    df.select(group.as("g"),
+        h.bitwiseAND(lit((HllM - 1).toLong)).as("r"),
+        when(rem === 0L, lit(57))
+          .otherwise(lit(57) - length(bin(rem))).as("k0"))
+      .groupBy(col("g"), col("r")).agg(max(col("k0")).as("mk"))
+  }
+
+  /** Close a register table into the estimate: exact 2^-57-unit DECIMAL
+    * register sum (aggregation order cannot matter) and the one closing
+    * double expression both engines evaluate identically. */
+  def hllEstimate(regs: DataFrame): DataFrame =
+    regs
       // 2^(57-mk) is an exact long (mk >= 1); summed as DECIMAL below so
       // even the all-registers-at-rank-1 extreme cannot overflow
       .withColumn("w",
         expr("shiftleft(CAST(1 AS BIGINT), CAST(57 - mk AS INT))"))
-    val sketch = byReg.groupBy(col("g")).agg(
-      count(lit(1)).as("m_used"),
-      sum(col("w").cast("decimal(38,0)")).as("zs"))
+      .groupBy(col("g")).agg(
+        count(lit(1)).as("m_used"),
+        sum(col("w").cast("decimal(38,0)")).as("zs"))
       // untouched registers contribute rank 0 -> weight 2^57 each
       .withColumn("z", col("zs") +
         (lit(HllM.toLong) - col("m_used")).cast("decimal(38,0)") *
@@ -51,9 +63,14 @@ object Sketch {
       .withColumn("hll_ndv",
         lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0) *
           lit(1.44115188075855872e17) / col("z").cast("double"))
+      .select(col("g"), col("m_used"), col("hll_ndv"))
+
+  def hllNdv(df: DataFrame, key: Column, group: Column): DataFrame = {
+    val sketch = hllEstimate(hllRegisters(df, key, group))
     // the exact baseline rides along for the gate; a production run at
     // scale drops this branch — it is the cost the sketch avoids
-    val exact = rows.groupBy(col("g"))
+    val exact = df.select(group.as("g"), key.as("kk"))
+      .groupBy(col("g"))
       .agg(countDistinct(col("kk")).as("n_exact"))
     exact.join(sketch, "g")
       .select(col("g"), col("n_exact"), col("m_used"), col("hll_ndv"))

@@ -714,6 +714,26 @@ object DataPipelineQueries {
         .orderBy($"w_start")
     }),
 
+    // The THIRD sketch as streaming state: per-type HLL user-NDV on the
+    // stream — the register table is the state (at most 256 rows per
+    // event type no matter how many events flow), maxed per micro-batch;
+    // the drained registers close into the estimate in batch. Gated
+    // against the batch register chain: register max is associative, so
+    // a micro-batched build lands on the same registers.
+    "stream_ndv_exec" -> ((s, dir) => {
+      import s.implicits._
+      val (src, schema) = stagedEvents(s, dir)
+      val stream = s.readStream.schema(schema).parquet(src)
+      val name = s"ndv_exec_${StreamExecId.incrementAndGet()}"
+      val q = Sketch.hllRegisters(stream, $"user_id", $"event_type")
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      Sketch.hllEstimate(drainMemorySink(s, q, name))
+        .select($"g".as("event_type"), $"m_used", $"hll_ndv")
+        .orderBy($"event_type")
+    }),
+
     // The SECOND sketch as streaming state: a count-min counter matrix
     // built ON the stream — the aggregation's group count is bounded by
     // the geometry (d*w = 64 rows no matter how many words flow), which
@@ -1791,6 +1811,33 @@ object DataPipelineQueries {
       corpusStatsOf(t(s, dir, "documents").select($"doc_id",
         TextAnalysis.langId($"text").as("lang"),
         TextAnalysis.bpeTokenCount($"text").cast("int").as("n_tokens")))
+    }),
+
+    // DATASET CARD — the release-report composition every published
+    // corpus ships (per language: volume, real-BPE token mass,
+    // exact-duplicate pressure, teacher-quality profile): one corpus
+    // scan feeds langid + fingerprint + tokenizer + quality kernels,
+    // then one grouped aggregation. Every number is a gated fragment
+    // (langScores/fp/bpe/quality twins) composed, the e2e_train_prep
+    // convention.
+    "dataset_card" -> ((s, dir) => {
+      import s.implicits._
+      val prof = t(s, dir, "documents").select(
+        TextAnalysis.langId($"text").as("lang"),
+        TextAnalysis.fingerprint($"text").as("fp"),
+        TextAnalysis.bpeTokenCount($"text").as("nt"),
+        TextAnalysis.qualityScore($"text").as("q"))
+      prof.groupBy($"lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum($"nt").as("sum_tokens"),
+          countDistinct($"fp").as("n_unique_fp"),
+          sum(when($"q" >= 0.8, 1L).otherwise(0L)).as("n_quality_pass"),
+          // 1e-6 fixed-point mean (the ScaledDot convention): a DECIMAL
+          // cast of a full-precision double rounds ties differently
+          // across engines; round(x*1e6) does not
+          ((sum(round($"q" * 1e6).cast("long")).cast("double") /
+            lit(1e6)) / count(lit(1))).as("mean_quality"))
+        .orderBy($"lang")
     }),
 
     // Deterministic seeded stratified sampling: the 25 docs with the
@@ -4929,6 +4976,42 @@ object DataPipelineQueries {
     // Corpus-level stats per predicted language with exact DISCRETE
     // percentiles (value at ceil(p*n) in (n_tokens, doc_id) order —
     // integer position arithmetic, so no interpolation float drift).
+    // Every column is a gated fragment composed: per-doc real-BPE token
+    // mass through the merge-chain replay, predicted lang, fingerprint
+    // NDV, and the exact-decimal quality mean (the money4 convention —
+    // DECIMAL sum, one closing double division).
+    "dataset_card" ->
+      (s"""WITH $bpeVocabCtes,
+        |bpe AS (
+        |  SELECT ww.doc_id, CAST(SUM(t.nt) AS BIGINT) AS nt
+        |  FROM w ww JOIN tok t USING (w) GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, text,
+        |    $langScoresSql
+        |  FROM documents),
+        |prof AS (
+        |  SELECT s.doc_id, $predLangCaseSql AS lang,
+        |    $fpSql AS fp, b.nt,
+        |    $qualityScoreSql AS q
+        |  FROM scored s
+        |  JOIN bpe b ON s.doc_id = b.doc_id)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+        |  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_fp,
+        |  CAST(SUM(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_quality_pass,
+        |  (CAST(SUM(CAST(ROUND(q * 1000000) AS BIGINT)) AS DOUBLE)
+        |    / 1000000) / COUNT(*) AS mean_quality
+        |FROM prof GROUP BY lang
+        |ORDER BY lang""".stripMargin),
+    // HLL registers maxed on the stream close into the same estimate the
+    // batch chain produces (register max is associative); exact NDV is
+    // not emitted — stream state holds registers, never the key set.
+    "stream_ndv_exec" ->
+      s"""SELECT source AS event_type, m_used, hll_ndv
+         |FROM (${HashOracleSql.hllNdvSql(
+             "SELECT event_type AS source, user_id AS k FROM events")}) z
+         |ORDER BY event_type""".stripMargin,
     "ta_corpus_stats" ->
       (s"""WITH scored AS (
         |  SELECT doc_id, text,
