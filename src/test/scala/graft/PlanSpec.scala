@@ -528,6 +528,16 @@ class PlanSpec extends SparkSpec {
     assert(!pSt.contains("events.parquet"),
       "stored-sketch merge must read histogram stores, not events: " +
         pSt.take(1500))
+    // dataset card: ONE corpus scan feeds all four kernels, aggregation
+    // combines map-side, no window anywhere
+    val card = SparkEntry.queries("dataset_card")(spark, sf("sf0.001"))
+    val pC = card.queryExecution.executedPlan.toString
+    assert(pC.split("Scan parquet").length - 1 == 1,
+      "dataset_card must read documents exactly once: " + pC.take(1500))
+    assert(pC.contains("partial_count") || pC.contains("partial_sum"),
+      "dataset_card aggregation must combine map-side: " + pC.take(1500))
+    assert(PlanSpec.collectWindows(card.queryExecution.executedPlan).isEmpty,
+      "dataset_card needs no window")
   }
 }
 
