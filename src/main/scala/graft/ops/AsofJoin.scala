@@ -44,4 +44,56 @@ object AsofJoin {
       .filter(col("__is_probe") === 1)
       .drop("__is_probe", "__build_t")
   }
+
+  /** POINT-IN-TIME-CORRECT feature join — the leakage-safe variant a
+    * feature store runs when assembling training rows: each probe row
+    * picks up the value of the latest build row STRICTLY BEFORE its
+    * timestamp (never at-or-after — an equal-time feature already
+    * contains the label event at training-serving skew boundaries), and
+    * a staleness `toleranceUs` nulls matches older than the horizon
+    * (serving would refuse them too). Same one-shuffle union shape as
+    * [[asofTime]]; at equal times probe rows sort BEFORE build rows so
+    * the window cannot leak them, and equal-time build DUPLICATES
+    * resolve deterministically to the greatest value (the window's
+    * final sort key — without it, `last` would pick by physical row
+    * order).
+    *
+    * `probe`: (keyCol, tCol, ...); `build`: (keyCol, tCol, valCol).
+    * Returns the probe columns plus `asof_t_us` and `asof_v` (both null
+    * when no in-horizon strictly-earlier build row exists). */
+  def pitJoin(probe: DataFrame, build: DataFrame, keyCol: String,
+      tCol: String, valCol: String,
+      toleranceUs: Long = Long.MaxValue): DataFrame = {
+    require(toleranceUs > 0, s"non-positive tolerance $toleranceUs")
+    val probeCols = probe.columns.filter(c => c != keyCol && c != tCol)
+    val tagged = probe
+      .withColumn("__is_probe", lit(1))
+      .withColumn("__build_t", lit(null).cast("long"))
+      .withColumn("__build_v", lit(null).cast("long"))
+      .select((Seq(col(keyCol), col(tCol), col("__is_probe"),
+        col("__build_t"), col("__build_v")) ++ probeCols.map(col)): _*)
+      .unionByName(
+        build.select(col(keyCol), col(tCol), col(valCol))
+          .withColumn("__is_probe", lit(0))
+          .withColumn("__build_t", col(tCol))
+          .withColumn("__build_v", col(valCol).cast("long"))
+          .drop(valCol),
+        allowMissingColumns = true)
+    // STRICT order: probe rows sort before build rows at equal times
+    // (is_probe desc), so an equal-time build row is NOT visible to its
+    // probe row; among equal-time build rows the value is the final key
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tCol).asc, col("__is_probe").desc, col("__build_v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val horizon =
+      col(tCol) - last(col("__build_t"), ignoreNulls = true).over(w) <=
+        toleranceUs
+    tagged
+      .withColumn("asof_t_us",
+        when(horizon, last(col("__build_t"), ignoreNulls = true).over(w)))
+      .withColumn("asof_v",
+        when(horizon, last(col("__build_v"), ignoreNulls = true).over(w)))
+      .filter(col("__is_probe") === 1)
+      .drop("__is_probe", "__build_t", "__build_v")
+  }
 }

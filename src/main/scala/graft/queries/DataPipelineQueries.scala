@@ -3026,6 +3026,28 @@ object DataPipelineQueries {
         vocab)
     }),
 
+    // POINT-IN-TIME-CORRECT feature join — the leakage-safe assembly a
+    // feature store runs for training rows: each purchase (the label
+    // event) picks up the latest click value STRICTLY BEFORE it for the
+    // same user (never at-or-after — that's leakage), nulled when staler
+    // than a 2-hour serving horizon. One union + one per-key sort, no
+    // per-probe range join (AsofJoin.pitJoin); equal-time click
+    // duplicates resolve deterministically to the greatest value.
+    "pit_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", unix_micros($"ts").as("t_us"),
+          (money($"value") * 100).cast("long").as("v"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", unix_micros($"ts").as("t_us"), $"event_id")
+      graft.ops.AsofJoin.pitJoin(purchases, clicks, "user_id", "t_us", "v",
+          toleranceUs = 7200000000L)
+        .select($"event_id", $"user_id", $"t_us".as("purchase_us"),
+          $"asof_t_us".as("feat_us"), $"asof_v".as("feat_cents"))
+        .orderBy($"event_id")
+    }),
+
     // CONVERSION FUNNEL over event time: per user, first click and the
     // first purchase at-or-after it; converted = within 24 h. The
     // first-touch attribution query every event pipeline runs — two
@@ -5350,6 +5372,31 @@ object DataPipelineQueries {
         |    AS converted
         |FROM c LEFT JOIN p ON c.user_id = p.user_id
         |ORDER BY c.user_id""".stripMargin,
+    // Strict-inequality argmax per purchase (ties at the argmax click
+    // time resolve to MAX value, matching the window's final sort key);
+    // the 2-hour horizon nulls both feature columns.
+    "pit_join" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_us(ts) AS t,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT p.event_id, MAX(c.t) AS ft
+        |  FROM p JOIN c ON c.user_id = p.user_id AND c.t < p.t
+        |  GROUP BY 1),
+        |mv AS (
+        |  SELECT m.event_id, m.ft, MAX(c2.v) AS fv
+        |  FROM m JOIN p USING (event_id)
+        |  JOIN c c2 ON c2.user_id = p.user_id AND c2.t = m.ft
+        |  GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.t AS purchase_us,
+        |  CASE WHEN p.t - mv.ft <= 7200000000 THEN mv.ft END AS feat_us,
+        |  CASE WHEN p.t - mv.ft <= 7200000000 THEN mv.fv END AS feat_cents
+        |FROM p LEFT JOIN mv USING (event_id)
+        |ORDER BY event_id""".stripMargin,
     // tree chain -> kept ids -> the curate_sample tail over them.
     "curate_by_classifier" ->
       (s"""WITH ${graft.ops.Classifier.treeCtesSql(qualityScoreSql)},

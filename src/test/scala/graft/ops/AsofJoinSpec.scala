@@ -40,4 +40,39 @@ class AsofJoinSpec extends SparkSpec {
       assert(got == expected, s"k=$k t=$t got $got want $expected")
     }
   }
+
+  test("pitJoin is leakage-safe: strictly-earlier only, equal-time build " +
+      "rows never match, ties at the argmax time take the max value, and " +
+      "the staleness horizon nulls matches") {
+    val probe = Seq(
+      (1L, 100L, "a"), // build exists at exactly 100 -> must NOT match it
+      (1L, 150L, "b"), // latest strictly earlier: t=100
+      (2L, 500L, "c"), // latest earlier t=10, staler than tolerance -> null
+      (3L, 50L, "d"),  // no earlier build at all -> null
+      (4L, 90L, "e")   // two builds at t=80 -> the max value (42) wins
+    ).toDF("k", "t_us", "tag")
+    val build = Seq(
+      (1L, 40L, 7L), (1L, 100L, 9L),
+      (2L, 10L, 5L),
+      (4L, 80L, 17L), (4L, 80L, 42L)
+    ).toDF("k", "t_us", "v")
+    val out = AsofJoin.pitJoin(probe, build, "k", "t_us", "v",
+      toleranceUs = 200L)
+      .select($"tag", $"asof_t_us", $"asof_v").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2)))))
+      .toMap
+    assert(out("a") == Some((40L, 7L)),
+      s"equal-time build leaked into 'a': ${out("a")}")
+    assert(out("b") == Some((100L, 9L)))
+    assert(out("c").isEmpty, s"stale match must null: ${out("c")}")
+    assert(out("d").isEmpty)
+    assert(out("e") == Some((80L, 42L)),
+      s"equal-time build duplicates must resolve to max value: ${out("e")}")
+    // plan shape: still the single-window union, no range join
+    val plan = AsofJoin.pitJoin(probe, build, "k", "t_us", "v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      plan.take(1000))
+  }
 }
