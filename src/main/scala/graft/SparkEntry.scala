@@ -21,10 +21,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ ExprQueries.queries ++ PipelineQueries.queries ++ DataPipelineQueries.queries ++ FlowQueries.queries ++ SinkQueries.queries
+    RelationalQueries.queries ++ ExprQueries.queries ++ PipelineQueries.queries ++ DataPipelineQueries.queries ++ FlowQueries.queries ++ SinkQueries.queries ++ IncrementalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ ExprQueries.oracles ++ PipelineQueries.oracles ++ DataPipelineQueries.oracles ++ FlowQueries.oracles ++ SinkQueries.oracles
+    RelationalQueries.oracles ++ ExprQueries.oracles ++ PipelineQueries.oracles ++ DataPipelineQueries.oracles ++ FlowQueries.oracles ++ SinkQueries.oracles ++ IncrementalQueries.oracles
 }

@@ -208,6 +208,13 @@ object DataPipelineQueries {
 
   // The unigram-Viterbi segmentation of the corpus vocabulary, at rest
   // per dir — the unigram tokenizer's trained artifact.
+  private def wordpieceSegsPath(s: SparkSession, dir: String): String =
+    graft.util.TempDirs.cached("wordpiece-segs", dir) { p =>
+      val w = graft.ops.UnigramTok.words(t(s, dir, "documents"), "text")
+      graft.ops.WordPiece.segments(w, graft.ops.WordPiece.vocab(w))
+        .write.parquet(p)
+    }
+
   private def unigramSegsPath(s: SparkSession, dir: String): String =
     graft.util.TempDirs.cached("unigram-segs", dir) { p =>
       val w = graft.ops.UnigramTok.words(t(s, dir, "documents"), "text")
@@ -2773,6 +2780,36 @@ object DataPipelineQueries {
         .orderBy($"tile")
     }),
 
+    // WORDPIECE TOKENIZER (the BERT family, Wu et al. 2016) — the third
+    // tokenizer family, completing the triad with BPE and unigram-LM: a
+    // two-flavor (word-initial vs continuation) piece vocabulary and
+    // greedy longest-match-first segmentation. The only argmax is MAX
+    // piece length at a position — unique by construction, so both
+    // engines replay it with no tiebreak convention at all. Three
+    // gates: the flavored vocabulary, per-word segmentation, per-doc
+    // token counts.
+    "wordpiece_vocab" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.WordPiece.vocab(
+          graft.ops.UnigramTok.words(t(s, dir, "documents"), "text"))
+        .select($"p".as("piece"), $"st".as("is_start"), $"cnt")
+        .orderBy($"piece", $"is_start")
+    }),
+
+    "wordpiece_segments" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(wordpieceSegsPath(s, dir))
+        .select($"w", $"c".as("word_count"), $"n_pieces")
+        .orderBy($"w")
+    }),
+
+    "ta_tokens_wordpiece" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.UnigramTok.tokenCounts(t(s, dir, "documents"), "doc_id",
+        "text", s.read.parquet(wordpieceSegsPath(s, dir)))
+        .orderBy($"doc_id")
+    }),
+
     // UNIGRAM-LM TOKENIZER (the SentencePiece family, Kudo 2018) — the
     // second tokenizer family next to BPE: a frequency-scored piece
     // vocabulary (exact-integer log-prob surrogate) and a relational
@@ -5268,6 +5305,9 @@ object DataPipelineQueries {
     // the curate twins, then the unrolled per-level split/assign chain
     // (tree) or the one-aggregation model (NB) — every number integer.
     "unigram_vocab" -> graft.ops.UnigramTok.vocabSql,
+    "wordpiece_vocab" -> graft.ops.WordPiece.vocabSql,
+    "wordpiece_segments" -> graft.ops.WordPiece.segmentsSql,
+    "ta_tokens_wordpiece" -> graft.ops.WordPiece.tokenCountsSql,
     "unigram_segments" -> graft.ops.UnigramTok.segmentsSql,
     "ta_tokens_unigram" -> graft.ops.UnigramTok.tokenCountsSql,
     "unigram_vocab_pruned" -> graft.ops.UnigramTok.vocabPrunedSql,

@@ -539,6 +539,65 @@ class PlanSpec extends SparkSpec {
     assert(PlanSpec.collectWindows(card.queryExecution.executedPlan).isEmpty,
       "dataset_card needs no window")
   }
+
+  test("incremental family keeps its scale shapes: view merge combines " +
+      "map-side with no window, cdc never shuffles text, scd2/eval " +
+      "windows all partitioned") {
+    // view merge: delta partials combine map-side; merge = group-by, no
+    // window, and the store parquet is read (not recomputed from events)
+    val mv = SparkEntry.queries("agg_view_maintain")(spark, sf("sf0.001"))
+    val pMv = mv.queryExecution.executedPlan.toString
+    assert(pMv.contains("partial_sum") || pMv.contains("partial_count"),
+      "view merge must combine map-side: " + pMv.take(1200))
+    assert(PlanSpec.collectWindows(mv.queryExecution.executedPlan).isEmpty,
+      "view merge needs no window")
+    assert(pMv.contains("aggview-base"),
+      "maintained view must read the at-rest store: " + pMv.take(1200))
+    // cdc: latest-wins is a bounded struct-max aggregation (no window),
+    // and no exchange ever carries document text — only md5 fingerprints
+    val cdc = SparkEntry.queries("cdc_apply")(spark, sf("sf0.001"))
+    val pCdc = cdc.queryExecution.executedPlan.toString
+    assert(PlanSpec.collectWindows(cdc.queryExecution.executedPlan).isEmpty,
+      "cdc latest-wins must be an aggregation, not a window")
+    val exchanges = pCdc.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(!_.contains("text")),
+      "cdc_apply must never shuffle document text: " +
+        exchanges.mkString("; "))
+    // scd2: every window partitions by the key
+    val scd = SparkEntry.queries("cdc_scd2")(spark, sf("sf0.001"))
+    val wScd = PlanSpec.collectWindows(scd.queryExecution.executedPlan)
+    assert(wScd.nonEmpty && wScd.forall(_.partitionSpec.nonEmpty),
+      "scd2 windows must partition by key")
+    // retrieval eval: top-k from the bounded TopKByKey aggregate (never
+    // a rank window over the match set); remaining windows partition by
+    // query over <= k exploded rows
+    val ev = SparkEntry.queries("retrieval_eval")(spark, sf("sf0.001"))
+    val pEv = ev.queryExecution.executedPlan.toString
+    assert(pEv.contains("partial_top_k_by_key"),
+      "retrieval_eval top-k must use the bounded aggregate, combined " +
+        "map-side: " + pEv.take(1200))
+    val wEv = PlanSpec.collectWindows(ev.queryExecution.executedPlan)
+    assert(wEv.forall(_.partitionSpec.nonEmpty),
+      "retrieval_eval windows must partition by query")
+  }
+
+  test("wordpiece keeps the two-pass vocabulary shape: vocab counts " +
+      "combine map-side, token counts broadcast the segment table, " +
+      "no windows anywhere") {
+    val v = SparkEntry.queries("wordpiece_vocab")(spark, sf("sf0.001"))
+    val pV = v.queryExecution.executedPlan.toString
+    assert(pV.contains("partial_sum"),
+      "piece counting must combine map-side: " + pV.take(1200))
+    assert(PlanSpec.collectWindows(v.queryExecution.executedPlan).isEmpty,
+      "wordpiece vocab needs no window")
+    val tc = SparkEntry.queries("ta_tokens_wordpiece")(spark, sf("sf0.001"))
+    val pTc = tc.queryExecution.executedPlan.toString
+    assert(pTc.contains("BroadcastHashJoin"),
+      "token counting must broadcast the Zipf-bounded segment table: " +
+        pTc.take(1200))
+    assert(PlanSpec.collectWindows(tc.queryExecution.executedPlan).isEmpty,
+      "token counting needs no window")
+  }
 }
 
 object PlanSpec {
