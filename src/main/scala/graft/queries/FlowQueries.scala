@@ -101,6 +101,75 @@ object FlowQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // COHORT RETENTION — the product-analytics matrix: users grouped by
+    // first-seen week, each cell = distinct users of that cohort active
+    // k weeks later. Two grouped aggregations (first-seen, then the
+    // cell counts); distinct-per-cell combines map-side; week math is
+    // pure date arithmetic both engines truncate identically (ISO
+    // Monday weeks).
+    "cohort_retention" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+        .select($"user_id", date_trunc("week", $"ts").cast("date").as("w"))
+      val firstw = ev.groupBy($"user_id").agg(min($"w").as("cw"))
+      ev.distinct().join(firstw, "user_id")
+        .groupBy(date_format($"cw", "yyyy-MM-dd").as("cohort_week"),
+          expr("datediff(w, cw) div 7").cast("int").as("week_offset"))
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy($"cohort_week", $"week_offset")
+    }),
+
+    // EVENT-RATE ANOMALY REPORT — robust per-type outlier detection on
+    // the hourly count series: median and MAD (median absolute
+    // deviation) of the counts in exact integers, anomaly = |cnt - med|
+    // > 4 * max(MAD, 1). Both medians run as histogram order statistics
+    // through the ranged-running-sum shape (the skew_report /
+    // event_value_percentiles convention): cumulative sums partition by
+    // the range id, never by the 5-value event_type alone, and the
+    // per-type exclusive offsets are a bounded one-row-per-type collect.
+    "event_anomalies" -> ((s, dir) => {
+      import s.implicits._
+      def typedMedian(hist: DataFrame, out: String): DataFrame = {
+        val cumG = graft.ops.Sampling.rangedRunningSum(hist,
+          Seq(col("event_type"), col("v")), col("c"), "cumg", numRanges = 8)
+        val n = hist.groupBy($"event_type").agg(sum($"c").as("n"))
+        val offs = {
+          var acc = 0L
+          n.orderBy($"event_type").collect().map { r =>
+            val o = (r.getString(0), acc); acc += r.getLong(1); o
+          }
+        }
+        val offCol = offs.foldLeft(lit(0L)) { case (c0, (ty, o)) =>
+          when($"event_type" === ty, lit(o)).otherwise(c0)
+        }
+        cumG.withColumn("cum", $"cumg" - offCol)
+          .join(n, "event_type")
+          .groupBy($"event_type")
+          .agg(min(when($"cum" >= expr("(50 * n + 99) div 100"), $"v"))
+            .as(out))
+      }
+      val hc = events(s, dir)
+        .groupBy($"event_type",
+          date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm")
+            .as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+      val med = typedMedian(
+        hc.groupBy($"event_type", $"cnt".as("v"))
+          .agg(count(lit(1)).as("c")), "med")
+      val hcm = hc.join(broadcast(med), "event_type")
+      val mad = typedMedian(
+        hcm.groupBy($"event_type", abs($"cnt" - $"med").as("v"))
+          .agg(count(lit(1)).as("c")), "mad")
+      hcm.join(broadcast(mad), "event_type")
+        .groupBy($"event_type", $"med", $"mad")
+        .agg(count(lit(1)).as("n_hours"),
+          sum(when(abs($"cnt" - $"med") > lit(4) * greatest($"mad", lit(1L)),
+            1).otherwise(0)).cast("long").as("n_anomalies"))
+        .select($"event_type", $"n_hours", $"med".as("med_cnt"),
+          $"mad".as("mad_cnt"), $"n_anomalies")
+        .orderBy($"event_type")
+    }),
+
     // Gap-based sessionization (30-min inactivity closes a session) as
     // batch window functions; the streaming variant is
     // graft.streaming.StreamOps.sessionize.
@@ -191,6 +260,49 @@ object FlowQueries {
         |    lpad(CAST(o_orderkey AS VARCHAR), 6, '0') AS adsh
         |  FROM orders WHERE o_orderkey < 300)
         |ORDER BY o_orderkey""".stripMargin,
+    "cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE)
+        |    AS w
+        |  FROM events),
+        |fw AS (SELECT user_id, MIN(w) AS cw FROM ev GROUP BY 1)
+        |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+        |  CAST(date_diff('day', cw, w) // 7 AS INT) AS week_offset,
+        |  CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_users
+        |FROM ev JOIN fw USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "event_anomalies" ->
+      """WITH hc AS (
+        |  SELECT event_type,
+        |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |h1 AS (SELECT event_type, cnt AS v, COUNT(*) AS c
+        |       FROM hc GROUP BY 1, 2),
+        |c1 AS (SELECT *, SUM(c) OVER (PARTITION BY event_type ORDER BY v
+        |         ROWS UNBOUNDED PRECEDING) AS cum,
+        |       SUM(c) OVER (PARTITION BY event_type) AS n FROM h1),
+        |med AS (SELECT event_type,
+        |          MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN v END)
+        |            AS med
+        |        FROM c1 GROUP BY 1),
+        |d1 AS (SELECT hc.event_type, abs(cnt - med) AS v, COUNT(*) AS c
+        |       FROM hc JOIN med USING (event_type) GROUP BY 1, 2),
+        |c2 AS (SELECT *, SUM(c) OVER (PARTITION BY event_type ORDER BY v
+        |         ROWS UNBOUNDED PRECEDING) AS cum,
+        |       SUM(c) OVER (PARTITION BY event_type) AS n FROM d1),
+        |mad AS (SELECT event_type,
+        |          MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN v END)
+        |            AS mad
+        |        FROM c2 GROUP BY 1)
+        |SELECT hc.event_type, COUNT(*) AS n_hours,
+        |  CAST(med AS BIGINT) AS med_cnt, CAST(mad AS BIGINT) AS mad_cnt,
+        |  CAST(SUM(CASE WHEN abs(cnt - med) > 4 * greatest(mad, 1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+        |FROM hc JOIN med USING (event_type) JOIN mad USING (event_type)
+        |GROUP BY hc.event_type, med, mad
+        |ORDER BY hc.event_type""".stripMargin,
     "o5_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),

@@ -191,6 +191,33 @@ object IncrementalQueries {
         .orderBy($"user_id", $"valid_from_us", $"event_id")
     }),
 
+    // SCD2 TEMPORAL JOIN — the consumption face of the history table: a
+    // fact stream (the events NOT carrying profile updates) joins the
+    // SCD2 dimension built from the update stream (event_id % 5 == 0)
+    // picking the version valid at fact time: valid_from <= t < valid_to
+    // (open tail unbounded). Version intervals are disjoint, so each
+    // fact matches at most one version; facts before the user's first
+    // update keep 'none'. One equi-shuffle on the user key with the
+    // interval predicate as join residual — never a cross product.
+    "scd2_temporal_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+      val hist = Incremental.scd2(ev.filter($"event_id" % 5 === 0),
+        $"user_id", unix_micros($"ts"), $"event_id", $"event_type")
+      val facts = ev.filter($"event_id" % 5 =!= 0)
+        .select($"event_id", $"user_id", unix_micros($"ts").as("t_us"))
+      facts.join(hist,
+          facts("user_id") === hist("k") &&
+            hist("valid_from_us") <= facts("t_us") &&
+            (facts("t_us") < hist("valid_to_us") ||
+              hist("valid_to_us") === -1L),
+          "left")
+        .select($"event_id", $"user_id",
+          coalesce($"v", lit("none")).as("status"),
+          coalesce($"valid_from_us", lit(-1L)).as("status_since_us"))
+        .orderBy($"event_id")
+    }),
+
     // RANKED-RETRIEVAL EVALUATION — the IR/RAG eval report (per query:
     // recall base, hits@k, MRR, AP@k) in exact fixed-point millionths.
     // The run under evaluation is a term-frequency ranker over the
@@ -292,6 +319,30 @@ object IncrementalQueries {
         |  CASE WHEN nt IS NULL THEN 1 ELSE 0 END AS is_current
         |FROM led
         |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+    "scd2_temporal_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t_us, event_type
+        |  FROM events),
+        |upd AS (SELECT * FROM e WHERE event_id % 5 = 0),
+        |lagd AS (
+        |  SELECT *, lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY t_us, event_id) AS pv FROM upd),
+        |chg AS (SELECT * FROM lagd WHERE pv IS NULL OR pv <> event_type),
+        |hist AS (
+        |  SELECT user_id AS k, t_us AS valid_from_us,
+        |    event_type AS status,
+        |    COALESCE(lead(t_us) OVER (PARTITION BY user_id
+        |      ORDER BY t_us, event_id), -1) AS valid_to_us
+        |  FROM chg),
+        |facts AS (SELECT event_id, user_id, t_us FROM e
+        |          WHERE event_id % 5 <> 0)
+        |SELECT f.event_id, f.user_id,
+        |  COALESCE(h.status, 'none') AS status,
+        |  COALESCE(h.valid_from_us, -1) AS status_since_us
+        |FROM facts f LEFT JOIN hist h
+        |  ON h.k = f.user_id AND h.valid_from_us <= f.t_us
+        | AND (f.t_us < h.valid_to_us OR h.valid_to_us = -1)
+        |ORDER BY f.event_id""".stripMargin,
     "retrieval_eval" ->
       """WITH m AS (
         |  SELECT term, doc_id,

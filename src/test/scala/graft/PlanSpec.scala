@@ -581,6 +581,30 @@ class PlanSpec extends SparkSpec {
       "retrieval_eval windows must partition by query")
   }
 
+  test("event analytics keep their scale shapes: anomaly medians run " +
+      "through ranged windows, cohort cells aggregate partially, the " +
+      "temporal join is equi-keyed (no cross product)") {
+    val an = SparkEntry.queries("event_anomalies")(spark, sf("sf0.001"))
+    val wAn = PlanSpec.collectWindows(an.queryExecution.executedPlan)
+    assert(wAn.nonEmpty &&
+      wAn.forall(_.partitionSpec.exists(_.toString.contains("__pid"))),
+      "anomaly median cumulative sums must partition by the range id, " +
+        "never by event_type alone: " +
+        wAn.map(_.partitionSpec).mkString("; "))
+    val co = SparkEntry.queries("cohort_retention")(spark, sf("sf0.001"))
+    val pCo = co.queryExecution.executedPlan.toString
+    assert(pCo.contains("partial_count") || pCo.contains("partial_min"),
+      "cohort aggregation must combine map-side: " + pCo.take(1200))
+    assert(PlanSpec.collectWindows(co.queryExecution.executedPlan).isEmpty,
+      "cohort retention needs no window")
+    val tj = SparkEntry.queries("scd2_temporal_join")(spark, sf("sf0.001"))
+    val pTj = tj.queryExecution.executedPlan.toString
+    assert(!pTj.contains("CartesianProduct") &&
+        !pTj.contains("BroadcastNestedLoopJoin"),
+      "temporal join must stay equi-keyed on the user with the interval " +
+        "as residual: " + pTj.take(1200))
+  }
+
   test("wordpiece keeps the two-pass vocabulary shape: vocab counts " +
       "combine map-side, token counts broadcast the segment table, " +
       "no windows anywhere") {
