@@ -786,6 +786,25 @@ object DataPipelineQueries {
         .orderBy($"user_id", $"start_us")
     }),
 
+    // SCD2 AS STREAM STATE — the history table maintained online: one
+    // open version per user in flatMapGroupsWithState state (bounded by
+    // user count, ever), closed [valid_from, valid_to) rows emitted
+    // append-mode as observations change. One data batch sorts each
+    // user's rows by (event time, event_id), so the emission set is
+    // exactly the batch SCD2's non-open versions — the oracle.
+    "stream_scd2_exec" -> ((s, dir) => {
+      import s.implicits._
+      val (src, schema) = stagedEvents(s, dir)
+      val stream = s.readStream.schema(schema).parquet(src)
+      val name = s"scd2_exec_${StreamExecId.incrementAndGet()}"
+      val q = graft.streaming.StreamOps.scd2Stream(s, stream).toDF()
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      drainMemorySink(s, q, name)
+        .orderBy($"user_id", $"valid_from_us", $"event_id")
+    }),
+
     // Embedding-cosine near-dup pairs (fixed-point arithmetic -> exact
     // DuckDB parity).
     "d5_embedding_neardup" -> ((s, dir) => {
@@ -2808,6 +2827,33 @@ object DataPipelineQueries {
       graft.ops.UnigramTok.tokenCounts(t(s, dir, "documents"), "doc_id",
         "text", s.read.parquet(wordpieceSegsPath(s, dir)))
         .orderBy($"doc_id")
+    }),
+
+    // TOKENIZER FERTILITY BY LANGUAGE — the eval a multilingual pipeline
+    // reads before picking a tokenizer: pieces-per-word (fixed-point
+    // millionths) per language under BOTH segmenting tokenizers
+    // (WordPiece greedy, unigram Viterbi), from the same at-rest
+    // segment tables the token-count gates reload. One corpus scan; the
+    // Zipf-bounded segment tables broadcast.
+    "ta_fertility_by_lang" -> ((s, dir) => {
+      import s.implicits._
+      val dw = t(s, dir, "documents")
+        .select($"lang",
+          explode(split(Dedup.normalized($"text"), " ")).as("w"))
+        .filter($"w" =!= "")
+      val wp = s.read.parquet(wordpieceSegsPath(s, dir))
+        .select($"w", $"n_pieces".as("wp_np"))
+      val uni = s.read.parquet(unigramSegsPath(s, dir))
+        .select($"w", $"n_pieces".as("uni_np"))
+      dw.join(broadcast(wp), "w").join(broadcast(uni), "w")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum($"wp_np").cast("long").as("wp_tokens"),
+          sum($"uni_np").cast("long").as("uni_tokens"))
+        .select($"lang", $"n_words", $"wp_tokens", $"uni_tokens",
+          expr("(1000000 * wp_tokens) div n_words").as("wp_fert_e6"),
+          expr("(1000000 * uni_tokens) div n_words").as("uni_fert_e6"))
+        .orderBy($"lang")
     }),
 
     // UNIGRAM-LM TOKENIZER (the SentencePiece family, Kudo 2018) — the
@@ -5305,6 +5351,47 @@ object DataPipelineQueries {
     // the curate twins, then the unrolled per-level split/assign chain
     // (tree) or the one-aggregation model (NB) — every number integer.
     "unigram_vocab" -> graft.ops.UnigramTok.vocabSql,
+    // one-batch streaming SCD2 emits exactly the batch history's closed
+    // versions
+    "stream_scd2_exec" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type
+        |  FROM events),
+        |lagd AS (
+        |  SELECT *, lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY t_us, event_id) AS pv FROM e),
+        |chg AS (SELECT * FROM lagd WHERE pv IS NULL OR pv <> event_type),
+        |led AS (
+        |  SELECT user_id, t_us AS valid_from_us, event_id,
+        |    event_type AS status,
+        |    lead(t_us) OVER (PARTITION BY user_id
+        |      ORDER BY t_us, event_id) AS nt
+        |  FROM chg)
+        |SELECT user_id, valid_from_us, event_id, status,
+        |  nt AS valid_to_us
+        |FROM led WHERE nt IS NOT NULL
+        |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+    // both tokenizers' full CTE chains compose; their CTE namespaces
+    // (w* / u*) are disjoint by construction
+    "ta_fertility_by_lang" ->
+      s"""WITH ${graft.ops.WordPiece.sqlCtes},
+         |${graft.ops.UnigramTok.sqlCtes},
+         |dwl AS (
+         |  SELECT lang, unnest(string_split(
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+         |    AS w
+         |  FROM documents)
+         |SELECT lang, COUNT(*) AS n_words,
+         |  CAST(SUM(ws.n_pieces) AS BIGINT) AS wp_tokens,
+         |  CAST(SUM(us.n_pieces) AS BIGINT) AS uni_tokens,
+         |  CAST((1000000 * CAST(SUM(ws.n_pieces) AS BIGINT))
+         |    // COUNT(*) AS BIGINT) AS wp_fert_e6,
+         |  CAST((1000000 * CAST(SUM(us.n_pieces) AS BIGINT))
+         |    // COUNT(*) AS BIGINT) AS uni_fert_e6
+         |FROM dwl JOIN wsegs ws USING (w) JOIN usegs us USING (w)
+         |WHERE w <> ''
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin,
     "wordpiece_vocab" -> graft.ops.WordPiece.vocabSql,
     "wordpiece_segments" -> graft.ops.WordPiece.segmentsSql,
     "ta_tokens_wordpiece" -> graft.ops.WordPiece.tokenCountsSql,

@@ -403,6 +403,22 @@ object RelationalQueries {
         .orderBy($"hour", $"event_type")
     }),
 
+    // HOPPING (sliding) windows — the overlapping-window variant of the
+    // hourly tally: 1-hour windows every 30 minutes, so each event lands
+    // in exactly two windows. Spark's window() generator emits both
+    // epoch-aligned assignments map-side; the twin replays the
+    // assignment arithmetic on epoch microseconds.
+    "event_hopping_agg" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy(window($"ts", "1 hour", "30 minutes").as("w"),
+          $"event_type")
+        .agg(count(lit(1)).as("n"), sumMoney($"value").as("total_value"))
+        .select(date_format($"w.start", "yyyy-MM-dd HH:mm").as("w_start"),
+          $"event_type", $"n", $"total_value")
+        .orderBy($"w_start", $"event_type")
+    }),
+
     // ANALYZE-style per-column statistics — the maintenance pass that
     // feeds a cost-based optimizer and a data-quality dashboard: nulls,
     // exact NDV, min/max for four representative lineitem columns, all
@@ -667,6 +683,20 @@ object RelationalQueries {
         |WHERE r_name = 'EUROPE'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    // each event belongs to exactly two 30-min-aligned 1-hour windows:
+    // its own 30-min bucket's window and the previous bucket's
+    "event_hopping_agg" ->
+      """WITH x AS (
+        |  SELECT (epoch_us(ts) // 1800000000) * 1800000000
+        |      - i * 1800000000 AS b,
+        |    event_type, value
+        |  FROM events CROSS JOIN (VALUES (0), (1)) k(i))
+        |SELECT strftime(make_timestamp(b), '%Y-%m-%d %H:%M') AS w_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM x
+        |GROUP BY 1, 2
+        |ORDER BY w_start, event_type""".stripMargin,
     "event_hourly_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
         | event_type, COUNT(*) AS n,

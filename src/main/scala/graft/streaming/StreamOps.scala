@@ -109,6 +109,54 @@ object StreamOps {
   case class Session(user_id: Long, start: Timestamp, end: Timestamp,
     n_events: Int)
 
+  /** Per-user SCD2 state: the OPEN version (its opening event's time/id
+    * and value). */
+  case class Scd2State(since: Long, sinceId: Long, v: String)
+  case class Scd2Version(user_id: Long, valid_from_us: Long,
+      event_id: Long, status: String, valid_to_us: Long)
+
+  /** STREAMING SCD2 — the history table maintained as stream state: each
+    * user's state holds the one OPEN version; an arriving observation
+    * with a different value CLOSES it (emitting the finished
+    * [valid_from, valid_to) row downstream — append-mode, immutable) and
+    * opens the next. The closed-version stream is exactly the batch
+    * [[graft.ops.Incremental.scd2]] rows with a non-open valid_to, which
+    * is what gates it. Same run-collapse semantics: consecutive equal
+    * values extend the open version; ties order by (event time,
+    * event_id) — rows within a micro-batch are sorted on exactly that
+    * key, so one-batch execution replays the batch operator bit-for-bit.
+    * State is one row per user, ever — bounded by construction. */
+  def scd2Stream(spark: SparkSession,
+      events: DataFrame): Dataset[Scd2Version] = {
+    import spark.implicits._
+    events.withWatermark("ts", "1 hour")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Version](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[Scd2State]) =>
+          def micros(t: Timestamp): Long =
+            t.getTime * 1000 + (t.getNanos / 1000) % 1000
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var closed = List.empty[Scd2Version]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = micros(e.ts)
+            cur match {
+              case Some(s) if s.v == e.event_type => () // run continues
+              case Some(s) =>
+                closed ::= Scd2Version(user, s.since, s.sinceId, s.v, t)
+                cur = Some(Scd2State(t, e.event_id, e.event_type))
+              case None =>
+                cur = Some(Scd2State(t, e.event_id, e.event_type))
+            }
+          }
+          cur.foreach(state.update)
+          closed.reverseIterator
+      }
+  }
+
   /** Custom sessionization with `flatMapGroupsWithState`: a session closes
     * after `gapMs` of event-time inactivity; an event-time timeout emits a
     * session once the watermark passes its last event + gap. Sub-millisecond

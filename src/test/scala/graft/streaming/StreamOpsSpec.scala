@@ -154,4 +154,24 @@ class StreamOpsSpec extends SparkSpec {
         s"session $key events ${r.getInt(3)} != ${expected(key)}")
     }
   }
+
+  test("streaming SCD2 emits exactly the batch history's closed versions") {
+    val stream = StreamOps.eventsStream(spark, streamDir)
+    val got = runToMemory(
+      StreamOps.scd2Stream(spark, stream).toDF(), "scd2_stream", "append")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4))).toSet
+    val expected = graft.ops.Incremental.scd2(
+        graft.util.Tables.events(spark, eventsDir),
+        $"user_id", unix_micros($"ts"), $"event_id", $"event_type")
+      .filter($"is_current" === 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4))).toSet
+    assert(got.nonEmpty)
+    assert(got == expected,
+      s"closed-version sets differ: stream-only=${(got -- expected).take(3)}" +
+        s" batch-only=${(expected -- got).take(3)}")
+  }
 }
