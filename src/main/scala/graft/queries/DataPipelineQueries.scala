@@ -786,6 +786,32 @@ object DataPipelineQueries {
         .orderBy($"user_id", $"start_us")
     }),
 
+    // HOPPING windows EXECUTED as a stream: the overlapping-window
+    // (1 h / 30 min) variant of stream_window_exec — each event feeds
+    // two window states, the no-data batch finalizes exactly the
+    // windows whose end <= max(ts) - watermark. Same closed-form
+    // emission-set convention; state is bounded by live windows x
+    // types, not events.
+    "stream_hopping_exec" -> ((s, dir) => {
+      import s.implicits._
+      val (src, schema) = stagedEvents(s, dir)
+      val stream = s.readStream.schema(schema).parquet(src)
+      val name = s"hop_exec_${StreamExecId.incrementAndGet()}"
+      val q = stream.withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "1 hour", "30 minutes").as("w"),
+          $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+        .select(date_format($"w.start", "yyyy-MM-dd HH:mm").as("w_start"),
+          $"event_type", $"n", $"total_value")
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      drainMemorySink(s, q, name)
+        .orderBy($"w_start", $"event_type")
+    }),
+
     // SCD2 AS STREAM STATE — the history table maintained online: one
     // open version per user in flatMapGroupsWithState state (bounded by
     // user count, ever), closed [valid_from, valid_to) rows emitted
@@ -5351,6 +5377,26 @@ object DataPipelineQueries {
     // the curate twins, then the unrolled per-level split/assign chain
     // (tree) or the one-aggregation model (NB) — every number integer.
     "unigram_vocab" -> graft.ops.UnigramTok.vocabSql,
+    // two window assignments per event; emitted set = windows closed by
+    // the final watermark (end <= max ts - 10 min)
+    "stream_hopping_exec" ->
+      """WITH wm AS (
+        |  SELECT MAX(epoch_us(ts)) - 600000000 AS wm_us FROM events),
+        |x AS (
+        |  SELECT (epoch_us(ts) // 1800000000) * 1800000000
+        |      - i * 1800000000 AS ws,
+        |    event_type, value
+        |  FROM events CROSS JOIN (VALUES (0), (1)) k(i)),
+        |wins AS (
+        |  SELECT ws, event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total_value
+        |  FROM x GROUP BY 1, 2)
+        |SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M') AS w_start,
+        |  event_type, n, total_value
+        |FROM wins, wm
+        |WHERE ws + 3600000000 <= wm_us
+        |ORDER BY w_start, event_type""".stripMargin,
     // one-batch streaming SCD2 emits exactly the batch history's closed
     // versions
     "stream_scd2_exec" ->

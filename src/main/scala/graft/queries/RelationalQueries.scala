@@ -403,6 +403,66 @@ object RelationalQueries {
         .orderBy($"hour", $"event_type")
     }),
 
+    // SEMI-STRUCTURED extraction — the JSON props column parsed with a
+    // declared schema (from_json stays inside codegen and prunes to the
+    // single extracted field) and aggregated per type in exact
+    // integers. The 100-TB posture for JSON payloads: parse once with
+    // an explicit schema map-side, never string-wrangle downstream.
+    "props_json_agg" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .select($"event_type",
+          from_json($"props", lit("k BIGINT")).getField("k").as("k"))
+        .groupBy($"event_type")
+        .agg(count($"k").as("n_with_k"), sum($"k").as("sum_k"),
+          min($"k").as("min_k"), max($"k").as("max_k"))
+        .orderBy($"event_type")
+    }),
+
+    // DATA-QUALITY EXPECTATIONS — the dbt-test / Great-Expectations
+    // sweep as ONE report: not-null, accepted range, accepted values,
+    // key uniqueness, referential integrity, and a temporal business
+    // rule, each a (check, n_checked, n_violations, pass) row. Two
+    // passes total: one multi-aggregate lineitem scan for the row-local
+    // checks + one left join against orders for the relational ones —
+    // never a pass per check. Two expectations are deliberately strict
+    // enough to FAIL on this data (range_1_30, no_returns) so the
+    // report genuinely exercises both outcomes.
+    "dq_expectations" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val scan = li.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when($"l_orderkey".isNull, 1).otherwise(0)).cast("long")
+          .as("v_nn"),
+        sum(when($"l_quantity" < 1 || $"l_quantity" > 30, 1).otherwise(0))
+          .cast("long").as("v_rng"),
+        sum(when(!$"l_returnflag".isin("A", "N"), 1).otherwise(0))
+          .cast("long").as("v_acc"),
+        (count(lit(1)) -
+          count_distinct(struct($"l_orderkey", $"l_linenumber")))
+          .cast("long").as("v_dup"))
+      val joined = li.select($"l_orderkey", $"l_shipdate")
+        .join(t(s, dir, "orders").select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey", "left")
+        .agg(sum(when($"o_orderkey".isNull, 1).otherwise(0)).cast("long")
+          .as("v_fk"),
+          sum(when($"l_shipdate" < $"o_orderdate", 1).otherwise(0))
+            .cast("long").as("v_tmp"))
+      scan.crossJoin(joined).selectExpr("n_rows",
+          "stack(6, " +
+            "'lineitem.fk_orders', v_fk, " +
+            "'lineitem.l_orderkey.not_null', v_nn, " +
+            "'lineitem.l_quantity.range_1_30', v_rng, " +
+            "'lineitem.l_returnflag.no_returns', v_acc, " +
+            "'lineitem.pk_unique', v_dup, " +
+            "'lineitem.ship_after_order', v_tmp) " +
+            "AS (check_name, n_violations)")
+        .select($"check_name", $"n_rows".as("n_checked"), $"n_violations",
+          when($"n_violations" === 0, 1).otherwise(0).as("pass"))
+        .orderBy($"check_name")
+    }),
+
     // HOPPING (sliding) windows — the overlapping-window variant of the
     // hourly tally: 1-hour windows every 30 minutes, so each event lands
     // in exactly two windows. Spark's window() generator emits both
@@ -683,6 +743,52 @@ object RelationalQueries {
         |WHERE r_name = 'EUROPE'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "props_json_agg" ->
+      """SELECT event_type, COUNT(k) AS n_with_k,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events) x
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "dq_expectations" ->
+      """WITH scan AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_nn,
+        |    CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 30
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_rng,
+        |    CAST(SUM(CASE WHEN NOT (l_returnflag IN ('A', 'N'))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_acc,
+        |    CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+        |      AS BIGINT) AS v_dup
+        |  FROM lineitem),
+        |j AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_fk,
+        |    CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_tmp
+        |  FROM lineitem l LEFT JOIN orders o
+        |    ON l.l_orderkey = o.o_orderkey),
+        |x AS (
+        |  SELECT 'lineitem.fk_orders' AS check_name, n_rows,
+        |    v_fk AS n_violations FROM scan, j
+        |  UNION ALL SELECT 'lineitem.l_orderkey.not_null', n_rows, v_nn
+        |    FROM scan, j
+        |  UNION ALL SELECT 'lineitem.l_quantity.range_1_30', n_rows,
+        |    v_rng FROM scan, j
+        |  UNION ALL SELECT 'lineitem.l_returnflag.no_returns', n_rows,
+        |    v_acc FROM scan, j
+        |  UNION ALL SELECT 'lineitem.pk_unique', n_rows, v_dup
+        |    FROM scan, j
+        |  UNION ALL SELECT 'lineitem.ship_after_order', n_rows, v_tmp
+        |    FROM scan, j)
+        |SELECT check_name, n_rows AS n_checked, n_violations,
+        |  CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS pass
+        |FROM x
+        |ORDER BY check_name""".stripMargin,
     // each event belongs to exactly two 30-min-aligned 1-hour windows:
     // its own 30-min bucket's window and the previous bucket's
     "event_hopping_agg" ->
