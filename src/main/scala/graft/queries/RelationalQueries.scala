@@ -403,6 +403,43 @@ object RelationalQueries {
         .orderBy($"hour", $"event_type")
     }),
 
+    // ROLLUP — the multi-granularity OLAP aggregate: per (type, day),
+    // per type, and grand total in ONE pass (Catalyst plans the Expand
+    // + partial aggregation; no per-level rescan). NULL grouping slots
+    // are labeled 'ALL' so the three levels share one totally-ordered
+    // schema.
+    "event_rollup" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .select($"event_type",
+          date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"),
+          $"value")
+        .rollup($"event_type", $"day")
+        .agg(count(lit(1)).as("n"), sumMoney($"value").as("total_value"))
+        .select(coalesce($"event_type", lit("ALL")).as("event_type"),
+          coalesce($"day", lit("ALL")).as("day"), $"n", $"total_value")
+        .orderBy($"event_type", $"day")
+    }),
+
+    // PIVOT — event types rotated into measure columns per day (the
+    // dashboard crosstab). The value list is DECLARED, so the plan is
+    // one pass of conditional aggregation — no second pass to discover
+    // columns, which is also the only shape that scales (an undeclared
+    // pivot collects the distinct values to the driver first).
+    "event_pivot" -> ((s, dir) => {
+      import s.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val piv = events(s, dir)
+        .select(date_format(date_trunc("day", $"ts"), "yyyy-MM-dd")
+          .as("day"), $"event_type", $"value")
+        .groupBy($"day")
+        .pivot("event_type", types)
+        .agg(sum(money($"value")))
+      piv.select($"day" +: types.map(t =>
+          coalesce(col(t).cast("double"), lit(0.0)).as(t)): _*)
+        .orderBy($"day")
+    }),
+
     // SEMI-STRUCTURED extraction — the JSON props column parsed with a
     // declared schema (from_json stays inside codegen and prunes to the
     // single extracted field) and aggregated per type in exact
@@ -743,6 +780,32 @@ object RelationalQueries {
         |WHERE r_name = 'EUROPE'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "event_rollup" ->
+      """SELECT COALESCE(event_type, 'ALL') AS event_type,
+        |  COALESCE(d, 'ALL') AS day, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM (SELECT event_type,
+        |        strftime(date_trunc('day', ts), '%Y-%m-%d') AS d, value
+        |      FROM events) x
+        |GROUP BY ROLLUP(event_type, d)
+        |ORDER BY event_type, day""".stripMargin,
+    "event_pivot" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+        |    THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS click,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'error'
+        |    THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS error,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE)
+        |    AS purchase,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'signup'
+        |    THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS signup,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
+        |    THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE)
+        |    AS "view"
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY day""".stripMargin,
     "props_json_agg" ->
       """SELECT event_type, COUNT(k) AS n_with_k,
         |  CAST(SUM(k) AS BIGINT) AS sum_k,

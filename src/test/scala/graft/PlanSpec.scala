@@ -605,6 +605,23 @@ class PlanSpec extends SparkSpec {
         "as residual: " + pTj.take(1200))
   }
 
+  test("OLAP rollup and pivot are one-pass: rollup plans one scan with " +
+      "an Expand, pivot one scan of conditional aggregates, no windows") {
+    val ro = plan("event_rollup")
+    assert(ro.split("Scan parquet").length - 1 == 1,
+      "rollup must read events exactly once: " + ro.take(1200))
+    assert(ro.contains("Expand"),
+      "rollup must plan the grouping-set Expand, not per-level rescans: " +
+        ro.take(1200))
+    val pv = SparkEntry.queries("event_pivot")(spark, sf("sf0.001"))
+    val pPv = pv.queryExecution.executedPlan.toString
+    assert(pPv.split("Scan parquet").length - 1 == 1,
+      "declared-values pivot must read events exactly once: " +
+        pPv.take(1200))
+    assert(PlanSpec.collectWindows(pv.queryExecution.executedPlan).isEmpty,
+      "pivot needs no window")
+  }
+
   test("wordpiece keeps the two-pass vocabulary shape: vocab counts " +
       "combine map-side, token counts broadcast the segment table, " +
       "no windows anywhere") {
