@@ -170,6 +170,22 @@ object FlowQueries {
         .orderBy($"event_type")
     }),
 
+    // NATIVE session windows — the same gap semantics as o5_sessionize
+    // through Spark's session_window operator (the engine merges
+    // overlapping [t, t+gap) intervals per key; end = last event + gap;
+    // an event at exactly gap distance starts a NEW session — the twin
+    // replays that strict boundary with >=). One shuffle on the user
+    // key; no window function at all.
+    "event_session_window" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy(session_window($"ts", "30 minutes").as("sw"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id", unix_micros($"sw.start").as("start_us"),
+          unix_micros($"sw.end").as("end_us"), $"n_events")
+        .orderBy($"user_id", $"start_us")
+    }),
+
     // Gap-based sessionization (30-min inactivity closes a session) as
     // batch window functions; the streaming variant is
     // graft.streaming.StreamOps.sessionize.
@@ -303,6 +319,24 @@ object FlowQueries {
         |FROM hc JOIN med USING (event_type) JOIN mad USING (event_type)
         |GROUP BY hc.event_type, med, mad
         |ORDER BY hc.event_type""".stripMargin,
+    "event_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |lagd AS (
+        |  SELECT *, lag(tus) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id) AS prev FROM e),
+        |flag AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR tus - prev >= 1800000000
+        |    THEN 1 ELSE 0 END AS ns FROM lagd),
+        |sess AS (
+        |  SELECT *, SUM(ns) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sno
+        |  FROM flag)
+        |SELECT user_id, MIN(tus) AS start_us,
+        |  MAX(tus) + 1800000000 AS end_us, COUNT(*) AS n_events
+        |FROM sess
+        |GROUP BY user_id, sno
+        |ORDER BY user_id, start_us""".stripMargin,
     "o5_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),

@@ -403,6 +403,59 @@ object RelationalQueries {
         .orderBy($"hour", $"event_type")
     }),
 
+    // MOVING AGGREGATE — the trailing-7-day window over the daily
+    // series per type: n7 days observed, exact 7-day revenue sum, and
+    // the integer-cents daily average. The window runs over the DAILY
+    // LATTICE (<= days-in-range rows per type — bounded input, the
+    // Rank.asRanked convention), partitioned by type; event rows never
+    // enter a window.
+    "event_moving_sum7" -> ((s, dir) => {
+      import s.implicits._
+      val daily = events(s, dir)
+        .groupBy($"event_type",
+          date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum((money($"value") * 100).cast("long")).as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"day").rowsBetween(-6, 0)
+      daily
+        .withColumn("n7d", count(lit(1)).over(w).cast("long"))
+        .withColumn("cents7", sum($"cents").over(w))
+        .select($"event_type", $"day", $"n",
+          ($"cents7".cast("double") / 100.0).as("sum7"),
+          expr("cents7 div n7d").as("avg7_cents"))
+        .orderBy($"event_type", $"day")
+    }),
+
+    // GAP FILLING (time-series densification): the purchase-rate minute
+    // series joined onto a complete minute spine so silent minutes
+    // surface as explicit zeros — what an alerting pipeline needs (a
+    // missing row and a zero are different facts). The spine is built
+    // scale-shaped: explode DAYS first, then minutes within each day,
+    // so spine generation parallelizes by day instead of materializing
+    // one years-long array in a single task.
+    "event_minutely_dense" -> ((s, dir) => {
+      import s.implicits._
+      val pe = events(s, dir).filter($"event_type" === "purchase")
+      val m = pe.groupBy(date_trunc("minute", $"ts").as("mi"))
+        .agg(count(lit(1)).as("n"), sumMoney($"value").as("total_value"))
+      val spine = pe
+        .agg(date_trunc("minute", min($"ts")).as("lo"),
+          date_trunc("minute", max($"ts")).as("hi"))
+        .select(col("lo"), col("hi"),
+          explode(expr(
+            "sequence(date_trunc('DAY', lo), date_trunc('DAY', hi), " +
+              "interval 1 day)")).as("d"))
+        .select(explode(expr(
+          "sequence(greatest(d, lo), least(d + interval 1439 minutes, " +
+            "hi), interval 1 minute)")).as("mi"))
+      spine.join(m, Seq("mi"), "left")
+        .select(date_format($"mi", "yyyy-MM-dd HH:mm").as("minute"),
+          coalesce($"n", lit(0L)).as("n"),
+          coalesce($"total_value", lit(0.0)).as("total_value"))
+        .orderBy($"minute")
+    }),
+
     // ROLLUP — the multi-granularity OLAP aggregate: per (type, day),
     // per type, and grand total in ONE pass (Catalyst plans the Expand
     // + partial aggregation; no per-level rescan). NULL grouping slots
@@ -780,6 +833,42 @@ object RelationalQueries {
         |WHERE r_name = 'EUROPE'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "event_moving_sum7" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |mv AS (
+        |  SELECT *,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n7d,
+        |    CAST(SUM(cents) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cents7
+        |  FROM daily)
+        |SELECT event_type, day, n, CAST(cents7 AS DOUBLE) / 100.0 AS sum7,
+        |  CAST(cents7 // n7d AS BIGINT) AS avg7_cents
+        |FROM mv
+        |ORDER BY event_type, day""".stripMargin,
+    "event_minutely_dense" ->
+      """WITH pe AS (
+        |  SELECT date_trunc('minute', ts) AS mi, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT mi, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS tv
+        |  FROM pe GROUP BY 1),
+        |b AS (SELECT MIN(mi) AS lo, MAX(mi) AS hi FROM pe),
+        |spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS mi
+        |  FROM b)
+        |SELECT strftime(spine.mi, '%Y-%m-%d %H:%M') AS minute,
+        |  COALESCE(n, 0) AS n, COALESCE(tv, 0.0) AS total_value
+        |FROM spine LEFT JOIN m USING (mi)
+        |ORDER BY minute""".stripMargin,
     "event_rollup" ->
       """SELECT COALESCE(event_type, 'ALL') AS event_type,
         |  COALESCE(d, 'ALL') AS day, COUNT(*) AS n,

@@ -605,6 +605,24 @@ class PlanSpec extends SparkSpec {
         "as residual: " + pTj.take(1200))
   }
 
+  test("time-series ops keep their shapes: native session windows plan " +
+      "no window function, the moving aggregate windows only the daily " +
+      "lattice partitioned by type") {
+    val sw = SparkEntry.queries("event_session_window")(
+      spark, sf("sf0.001"))
+    assert(PlanSpec.collectWindows(sw.queryExecution.executedPlan).isEmpty,
+      "session_window must plan as the session aggregation operator, " +
+        "not a window function")
+    val mv = SparkEntry.queries("event_moving_sum7")(spark, sf("sf0.001"))
+    val ws = PlanSpec.collectWindows(mv.queryExecution.executedPlan)
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      "moving aggregate must window per type over the daily lattice")
+    val pMv = mv.queryExecution.executedPlan.toString
+    assert(pMv.contains("partial_count") || pMv.contains("partial_sum"),
+      "daily pre-aggregation must combine map-side before the window: " +
+        pMv.take(1200))
+  }
+
   test("OLAP rollup and pivot are one-pass: rollup plans one scan with " +
       "an Expand, pivot one scan of conditional aggregates, no windows") {
     val ro = plan("event_rollup")
