@@ -474,6 +474,39 @@ object RelationalQueries {
         .orderBy($"event_type", $"day")
     }),
 
+    // CUBE — all four grouping sets ((type, day), (type), (day), ()) in
+    // the same one-scan Expand plan; the (ALL, day) marginal is what
+    // CUBE adds over ROLLUP.
+    "event_cube" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .select($"event_type",
+          date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"),
+          $"value")
+        .cube($"event_type", $"day")
+        .agg(count(lit(1)).as("n"), sumMoney($"value").as("total_value"))
+        .select(coalesce($"event_type", lit("ALL")).as("event_type"),
+          coalesce($"day", lit("ALL")).as("day"), $"n", $"total_value")
+        .orderBy($"event_type", $"day")
+    }),
+
+    // SQL set operations on content fingerprints — INTERSECT / EXCEPT
+    // (both directions) / UNION between two corpus slices as one
+    // four-count reconciliation row (the report comparing two ingests).
+    // Set ops plan as distinct-aggregated semi/anti joins on the md5
+    // key — document text never reaches them.
+    "set_ops_docs" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val a = docs.filter($"doc_id" % 2 === 0).select(md5($"text").as("fp"))
+      val b = docs.filter($"doc_id" % 3 === 0).select(md5($"text").as("fp"))
+      val inter = a.intersect(b).agg(count(lit(1)).as("n_intersect"))
+      val exAb = a.except(b).agg(count(lit(1)).as("n_except_a_b"))
+      val exBa = b.except(a).agg(count(lit(1)).as("n_except_b_a"))
+      val uni = a.union(b).distinct().agg(count(lit(1)).as("n_union"))
+      inter.crossJoin(exAb).crossJoin(exBa).crossJoin(uni)
+    }),
+
     // PIVOT — event types rotated into measure columns per day (the
     // dashboard crosstab). The value list is DECLARED, so the plan is
     // one pass of conditional aggregation — no second pass to discover
@@ -878,6 +911,29 @@ object RelationalQueries {
         |      FROM events) x
         |GROUP BY ROLLUP(event_type, d)
         |ORDER BY event_type, day""".stripMargin,
+    "event_cube" ->
+      """SELECT COALESCE(event_type, 'ALL') AS event_type,
+        |  COALESCE(d, 'ALL') AS day, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM (SELECT event_type,
+        |        strftime(date_trunc('day', ts), '%Y-%m-%d') AS d, value
+        |      FROM events) x
+        |GROUP BY CUBE(event_type, d)
+        |ORDER BY event_type, day""".stripMargin,
+    "set_ops_docs" ->
+      """WITH a AS (SELECT md5(text) AS fp FROM documents
+        |           WHERE doc_id % 2 = 0),
+        |b AS (SELECT md5(text) AS fp FROM documents WHERE doc_id % 3 = 0),
+        |i AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_intersect
+        |      FROM (SELECT fp FROM a INTERSECT SELECT fp FROM b) x),
+        |eab AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_except_a_b
+        |        FROM (SELECT fp FROM a EXCEPT SELECT fp FROM b) x),
+        |eba AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_except_b_a
+        |        FROM (SELECT fp FROM b EXCEPT SELECT fp FROM a) x),
+        |u AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_union
+        |      FROM (SELECT fp FROM a UNION SELECT fp FROM b) x)
+        |SELECT n_intersect, n_except_a_b, n_except_b_a, n_union
+        |FROM i, eab, eba, u""".stripMargin,
     "event_pivot" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |  CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
