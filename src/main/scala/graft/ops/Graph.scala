@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 /** Graph analytics kernels over a weighted directed edge list
   * `(src, dst, w, outw)` where `outw` is the total outgoing weight of
   * `src`. Implemented from the public algorithms (PageRank: Page et al.
-  * 1999, "The PageRank Citation Ranking"; triangle counting: the
-  * node-iterator family, Schank & Wagner 2005) in exact fixed-point
-  * integer arithmetic so the DuckDB oracle replays bit-identically.
+  * 1999, "The PageRank Citation Ranking") in exact fixed-point integer
+  * arithmetic; the `graph_pagerank` gate's DuckDB oracle replays the
+  * three unrolled iterations bit-identically, and GraphSpec checks the
+  * kernel against an in-memory reference loop.
   *
   * Reference scope: the reference engine (MergeExtractor) has no graph
   * surface — this is extension tier for training-data pipelines, where

@@ -75,7 +75,12 @@ object Incremental {
         when(col("__op").isNull, "kept")
           .when(col("__op") === "I", "inserted")
           .otherwise("updated").as("origin"),
-        coalesce(col("__lp"), col("__bp")).as(payload))
+        // payload selected BY OP, never coalesced: a winning U/I row
+        // whose payload is legitimately NULL must null the column, not
+        // silently keep the stale base value (NULL updates are real
+        // updates, not no-ops)
+        when(col("__op").isNull, col("__bp"))
+          .otherwise(col("__lp")).as(payload))
   }
 
   /** SCD2 (type-2 slowly-changing-dimension) history from an

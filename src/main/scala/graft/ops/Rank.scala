@@ -97,9 +97,14 @@ object Rank {
     * persisted ANN indexes (Similarity.writeIvfIndex/writeLshIndex):
     * postings `(term, doc_id, dl, tf)` written `partitionBy(bucket)`
     * where bucket = xxhash64(term) mod `nBuckets`, plus a one-row corpus
-    * stats sidecar (N, sum dl). At scale a query reads ONLY its terms'
-    * buckets — ~|queryTerms|/nBuckets of the index — and never the
-    * corpus text. The build is the standard explode -> map-side-combined
+    * stats sidecar (N, sum dl) and a DOC MAP sidecar `(doc_id, dl)` —
+    * one row per indexed document. At scale a query reads ONLY its
+    * terms' buckets — ~|queryTerms|/nBuckets of the index — and never
+    * the corpus text; the doc map is what lets appends check doc-id
+    * disjointness EXACTLY and deletes recover length mass WITHOUT a
+    * postings scan (it is O(n_docs) rows vs the postings' O(n_docs x
+    * distinct terms), and both membership probes broadcast the batch
+    * side). The build is the standard explode -> map-side-combined
     * (term, doc, tf) aggregation; `text` must be single-space tokenized
     * (the corpus normal form, same contract as [[bm25TopK]]). */
   def writeInvertedIndex(docs: DataFrame, id: String, text: String,
@@ -110,12 +115,15 @@ object Rank {
     // sidecar carries the bucket GEOMETRY (asserted on append — an
     // append with a different nBuckets would silently split terms across
     // inconsistent bucket numbering that query pruning then misses) and
-    // the max doc_id (the append-disjointness watermark)
+    // the max doc_id (informational watermark; disjointness is checked
+    // exactly against the doc map, so out-of-order corpora can append)
     profiled.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl"),
         lit(nBuckets).as("n_buckets"),
         coalesce(max(col("doc_id").cast("long")), lit(-1L)).as("max_doc_id"))
       .coalesce(1).write.mode("overwrite").parquet(path + "/stats")
+    profiled.select(col("doc_id").cast("long").as("doc_id"), col("dl"))
+      .write.mode("overwrite").parquet(path + "/docs")
     profiled.select(col("doc_id"), col("dl"), explode(col("__ws")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
@@ -124,13 +132,20 @@ object Rank {
       .write.mode("overwrite").partitionBy("bucket").parquet(path + "/postings")
   }
 
-  /** Replace the one-row stats sidecar via write-to-temp + rename swap:
-    * the swap is the COMMIT POINT of every index mutation (append /
-    * delete) — postings/tombstones are written first and become visible
-    * only when the sidecar lands, so a failure mid-mutation leaves the
-    * old sidecar intact (a re-run re-stages; nothing is half-counted),
-    * and a crash can never leave a torn sidecar the way an in-place
-    * parquet overwrite could. */
+  /** Replace the one-row stats sidecar via write-to-temp + rename swap.
+    * The swap is the COMMIT POINT of every index mutation (append /
+    * delete) in the SINGLE-WRITER, NO-CONCURRENT-READER sense: postings
+    * / doc-map / tombstone rows are written first and the sidecar lands
+    * last, so a crash mid-mutation leaves the OLD sidecar intact — the
+    * mutation visibly did not commit (stats unchanged) rather than
+    * being silently half-counted, and the staged rows must be cleaned
+    * (or the store rebuilt) before retrying, because re-running the
+    * mutation verbatim would stage its rows a second time. It is NOT a
+    * snapshot-isolation guarantee: a reader racing the mutation can see
+    * appended postings or tombstones before the matching stats, and the
+    * swap itself has a two-rename window where /stats is briefly
+    * absent. Serialize readers against mutations (the maintenance
+    * discipline every gate and spec follows). */
   private def swapStats(spark: org.apache.spark.sql.SparkSession,
       path: String, row: DataFrame): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -168,25 +183,35 @@ object Rank {
     // empty-batch-safe: sums aggregate to NULL on zero rows
     val batch = profiled.agg(count(lit(1)).cast("long").as("n"),
       coalesce(sum(col("dl").cast("long")), lit(0L)).as("s"),
-      coalesce(min(col("doc_id").cast("long")), lit(Long.MaxValue)).as("lo"),
       coalesce(max(col("doc_id").cast("long")), lit(-1L)).as("hi"))
       .collect()(0)
     val old = spark.read.parquet(path + "/stats").collect()(0)
     require(old.getAs[Int]("n_buckets") == nBuckets,
       s"append with nBuckets=$nBuckets against an index built with " +
         s"${old.getAs[Int]("n_buckets")} — bucket numbering would diverge")
-    // disjointness watermark: re-appending already-indexed ids would
-    // double-count df/tf silently
-    require(batch.getLong(0) == 0L ||
-      batch.getAs[Long]("lo") > old.getAs[Long]("max_doc_id"),
-      s"append batch doc_ids start at ${batch.getAs[Long]("lo")} but the " +
-        s"index already covers up to ${old.getAs[Long]("max_doc_id")}")
+    // EXACT disjointness: re-appending an already-indexed id would
+    // double-count df/tf silently. A semi-join against the doc-map
+    // sidecar (one row per indexed doc — never the postings) admits any
+    // id ORDER, unlike a max-id watermark that would also reject
+    // legitimate out-of-order corpora. Tombstoned ids are still present
+    // in the doc map until compaction and are refused too — correct,
+    // because the query-time tombstone anti-join would silently erase a
+    // re-added doc; compact first, then re-append.
+    val overlap = spark.read.parquet(path + "/docs")
+      .join(profiled.select(col("doc_id").cast("long").as("doc_id")),
+        Seq("doc_id"))
+      .count()
+    require(overlap == 0L,
+      s"append batch re-uses $overlap doc_id(s) already in the index " +
+        "(or tombstoned, pending compaction)")
     profiled.select(col("doc_id"), col("dl"), explode(col("__ws")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket",
         pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
       .write.mode("append").partitionBy("bucket").parquet(path + "/postings")
+    profiled.select(col("doc_id").cast("long").as("doc_id"), col("dl"))
+      .write.mode("append").parquet(path + "/docs")
     import spark.implicits._
     // sidecar swap LAST = the mutation's commit point (see swapStats)
     swapStats(spark, path, Seq((old.getAs[Long]("n_docs") + batch.getLong(0),
@@ -205,27 +230,39 @@ object Rank {
     * adjusted sidecar). The deferred rewrite is
     * [[compactInvertedIndex]].
     *
-    * Cost note: recovering the deleted docs' length mass scans the
-    * postings once (term-hash partitioning cannot prune a doc-id
-    * predicate), so deletes should be BATCHED — one scan amortizes over
-    * the whole batch, the same discipline as the compaction itself. */
+    * Cost note: the deleted docs' length mass comes from the doc-map
+    * sidecar (one row per doc), NEVER a postings scan — term-hash
+    * partitioning cannot prune a doc-id predicate, so probing postings
+    * would read the whole index; the doc map is O(n_docs) rows and the
+    * delete batch broadcasts against it. Re-deleting an id that is
+    * already tombstoned is REFUSED (it would subtract its stats mass a
+    * second time, silently corrupting N/avgdl for every later query). */
   def deleteFromInvertedIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, ids: Seq[Long]): Unit = {
     import spark.implicits._
     if (ids.isEmpty) return
-    // the deleted docs' (doc_id, dl) — one partition-pruned-by-nothing
-    // but term-deduped probe; bounded by the delete batch
-    val gone = spark.read.parquet(path + "/postings")
-      .filter(col("doc_id").isInCollection(ids))
-      .select(col("doc_id"), col("dl")).distinct()
+    val idsDf = ids.distinct.toDF("doc_id")
+    val tombPath = new org.apache.hadoop.fs.Path(path + "/tombstones")
+    if (tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(tombPath)) {
+      val dup = spark.read.parquet(tombPath.toString)
+        .join(broadcast(idsDf), Seq("doc_id")).count()
+      require(dup == 0L,
+        s"delete batch re-names $dup doc_id(s) already tombstoned — " +
+          "re-deleting would subtract their stats mass twice")
+    }
+    // the deleted docs' (doc_id, dl) from the doc-map sidecar; bounded
+    // by the delete batch (the doc map keeps tombstoned ids until
+    // compaction, so presence here + the tombstone check above = alive)
+    val gone = spark.read.parquet(path + "/docs")
+      .join(broadcast(idsDf), Seq("doc_id"))
       .agg(count(lit(1)).as("n"),
         coalesce(sum(col("dl").cast("long")), lit(0L)).as("s")).collect()(0)
     require(gone.getLong(0) == ids.distinct.size,
       s"delete batch names ${ids.distinct.size} doc_ids but only " +
         s"${gone.getLong(0)} are in the index")
     val old = spark.read.parquet(path + "/stats").collect()(0)
-    ids.distinct.toDF("doc_id")
-      .coalesce(1).write.mode("append").parquet(path + "/tombstones")
+    idsDf.coalesce(1).write.mode("append").parquet(path + "/tombstones")
     // sidecar swap LAST = commit point
     swapStats(spark, path, Seq((old.getAs[Long]("n_docs") - gone.getLong(0),
         old.getAs[Long]("sum_dl") - gone.getLong(1),
@@ -235,11 +272,17 @@ object Rank {
 
   /** COMPACT a tombstoned index: rewrite ONLY the bucket partitions that
     * contain deleted postings (dynamic partition overwrite — untouched
-    * buckets keep their files), drop the tombstone table, done. Query
-    * results are unchanged (the gate pins hash equality before/after);
-    * the win is the dropped tombstone anti-join and the reclaimed
-    * files. The survivors are localCheckpointed before the overwrite —
-    * Spark refuses to overwrite a path it is concurrently reading. */
+    * buckets keep their files), drop the dead ids from the doc-map
+    * sidecar (which un-reserves them — a compacted id may legally
+    * re-append), drop the tombstone table, done. Query results are
+    * unchanged (the gate pins hash equality before/after); the win is
+    * the dropped tombstone anti-join and the reclaimed files. The
+    * survivors are localCheckpointed before the overwrite — Spark
+    * refuses to overwrite a path it is concurrently reading. Crash
+    * ordering: the tombstone table is deleted LAST, so a compaction
+    * that dies mid-rewrite leaves the tombstones masking whatever
+    * postings/doc-map state it reached, and re-running it converges
+    * (the anti-joins of already-removed ids are no-ops). */
   def compactInvertedIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -270,6 +313,11 @@ object Rank {
       }
       survivors.unpersist()
     }
+    val liveDocs = spark.read.parquet(path + "/docs")
+      .join(dead, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    liveDocs.write.mode("overwrite").parquet(path + "/docs")
+    liveDocs.unpersist()
     fs.delete(tomb, true)
   }
 

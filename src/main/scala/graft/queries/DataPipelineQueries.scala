@@ -1729,6 +1729,29 @@ object DataPipelineQueries {
         terms = Seq("spark", "join", "window"), k = 20)
     }),
 
+    // OUT-OF-ORDER append: build on the INTERLEAVED doc_id % 3 != 1
+    // slice, then append the % 3 == 1 slice — ids strictly BELOW and
+    // BETWEEN already-indexed ones, the ingest order a max-id watermark
+    // would wrongly refuse. Disjointness is checked exactly against the
+    // doc-map sidecar (one row per doc, batch broadcast — never a
+    // postings scan), so arrival order stops being a correctness
+    // constraint. Same full-corpus oracle: append order must not move
+    // a bit.
+    "bm25_index_ooo" -> ((s, dir) => {
+      import s.implicits._
+      val (path, _) = builtIndex("bm25-idx-ooo", dir) { p =>
+        Rank.writeInvertedIndex(
+          t(s, dir, "documents").filter($"doc_id" % 3 =!= 1),
+          "doc_id", "text", p)
+        Rank.appendInvertedIndex(s,
+          t(s, dir, "documents").filter($"doc_id" % 3 === 1),
+          "doc_id", "text", p)
+        Array.empty
+      }
+      Rank.bm25IndexedTopK(s, path,
+        terms = Seq("spark", "join", "window"), k = 20)
+    }),
+
     // Index MAINTENANCE, delete half: tombstone the first 100 doc_ids
     // (no postings rewrite — query-time anti-join + sidecar mass
     // subtraction), then query. Gated with the oracle over the SURVIVING
@@ -4993,6 +5016,8 @@ object DataPipelineQueries {
     // build+append must equal the from-scratch build, so the full-corpus
     // twin gates the incremental path too.
     "bm25_index_updated" -> bm25OracleSql(),
+    // out-of-order append is still just build(old ∪ new): same twin
+    "bm25_index_ooo" -> bm25OracleSql(),
     // delete/compact twins: from-scratch BM25 over the surviving corpus
     "bm25_index_deleted" -> bm25OracleSql(
       where = "WHERE doc_id >= 100"),

@@ -186,6 +186,32 @@ object FlowQueries {
         .orderBy($"user_id", $"start_us")
     }),
 
+    // PAGERANK over the part co-purchase graph — the link-structure
+    // ranking shape a training-data pipeline uses to weight documents
+    // by citation/link graphs. Edges: parts co-occurring in the same
+    // order (one equi-shuffle self-join on the order key; pair volume
+    // is bounded by per-order line count squared — ≤ 7² in TPC-H-shaped
+    // data — so it grows linearly with orders). The graph is symmetric
+    // by construction (each pair lands in both directions), so every
+    // node has out-edges and no dangling-mass term is needed. Three
+    // exact-integer iterations (fixed-point 1e12 mass, floor division
+    // at the two points the oracle mirrors with //); per-round
+    // localCheckpoint keeps the plan constant-size — the distributed
+    // PageRank shape that survives any node count.
+    "graph_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      val edges0 = pairs.groupBy($"src", $"dst")
+        .agg(count(lit(1)).as("w"))
+      val outw = edges0.groupBy($"src").agg(sum($"w").as("outw"))
+      graft.ops.Graph.pagerank(edges0.join(outw, "src"), iters = 3)
+        .orderBy($"node")
+    }),
+
     // Gap-based sessionization (30-min inactivity closes a session) as
     // batch window functions; the streaming variant is
     // graft.streaming.StreamOps.sessionize.
@@ -214,6 +240,49 @@ object FlowQueries {
     // The stub fetch body is 'Document for <url>' wrapped in one <p>, the
     // cleaning chain reduces it back to that line, and validation keeps
     // exactly the branches whose names occur in the lowercased URL
+    // Exact-integer PageRank replay: same edge build, same floor
+    // divisions (// mirrors Spark's div on these nonnegative
+    // quantities), three unrolled iterations.
+    "graph_pagerank" ->
+      """WITH e0 AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        |    CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  GROUP BY a.l_partkey, b.l_partkey),
+        |ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw
+        |       FROM e0 GROUP BY src),
+        |e AS (SELECT e0.src, e0.dst, e0.w, ow.outw
+        |      FROM e0 JOIN ow ON e0.src = ow.src),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |k AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |        1000000000000 // CAST(COUNT(*) AS BIGINT) AS init,
+        |        (15 * (1000000000000 // CAST(COUNT(*) AS BIGINT))) // 100
+        |          AS base
+        |      FROM nodes),
+        |pr0 AS (SELECT node, init AS pr FROM nodes CROSS JOIN k),
+        |c1 AS (SELECT e.dst AS node,
+        |         CAST(SUM((p.pr * e.w) // e.outw) AS BIGINT) AS contrib
+        |       FROM e JOIN pr0 p ON e.src = p.node GROUP BY e.dst),
+        |pr1 AS (SELECT nd.node,
+        |          base + (85 * COALESCE(c1.contrib, 0)) // 100 AS pr
+        |        FROM nodes nd CROSS JOIN k
+        |        LEFT JOIN c1 ON nd.node = c1.node),
+        |c2 AS (SELECT e.dst AS node,
+        |         CAST(SUM((p.pr * e.w) // e.outw) AS BIGINT) AS contrib
+        |       FROM e JOIN pr1 p ON e.src = p.node GROUP BY e.dst),
+        |pr2 AS (SELECT nd.node,
+        |          base + (85 * COALESCE(c2.contrib, 0)) // 100 AS pr
+        |        FROM nodes nd CROSS JOIN k
+        |        LEFT JOIN c2 ON nd.node = c2.node),
+        |c3 AS (SELECT e.dst AS node,
+        |         CAST(SUM((p.pr * e.w) // e.outw) AS BIGINT) AS contrib
+        |       FROM e JOIN pr2 p ON e.src = p.node GROUP BY e.dst),
+        |pr3 AS (SELECT nd.node,
+        |          base + (85 * COALESCE(c3.contrib, 0)) // 100 AS pr
+        |        FROM nodes nd CROSS JOIN k
+        |        LEFT JOIN c3 ON nd.node = c3.node)
+        |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin,
     // (directly, or via the hyphen fallback for doc_id % 4 = 2).
     "s3_validated_docs" ->
       """WITH c AS (

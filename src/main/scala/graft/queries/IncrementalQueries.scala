@@ -87,16 +87,31 @@ object IncrementalQueries {
           .coalesce(1).write.parquet(p))
       val deltaStaged = events(s, dir).filter($"event_id" % 4 === 3)
         .select($"event_id", $"ts", $"event_type", $"value")
-      val deltaSrc = staged("aggview-delta-src", dir)(
-        deltaStaged.coalesce(1).write.parquet(_))
+      // staged as TWO files + maxFilesPerTrigger=1 so the delta really
+      // arrives as two micro-batches — the merge below must be
+      // CUMULATIVE (each batch folds into the PREVIOUS merged view, not
+      // the immutable base store) or all but the last batch would drop
+      val deltaSrc = staged("aggview-delta-src2", dir)(
+        deltaStaged.repartition(2).write.parquet(_))
       // fresh output store per invocation: the merge must not compound
       // across bench repetitions
       val outPath = graft.util.TempDirs.create("aggview-out") + "/data"
-      val stream = s.readStream.schema(deltaStaged.schema).parquet(deltaSrc)
+      val outHPath = new org.apache.hadoop.fs.Path(outPath)
+      val fs = outHPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stream = s.readStream.schema(deltaStaged.schema)
+        .option("maxFilesPerTrigger", 1).parquet(deltaSrc)
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val partials = hourlyAgg(batch)
-          Incremental.mergeAggView(s.read.parquet(storePath), partials,
+          // cumulative: fold into the previously merged view (first
+          // batch starts from the base store); the previous view is
+          // localCheckpoint-materialized before the overwrite so the
+          // read never races its own sink. Merge order cannot move a
+          // bit — the measures are exact monoids (long / DECIMAL).
+          val prev =
+            if (fs.exists(outHPath)) s.read.parquet(outPath).localCheckpoint()
+            else s.read.parquet(storePath)
+          Incremental.mergeAggView(prev, partials,
               Seq("hour", "event_type"), "n", Seq("total_value"))
             .coalesce(1).write.mode("overwrite").parquet(outPath)
         }
@@ -296,7 +311,8 @@ object IncrementalQueries {
         |  CASE WHEN latest.op IS NULL THEN 'kept'
         |       WHEN latest.op = 'I' THEN 'inserted'
         |       ELSE 'updated' END AS origin,
-        |  md5(COALESCE(latest.text, v1.text)) AS fp
+        |  md5(CASE WHEN latest.op IS NULL THEN v1.text
+        |           ELSE latest.text END) AS fp
         |FROM v1 FULL OUTER JOIN latest ON v1.doc_id = latest.doc_id
         |WHERE latest.op IS NULL OR latest.op <> 'D'
         |ORDER BY doc_id""".stripMargin,

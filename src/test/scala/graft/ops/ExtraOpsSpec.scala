@@ -219,6 +219,73 @@ class ExtraOpsSpec extends SparkSpec {
     assert(after == before, "compaction moved a score")
   }
 
+  test("BM25 out-of-order append: ids below/between indexed ones are " +
+      "accepted and build+append == from-scratch build") {
+    val docs = Seq(
+      (1L, "cat dog bird"),
+      (2L, "cat cat cat cat bird fish"),
+      (3L, "dog fish bird frog owl pig hen cow fox elk"),
+      (4L, "fish bird frog")).toDF("doc_id", "text")
+    val incr = graft.util.TempDirs.create("bm25-ooo-spec") + "/idx"
+    // build on the HIGH ids, append the LOW/interleaved ones — the order
+    // a max-id watermark would refuse; exact doc-map disjointness admits it
+    Rank.writeInvertedIndex(docs.filter($"doc_id" % 2 === 0),
+      "doc_id", "text", incr, nBuckets = 8)
+    Rank.appendInvertedIndex(spark, docs.filter($"doc_id" % 2 === 1),
+      "doc_id", "text", incr, nBuckets = 8)
+    val full = graft.util.TempDirs.create("bm25-ooo-full") + "/idx"
+    Rank.writeInvertedIndex(docs, "doc_id", "text", full, nBuckets = 8)
+    val got = Rank.bm25IndexedTopK(spark, incr,
+      terms = Seq("cat", "fish"), k = 10, nBuckets = 8).collect().toSeq
+    val want = Rank.bm25IndexedTopK(spark, full,
+      terms = Seq("cat", "fish"), k = 10, nBuckets = 8).collect().toSeq
+    assert(got == want, s"ooo $got vs full $want")
+  }
+
+  test("BM25 delete guards: re-deleting a tombstoned id is refused " +
+      "(stats mass must not subtract twice); re-append legal only " +
+      "after compaction") {
+    val docs = Seq(
+      (1L, "cat dog bird"),
+      (2L, "cat cat cat cat bird fish"),
+      (3L, "dog fish bird frog")).toDF("doc_id", "text")
+    val path = graft.util.TempDirs.create("bm25-redel-spec") + "/idx"
+    Rank.writeInvertedIndex(docs, "doc_id", "text", path, nBuckets = 8)
+    Rank.deleteFromInvertedIndex(spark, path, Seq(2L))
+    val st = spark.read.parquet(path + "/stats")
+      .select("n_docs", "sum_dl").as[(Long, Long)].head()
+    assert(st == ((2L, 3L + 4L)))
+    // double delete: refused, sidecar untouched
+    intercept[IllegalArgumentException](
+      Rank.deleteFromInvertedIndex(spark, path, Seq(2L, 3L)))
+    val st2 = spark.read.parquet(path + "/stats")
+      .select("n_docs", "sum_dl").as[(Long, Long)].head()
+    assert(st2 == st, "refused delete must not move the sidecar")
+    // re-appending a tombstoned id: refused (the tombstone anti-join
+    // would silently erase the re-added doc at query time)
+    intercept[IllegalArgumentException](Rank.appendInvertedIndex(spark,
+      Seq((2L, "cat again")).toDF("doc_id", "text"), "doc_id", "text",
+      path, nBuckets = 8))
+    // after compaction the id is un-reserved and re-append is legal
+    Rank.compactInvertedIndex(spark, path)
+    Rank.appendInvertedIndex(spark,
+      Seq((2L, "cat again")).toDF("doc_id", "text"), "doc_id", "text",
+      path, nBuckets = 8)
+    val st3 = spark.read.parquet(path + "/stats")
+      .select("n_docs", "sum_dl").as[(Long, Long)].head()
+    assert(st3 == ((3L, 3L + 4L + 2L)))
+    val fresh = graft.util.TempDirs.create("bm25-redel-fresh") + "/idx"
+    Rank.writeInvertedIndex(
+      docs.filter($"doc_id" =!= 2L)
+        .unionByName(Seq((2L, "cat again")).toDF("doc_id", "text")),
+      "doc_id", "text", fresh, nBuckets = 8)
+    val got = Rank.bm25IndexedTopK(spark, path,
+      terms = Seq("cat", "dog"), k = 10, nBuckets = 8).collect().toSeq
+    val want = Rank.bm25IndexedTopK(spark, fresh,
+      terms = Seq("cat", "dog"), k = 10, nBuckets = 8).collect().toSeq
+    assert(got == want, s"delete+compact+reappend $got vs fresh $want")
+  }
+
   test("RRF: fused score is sum of 1/(c+rank), missing list = 0, union kept") {
     val lex = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("doc_id", "rank")
     val vec = Seq((11L, 1), (13L, 2)).toDF("doc_id", "rank")

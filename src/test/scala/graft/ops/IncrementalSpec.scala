@@ -51,6 +51,18 @@ class IncrementalSpec extends SparkSpec {
       Row(5L, "kept", "p5"), Row(6L, "inserted", "p6")))
   }
 
+  test("applyChangelog: a winning update with NULL payload NULLS the " +
+      "column — it is a real update, not a no-op") {
+    val base = Seq((1L, "p1"), (2L, "p2")).toDF("id", "pl")
+    val log = Seq((2L, 1L, "U", null.asInstanceOf[String]))
+      .toDF("id", "seq", "op", "pl")
+    val out = Incremental.applyChangelog(base, log, "id", "pl")
+      .orderBy($"id").collect()
+    assert(out.toSeq == Seq(
+      Row(1L, "kept", "p1"), Row(2L, "updated", null)),
+      "NULL update must not resurrect the stale base payload")
+  }
+
   test("scd2: run-length collapse, tie timestamps total-ordered by " +
       "tiebreak, open current version") {
     val ev = Seq(
