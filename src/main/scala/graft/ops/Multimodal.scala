@@ -22,10 +22,18 @@ import org.apache.spark.sql.functions._
   * referees both directions against the JDK's independent
   * `javax.sound.sampled.AudioSystem` WAV codec.
   *
-  * The VIDEO path remains a clearly-marked STUB (no video codec
-  * libraries in this container): deterministic fake dimensions derived
-  * from the payload bytes. The Spark-side plumbing is identical for all
-  * three —
+  * The VIDEO path is REAL as well: payloads are spec-valid YUV4MPEG2
+  * (Y4M) streams — the uncompressed interchange format every ffmpeg
+  * build emits, hand-parseable with zero codec deps: an ASCII header
+  * `YUV4MPEG2 W<w> H<h> F<num>:<den> ...` followed by `FRAME\n`-marked
+  * raw 4:2:0 planes ([[y4mEncode]], JDK primitives only). The decoder
+  * ([[y4mProbe]]) parses the header tags by byte arithmetic and then
+  * WALKS the frame markers — the frame count is genuinely counted
+  * against the plane geometry, never read from a header field (Y4M has
+  * none), and the exact integer duration derives from the counted
+  * frames x the header's rational frame rate. MultimodalSpec referees
+  * both directions against an independently-written string-based
+  * parser. The Spark-side plumbing is identical for all three —
   * binary schema, typed Datasets, `mapPartitions` batching with a
   * lazily-initialized per-partition decoder (the executor-singleton
   * pattern used for real codecs/models), and explode-based frame
@@ -187,6 +195,111 @@ object Multimodal {
     (rate, channels, nSamples, nSamples * 1000000L / rate)
   }
 
+  // Video params derived the same way (oracle re-derives from
+  // length(text); the gate proves Y4M encode->probe round-trips them).
+  // Dims are EVEN (4:2:0 chroma subsampling halves both axes); frame
+  // rate is fixed 25:1 so the per-frame duration is an exact 40000 us.
+  private[ops] def videoParams(nChars: Int): (Int, Int, Int) =
+    (16 + (nChars % 8) * 2,  // width
+      8 + (nChars % 6) * 2,  // height
+      1 + nChars % 7)        // frames
+
+  /** Build a spec-valid YUV4MPEG2 stream: ASCII stream header
+    * `YUV4MPEG2 W<w> H<h> F<num>:<den> Ip A1:1 C420jpeg\n`, then per
+    * frame a `FRAME\n` marker followed by raw 8-bit 4:2:0 planes
+    * (Y w x h, then U and V at w/2 x h/2) with deterministic non-zero
+    * samples. JDK-only byte arithmetic; MultimodalSpec referees the
+    * output against an independently-written parser. */
+  def y4mEncode(width: Int, height: Int, nFrames: Int,
+      fpsNum: Int = 25, fpsDen: Int = 1): Array[Byte] = {
+    require(width > 0 && width % 2 == 0 && height > 0 && height % 2 == 0,
+      s"4:2:0 needs even dims, got ${width}x$height")
+    require(nFrames > 0 && fpsNum > 0 && fpsDen > 0,
+      s"bad y4m params $nFrames@$fpsNum:$fpsDen")
+    val frameBytes = width * height + 2 * (width / 2) * (height / 2)
+    val header = s"YUV4MPEG2 W$width H$height F$fpsNum:$fpsDen Ip A1:1 C420jpeg\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val marker = "FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = java.nio.ByteBuffer.allocate(
+      header.length + nFrames * (marker.length + frameBytes))
+    out.put(header)
+    var f = 0
+    while (f < nFrames) {
+      out.put(marker)
+      var i = 0
+      while (i < frameBytes) { // deterministic non-zero plane samples
+        out.put(((i * 31 + f * 17) % 251).toByte)
+        i += 1
+      }
+      f += 1
+    }
+    out.array()
+  }
+
+  /** REAL Y4M probe: parse the stream-header tags (W/H/F required, C
+    * must be a 4:2:0 family when present) by byte arithmetic, then WALK
+    * the `FRAME` markers — each must be followed by exactly
+    * w*h + 2*(w/2)*(h/2) plane bytes — counting frames until the
+    * payload ends exactly on a frame boundary. Returns (width, height,
+    * fpsNum, fpsDen, nFrames). Header-walk only — plane bytes are
+    * skipped, not decoded — the O(frames) metadata pass an ingest
+    * pipeline runs before any pixel work. */
+  def y4mProbe(payload: Array[Byte]): (Int, Int, Int, Int, Int) = {
+    val magic = "YUV4MPEG2"
+    require(payload.length > magic.length + 1 &&
+      (0 until magic.length).forall(i => payload(i) == magic.charAt(i).toByte),
+      "not a Y4M: bad magic")
+    var eol = magic.length
+    while (eol < payload.length && payload(eol) != '\n') eol += 1
+    require(eol < payload.length, "not a Y4M: unterminated stream header")
+    var w = -1; var h = -1; var num = -1; var den = -1
+    var p = magic.length
+    while (p < eol) {
+      require(payload(p) == ' ', "not a Y4M: malformed header tag")
+      p += 1
+      val tag = payload(p).toChar
+      p += 1
+      val start = p
+      while (p < eol && payload(p) != ' ') p += 1
+      val v = new String(payload, start, p - start,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      tag match {
+        case 'W' => w = v.toInt
+        case 'H' => h = v.toInt
+        case 'F' =>
+          val colon = v.indexOf(':')
+          require(colon > 0, s"not a Y4M: frame rate '$v'")
+          num = v.substring(0, colon).toInt
+          den = v.substring(colon + 1).toInt
+        case 'C' => require(v.startsWith("420"),
+          s"unsupported Y4M chroma '$v' (only 4:2:0 here)")
+        case _ => // I/A/X tags: irrelevant to the probe
+      }
+    }
+    require(w > 0 && w % 2 == 0 && h > 0 && h % 2 == 0,
+      s"not a Y4M: bad dims ${w}x$h")
+    require(num > 0 && den > 0, s"not a Y4M: bad frame rate $num:$den")
+    val frameBytes = w * h + 2 * (w / 2) * (h / 2)
+    var off = eol + 1
+    var frames = 0
+    val fm = "FRAME"
+    while (off < payload.length) {
+      require(off + fm.length <= payload.length &&
+        (0 until fm.length).forall(i => payload(off + i) == fm.charAt(i).toByte),
+        s"not a Y4M: missing FRAME marker at $off")
+      off += fm.length
+      while (off < payload.length && payload(off) != '\n') off += 1
+      require(off < payload.length, "not a Y4M: unterminated frame header")
+      off += 1
+      require(off + frameBytes <= payload.length,
+        s"not a Y4M: frame $frames truncated")
+      off += frameBytes
+      frames += 1
+    }
+    require(frames > 0, "not a Y4M: no frames")
+    (w, h, num, den, frames)
+  }
+
   /** Static entry point for the [[org.apache.spark.sql.graft.PngPayload]]
     * expression: text-length-derived dims, real PNG bytes. */
   def pngPayloadOf(text: org.apache.spark.unsafe.types.UTF8String): Array[Byte] = {
@@ -201,31 +314,41 @@ object Multimodal {
     wavEncode(rate, ch, n)
   }
 
+  /** Static entry point for the [[org.apache.spark.sql.graft.Y4mPayload]]
+    * expression: text-length-derived params, real YUV4MPEG2 bytes. */
+  def y4mPayloadOf(text: org.apache.spark.unsafe.types.UTF8String): Array[Byte] = {
+    val (w, h, frames) = videoParams(text.numChars())
+    y4mEncode(w, h, frames)
+  }
+
   /** Synthesize a media table from a text DataFrame: media_type
     * round-robins image/audio/video by doc_id. IMAGE payloads are real
-    * PNGs ([[pngEncode]], via the codegen'd PngPayload expression) and
-    * AUDIO payloads are real RIFF/WAVE PCM16 files ([[wavEncode]], via
-    * WavPayload), both with text-length-derived parameters; video
-    * payloads remain the raw UTF-8 bytes (stub decoder). */
+    * PNGs ([[pngEncode]], via the codegen'd PngPayload expression),
+    * AUDIO payloads real RIFF/WAVE PCM16 files ([[wavEncode]], via
+    * WavPayload), and VIDEO payloads real YUV4MPEG2 streams
+    * ([[y4mEncode]], via Y4mPayload), all with text-length-derived
+    * parameters. */
   def mediaTable(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.graft.{PngPayload, WavPayload, internal}
+    import org.apache.spark.sql.graft.{PngPayload, WavPayload, Y4mPayload, internal}
     val png = internal.column(PngPayload(internal.expression(col("text"))))
     val wav = internal.column(WavPayload(internal.expression(col("text"))))
+    val y4m = internal.column(Y4mPayload(internal.expression(col("text"))))
     docs.select(col("doc_id"),
       element_at(typedLit(Seq("image", "audio", "video")),
         (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
       when(col("doc_id") % 3 === 0, png)
         .when(col("doc_id") % 3 === 1, wav)
-        .otherwise(col("text").cast("binary")).as("payload"))
+        .otherwise(y4m).as("payload"))
   }
 
   /** Per-partition decoder: the IMAGE branch is a real PNG header parse
-    * ([[pngDims]]) and the AUDIO branch a real WAV header probe
-    * ([[wavProbe]]); VIDEO remains an honest stub (deterministic fake
-    * dimensions from payload bytes — no video codec libraries here). */
+    * ([[pngDims]]), the AUDIO branch a real WAV header probe
+    * ([[wavProbe]]), and the VIDEO branch a real Y4M header parse +
+    * frame-marker walk ([[y4mProbe]] — the frame count is counted, not
+    * trusted; duration_us = frames * 1e6 * den / num in exact integer
+    * arithmetic, 40000 us/frame at the fixed 25:1 rate). */
   class MediaDecoder {
     def decode(m: MediaRow): DecodedMedia = {
-      val len = m.payload.length
       val (w, h, frames, rate, ch, nSamp, durUs) = m.media_type match {
         case "image" =>
           val (pw, ph) = pngDims(m.payload) // REAL decode
@@ -234,7 +357,8 @@ object Multimodal {
           val (r, c, n, d) = wavProbe(m.payload) // REAL decode
           (0, 0, 0, r, c, n, d)
         case _ =>
-          (64 + len % 577, 48 + len % 433, 1 + len % 7, 0, 0, 0, 0L) // STUB
+          val (vw, vh, num, den, vf) = y4mProbe(m.payload) // REAL decode
+          (vw, vh, vf, 0, 0, 0, vf * 1000000L * den / num)
       }
       DecodedMedia(m.doc_id, m.media_type, w, h, frames, rate, ch, nSamp, durUs,
         features = TextImpl.pseudoEmbedding(

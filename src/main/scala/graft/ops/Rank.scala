@@ -93,20 +93,43 @@ object Rank {
       .limit(k)
   }
 
+  /** Doc-id Bloom sidecar geometry: 2^18 bits (4096 longs, 32 KiB at
+    * rest and on the driver) x 5 hashes — ~1 % false positives at 40 k
+    * indexed docs, and a design constant independent of corpus size
+    * (the [[graft.ops.Bloom]] boundedness class). The k actually used
+    * by an index travels IN its sidecar rows, so a future constant
+    * change cannot desynchronize probe from build. */
+  private val BloomBits = 1 << 18
+  private val BloomK = 5
+
+  /** What [[appendInvertedIndex]] did — lets specs assert the Bloom
+    * pre-gate skipped the exact doc-map probe on a provably-disjoint
+    * batch (`nSuspects` == 0) and that re-appends were purged. */
+  final case class AppendReport(nBatch: Long, nSuspects: Long,
+      nReappended: Long)
+
   /** Persist an INVERTED INDEX at rest — the lexical analogue of the
     * persisted ANN indexes (Similarity.writeIvfIndex/writeLshIndex):
     * postings `(term, doc_id, dl, tf)` written `partitionBy(bucket)`
     * where bucket = xxhash64(term) mod `nBuckets`, plus a one-row corpus
-    * stats sidecar (N, sum dl) and a DOC MAP sidecar `(doc_id, dl)` —
-    * one row per indexed document. At scale a query reads ONLY its
-    * terms' buckets — ~|queryTerms|/nBuckets of the index — and never
-    * the corpus text; the doc map is what lets appends check doc-id
-    * disjointness EXACTLY and deletes recover length mass WITHOUT a
-    * postings scan (it is O(n_docs) rows vs the postings' O(n_docs x
-    * distinct terms), and both membership probes broadcast the batch
-    * side). The build is the standard explode -> map-side-combined
-    * (term, doc, tf) aggregation; `text` must be single-space tokenized
-    * (the corpus normal form, same contract as [[bm25TopK]]). */
+    * stats sidecar (N, sum dl), a DOC MAP sidecar `(doc_id, dl)` — one
+    * row per indexed document — and a doc-id BLOOM sidecar. At scale a
+    * query reads ONLY its terms' buckets — ~|queryTerms|/nBuckets of
+    * the index — and never the corpus text; the doc map is what lets
+    * appends check doc-id disjointness EXACTLY and deletes recover
+    * length mass WITHOUT a postings scan (it is O(n_docs) rows vs the
+    * postings' O(n_docs x distinct terms), and the exact membership
+    * probes broadcast the batch side). The Bloom is the pre-gate that
+    * lets a mostly-novel append SKIP even the doc-map probe: a batch
+    * with zero Bloom-positive ids is provably disjoint (no false
+    * negatives), so the exact join runs only over the Bloom-positive
+    * suspects. INVARIANT: the Bloom is a SUPERSET of the doc-map ids
+    * at every commit point (it is swapped BEFORE doc-map rows land on
+    * append) — a Bloom that lagged the doc map could false-negative a
+    * crashed batch's ids and let a verbatim retry double-append. The
+    * build is the standard explode -> map-side-combined (term, doc,
+    * tf) aggregation; `text` must be single-space tokenized (the
+    * corpus normal form, same contract as [[bm25TopK]]). */
   def writeInvertedIndex(docs: DataFrame, id: String, text: String,
       path: String, nBuckets: Int = 64): Unit = {
     val words = split(col(text), " ")
@@ -124,6 +147,10 @@ object Rank {
       .coalesce(1).write.mode("overwrite").parquet(path + "/stats")
     profiled.select(col("doc_id").cast("long").as("doc_id"), col("dl"))
       .write.mode("overwrite").parquet(path + "/docs")
+    val spark = docs.sparkSession
+    writeBloomSidecar(spark, path, Bloom.buildBits(
+      spark.read.parquet(path + "/docs"), col("doc_id"), BloomBits, BloomK),
+      BloomK)
     profiled.select(col("doc_id"), col("dl"), explode(col("__ws")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
@@ -132,34 +159,110 @@ object Rank {
       .write.mode("overwrite").partitionBy("bucket").parquet(path + "/postings")
   }
 
-  /** Replace the one-row stats sidecar via write-to-temp + rename swap.
-    * The swap is the COMMIT POINT of every index mutation (append /
-    * delete) in the SINGLE-WRITER, NO-CONCURRENT-READER sense: postings
-    * / doc-map / tombstone rows are written first and the sidecar lands
-    * last, so a crash mid-mutation leaves the OLD sidecar intact — the
-    * mutation visibly did not commit (stats unchanged) rather than
-    * being silently half-counted, and the staged rows must be cleaned
-    * (or the store rebuilt) before retrying, because re-running the
-    * mutation verbatim would stage its rows a second time. It is NOT a
-    * snapshot-isolation guarantee: a reader racing the mutation can see
-    * appended postings or tombstones before the matching stats, and the
-    * swap itself has a two-rename window where /stats is briefly
-    * absent. Serialize readers against mutations (the maintenance
-    * discipline every gate and spec follows). */
-  private def swapStats(spark: org.apache.spark.sql.SparkSession,
-      path: String, row: DataFrame): Unit = {
+  /** Replace a sidecar directory via write-to-temp + rename swap, so a
+    * crash mid-write can never tear it (the reader sees the complete
+    * old version or the complete new one, never a half-written mix).
+    * The STATS swap is additionally the COMMIT POINT of every index
+    * mutation (append / delete) in the SINGLE-WRITER,
+    * NO-CONCURRENT-READER sense: postings / doc-map / tombstone rows
+    * are written first and the stats sidecar lands last, so a crash
+    * mid-mutation leaves the OLD stats intact — the mutation visibly
+    * did not commit (stats unchanged) rather than being silently
+    * half-counted, and the staged rows must be cleaned (or the store
+    * rebuilt) before retrying, because re-running the mutation
+    * verbatim would stage its rows a second time (the append path
+    * lands doc-map rows before postings precisely so a verbatim retry
+    * is REFUSED by the overlap probe instead of silently
+    * double-counting). It is NOT a snapshot-isolation guarantee: a
+    * reader racing the mutation can see appended postings or
+    * tombstones before the matching stats, and the swap itself has a
+    * two-rename window where the sidecar is briefly absent. Serialize
+    * readers against mutations (the maintenance discipline every gate
+    * and spec follows). */
+  private def swapSidecar(spark: org.apache.spark.sql.SparkSession,
+      path: String, name: String, rows: DataFrame,
+      single: Boolean = false): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val stats = new org.apache.hadoop.fs.Path(path + "/stats")
-    val next = new org.apache.hadoop.fs.Path(path + "/stats.next")
-    val old = new org.apache.hadoop.fs.Path(path + "/stats.old")
-    val fs = stats.getFileSystem(conf)
-    row.coalesce(1).write.mode("overwrite").parquet(next.toString)
+    val cur = new org.apache.hadoop.fs.Path(path + "/" + name)
+    val next = new org.apache.hadoop.fs.Path(path + s"/$name.next")
+    val old = new org.apache.hadoop.fs.Path(path + s"/$name.old")
+    val fs = cur.getFileSystem(conf)
+    (if (single) rows.coalesce(1) else rows)
+      .write.mode("overwrite").parquet(next.toString)
     if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(stats)) require(fs.rename(stats, old),
-      s"could not retire old stats sidecar at $stats")
-    require(fs.rename(next, stats),
-      s"could not commit stats sidecar at $stats")
+    if (fs.exists(cur)) require(fs.rename(cur, old),
+      s"could not retire old $name sidecar at $cur")
+    require(fs.rename(next, cur),
+      s"could not commit $name sidecar at $cur")
     fs.delete(old, true)
+  }
+
+  private def swapStats(spark: org.apache.spark.sql.SparkSession,
+      path: String, row: DataFrame): Unit =
+    swapSidecar(spark, path, "stats", row, single = true)
+
+  /** Bloom sidecar at rest: one (w, bits) row per 64-bit word — dense,
+    * so mBits re-derives from the row count — plus the hash count k in
+    * every row (geometry must never desynchronize from the build). */
+  private def writeBloomSidecar(spark: org.apache.spark.sql.SparkSession,
+      path: String, bits: Array[Long], k: Int): Unit = {
+    import spark.implicits._
+    swapSidecar(spark, path, "bloom",
+      bits.toSeq.zipWithIndex.map { case (b, w) => (w, b, k) }
+        .toDF("w", "bits", "k"),
+      single = true)
+  }
+
+  /** Read the Bloom sidecar back as (bitset, k); None for an index
+    * persisted before the sidecar existed (probes then stay exact). */
+  private def readBloomSidecar(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(Array[Long], Int)] = {
+    val p = new org.apache.hadoop.fs.Path(path + "/bloom")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      None
+    else {
+      val rows = spark.read.parquet(p.toString).collect()
+      val bits = new Array[Long](rows.length)
+      rows.foreach(r => bits(r.getAs[Int]("w")) = r.getAs[Long]("bits"))
+      Some((bits, rows.head.getAs[Int]("k")))
+    }
+  }
+
+  /** Physically remove every posting of the `dead` doc_ids by rewriting
+    * ONLY the bucket partitions that contain them (dynamic partition
+    * overwrite — untouched buckets keep their files). Shared by
+    * [[compactInvertedIndex]] and the re-append path of
+    * [[appendInvertedIndex]]. Term-hash partitioning cannot prune a
+    * doc-id predicate, so locating the touched buckets is one postings
+    * scan — the deferred cost a tombstone delete avoids and a rewrite
+    * must pay. The touched-bucket collect is bounded by nBuckets. */
+  private def purgePostings(spark: org.apache.spark.sql.SparkSession,
+      path: String, dead: DataFrame): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val posts = spark.read.parquet(path + "/postings")
+    val touched = posts.join(broadcast(dead), "doc_id")
+      .select(col("bucket")).distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
+    // survivors are localCheckpointed before the overwrite — Spark
+    // refuses to overwrite a path it is concurrently reading
+    val survivors = posts
+      .filter(col("bucket").isInCollection(touched))
+      .join(dead, Seq("doc_id"), "left_anti")
+      .repartition(col("bucket")) // one output file per rewritten bucket
+      .localCheckpoint()
+    survivors.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(path + "/postings")
+    // a touched bucket whose every posting was dead gets no row in the
+    // dynamic overwrite — its stale files must go explicitly
+    val alive = survivors.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    touched.filterNot(alive).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        path + s"/postings/bucket=$b"), true)
+    }
+    survivors.unpersist()
   }
 
   /** APPEND a document batch to a persisted inverted index without a
@@ -172,10 +275,35 @@ object Rank {
     * forward. Because df/N/avgdl re-derive from postings + sidecar at
     * query time, build(old) + append(new) is BIT-IDENTICAL to
     * build(old ∪ new) — the bm25_index_updated gate pins that with the
-    * full-corpus oracle. */
+    * full-corpus oracle.
+    *
+    * Disjointness probe (re-appending a live id would double-count
+    * df/tf silently): the doc-id BLOOM sidecar pre-gates the batch —
+    * Bloom false negatives are impossible and the Bloom is maintained
+    * as a superset of the doc map, so a batch with ZERO Bloom-positive
+    * ids is provably disjoint and the exact probe is SKIPPED entirely
+    * (`nSuspects` == 0 in the returned report, the common case for a
+    * mostly-novel ingest). Only the Bloom-positive suspects pay the
+    * exact doc-map join (suspects broadcast — bounded by the batch).
+    *
+    * Suspects resolve in two classes: a LIVE id is refused; a
+    * TOMBSTONED id (deleted, not yet compacted) is RE-APPENDED — its
+    * stale postings are purged from their buckets and its tombstone +
+    * doc-map rows drop (atomic sidecar swaps) before the new rows
+    * land, so delete -> re-append -> query is bit-identical to a fresh
+    * build over the final corpus (its stats mass was already
+    * subtracted at delete time; the purge scans postings once, the
+    * same deferred cost compaction pays). Crash ordering: the Bloom
+    * swaps BEFORE doc-map rows land (superset invariant — see
+    * [[writeInvertedIndex]]), doc-map rows land BEFORE postings (a
+    * verbatim retry after a crash in that window is REFUSED by the
+    * overlap probe instead of silently double-counting postings), and
+    * the stats swap is the commit point. */
   def appendInvertedIndex(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, id: String, text: String, path: String,
-      nBuckets: Int = 64): Unit = {
+      nBuckets: Int = 64): AppendReport = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
     val words = split(col(text), " ")
     val profiled = docs.select(col(id).as("doc_id"), words.as("__ws"))
       .withColumn("dl", size(col("__ws")))
@@ -189,36 +317,70 @@ object Rank {
     require(old.getAs[Int]("n_buckets") == nBuckets,
       s"append with nBuckets=$nBuckets against an index built with " +
         s"${old.getAs[Int]("n_buckets")} — bucket numbering would diverge")
-    // EXACT disjointness: re-appending an already-indexed id would
-    // double-count df/tf silently. A semi-join against the doc-map
-    // sidecar (one row per indexed doc — never the postings) admits any
-    // id ORDER, unlike a max-id watermark that would also reject
-    // legitimate out-of-order corpora. Tombstoned ids are still present
-    // in the doc map until compaction and are refused too — correct,
-    // because the query-time tombstone anti-join would silently erase a
-    // re-added doc; compact first, then re-append.
-    val overlap = spark.read.parquet(path + "/docs")
-      .join(profiled.select(col("doc_id").cast("long").as("doc_id")),
-        Seq("doc_id"))
-      .count()
-    require(overlap == 0L,
-      s"append batch re-uses $overlap doc_id(s) already in the index " +
-        "(or tombstoned, pending compaction)")
+    val batchIds = profiled.select(col("doc_id").cast("long").as("doc_id"))
+    val bloom = readBloomSidecar(spark, path)
+    // Bloom pre-gate: only Bloom-positive ids can possibly be in the
+    // doc map (no false negatives); an index persisted before the
+    // sidecar existed keeps the fully-exact probe
+    val suspects = (bloom match {
+      case Some((bits, k)) =>
+        batchIds.filter(Bloom.mightContain(col("doc_id"), bits, k))
+      case None => batchIds
+    }).localCheckpoint()
+    val nSuspects = suspects.count()
+    val tombPath = new org.apache.hadoop.fs.Path(path + "/tombstones")
+    val fs = tombPath.getFileSystem(conf)
+    var nReappend = 0L
+    if (nSuspects > 0) {
+      val reappend =
+        if (fs.exists(tombPath))
+          spark.read.parquet(tombPath.toString)
+            .join(broadcast(suspects), Seq("doc_id")).localCheckpoint()
+        else spark.emptyDataset[Long].toDF("doc_id")
+      nReappend = reappend.count()
+      val liveOverlap = spark.read.parquet(path + "/docs")
+        .join(broadcast(suspects), Seq("doc_id"))
+        .join(reappend, Seq("doc_id"), "left_anti")
+        .count()
+      require(liveOverlap == 0L,
+        s"append batch re-uses $liveOverlap doc_id(s) live in the index")
+      if (nReappend > 0) {
+        purgePostings(spark, path, reappend)
+        swapSidecar(spark, path, "docs",
+          spark.read.parquet(path + "/docs")
+            .join(reappend, Seq("doc_id"), "left_anti"))
+        val liveTombs = spark.read.parquet(tombPath.toString)
+          .join(reappend, Seq("doc_id"), "left_anti").localCheckpoint()
+        if (liveTombs.isEmpty) fs.delete(tombPath, true)
+        else swapSidecar(spark, path, "tombstones", liveTombs, single = true)
+        liveTombs.unpersist()
+        reappend.unpersist()
+      }
+    }
+    // Bloom swap FIRST (superset invariant), then doc map, then postings
+    bloom match {
+      case Some((bits, k)) =>
+        val add = Bloom.buildBits(batchIds, col("doc_id"), bits.length * 64, k)
+        writeBloomSidecar(spark, path,
+          bits.zip(add).map { case (a, b) => a | b }, k)
+      case None => // legacy index: stay exact-probe (sidecar appears on rebuild)
+    }
+    profiled.select(col("doc_id").cast("long").as("doc_id"), col("dl"))
+      .write.mode("append").parquet(path + "/docs")
     profiled.select(col("doc_id"), col("dl"), explode(col("__ws")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket",
         pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
       .write.mode("append").partitionBy("bucket").parquet(path + "/postings")
-    profiled.select(col("doc_id").cast("long").as("doc_id"), col("dl"))
-      .write.mode("append").parquet(path + "/docs")
-    import spark.implicits._
-    // sidecar swap LAST = the mutation's commit point (see swapStats)
+    // sidecar swap LAST = the mutation's commit point (see swapSidecar)
     swapStats(spark, path, Seq((old.getAs[Long]("n_docs") + batch.getLong(0),
         old.getAs[Long]("sum_dl") + batch.getLong(1), nBuckets,
         math.max(old.getAs[Long]("max_doc_id"), batch.getAs[Long]("hi"))))
       .toDF("n_docs", "sum_dl", "n_buckets", "max_doc_id"))
+    suspects.unpersist()
     profiled.unpersist()
+    AppendReport(batch.getLong(0), nSuspects, nReappend)
   }
 
   /** DELETE documents from a persisted inverted index WITHOUT rewriting
@@ -271,54 +433,41 @@ object Rank {
   }
 
   /** COMPACT a tombstoned index: rewrite ONLY the bucket partitions that
-    * contain deleted postings (dynamic partition overwrite — untouched
-    * buckets keep their files), drop the dead ids from the doc-map
-    * sidecar (which un-reserves them — a compacted id may legally
-    * re-append), drop the tombstone table, done. Query results are
-    * unchanged (the gate pins hash equality before/after); the win is
-    * the dropped tombstone anti-join and the reclaimed files. The
-    * survivors are localCheckpointed before the overwrite — Spark
-    * refuses to overwrite a path it is concurrently reading. Crash
-    * ordering: the tombstone table is deleted LAST, so a compaction
-    * that dies mid-rewrite leaves the tombstones masking whatever
-    * postings/doc-map state it reached, and re-running it converges
-    * (the anti-joins of already-removed ids are no-ops). */
+    * contain deleted postings ([[purgePostings]] — untouched buckets
+    * keep their files), drop the dead ids from the doc-map sidecar and
+    * rebuild the Bloom over the survivors, drop the tombstone table,
+    * done. Query results are unchanged (the gate pins hash equality
+    * before/after); the win is the dropped tombstone anti-join, the
+    * reclaimed files, and the restored Bloom selectivity. (Re-APPENDING
+    * a tombstoned id does NOT require compaction — the append path
+    * purges just that id in place; compaction is the bulk reclaim.)
+    * Crash ordering: the tombstone table is deleted LAST, so a
+    * compaction that dies mid-rewrite leaves the tombstones masking
+    * whatever postings/doc-map state it reached, and re-running it
+    * converges (the anti-joins of already-removed ids are no-ops). */
   def compactInvertedIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val tomb = new org.apache.hadoop.fs.Path(path + "/tombstones")
     val fs = tomb.getFileSystem(conf)
     if (!fs.exists(tomb)) return // nothing to compact
-    val dead = spark.read.parquet(tomb.toString)
-    val posts = spark.read.parquet(path + "/postings")
-    // buckets to rewrite: bounded collect (<= nBuckets ints)
-    val touched = posts.join(dead, "doc_id")
-      .select(col("bucket")).distinct().collect().map(_.getInt(0)).toSeq
-    if (touched.nonEmpty) {
-      val survivors = posts
-        .filter(col("bucket").isInCollection(touched))
-        .join(dead, Seq("doc_id"), "left_anti")
-        .repartition(col("bucket")) // one output file per rewritten bucket
-        .localCheckpoint()
-      survivors.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket").parquet(path + "/postings")
-      // a touched bucket whose every posting was tombstoned gets no row
-      // in the dynamic overwrite — its stale files must go explicitly
-      val alive = survivors.select(col("bucket")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      touched.filterNot(alive).foreach { b =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          path + s"/postings/bucket=$b"), true)
-      }
-      survivors.unpersist()
+    val dead = spark.read.parquet(tomb.toString).localCheckpoint()
+    purgePostings(spark, path, dead)
+    // doc map shrinks via the atomic swap — a crash mid-write leaves the
+    // complete old map, never a torn one the append probe would misread
+    swapSidecar(spark, path, "docs",
+      spark.read.parquet(path + "/docs").join(dead, Seq("doc_id"), "left_anti"))
+    // Bloom REBUILD from the survivors: dead ids' bits drop, so the
+    // false-positive rate doesn't ratchet up across delete/compact
+    // cycles (still a superset of the doc map at every point — the old
+    // Bloom covers the survivors until the swap lands)
+    readBloomSidecar(spark, path).foreach { case (bits, k) =>
+      writeBloomSidecar(spark, path, Bloom.buildBits(
+        spark.read.parquet(path + "/docs"), col("doc_id"),
+        bits.length * 64, k), k)
     }
-    val liveDocs = spark.read.parquet(path + "/docs")
-      .join(dead, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
-    liveDocs.write.mode("overwrite").parquet(path + "/docs")
-    liveDocs.unpersist()
     fs.delete(tomb, true)
+    dead.unpersist()
   }
 
   /** BM25 top-k against a persisted inverted index. The query terms'

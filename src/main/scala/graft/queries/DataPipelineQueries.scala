@@ -1787,6 +1787,27 @@ object DataPipelineQueries {
         terms = Seq("spark", "join", "window"), k = 20)
     }),
 
+    // Index MAINTENANCE, delete then RE-APPEND the same ids WITHOUT
+    // compacting: the append classifies the batch as tombstoned (not
+    // live), purges just those ids' stale postings from their buckets,
+    // drops their tombstone + doc-map rows, and lands the new rows —
+    // so delete -> re-append -> query is bit-identical to a fresh
+    // build over the final corpus, which here is the FULL documents
+    // table again, so the same full-corpus oracle gates it.
+    "bm25_index_reappend" -> ((s, dir) => {
+      import s.implicits._
+      val (path, _) = builtIndex("bm25-idx-reapp", dir) { p =>
+        Rank.writeInvertedIndex(t(s, dir, "documents"), "doc_id", "text", p)
+        Rank.deleteFromInvertedIndex(s, p, (0L until 50L).toSeq)
+        Rank.appendInvertedIndex(s,
+          t(s, dir, "documents").filter($"doc_id" < 50),
+          "doc_id", "text", p)
+        Array.empty
+      }
+      Rank.bm25IndexedTopK(s, path,
+        terms = Seq("spark", "join", "window"), k = 20)
+    }),
+
     // Reciprocal rank fusion — the hybrid-retrieval combiner that needs
     // no score calibration: BM25 top-50 (lexical) and brute-force cosine
     // top-50 for query vector 0 (semantic; vec_id aligns with doc_id),
@@ -2302,10 +2323,11 @@ object DataPipelineQueries {
     }),
 
     // Multimodal: binary payload + typed metadata through the mapPartitions
-    // decoder. Image rows are REAL PNG header parses and audio rows REAL
-    // WAV fmt/data probes (the oracle re-derives the encoded params from
-    // length(text), so the gate proves both encode->probe round-trips);
-    // video metadata stays an honest stub.
+    // decoder. Image rows are REAL PNG header parses, audio rows REAL
+    // WAV fmt/data probes, and video rows REAL Y4M header parses +
+    // frame-marker walks (the oracle re-derives the encoded params from
+    // length(text), so the gate proves all three encode->probe
+    // round-trips; the key keeps its historic name).
     "mm_decode_stub" -> ((s, dir) => {
       import s.implicits._
       val media = Multimodal.mediaTable(t(s, dir, "documents"))
@@ -4857,17 +4879,18 @@ object DataPipelineQueries {
         |  FROM documents)
         |SELECT org, COUNT(*) AS n
         |FROM orgs GROUP BY org ORDER BY org""".stripMargin,
-    // image rows re-derive the PNG-encoded dims (16+len%113, 12+len%97 —
-    // the Spark side round-trips them through a real PNG header); video
-    // keeps the stub formulas; audio rows carry no spatial dims and are
-    // excluded from resize on both sides
+    // image rows re-derive the PNG-encoded dims (16+len%113, 12+len%97)
+    // and video rows the Y4M-encoded dims (16+(len%8)*2, 8+(len%6)*2) —
+    // the Spark side round-trips both through real header parses; audio
+    // rows carry no spatial dims and are excluded from resize on both
+    // sides
     "mm_resize" ->
       """WITH dims AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 3 = 0 THEN CAST(16 + length(text) % 113 AS INT)
-        |         ELSE CAST(64 + length(text) % 577 AS INT) END AS width,
+        |         ELSE CAST(16 + (length(text) % 8) * 2 AS INT) END AS width,
         |    CASE WHEN doc_id % 3 = 0 THEN CAST(12 + length(text) % 97 AS INT)
-        |         ELSE CAST(48 + length(text) % 433 AS INT) END AS height
+        |         ELSE CAST(8 + (length(text) % 6) * 2 AS INT) END AS height
         |  FROM documents WHERE doc_id % 3 <> 1)
         |SELECT doc_id, width, height,
         |  256 AS out_width,
@@ -5023,6 +5046,9 @@ object DataPipelineQueries {
       where = "WHERE doc_id >= 100"),
     "bm25_index_compacted" -> bm25OracleSql(
       where = "WHERE doc_id >= 100"),
+    // delete + re-append of the same ids restores the full corpus, so
+    // the unfiltered twin gates it (stale postings must really be gone)
+    "bm25_index_reappend" -> bm25OracleSql(),
     "rrf_fusion" -> rrfFusionSql,
     // Same injection, same patterns (the regexes live in the common
     // Java-regex/RE2 subset), same ordered replace chain with the 'g'
@@ -5367,20 +5393,23 @@ object DataPipelineQueries {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     // image width/height re-derive the PNG-encoded dims the Spark side
-    // recovers by actually parsing the IHDR chunk, and audio rows the
+    // recovers by actually parsing the IHDR chunk; audio rows the
     // WAV-encoded rate/channels/frames the Spark side recovers by walking
     // the RIFF fmt/data chunks (duration_us is exact integer microseconds
-    // n_samples*1e6 // rate); video stays stub
+    // n_samples*1e6 // rate); video rows the Y4M-encoded dims + frame
+    // count the Spark side recovers by parsing the stream header and
+    // WALKING the FRAME markers (duration_us = counted frames * 40000 at
+    // the fixed 25:1 rate)
     "mm_decode_stub" ->
       """SELECT doc_id,
         | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |      ELSE 'video' END AS media_type,
         | CAST(CASE CAST(doc_id % 3 AS INT)
         |      WHEN 0 THEN 16 + length(text) % 113 WHEN 1 THEN 0
-        |      ELSE 64 + length(text) % 577 END AS INT) AS width,
+        |      ELSE 16 + (length(text) % 8) * 2 END AS INT) AS width,
         | CAST(CASE CAST(doc_id % 3 AS INT)
         |      WHEN 0 THEN 12 + length(text) % 97 WHEN 1 THEN 0
-        |      ELSE 48 + length(text) % 433 END AS INT) AS height,
+        |      ELSE 8 + (length(text) % 6) * 2 END AS INT) AS height,
         | CAST(CASE CAST(doc_id % 3 AS INT)
         |      WHEN 0 THEN 1 WHEN 1 THEN 0
         |      ELSE 1 + length(text) % 7 END AS INT) AS n_frames,
@@ -5391,10 +5420,11 @@ object DataPipelineQueries {
         |      THEN 1 + length(text) % 2 ELSE 0 END AS INT) AS channels,
         | CAST(CASE WHEN doc_id % 3 = 1
         |      THEN 50 + length(text) % 211 ELSE 0 END AS INT) AS n_samples,
-        | CAST(CASE WHEN doc_id % 3 = 1
-        |      THEN ((50 + length(text) % 211) * 1000000)
+        | CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 0
+        |      WHEN 1 THEN ((50 + length(text) % 211) * 1000000)
         |           // (8000 + (length(text) % 5) * 2000)
-        |      ELSE 0 END AS BIGINT) AS duration_us
+        |      ELSE (1 + length(text) % 7) * 40000 END AS BIGINT)
+        |   AS duration_us
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     // Classifier-distillation twins: featurization (top-24 DF words +

@@ -237,9 +237,6 @@ object FlowQueries {
 
   val oracles: Map[String, String] = Map(
     "s2_dsv2_source" -> HashOracleSql.dsv2SourceSql,
-    // The stub fetch body is 'Document for <url>' wrapped in one <p>, the
-    // cleaning chain reduces it back to that line, and validation keeps
-    // exactly the branches whose names occur in the lowercased URL
     // Exact-integer PageRank replay: same edge build, same floor
     // divisions (// mirrors Spark's div on these nonnegative
     // quantities), three unrolled iterations.
@@ -283,6 +280,9 @@ object FlowQueries {
         |        FROM nodes nd CROSS JOIN k
         |        LEFT JOIN c3 ON nd.node = c3.node)
         |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin,
+    // The stub fetch body is 'Document for <url>' wrapped in one <p>, the
+    // cleaning chain reduces it back to that line, and validation keeps
+    // exactly the branches whose names occur in the lowercased URL
     // (directly, or via the hyphen fallback for doc_id % 4 = 2).
     "s3_validated_docs" ->
       """WITH c AS (

@@ -108,12 +108,16 @@ object IncrementalQueries {
           // localCheckpoint-materialized before the overwrite so the
           // read never races its own sink. Merge order cannot move a
           // bit — the measures are exact monoids (long / DECIMAL).
+          val fromStore = !fs.exists(outHPath)
           val prev =
-            if (fs.exists(outHPath)) s.read.parquet(outPath).localCheckpoint()
-            else s.read.parquet(storePath)
+            if (fromStore) s.read.parquet(storePath)
+            else s.read.parquet(outPath).localCheckpoint()
           Incremental.mergeAggView(prev, partials,
               Seq("hour", "event_type"), "n", Seq("total_value"))
             .coalesce(1).write.mode("overwrite").parquet(outPath)
+          // drop the checkpoint blocks once the overwrite has landed —
+          // they'd otherwise accumulate across batches and bench reps
+          if (!fromStore) { prev.unpersist(); () }
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()

@@ -242,6 +242,24 @@ case class WavPayload(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Real YUV4MPEG2 payload from a text column: params derived from the
+  * code-point length (graft.ops.Multimodal.videoParams), bytes a
+  * spec-valid Y4M stream (Multimodal.y4mEncode — ASCII header +
+  * FRAME-marked raw 4:2:0 planes). The video sibling of [[PngPayload]]
+  * and [[WavPayload]] — keeps the media-table synthesis fully
+  * relational. */
+case class Y4mPayload(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(s: Any): Any =
+    graft.ops.Multimodal.y4mPayloadOf(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.ops.Multimodal.y4mPayloadOf($s)")
+  override def prettyName: String = "y4m_payload"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Token count under a LEARNED merges table (BpeTrain.train output,
   * flattened [a0,b0,a1,b1,...] in rank order) — the kernel path of the
   * trained tokenizer, complement of the committed-fixture

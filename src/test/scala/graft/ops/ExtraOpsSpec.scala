@@ -243,8 +243,8 @@ class ExtraOpsSpec extends SparkSpec {
   }
 
   test("BM25 delete guards: re-deleting a tombstoned id is refused " +
-      "(stats mass must not subtract twice); re-append legal only " +
-      "after compaction") {
+      "(stats mass must not subtract twice); re-appending a tombstoned " +
+      "id purges its stale postings in place, no compaction needed") {
     val docs = Seq(
       (1L, "cat dog bird"),
       (2L, "cat cat cat cat bird fish"),
@@ -261,16 +261,20 @@ class ExtraOpsSpec extends SparkSpec {
     val st2 = spark.read.parquet(path + "/stats")
       .select("n_docs", "sum_dl").as[(Long, Long)].head()
     assert(st2 == st, "refused delete must not move the sidecar")
-    // re-appending a tombstoned id: refused (the tombstone anti-join
-    // would silently erase the re-added doc at query time)
+    // a LIVE id is still refused (would double-count df/tf)
     intercept[IllegalArgumentException](Rank.appendInvertedIndex(spark,
-      Seq((2L, "cat again")).toDF("doc_id", "text"), "doc_id", "text",
+      Seq((1L, "cat again")).toDF("doc_id", "text"), "doc_id", "text",
       path, nBuckets = 8))
-    // after compaction the id is un-reserved and re-append is legal
-    Rank.compactInvertedIndex(spark, path)
-    Rank.appendInvertedIndex(spark,
+    // re-appending the TOMBSTONED id WITHOUT compacting: the append
+    // purges its old postings, drops its tombstone + doc-map rows, and
+    // lands the new doc — the tombstone table must vanish (id 2 was its
+    // only entry) and the result must equal a fresh build
+    val rep = Rank.appendInvertedIndex(spark,
       Seq((2L, "cat again")).toDF("doc_id", "text"), "doc_id", "text",
       path, nBuckets = 8)
+    assert(rep.nReappended == 1L && rep.nSuspects == 1L, rep.toString)
+    assert(!new java.io.File(path + "/tombstones").exists(),
+      "re-append of the only tombstoned id must drop the tombstone table")
     val st3 = spark.read.parquet(path + "/stats")
       .select("n_docs", "sum_dl").as[(Long, Long)].head()
     assert(st3 == ((3L, 3L + 4L + 2L)))
@@ -283,7 +287,41 @@ class ExtraOpsSpec extends SparkSpec {
       terms = Seq("cat", "dog"), k = 10, nBuckets = 8).collect().toSeq
     val want = Rank.bm25IndexedTopK(spark, fresh,
       terms = Seq("cat", "dog"), k = 10, nBuckets = 8).collect().toSeq
-    assert(got == want, s"delete+compact+reappend $got vs fresh $want")
+    assert(got == want, s"delete+reappend $got vs fresh $want")
+  }
+
+  test("BM25 append Bloom pre-gate: a disjoint batch skips the exact " +
+      "doc-map probe (nSuspects 0); a crashed batch's staged doc-map " +
+      "rows make a verbatim retry refuse") {
+    val old = (1L to 50L).map(i => (i, s"cat w$i")).toDF("doc_id", "text")
+    val path = graft.util.TempDirs.create("bm25-bloom-spec") + "/idx"
+    Rank.writeInvertedIndex(old, "doc_id", "text", path, nBuckets = 8)
+    // ids far from the indexed range: Bloom-negative with overwhelming
+    // probability at 50 inserts / 2^18 bits (this seed is deterministic,
+    // so the assert is stable, not flaky)
+    val fresh = Seq((1000L, "dog owl"), (1001L, "owl hen"))
+      .toDF("doc_id", "text")
+    val rep = Rank.appendInvertedIndex(spark, fresh, "doc_id", "text",
+      path, nBuckets = 8)
+    assert(rep == Rank.AppendReport(2L, 0L, 0L),
+      s"disjoint batch must skip the exact probe: $rep")
+    // simulate the docs-before-postings crash window: stage a batch's
+    // Bloom bits + doc-map rows by hand (the state a real append leaves
+    // if it dies before writing postings — Bloom swaps first, then doc
+    // map), then run the same append verbatim — the overlap probe must
+    // refuse (the retry-refusal contract of the ordering)
+    val bloomRows = spark.read.parquet(path + "/bloom").collect()
+      .map(r => (r.getAs[Int]("w"), r.getAs[Long]("bits"), r.getAs[Int]("k")))
+    val addBits = Bloom.buildBits(Seq(2000L).toDF("doc_id"),
+      col("doc_id"), bloomRows.length * 64, bloomRows.head._3)
+    bloomRows.map { case (w, b, k) => (w, b | addBits(w), k) }.toSeq
+      .toDF("w", "bits", "k").coalesce(1)
+      .write.mode("overwrite").parquet(path + "/bloom")
+    Seq((2000L, 2)).toDF("doc_id", "dl")
+      .write.mode("append").parquet(path + "/docs")
+    intercept[IllegalArgumentException](Rank.appendInvertedIndex(spark,
+      Seq((2000L, "cat dog")).toDF("doc_id", "text"), "doc_id", "text",
+      path, nBuckets = 8))
   }
 
   test("RRF: fused score is sum of 1/(c+rank), missing list = 0, union kept") {

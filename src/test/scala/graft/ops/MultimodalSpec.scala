@@ -113,6 +113,86 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.wavProbe(Multimodal.wavEncode(8000, 1, 10).take(30)))
   }
 
+  /** Independent Y4M referee: a string/regex-based parser sharing no code
+    * (or style) with Multimodal.y4mProbe — header via regex capture
+    * groups, frames by splitting the latin-1 string on the marker and
+    * checking each piece's length. */
+  private def refereeY4m(bytes: Array[Byte]): (Int, Int, Int, Int, Int) = {
+    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val nl = s.indexOf('\n')
+    val header = s.substring(0, nl)
+    val m = """^YUV4MPEG2(?=.* W(\d+))(?=.* H(\d+))(?=.* F(\d+):(\d+)).*$"""
+      .r.findFirstMatchIn(header).getOrElse(fail(s"referee: bad header $header"))
+    val (w, h) = (m.group(1).toInt, m.group(2).toInt)
+    val body = s.substring(nl + 1)
+    val frameBytes = w * h + (w / 2) * (h / 2) * 2
+    val pieces = body.split("FRAME\n", -1)
+    assert(pieces.head.isEmpty, "referee: body must start with FRAME")
+    val frames = pieces.tail
+    frames.foreach(p => assert(p.length == frameBytes,
+      s"referee: frame of ${p.length} bytes, geometry says $frameBytes"))
+    (w, h, m.group(3).toInt, m.group(4).toInt, frames.length)
+  }
+
+  test("y4mEncode emits REAL Y4M streams: an independently-written " +
+      "string-based parser recovers the same params y4mProbe walks") {
+    Seq((2, 2, 1), (16, 12, 3), (30, 18, 7), (128, 2, 2), (2, 128, 5))
+      .foreach { case (w, h, n) =>
+        val bytes = Multimodal.y4mEncode(w, h, n)
+        assert(refereeY4m(bytes) == ((w, h, 25, 1, n)),
+          s"referee disagreed for ${w}x$h x$n")
+        assert(Multimodal.y4mProbe(bytes) == ((w, h, 25, 1, n)))
+      }
+    // non-default rational frame rate survives both parsers
+    val ntsc = Multimodal.y4mEncode(4, 4, 2, fpsNum = 30000, fpsDen = 1001)
+    assert(refereeY4m(ntsc) == ((4, 4, 30000, 1001, 2)))
+    assert(Multimodal.y4mProbe(ntsc) == ((4, 4, 30000, 1001, 2)))
+  }
+
+  test("y4mProbe counts frames against the plane geometry and rejects " +
+      "corruption") {
+    // frame count is COUNTED: appending a full frame changes it
+    val base = Multimodal.y4mEncode(6, 4, 2)
+    val oneMore = Multimodal.y4mEncode(6, 4, 3)
+    assert(Multimodal.y4mProbe(base)._5 == 2)
+    assert(Multimodal.y4mProbe(oneMore)._5 == 3)
+    // bad magic
+    val bad = Multimodal.y4mEncode(6, 4, 1); bad(0) = 'X'
+    intercept[IllegalArgumentException](Multimodal.y4mProbe(bad))
+    // truncated mid-plane: the walk must notice the short last frame
+    intercept[IllegalArgumentException](
+      Multimodal.y4mProbe(Multimodal.y4mEncode(6, 4, 2).dropRight(5)))
+    // junk between frames breaks the marker walk
+    val glued = Multimodal.y4mEncode(6, 4, 1) ++ Array[Byte]('J', 'U', 'N', 'K')
+    intercept[IllegalArgumentException](Multimodal.y4mProbe(glued))
+    // odd dims are not 4:2:0
+    intercept[IllegalArgumentException](Multimodal.y4mEncode(5, 4, 1))
+    // non-4:2:0 chroma tag refused by the probe
+    val s = new String(Multimodal.y4mEncode(6, 4, 1),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val c444 = s.replace("C420jpeg", "C444mono")
+    intercept[IllegalArgumentException](Multimodal.y4mProbe(
+      c444.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
+  }
+
+  test("video decode recovers the Y4M-encoded params through the media " +
+      "table (videoParams round-trip) with counted frames and exact " +
+      "25fps duration") {
+    val decoded = Multimodal.decodeAll(spark, Multimodal.mediaTable(docs))
+      .collect().sortBy(_.doc_id)
+    Seq(2, 5).foreach { i =>
+      val v = decoded(i)
+      assert(v.media_type == "video")
+      val txtLen = docs.collect().find(_.getLong(0) == v.doc_id).get
+        .getString(1).length
+      assert(v.width == 16 + (txtLen % 8) * 2, s"width ${v.width}")
+      assert(v.height == 8 + (txtLen % 6) * 2, s"height ${v.height}")
+      assert(v.n_frames == 1 + txtLen % 7, s"frames ${v.n_frames}")
+      assert(v.duration_us == v.n_frames * 40000L)
+      assert(v.sample_rate == 0 && v.channels == 0 && v.n_samples == 0)
+    }
+  }
+
   test("audio decode recovers the WAV-encoded params through the media " +
       "table (audioParams round-trip) and carries exact duration") {
     val decoded = Multimodal.decodeAll(spark, Multimodal.mediaTable(docs))
