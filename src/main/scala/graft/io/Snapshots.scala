@@ -1,0 +1,103 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** N-VERSION SNAPSHOT STORE with as-of reads — the time-travel layout a
+  * release pipeline needs once "the corpus" stops being one directory.
+  * The reference's maintenance tools mutate the previous run's output
+  * IN PLACE (BryanL43/MergeExtractor tools/patchabbrev.py re-extracts
+  * and overwrites rows of the prior corpus; tools/dumpdata.py dumps the
+  * single current state), so history is destroyed on every run; this
+  * store keeps each run as a committed, re-readable version instead.
+  *
+  * Layout: immutable version directories `<root>/data/v=<k>` (a Hive
+  * partition column, so an as-of read is a PARTITION-PRUNED scan — the
+  * files of every other version are statically skipped, which
+  * SnapshotsSpec asserts via inputFiles) plus a one-row-per-version
+  * MANIFEST sidecar at `<root>/manifest` (a SIBLING of the partitioned
+  * path, never inside it — partition discovery must not see it).
+  *
+  * Commit protocol (single-writer, the [[graft.util.Sidecars]]
+  * discipline): the version's data files land first, the manifest swap
+  * lands LAST and is the commit point. Readers resolve versions through
+  * the manifest ONLY — a crash mid-write leaves a dangling `v=<k>`
+  * directory that no manifest row names, so it is invisible to
+  * [[asOf]]/[[latest]] and the re-run of the crashed commit heals it
+  * with mode(overwrite) before committing the manifest row.
+  *
+  * Scale shape: a version commit writes only the new version's rows; an
+  * as-of read scans only that version's files; [[diff]] shuffles only
+  * (id, fingerprint, byte-length) — document text never leaves the scan
+  * stage (the snapshot_diff_store posture, across any two versions).
+  */
+object Snapshots {
+
+  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The manifest as (v, n_rows), empty-schema-stable when absent. */
+  def manifest(spark: SparkSession, root: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(root + "/manifest")
+    if (fsOf(spark, p).exists(p)) spark.read.parquet(p.toString)
+    else {
+      import spark.implicits._
+      Seq.empty[(Int, Long)].toDF("v", "n_rows")
+    }
+  }
+
+  /** Highest committed version, 0 for an empty store. */
+  def latest(spark: SparkSession, root: String): Int =
+    manifest(spark, root).agg(coalesce(max(col("v")), lit(0)))
+      .collect()(0).getInt(0)
+
+  /** Append `df` as the next version; returns its version number. Data
+    * first (mode overwrite heals a crashed predecessor's dangling dir),
+    * manifest swap last = commit point. */
+  def commitVersion(spark: SparkSession, root: String, df: DataFrame): Int = {
+    val k = latest(spark, root) + 1
+    df.write.mode("overwrite").parquet(root + s"/data/v=$k")
+    // count what was WRITTEN (what readers will see), not the input plan
+    val n = spark.read.parquet(root + s"/data/v=$k").count()
+    import spark.implicits._
+    graft.util.Sidecars.swap(spark, root, "manifest",
+      manifest(spark, root).unionByName(Seq((k, n)).toDF("v", "n_rows")),
+      single = true)
+    k
+  }
+
+  /** Read one committed version: a partition-pruned scan of the
+    * versioned store (the `v === k` filter reaches partition discovery,
+    * so only `v=<k>`'s files are listed and read). Uncommitted versions
+    * — a crashed writer's dangling directory — are refused by the
+    * manifest check, never silently half-read. */
+  def asOf(spark: SparkSession, root: String, k: Int): DataFrame = {
+    val committed = manifest(spark, root).filter(col("v") === k).count()
+    require(committed == 1L,
+      s"version $k is not committed in $root/manifest")
+    spark.read.parquet(root + "/data").filter(col("v") === k).drop("v")
+  }
+
+  /** Diff two committed versions by content fingerprint: one row per
+    * status (added/removed/changed/unchanged) with doc counts and byte
+    * totals of the surviving/new side — the release-manifest numbers,
+    * computed from two pruned scans that shuffle only (id, fp, bytes). */
+  def diff(spark: SparkSession, root: String, from: Int, to: Int,
+      id: String, text: String): DataFrame = {
+    val a = asOf(spark, root, from)
+      .select(col(id), md5(col(text)).as("fp1"),
+        octet_length(col(text)).cast("long").as("b1"))
+    val b = asOf(spark, root, to)
+      .select(col(id), md5(col(text)).as("fp2"),
+        octet_length(col(text)).cast("long").as("b2"))
+    a.join(b, Seq(id), "full_outer")
+      .select(when(col("fp1").isNull, "added")
+        .when(col("fp2").isNull, "removed")
+        .when(col("fp1") =!= col("fp2"), "changed")
+        .otherwise("unchanged").as("status"),
+        coalesce(col("b2"), col("b1")).as("bytes"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("bytes")).as("total_bytes"))
+      .orderBy(col("status"))
+  }
+}

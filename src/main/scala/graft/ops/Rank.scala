@@ -181,21 +181,8 @@ object Rank {
     * and spec follows). */
   private def swapSidecar(spark: org.apache.spark.sql.SparkSession,
       path: String, name: String, rows: DataFrame,
-      single: Boolean = false): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val cur = new org.apache.hadoop.fs.Path(path + "/" + name)
-    val next = new org.apache.hadoop.fs.Path(path + s"/$name.next")
-    val old = new org.apache.hadoop.fs.Path(path + s"/$name.old")
-    val fs = cur.getFileSystem(conf)
-    (if (single) rows.coalesce(1) else rows)
-      .write.mode("overwrite").parquet(next.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(cur)) require(fs.rename(cur, old),
-      s"could not retire old $name sidecar at $cur")
-    require(fs.rename(next, cur),
-      s"could not commit $name sidecar at $cur")
-    fs.delete(old, true)
-  }
+      single: Boolean = false): Unit =
+    graft.util.Sidecars.swap(spark, path, name, rows, single)
 
   private def swapStats(spark: org.apache.spark.sql.SparkSession,
       path: String, row: DataFrame): Unit =

@@ -29,6 +29,37 @@ object DataPipelineQueries {
       write: String => Unit): String =
     graft.util.TempDirs.cached(kind, dir)(write)
 
+  /** Three-version snapshot store staged once per dir: v1 = documents,
+    * v2 = the snapshot_diff synthesis (drops % 13, edits % 7, adds 20
+    * renumbered docs), v3 = v2 with a further deterministic delta
+    * (drops % 11, edits % 5, adds 10 more) — v3 is derived by READING
+    * v2 back through an as-of read, so the staging itself exercises the
+    * commit/read path it feeds. */
+  private def snapshotStorePath(s: SparkSession, dir: String): String =
+    graft.util.TempDirs.cached("snapshot-nstore", dir) { p =>
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      graft.io.Snapshots.commitVersion(s, p, docs.coalesce(2))
+      val v2 = docs.filter($"doc_id" % 13 =!= 0)
+        .select($"doc_id",
+          when($"doc_id" % 7 === 0, concat($"text", lit(" v2 edit")))
+            .otherwise($"text").as("text"))
+        .unionByName(docs.filter($"doc_id" < 20)
+          .select(($"doc_id" + 100000).as("doc_id"),
+            concat(lit("new doc "), $"doc_id".cast("string")).as("text")))
+      graft.io.Snapshots.commitVersion(s, p, v2.coalesce(2))
+      val v3 = graft.io.Snapshots.asOf(s, p, 2)
+        .filter($"doc_id" % 11 =!= 0)
+        .select($"doc_id",
+          when($"doc_id" % 5 === 0, concat($"text", lit(" v3")))
+            .otherwise($"text").as("text"))
+        .unionByName(docs.filter($"doc_id" < 10)
+          .select(($"doc_id" + 200000).as("doc_id"),
+            concat(lit("v3 doc "), $"doc_id".cast("string")).as("text")))
+      graft.io.Snapshots.commitVersion(s, p, v3.coalesce(2))
+      ()
+    }
+
   /** Min-label rounds for the d6 component queries — enough to cover the
     * largest near-dup component diameter on the gated corpora, PROVEN (not
     * assumed) by d6b_component_stats' n_unconverged = 0 row. 16 because
@@ -3104,6 +3135,27 @@ object DataPipelineQueries {
         .orderBy($"status")
     }),
 
+    // N-VERSION SNAPSHOT STORE — snapshot_diff_store generalized from
+    // two fixed stores to a committed version HISTORY (graft.io
+    // .Snapshots): three corpus versions committed to one root
+    // (immutable v=<k> partitions + manifest sidecar, swap-last commit
+    // point), then (a) an AS-OF read of the middle version — a
+    // partition-pruned scan whose file set SnapshotsSpec pins to v=2
+    // only — and (b) a v1 -> v3 diff across the non-adjacent pair. The
+    // twins re-derive each version's content from the base table, so
+    // the hashes prove commit + as-of + diff moved no byte.
+    "snapshot_asof" -> ((s, dir) => {
+      import s.implicits._
+      graft.io.Snapshots.asOf(s, snapshotStorePath(s, dir), 2)
+        .select($"doc_id", octet_length($"text").cast("long").as("bytes"))
+        .orderBy($"doc_id")
+    }),
+
+    "snapshot_asof_diff" -> ((s, dir) => {
+      graft.io.Snapshots.diff(s, snapshotStorePath(s, dir), 1, 3,
+        "doc_id", "text")
+    }),
+
     // QUALITY-CLASSIFIER DISTILLATION (the CCNet/WebText/LLaMA pipeline
     // step: label a slice with an expensive signal, train a cheap model
     // on-cluster, filter the full corpus with the model). Teacher =
@@ -5570,6 +5622,51 @@ object DataPipelineQueries {
         |              ELSE 'unchanged' END AS status,
         |    COALESCE(b.b, a.b) AS bytes
         |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT status, COUNT(*) AS n_docs,
+        |  CAST(SUM(bytes) AS BIGINT) AS total_bytes
+        |FROM j GROUP BY status ORDER BY status""".stripMargin,
+    // The as-of twin re-derives v2's content (the snapshot_diff
+    // synthesis) — hash equality proves commit + partition-pruned
+    // read round-tripped every byte.
+    "snapshot_asof" ->
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2 edit'
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, 'new doc ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id < 20)
+        |SELECT doc_id, CAST(strlen(text) AS BIGINT) AS bytes
+        |FROM v2 ORDER BY doc_id""".stripMargin,
+    // v1 -> v3 across the non-adjacent pair: v3 replays v2's synthesis
+    // then the v3 delta, exactly the lineage the store committed.
+    "snapshot_asof_diff" ->
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2 edit'
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, 'new doc ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id < 20),
+        |v3 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v3' ELSE text END AS text
+        |  FROM v2 WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 'v3 doc ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id < 10),
+        |a AS (SELECT doc_id, md5(text) AS fp, strlen(text) AS b
+        |      FROM documents),
+        |b3 AS (SELECT doc_id, md5(text) AS fp, strlen(text) AS b FROM v3),
+        |j AS (
+        |  SELECT CASE WHEN a.fp IS NULL THEN 'added'
+        |              WHEN b3.fp IS NULL THEN 'removed'
+        |              WHEN a.fp <> b3.fp THEN 'changed'
+        |              ELSE 'unchanged' END AS status,
+        |    COALESCE(b3.b, a.b) AS bytes
+        |  FROM a FULL OUTER JOIN b3 ON a.doc_id = b3.doc_id)
         |SELECT status, COUNT(*) AS n_docs,
         |  CAST(SUM(bytes) AS BIGINT) AS total_bytes
         |FROM j GROUP BY status ORDER BY status""".stripMargin,

@@ -490,6 +490,30 @@ object RelationalQueries {
         .orderBy($"event_type", $"day")
     }),
 
+    // ARBITRARY GROUPING SETS — the general form ROLLUP and CUBE
+    // specialize: a NON-LATTICE set list ((type), (day), ()) whose
+    // (type, day) pair is deliberately ABSENT, so neither rollup nor
+    // cube could express it; still ONE Expand scan (PlanSpec pins one
+    // Scan + one Expand). grouping_id() disambiguates the levels
+    // exactly (bit per grouping column, 1 = aggregated-away, first
+    // column = MSB — the same contract both engines implement), which
+    // is what a downstream reader keys on when a label column could
+    // legitimately hold NULL.
+    "event_grouping_sets" -> ((s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .select($"event_type",
+          date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"),
+          $"value")
+        .groupingSets(Seq(Seq($"event_type"), Seq($"day"), Seq.empty),
+          $"event_type", $"day")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"), sumMoney($"value").as("total_value"))
+        .select($"gid", coalesce($"event_type", lit("ALL")).as("event_type"),
+          coalesce($"day", lit("ALL")).as("day"), $"n", $"total_value")
+        .orderBy($"gid", $"event_type", $"day")
+    }),
+
     // SQL set operations on content fingerprints — INTERSECT / EXCEPT
     // (both directions) / UNION between two corpus slices as one
     // four-count reconciliation row (the report comparing two ingests).
@@ -920,6 +944,18 @@ object RelationalQueries {
         |      FROM events) x
         |GROUP BY CUBE(event_type, d)
         |ORDER BY event_type, day""".stripMargin,
+    // DuckDB GROUPING(a, b) carries the same bit contract as Spark's
+    // grouping_id (first argument = most-significant bit).
+    "event_grouping_sets" ->
+      """SELECT CAST(GROUPING(event_type, d) AS BIGINT) AS gid,
+        |  COALESCE(event_type, 'ALL') AS event_type,
+        |  COALESCE(d, 'ALL') AS day, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM (SELECT event_type,
+        |        strftime(date_trunc('day', ts), '%Y-%m-%d') AS d, value
+        |      FROM events) x
+        |GROUP BY GROUPING SETS ((event_type), (d), ())
+        |ORDER BY gid, event_type, day""".stripMargin,
     "set_ops_docs" ->
       """WITH a AS (SELECT md5(text) AS fp FROM documents
         |           WHERE doc_id % 2 = 0),

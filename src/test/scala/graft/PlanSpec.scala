@@ -631,6 +631,11 @@ class PlanSpec extends SparkSpec {
     assert(ro.contains("Expand"),
       "rollup must plan the grouping-set Expand, not per-level rescans: " +
         ro.take(1200))
+    val gs = plan("event_grouping_sets")
+    assert(gs.split("Scan parquet").length - 1 == 1,
+      "grouping sets must read events exactly once: " + gs.take(1200))
+    assert(gs.contains("Expand"),
+      "grouping sets must plan the one-scan Expand: " + gs.take(1200))
     val pv = SparkEntry.queries("event_pivot")(spark, sf("sf0.001"))
     val pPv = pv.queryExecution.executedPlan.toString
     assert(pPv.split("Scan parquet").length - 1 == 1,
