@@ -190,18 +190,28 @@ object UnigramTok {
     * MultiPieces multi-char pieces) rather than letting a sparse corpus
     * silently shift the quartile. Returns (p, uc, sc). */
   def emPrune(vocab: DataFrame, usage: DataFrame): DataFrame = {
+    val nMulti = vocab.filter(length(col("p")) > 1).count()
+    require(nMulti == MultiPieces,
+      s"emPrune expects a dense vocabulary of $MultiPieces multi-char " +
+        s"pieces, got $nMulti — quartile constant would silently shift")
+    emPruneBy(vocab, usage, MultiPieces / 4)
+  }
+
+  /** The M-step with an explicit drop count — the building block
+    * [[emPrune]] (fixed quartile) and [[emLoop]] (fixed per-round step)
+    * both instantiate; the caller owns the drop-schedule determinism. */
+  def emPruneBy(vocab: DataFrame, usage: DataFrame, dropN: Int): DataFrame = {
     val withUse = vocab.select(col("p"))
       .join(usage, Seq("p"), "left")
       .withColumn("uc", coalesce(col("uc"), lit(0L)))
     val multi = withUse.filter(length(col("p")) > 1)
-    val nMulti = multi.count()
-    require(nMulti == MultiPieces,
-      s"emPrune expects a dense vocabulary of $MultiPieces multi-char " +
-        s"pieces, got $nMulti — quartile constant would silently shift")
-    // bounded collect: the drop set is MultiPieces/4 pieces by (uc, p)
+    // bounded collect: the drop set is dropN pieces by (uc, p)
     val dropSet = multi.orderBy(col("uc").asc, col("p").asc)
-      .limit(MultiPieces / 4).select(col("p"))
+      .limit(dropN).select(col("p"))
       .collect().map(_.getString(0)).toSeq
+    require(dropSet.length == dropN,
+      s"emPruneBy asked to drop $dropN multi-char pieces but the " +
+        s"vocabulary only holds ${dropSet.length}")
     val kept = withUse.filter(length(col("p")) === 1 ||
       !col("p").isInCollection(dropSet))
     kept.crossJoin(broadcast(
@@ -210,6 +220,46 @@ object UnigramTok {
         (length(bin(greatest(col("uc"), lit(1L)))) -
           length(bin(col("ntot")))).cast("long"))
       .drop("ntot")
+  }
+
+  /** THE EM LOOP (Kudo 2018 §3.2's outer iteration, hard-EM variant —
+    * the round-10 single round made iterative): repeat E-step
+    * ([[segmentsWithPieces]] under the current vocabulary) and M-step
+    * ([[pieceUsage]] -> [[emPruneBy]] -> usage-re-score) until the
+    * multi-char vocabulary shrinks to `targetMulti`. The drop schedule
+    * is the fixed arithmetic both engines replay — `dropPerRound`
+    * pieces per round, with the (initial - target) divisibility
+    * REQUIREd up front so a sparse corpus can never silently shift a
+    * round's drop count against the unrolled SQL twin. Every round's
+    * vocabulary is localCheckpointed (the [[segments]] level
+    * discipline, one lineage cut per round instead of a plan that
+    * re-derives round r-1's Viterbi inside round r — the iterative-DP
+    * pitfall documented on [[segments]]); per-round driver state is
+    * one bounded drop-set collect. Returns (final vocab (p, uc, sc),
+    * rounds run). */
+  def emLoop(w: DataFrame, targetMulti: Int,
+      dropPerRound: Int = MultiPieces / 8): (DataFrame, Int) = {
+    val wc = w.localCheckpoint()
+    var vocab = pieceVocab(wc).localCheckpoint()
+    val nMulti = vocab.filter(length(col("p")) > 1).count()
+    require(nMulti == MultiPieces,
+      s"emLoop expects the dense initial vocabulary of $MultiPieces " +
+        s"multi-char pieces, got $nMulti")
+    require(targetMulti < MultiPieces && dropPerRound > 0 &&
+      (MultiPieces - targetMulti) % dropPerRound == 0,
+      s"drop schedule $MultiPieces -> $targetMulti by $dropPerRound " +
+        "must divide evenly (the unrolled twin replays fixed rounds)")
+    val rounds = (MultiPieces - targetMulti) / dropPerRound
+    (1 to rounds).foreach { _ =>
+      val segsP = segmentsWithPieces(wc, vocab)
+      val usage = pieceUsage(segsP)
+      val next = emPruneBy(vocab, usage, dropPerRound).localCheckpoint()
+      segsP.unpersist()
+      vocab.unpersist()
+      vocab = next
+    }
+    wc.unpersist()
+    (vocab, rounds)
   }
 
   /** Per-doc token counts under the unigram segmentation — the two-pass
@@ -365,6 +415,74 @@ object UnigramTok {
        |  FROM uwords u JOIN ($allW) v
        |    ON v.w = u.w AND v.pos = length(u.w))""".stripMargin
   }
+
+  /** EM-LOOP CTEs on top of [[sqlCtes]]: `rounds` unrolled iterations,
+    * each a list-carrying Viterbi chain (the vp tiebreak total order)
+    * under the PREVIOUS round's vocabulary `usel<r-1>`, usage counts,
+    * a fixed `dropPerRound` drop set, and the usage-re-scored
+    * `usel<r>`. `usel0` aliases the initial count-scored vocabulary so
+    * every round has a uniform shape. */
+  def sqlCtesEmLoop(rounds: Int, dropPerRound: Int): String = {
+    def chain(r: Int): String = {
+      val lvl = (1 to MaxWordLen).map { i =>
+        val from = ((i - MaxPiece) max 0) until i
+        val prev = from.map(j => s"SELECT * FROM e${r}_$j")
+          .mkString("\n    UNION ALL ")
+        s"""ce${r}_$i AS (
+           |  SELECT v.w, v.best + s.sc AS b2, v.np + 1 AS np2,
+           |    list_append(v.ps, s.p) AS ps2
+           |  FROM ($prev) v
+           |  JOIN usel${r - 1} s ON s.p = substr(v.w, v.pos + 1, $i - v.pos)
+           |  WHERE length(v.w) >= $i),
+           |e${r}_$i AS MATERIALIZED (
+           |  SELECT w, $i AS pos, b2 AS best, np2 AS np, ps2 AS ps FROM (
+           |    SELECT w, b2, np2, ps2,
+           |      row_number() OVER (PARTITION BY w
+           |        ORDER BY b2 DESC, np2, ps2 DESC) AS rn
+           |    FROM ce${r}_$i)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val allE = (1 to MaxWordLen).map(i => s"SELECT * FROM e${r}_$i")
+        .mkString("\n  UNION ALL ")
+      s"""e${r}_0 AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS best,
+         |  0 AS np, CAST([] AS VARCHAR[]) AS ps
+         |  FROM uwords WHERE length(w) <= $MaxWordLen),
+         |$lvl,
+         |segv$r AS MATERIALIZED (
+         |  SELECT u.w, u.c, v.ps
+         |  FROM uwords u JOIN ($allE) v
+         |    ON v.w = u.w AND v.pos = length(u.w)),
+         |usage$r AS MATERIALIZED (
+         |  SELECT p, CAST(SUM(c) AS BIGINT) AS uc
+         |  FROM (SELECT c, unnest(ps) AS p FROM segv$r)
+         |  GROUP BY p),
+         |wu$r AS (
+         |  SELECT s.p, COALESCE(u.uc, 0) AS uc
+         |  FROM usel${r - 1} s LEFT JOIN usage$r u ON s.p = u.p),
+         |dr$r AS (
+         |  SELECT p FROM wu$r WHERE length(p) > 1
+         |  ORDER BY uc ASC, p ASC LIMIT $dropPerRound),
+         |kp$r AS (
+         |  SELECT p, uc FROM wu$r
+         |  WHERE length(p) = 1 OR p NOT IN (SELECT p FROM dr$r)),
+         |usel$r AS MATERIALIZED (
+         |  SELECT p, uc,
+         |    CAST(length(bin(greatest(uc, 1)))
+         |         - length(bin(ntot)) AS BIGINT) AS sc
+         |  FROM kp$r CROSS JOIN
+         |    (SELECT CAST(SUM(greatest(uc, 1)) AS BIGINT) AS ntot
+         |     FROM kp$r))""".stripMargin
+    }
+    s"""$sqlCtes,
+       |usel0 AS (SELECT p, cnt AS uc, sc FROM usel),
+       |${(1 to rounds).map(chain).mkString(",\n")}""".stripMargin
+  }
+
+  /** unigram_vocab_em twin. */
+  def vocabEmSql(rounds: Int, dropPerRound: Int): String =
+    s"""WITH ${sqlCtesEmLoop(rounds, dropPerRound)}
+       |SELECT p AS piece, uc AS usage_cnt, sc AS score FROM usel$rounds
+       |ORDER BY piece""".stripMargin
 
   /** unigram_vocab_pruned twin. */
   def vocabPrunedSql: String =

@@ -278,6 +278,18 @@ object DataPipelineQueries {
     }
   }
 
+  /** The EM loop's trained artifact: the 48 -> 30 multi-piece
+    * vocabulary after 3 fixed rounds of 6 (the schedule the unrolled
+    * twin replays), staged once per dir. */
+  private def unigramEmVocabPath(s: SparkSession, dir: String): String =
+    graft.util.TempDirs.cached("unigram-em-vocab", dir) { p =>
+      val w = graft.ops.UnigramTok.words(t(s, dir, "documents"), "text")
+      val (vocab, rounds) = graft.ops.UnigramTok.emLoop(w,
+        targetMulti = 30, dropPerRound = 6)
+      require(rounds == 3, s"expected the 3-round schedule, ran $rounds")
+      vocab.write.parquet(p)
+    }
+
   // The deploy artifact (vocabulary + splits + leaf predictions) the
   // scalar-compiled filter needs — one training run serves the deploy
   // and streaming gates too.
@@ -3011,6 +3023,22 @@ object DataPipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // THE EM LOOP to a target vocabulary (Kudo 2018 §3.2's outer
+    // iteration — the single round above made iterative): 48 -> 30
+    // multi-char pieces in 3 fixed rounds of 6, each round
+    // re-segmenting under the previous round's usage-re-scored
+    // vocabulary. The twin unrolls all three list-carrying Viterbi
+    // chains; UnigramTokSpec referees the loop against an in-memory
+    // trainer and pins that >= 2 distinct rounds change at least one
+    // word's segmentation (the loop genuinely iterates, it isn't a
+    // fixed point after round one).
+    "unigram_vocab_em" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(unigramEmVocabPath(s, dir))
+        .select($"p".as("piece"), $"uc".as("usage_cnt"), $"sc".as("score"))
+        .orderBy($"piece")
+    }),
+
     // RIGHT-TO-BE-FORGOTTEN SWEEP — the data-governance operator GDPR
     // imposes on every corpus pipeline: one deletion list purged across
     // EVERY persisted artifact that could resurface the documents — the
@@ -5552,6 +5580,8 @@ object DataPipelineQueries {
     "ta_tokens_unigram" -> graft.ops.UnigramTok.tokenCountsSql,
     "unigram_vocab_pruned" -> graft.ops.UnigramTok.vocabPrunedSql,
     "ta_tokens_unigram_pruned" -> graft.ops.UnigramTok.tokenCountsPrunedSql,
+    "unigram_vocab_em" ->
+      graft.ops.UnigramTok.vocabEmSql(rounds = 3, dropPerRound = 6),
     // Same v2 synthesis, same fingerprint classification.
     "snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS fp FROM documents),

@@ -128,6 +128,53 @@ object IncrementalQueries {
         .orderBy($"hour", $"event_type")
     }),
 
+    // EXACTLY-ONCE streaming sink — stream_view_maintain_exec hardened
+    // to the production recovery contract: each micro-batch commits
+    // (merged view + applied-batch high-water mark) as ONE atomic
+    // rename (StreamOps.mergeBatchExactlyOnce), the view at rest
+    // partitioned by event_type (the bucketed-store posture). After
+    // the stream drains, the gate REPLAYS batch 0 with the full delta
+    // through the same sink — Structured Streaming re-delivers the
+    // last uncommitted batch with the same id after a crash, and the
+    // mark must make that a no-op (a double-apply would shift every
+    // count and fail the hash). StreamOpsSpec drives the actual
+    // kill-and-restart; this gate pins end-state correctness
+    // cross-engine with the full-recompute twin.
+    "stream_sink_exec" -> ((s, dir) => {
+      import s.implicits._
+      val storePath = staged("aggview-base", dir)(p =>
+        hourlyAgg(events(s, dir).filter($"event_id" % 4 =!= 3))
+          .coalesce(1).write.parquet(p))
+      val deltaStaged = events(s, dir).filter($"event_id" % 4 === 3)
+        .select($"event_id", $"ts", $"event_type", $"value")
+      val deltaSrc = staged("aggview-delta-src2", dir)(
+        deltaStaged.repartition(2).write.parquet(_))
+      // fresh output root per invocation (no compounding across reps)
+      val outRoot = graft.util.TempDirs.create("aggview-eo")
+      def sinkBatch(batch: DataFrame, id: Long): Boolean =
+        graft.streaming.StreamOps.mergeBatchExactlyOnce(s, outRoot,
+          base = s.read.parquet(storePath), partials = hourlyAgg(batch),
+          batchId = id, keys = Seq("hour", "event_type"), countCol = "n",
+          measures = Seq("total_value"), partitionCols = Seq("event_type"))
+      val stream = s.readStream.schema(deltaStaged.schema)
+        .option("maxFilesPerTrigger", 1).parquet(deltaSrc)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          sinkBatch(batch, id); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // the crash-replay probe: re-deliver batch 0's id with the WHOLE
+      // delta — the mark must refuse it (false = skipped)
+      val replayed = sinkBatch(s.read.parquet(deltaSrc), 0L)
+      require(!replayed, "replayed batch 0 must be a no-op")
+      s.read.parquet(outRoot + "/view")
+        .select($"hour", $"event_type", $"n",
+          $"total_value".cast("double").as("total_value"))
+        .orderBy($"hour", $"event_type")
+    }),
+
     // SKETCH-VALUED MATERIALIZED VIEW — per-type distinct-user NDV kept
     // current without ever storing users: the view's measure is the HLL
     // register table (<= 256 rows per group at rest), a delta batch's
@@ -272,6 +319,14 @@ object IncrementalQueries {
          |ORDER BY hour, event_type""".stripMargin,
     // streaming foreachBatch merge must equal the batch recompute
     "stream_view_maintain_exec" ->
+      s"""SELECT $hourSql AS hour, event_type, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY hour, event_type""".stripMargin,
+    // exactly-once sink: streaming merge + replayed batch == one batch
+    // recompute over all events — a double-apply would shift every row
+    "stream_sink_exec" ->
       s"""SELECT $hourSql AS hour, event_type, COUNT(*) AS n,
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          |FROM events

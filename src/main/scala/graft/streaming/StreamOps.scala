@@ -41,6 +41,55 @@ object StreamOps {
     }
   }
 
+  /** EXACTLY-ONCE foreachBatch merge into an at-rest aggregate view —
+    * the production sink shape for streams whose store has no native
+    * transactional merge (plain parquet): each micro-batch's partial
+    * aggregates fold into the previous view, and the result commits
+    * with an APPLIED-BATCH HIGH-WATER MARK so replays are provable
+    * no-ops. Structured Streaming's recovery contract is
+    * at-least-once into foreachBatch (the last uncommitted batch is
+    * re-delivered with the SAME batchId after a crash/restart); this
+    * sink turns that into exactly-once by making (data, mark) one
+    * atomic unit: the merged view is staged TOGETHER with a one-row
+    * `_batchmark` table INSIDE the staged directory (underscore paths
+    * are invisible to parquet discovery, so reads of the view skip
+    * it) and [[graft.util.Sidecars.swapStaged]]'s single rename
+    * commits both at once — no crash point can apply data without
+    * advancing the mark or vice versa. A batch with
+    * batchId <= the committed mark is skipped (returns false).
+    *
+    * Scale shape: the staged rewrite is of the VIEW (bounded by the
+    * group count), never the corpus; `partitionCols` keeps the view
+    * bucket-partitioned at rest so downstream point reads prune. The
+    * view directory is `<root>/view`. */
+  def mergeBatchExactlyOnce(spark: SparkSession, root: String,
+      base: DataFrame, partials: DataFrame, batchId: Long,
+      keys: Seq[String], countCol: String, measures: Seq[String],
+      partitionCols: Seq[String] = Seq.empty): Boolean = {
+    val viewPath = root + "/view"
+    val vp = new org.apache.hadoop.fs.Path(viewPath)
+    val fs = vp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(vp)
+    val applied =
+      if (exists)
+        spark.read.parquet(viewPath + "/_batchmark")
+          .agg(max(col("batch_id"))).collect()(0).getLong(0)
+      else -1L
+    if (batchId <= applied) return false // replay: already committed
+    val prev = if (exists) spark.read.parquet(viewPath) else base
+    val merged = graft.ops.Incremental.mergeAggView(
+      prev, partials, keys, countCol, measures)
+    graft.util.Sidecars.swapStaged(spark, root, "view") { next =>
+      val w = merged.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(next)
+      import spark.implicits._
+      Seq(batchId).toDF("batch_id").coalesce(1)
+        .write.parquet(next + "/_batchmark")
+    }
+    true
+  }
+
   /** J4 streaming: once-per-key append via watermark + dedup. Uses
     * `dropDuplicatesWithinWatermark` because plain `dropDuplicates` only
     * evicts state when the event-time column is part of the keys — with a

@@ -67,68 +67,91 @@ class UnigramTokSpec extends SparkSpec {
       UnigramTok.emPrune(vocab, usage).collect())
   }
 
-  test("one EM pruning round matches an in-memory reference and changes " +
-      "at least one segmentation") {
-    // Corpus: three high-frequency structured words plus a one-off tail
-    // of every two-char combo over a..h — enough distinct multi-char
-    // candidates to fill the 48-piece vocabulary, with a rare tail whose
-    // whole-word pieces get pruned (forcing re-segmentation to singles).
+  // ---- in-memory EM reference, shared by the one-round and loop tests.
+  // Corpus: three high-frequency structured words plus a one-off tail
+  // of every two-char combo over a..h — enough distinct multi-char
+  // candidates to fill the 48-piece vocabulary, with a rare tail whose
+  // whole-word pieces get pruned (forcing re-segmentation to singles).
+  private def emCorpus = {
     val freq = Seq.fill(20)("abab cdcd efef").mkString(" ")
     val tailW = (for (c1 <- 'a' to 'h'; c2 <- 'a' to 'h')
       yield s"$c1$c2").mkString(" ")
-    val d = Seq((0L, freq), (1L, tailW)).toDF("doc_id", "text")
+    Seq((0L, freq), (1L, tailW)).toDF("doc_id", "text")
+  }
+  private val wordCounts: Map[String, Long] =
+    (Seq.fill(20)(Seq("abab", "cdcd", "efef")).flatten ++
+      (for (c1 <- 'a' to 'h'; c2 <- 'a' to 'h') yield s"$c1$c2"))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+  private def blen(x: Long): Long =
+    64L - java.lang.Long.numberOfLeadingZeros(x)
+  private def candidates(wc: Map[String, Long]): Map[String, Long] = {
+    val m = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    wc.foreach { case (w0, c) =>
+      for (st <- 0 until w0.length;
+           pl <- 1 to math.min(UnigramTok.MaxPiece, w0.length - st))
+        m(w0.substring(st, st + pl)) += c
+    }
+    m.toMap
+  }
+  private def selectVocab(cand: Map[String, Long]): Map[String, Long] = {
+    val singles = cand.filter(_._1.length == 1)
+    val multi = cand.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(UnigramTok.MultiPieces)
+    singles ++ multi
+  }
+  private def score(sel: Map[String, Long]): Map[String, Long] = {
+    val ntot = sel.values.sum
+    sel.map { case (p, c) => p -> (blen(c) - blen(ntot)) }
+  }
+  // Viterbi with the engine's total-order tiebreak:
+  // (score desc, pieces asc, piece-list lexicographically LARGEST)
+  private def viterbi(w0: String,
+      sc: Map[String, Long]): (Long, Int, List[String]) = {
+    val ord = new Ordering[(Long, Int, List[String])] {
+      def compare(a: (Long, Int, List[String]),
+          b: (Long, Int, List[String])): Int = {
+        val c1 = java.lang.Long.compare(a._1, b._1)
+        if (c1 != 0) return c1
+        val c2 = Integer.compare(b._2, a._2) // fewer pieces wins
+        if (c2 != 0) return c2
+        a._3.zip(b._3).foreach { case (x, y) =>
+          val c = x.compareTo(y); if (c != 0) return c }
+        0
+      }
+    }
+    val dp = Array.fill[Option[(Long, Int, List[String])]](w0.length + 1)(None)
+    dp(0) = Some((0L, 0, Nil))
+    for (i <- 1 to w0.length;
+         j <- math.max(0, i - UnigramTok.MaxPiece) until i;
+         prev <- dp(j); s <- sc.get(w0.substring(j, i))) {
+      val cand = (prev._1 + s, prev._2 + 1, prev._3 :+ w0.substring(j, i))
+      if (dp(i).forall(ord.compare(cand, _) > 0)) dp(i) = Some(cand)
+    }
+    dp(w0.length).get
+  }
+  /** One in-memory M-step: usage counts under `sc`, drop the `dropN`
+    * least-used multi-char pieces by (usage, piece), re-score kept
+    * pieces from usage. Returns (kept usage map, new scores). */
+  private def refPrune(sc: Map[String, Long],
+      dropN: Int): (Map[String, Long], Map[String, Long]) = {
+    val usageRef = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    wordCounts.foreach { case (w0, c) =>
+      viterbi(w0, sc)._3.foreach(p => usageRef(p) += c) }
+    val dropSet = sc.keys.filter(_.length > 1).toSeq
+      .sortBy(p => (usageRef(p), p)).take(dropN).toSet
+    val keptUse: Map[String, Long] = sc.keys.toSeq
+      .filter(p => p.length == 1 || !dropSet(p))
+      .map(p => p -> usageRef(p)).toMap
+    val ntot = keptUse.values.map(math.max(_, 1L)).sum
+    (keptUse, keptUse.map { case (p, u) =>
+      p -> (blen(math.max(u, 1L)) - blen(ntot)) })
+  }
 
-    // ---- in-memory reference of the whole EM round ----
-    def blen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
-    val wordCounts: Map[String, Long] =
-      (Seq.fill(20)(Seq("abab", "cdcd", "efef")).flatten ++
-        (for (c1 <- 'a' to 'h'; c2 <- 'a' to 'h') yield s"$c1$c2"))
-        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
-    def candidates(wc: Map[String, Long]): Map[String, Long] = {
-      val m = scala.collection.mutable.Map.empty[String, Long]
-        .withDefaultValue(0L)
-      wc.foreach { case (w0, c) =>
-        for (st <- 0 until w0.length;
-             pl <- 1 to math.min(UnigramTok.MaxPiece, w0.length - st))
-          m(w0.substring(st, st + pl)) += c
-      }
-      m.toMap
-    }
-    def selectVocab(cand: Map[String, Long]): Map[String, Long] = {
-      val singles = cand.filter(_._1.length == 1)
-      val multi = cand.filter(_._1.length > 1).toSeq
-        .sortBy { case (p, c) => (-c, p) }.take(UnigramTok.MultiPieces)
-      singles ++ multi
-    }
-    def score(sel: Map[String, Long]): Map[String, Long] = {
-      val ntot = sel.values.sum
-      sel.map { case (p, c) => p -> (blen(c) - blen(ntot)) }
-    }
-    // Viterbi with the engine's total-order tiebreak:
-    // (score desc, pieces asc, piece-list lexicographically LARGEST)
-    def viterbi(w0: String, sc: Map[String, Long]): (Long, Int, List[String]) = {
-      val ord = new Ordering[(Long, Int, List[String])] {
-        def compare(a: (Long, Int, List[String]),
-            b: (Long, Int, List[String])): Int = {
-          val c1 = java.lang.Long.compare(a._1, b._1)
-          if (c1 != 0) return c1
-          val c2 = Integer.compare(b._2, a._2) // fewer pieces wins
-          if (c2 != 0) return c2
-          a._3.zip(b._3).foreach { case (x, y) =>
-            val c = x.compareTo(y); if (c != 0) return c }
-          0
-        }
-      }
-      val dp = Array.fill[Option[(Long, Int, List[String])]](w0.length + 1)(None)
-      dp(0) = Some((0L, 0, Nil))
-      for (i <- 1 to w0.length;
-           j <- math.max(0, i - UnigramTok.MaxPiece) until i;
-           prev <- dp(j); s <- sc.get(w0.substring(j, i))) {
-        val cand = (prev._1 + s, prev._2 + 1, prev._3 :+ w0.substring(j, i))
-        if (dp(i).forall(ord.compare(cand, _) > 0)) dp(i) = Some(cand)
-      }
-      dp(w0.length).get
-    }
+  test("one EM pruning round matches an in-memory reference and changes " +
+      "at least one segmentation") {
+    val d = emCorpus
     val cand = candidates(wordCounts)
     val sel0 = selectVocab(cand)
     val sc0 = score(sel0)
@@ -177,5 +200,49 @@ class UnigramTokSpec extends SparkSpec {
     val after = resegs.map { case (w0, (np, ts)) => w0 -> ((np, ts)) }
     assert(before != after,
       "pruning must change at least one segmentation on this corpus")
+  }
+
+  test("the EM LOOP matches the in-memory trainer round for round and " +
+      ">= 2 distinct rounds change at least one segmentation") {
+    val dropPerRound = 6
+    val target = UnigramTok.MultiPieces - 3 * dropPerRound // 48 -> 30
+    // ---- in-memory loop: score sequence sc0 -> sc1 -> sc2 -> sc3 ----
+    var scs = List(score(selectVocab(candidates(wordCounts))))
+    var useN: Map[String, Long] = Map.empty
+    (1 to 3).foreach { _ =>
+      val (use, sc) = refPrune(scs.head, dropPerRound)
+      useN = use
+      scs = sc :: scs
+    }
+    val refSegsByRound = scs.reverse.map { sc =>
+      wordCounts.keys.map(w0 => w0 -> viterbi(w0, sc)).toMap }
+    // the loop must not be a fixed point after round one: at least two
+    // of the three rounds change some word's segmentation
+    val changedRounds = refSegsByRound.sliding(2).count {
+      case Seq(a, b) => a.exists { case (w0, v) => b(w0) != v } }
+    assert(changedRounds >= 2,
+      s"only $changedRounds round(s) changed a segmentation — the loop " +
+        "corpus must exercise a genuine iteration")
+    // ---- distributed loop ----
+    val (vocabN, rounds) = UnigramTok.emLoop(
+      UnigramTok.words(emCorpus, "text"), targetMulti = target,
+      dropPerRound = dropPerRound)
+    assert(rounds == 3)
+    val got = vocabN.select(col("p"), col("uc"), col("sc"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    assert(got.keySet == useN.keySet,
+      s"final vocab diverged: extra=${got.keySet -- useN.keySet} " +
+        s"missing=${useN.keySet -- got.keySet}")
+    val scN = scs.head
+    got.foreach { case (p, (uc, s)) =>
+      assert(uc == useN(p), s"usage of '$p': got $uc want ${useN(p)}")
+      assert(s == scN(p), s"score of '$p': got $s want ${scN(p)}")
+    }
+    // uneven schedules are refused up front (the twin unrolls fixed
+    // rounds, so a silent remainder round would desynchronize engines)
+    intercept[IllegalArgumentException](UnigramTok.emLoop(
+      UnigramTok.words(emCorpus, "text"), targetMulti = 31,
+      dropPerRound = 6))
   }
 }
