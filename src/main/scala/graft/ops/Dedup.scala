@@ -167,7 +167,7 @@ object Dedup {
 
   /** Bounded per-group id list (NULL when the group exceeds `limit`) —
     * see org.apache.spark.sql.graft.BoundedLongList. */
-  private def boundedIds(id: String, limit: Int): Column = {
+  private[ops] def boundedIds(id: String, limit: Int): Column = {
     import org.apache.spark.sql.graft.{BoundedLongList, internal}
     internal.column(BoundedLongList(internal.expression(col(id)), limit)
       .toAggregateExpression())

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Bloom, Components, Dedup, LangIdNgram, Layout, Multimodal,
-  Rank, Sampling, Similarity, Sketch, TextAnalysis}
+import graft.ops.{BandIndex, Bloom, Components, Dedup, LangIdNgram, Layout,
+  Multimodal, Rank, Sampling, Similarity, Sketch, TextAnalysis}
 import graft.util.Tables._
 
 /** Training-data pipeline operators (driver north star): dedup family,
@@ -404,6 +404,73 @@ object DataPipelineQueries {
       val docs = t(s, dir, "documents")
         .filter(length(Dedup.normalized($"text")) >= 5)
       Dedup.minhashAccuracy(docs, "doc_id", "text", k = 5)
+        .orderBy($"id_1", $"id_2")
+    }),
+
+    // The persisted BAND-BUCKET index (graft.ops.BandIndex) — the dedup
+    // miner's state at rest, so 100 TB is never re-signatured per run.
+    // Incremental freshness: build on the even-id half, APPEND the odd
+    // half (additive bucket files + doc-map roll-forward), mine pairs
+    // from the combined index. Gated with the FULL-corpus d3 oracle:
+    // build+append+mine must be bit-identical to the at-once
+    // d3_minhash_lsh lineage — the knn_ivf_updated convention for the
+    // dedup family.
+    "d3_index_updated" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .filter(length(Dedup.normalized($"text")) >= 5)
+      val (path, _) = builtIndex("band-idx-incr", dir) { p =>
+        BandIndex.build(docs.filter($"doc_id" % 2 === 0),
+          "doc_id", "text", p)
+        BandIndex.append(docs.filter($"doc_id" % 2 =!= 0),
+          "doc_id", "text", p)
+        Array.empty
+      }
+      BandIndex.pairs(s, path, docs, "doc_id", "text")
+        .orderBy($"id_1", $"id_2")
+    }),
+
+    // Index MAINTENANCE, tombstone delete: build full, delete the
+    // doc_id % 7 == 3 slice (tombstone sidecar only — no bucket
+    // rewrite), mine. The anti-join runs BEFORE the bucket-size cap, so
+    // the cap reflects live membership; gated with the oracle over the
+    // SURVIVING corpus — delete+mine must equal a fresh build without
+    // the deleted docs, including every pair that only exists because a
+    // previously-oversized bucket shrank back under the cap.
+    "d3_index_deleted" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .filter(length(Dedup.normalized($"text")) >= 5)
+      val live = docs.filter($"doc_id" % 7 =!= 3)
+      val (path, _) = builtIndex("band-idx-del", dir) { p =>
+        BandIndex.build(docs, "doc_id", "text", p)
+        BandIndex.delete(s, p,
+          docs.filter($"doc_id" % 7 === 3).select($"doc_id"))
+        Array.empty
+      }
+      BandIndex.pairs(s, path, live, "doc_id", "text")
+        .orderBy($"id_1", $"id_2")
+    }),
+
+    // Index MAINTENANCE, compact: same delete, then the physical
+    // rewrite — dead bucket and doc-map rows drop via atomic sidecar
+    // swaps (crash-then-rerun converges; tombstones clear LAST so no
+    // intermediate state resurrects a deleted doc). The SAME surviving-
+    // corpus oracle gates the result: compaction must not move a pair.
+    // ExtraOpsSpec pins the physical row drop and tombstone removal.
+    "d3_index_compacted" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .filter(length(Dedup.normalized($"text")) >= 5)
+      val live = docs.filter($"doc_id" % 7 =!= 3)
+      val (path, _) = builtIndex("band-idx-cmp", dir) { p =>
+        BandIndex.build(docs, "doc_id", "text", p)
+        BandIndex.delete(s, p,
+          docs.filter($"doc_id" % 7 === 3).select($"doc_id"))
+        BandIndex.compact(s, p)
+        Array.empty
+      }
+      BandIndex.pairs(s, path, live, "doc_id", "text")
         .orderBy($"id_1", $"id_2")
     }),
 
@@ -4403,6 +4470,15 @@ object DataPipelineQueries {
     "knn_ivf_lloyd" -> knnIvfLloydSql(),
     "d5c_semdedup" -> semDedupSql(minCos = 0.35),
     "d3_minhash_lsh" -> HashOracleSql.d3Sql(),
+    // The maintained band-bucket index vs at-once derivations: append
+    // must reconstruct the FULL-corpus pair set; delete/compact the
+    // surviving-corpus one (the tombstone anti-join precedes the
+    // bucket-size cap, so the oracle's HAVING clause — computed over the
+    // filtered corpus — is exactly what the index-side query must see).
+    "d3_index_updated" -> HashOracleSql.d3Sql(),
+    "d3_index_deleted" -> HashOracleSql.d3Sql(docFilter = "doc_id % 7 <> 3"),
+    "d3_index_compacted" ->
+      HashOracleSql.d3Sql(docFilter = "doc_id % 7 <> 3"),
     "d3c_minhash_accuracy" -> HashOracleSql.d3AccuracySql(),
     "d7_incremental_dedup" -> d7OracleSql,
     "d7c_store_update" -> d7cStoreUpdateSql,

@@ -1,0 +1,119 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash band-bucket index: maintained-index mining must be
+  * bit-identical to the at-once lineage over the equivalent corpus, and
+  * the maintenance refusals must hold. */
+class BandIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Clustered corpus: two near-dup families plus singletons; texts long
+  // enough that 5-char shingling has signal.
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"),
+    (3L, "the quick brown fox leaps over the lazy dog near the river bank"),
+    (4L, "entirely unrelated text about distributed query engine design"),
+    (5L, "streaming watermarks bound state for late arriving event data"),
+    (6L, "streaming watermarks bound state for late arriving event rows"),
+    (7L, "a completely different document mentioning nothing shared at all")
+  ).toDF("doc_id", "text")
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy($"id_1", $"id_2")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSeq
+
+  test("build+mine equals the at-once minhashDedupPairs lineage") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandidx").toString
+    BandIndex.build(corpus, "doc_id", "text", dir + "/idx")
+    val mined = pairsOf(BandIndex.pairs(spark, dir + "/idx", corpus,
+      "doc_id", "text"))
+    val atOnce = pairsOf(Dedup.minhashDedupPairs(corpus, "doc_id", "text",
+      k = 5, minJaccard = 0.2))
+    assert(mined == atOnce && mined.nonEmpty)
+  }
+
+  test("append is additive: build(A)+append(B) mines as build(A∪B)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandidx").toString
+    BandIndex.build(corpus.filter($"doc_id" <= 3), "doc_id", "text",
+      dir + "/idx")
+    BandIndex.append(corpus.filter($"doc_id" > 3), "doc_id", "text",
+      dir + "/idx")
+    val mined = pairsOf(BandIndex.pairs(spark, dir + "/idx", corpus,
+      "doc_id", "text"))
+    val atOnce = pairsOf(Dedup.minhashDedupPairs(corpus, "doc_id", "text",
+      k = 5, minJaccard = 0.2))
+    assert(mined == atOnce)
+    // doc map rolled forward to all ids
+    assert(spark.read.parquet(dir + "/idx/docs").count() == 7)
+  }
+
+  test("append refuses overlapping and tombstoned ids") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandidx").toString
+    BandIndex.build(corpus, "doc_id", "text", dir + "/idx")
+    intercept[IllegalArgumentException] {
+      BandIndex.append(corpus.filter($"doc_id" === 2), "doc_id", "text",
+        dir + "/idx")
+    }
+    BandIndex.delete(spark, dir + "/idx", Seq(2L))
+    intercept[IllegalArgumentException] {
+      BandIndex.append(corpus.filter($"doc_id" === 2), "doc_id", "text",
+        dir + "/idx")
+    }
+  }
+
+  test("delete excludes pairs and recomputes the cap on live membership") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandidx").toString
+    BandIndex.build(corpus, "doc_id", "text", dir + "/idx")
+    BandIndex.delete(spark, dir + "/idx", Seq(2L, 6L))
+    val mined = pairsOf(BandIndex.pairs(spark, dir + "/idx", corpus,
+      "doc_id", "text"))
+    val atOnce = pairsOf(Dedup.minhashDedupPairs(
+      corpus.filter(!$"doc_id".isin(2L, 6L)), "doc_id", "text",
+      k = 5, minJaccard = 0.2))
+    assert(mined == atOnce)
+    assert(mined.forall(p => p._1 != 2L && p._2 != 2L))
+  }
+
+  test("delete refuses unknown and already-tombstoned ids") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandidx").toString
+    BandIndex.build(corpus, "doc_id", "text", dir + "/idx")
+    intercept[IllegalArgumentException] {
+      BandIndex.delete(spark, dir + "/idx", Seq(99L))
+    }
+    BandIndex.delete(spark, dir + "/idx", Seq(3L))
+    intercept[IllegalArgumentException] {
+      BandIndex.delete(spark, dir + "/idx", Seq(3L))
+    }
+  }
+
+  test("compact drops dead rows physically, clears tombstones, same pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandidx").toString
+    val idx = dir + "/idx"
+    BandIndex.build(corpus, "doc_id", "text", idx)
+    val before = spark.read.parquet(idx + "/buckets").count()
+    BandIndex.delete(spark, idx, Seq(2L, 6L))
+    val preCompact = pairsOf(BandIndex.pairs(spark, idx, corpus,
+      "doc_id", "text"))
+    BandIndex.compact(spark, idx)
+    assert(spark.read.parquet(idx + "/buckets").count() < before)
+    assert(spark.read.parquet(idx + "/buckets")
+      .filter($"doc_id".isin(2L, 6L)).count() == 0)
+    assert(!new java.io.File(idx + "/tombstones").exists())
+    assert(spark.read.parquet(idx + "/docs").count() == 5)
+    val postCompact = pairsOf(BandIndex.pairs(spark, idx, corpus,
+      "doc_id", "text"))
+    assert(postCompact == preCompact)
+    // tombstoned id is re-appendable after compaction
+    BandIndex.append(corpus.filter($"doc_id" === 2), "doc_id", "text", idx)
+    val reMined = pairsOf(BandIndex.pairs(spark, idx,
+      corpus.filter($"doc_id" =!= 6), "doc_id", "text"))
+    val atOnce = pairsOf(Dedup.minhashDedupPairs(
+      corpus.filter($"doc_id" =!= 6), "doc_id", "text",
+      k = 5, minJaccard = 0.2))
+    assert(reMined == atOnce)
+  }
+}
