@@ -97,30 +97,61 @@ object BandIndex {
     * additive (new parquet files picked up by discovery), so
     * build(old) + append(new) mines identically to build(old ∪ new).
     *
-    * Refuses batches overlapping the doc map (live ids — re-insertion
-    * would double every pair) or the tombstone set (deleted ids stay
-    * excluded until [[compact]]; see [[Rank.appendInvertedIndex]] for
-    * the purge-on-append alternative). The probe broadcasts the BATCH
-    * side — an ingest batch is bounded, the doc map is corpus-sized. */
+    * Refuses batches overlapping LIVE ids in the doc map (re-inserting
+    * a live id would double every pair it participates in). TOMBSTONED
+    * batch ids are re-appendable without waiting for [[compact]] (the
+    * [[Rank.appendInvertedIndex]] purge-on-append contract): their
+    * stale bucket rows are purged first, their tombstone rows drop,
+    * and the new rows land — delete → re-append → mine is
+    * bit-identical to a fresh build over the final corpus. All probes
+    * broadcast the BATCH side — an ingest batch is bounded, the doc
+    * map is corpus-sized.
+    *
+    * Crash discipline: purge converges under rerun (purging already-
+    * purged ids is a no-op); the tombstone swap then doc-map swap land
+    * BEFORE bucket rows, so a crash in the final window leaves the ids
+    * claimed-but-unbucketed and the verbatim retry is REFUSED by the
+    * live-overlap probe (clean the staged sidecar rows or rebuild) —
+    * never a silent double-insert. */
   def append(batch: DataFrame, id: String, text: String,
       path: String): Unit = {
     val spark = batch.sparkSession
     val (k, numHashes, numBands) = meta(spark, path)
     val batchIds = batch.select(col(id).as("doc_id")).distinct()
     val docMap = spark.read.parquet(path + "/docs")
-    val dup = docMap.join(broadcast(batchIds), "doc_id").limit(1).count()
+    val tombs =
+      if (exists(spark, path + "/tombstones"))
+        Some(spark.read.parquet(path + "/tombstones"))
+      else None
+    val live = tombs.fold(docMap)(t =>
+      docMap.join(t, Seq("doc_id"), "left_anti"))
+    val dup = live.join(broadcast(batchIds), "doc_id").limit(1).count()
     require(dup == 0,
-      s"append batch overlaps ${path} doc map — re-appending a live id " +
-        "would duplicate its bucket rows")
-    if (exists(spark, path + "/tombstones")) {
-      val dead = spark.read.parquet(path + "/tombstones")
-        .join(broadcast(batchIds), "doc_id").limit(1).count()
-      require(dead == 0,
-        s"append batch contains tombstoned ids — compact ${path} first")
+      s"append batch overlaps live ids in ${path} doc map — re-appending " +
+        "a live id would duplicate its bucket rows")
+    tombs.foreach { t =>
+      val reapp = t.join(broadcast(batchIds), "doc_id")
+        .select(col("doc_id")).localCheckpoint()
+      if (reapp.limit(1).count() > 0) {
+        // purge the dead rows NOW (their tombstones are about to drop,
+        // so queries would otherwise resurrect the stale buckets)
+        Sidecars.swapStaged(spark, path, "buckets") { next =>
+          spark.read.parquet(path + "/buckets")
+            .join(broadcast(reapp), Seq("doc_id"), "left_anti")
+            .write.parquet(next)
+        }
+        val remaining = t.join(broadcast(reapp), Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        if (remaining.limit(1).count() > 0)
+          Sidecars.swap(spark, path, "tombstones", remaining, single = true)
+        else
+          fs(spark, path).delete(
+            new org.apache.hadoop.fs.Path(path + "/tombstones"), true)
+        remaining.unpersist()
+      }
+      reapp.unpersist()
     }
-    // doc map BEFORE buckets: a crash in between leaves the id claimed
-    // but un-bucketed, and the verbatim retry is REFUSED above (clean
-    // the staged doc-map rows or rebuild) — never silent double-insert
+    // doc map BEFORE buckets: see crash discipline above
     Sidecars.swap(spark, path, "docs",
       docMap.unionByName(batchIds).distinct(), single = true)
     bucketRows(batch, id, text, k, numHashes, numBands)

@@ -474,6 +474,29 @@ object DataPipelineQueries {
         .orderBy($"id_1", $"id_2")
     }),
 
+    // Index MAINTENANCE, delete then RE-APPEND the same ids WITHOUT
+    // compacting: the append classifies the batch as tombstoned, purges
+    // its stale bucket rows, drops its tombstone rows, lands the new
+    // rows — so delete → re-append → mine is bit-identical to a fresh
+    // build over the final corpus (here the FULL table again, so the
+    // full-corpus oracle gates it — the bm25_index_reappend convention
+    // for the dedup family).
+    "d3_index_reappend" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .filter(length(Dedup.normalized($"text")) >= 5)
+      val (path, _) = builtIndex("band-idx-reapp", dir) { p =>
+        BandIndex.build(docs, "doc_id", "text", p)
+        BandIndex.delete(s, p,
+          docs.filter($"doc_id" % 7 === 3).select($"doc_id"))
+        BandIndex.append(docs.filter($"doc_id" % 7 === 3),
+          "doc_id", "text", p)
+        Array.empty
+      }
+      BandIndex.pairs(s, path, docs, "doc_id", "text")
+        .orderBy($"id_1", $"id_2")
+    }),
+
     // INCREMENTAL dedup — the ingestion shape: a new batch (doc_id >=
     // 400) deduped against the persisted fingerprint store of everything
     // ingested before (doc_id < 400, built once per dir — the at-rest
@@ -768,6 +791,44 @@ object DataPipelineQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       drainMemorySink(s, q, name).orderBy($"fp")
+    }),
+
+    // Streaming MAINTENANCE of the persisted band-bucket index — the
+    // ingestion loop a production dedup service runs: the index starts
+    // from the even-id half at rest, the odd half arrives as a file
+    // stream in two micro-batches, and each batch folds into the index
+    // via BandIndex.append inside foreachBatch (doc-map-first ordering,
+    // so a crashed batch's redelivery is refused instead of
+    // double-inserted — appends here are NOT idempotent-by-replay like
+    // stream_sink_exec's monoid merge, so refusal IS the safety).
+    // After the stream drains, mining the index must reconstruct the
+    // FULL-corpus pair set bit-for-bit: the same d3 oracle gates
+    // streaming ingest == batch build. Append order across batches
+    // cannot matter (bucket rows and doc-map rows are unions).
+    "stream_dedup_index_exec" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .filter(length(Dedup.normalized($"text")) >= 5)
+      val delta = docs.filter($"doc_id" % 2 =!= 0)
+        .select($"doc_id", $"text")
+      val src = stagedSrc("bandidx-delta2", dir)(
+        delta.repartition(2).write.mode("overwrite").parquet(_))
+      // fresh index per invocation: the mutation must not compound
+      // across bench repetitions
+      val idx = graft.util.TempDirs.create("bandidx-stream") + "/idx"
+      BandIndex.build(docs.filter($"doc_id" % 2 === 0),
+        "doc_id", "text", idx)
+      val stream = s.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          BandIndex.append(batch, "doc_id", "text", idx); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      BandIndex.pairs(s, idx, docs, "doc_id", "text")
+        .orderBy($"id_1", $"id_2")
     }),
 
     // The watermarked windowed aggregation EXECUTED under the gate: the
@@ -4476,9 +4537,12 @@ object DataPipelineQueries {
     // bucket-size cap, so the oracle's HAVING clause — computed over the
     // filtered corpus — is exactly what the index-side query must see).
     "d3_index_updated" -> HashOracleSql.d3Sql(),
+    // Streaming ingest into the same index must land bit-identically
+    "stream_dedup_index_exec" -> HashOracleSql.d3Sql(),
     "d3_index_deleted" -> HashOracleSql.d3Sql(docFilter = "doc_id % 7 <> 3"),
     "d3_index_compacted" ->
       HashOracleSql.d3Sql(docFilter = "doc_id % 7 <> 3"),
+    "d3_index_reappend" -> HashOracleSql.d3Sql(),
     "d3c_minhash_accuracy" -> HashOracleSql.d3AccuracySql(),
     "d7_incremental_dedup" -> d7OracleSql,
     "d7c_store_update" -> d7cStoreUpdateSql,

@@ -212,6 +212,34 @@ object SinkQueries {
         .orderBy($"doc_id")
     }),
 
+    // SCHEMA EVOLUTION at the store: a long-lived ingest widens its
+    // schema mid-stream (an early ingest wrote (doc_id, source, tlen);
+    // a later one added lang) and the store must stay readable as ONE
+    // table without rewriting old files. Stage both generations as
+    // plain parquet appends, read back with mergeSchema (schema union
+    // by name — pre-evolution rows surface NULL lang), and aggregate
+    // across the generation boundary. At 100 TB this is the only
+    // affordable widening: old files are immutable, the merged schema
+    // is metadata-only, and readers that don't select lang never pay
+    // for it (column pruning is per-file).
+    "schema_evolution" -> ((s, dir) => {
+      import s.implicits._
+      val path = tmpDir("graft-schevo")
+      val docs = t(s, dir, "documents")
+      docs.filter($"doc_id" % 2 === 0)
+        .select($"doc_id", $"source", length($"text").as("tlen"))
+        .write.mode("overwrite").parquet(path)
+      docs.filter($"doc_id" % 2 =!= 0)
+        .select($"doc_id", $"source", length($"text").as("tlen"), $"lang")
+        .write.mode("append").parquet(path)
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy($"lang") // NULL group = the pre-evolution generation
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"tlen".cast("long")).as("sum_len"),
+          min($"doc_id").as("min_id"))
+        .orderBy($"lang".asc_nulls_first)
+    }),
+
     // Small-file compaction: stage the corpus as a 64-way partitioned
     // store (one file per bucket — the fragmentation an incremental
     // ingest leaves behind), compact to 8 balanced files, and emit the
@@ -313,6 +341,16 @@ object SinkQueries {
         |FROM documents
         |WHERE lang IN ('en', 'de')
         |ORDER BY doc_id""".stripMargin,
+    // The merged read re-derives from the source table: even ids are the
+    // pre-evolution generation (lang never written -> NULL group).
+    "schema_evolution" ->
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN NULL ELSE lang END AS lang,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+        |  MIN(doc_id) AS min_id
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
     // The layout derives from the data, not from constants: before = one
     // file per NON-EMPTY pmod-64 class (a sparse corpus yields fewer
     // than 64), after = least(n_rows, 8) round-robin files (Spark writes

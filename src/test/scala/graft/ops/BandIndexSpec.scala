@@ -51,17 +51,43 @@ class BandIndexSpec extends SparkSpec {
     assert(spark.read.parquet(dir + "/idx/docs").count() == 7)
   }
 
-  test("append refuses overlapping and tombstoned ids") {
+  test("append refuses live-id overlap") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bandidx").toString
     BandIndex.build(corpus, "doc_id", "text", dir + "/idx")
     intercept[IllegalArgumentException] {
       BandIndex.append(corpus.filter($"doc_id" === 2), "doc_id", "text",
         dir + "/idx")
     }
-    BandIndex.delete(spark, dir + "/idx", Seq(2L))
+  }
+
+  test("re-append after delete purges stale rows, no compaction needed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandidx").toString
+    val idx = dir + "/idx"
+    BandIndex.build(corpus, "doc_id", "text", idx)
+    BandIndex.delete(spark, idx, Seq(2L, 6L))
+    // re-append id 2 with CHANGED text — the purge must drop the stale
+    // bucket rows or the old content would still mine
+    val changed = Seq((2L,
+      "totally rewritten second document sharing nothing with family one"))
+      .toDF("doc_id", "text")
+    BandIndex.append(changed, "doc_id", "text", idx)
+    // 6 stays tombstoned; 2 is live with the new content
+    val finalCorpus = corpus.filter($"doc_id" =!= 2L).unionByName(changed)
+    val mined = pairsOf(BandIndex.pairs(spark, idx,
+      finalCorpus.filter($"doc_id" =!= 6L), "doc_id", "text"))
+    val atOnce = pairsOf(Dedup.minhashDedupPairs(
+      finalCorpus.filter($"doc_id" =!= 6L), "doc_id", "text",
+      k = 5, minJaccard = 0.2))
+    assert(mined == atOnce)
+    assert(mined.forall(p => p._1 != 2L && p._2 != 2L)) // new text: no dups
+    // old (1,2)/(2,3) pairs gone, (1,3) family pair remains
+    assert(mined.exists(p => p._1 == 1L && p._2 == 3L))
+    // tombstone sidecar still holds 6 only
+    assert(spark.read.parquet(idx + "/tombstones").collect()
+      .map(_.getLong(0)).toSeq == Seq(6L))
+    // a live re-append is still refused
     intercept[IllegalArgumentException] {
-      BandIndex.append(corpus.filter($"doc_id" === 2), "doc_id", "text",
-        dir + "/idx")
+      BandIndex.append(changed, "doc_id", "text", idx)
     }
   }
 
