@@ -175,6 +175,51 @@ object Components {
     starContraction(pairs)
       .select(col("id"), col("rep"), (col("id") === col("rep")).as("keep"))
 
+  /** INCREMENTAL components — fold a delta pair batch into previously
+    * computed labels without re-walking the old graph, the ingestion
+    * shape of a continuously-deduped corpus (new docs arrive, their
+    * near-dup pairs are mined, and cluster membership must update
+    * delta-proportionally, not corpus-proportionally).
+    *
+    * Contraction argument for EXACTNESS: collapsing each old component
+    * onto its min-id representative preserves connectivity, so running
+    * min-label over the delta edges REWRITTEN onto representatives (new
+    * nodes stand for themselves) yields, per merged super-component, the
+    * min over its member reps — which is the min member id of the merged
+    * full component, i.e. exactly the label a fresh run over old ∪ delta
+    * edges computes. Old nodes inherit through their rep; untouched
+    * components keep their labels verbatim (their rep never appears in
+    * the super-graph). Contraction can only shorten paths, so the super
+    * graph's diameter never exceeds the fresh graph's and the same
+    * `iters` bound converges (the fixpoint early-exit in [[propagate]]
+    * still guards it).
+    *
+    * Scale shape: every join here is delta-sized except the final
+    * rep-remap, which joins the label table against the (tiny, bounded
+    * by delta) changed-rep map — broadcast in practice. Nothing touches
+    * the old EDGE set at all. */
+  def incrementalComponents(prevLabels: DataFrame, newPairs: DataFrame,
+      iters: Int): DataFrame = {
+    val edges = newPairs.select(col("id_1"), col("id_2")).localCheckpoint()
+    val prev = prevLabels.select(col("id"), col("rep"))
+    val mapped = edges
+      .join(prev.select(col("id").as("id_1"), col("rep").as("__r1")),
+        Seq("id_1"), "left")
+      .join(prev.select(col("id").as("id_2"), col("rep").as("__r2")),
+        Seq("id_2"), "left")
+      .select(coalesce(col("__r1"), col("id_1")).as("id_1"),
+        coalesce(col("__r2"), col("id_2")).as("id_2"))
+      .filter(col("id_1") =!= col("id_2"))
+    val superL = minLabelComponents(mapped, iters)
+    val updatedOld = prev
+      .join(superL.select(col("id").as("rep"), col("rep").as("__nr")),
+        Seq("rep"), "left")
+      .select(col("id"), coalesce(col("__nr"), col("rep")).as("rep"))
+    val newNodes = superL
+      .join(prev.select(col("id")), Seq("id"), "left_anti")
+    updatedOld.unionByName(newNodes)
+  }
+
   /** Number of nodes whose label would still change given one more round —
     * 0 iff `iters` rounds reached the fixpoint on this graph. Emitted
     * alongside component stats so convergence is gate-checkable, not

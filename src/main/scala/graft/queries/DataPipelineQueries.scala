@@ -707,6 +707,27 @@ object DataPipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // INCREMENTAL connected components — cluster membership updated
+    // delta-proportionally when new docs arrive: the id % 5 == 0 docs
+    // are the "new arrivals", every mined pair touching them is the
+    // delta, and the old graph's labels fold the delta in WITHOUT
+    // re-walking old edges (Components.incrementalComponents: delta
+    // endpoints contract onto their old representatives, min-label runs
+    // over the delta-sized super-graph, and a bounded rep-remap joins
+    // the result back). Gated with the SAME full-graph oracle as d6:
+    // incremental fold == fresh recompute, label for label — the
+    // contraction-exactness argument made checkable.
+    "d6f_components_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = d3PairsCached(s, dir)
+      val oldPairs = pairs.filter($"id_1" % 5 =!= 0 && $"id_2" % 5 =!= 0)
+      val delta = pairs.filter($"id_1" % 5 === 0 || $"id_2" % 5 === 0)
+      val prev = Components.minLabelComponents(oldPairs, iters = CcIters)
+      Components.incrementalComponents(prev, delta, iters = CcIters)
+        .select($"id", $"rep", ($"id" === $"rep").as("keep"))
+        .orderBy($"id")
+    }),
+
     // SimHash banding near-dup candidates; the FNV token hash + Charikar
     // bit-vote + banding walk is replayed exactly in SQL (HashOracleSql.d4Sql).
     "d4_simhash" -> ((s, dir) => {
@@ -4740,6 +4761,8 @@ object DataPipelineQueries {
         |FROM documents d LEFT JOIN reasm r ON d.doc_id = r.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "d6_neardup_components" -> HashOracleSql.d6Sql(iters = CcIters),
+    // incremental fold must equal the fresh full-graph recompute
+    "d6f_components_incremental" -> HashOracleSql.d6Sql(iters = CcIters),
     // star contraction reaches the same fixpoint (per-component minima),
     // so the unrolled min-label twin is its oracle verbatim
     "d6d_components_star" -> HashOracleSql.d6Sql(iters = CcIters),

@@ -662,6 +662,26 @@ class PlanSpec extends SparkSpec {
     assert(PlanSpec.collectWindows(tc.queryExecution.executedPlan).isEmpty,
       "token counting needs no window")
   }
+
+  test("band index mine: tombstones broadcast into the anti-join, bucket " +
+      "agg combines map-side, exchanges carry derived keys only") {
+    val p = plan("d3_index_deleted")
+    // the index is already at rest: mining must not re-signature anything
+    assert(!p.contains("minhash_sig"),
+      "pairs() must read persisted buckets, never recompute signatures")
+    assert(p.contains("LeftAnti, BuildRight"),
+      "tombstone exclusion must be a broadcast anti-join: " + p.take(1500))
+    assert(p.contains("partial_bounded_long_list"),
+      "bucket grouping must combine map-side (partial agg): " + p.take(1500))
+    assert(p.contains("hashpartitioning(band"),
+      "the only pre-candidate exchange is on (band, bucket)")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
+    // the live-id predicate must be pushed into BOTH documents scans
+    // (Catalyst propagates the corpus filter through the text joins)
+    assert("NOT \\(\\(doc_id#\\d+L % 7\\) = 3\\)".r
+      .findAllIn(p).length >= 2,
+      "live-corpus filter should reach the documents scans: " + p.take(1500))
+  }
 }
 
 object PlanSpec {

@@ -122,4 +122,40 @@ class ComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(labels.size == 41 && (0 to 40).forall(i => labels(100L + i) == 100L))
   }
+
+  test("incremental fold equals fresh recompute: merges, bridges, new nodes") {
+    // old graph: {1-2-3}, {10-11}, {20-21} (untouched)
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("id_1", "id_2")
+    // delta: new node 50 bridges the two old components 1* and 10*
+    // (via existing members 3 and 11), plus a brand-new pair {60, 61}
+    val delta = Seq((3L, 50L), (50L, 11L), (60L, 61L)).toDF("id_1", "id_2")
+    val prev = Components.minLabelComponents(oldPairs, iters = 4)
+    val got = Components.incrementalComponents(prev, delta, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    val fresh = Components
+      .minLabelComponents(oldPairs.unionByName(delta), iters = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got == fresh)
+    // untouched component kept verbatim; merged one took the global min
+    assert(got(20L) == 20L && got(21L) == 20L)
+    assert(Seq(1L, 2L, 3L, 50L, 10L, 11L).forall(got(_) == 1L))
+    assert(got(60L) == 60L && got(61L) == 60L)
+  }
+
+  test("incremental fold with empty old graph and with no-op delta") {
+    val oldPairs = Seq((1L, 2L)).toDF("id_1", "id_2")
+    val prev = Components.minLabelComponents(oldPairs, iters = 2)
+    // delta edge entirely inside an existing component: labels unchanged
+    val noop = Components.incrementalComponents(prev,
+      Seq((2L, 1L)).toDF("id_1", "id_2"), iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(noop == Map(1L -> 1L, 2L -> 1L))
+    // empty previous label set: everything is new
+    val empty = prev.filter(col("id") < 0)
+    val allNew = Components.incrementalComponents(empty,
+      Seq((5L, 6L)).toDF("id_1", "id_2"), iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(allNew == Map(5L -> 5L, 6L -> 5L))
+  }
 }
