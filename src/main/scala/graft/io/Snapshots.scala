@@ -78,6 +78,40 @@ object Snapshots {
     spark.read.parquet(root + "/data").filter(col("v") === k).drop("v")
   }
 
+  /** EXPIRE history: retain the newest `keep` committed versions and
+    * physically delete everything older — the retention sweep that
+    * keeps a snapshot store from growing without bound (time travel is
+    * a window, not an archive). The manifest swap lands FIRST, so
+    * readers stop resolving expired versions before any file
+    * disappears; a crash between swap and deletes leaves unreferenced
+    * `v=<k>` directories that the next expire (or crashed-commit
+    * healing) removes — [[asOf]] on an expired version refuses via the
+    * manifest, never half-reads. The directory sweep also GCs any
+    * DANGLING version dir no manifest row names (a crashed writer's
+    * leftovers), which is safe under the store's single-writer
+    * discipline. Returns the expired version numbers. */
+  def expire(spark: SparkSession, root: String, keep: Int): Seq[Int] = {
+    require(keep >= 1, s"must retain at least one version, got keep=$keep")
+    val man = manifest(spark, root)
+    // bounded collect: one element per committed version
+    val vs = man.select(col("v")).collect().map(_.getInt(0)).sorted.toSeq
+    val expired = vs.dropRight(keep)
+    if (expired.nonEmpty)
+      graft.util.Sidecars.swap(spark, root, "manifest",
+        man.filter(!col("v").isin(expired: _*)), single = true)
+    val retained = vs.takeRight(keep).toSet
+    val dataDir = new org.apache.hadoop.fs.Path(root + "/data")
+    val fs = fsOf(spark, dataDir)
+    if (fs.exists(dataDir))
+      fs.listStatus(dataDir).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("v=") &&
+            !retained.contains(name.drop(2).toInt))
+          fs.delete(st.getPath, true)
+      }
+    expired
+  }
+
   /** Diff two committed versions by content fingerprint: one row per
     * status (added/removed/changed/unchanged) with doc counts and byte
     * totals of the surviving/new side — the release-manifest numbers,

@@ -22,6 +22,60 @@ object Graph {
   /** Damping factor as an integer percentage (85/100). */
   val DampingPct = 85L
 
+  /** K-CORE of an undirected pair graph by iterative peeling: drop
+    * every node of degree < k (and its edges), recompute degrees,
+    * repeat — the fixpoint is the maximal subgraph in which every node
+    * keeps degree >= k. On a near-dup graph the k-core separates
+    * genuinely interlinked duplicate clusters from pendant chains of
+    * borderline pairs (the members an aggressive dedup keeps an eye on
+    * vs one-off fuzz matches).
+    *
+    * Determinism & the oracle contract: each peel round is a pure
+    * function of the previous edge set, so a `rounds`-deep unroll is
+    * TRUNCATION-EQUAL across engines even when the fixpoint needs
+    * fewer (later rounds are no-ops) — the early exit below fires
+    * exactly when a round removes nothing (the surviving set is always
+    * a subset, so equal counts mean equal sets), leaving the result
+    * identical to the full unroll.
+    *
+    * Scale shape: each round is one degree aggregation plus two
+    * semi-joins, all on 8-byte node ids; localCheckpoint per round
+    * keeps the plan constant-size (the [[Components]] lineage
+    * discipline). Rounds needed = longest pendant chain / 2, bounded
+    * by graph diameter.
+    *
+    * @return (node, deg) for every surviving node with its in-core
+    *         degree (>= k once converged). */
+  def kcore(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var edges = pairs
+      .select(least(col("id_1"), col("id_2")).as("a"),
+        greatest(col("id_1"), col("id_2")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var n = edges.count()
+    var round = 0
+    var converged = n == 0L
+    while (round < rounds && !converged) {
+      val deg = edges.select(col("a").as("n"))
+        .union(edges.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("c"))
+      val keep = deg.filter(col("c") >= k).select(col("n"))
+      val next = edges
+        .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      val m = next.count()
+      converged = m == n
+      edges = next
+      n = m
+      round += 1
+    }
+    edges.select(col("a").as("node")).union(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+  }
+
   /** Exact-integer PageRank over a weighted edge view in which EVERY
     * node has out-edges (true for any symmetrized graph — co-purchase,
     * co-citation, mutual-link), so no dangling-mass term is needed.
@@ -45,6 +99,77 @@ object Graph {
     * @param edges (src, dst, w, outw); every src also appears as a dst.
     * @return (node, pr) for every node that appears as an edge src.
     */
+  /** Per-node TRIANGLE participation counts over an undirected pair
+    * graph — the local clustering signal (how tightly a node's
+    * neighborhood interlinks) that complements PageRank's global
+    * centrality; on a co-purchase/co-citation graph, triangle-dense
+    * nodes sit inside genuine communities rather than hub fans.
+    *
+    * Algorithm: the standard DEGREE-ORDERED edge orientation (each
+    * undirected edge points from its lower-(degree, id) endpoint to the
+    * higher one — a total order, so the oriented graph is acyclic and
+    * every triangle has exactly ONE node with two out-edges). Wedges
+    * enumerate at that node only, and a wedge (u→v, u→w) closes iff
+    * the oriented edge v→w exists — each triangle found exactly once,
+    * no double counting, no orientation-dependent result (the triangle
+    * SET is orientation-invariant, which is why an id-ordered SQL twin
+    * gates this degree-ordered implementation verbatim).
+    *
+    * Scale posture: degree ordering is the skew defence — a hub of
+    * degree d contributes wedges only for its out-edges, and max
+    * out-degree under this orientation is O(sqrt(E)) (a node with
+    * out-degree k has k neighbours of degree >= its own, so
+    * k * deg <= 2E with k <= deg), turning the worst-case hub wedge
+    * explosion O(d^2) into O(E). Every join is an equi-join on 8-byte
+    * keys; the closing-edge probe ships (v, w) id pairs only.
+    *
+    * @param pairs undirected edges as (id_1, id_2) in any orientation,
+    *              duplicates and self-loops tolerated (normalized away)
+    * @return (node, n_tri) for every node in >= 1 triangle
+    */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val und = pairs
+      .select(least(col("id_1"), col("id_2")).as("a"),
+        greatest(col("id_1"), col("id_2")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(col("a").as("n"))
+      .union(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient each edge toward the higher (degree, id); carry the dst's
+    // degree so wedge enumeration can order the two out-edges without a
+    // second lookup
+    val oriented = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst"),
+            col("db").as("ddst")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"),
+            col("da").as("ddst"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.ddst").as("ddst"))
+      .localCheckpoint()
+    val x = oriented.select(col("src"), col("dst").as("v"),
+      col("ddst").as("dv"))
+    val y = oriented.select(col("src"), col("dst").as("w"),
+      col("ddst").as("dw"))
+    val wedges = x.join(y, Seq("src"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("src").as("u"), col("v"), col("w"))
+    val tri = wedges.join(
+      oriented.select(col("src").as("v"), col("dst").as("w")),
+      Seq("v", "w"))
+    tri.select(col("u").as("node"))
+      .union(tri.select(col("v").as("node")))
+      .union(tri.select(col("w").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
   def pagerank(edges: DataFrame, iters: Int): DataFrame = {
     val eo = edges.select(col("src"), col("dst"), col("w"), col("outw"))
       .localCheckpoint()

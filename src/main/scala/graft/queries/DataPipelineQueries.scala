@@ -728,6 +728,19 @@ object DataPipelineQueries {
         .orderBy($"id")
     }),
 
+    // K-CORE of the near-dup graph — the structural split between
+    // genuinely interlinked duplicate clusters (every member >= 2
+    // in-core neighbours) and pendant chains of one-off fuzz matches.
+    // Iterative peeling with per-round early exit (Graph.kcore); the
+    // DuckDB twin unrolls the same rounds over the same d3 pair twin,
+    // truncation-equal by construction, so the gate holds whether or
+    // not the fixpoint arrives inside the unroll.
+    "graph_kcore" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Graph.kcore(d3PairsCached(s, dir), k = 2, rounds = 10)
+        .orderBy($"node")
+    }),
+
     // SimHash banding near-dup candidates; the FNV token hash + Charikar
     // bit-vote + banding walk is replayed exactly in SQL (HashOracleSql.d4Sql).
     "d4_simhash" -> ((s, dir) => {
@@ -3333,6 +3346,43 @@ object DataPipelineQueries {
         "doc_id", "text")
     }),
 
+    // SNAPSHOT RETENTION: commit three versions into a FRESH store
+    // (expire mutates, so the shared cached store must not be touched),
+    // expire down to the newest two, and emit the surviving manifest.
+    // The require probes pin the physical contract inline: v1's
+    // directory is gone from disk, an as-of read of the expired version
+    // refuses via the manifest (never a half-read of deleted files),
+    // and a dangling uncommitted directory staged beside the store is
+    // GC'd by the same sweep. The oracle re-derives the retained
+    // versions' row counts from the base table.
+    "snapshot_expire" -> ((s, dir) => {
+      import s.implicits._
+      val root = graft.util.TempDirs.create("snapexp") + "/store"
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      graft.io.Snapshots.commitVersion(s, root, docs.coalesce(2))
+      graft.io.Snapshots.commitVersion(s, root,
+        docs.filter($"doc_id" % 13 =!= 0).coalesce(2))
+      graft.io.Snapshots.commitVersion(s, root,
+        docs.filter($"doc_id" % 13 =!= 0 && $"doc_id" % 11 =!= 0)
+          .coalesce(2))
+      // a crashed writer's dangling, manifest-less version dir
+      docs.limit(3).coalesce(1).write.parquet(root + "/data/v=9")
+      val expired = graft.io.Snapshots.expire(s, root, keep = 2)
+      require(expired == Seq(1), s"expected v1 expired, got $expired")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      require(!fs.exists(new org.apache.hadoop.fs.Path(root + "/data/v=1")),
+        "expired version files must be deleted")
+      require(!fs.exists(new org.apache.hadoop.fs.Path(root + "/data/v=9")),
+        "dangling uncommitted version dir must be GC'd")
+      val refused =
+        try { graft.io.Snapshots.asOf(s, root, 1); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused, "as-of on an expired version must refuse")
+      graft.io.Snapshots.manifest(s, root)
+        .select($"v", $"n_rows").orderBy($"v")
+    }),
+
     // QUALITY-CLASSIFIER DISTILLATION (the CCNet/WebText/LLaMA pipeline
     // step: label a slice with an expensive signal, train a cheap model
     // on-cluster, filter the full corpus with the model). Teacher =
@@ -4763,6 +4813,7 @@ object DataPipelineQueries {
     "d6_neardup_components" -> HashOracleSql.d6Sql(iters = CcIters),
     // incremental fold must equal the fresh full-graph recompute
     "d6f_components_incremental" -> HashOracleSql.d6Sql(iters = CcIters),
+    "graph_kcore" -> HashOracleSql.kcoreSql(k = 2, rounds = 10),
     // star contraction reaches the same fixpoint (per-component minima),
     // so the unrolled min-label twin is its oracle verbatim
     "d6d_components_star" -> HashOracleSql.d6Sql(iters = CcIters),
@@ -5863,6 +5914,14 @@ object DataPipelineQueries {
         |SELECT status, COUNT(*) AS n_docs,
         |  CAST(SUM(bytes) AS BIGINT) AS total_bytes
         |FROM j GROUP BY status ORDER BY status""".stripMargin,
+    // Retained versions' (v, n_rows) re-derived from the base table.
+    "snapshot_expire" ->
+      """SELECT 2 AS v, COUNT(*) AS n_rows
+        |FROM documents WHERE doc_id % 13 <> 0
+        |UNION ALL
+        |SELECT 3, COUNT(*)
+        |FROM documents WHERE doc_id % 13 <> 0 AND doc_id % 11 <> 0
+        |ORDER BY v""".stripMargin,
     "qc_tree_train" ->
       graft.ops.Classifier.treeTrainSql(qualityScoreSql),
     "qc_tree_score" ->

@@ -212,6 +212,23 @@ object FlowQueries {
         .orderBy($"node")
     }),
 
+    // Per-node TRIANGLE counts over the undirected co-purchase graph —
+    // local clustering beside PageRank's global centrality. The Spark
+    // kernel orients edges by (degree, id) so hub wedge explosion is
+    // bounded at O(sqrt(E)) out-degree (Graph.triangleCounts); the
+    // DuckDB twin enumerates triangles by id-order instead — a
+    // different orientation of the SAME orientation-invariant triangle
+    // set, so count equality cross-proves both formulations.
+    "graph_triangles" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("id_1"), col("b.pk").as("id_2"))
+      graft.ops.Graph.triangleCounts(pairs).orderBy($"node")
+    }),
+
     // Gap-based sessionization (30-min inactivity closes a session) as
     // batch window functions; the streaming variant is
     // graft.streaming.StreamOps.sessionize.
@@ -280,6 +297,23 @@ object FlowQueries {
         |        FROM nodes nd CROSS JOIN k
         |        LEFT JOIN c3 ON nd.node = c3.node)
         |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin,
+    // Triangles by id-order (u < v < w, edges canonical a < b): the
+    // orientation-free enumeration the degree-ordered kernel must match.
+    "graph_triangles" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |und AS (
+        |  SELECT DISTINCT a.pk AS a, b.pk AS b
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |tri AS (
+        |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        |  FROM und e1
+        |  JOIN und e2 ON e2.a = e1.b
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |m AS (SELECT u AS node FROM tri
+        |      UNION ALL SELECT v FROM tri
+        |      UNION ALL SELECT w FROM tri)
+        |SELECT node, COUNT(*) AS n_tri
+        |FROM m GROUP BY node ORDER BY node""".stripMargin,
     // The stub fetch body is 'Document for <url>' wrapped in one <p>, the
     // cleaning chain reduces it back to that line, and validation keeps
     // exactly the branches whose names occur in the lowercased URL

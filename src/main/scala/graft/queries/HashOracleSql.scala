@@ -307,6 +307,31 @@ private[queries] object HashOracleSql {
        |$rounds""".stripMargin
   }
 
+  /** graph_kcore: `rounds` unrolled peel rounds over the d3 near-dup
+    * pair graph — each round keeps only edges whose BOTH endpoints had
+    * degree >= k in the previous round's edge set (truncation-equal to
+    * the Spark loop by construction: later rounds past the fixpoint are
+    * no-ops on both engines). Emits surviving (node, deg). */
+  def kcoreSql(k: Int, rounds: Int): String = {
+    val peels = (1 to rounds).map { i =>
+      s"""d${i - 1} AS MATERIALIZED (
+         |  SELECT n, COUNT(*) AS c FROM (
+         |    SELECT a AS n FROM e${i - 1}
+         |    UNION ALL SELECT b FROM e${i - 1}) z
+         |  GROUP BY n),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${i - 1} e
+         |  JOIN d${i - 1} x ON x.n = e.a AND x.c >= $k
+         |  JOIN d${i - 1} y ON y.n = e.b AND y.c >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (SELECT id_1, id_2 FROM (${d3Sql()}) __d3),
+       |e0 AS (SELECT id_1 AS a, id_2 AS b FROM pairs),
+       |$peels
+       |SELECT n AS node, COUNT(*) AS deg FROM (
+       |  SELECT a AS n FROM e$rounds UNION ALL SELECT b FROM e$rounds) z
+       |GROUP BY n ORDER BY node""".stripMargin
+  }
+
   /** d6_neardup_components: per clustered doc its component representative
     * (min doc id within `iters` hops = the component minimum once
     * converged — gated by d6StatsSql's n_unconverged) and the keep bit. */

@@ -46,4 +46,82 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Graph.pagerank(edf.limit(0), iters = 1))
   }
+
+  /** O(n^3) reference: every id triple with all three edges present. */
+  private def bruteTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (a, b) => a != b }.toSet
+    val nodes = und.map(_._1).toSeq.sorted
+    val tris = for {
+      i <- nodes; j <- nodes if i < j && und((i, j))
+      k <- nodes if j < k && und((j, k)) && und((i, k))
+    } yield (i, j, k)
+    tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+  }
+
+  test("triangleCounts: degree-ordered kernel matches brute force, " +
+      "tolerates duplicates / self-loops / reversed edges") {
+    // two overlapping triangles (1,2,3) and (2,3,4), a pendant, noise
+    val pairs = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 2L), (4L, 5L), (6L, 6L))
+    val got = Graph.triangleCounts(pairs.toDF("id_1", "id_2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == bruteTriangles(pairs))
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  /** In-memory peel-to-fixpoint reference. */
+  private def bruteKcore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var es = edges.map { case (a, b) => (a min b, a max b) }
+      .filter { case (a, b) => a != b }.distinct
+    var changed = true
+    while (changed) {
+      val deg = es.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val next = es.filter(e => deg(e._1) >= k && deg(e._2) >= k)
+      changed = next.size != es.size
+      es = next
+    }
+    es.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+  }
+
+  test("kcore: chain peels away, clique survives, early exit = fixpoint") {
+    // triangle (1,2,3) + pendant chain 3-4-5-6 + isolated edge (9,10)
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (9L, 10L))
+    val got = Graph.kcore(pairs.toDF("id_1", "id_2"), k = 2, rounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(got == bruteKcore(pairs, 2))
+    // truncated unroll: 1 round only removes the chain's current
+    // endpoints — node 4 and 5 still present, matching a 1-deep oracle
+    val oneRound = Graph
+      .kcore(pairs.toDF("id_1", "id_2"), k = 2, rounds = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(oneRound == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("kcore: random graphs agree with the peel-to-fixpoint reference") {
+    val rnd = new scala.util.Random(11)
+    for (k <- Seq(2, 3)) {
+      val pairs = Seq.fill(70)((rnd.nextInt(16).toLong,
+        rnd.nextInt(16).toLong))
+      val got = Graph.kcore(pairs.toDF("id_1", "id_2"), k, rounds = 20)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == bruteKcore(pairs, k), s"k=$k")
+    }
+  }
+
+  test("triangleCounts: random graphs agree with brute force") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val pairs = Seq.fill(60)((rnd.nextInt(14).toLong,
+        rnd.nextInt(14).toLong))
+      val got = Graph.triangleCounts(pairs.toDF("id_1", "id_2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == bruteTriangles(pairs))
+    }
+  }
 }
