@@ -195,6 +195,64 @@ object Multimodal {
     (rate, channels, nSamples, nSamples * 1000000L / rate)
   }
 
+  /** REAL PCM16 SAMPLE DECODE + windowed energy: walk the RIFF chunks
+    * to the data payload (the same validation as [[wavProbe]]), then
+    * read every interleaved little-endian 16-bit sample and accumulate
+    * the exact Σ|sample| per window of `windowFrames` frames (all
+    * channels folded in — the mono-downmix-free loudness proxy an
+    * audio-quality filter thresholds on before any resample). This is
+    * the first mm operator that consumes PLANE DATA, not just headers:
+    * a byte-order or offset regression anywhere in the decode path
+    * moves an energy sum. Returns (win_idx, energy, n_frames) per
+    * window, last window ragged. */
+  def wavEnergyWindows(payload: Array[Byte],
+      windowFrames: Int): Seq[(Int, Long, Int)] = {
+    require(windowFrames > 0, s"bad window $windowFrames")
+    def ascii(o: Int, s: String): Boolean =
+      (0 until s.length).forall(i => payload(o + i) == s.charAt(i).toByte)
+    require(payload.length >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE"),
+      "not a WAV")
+    def le32(o: Int): Int =
+      (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+        ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
+    def le16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    var off = 12
+    var channels = -1; var dataOff = -1; var dataLen = -1
+    while (off + 8 <= payload.length && (channels < 0 || dataOff < 0)) {
+      val len = le32(off + 4)
+      if (ascii(off, "fmt ")) {
+        require(le16(off + 8) == 1 && le16(off + 22) == 16,
+          "not a WAV: not PCM16")
+        channels = le16(off + 10)
+      } else if (ascii(off, "data")) {
+        require(channels > 0, "not a WAV: data before fmt")
+        dataOff = off + 8
+        dataLen = len
+        require(dataOff + dataLen <= payload.length, "not a WAV: truncated")
+      }
+      off += 8 + len + (len & 1)
+    }
+    require(channels > 0 && dataOff >= 0, "not a WAV: missing chunks")
+    val nSamples = dataLen / (channels * 2)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Int)]
+    var f = 0
+    while (f < nSamples) {
+      val win = f / windowFrames
+      val end = math.min(f + windowFrames, nSamples)
+      var energy = 0L
+      var i = f * channels
+      val iEnd = end * channels
+      while (i < iEnd) {
+        val s = (le16(dataOff + i * 2) << 16) >> 16 // sign-extend
+        energy += math.abs(s.toLong)
+        i += 1
+      }
+      out += ((win, energy, end - f))
+      f = end
+    }
+    out.toSeq
+  }
+
   // Video params derived the same way (oracle re-derives from
   // length(text); the gate proves Y4M encode->probe round-trips them).
   // Dims are EVEN (4:2:0 chroma subsampling halves both axes); frame

@@ -2596,6 +2596,26 @@ object DataPipelineQueries {
         .orderBy($"doc_id", $"frame_idx")
     }),
 
+    // AUDIO SAMPLE DECODE — the first mm operator past the headers:
+    // every interleaved PCM16 sample of each audio payload is read
+    // (little-endian, sign-extended) and folded into exact per-window
+    // |sample| energy sums (100-frame windows, ragged tail) — the
+    // loudness proxy an audio-quality filter thresholds on. The DuckDB
+    // twin replays the deterministic sample synthesis closed-form, so
+    // any byte-order/offset/window regression in the REAL decode moves
+    // a sum. mapPartitions decode, per-doc work linear in payload.
+    "mm_audio_energy" -> ((s, dir) => {
+      import s.implicits._
+      val audio = Multimodal.mediaTable(t(s, dir, "documents"))
+        .filter($"media_type" === "audio")
+        .select($"doc_id", $"payload").as[(Long, Array[Byte])]
+      audio.flatMap { case (id, p) =>
+        Multimodal.wavEnergyWindows(p, windowFrames = 100)
+          .map { case (w, e, nf) => (id, w, e, nf) }
+      }.toDF("doc_id", "win_idx", "energy", "n_frames")
+        .orderBy($"doc_id", $"win_idx")
+    }),
+
     // SEMANTIC decontamination — the embedding-space complement of the
     // n-gram d8 gate: a held-out benchmark slice (vec_id % 37 = 0, the
     // small-broadcast side) is scanned against the remaining corpus and
@@ -5686,6 +5706,27 @@ object DataPipelineQueries {
         | TRUE AS dim_ok, TRUE AS norm_ok
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // The WAV data chunk's deterministic PCM16 synthesis (interleaved
+    // sample i = (i*37) mod 8192 - 4096, params from length(text))
+    // replayed closed-form: the Spark side must recover the identical
+    // per-window |sample| sums by actually decoding the bytes.
+    "mm_audio_energy" ->
+      """WITH au AS (
+        |  SELECT doc_id, length(text) AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |p AS (SELECT doc_id, 1 + n % 2 AS ch, 50 + n % 211 AS frames
+        |      FROM au),
+        |w AS (SELECT doc_id, ch, frames,
+        |        unnest(range(0, (frames + 99) // 100)) AS win FROM p),
+        |s AS (SELECT doc_id, win, frames,
+        |        unnest(range(win * 100 * ch,
+        |          least((win + 1) * 100, frames) * ch)) AS i
+        |      FROM w)
+        |SELECT doc_id, CAST(win AS INT) AS win_idx,
+        |  CAST(SUM(ABS((i * 37) % 8192 - 4096)) AS BIGINT) AS energy,
+        |  CAST(least(100, frames - win * 100) AS INT) AS n_frames
+        |FROM s GROUP BY doc_id, win, frames
+        |ORDER BY doc_id, win_idx""".stripMargin,
     // image width/height re-derive the PNG-encoded dims the Spark side
     // recovers by actually parsing the IHDR chunk; audio rows the
     // WAV-encoded rate/channels/frames the Spark side recovers by walking

@@ -243,6 +243,30 @@ class MultimodalSpec extends SparkSpec {
     assert(out.exists(!_.isNullAt(3)), "expected matched frames")
   }
 
+  test("wavEnergyWindows: decoded per-window energy matches the JDK " +
+      "codec's samples; ragged tail window sized exactly") {
+    val (rate, ch, n) = (16000, 2, 250) // 2 full windows + 50-frame tail
+    val bytes = Multimodal.wavEncode(rate, ch, n)
+    val got = Multimodal.wavEnergyWindows(bytes, windowFrames = 100)
+    assert(got.map(_._1) == Seq(0, 1, 2))
+    assert(got.map(_._3) == Seq(100, 100, 50))
+    // referee: decode the SAME bytes through the independent JDK codec
+    // and recompute the window sums from its sample stream
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val raw = in.readAllBytes()
+    def sample(i: Int): Int =
+      ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort.toInt
+    val expect = (0 until 3).map { w =>
+      val fEnd = math.min((w + 1) * 100, n)
+      (w * 100 * ch until fEnd * ch).map(i => math.abs(sample(i)).toLong).sum
+    }
+    assert(got.map(_._2) == expect)
+    assert(expect.forall(_ > 0L))
+    intercept[IllegalArgumentException](
+      Multimodal.wavEnergyWindows("RIFFjunk".getBytes, 100))
+  }
+
   test("resize keeps aspect ratio in metadata") {
     val decoded = Multimodal.decodeAll(spark, Multimodal.mediaTable(docs)).toDF()
       .filter($"media_type" =!= "audio") // audio has no spatial dims
