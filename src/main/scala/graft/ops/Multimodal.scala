@@ -294,6 +294,41 @@ object Multimodal {
     out.array()
   }
 
+  /** REAL LUMA PLANE DECODE: parse the Y4M stream header, then walk the
+    * FRAME markers and SUM each frame's Y-plane bytes (the first w*h
+    * of the 4:2:0 frame payload; chroma planes are skipped by offset) —
+    * the exact per-frame brightness mass a black-frame/scene-cut filter
+    * thresholds on. The video sibling of [[wavEnergyWindows]]: the
+    * first operator consuming video PLANE bytes, so any header-size,
+    * marker-walk, or plane-offset regression moves a sum. Returns
+    * (frame_idx, luma_sum) per frame. */
+  def y4mLumaSums(payload: Array[Byte]): Seq[(Int, Long)] = {
+    val (w, h, _, _, nFrames) = y4mProbe(payload) // validates the layout
+    val frameBytes = w * h + 2 * (w / 2) * (h / 2)
+    var eol = 0
+    while (payload(eol) != '\n') eol += 1
+    val marker = "FRAME".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    var off = eol + 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var f = 0
+    while (f < nFrames) {
+      require((0 until marker.length).forall(i =>
+        payload(off + i) == marker(i)) && payload(off + marker.length) == '\n',
+        s"bad FRAME marker at $off")
+      val planeOff = off + marker.length + 1
+      var s = 0L
+      var i = 0
+      while (i < w * h) { // Y plane only; U/V skipped by offset below
+        s += (payload(planeOff + i) & 0xff).toLong
+        i += 1
+      }
+      out += ((f, s))
+      off = planeOff + frameBytes
+      f += 1
+    }
+    out.toSeq
+  }
+
   /** REAL Y4M probe: parse the stream-header tags (W/H/F required, C
     * must be a 4:2:0 family when present) by byte arithmetic, then WALK
     * the `FRAME` markers — each must be followed by exactly

@@ -2616,6 +2616,23 @@ object DataPipelineQueries {
         .orderBy($"doc_id", $"win_idx")
     }),
 
+    // VIDEO PLANE DECODE — the luma sibling of mm_audio_energy: each
+    // Y4M frame's Y-plane bytes are summed by actually walking the
+    // FRAME markers and reading pixels (chroma planes skipped by
+    // offset) — the per-frame brightness mass a black-frame/scene-cut
+    // filter thresholds on. The twin replays the deterministic pixel
+    // synthesis closed-form over the same derived dims.
+    "mm_video_luma" -> ((s, dir) => {
+      import s.implicits._
+      val vids = Multimodal.mediaTable(t(s, dir, "documents"))
+        .filter($"media_type" === "video")
+        .select($"doc_id", $"payload").as[(Long, Array[Byte])]
+      vids.flatMap { case (id, p) =>
+        Multimodal.y4mLumaSums(p).map { case (f, sum) => (id, f, sum) }
+      }.toDF("doc_id", "frame_idx", "luma_sum")
+        .orderBy($"doc_id", $"frame_idx")
+    }),
+
     // SEMANTIC decontamination — the embedding-space complement of the
     // n-gram d8 gate: a held-out benchmark slice (vec_id % 37 = 0, the
     // small-broadcast side) is scanned against the remaining corpus and
@@ -5706,6 +5723,21 @@ object DataPipelineQueries {
         | TRUE AS dim_ok, TRUE AS norm_ok
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // The Y4M frames' deterministic pixel synthesis (byte i of frame f
+    // = (i*31 + f*17) mod 251, dims from length(text)) replayed
+    // closed-form over the Y plane only.
+    "mm_video_luma" ->
+      """WITH vid AS (
+        |  SELECT doc_id, length(text) AS n
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |p AS (SELECT doc_id, 16 + (n % 8) * 2 AS w, 8 + (n % 6) * 2 AS h,
+        |        1 + n % 7 AS frames FROM vid),
+        |f AS (SELECT doc_id, w, h, unnest(range(0, frames)) AS fr FROM p),
+        |px AS (SELECT doc_id, fr, unnest(range(0, w * h)) AS i FROM f)
+        |SELECT doc_id, CAST(fr AS INT) AS frame_idx,
+        |  CAST(SUM((i * 31 + fr * 17) % 251) AS BIGINT) AS luma_sum
+        |FROM px GROUP BY doc_id, fr
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     // The WAV data chunk's deterministic PCM16 synthesis (interleaved
     // sample i = (i*37) mod 8192 - 4096, params from length(text))
     // replayed closed-form: the Spark side must recover the identical

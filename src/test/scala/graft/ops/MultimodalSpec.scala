@@ -267,6 +267,28 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.wavEnergyWindows("RIFFjunk".getBytes, 100))
   }
 
+  test("y4mLumaSums: per-frame Y-plane sums match an independent " +
+      "string-walk of the same bytes; chroma excluded") {
+    val (w, h, frames) = (20, 12, 4)
+    val bytes = Multimodal.y4mEncode(w, h, frames)
+    val got = Multimodal.y4mLumaSums(bytes)
+    assert(got.map(_._1) == (0 until frames))
+    // referee: locate each FRAME marker lexically and recompute the sum
+    val s = new String(bytes.map(b => (b & 0xff).toChar))
+    val frameBytes = w * h + 2 * (w / 2) * (h / 2)
+    var idx = s.indexOf("FRAME\n")
+    val expect = (0 until frames).map { _ =>
+      val planeOff = idx + 6
+      val sum = (0 until w * h).map(i => s.charAt(planeOff + i).toLong).sum
+      idx = s.indexOf("FRAME\n", planeOff + frameBytes)
+      sum
+    }
+    assert(got.map(_._2) == expect)
+    // a full-frame (luma+chroma) sum would differ: chroma is excluded
+    val all0 = (0 until frameBytes).map(i => ((i * 31) % 251).toLong).sum
+    assert(got.head._2 != all0)
+  }
+
   test("resize keeps aspect ratio in metadata") {
     val decoded = Multimodal.decodeAll(spark, Multimodal.mediaTable(docs)).toDF()
       .filter($"media_type" =!= "audio") // audio has no spatial dims
