@@ -25,21 +25,45 @@ import org.apache.spark.sql.functions._
   */
 object Bloom {
 
-  /** Bit positions of `key` under k seed-varied XXH64 hashes, each in
-    * [0, mBits). Shared by build and probe so they can never disagree. */
-  private def positions(key: Column, mBits: Int, k: Int): Seq[Column] =
-    (0 until k).map(i => pmod(xxhash64(key, lit(i)), lit(mBits.toLong)))
+  /** Bit positions of the key columns under k hashes derived from TWO
+    * XXH64 evaluations (the double-hashing idea of Kirsch &
+    * Mitzenmacher 2006, "Less Hashing, Same Performance"): position_i
+    * = (h1 XOR rotate(h2, r_i)) mod m, with a distinct nonzero
+    * rotation per i. XOR-rotate rather than the classic h1 + i*h2
+    * because ANSI mode rejects the intended mod-2^64 wraparound of
+    * the multiply; bitwise ops cannot overflow, and each position
+    * still mixes the full width of both hashes. The probe cost is 2
+    * hashes regardless of k — which matters when the probe sits on a
+    * 10^7-row wedge or batch scan. Multi-column keys hash the columns
+    * DIRECTLY (xxhash64 is variadic) — no per-row struct allocation.
+    * Shared by build and probe so they can never disagree; false
+    * positives from the weaker-than-independent family are confirmed
+    * exactly downstream like any other. */
+  private def positions(keys: Seq[Column], mBits: Int, k: Int): Seq[Column] = {
+    require(k <= 16, s"bloom hash count capped at 16, got $k")
+    val h1 = xxhash64(keys: _*)
+    val h2 = xxhash64((keys :+ lit(0x9E3779B97F4A7C15L)): _*)
+    (0 until k).map { i =>
+      val r = (i * 23 + 7) % 64 // distinct and nonzero for i < 16
+      val rot = shiftrightunsigned(h2, r).bitwiseOR(shiftleft(h2, 64 - r))
+      pmod(h1.bitwiseXOR(rot), lit(mBits.toLong))
+    }
+  }
 
   /** Build the bitset: explode the k positions per key, OR them into
     * 64-bit words, collect. The collect is bounded by mBits/64 words — a
     * design constant (8 KiB at mBits = 2^16) independent of store size,
     * the same boundedness class as the IVF centroid collects. */
-  def buildBits(store: DataFrame, key: Column, mBits: Int, k: Int): Array[Long] = {
+  def buildBits(store: DataFrame, key: Column, mBits: Int, k: Int): Array[Long] =
+    buildBits(store, Seq(key), mBits, k)
+
+  /** Multi-column-key build: columns are hashed directly, no struct. */
+  def buildBits(store: DataFrame, keys: Seq[Column], mBits: Int, k: Int): Array[Long] = {
     require(mBits > 0 && mBits % 64 == 0,
       s"mBits must be a positive multiple of 64, got $mBits")
     require(k > 0, s"bloom hash count must be positive, got $k")
     val words = store
-      .select(explode(array(positions(key, mBits, k): _*)).as("__p"))
+      .select(explode(array(positions(keys, mBits, k): _*)).as("__p"))
       .groupBy(shiftright(col("__p"), 6).as("__w"))
       .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(__p & 63 AS INT))"))
         .as("__bits"))
@@ -53,9 +77,16 @@ object Bloom {
     * Catalyst over a literal array — codegen'd, map-stage. False
     * positives possible (confirm exactly downstream); false negatives
     * impossible (each insert set exactly these bits). */
-  def mightContain(key: Column, bits: Array[Long], k: Int): Column = {
-    val words = typedlit(bits.toSeq)
-    positions(key, bits.length * 64, k).map { p =>
+  def mightContain(key: Column, bits: Array[Long], k: Int): Column =
+    mightContain(Seq(key), bits, k)
+
+  /** Multi-column-key probe: columns are hashed directly, no struct.
+    * The bitset literal is an [[UnsafeArrayData]] over the primitive
+    * long array — element access in generated code is a flat offset
+    * read, no boxing, regardless of bitset size. */
+  def mightContain(keys: Seq[Column], bits: Array[Long], k: Int): Column = {
+    val words = org.apache.spark.sql.graft.GraftInternal.primitiveLongArrayLit(bits)
+    positions(keys, bits.length * 64, k).map { p =>
       val word = element_at(words, (shiftright(p, 6) + lit(1)).cast("int"))
       call_function("shiftright", word, p.bitwiseAND(lit(63L)).cast("int"))
         .bitwiseAND(lit(1L)) === lit(1L)

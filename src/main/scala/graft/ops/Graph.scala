@@ -22,6 +22,12 @@ object Graph {
   /** Damping factor as an integer percentage (85/100). */
   val DampingPct = 85L
 
+  /** Largest oriented edge set the triangle kernel will build a Bloom
+    * pre-gate for: 12 bits/edge caps the bitset literal at 2^26 bits
+    * (8 MiB) — comfortably broadcast as a plan literal. Beyond it the
+    * closing join runs unfiltered. */
+  val MaxBloomEdges: Long = (1L << 26) / 12
+
   /** K-CORE of an undirected pair graph by iterative peeling: drop
     * every node of degree < k (and its edges), recompute degrees,
     * repeat — the fixpoint is the maximal subgraph in which every node
@@ -123,11 +129,33 @@ object Graph {
     * explosion O(d^2) into O(E). Every join is an equi-join on 8-byte
     * keys; the closing-edge probe ships (v, w) id pairs only.
     *
+    * Wedge-shuffle pre-gate: the closing probe is the dominant shuffle
+    * — O(sum of C(outdeg, 2)) wedge rows, of which only the true
+    * triangles (a few percent on real graphs) survive the join. When
+    * the oriented edge set is small enough for a ~12-bits-per-edge
+    * bitset (<= [[MaxBloomEdges]]; one bounded count decides), a Bloom
+    * over (src, dst) built by [[Bloom.buildBits]] filters wedges
+    * MAP-SIDE before the exchange, cutting the shuffle to triangles +
+    * the ~1% false-positive tail. The exact join still runs after, so
+    * the result is bit-identical with or without the pre-gate (false
+    * negatives are impossible) — which is what the id-ordered DuckDB
+    * twin checks. Beyond the threshold the plain shuffle join runs
+    * unfiltered: a multi-GB bitset literal would hurt more than the
+    * shuffle it saves, and the sort-merge path is the honest shape at
+    * that scale.
+    *
     * @param pairs undirected edges as (id_1, id_2) in any orientation,
     *              duplicates and self-loops tolerated (normalized away)
     * @return (node, n_tri) for every node in >= 1 triangle
     */
-  def triangleCounts(pairs: DataFrame): DataFrame = {
+  def triangleCounts(pairs: DataFrame): DataFrame =
+    triangleCounts(pairs, MaxBloomEdges)
+
+  /** Threshold-parameterized variant so a spec can pin the Bloom-gated
+    * and ungated paths against each other (pass 0 to force the plain
+    * join, Long.MaxValue to force the pre-gate). */
+  private[ops] def triangleCounts(
+      pairs: DataFrame, maxBloomEdges: Long): DataFrame = {
     val und = pairs
       .select(least(col("id_1"), col("id_2")).as("a"),
         greatest(col("id_1"), col("id_2")).as("b"))
@@ -161,7 +189,22 @@ object Graph {
       .filter(col("dv") < col("dw") ||
         (col("dv") === col("dw") && col("v") < col("w")))
       .select(col("src").as("u"), col("v"), col("w"))
-    val tri = wedges.join(
+    // Bloom pre-gate on the closing edge (see scaladoc): filter wedges
+    // before they reach the exchange feeding the exact join.
+    val eCount = oriented.count()
+    val gated =
+      if (eCount > 0 && eCount <= maxBloomEdges) {
+        val mBits = {
+          var m = 1L << 20
+          while (m < 12L * eCount) m <<= 1
+          m.toInt
+        }
+        val bits = Bloom.buildBits(
+          oriented, Seq(col("src"), col("dst")), mBits, k = 6)
+        wedges.filter(
+          Bloom.mightContain(Seq(col("v"), col("w")), bits, k = 6))
+      } else wedges
+    val tri = gated.join(
       oriented.select(col("src").as("v"), col("dst").as("w")),
       Seq("v", "w"))
     tri.select(col("u").as("node"))

@@ -124,4 +124,18 @@ class GraphSpec extends SparkSpec {
       assert(got == bruteTriangles(pairs))
     }
   }
+
+  test("triangleCounts: Bloom-gated and plain closing joins are " +
+      "bit-identical (false negatives impossible, positives confirmed)") {
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.fill(200)((rnd.nextInt(25).toLong,
+      rnd.nextInt(25).toLong))
+    val df = pairs.toDF("id_1", "id_2")
+    val plain = Graph.triangleCounts(df, maxBloomEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gated = Graph.triangleCounts(df, maxBloomEdges = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plain == gated)
+    assert(plain == bruteTriangles(pairs))
+  }
 }
