@@ -373,8 +373,17 @@ object Dedup {
     * are the two 8-byte-key hash-lookups of the verified pairs' SimHash
     * values, sized by the candidate count, not n². */
   def simhashPairs(docs: DataFrame, id: String, text: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 64): DataFrame = {
-    val hashed = docs.select(col(id), simhash(col(text)).as("sh"))
+      maxHamming: Int = 3, maxBucketSize: Int = 64): DataFrame =
+    hammingPairs(docs.select(col(id), simhash(col(text)).as("sh")),
+      id, "sh", maxHamming, maxBucketSize)
+
+  /** The banding+verify stage of [[simhashPairs]] over ANY 64-bit
+    * fingerprint column (SimHash, image dHash, audio fingerprint):
+    * pigeonhole-exact for maxHamming <= 3 under the 4x16-bit banding,
+    * bounded buckets, exact bit_count confirm. */
+  def hammingPairs(input: DataFrame, id: String, hashCol: String,
+      maxHamming: Int, maxBucketSize: Int): DataFrame = {
+    val hashed = input.select(col(id), col(hashCol).as("sh"))
     val blocks = (0 until 4).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("bucket")))

@@ -82,6 +82,194 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Build a spec-valid PNG (8-bit RGB) with CONTENT: pixel (x, y)
+    * channel c takes `pixel(x, y, c) & 0xff`, and scanline filters
+    * CYCLE through all five PNG filter types (y mod 5: None, Sub, Up,
+    * Average, Paeth) so a decoder must implement real spec-complete
+    * un-filtering, not just strip a zero byte. Same JDK-only chunk
+    * framing as [[pngEncode]]; MultimodalSpec referees the output
+    * pixel-for-pixel against the JDK's independent `ImageIO` codec. */
+  def pngEncodePixels(width: Int, height: Int,
+      pixel: (Int, Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val out = new java.io.ByteArrayOutputStream(256)
+    def be32(v: Int): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(tag: String, body: Array[Byte]): Unit = {
+      val tb = tag.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(body)
+      out.write(be32(body.length)); out.write(tb); out.write(body)
+      out.write(be32(crc.getValue.toInt))
+    }
+    out.write(PngSignature)
+    chunk("IHDR", be32(width) ++ be32(height) ++
+      Array[Byte](8, 2, 0, 0, 0))
+    val bpp = 3
+    val stride = width * bpp
+    val raw = new Array[Byte](height * (1 + stride))
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride)
+    var y = 0
+    while (y < height) {
+      var i = 0
+      while (i < stride) {
+        cur(i) = pixel(i / bpp, y, i % bpp) & 0xff
+        i += 1
+      }
+      val ft = y % 5
+      raw(y * (1 + stride)) = ft.toByte
+      i = 0
+      while (i < stride) {
+        val left = if (i >= bpp) cur(i - bpp) else 0
+        val up = if (y > 0) prev(i) else 0
+        val upLeft = if (y > 0 && i >= bpp) prev(i - bpp) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, upLeft)
+        }
+        raw(y * (1 + stride) + 1 + i) = ((cur(i) - pred) & 0xff).toByte
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](8192)
+    val idat = new java.io.ByteArrayOutputStream(64)
+    while (!deflater.finished())
+      idat.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    chunk("IDAT", idat.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** PNG Paeth predictor (RFC 2083 §6.6) — shared by encode/decode. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** REAL PNG PIXEL DECODE: walk every chunk (each CRC-verified),
+    * require 8-bit RGB (the fixture profile), concatenate the IDAT
+    * bodies, INFLATE them with the JDK's zlib, and reverse the per-
+    * scanline filter (all five spec types). Returns (width, height,
+    * rgb) with `rgb` in scanline order, 3 ints per pixel. This is the
+    * full-decode pass a perceptual-hash or feature extractor sits on —
+    * the byte-arithmetic sibling of [[wavEnergyWindows]] /
+    * [[y4mLumaSums]], refereed in the spec against `ImageIO`. */
+  def pngPixels(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    val (w, h) = pngDims(payload) // signature + IHDR + its CRC
+    require(payload(24) == 8 && payload(25) == 2,
+      "pngPixels: fixture profile is 8-bit RGB")
+    def be32(o: Int): Int =
+      ((payload(o) & 0xff) << 24) | ((payload(o + 1) & 0xff) << 16) |
+        ((payload(o + 2) & 0xff) << 8) | (payload(o + 3) & 0xff)
+    val idat = new java.io.ByteArrayOutputStream(256)
+    var off = 8
+    var sawEnd = false
+    while (!sawEnd) {
+      require(off + 8 <= payload.length, "not a PNG: truncated chunk")
+      val len = be32(off)
+      val tag = new String(payload, off + 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      require(off + 12 + len <= payload.length, s"truncated $tag chunk")
+      val crc = new java.util.zip.CRC32()
+      crc.update(payload, off + 4, 4 + len)
+      require(crc.getValue.toInt == be32(off + 8 + len),
+        s"not a PNG: $tag CRC mismatch")
+      if (tag == "IDAT") idat.write(payload, off + 8, len)
+      if (tag == "IEND") sawEnd = true
+      off += 12 + len
+    }
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val bpp = 3
+    val stride = w * bpp
+    val raw = new Array[Byte](h * (1 + stride))
+    var got = 0
+    while (got < raw.length && !inflater.finished()) {
+      val n = inflater.inflate(raw, got, raw.length - got)
+      require(n > 0 || !inflater.needsInput, "bad IDAT stream")
+      got += n
+    }
+    inflater.end()
+    require(got == raw.length, s"IDAT inflated to $got, want ${raw.length}")
+    val rgb = new Array[Int](w * h * bpp)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (1 + stride)) & 0xff
+      require(ft <= 4, s"bad filter type $ft on scanline $y")
+      var i = 0
+      while (i < stride) {
+        val f = raw(y * (1 + stride) + 1 + i) & 0xff
+        val left = if (i >= bpp) rgb(y * stride + i - bpp) else 0
+        val up = if (y > 0) rgb((y - 1) * stride + i) else 0
+        val upLeft = if (y > 0 && i >= bpp) rgb((y - 1) * stride + i - bpp) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, upLeft)
+        }
+        rgb(y * stride + i) = (f + pred) & 0xff
+        i += 1
+      }
+      y += 1
+    }
+    (w, h, rgb)
+  }
+
+  /** 64-bit dHash (difference hash) over the decoded pixels: integer
+    * luma (299r + 587g + 114b)/1000 summed per cell of a 9x8 grid
+    * (pixel x lands in cell x*9/w — exact block boundaries), then bit
+    * gy*8+gx is set iff cell (gx+1, gy)'s MEAN luma exceeds cell
+    * (gx, gy)'s. The mean comparison cross-multiplies sums against
+    * counts, so it is exact integer arithmetic end to end — a DuckDB
+    * twin can replay it bit-for-bit from the pixel formula without
+    * ever building a PNG (sums <= 255*w*h, so the products stay far
+    * inside Long for any image smaller than ~10^7 px). dHash is the
+    * standard perceptual fingerprint for image near-dup detection;
+    * pairs band through [[Dedup.hammingPairs]] like SimHash. */
+  def pngDHash(payload: Array[Byte]): Long = {
+    val (w, h, rgb) = pngPixels(payload)
+    require(w >= 9 && h >= 8, s"dHash needs >= 9x8, got ${w}x$h")
+    val sums = Array.ofDim[Long](9, 8)
+    val cnts = Array.ofDim[Long](9, 8)
+    var y = 0
+    while (y < h) {
+      val gy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val gx = x * 9 / w
+        val o = (y * w + x) * 3
+        sums(gx)(gy) += (299 * rgb(o) + 587 * rgb(o + 1) + 114 * rgb(o + 2)) / 1000
+        cnts(gx)(gy) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (sums(gx + 1)(gy) * cnts(gx)(gy) > sums(gx)(gy) * cnts(gx + 1)(gy))
+          hash |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
   /** REAL PNG header decode: validate the 8-byte signature, require IHDR
     * as the first chunk (the spec mandates it), verify its CRC, and read
     * the big-endian dimensions. Header-probe only — no pixel decode —
@@ -104,6 +292,30 @@ object Multimodal {
     require(crc.getValue.toInt == be32(16 + ihdrLen),
       "not a PNG: IHDR CRC mismatch")
     (be32(16), be32(20))
+  }
+
+  /** Image-dedup fixture family: dims from doc_id % 7 (seven size
+    * classes) — docs sharing (doc_id % 7, (doc_id/7) % 3) render the
+    * SAME base image, perturbed per doc (see [[dedupImagePixel]]), so
+    * the corpus contains genuine near-dup clusters for the dHash gates
+    * to find. The oracle re-derives everything from doc_id. */
+  def dedupImageDims(docId: Long): (Int, Int) = {
+    val fam = (docId % 7).toInt
+    (24 + fam * 4, 16 + fam * 2)
+  }
+
+  /** Pixel formula for the image-dedup fixtures: a nonlinear base
+    * pattern keyed by scene s = (doc_id/7) % 3 (same for every doc in
+    * a (fam, s) class — quadratic terms keep block means diverse so
+    * dHashes differ across classes), plus a +41 bump on the ~1.6% of
+    * pixels where (13x + 7y) % 61 == doc_id % 61 — the per-doc
+    * perturbation that turns exact duplicates into NEAR duplicates
+    * with small, doc-pair-dependent Hamming distances. */
+  def dedupImagePixel(docId: Long)(x: Int, y: Int, c: Int): Int = {
+    val s = ((docId / 7) % 3).toInt
+    val base = (x * x * 7 + y * y * 13 + x * y * (s + 1) + c * 31) % 251
+    val bump = if ((x * 13 + y * 7) % 61 == (docId % 61).toInt) 41 else 0
+    (base + bump) % 251
   }
 
   // Image dims derived from the text length (the oracle re-derives them

@@ -78,6 +78,49 @@ object DataPipelineQueries {
   private val BloomBits = 4096
   private val BloomK = 3
 
+  /** Shared oracle prefix for the image-dHash gates: replays
+    * Multimodal.dedupImageDims/dedupImagePixel closed-form (pixel
+    * channel c at (x, y) = ((t % 251) + bump) % 251 with t = 7x^2 +
+    * 13y^2 + (s+1)xy + 31c), folds per-pixel integer luma into 9x8
+    * block sums, sets bit gy*8+gx by cross-multiplied mean comparison,
+    * and wraps the HUGEINT power sum to the signed 64-bit hash (`hsg`:
+    * doc_id, hu unsigned, dhash signed; `dim`: doc_id, w, h). */
+  private val ImageDHashWith =
+    """WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+      |dim AS (SELECT doc_id, 24 + (doc_id % 7) * 4 AS w,
+      |          16 + (doc_id % 7) * 2 AS h,
+      |          ((doc_id // 7) % 3) AS s, doc_id % 61 AS bq
+      |        FROM img),
+      |px AS (SELECT doc_id, w, h, s, bq, unnest(range(0, w * h)) AS i
+      |       FROM dim),
+      |xy AS (SELECT doc_id, w, h, s, bq, i % w AS x, i // w AS y FROM px),
+      |pbase AS (SELECT doc_id, w, h, x, y,
+      |           (x*x*7 + y*y*13 + x*y*(s+1)) AS t,
+      |           CASE WHEN (x*13 + y*7) % 61 = bq THEN 41 ELSE 0 END AS bump
+      |         FROM xy),
+      |pixl AS (SELECT doc_id, x * 9 // w AS gx, y * 8 // h AS gy,
+      |           (299 * ((t % 251 + bump) % 251)
+      |          + 587 * (((t + 31) % 251 + bump) % 251)
+      |          + 114 * (((t + 62) % 251 + bump) % 251)) // 1000 AS g
+      |         FROM pbase),
+      |cell AS (SELECT doc_id, gx, gy, SUM(g) AS sm, COUNT(*) AS ct
+      |         FROM pixl GROUP BY doc_id, gx, gy),
+      |bitv AS (SELECT a.doc_id, a.gy * 8 + a.gx AS bit
+      |         FROM cell a JOIN cell r ON r.doc_id = a.doc_id
+      |           AND r.gy = a.gy AND r.gx = a.gx + 1
+      |         WHERE r.sm * a.ct > a.sm * r.ct),
+      |hraw AS (SELECT d.doc_id,
+      |           COALESCE(SUM(CAST(1 AS HUGEINT) << CAST(bit AS INT)),
+      |                    CAST(0 AS HUGEINT)) AS hu
+      |         FROM dim d LEFT JOIN bitv b ON d.doc_id = b.doc_id
+      |         GROUP BY d.doc_id),
+      |hsg AS (SELECT doc_id, hu,
+      |          CAST(hu - CASE
+      |            WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+      |            THEN CAST('18446744073709551616' AS HUGEINT)
+      |            ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS dhash
+      |        FROM hraw)""".stripMargin
+
   /** The at-rest fingerprint store (doc_id < 400, built once per dir) and
     * the ingest batch d7/d7b dedup against it: genuinely-new docs PLUS
     * re-submissions of already-stored docs under fresh ingest ids (same
@@ -2631,6 +2674,72 @@ object DataPipelineQueries {
         Multimodal.y4mLumaSums(p).map { case (f, sum) => (id, f, sum) }
       }.toDF("doc_id", "frame_idx", "luma_sum")
         .orderBy($"doc_id", $"frame_idx")
+    }),
+
+    // SCENE-CUT CANDIDATE — shot-boundary detection over the decoded
+    // luma track: the frame with the LARGEST absolute luma-mass delta
+    // vs its predecessor, per video (deterministic tiebreak on the
+    // earlier frame). Threshold-free top-1 keeps the gate exact while
+    // exercising the real shape: decode -> per-frame signal -> lag
+    // window -> rank. Single-frame videos have no delta and drop out.
+    "mm_video_scenecut" -> ((s, dir) => {
+      import s.implicits._
+      val vids = Multimodal.mediaTable(t(s, dir, "documents"))
+        .filter($"media_type" === "video")
+        .select($"doc_id", $"payload").as[(Long, Array[Byte])]
+      val luma = vids.flatMap { case (id, p) =>
+        Multimodal.y4mLumaSums(p).map { case (f, sum) => (id, f, sum) }
+      }.toDF("doc_id", "frame_idx", "luma_sum")
+      val w = Window.partitionBy($"doc_id").orderBy($"frame_idx")
+      val deltas = luma
+        .withColumn("delta", abs($"luma_sum" - lag($"luma_sum", 1).over(w)))
+        .filter($"delta".isNotNull)
+      val rk = Window.partitionBy($"doc_id")
+        .orderBy($"delta".desc, $"frame_idx".asc)
+      deltas.withColumn("rn", row_number().over(rk))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"frame_idx".as("cut_frame"),
+          $"delta".as("delta_abs"))
+        .orderBy($"doc_id")
+    }),
+
+    // IMAGE PERCEPTUAL HASH — the full-decode pass: each image doc's
+    // PNG (pixel-bearing fixture, scanline filters cycling through all
+    // five spec types) is DECODED for real (chunk walk + CRC + inflate
+    // + un-filter) and folded into a 64-bit dHash of 9x8 block-mean
+    // comparisons in exact integer arithmetic. The twin replays the
+    // pixel formula closed-form — it never builds a PNG, so hash
+    // equality proves the encode->decode->hash lineage end to end.
+    "mm_image_dhash" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").filter($"doc_id" % 3 === 0)
+        .select($"doc_id").as[Long]
+      ids.map { id =>
+        val (w, h) = Multimodal.dedupImageDims(id)
+        val payload =
+          Multimodal.pngEncodePixels(w, h, Multimodal.dedupImagePixel(id))
+        (id, w, h, Multimodal.pngDHash(payload))
+      }.toDF("doc_id", "width", "height", "dhash").orderBy($"doc_id")
+    }),
+
+    // IMAGE NEAR-DUP DETECTION — dHash pairs through the same
+    // pigeonhole-exact 4x16-bit Hamming banding as SimHash (shared
+    // Dedup.hammingPairs kernel: bounded buckets, exact bit_count
+    // confirm). The fixture corpus has genuine near-dup clusters: docs
+    // sharing (doc_id % 7, (doc_id/7) % 3) render the same base image
+    // with a per-doc ~1.6%-of-pixels perturbation.
+    "mm_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").filter($"doc_id" % 3 === 0)
+        .select($"doc_id").as[Long]
+      val hashed = ids.map { id =>
+        val (w, h) = Multimodal.dedupImageDims(id)
+        (id, Multimodal.pngDHash(
+          Multimodal.pngEncodePixels(w, h, Multimodal.dedupImagePixel(id))))
+      }.toDF("doc_id", "dhash")
+      Dedup.hammingPairs(hashed, "doc_id", "dhash",
+        maxHamming = 3, maxBucketSize = 256)
+        .orderBy($"id_1", $"id_2")
     }),
 
     // SEMANTIC decontamination — the embedding-space complement of the
@@ -5738,6 +5847,63 @@ object DataPipelineQueries {
         |  CAST(SUM((i * 31 + fr * 17) % 251) AS BIGINT) AS luma_sum
         |FROM px GROUP BY doc_id, fr
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // The luma-sum twin extended by the same lag + top-1 window.
+    "mm_video_scenecut" ->
+      """WITH vid AS (
+        |  SELECT doc_id, length(text) AS n
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |p AS (SELECT doc_id, 16 + (n % 8) * 2 AS w, 8 + (n % 6) * 2 AS h,
+        |        1 + n % 7 AS frames FROM vid),
+        |f AS (SELECT doc_id, w, h, unnest(range(0, frames)) AS fr FROM p),
+        |px AS (SELECT doc_id, fr, unnest(range(0, w * h)) AS i FROM f),
+        |luma AS (
+        |  SELECT doc_id, CAST(fr AS INT) AS frame_idx,
+        |    CAST(SUM((i * 31 + fr * 17) % 251) AS BIGINT) AS luma_sum
+        |  FROM px GROUP BY doc_id, fr),
+        |d AS (
+        |  SELECT doc_id, frame_idx,
+        |    abs(luma_sum - lag(luma_sum) OVER
+        |      (PARTITION BY doc_id ORDER BY frame_idx)) AS delta
+        |  FROM luma),
+        |r AS (
+        |  SELECT doc_id, frame_idx, delta, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY delta DESC, frame_idx ASC) AS rn
+        |  FROM d WHERE delta IS NOT NULL)
+        |SELECT doc_id, frame_idx AS cut_frame, delta AS delta_abs
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // The image fixtures' pixel formula replayed closed-form: per-pixel
+    // integer luma -> 9x8 block sums -> cross-multiplied mean
+    // comparisons -> bit positions summed as HUGEINT powers of two and
+    // wrapped to the signed 64-bit dHash. The oracle never builds a
+    // PNG, so hash equality proves the Spark side's encode -> inflate
+    // -> un-filter -> hash lineage bit-for-bit.
+    "mm_image_dhash" -> (ImageDHashWith +
+      """
+        |SELECT h.doc_id, CAST(d.w AS INT) AS width,
+        |  CAST(d.h AS INT) AS height, h.dhash
+        |FROM hsg h JOIN dim d USING (doc_id) ORDER BY doc_id""".stripMargin),
+    // dHash pairs via the d4 convention: 4x16-bit pigeonhole banding
+    // over the unsigned hash, buckets capped at 256 (the exact twin of
+    // hammingPairs' BoundedLongList cap), exact popcount confirm.
+    "mm_image_neardup" -> (ImageDHashWith +
+      """,
+        |banded AS (
+        |  SELECT doc_id, dhash, band, CAST((hu // bp) % 65536 AS INT) AS bucket
+        |  FROM hsg, (VALUES (0, CAST(1 AS HUGEINT)), (1, CAST(65536 AS HUGEINT)),
+        |                    (2, CAST(4294967296 AS HUGEINT)),
+        |                    (3, CAST('281474976710656' AS HUGEINT))) blocks(band, bp)),
+        |capped AS (
+        |  SELECT band, bucket FROM banded
+        |  GROUP BY band, bucket HAVING COUNT(*) <= 256),
+        |prs AS (
+        |  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2,
+        |    a.dhash AS h1, b.dhash AS h2
+        |  FROM banded a JOIN banded b ON a.band = b.band
+        |    AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |  JOIN capped c ON a.band = c.band AND a.bucket = c.bucket)
+        |SELECT id_1, id_2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+        |FROM prs WHERE bit_count(xor(h1, h2)) <= 3
+        |ORDER BY id_1, id_2""".stripMargin),
     // The WAV data chunk's deterministic PCM16 synthesis (interleaved
     // sample i = (i*37) mod 8192 - 4096, params from length(text))
     // replayed closed-form: the Spark side must recover the identical

@@ -289,6 +289,55 @@ class MultimodalSpec extends SparkSpec {
     assert(got.head._2 != all0)
   }
 
+  test("pngPixels: decoded pixels match the JDK's independent ImageIO " +
+      "decoder byte-for-byte across all five scanline filter types") {
+    // h >= 5 cycles through every filter (None/Sub/Up/Average/Paeth)
+    for ((w, h) <- Seq((9, 8), (24, 16), (31, 13))) {
+      val pixel = (x: Int, y: Int, c: Int) => (x * 7 + y * 13 + c * 31) % 251
+      val bytes = Multimodal.pngEncodePixels(w, h, pixel)
+      val (gw, gh, rgb) = Multimodal.pngPixels(bytes)
+      assert((gw, gh) == (w, h))
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO rejected pngEncodePixels($w, $h)")
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = img.getRGB(x, y)
+        val o = (y * w + x) * 3
+        assert(((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff) ==
+          ((rgb(o), rgb(o + 1), rgb(o + 2))), s"pixel ($x, $y) in ${w}x$h")
+        assert(rgb(o) == pixel(x, y, 0) && rgb(o + 1) == pixel(x, y, 1) &&
+          rgb(o + 2) == pixel(x, y, 2), s"formula at ($x, $y)")
+      }
+    }
+  }
+
+  test("pngPixels rejects corrupted chunks and truncation") {
+    val bytes = Multimodal.pngEncodePixels(12, 9, (x, y, c) => x + y + c)
+    val torn = bytes.clone()
+    torn(bytes.length - 20) = (torn(bytes.length - 20) ^ 0x40).toByte
+    assertThrows[IllegalArgumentException](Multimodal.pngPixels(torn))
+    assertThrows[IllegalArgumentException](
+      Multimodal.pngPixels(bytes.take(bytes.length - 6)))
+  }
+
+  test("pngDHash: invariant to filter-type choices (pure pixel function)" +
+      " and sensitive to content; near-dup fixture classes cluster") {
+    val id1 = 21L; val id2 = 42L // same (fam=0, s distinct? 21%7=0,(21/7)%3=0; 42%7=0,(42/7)%3=0)
+    val (w, h) = Multimodal.dedupImageDims(id1)
+    assert(Multimodal.dedupImageDims(id2) == ((w, h)))
+    val h1 = Multimodal.pngDHash(
+      Multimodal.pngEncodePixels(w, h, Multimodal.dedupImagePixel(id1)))
+    val h2 = Multimodal.pngDHash(
+      Multimodal.pngEncodePixels(w, h, Multimodal.dedupImagePixel(id2)))
+    // same base image, different perturbation sites: small Hamming
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 8,
+      s"same-class pair too far: ${java.lang.Long.bitCount(h1 ^ h2)}")
+    // a different scene at the same dims should be far
+    val other = Multimodal.pngDHash(Multimodal.pngEncodePixels(w, h,
+      (x, y, c) => (x * 31 + y * 3 + c * 97) % 251))
+    assert(java.lang.Long.bitCount(h1 ^ other) > 8)
+  }
+
   test("resize keeps aspect ratio in metadata") {
     val decoded = Multimodal.decodeAll(spark, Multimodal.mediaTable(docs)).toDF()
       .filter($"media_type" =!= "audio") // audio has no spatial dims
