@@ -338,7 +338,15 @@ object Multimodal {
     * ramp. JDK-only byte arithmetic; MultimodalSpec referees the output
     * against the JDK's independent `javax.sound.sampled.AudioSystem`
     * WAV codec. */
-  def wavEncode(sampleRate: Int, channels: Int, nSamples: Int): Array[Byte] = {
+  def wavEncode(sampleRate: Int, channels: Int, nSamples: Int): Array[Byte] =
+    wavEncodeSamples(sampleRate, channels, nSamples,
+      i => (i * 37) % 8192 - 4096)
+
+  /** [[wavEncode]] with caller-supplied CONTENT: interleaved sample j
+    * takes `sample(j).toShort`. Same RIFF framing; the fingerprint
+    * fixtures use it to render per-class waveforms. */
+  def wavEncodeSamples(sampleRate: Int, channels: Int, nSamples: Int,
+      sample: Int => Int): Array[Byte] = {
     require(sampleRate > 0 && channels > 0 && nSamples >= 0,
       s"bad wav params $sampleRate/$channels/$nSamples")
     val blockAlign = channels * 2 // PCM16
@@ -360,10 +368,78 @@ object Multimodal {
     bb.putInt(dataLen)
     var i = 0
     while (i < nSamples * channels) {   // deterministic non-zero samples
-      bb.putShort(((i * 37) % 8192 - 4096).toShort)
+      bb.putShort(sample(i).toShort)
       i += 1
     }
     bb.array()
+  }
+
+  /** 64-bit audio fingerprint over the decoded PCM16 stream: the
+    * interleaved samples split into 65 equal-share windows (sample i
+    * lands in window i*65/n — the dHash boundary convention), exact
+    * Σ|sample| energy per window, and bit w set iff window w+1's MEAN
+    * energy exceeds window w's (cross-multiplied — exact integers end
+    * to end, so the DuckDB twin replays it from the sample formula
+    * without building a WAV). The energy-CONTOUR shape is what makes
+    * it a perceptual fingerprint: re-encoded or slightly-perturbed
+    * audio keeps its loudness envelope, so near-dups land within a
+    * small Hamming distance and pair through [[Dedup.hammingPairs]]
+    * exactly like image dHash and text SimHash. */
+  def wavFingerprint(payload: Array[Byte]): Long = {
+    val (_, channels, nFrames, _) = wavProbe(payload)
+    val n = nFrames * channels
+    require(n >= 65, s"fingerprint needs >= 65 samples, got $n")
+    // locate the data chunk (wavProbe validated the framing)
+    def ascii(o: Int, s: String): Boolean =
+      (0 until s.length).forall(i => payload(o + i) == s.charAt(i).toByte)
+    def le32(o: Int): Int =
+      (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+        ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
+    var off = 12
+    while (!ascii(off, "data")) off += 8 + le32(off + 4) + (le32(off + 4) & 1)
+    val data = off + 8
+    val sums = new Array[Long](65)
+    val cnts = new Array[Long](65)
+    var i = 0
+    while (i < n) {
+      val lo = payload(data + 2 * i) & 0xff
+      val hi = payload(data + 2 * i + 1).toInt // sign-extends
+      val s = (hi << 8) | lo
+      val w = (i.toLong * 65 / n).toInt
+      sums(w) += math.abs(s)
+      cnts(w) += 1
+      i += 1
+    }
+    var hash = 0L
+    var w = 0
+    while (w < 64) {
+      if (sums(w + 1) * cnts(w) > sums(w) * cnts(w + 1))
+        hash |= 1L << w
+      w += 1
+    }
+    hash
+  }
+
+  /** Audio-dedup fixture family, the WAV sibling of
+    * [[dedupImageDims]]: docs sharing (doc_id % 5, (doc_id/5) % 3)
+    * render the same base waveform (channels and frame count are
+    * class-determined, so window geometry matches), perturbed per doc
+    * by [[dedupAudioSample]]. Returns (rate, channels, frames). */
+  def dedupAudioParams(docId: Long): (Int, Int, Int) = {
+    val fam = (docId % 5).toInt
+    (8000, 1 + fam % 2, 390 + fam * 60)
+  }
+
+  /** Interleaved-sample formula for the audio-dedup fixtures: a
+    * quadratic-mod base envelope keyed by scene sc = (doc_id/5) % 3,
+    * plus a +500 bump on the ~1% of samples where i % 97 == doc_id %
+    * 97 — the per-doc perturbation that separates exact duplicates
+    * into near duplicates (values stay inside PCM16). */
+  def dedupAudioSample(docId: Long)(i: Int): Int = {
+    val sc = ((docId / 5) % 3).toInt
+    val base = (i * i * 3 + i * (sc + 1) * 7) % 8192 - 4096
+    val bump = if (i % 97 == (docId % 97).toInt) 500 else 0
+    base + bump
   }
 
   /** REAL WAV header probe: validate RIFF/WAVE, walk chunks to "fmt "

@@ -78,6 +78,67 @@ object DataPipelineQueries {
   private val BloomBits = 4096
   private val BloomK = 3
 
+  /** Shared oracle prefix for the audio-fingerprint gates: replays
+    * Multimodal.dedupAudioParams/dedupAudioSample closed-form,
+    * windows the |sample| stream 65 ways by the i*65/n boundary
+    * convention, sets bit w by cross-multiplied mean-energy
+    * comparison, and wraps the HUGEINT power sum to the signed hash
+    * (`ahsg`: doc_id, hu, afp; `adim`: doc_id, ch, frames). */
+  private val AudioFpWith =
+    """WITH au AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+      |ap AS (SELECT doc_id, doc_id % 5 AS fam, ((doc_id // 5) % 3) AS sc,
+      |         doc_id % 97 AS bq
+      |       FROM au),
+      |adim AS (SELECT doc_id, sc, bq, 1 + fam % 2 AS ch,
+      |           390 + fam * 60 AS frames
+      |         FROM ap),
+      |an AS (SELECT doc_id, sc, bq, ch, frames, ch * frames AS ns FROM adim),
+      |smp AS (SELECT doc_id, sc, bq, ns, unnest(range(0, ns)) AS i FROM an),
+      |sv AS (SELECT doc_id, i * 65 // ns AS w,
+      |         abs((i*i*3 + i*(sc+1)*7) % 8192 - 4096
+      |             + CASE WHEN i % 97 = bq THEN 500 ELSE 0 END) AS av
+      |       FROM smp),
+      |wnd AS (SELECT doc_id, w, SUM(av) AS e, COUNT(*) AS c
+      |        FROM sv GROUP BY doc_id, w),
+      |abitv AS (SELECT a.doc_id, a.w AS bit
+      |          FROM wnd a JOIN wnd r ON r.doc_id = a.doc_id
+      |            AND r.w = a.w + 1
+      |          WHERE r.e * a.c > a.e * r.c),
+      |ahraw AS (SELECT d.doc_id,
+      |            COALESCE(SUM(CAST(1 AS HUGEINT) << CAST(bit AS INT)),
+      |                     CAST(0 AS HUGEINT)) AS hu
+      |          FROM adim d LEFT JOIN abitv b ON d.doc_id = b.doc_id
+      |          GROUP BY d.doc_id),
+      |ahsg AS (SELECT doc_id, hu,
+      |           CAST(hu - CASE
+      |             WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+      |             THEN CAST('18446744073709551616' AS HUGEINT)
+      |             ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS afp
+      |         FROM ahraw)""".stripMargin
+
+  /** The full mm_image_neardup twin (also the pair source of the
+    * dedup-apply twin via ccCtesOver): dHash pairs under the d4
+    * banding convention over the image hash chain. */
+  private lazy val ImageNearDupSql: String = ImageDHashWith +
+    """,
+      |banded AS (
+      |  SELECT doc_id, dhash, band, CAST((hu // bp) % 65536 AS INT) AS bucket
+      |  FROM hsg, (VALUES (0, CAST(1 AS HUGEINT)), (1, CAST(65536 AS HUGEINT)),
+      |                    (2, CAST(4294967296 AS HUGEINT)),
+      |                    (3, CAST('281474976710656' AS HUGEINT))) blocks(band, bp)),
+      |capped AS (
+      |  SELECT band, bucket FROM banded
+      |  GROUP BY band, bucket HAVING COUNT(*) <= 256),
+      |prs AS (
+      |  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2,
+      |    a.dhash AS h1, b.dhash AS h2
+      |  FROM banded a JOIN banded b ON a.band = b.band
+      |    AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |  JOIN capped c ON a.band = c.band AND a.bucket = c.bucket)
+      |SELECT id_1, id_2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+      |FROM prs WHERE bit_count(xor(h1, h2)) <= 3
+      |ORDER BY id_1, id_2""".stripMargin
+
   /** Shared oracle prefix for the image-dHash gates: replays
     * Multimodal.dedupImageDims/dedupImagePixel closed-form (pixel
     * channel c at (x, y) = ((t % 251) + bump) % 251 with t = 7x^2 +
@@ -2738,6 +2799,65 @@ object DataPipelineQueries {
           Multimodal.pngEncodePixels(w, h, Multimodal.dedupImagePixel(id))))
       }.toDF("doc_id", "dhash")
       Dedup.hammingPairs(hashed, "doc_id", "dhash",
+        maxHamming = 3, maxBucketSize = 256)
+        .orderBy($"id_1", $"id_2")
+    }),
+
+    // IMAGE DEDUP APPLY — the multimodal twin of d6c: dHash near-dup
+    // pairs feed the same min-label component kernel, every
+    // non-canonical member drops (broadcast anti-join — the drop set
+    // is bounded by the pair graph), canonical images survive with
+    // their hashes.
+    "mm_image_dedup_apply" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").filter($"doc_id" % 3 === 0)
+        .select($"doc_id").as[Long]
+      val hashed = ids.map { id =>
+        val (w, h) = Multimodal.dedupImageDims(id)
+        (id, Multimodal.pngDHash(
+          Multimodal.pngEncodePixels(w, h, Multimodal.dedupImagePixel(id))))
+      }.toDF("doc_id", "dhash").localCheckpoint()
+      val pairs = Dedup.hammingPairs(hashed, "doc_id", "dhash",
+        maxHamming = 3, maxBucketSize = 256).select($"id_1", $"id_2")
+      val drops = Components.dedupVerdicts(pairs, iters = CcIters)
+        .filter(!$"keep").select($"id".as("doc_id"))
+      hashed.join(broadcast(drops), Seq("doc_id"), "left_anti")
+        .orderBy($"doc_id")
+    }),
+
+    // AUDIO PERCEPTUAL FINGERPRINT — the WAV sibling of mm_image_dhash:
+    // each audio doc's PCM16 stream is decoded for real and folded
+    // into a 64-bit energy-contour fingerprint (65 windows, cross-
+    // multiplied mean comparisons). The twin replays the sample
+    // formula closed-form — hash equality proves the encode -> RIFF
+    // walk -> sample decode -> fingerprint lineage.
+    "mm_audio_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").filter($"doc_id" % 3 === 1)
+        .select($"doc_id").as[Long]
+      ids.map { id =>
+        val (rate, ch, frames) = Multimodal.dedupAudioParams(id)
+        val wav = Multimodal.wavEncodeSamples(rate, ch, frames,
+          Multimodal.dedupAudioSample(id))
+        (id, ch, frames, Multimodal.wavFingerprint(wav))
+      }.toDF("doc_id", "channels", "n_frames", "fingerprint")
+        .orderBy($"doc_id")
+    }),
+
+    // AUDIO NEAR-DUP DETECTION — fingerprint pairs through the shared
+    // Hamming banding kernel; the fixture corpus has (doc_id % 5,
+    // (doc_id/5) % 3) waveform classes with per-doc ~1%-of-samples
+    // perturbation, like the image family.
+    "mm_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").filter($"doc_id" % 3 === 1)
+        .select($"doc_id").as[Long]
+      val hashed = ids.map { id =>
+        val (rate, ch, frames) = Multimodal.dedupAudioParams(id)
+        (id, Multimodal.wavFingerprint(Multimodal.wavEncodeSamples(
+          rate, ch, frames, Multimodal.dedupAudioSample(id))))
+      }.toDF("doc_id", "afp")
+      Dedup.hammingPairs(hashed, "doc_id", "afp",
         maxHamming = 3, maxBucketSize = 256)
         .orderBy($"id_1", $"id_2")
     }),
@@ -5885,19 +6005,42 @@ object DataPipelineQueries {
     // dHash pairs via the d4 convention: 4x16-bit pigeonhole banding
     // over the unsigned hash, buckets capped at 256 (the exact twin of
     // hammingPairs' BoundedLongList cap), exact popcount confirm.
-    "mm_image_neardup" -> (ImageDHashWith +
+    "mm_image_neardup" -> ImageNearDupSql,
+    // The apply step: the image set minus every non-canonical cluster
+    // member — the near-dup pair SQL feeds the SAME min-label unroll
+    // as the d6 family (ccCtesOver), truncation-equal at CcIters.
+    "mm_image_dedup_apply" ->
+      (s"""WITH ${HashOracleSql.ccCtesOver(ImageNearDupSql, CcIters)},
+          |drops AS (SELECT id FROM l$CcIters WHERE id <> rep),
+          |hs AS (SELECT doc_id, dhash FROM (
+          |""".stripMargin + ImageDHashWith +
+        s"""
+          |SELECT doc_id, dhash FROM hsg) __h)
+          |SELECT doc_id, dhash FROM hs
+          |WHERE doc_id NOT IN (SELECT id FROM drops)
+          |ORDER BY doc_id""".stripMargin),
+    // The audio fixtures' sample formula replayed closed-form (the
+    // fingerprint never needs the WAV bytes on the oracle side).
+    "mm_audio_fingerprint" -> (AudioFpWith +
+      """
+        |SELECT h.doc_id, CAST(d.ch AS INT) AS channels,
+        |  CAST(d.frames AS INT) AS n_frames, h.afp AS fingerprint
+        |FROM ahsg h JOIN adim d USING (doc_id) ORDER BY doc_id""".stripMargin),
+    // Fingerprint pairs via the d4 convention (4x16-bit banding over
+    // the unsigned hash, 256-cap, exact popcount confirm).
+    "mm_audio_neardup" -> (AudioFpWith +
       """,
         |banded AS (
-        |  SELECT doc_id, dhash, band, CAST((hu // bp) % 65536 AS INT) AS bucket
-        |  FROM hsg, (VALUES (0, CAST(1 AS HUGEINT)), (1, CAST(65536 AS HUGEINT)),
-        |                    (2, CAST(4294967296 AS HUGEINT)),
-        |                    (3, CAST('281474976710656' AS HUGEINT))) blocks(band, bp)),
+        |  SELECT doc_id, afp, band, CAST((hu // bp) % 65536 AS INT) AS bucket
+        |  FROM ahsg, (VALUES (0, CAST(1 AS HUGEINT)), (1, CAST(65536 AS HUGEINT)),
+        |                     (2, CAST(4294967296 AS HUGEINT)),
+        |                     (3, CAST('281474976710656' AS HUGEINT))) blocks(band, bp)),
         |capped AS (
         |  SELECT band, bucket FROM banded
         |  GROUP BY band, bucket HAVING COUNT(*) <= 256),
         |prs AS (
         |  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2,
-        |    a.dhash AS h1, b.dhash AS h2
+        |    a.afp AS h1, b.afp AS h2
         |  FROM banded a JOIN banded b ON a.band = b.band
         |    AND a.bucket = b.bucket AND a.doc_id < b.doc_id
         |  JOIN capped c ON a.band = c.band AND a.bucket = c.bucket)

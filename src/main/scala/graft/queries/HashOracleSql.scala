@@ -292,7 +292,14 @@ private[queries] object HashOracleSql {
     * l0..l`iters` — the exact replay of Components.minLabelComponents.
     * MATERIALIZED barriers keep DuckDB from macro-expanding the round
     * chain (see the lateral-alias blowup note above d3Sql). */
-  private def ccCtes(iters: Int): String = {
+  private def ccCtes(iters: Int): String =
+    ccCtesOver(s"SELECT id_1, id_2 FROM (${d3Sql()}) __d3", iters)
+
+  /** [[ccCtes]] over an ARBITRARY pair source (any SQL yielding
+    * (id_1, id_2) — it may carry its own nested WITH): the min-label
+    * unroll is pair-source-agnostic, so the image-dHash dedup apply
+    * reuses the exact same round chain as the MinHash d6 family. */
+  def ccCtesOver(pairsSql: String, iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       s"""l$i AS MATERIALIZED (
          |  SELECT id, MIN(rep) AS rep FROM (
@@ -300,7 +307,7 @@ private[queries] object HashOracleSql {
          |    UNION ALL SELECT id, rep FROM l${i - 1}) z
          |  GROUP BY id)""".stripMargin
     }.mkString(",\n")
-    s"""pairs AS MATERIALIZED (SELECT id_1, id_2 FROM (${d3Sql()}) __d3),
+    s"""pairs AS MATERIALIZED (SELECT id_1, id_2 FROM ($pairsSql) __p),
        |sym AS (SELECT id_1 AS src, id_2 AS dst FROM pairs
        |        UNION ALL SELECT id_2 AS src, id_1 AS dst FROM pairs),
        |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS rep FROM sym),

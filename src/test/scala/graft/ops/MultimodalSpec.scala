@@ -338,6 +338,42 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(h1 ^ other) > 8)
   }
 
+  test("wavFingerprint: matches a recompute over samples decoded by " +
+      "the JDK's independent AudioSystem codec") {
+    for (id <- Seq(1L, 16L, 22L, 94L)) {
+      val (rate, ch, frames) = Multimodal.dedupAudioParams(id)
+      val wav = Multimodal.wavEncodeSamples(rate, ch, frames,
+        Multimodal.dedupAudioSample(id))
+      val got = Multimodal.wavFingerprint(wav)
+      // referee: AudioSystem decodes the PCM stream independently
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val bytes = in.readAllBytes()
+      val n = frames * ch
+      assert(bytes.length == n * 2)
+      val sums = new Array[Long](65); val cnts = new Array[Long](65)
+      for (i <- 0 until n) {
+        val s = ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff))
+        val w = (i.toLong * 65 / n).toInt
+        sums(w) += math.abs(s); cnts(w) += 1
+      }
+      var expect = 0L
+      for (w <- 0 until 64)
+        if (sums(w + 1) * cnts(w) > sums(w) * cnts(w + 1))
+          expect |= 1L << w
+      assert(got == expect, s"doc $id")
+      assert((0 until n).forall(i =>
+        ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)) ==
+          Multimodal.dedupAudioSample(id)(i)), s"samples of doc $id")
+    }
+    // same class (fam=1, sc=0): near-dup distance stays small
+    val h1 = Multimodal.wavFingerprint(Multimodal.wavEncodeSamples(
+      8000, 2, 450, Multimodal.dedupAudioSample(1L)))
+    val h16 = Multimodal.wavFingerprint(Multimodal.wavEncodeSamples(
+      8000, 2, 450, Multimodal.dedupAudioSample(16L)))
+    assert(java.lang.Long.bitCount(h1 ^ h16) <= 8)
+  }
+
   test("resize keeps aspect ratio in metadata") {
     val decoded = Multimodal.decodeAll(spark, Multimodal.mediaTable(docs)).toDF()
       .filter($"media_type" =!= "audio") // audio has no spatial dims
