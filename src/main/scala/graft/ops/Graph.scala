@@ -23,10 +23,15 @@ object Graph {
   val DampingPct = 85L
 
   /** Largest oriented edge set the triangle kernel will build a Bloom
-    * pre-gate for: 12 bits/edge caps the bitset literal at 2^26 bits
-    * (8 MiB) — comfortably broadcast as a plan literal. Beyond it the
-    * closing join runs unfiltered. */
-  val MaxBloomEdges: Long = (1L << 26) / 12
+    * pre-gate for: 12 bits/edge caps the bitset literal at 2^28 bits
+    * (32 MiB). The literal rides the stage's task binary, which Spark
+    * broadcasts ONCE per executor — not per task — so the cost is one
+    * ~32 MiB transfer per stage against a wedge-shuffle reduction
+    * measured at 20x (bench/scale_curve_r12.json: crossing this
+    * threshold at 5x data made the query 7x slower per unit). Beyond
+    * it the closing join runs unfiltered: a multi-hundred-MB bitset
+    * would evict executor cache for less than the shuffle it saves. */
+  val MaxBloomEdges: Long = (1L << 28) / 12
 
   /** K-CORE of an undirected pair graph by iterative peeling: drop
     * every node of degree < k (and its edges), recompute degrees,
