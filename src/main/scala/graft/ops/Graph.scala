@@ -227,7 +227,7 @@ object Graph {
     val init = Scale / n
     val base = (15L * init) / 100L
     var pr = nodes.withColumn("pr", lit(init))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = eo.join(pr, eo("src") === pr("node"))
         .select(col("dst"), expr("(pr * w) div outw").as("c"))
         .groupBy(col("dst").as("node"))
@@ -236,8 +236,20 @@ object Graph {
         .select(col("node"),
           (lit(base) +
             expr(s"($DampingPct * coalesce(contrib, 0)) div 100")).as("pr"))
-        .localCheckpoint()
+      // Materialize every CheckpointEvery rounds, not every round: the
+      // un-checkpointed stretch fuses into ONE job (Spark executes the
+      // chained rank->edges joins as a single DAG — no recomputation,
+      // lazy evaluation runs each round once), while the periodic
+      // checkpoint still bounds plan depth and lineage for large
+      // iteration counts. Checkpoint-per-round cost three full
+      // materializations on the 3-round gate for no plan benefit.
+      if (i % CheckpointEvery == 0 && i < iters) pr = pr.localCheckpoint()
     }
     pr
   }
+
+  /** Rounds between lineage checkpoints in the iterative kernels: deep
+    * enough to fuse short unrolls into one job, shallow enough that a
+    * 100-round run never accumulates an unbounded plan. */
+  val CheckpointEvery = 8
 }

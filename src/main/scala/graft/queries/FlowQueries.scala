@@ -229,6 +229,29 @@ object FlowQueries {
       graft.ops.Graph.triangleCounts(pairs).orderBy($"node")
     }),
 
+    // APPROXIMATE triangle counts — the beyond-the-Bloom-threshold
+    // scale path (DOULION, Tsourakakis et al. KDD'09): keep each
+    // canonical edge iff xxhash64(id_1, id_2) mod 5 == 0 (deterministic
+    // pseudo-sampling, so both engines sample the SAME subgraph), run
+    // the exact kernel on the 20% subgraph, scale by 5^3. Wedge volume
+    // drops ~25x (quadratic in degree), the estimator is unbiased per
+    // node, and the hash-sampling makes the approximation exactly
+    // gateable — the twin replays the two-link XXH64 chain.
+    "graph_triangles_approx" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("id_1"), col("b.pk").as("id_2"))
+        .distinct()
+        .filter(pmod(xxhash64($"id_1", $"id_2"), lit(5L)) === 0)
+      graft.ops.Graph.triangleCounts(pairs)
+        .select($"node", $"n_tri".as("n_tri_sampled"),
+          ($"n_tri" * lit(125L)).as("n_tri_est"))
+        .orderBy($"node")
+    }),
+
     // Gap-based sessionization (30-min inactivity closes a session) as
     // batch window functions; the streaming variant is
     // graft.streaming.StreamOps.sessionize.
@@ -297,6 +320,7 @@ object FlowQueries {
         |        FROM nodes nd CROSS JOIN k
         |        LEFT JOIN c3 ON nd.node = c3.node)
         |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin,
+    "graph_triangles_approx" -> HashOracleSql.triApproxSql(invP = 5),
     // Triangles by id-order (u < v < w, edges canonical a < b): the
     // orientation-free enumeration the degree-ordered kernel must match.
     "graph_triangles" ->

@@ -339,6 +339,59 @@ private[queries] object HashOracleSql {
        |GROUP BY n ORDER BY node""".stripMargin
   }
 
+  /** graph_triangles_approx: DOULION-style (Tsourakakis et al., KDD'09)
+    * DETERMINISTIC edge sampling — keep the canonical co-purchase edges
+    * whose Spark xxhash64(id_1, id_2) (a seed-42 two-link XXH64 chain,
+    * replayed here in mod-2^64 limb arithmetic) lands in residue 0 mod
+    * `invP`, enumerate triangles id-ordered on the sampled subgraph,
+    * and scale per-node counts by invP^3 (a triangle survives iff all
+    * three edges do, probability 1/invP^3 under a uniform hash). The
+    * pseudo-random-by-hash sampling is what makes an approximate
+    * algorithm exactly gateable: both engines sample the SAME edges. */
+  /** Render projection steps as a run of MATERIALIZED CTEs, `chunk`
+    * layers each: DuckDB's projection merging substitutes each layer's
+    * aliases into the next, so an unbroken run of k layers whose
+    * expressions reference prior aliases 2-3 times builds O(2^k)-node
+    * trees per row — fine at the 500-2000-row bases the sampling
+    * twins hash, minutes at 10^5 edges. Chunked, each slice evaluates
+    * once per row and the tree depth is bounded by `chunk`. Returns
+    * (cte list, name of the final cte). */
+  private def chunkedCtes(nm: String, base: String,
+      steps: Seq[(String, String)], chunk: Int): (String, String) = {
+    val groups = steps.grouped(chunk).toSeq
+    val ctes = groups.zipWithIndex.map { case (g, i) =>
+      val b = if (i == 0) base else s"SELECT * FROM $nm$i"
+      s"$nm${i + 1} AS MATERIALIZED (SELECT * FROM (${layered(b, g)}) z)"
+    }
+    (ctes.mkString(",\n"), s"$nm${groups.size}")
+  }
+
+  def triApproxSql(invP: Int): String = {
+    val (c1, last1) = chunkedCtes("ta", "SELECT a, b FROM und",
+      xxhSteps("t1", "a", "CAST(42 AS HUGEINT)"), chunk = 6)
+    val (c2, last2) = chunkedCtes("tb", s"SELECT * FROM $last1",
+      xxhSteps("t2", "b", "t1outu"), chunk = 6)
+    val scale = invP.toLong * invP * invP
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |und AS MATERIALIZED (SELECT DISTINCT a.pk AS a, b.pk AS b
+       |        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+       |$c1,
+       |$c2,
+       |hs AS MATERIALIZED (
+       |  SELECT a, b FROM $last2
+       |  WHERE ((t2out % $invP) + $invP) % $invP = 0),
+       |tri AS (
+       |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+       |  FROM hs e1 JOIN hs e2 ON e2.a = e1.b
+       |  JOIN hs e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |m AS (SELECT u AS node FROM tri
+       |      UNION ALL SELECT v FROM tri
+       |      UNION ALL SELECT w FROM tri)
+       |SELECT node, COUNT(*) AS n_tri_sampled,
+       |  COUNT(*) * $scale AS n_tri_est
+       |FROM m GROUP BY node ORDER BY node""".stripMargin
+  }
+
   /** d6_neardup_components: per clustered doc its component representative
     * (min doc id within `iters` hops = the component minimum once
     * converged — gated by d6StatsSql's n_unconverged) and the keep bit. */
