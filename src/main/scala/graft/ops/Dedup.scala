@@ -381,6 +381,40 @@ object Dedup {
     * fingerprint column (SimHash, image dHash, audio fingerprint):
     * pigeonhole-exact for maxHamming <= 3 under the 4x16-bit banding,
     * bounded buckets, exact bit_count confirm. */
+  /** CROSS-frame Hamming match (ingest batch vs persisted fingerprint
+    * store): both sides band 4x16 bits, candidates join on (band,
+    * bucket) — an 8-byte-key equi-join whose left side is the batch —
+    * and survive the exact popcount confirm. Pigeonhole-EXACT for
+    * maxHamming <= 3: any pair within distance 3 agrees on >= 1 of the
+    * 4 bands, so unlike the capped self-join path no candidate is ever
+    * dropped and the result equals the all-pairs filter (which is what
+    * the oracle computes). A band bucket shared by many store rows
+    * multiplies candidates — the store side of a production ingest
+    * would carry the [[hammingPairs]]-style hot-bucket cap as a
+    * recall-vs-skew dial; the exact variant is the gateable one.
+    * Returns (idL, idR, hamming) distinct pairs. */
+  def hammingJoin(left: DataFrame, leftId: String,
+      right: DataFrame, rightId: String, hashCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      s"4x16 banding is only pigeonhole-exact to Hamming 3, got $maxHamming")
+    def banded(df: DataFrame, id: String, sh: String) = {
+      val blocks = (0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col(sh), b * 16).bitwiseAND(0xFFFFL).as("bucket")))
+      df.select(col(id), col(hashCol).as(sh))
+        .select(col(id), col(sh), explode(array(blocks: _*)).as("bb"))
+        .select(col(id), col(sh), col("bb.band").as("band"),
+          col("bb.bucket").as("bucket"))
+    }
+    banded(left, leftId, "sh_l")
+      .join(banded(right, rightId, "sh_r"), Seq("band", "bucket"))
+      .select(col(leftId), col(rightId),
+        bit_count(col("sh_l").bitwiseXOR(col("sh_r"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   def hammingPairs(input: DataFrame, id: String, hashCol: String,
       maxHamming: Int, maxBucketSize: Int): DataFrame = {
     val hashed = input.select(col(id), col(hashCol).as("sh"))

@@ -2825,6 +2825,35 @@ object DataPipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // INCREMENTAL IMAGE DEDUP — the d7 ingestion shape on perceptual
+    // hashes: a persisted dHash store (images with doc_id < 300, built
+    // once per dir) screens each ingest batch (doc_id >= 300) through
+    // the cross-frame Hamming band join; batch rows within distance 3
+    // of ANY stored image drop, survivors would roll the store
+    // forward. Pigeonhole-exact banding, so the gate equals the
+    // oracle's all-pairs screen.
+    "mm_image_incr_dedup" -> ((s, dir) => {
+      import s.implicits._
+      def hashes(pred: org.apache.spark.sql.Column) =
+        t(s, dir, "documents").filter($"doc_id" % 3 === 0).filter(pred)
+          .select($"doc_id").as[Long].map { id =>
+            val (w, h) = Multimodal.dedupImageDims(id)
+            (id, Multimodal.pngDHash(Multimodal.pngEncodePixels(
+              w, h, Multimodal.dedupImagePixel(id))))
+          }.toDF("doc_id", "dhash")
+      val store = s.read.parquet(
+        graft.util.TempDirs.cached("mm-dhash-store", dir) { p =>
+          hashes($"doc_id" < 300).write.parquet(p)
+        })
+      val batch = hashes($"doc_id" >= 300)
+      val hits = Dedup.hammingJoin(batch, "doc_id",
+          store.withColumnRenamed("doc_id", "store_id"), "store_id",
+          "dhash", maxHamming = 3)
+        .select($"doc_id").distinct()
+      batch.join(broadcast(hits), Seq("doc_id"), "left_anti")
+        .orderBy($"doc_id")
+    }),
+
     // AUDIO PERCEPTUAL FINGERPRINT — the WAV sibling of mm_image_dhash:
     // each audio doc's PCM16 stream is decoded for real and folded
     // into a 64-bit energy-contour fingerprint (65 windows, cross-
@@ -6019,6 +6048,18 @@ object DataPipelineQueries {
           |SELECT doc_id, dhash FROM hs
           |WHERE doc_id NOT IN (SELECT id FROM drops)
           |ORDER BY doc_id""".stripMargin),
+    // Store (< 300) and batch (>= 300) replayed from the same hash
+    // chain; the screen is the plain all-pairs popcount filter the
+    // pigeonhole-exact band join must equal.
+    "mm_image_incr_dedup" -> (ImageDHashWith +
+      """,
+        |store AS (SELECT doc_id, dhash FROM hsg WHERE doc_id < 300),
+        |btch AS (SELECT doc_id, dhash FROM hsg WHERE doc_id >= 300),
+        |hits AS (SELECT DISTINCT b.doc_id FROM btch b JOIN store s2
+        |         ON bit_count(xor(b.dhash, s2.dhash)) <= 3)
+        |SELECT doc_id, dhash FROM btch
+        |WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+        |ORDER BY doc_id""".stripMargin),
     // The audio fixtures' sample formula replayed closed-form (the
     // fingerprint never needs the WAV bytes on the oracle side).
     "mm_audio_fingerprint" -> (AudioFpWith +
