@@ -415,6 +415,29 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact Hamming k-NN: for every query fingerprint the k closest
+    * target fingerprints (ties broken by target id — a total order, so
+    * the result is engine-independent). The query side broadcasts (the
+    * [[graft.ops.Similarity.knnBruteForce]] convention — an ingest
+    * batch probing a big at-rest store ships the SMALL side), the
+    * popcount scan is map-stage over the store, and the per-query
+    * top-k is a bounded window. Banding can't serve ranks beyond
+    * Hamming 3, so the exact scan IS the retrieval baseline here, as
+    * knn_brute is for cosine. Returns (qid, rank, tid, hamming). */
+  def hammingKnn(queries: DataFrame, qid: String,
+      targets: DataFrame, tid: String, hashCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(qid), col(hashCol).as("qh"))
+    val t = targets.select(col(tid), col(hashCol).as("th"))
+    val scored = broadcast(q).join(t)
+      .select(col(qid), col(tid),
+        bit_count(col("qh").bitwiseXOR(col("th"))).as("hamming"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qid)).orderBy(col("hamming").asc, col(tid).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qid), col("rank"), col(tid), col("hamming"))
+  }
+
   def hammingPairs(input: DataFrame, id: String, hashCol: String,
       maxHamming: Int, maxBucketSize: Int): DataFrame = {
     val hashed = input.select(col(id), col(hashCol).as("sh"))

@@ -116,6 +116,19 @@ object DataPipelineQueries {
       |             ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS afp
       |         FROM ahraw)""".stripMargin
 
+  /** The mm_image_incr_dedup twin, shared verbatim by its streaming
+    * execution gate: store (< 300) and batch (>= 300) from the same
+    * hash chain, all-pairs popcount screen. */
+  private lazy val ImageIncrDedupSql: String = ImageDHashWith +
+    """,
+      |store AS (SELECT doc_id, dhash FROM hsg WHERE doc_id < 300),
+      |btch AS (SELECT doc_id, dhash FROM hsg WHERE doc_id >= 300),
+      |hits AS (SELECT DISTINCT b.doc_id FROM btch b JOIN store s2
+      |         ON bit_count(xor(b.dhash, s2.dhash)) <= 3)
+      |SELECT doc_id, dhash FROM btch
+      |WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+      |ORDER BY doc_id""".stripMargin
+
   /** The full mm_image_neardup twin (also the pair source of the
     * dedup-apply twin via ccCtesOver): dHash pairs under the d4
     * banding convention over the image hash chain. */
@@ -2852,6 +2865,75 @@ object DataPipelineQueries {
         .select($"doc_id").distinct()
       batch.join(broadcast(hits), Seq("doc_id"), "left_anti")
         .orderBy($"doc_id")
+    }),
+
+    // STREAMING image dedup EXECUTED under the gate: the image batch
+    // arrives as a 2-file stream (maxFilesPerTrigger=1 -> two real
+    // micro-batches), each batch decodes, hashes, and screens against
+    // the persisted dHash store inside foreachBatch, survivors append
+    // to the result set. Batches are disjoint and the screen is
+    // against the STATIC store only, so survivors union order-free
+    // and the batch twin's oracle gates the stream verbatim.
+    "stream_image_dedup_exec" -> ((s, dir) => {
+      import s.implicits._
+      def hashes(df: DataFrame) =
+        df.select(col("doc_id")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .map { id =>
+            val (w, h) = Multimodal.dedupImageDims(id)
+            (id, Multimodal.pngDHash(Multimodal.pngEncodePixels(
+              w, h, Multimodal.dedupImagePixel(id))))
+          }(org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong))
+          .toDF("doc_id", "dhash")
+      val imgs = t(s, dir, "documents").filter($"doc_id" % 3 === 0)
+      val store = s.read.parquet(
+        graft.util.TempDirs.cached("mm-dhash-store", dir) { p =>
+          hashes(imgs.filter($"doc_id" < 300)).write.parquet(p)
+        }).withColumnRenamed("doc_id", "store_id")
+      val batchIds = imgs.filter($"doc_id" >= 300).select($"doc_id")
+      val src = stagedSrc("mm-imgbatch", dir)(
+        batchIds.repartition(2).write.mode("overwrite").parquet(_))
+      // fresh result set per invocation: appends must not compound
+      // across bench repetitions
+      val out = graft.util.TempDirs.create("mm-stream-dedup") + "/out"
+      val stream = s.readStream.schema(batchIds.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val h = hashes(batch)
+          val hits = Dedup.hammingJoin(h, "doc_id", store, "store_id",
+            "dhash", maxHamming = 3).select(col("doc_id")).distinct()
+          h.join(broadcast(hits), Seq("doc_id"), "left_anti")
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy($"doc_id")
+    }),
+
+    // IMAGE RETRIEVAL BY FINGERPRINT — exact Hamming k-NN of each
+    // batch image against the persisted store (broadcast batch,
+    // map-stage popcount scan, bounded top-k window): the retrieval
+    // baseline of the multimodal family, as knn_brute is for cosine.
+    "mm_image_knn" -> ((s, dir) => {
+      import s.implicits._
+      def hashes(pred: org.apache.spark.sql.Column) =
+        t(s, dir, "documents").filter($"doc_id" % 3 === 0).filter(pred)
+          .select($"doc_id").as[Long].map { id =>
+            val (w, h) = Multimodal.dedupImageDims(id)
+            (id, Multimodal.pngDHash(Multimodal.pngEncodePixels(
+              w, h, Multimodal.dedupImagePixel(id))))
+          }.toDF("doc_id", "dhash")
+      val store = s.read.parquet(
+        graft.util.TempDirs.cached("mm-dhash-store", dir) { p =>
+          hashes($"doc_id" < 300).write.parquet(p)
+        }).withColumnRenamed("doc_id", "store_id")
+      Dedup.hammingKnn(hashes($"doc_id" >= 300), "doc_id",
+          store, "store_id", "dhash", k = 3)
+        .orderBy($"doc_id", $"rank")
     }),
 
     // AUDIO PERCEPTUAL FINGERPRINT — the WAV sibling of mm_image_dhash:
@@ -6051,15 +6133,29 @@ object DataPipelineQueries {
     // Store (< 300) and batch (>= 300) replayed from the same hash
     // chain; the screen is the plain all-pairs popcount filter the
     // pigeonhole-exact band join must equal.
-    "mm_image_incr_dedup" -> (ImageDHashWith +
+    "mm_image_incr_dedup" -> ImageIncrDedupSql,
+    // The streaming execution screens against the same STATIC store
+    // with the same join, batch by batch — survivors are a union over
+    // disjoint micro-batches, so micro-batching cannot move a row and
+    // the batch twin's oracle gates the executed stream verbatim.
+    "stream_image_dedup_exec" -> ImageIncrDedupSql,
+    // All-pairs popcount + per-query rank window: the exact twin the
+    // broadcast scan must match row-for-row (ties by store_id).
+    "mm_image_knn" -> (ImageDHashWith +
       """,
-        |store AS (SELECT doc_id, dhash FROM hsg WHERE doc_id < 300),
+        |store AS (SELECT doc_id AS store_id, dhash FROM hsg WHERE doc_id < 300),
         |btch AS (SELECT doc_id, dhash FROM hsg WHERE doc_id >= 300),
-        |hits AS (SELECT DISTINCT b.doc_id FROM btch b JOIN store s2
-        |         ON bit_count(xor(b.dhash, s2.dhash)) <= 3)
-        |SELECT doc_id, dhash FROM btch
-        |WHERE doc_id NOT IN (SELECT doc_id FROM hits)
-        |ORDER BY doc_id""".stripMargin),
+        |scored AS (
+        |  SELECT b.doc_id, s2.store_id,
+        |    CAST(bit_count(xor(b.dhash, s2.dhash)) AS INT) AS hamming
+        |  FROM btch b CROSS JOIN store s2),
+        |rk AS (
+        |  SELECT doc_id, store_id, hamming, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY hamming ASC, store_id ASC) AS rank
+        |  FROM scored)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, store_id, hamming
+        |FROM rk WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin),
     // The audio fixtures' sample formula replayed closed-form (the
     // fingerprint never needs the WAV bytes on the oracle side).
     "mm_audio_fingerprint" -> (AudioFpWith +
