@@ -682,6 +682,24 @@ class PlanSpec extends SparkSpec {
       .findAllIn(p).length >= 2,
       "live-corpus filter should reach the documents scans: " + p.take(1500))
   }
+
+  test("multimodal dedup keeps its scale shapes: incr-dedup screens on a " +
+      "band equi-join + broadcast anti-join, kNN broadcasts the batch") {
+    val incr = plan("mm_image_incr_dedup")
+    assert(incr.contains("LeftAnti, BuildRight"),
+      "hit exclusion must be a broadcast anti-join: " + incr.take(1500))
+    assert(incr.contains("hashpartitioning(band") ||
+      incr.contains("[band"),
+      "cross-frame candidates must meet on (band, bucket): " + incr.take(1500))
+    assert(!incr.contains("CartesianProduct"),
+      "the Hamming screen must never go all-pairs")
+    val knn = plan("mm_image_knn")
+    assert(knn.contains("BroadcastNestedLoopJoin") ||
+      knn.contains("BuildLeft"),
+      "the query batch must broadcast into the store scan: " + knn.take(1500))
+    assert(knn.contains("RunningWindowFunction") || knn.contains("Window"),
+      "per-query top-k must be a bounded rank window")
+  }
 }
 
 object PlanSpec {
