@@ -116,6 +116,29 @@ object DataPipelineQueries {
       |             ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS afp
       |         FROM ahraw)""".stripMargin
 
+  /** The full mm_audio_neardup twin (also a pair source of the
+    * cross-modal dedup twin): fingerprint pairs under the d4 banding
+    * convention over the audio hash chain. */
+  private lazy val AudioNearDupSql: String = AudioFpWith +
+    """,
+      |banded AS (
+      |  SELECT doc_id, afp, band, CAST((hu // bp) % 65536 AS INT) AS bucket
+      |  FROM ahsg, (VALUES (0, CAST(1 AS HUGEINT)), (1, CAST(65536 AS HUGEINT)),
+      |                     (2, CAST(4294967296 AS HUGEINT)),
+      |                     (3, CAST('281474976710656' AS HUGEINT))) blocks(band, bp)),
+      |capped AS (
+      |  SELECT band, bucket FROM banded
+      |  GROUP BY band, bucket HAVING COUNT(*) <= 256),
+      |prs AS (
+      |  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2,
+      |    a.afp AS h1, b.afp AS h2
+      |  FROM banded a JOIN banded b ON a.band = b.band
+      |    AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |  JOIN capped c ON a.band = c.band AND a.bucket = c.bucket)
+      |SELECT id_1, id_2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+      |FROM prs WHERE bit_count(xor(h1, h2)) <= 3
+      |ORDER BY id_1, id_2""".stripMargin
+
   /** The mm_image_incr_dedup twin, shared verbatim by its streaming
     * execution gate: store (< 300) and batch (>= 300) from the same
     * hash chain, all-pairs popcount screen. */
@@ -2864,6 +2887,48 @@ object DataPipelineQueries {
           "dhash", maxHamming = 3)
         .select($"doc_id").distinct()
       batch.join(broadcast(hits), Seq("doc_id"), "left_anti")
+        .orderBy($"doc_id")
+    }),
+
+    // CROSS-MODAL DEDUP APPLY — the capstone of the perceptual-hash
+    // stack: text SimHash pairs, image dHash pairs, and audio
+    // fingerprint pairs (each modality's canonical Hamming-3 banding)
+    // union into ONE pair graph, the d6 min-label kernel clusters it,
+    // and every non-canonical member drops from the corpus regardless
+    // of which signal caught it — the multi-signal dedup a production
+    // curation run composes. Duplicate edges across modalities are
+    // harmless to the min-label fixpoint, so the union is ALL.
+    "multimodal_dedup_apply" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      def mediaHashes(m: Long, hash: Long => Long) =
+        docs.filter($"doc_id" % 3 === m).select($"doc_id").as[Long]
+          .map(id => (id, hash(id))).toDF("doc_id", "mh")
+      val textPairs = Dedup.simhashPairs(
+        docs.filter(length(Dedup.normalized($"text")) > 0),
+        "doc_id", "text", maxHamming = 3, maxBucketSize = 64)
+      val imgPairs = Dedup.hammingPairs(
+        mediaHashes(0, id => {
+          val (w, h) = Multimodal.dedupImageDims(id)
+          Multimodal.pngDHash(Multimodal.pngEncodePixels(
+            w, h, Multimodal.dedupImagePixel(id)))
+        }), "doc_id", "mh", maxHamming = 3, maxBucketSize = 256)
+      val audPairs = Dedup.hammingPairs(
+        mediaHashes(1, id => {
+          val (rate, ch, frames) = Multimodal.dedupAudioParams(id)
+          Multimodal.wavFingerprint(Multimodal.wavEncodeSamples(
+            rate, ch, frames, Multimodal.dedupAudioSample(id)))
+        }), "doc_id", "mh", maxHamming = 3, maxBucketSize = 256)
+      val pairs = textPairs.select($"id_1", $"id_2")
+        .union(imgPairs.select($"id_1", $"id_2"))
+        .union(audPairs.select($"id_1", $"id_2"))
+      val drops = Components.dedupVerdicts(pairs, iters = CcIters)
+        .filter(!$"keep").select($"id".as("doc_id"))
+      docs.join(broadcast(drops), Seq("doc_id"), "left_anti")
+        .select($"doc_id", length($"text").as("text_len"),
+          when($"doc_id" % 3 === 0, "image")
+            .when($"doc_id" % 3 === 1, "audio")
+            .otherwise("video").as("media_type"))
         .orderBy($"doc_id")
     }),
 
@@ -6139,6 +6204,25 @@ object DataPipelineQueries {
     // disjoint micro-batches, so micro-batching cannot move a row and
     // the batch twin's oracle gates the executed stream verbatim.
     "stream_image_dedup_exec" -> ImageIncrDedupSql,
+    // The three modality pair twins (SimHash at the simhashPairs
+    // default Hamming 3 / cap 64; the image and audio twins verbatim)
+    // union into the SAME min-label unroll as d6 — each pair source a
+    // nested-WITH subquery, so their CTE namespaces never collide.
+    "multimodal_dedup_apply" ->
+      (s"""WITH ${HashOracleSql.ccCtesOver(
+        s"""SELECT id_1, id_2 FROM (
+           |${HashOracleSql.d4SqlAt(maxHamming = 3, cap = 64)}) __t
+           |UNION ALL SELECT id_1, id_2 FROM (
+           |$ImageNearDupSql) __i
+           |UNION ALL SELECT id_1, id_2 FROM (
+           |$AudioNearDupSql) __a""".stripMargin, CcIters)},
+          |drops AS (SELECT id FROM l$CcIters WHERE id <> rep)
+          |SELECT doc_id, length(text) AS text_len,
+          |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+          |       WHEN 1 THEN 'audio' ELSE 'video' END AS media_type
+          |FROM documents
+          |WHERE doc_id NOT IN (SELECT id FROM drops)
+          |ORDER BY doc_id""".stripMargin),
     // All-pairs popcount + per-query rank window: the exact twin the
     // broadcast scan must match row-for-row (ties by store_id).
     "mm_image_knn" -> (ImageDHashWith +
@@ -6165,25 +6249,7 @@ object DataPipelineQueries {
         |FROM ahsg h JOIN adim d USING (doc_id) ORDER BY doc_id""".stripMargin),
     // Fingerprint pairs via the d4 convention (4x16-bit banding over
     // the unsigned hash, 256-cap, exact popcount confirm).
-    "mm_audio_neardup" -> (AudioFpWith +
-      """,
-        |banded AS (
-        |  SELECT doc_id, afp, band, CAST((hu // bp) % 65536 AS INT) AS bucket
-        |  FROM ahsg, (VALUES (0, CAST(1 AS HUGEINT)), (1, CAST(65536 AS HUGEINT)),
-        |                     (2, CAST(4294967296 AS HUGEINT)),
-        |                     (3, CAST('281474976710656' AS HUGEINT))) blocks(band, bp)),
-        |capped AS (
-        |  SELECT band, bucket FROM banded
-        |  GROUP BY band, bucket HAVING COUNT(*) <= 256),
-        |prs AS (
-        |  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2,
-        |    a.afp AS h1, b.afp AS h2
-        |  FROM banded a JOIN banded b ON a.band = b.band
-        |    AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-        |  JOIN capped c ON a.band = c.band AND a.bucket = c.bucket)
-        |SELECT id_1, id_2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
-        |FROM prs WHERE bit_count(xor(h1, h2)) <= 3
-        |ORDER BY id_1, id_2""".stripMargin),
+    "mm_audio_neardup" -> AudioNearDupSql,
     // The WAV data chunk's deterministic PCM16 synthesis (interleaved
     // sample i = (i*37) mod 8192 - 4096, params from length(text))
     // replayed closed-form: the Spark side must recover the identical

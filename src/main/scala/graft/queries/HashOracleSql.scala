@@ -219,7 +219,12 @@ private[queries] object HashOracleSql {
     * XOR-popcount verify at Hamming <= 16. Buckets with more than 64
     * members are dropped — the exact twin of `Dedup.simhashPairs`'s
     * `BoundedLongList` cap (NULL-out hot buckets before pair explosion). */
-  val d4Sql: String = simhashWith +
+  val d4Sql: String = d4SqlAt(maxHamming = 16, cap = 64)
+
+  /** The d4 twin parameterized by verify threshold and bucket cap —
+    * the cross-modal dedup gate reuses it at the simhashPairs default
+    * (Hamming 3, cap 64). */
+  def d4SqlAt(maxHamming: Int, cap: Int): String = simhashWith +
     s""",
        |banded AS (
        |  SELECT doc_id, sh, band, CAST((u // bp) % 65536 AS INT) AS bucket
@@ -228,14 +233,14 @@ private[queries] object HashOracleSql {
        |                    (3, CAST('281474976710656' AS HUGEINT))) blocks(band, bp)),
        |capped AS (
        |  SELECT band, bucket FROM banded
-       |  GROUP BY band, bucket HAVING COUNT(*) <= 64),
+       |  GROUP BY band, bucket HAVING COUNT(*) <= $cap),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2, a.sh AS sh1, b.sh AS sh2
        |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
        |   AND a.doc_id < b.doc_id
        |  JOIN capped c ON a.band = c.band AND a.bucket = c.bucket)
        |SELECT id_1, id_2, CAST(bit_count(xor(sh1, sh2)) AS INT) AS hamming
-       |FROM pairs WHERE bit_count(xor(sh1, sh2)) <= 16
+       |FROM pairs WHERE bit_count(xor(sh1, sh2)) <= $maxHamming
        |ORDER BY id_1, id_2""".stripMargin
 
   /** s2_dsv2_source: the DataSourceV2 EDGAR search connector against the
