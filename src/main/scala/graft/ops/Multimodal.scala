@@ -702,6 +702,35 @@ object Multimodal {
     y4mEncode(w, h, frames)
   }
 
+  /** Static entry point for the
+    * [[org.apache.spark.sql.graft.DedupPngPayload]] expression: the
+    * image-dedup fixture PNG for a doc_id ([[dedupImageDims]] dims,
+    * [[dedupImagePixel]] content, all five scanline filters cycling). */
+  def dedupPngPayloadOf(docId: Long): Array[Byte] = {
+    val (w, h) = dedupImageDims(docId)
+    pngEncodePixels(w, h, dedupImagePixel(docId))
+  }
+
+  /** Static entry point for the
+    * [[org.apache.spark.sql.graft.DedupWavPayload]] expression: the
+    * audio-dedup fixture WAV for a doc_id ([[dedupAudioParams]] params,
+    * [[dedupAudioSample]] content). */
+  def dedupWavPayloadOf(docId: Long): Array[Byte] = {
+    val (rate, ch, frames) = dedupAudioParams(docId)
+    wavEncodeSamples(rate, ch, frames, dedupAudioSample(docId))
+  }
+
+  /** [[y4mLumaSums]] as a primitive array (frame index = position) — the
+    * kernel behind the [[org.apache.spark.sql.graft.Y4mLumaSumArray]]
+    * expression; posexplode recovers the (frame_idx, luma_sum) rows
+    * relationally, so the decode stays inside whole-stage codegen. */
+  def y4mLumaSumArray(payload: Array[Byte]): Array[Long] = {
+    val sums = y4mLumaSums(payload)
+    val out = new Array[Long](sums.length)
+    sums.foreach { case (f, s) => out(f) = s }
+    out
+  }
+
   /** Synthesize a media table from a text DataFrame: media_type
     * round-robins image/audio/video by doc_id. IMAGE payloads are real
     * PNGs ([[pngEncode]], via the codegen'd PngPayload expression),

@@ -25,6 +25,24 @@ object DataPipelineQueries {
     * repeated invocations (bench min-of-N reps) re-run the STREAMING
     * EXECUTION — the thing under test — without re-paying the staging
     * write. */
+  // Media-dedup fixture synthesis + perceptual hashing as single
+  // codegen'd Catalyst expressions (PipelineExpressions.scala): the
+  // encode->decode->hash lineage is one static call per row, so the mm
+  // gates never pay a Tungsten->JVM-object serde round trip through
+  // Dataset.map (PlanSpec pins the decode path DeserializeToObject-free).
+  private def imageDHashCol(id: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.graft.{internal, DedupPngPayload, PngDHash}
+    internal.column(PngDHash(DedupPngPayload(internal.expression(id))))
+  }
+  private def audioFpCol(id: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.graft.{internal, DedupWavPayload, WavFingerprint}
+    internal.column(WavFingerprint(DedupWavPayload(internal.expression(id))))
+  }
+  private def lumaSumsCol(payload: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.graft.{internal, Y4mLumaSumArray}
+    internal.column(Y4mLumaSumArray(internal.expression(payload)))
+  }
+
   private def stagedSrc(kind: String, dir: String)(
       write: String => Unit): String =
     graft.util.TempDirs.cached(kind, dir)(write)
@@ -746,10 +764,12 @@ object DataPipelineQueries {
     // The APPLY step of decontamination: the training split minus every
     // doc whose benchmark overlap reaches the threshold (minHits=50 here
     // — heavy overlap; at production n in 8-13 ANY hit is disqualifying
-    // and the same knob is 1). The drop set is a broadcast anti-join at
-    // any scale: it is bounded by the threshold choice, and if it ever
-    // approached corpus size the finding would be the contamination
-    // itself, not the join strategy.
+    // and the same knob is 1). The drop side carries NO forced broadcast
+    // hint: at production contamination rates the drop set is
+    // dup-proportional (can be a large corpus fraction), so the strategy
+    // is left to AQE — small drop sets still broadcast at runtime, large
+    // ones plan a shuffled left-anti on doc_id instead of OOMing every
+    // executor (ScaleSpec pins the shuffled shape at a 40% drop rate).
     "d8c_decontaminate_apply" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
@@ -758,7 +778,7 @@ object DataPipelineQueries {
           docs.filter($"doc_id" % 10 === 3), "doc_id", "text", n = 3,
           minHits = 50)
         .filter($"contaminated").select($"doc_id")
-      train.join(broadcast(drops), Seq("doc_id"), "left_anti")
+      train.join(drops, Seq("doc_id"), "left_anti")
         .select($"doc_id", length($"text").as("text_len"))
         .orderBy($"doc_id")
     }),
@@ -804,8 +824,10 @@ object DataPipelineQueries {
     }),
 
     // The APPLY step of near-dup dedup: the corpus minus every
-    // non-canonical cluster member — a broadcast anti-join at any scale
-    // (the drop set is bounded by the pair graph, far below the corpus).
+    // non-canonical cluster member. No forced broadcast on the drop set:
+    // at production web-corpus dup rates (20-50%) the non-keepers are a
+    // corpus-scale set, so AQE chooses — broadcast when the runtime size
+    // is small, shuffled left-anti on doc_id when it isn't.
     // Reads the verdicts persisted once per dir (components computed
     // once, apply consuming them — the production split); the propagation
     // kernel itself is still exercised per run by d6/d6b.
@@ -821,7 +843,7 @@ object DataPipelineQueries {
         })
       val drops = verdicts.filter(!$"keep").select($"id".as("doc_id"))
       t(s, dir, "documents")
-        .join(broadcast(drops), Seq("doc_id"), "left_anti")
+        .join(drops, Seq("doc_id"), "left_anti")
         .select($"doc_id", length($"text").as("text_len"))
         .orderBy($"doc_id")
     }),
@@ -840,7 +862,7 @@ object DataPipelineQueries {
       val verdicts = Components.bestMemberVerdicts(
         d3PairsCached(s, dir), quality, iters = CcIters)
       val drops = verdicts.filter(!$"keep").select($"id".as("doc_id"))
-      docs.join(broadcast(drops), Seq("doc_id"), "left_anti")
+      docs.join(drops, Seq("doc_id"), "left_anti")
         .select($"doc_id",
           TextAnalysis.qualityScore($"text").as("quality"),
           length($"text").as("text_len"))
@@ -2764,12 +2786,10 @@ object DataPipelineQueries {
     // synthesis closed-form over the same derived dims.
     "mm_video_luma" -> ((s, dir) => {
       import s.implicits._
-      val vids = Multimodal.mediaTable(t(s, dir, "documents"))
+      Multimodal.mediaTable(t(s, dir, "documents"))
         .filter($"media_type" === "video")
-        .select($"doc_id", $"payload").as[(Long, Array[Byte])]
-      vids.flatMap { case (id, p) =>
-        Multimodal.y4mLumaSums(p).map { case (f, sum) => (id, f, sum) }
-      }.toDF("doc_id", "frame_idx", "luma_sum")
+        .select($"doc_id", posexplode(lumaSumsCol($"payload")))
+        .toDF("doc_id", "frame_idx", "luma_sum")
         .orderBy($"doc_id", $"frame_idx")
     }),
 
@@ -2781,12 +2801,10 @@ object DataPipelineQueries {
     // window -> rank. Single-frame videos have no delta and drop out.
     "mm_video_scenecut" -> ((s, dir) => {
       import s.implicits._
-      val vids = Multimodal.mediaTable(t(s, dir, "documents"))
+      val luma = Multimodal.mediaTable(t(s, dir, "documents"))
         .filter($"media_type" === "video")
-        .select($"doc_id", $"payload").as[(Long, Array[Byte])]
-      val luma = vids.flatMap { case (id, p) =>
-        Multimodal.y4mLumaSums(p).map { case (f, sum) => (id, f, sum) }
-      }.toDF("doc_id", "frame_idx", "luma_sum")
+        .select($"doc_id", posexplode(lumaSumsCol($"payload")))
+        .toDF("doc_id", "frame_idx", "luma_sum")
       val w = Window.partitionBy($"doc_id").orderBy($"frame_idx")
       val deltas = luma
         .withColumn("delta", abs($"luma_sum" - lag($"luma_sum", 1).over(w)))
@@ -2809,14 +2827,14 @@ object DataPipelineQueries {
     // equality proves the encode->decode->hash lineage end to end.
     "mm_image_dhash" -> ((s, dir) => {
       import s.implicits._
-      val ids = t(s, dir, "documents").filter($"doc_id" % 3 === 0)
-        .select($"doc_id").as[Long]
-      ids.map { id =>
-        val (w, h) = Multimodal.dedupImageDims(id)
-        val payload =
-          Multimodal.pngEncodePixels(w, h, Multimodal.dedupImagePixel(id))
-        (id, w, h, Multimodal.pngDHash(payload))
-      }.toDF("doc_id", "width", "height", "dhash").orderBy($"doc_id")
+      // width/height mirror Multimodal.dedupImageDims relationally (the
+      // payload expression derives them from the same doc_id formula)
+      t(s, dir, "documents").filter($"doc_id" % 3 === 0)
+        .select($"doc_id",
+          (lit(24) + ($"doc_id" % 7) * 4).cast("int").as("width"),
+          (lit(16) + ($"doc_id" % 7) * 2).cast("int").as("height"),
+          imageDHashCol($"doc_id").as("dhash"))
+        .orderBy($"doc_id")
     }),
 
     // IMAGE NEAR-DUP DETECTION — dHash pairs through the same
@@ -2827,13 +2845,8 @@ object DataPipelineQueries {
     // with a per-doc ~1.6%-of-pixels perturbation.
     "mm_image_neardup" -> ((s, dir) => {
       import s.implicits._
-      val ids = t(s, dir, "documents").filter($"doc_id" % 3 === 0)
-        .select($"doc_id").as[Long]
-      val hashed = ids.map { id =>
-        val (w, h) = Multimodal.dedupImageDims(id)
-        (id, Multimodal.pngDHash(
-          Multimodal.pngEncodePixels(w, h, Multimodal.dedupImagePixel(id))))
-      }.toDF("doc_id", "dhash")
+      val hashed = t(s, dir, "documents").filter($"doc_id" % 3 === 0)
+        .select($"doc_id", imageDHashCol($"doc_id").as("dhash"))
       Dedup.hammingPairs(hashed, "doc_id", "dhash",
         maxHamming = 3, maxBucketSize = 256)
         .orderBy($"id_1", $"id_2")
@@ -2841,23 +2854,21 @@ object DataPipelineQueries {
 
     // IMAGE DEDUP APPLY — the multimodal twin of d6c: dHash near-dup
     // pairs feed the same min-label component kernel, every
-    // non-canonical member drops (broadcast anti-join — the drop set
-    // is bounded by the pair graph), canonical images survive with
-    // their hashes.
+    // non-canonical member drops (unhinted left-anti on doc_id — the
+    // drop set is dup-proportional, so AQE picks broadcast vs shuffle
+    // at runtime), canonical images survive with their hashes.
     "mm_image_dedup_apply" -> ((s, dir) => {
       import s.implicits._
-      val ids = t(s, dir, "documents").filter($"doc_id" % 3 === 0)
-        .select($"doc_id").as[Long]
-      val hashed = ids.map { id =>
-        val (w, h) = Multimodal.dedupImageDims(id)
-        (id, Multimodal.pngDHash(
-          Multimodal.pngEncodePixels(w, h, Multimodal.dedupImagePixel(id))))
-      }.toDF("doc_id", "dhash").localCheckpoint()
+      // localCheckpoint: the hashed frame feeds BOTH the pair mine and
+      // the final anti-join — encode+decode+hash runs once per row
+      val hashed = t(s, dir, "documents").filter($"doc_id" % 3 === 0)
+        .select($"doc_id", imageDHashCol($"doc_id").as("dhash"))
+        .localCheckpoint()
       val pairs = Dedup.hammingPairs(hashed, "doc_id", "dhash",
         maxHamming = 3, maxBucketSize = 256).select($"id_1", $"id_2")
       val drops = Components.dedupVerdicts(pairs, iters = CcIters)
         .filter(!$"keep").select($"id".as("doc_id"))
-      hashed.join(broadcast(drops), Seq("doc_id"), "left_anti")
+      hashed.join(drops, Seq("doc_id"), "left_anti")
         .orderBy($"doc_id")
     }),
 
@@ -2872,11 +2883,7 @@ object DataPipelineQueries {
       import s.implicits._
       def hashes(pred: org.apache.spark.sql.Column) =
         t(s, dir, "documents").filter($"doc_id" % 3 === 0).filter(pred)
-          .select($"doc_id").as[Long].map { id =>
-            val (w, h) = Multimodal.dedupImageDims(id)
-            (id, Multimodal.pngDHash(Multimodal.pngEncodePixels(
-              w, h, Multimodal.dedupImagePixel(id))))
-          }.toDF("doc_id", "dhash")
+          .select($"doc_id", imageDHashCol($"doc_id").as("dhash"))
       val store = s.read.parquet(
         graft.util.TempDirs.cached("mm-dhash-store", dir) { p =>
           hashes($"doc_id" < 300).write.parquet(p)
@@ -2901,30 +2908,24 @@ object DataPipelineQueries {
     "multimodal_dedup_apply" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      def mediaHashes(m: Long, hash: Long => Long) =
-        docs.filter($"doc_id" % 3 === m).select($"doc_id").as[Long]
-          .map(id => (id, hash(id))).toDF("doc_id", "mh")
+      def mediaHashes(m: Long, hash: org.apache.spark.sql.Column) =
+        docs.filter($"doc_id" % 3 === m)
+          .select($"doc_id", hash.as("mh"))
       val textPairs = Dedup.simhashPairs(
         docs.filter(length(Dedup.normalized($"text")) > 0),
         "doc_id", "text", maxHamming = 3, maxBucketSize = 64)
       val imgPairs = Dedup.hammingPairs(
-        mediaHashes(0, id => {
-          val (w, h) = Multimodal.dedupImageDims(id)
-          Multimodal.pngDHash(Multimodal.pngEncodePixels(
-            w, h, Multimodal.dedupImagePixel(id)))
-        }), "doc_id", "mh", maxHamming = 3, maxBucketSize = 256)
+        mediaHashes(0, imageDHashCol($"doc_id")),
+        "doc_id", "mh", maxHamming = 3, maxBucketSize = 256)
       val audPairs = Dedup.hammingPairs(
-        mediaHashes(1, id => {
-          val (rate, ch, frames) = Multimodal.dedupAudioParams(id)
-          Multimodal.wavFingerprint(Multimodal.wavEncodeSamples(
-            rate, ch, frames, Multimodal.dedupAudioSample(id)))
-        }), "doc_id", "mh", maxHamming = 3, maxBucketSize = 256)
+        mediaHashes(1, audioFpCol($"doc_id")),
+        "doc_id", "mh", maxHamming = 3, maxBucketSize = 256)
       val pairs = textPairs.select($"id_1", $"id_2")
         .union(imgPairs.select($"id_1", $"id_2"))
         .union(audPairs.select($"id_1", $"id_2"))
       val drops = Components.dedupVerdicts(pairs, iters = CcIters)
         .filter(!$"keep").select($"id".as("doc_id"))
-      docs.join(broadcast(drops), Seq("doc_id"), "left_anti")
+      docs.join(drops, Seq("doc_id"), "left_anti")
         .select($"doc_id", length($"text").as("text_len"),
           when($"doc_id" % 3 === 0, "image")
             .when($"doc_id" % 3 === 1, "audio")
@@ -2942,15 +2943,7 @@ object DataPipelineQueries {
     "stream_image_dedup_exec" -> ((s, dir) => {
       import s.implicits._
       def hashes(df: DataFrame) =
-        df.select(col("doc_id")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
-          .map { id =>
-            val (w, h) = Multimodal.dedupImageDims(id)
-            (id, Multimodal.pngDHash(Multimodal.pngEncodePixels(
-              w, h, Multimodal.dedupImagePixel(id))))
-          }(org.apache.spark.sql.Encoders.tuple(
-            org.apache.spark.sql.Encoders.scalaLong,
-            org.apache.spark.sql.Encoders.scalaLong))
-          .toDF("doc_id", "dhash")
+        df.select(col("doc_id"), imageDHashCol(col("doc_id")).as("dhash"))
       val imgs = t(s, dir, "documents").filter($"doc_id" % 3 === 0)
       val store = s.read.parquet(
         graft.util.TempDirs.cached("mm-dhash-store", dir) { p =>
@@ -2987,11 +2980,7 @@ object DataPipelineQueries {
       import s.implicits._
       def hashes(pred: org.apache.spark.sql.Column) =
         t(s, dir, "documents").filter($"doc_id" % 3 === 0).filter(pred)
-          .select($"doc_id").as[Long].map { id =>
-            val (w, h) = Multimodal.dedupImageDims(id)
-            (id, Multimodal.pngDHash(Multimodal.pngEncodePixels(
-              w, h, Multimodal.dedupImagePixel(id))))
-          }.toDF("doc_id", "dhash")
+          .select($"doc_id", imageDHashCol($"doc_id").as("dhash"))
       val store = s.read.parquet(
         graft.util.TempDirs.cached("mm-dhash-store", dir) { p =>
           hashes($"doc_id" < 300).write.parquet(p)
@@ -3009,14 +2998,12 @@ object DataPipelineQueries {
     // walk -> sample decode -> fingerprint lineage.
     "mm_audio_fingerprint" -> ((s, dir) => {
       import s.implicits._
-      val ids = t(s, dir, "documents").filter($"doc_id" % 3 === 1)
-        .select($"doc_id").as[Long]
-      ids.map { id =>
-        val (rate, ch, frames) = Multimodal.dedupAudioParams(id)
-        val wav = Multimodal.wavEncodeSamples(rate, ch, frames,
-          Multimodal.dedupAudioSample(id))
-        (id, ch, frames, Multimodal.wavFingerprint(wav))
-      }.toDF("doc_id", "channels", "n_frames", "fingerprint")
+      // channels/n_frames mirror Multimodal.dedupAudioParams relationally
+      t(s, dir, "documents").filter($"doc_id" % 3 === 1)
+        .select($"doc_id",
+          (lit(1) + ($"doc_id" % 5) % 2).cast("int").as("channels"),
+          (lit(390) + ($"doc_id" % 5) * 60).cast("int").as("n_frames"),
+          audioFpCol($"doc_id").as("fingerprint"))
         .orderBy($"doc_id")
     }),
 
@@ -3026,13 +3013,8 @@ object DataPipelineQueries {
     // perturbation, like the image family.
     "mm_audio_neardup" -> ((s, dir) => {
       import s.implicits._
-      val ids = t(s, dir, "documents").filter($"doc_id" % 3 === 1)
-        .select($"doc_id").as[Long]
-      val hashed = ids.map { id =>
-        val (rate, ch, frames) = Multimodal.dedupAudioParams(id)
-        (id, Multimodal.wavFingerprint(Multimodal.wavEncodeSamples(
-          rate, ch, frames, Multimodal.dedupAudioSample(id))))
-      }.toDF("doc_id", "afp")
+      val hashed = t(s, dir, "documents").filter($"doc_id" % 3 === 1)
+        .select($"doc_id", audioFpCol($"doc_id").as("afp"))
       Dedup.hammingPairs(hashed, "doc_id", "afp",
         maxHamming = 3, maxBucketSize = 256)
         .orderBy($"id_1", $"id_2")

@@ -23,6 +23,9 @@ object PipelineImplBridge {
       TextImpl.extractOrgs(text.toString).map(UTF8String.fromString).toArray)
   def pseudoEmbedding(text: UTF8String, dim: Int): ArrayData =
     ArrayData.toArrayData(TextImpl.pseudoEmbedding(text.toString, dim))
+  def y4mLumaSums(payload: Array[Byte]): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      graft.ops.Multimodal.y4mLumaSumArray(payload))
 }
 
 abstract class StaticStringUnary extends UnaryExpression with ExpectsInputTypes {
@@ -257,6 +260,88 @@ case class Y4mPayload(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, s => s"graft.ops.Multimodal.y4mPayloadOf($s)")
   override def prettyName: String = "y4m_payload"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Image-dedup fixture PNG from a doc_id column
+  * (graft.ops.Multimodal.dedupPngPayloadOf: class-keyed dims + pixels,
+  * all five scanline filters). Keeps the dedup-fixture synthesis fully
+  * relational — no typed map, no Tungsten->object serde in the plan. */
+case class DedupPngPayload(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(id: Any): Any =
+    graft.ops.Multimodal.dedupPngPayloadOf(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, id => s"graft.ops.Multimodal.dedupPngPayloadOf($id)")
+  override def prettyName: String = "dedup_png_payload"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Audio-dedup fixture WAV from a doc_id column — the RIFF/WAVE sibling
+  * of [[DedupPngPayload]]. */
+case class DedupWavPayload(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(id: Any): Any =
+    graft.ops.Multimodal.dedupWavPayloadOf(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, id => s"graft.ops.Multimodal.dedupWavPayloadOf($id)")
+  override def prettyName: String = "dedup_wav_payload"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** 64-bit perceptual dHash of a REAL PNG payload: full chunk-walk + CRC
+  * + inflate + un-filter decode (graft.ops.Multimodal.pngPixels), then
+  * the exact-integer 9x8 block-mean difference hash
+  * (Multimodal.pngDHash). One static call — the whole decode+hash
+  * lineage stays inside whole-stage codegen instead of paying a
+  * Tungsten->JVM-object round trip through Dataset.map. */
+case class PngDHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(b: Any): Any =
+    graft.ops.Multimodal.pngDHash(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.ops.Multimodal.pngDHash($b)")
+  override def prettyName: String = "png_dhash"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** 64-bit perceptual fingerprint of a REAL WAV payload: RIFF chunk walk
+  * + PCM16 sample decode + the exact-integer 65-window energy-contour
+  * hash (graft.ops.Multimodal.wavFingerprint). The audio sibling of
+  * [[PngDHash]]. */
+case class WavFingerprint(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(b: Any): Any =
+    graft.ops.Multimodal.wavFingerprint(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.ops.Multimodal.wavFingerprint($b)")
+  override def prettyName: String = "wav_fingerprint"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Per-frame Y-plane luma sums of a REAL Y4M payload as array<bigint>
+  * (frame index = array position; graft.ops.Multimodal.y4mLumaSumArray
+  * walks the FRAME markers and sums plane bytes). posexplode recovers
+  * the (frame_idx, luma_sum) rows relationally — the video sibling of
+  * [[PngDHash]]/[[WavFingerprint]]. */
+case class Y4mLumaSumArray(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(b: Any): Any =
+    PipelineImplBridge.y4mLumaSums(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b =>
+      s"org.apache.spark.sql.graft.PipelineImplBridge.y4mLumaSums($b)")
+  override def prettyName: String = "y4m_luma_sums"
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 

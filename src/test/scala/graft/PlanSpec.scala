@@ -683,6 +683,21 @@ class PlanSpec extends SparkSpec {
       "live-corpus filter should reach the documents scans: " + p.take(1500))
   }
 
+  test("mm decode path is serde-free: fixture synthesis + perceptual " +
+      "hashing are codegen'd expressions, never Dataset.map") {
+    // DedupPngPayload/PngDHash (and WAV/Y4M siblings) are unary Catalyst
+    // expressions — a DeserializeToObject in these plans would mean the
+    // hot decode path fell back to a Tungsten->JVM-object round trip
+    for (q <- Seq("mm_image_dhash", "mm_audio_fingerprint",
+        "mm_audio_neardup", "mm_image_neardup", "mm_video_luma",
+        "mm_image_knn", "multimodal_dedup_apply")) {
+      val p = plan(q)
+      assert(!p.contains("DeserializeToObject") &&
+        !p.contains("SerializeFromObject") && !p.contains("MapElements"),
+        s"$q: decode path must stay relational:\n${p.take(1500)}")
+    }
+  }
+
   test("multimodal dedup keeps its scale shapes: incr-dedup screens on a " +
       "band equi-join + broadcast anti-join, kNN broadcasts the batch") {
     val incr = plan("mm_image_incr_dedup")

@@ -104,4 +104,52 @@ class ScaleSpec extends SparkSpec {
     }.filter(_.nonEmpty)
     perFile.foreach(ks => assert(ks == ks.sorted))
   }
+
+  test("dedup/decontaminate APPLY gates never force-broadcast the drop " +
+      "side: with broadcast priced out (the corpus-scale drop regime) " +
+      "every gate plans a shuffled left-anti and still runs") {
+    // At production dup rates (20-50% of a web corpus) the drop set is
+    // billions of ids; a broadcast() hint on it would force every
+    // executor to build that hash relation. The gates carry NO hint, so
+    // pricing broadcast out (threshold -1 on both the static planner and
+    // AQE) simulates exactly what AQE does when the runtime size of the
+    // drop side is too large — the left-anti must degrade to a shuffled
+    // join, not fail or silently broadcast anyway.
+    val ns = spark.newSession()
+    graft.GraftFunctions.register(ns)
+    ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ns.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val dir = sf("sf0.001")
+    for (q <- Seq("d6c_dedup_apply", "d6e_dedup_apply_best",
+        "d8c_decontaminate_apply", "mm_image_dedup_apply",
+        "multimodal_dedup_apply")) {
+      val df = graft.SparkEntry.queries(q)(ns, dir)
+      df.collect() // finalize the adaptive plan before reading it
+      val p = df.queryExecution.executedPlan.toString
+      val anti = p.linesIterator.filter(_.contains("LeftAnti")).toSeq
+      assert(anti.nonEmpty, s"$q: expected a left-anti join:\n${p.take(1500)}")
+      assert(anti.exists(l => !l.contains("Broadcast")),
+        s"$q: the drop-side anti-join must survive as a shuffled join " +
+          s"when broadcast is priced out:\n${anti.mkString("\n")}")
+    }
+  }
+
+  test("unhinted drop anti-join: broadcast and shuffled strategies agree " +
+      "row-for-row at a 40% drop rate") {
+    // the strategy choice must never change the result: same fixture,
+    // broadcast allowed vs priced out, identical survivor sets
+    def run(s: org.apache.spark.sql.SparkSession): Seq[Long] = {
+      val docs = s.range(0, 5000).withColumnRenamed("id", "doc_id")
+      val drops = s.range(0, 5000).filter(col("id") % 5 < 2) // 40% dups
+        .withColumnRenamed("id", "doc_id")
+      docs.join(drops, Seq("doc_id"), "left_anti")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    }
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ns.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val base = run(spark)
+    val shuffled = run(ns)
+    assert(base.size == 3000 && base == shuffled)
+  }
 }
