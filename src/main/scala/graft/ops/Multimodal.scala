@@ -158,7 +158,9 @@ object Multimodal {
 
   /** REAL PNG PIXEL DECODE: walk every chunk (each CRC-verified),
     * require 8-bit RGB (the fixture profile), concatenate the IDAT
-    * bodies, INFLATE them with the JDK's zlib, and reverse the per-
+    * bodies, INFLATE them with the hand-rolled [[Inflate]] codec
+    * (stored/fixed/dynamic-Huffman DEFLATE under the zlib wrapper,
+    * Adler-32 verified — no JDK Inflater), and reverse the per-
     * scanline filter (all five spec types). Returns (width, height,
     * rgb) with `rgb` in scanline order, 3 ints per pixel. This is the
     * full-decode pass a perceptual-hash or feature extractor sits on —
@@ -188,19 +190,14 @@ object Multimodal {
       if (tag == "IEND") sawEnd = true
       off += 12 + len
     }
-    val inflater = new java.util.zip.Inflater()
-    inflater.setInput(idat.toByteArray)
     val bpp = 3
     val stride = w * bpp
-    val raw = new Array[Byte](h * (1 + stride))
-    var got = 0
-    while (got < raw.length && !inflater.finished()) {
-      val n = inflater.inflate(raw, got, raw.length - got)
-      require(n > 0 || !inflater.needsInput, "bad IDAT stream")
-      got += n
-    }
-    inflater.end()
-    require(got == raw.length, s"IDAT inflated to $got, want ${raw.length}")
+    // hand-rolled RFC 1950/1951 inflate (stored + fixed + dynamic
+    // Huffman blocks, Adler-32 verified) — no java.util.zip.Inflater in
+    // the decode path; InflateSpec referees the codec against the JDK
+    val raw = Inflate.zlib(idat.toByteArray, sizeHint = h * (1 + stride))
+    require(raw.length == h * (1 + stride),
+      s"IDAT inflated to ${raw.length}, want ${h * (1 + stride)}")
     val rgb = new Array[Int](w * h * bpp)
     var y = 0
     while (y < h) {
