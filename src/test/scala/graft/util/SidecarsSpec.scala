@@ -1,0 +1,91 @@
+package graft.util
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Writer-fencing discipline of the shared sidecar-swap kernel: of two
+  * writers whose swap windows overlap, exactly one commits — the loser
+  * fails loudly before any rename touches the store and leaves no
+  * staging garbage. */
+class SidecarsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mk(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-fence-$tag").toString
+
+  private def readN(root: String): Seq[Long] =
+    spark.read.parquet(root + "/side").select($"v")
+      .collect().map(_.getLong(0)).sorted.toSeq
+
+  test("two interleaved writers: one winner, one clean failure, store " +
+      "never torn") {
+    val root = mk("race")
+    Sidecars.swap(spark, root, "side", Seq(0L).toDF("v")) // epoch 1
+    // W1 and W2 both read the store at epoch 1, then W2 commits first;
+    // W1's commit must fail at the fence, not overwrite W2
+    val e = Sidecars.fenceEpoch(spark, root)
+    assert(e == 1L)
+    // W2 wins the race (its whole swap runs inside W1's staged window)
+    val loser = intercept[IllegalStateException] {
+      Sidecars.swapStaged(spark, root, "side", expectedEpoch = Some(e)) { next =>
+        Seq(10L, 11L).toDF("v").write.parquet(next) // W1 stages...
+        // ...and W2 commits while W1 is still in flight
+        Sidecars.swapStaged(spark, root, "side", expectedEpoch = Some(e)) {
+          n2 => Seq(20L, 21L).toDF("v").write.parquet(n2)
+        }
+      }
+    }
+    assert(loser.getMessage.contains("writer fence"))
+    // the store holds W2's COMPLETE version — never W1's, never a mix
+    assert(readN(root) == Seq(20L, 21L))
+    assert(Sidecars.fenceEpoch(spark, root) == 2L)
+    // the loser's staging directory is cleaned up
+    val leftovers = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("side.next"))
+    assert(leftovers.isEmpty, s"stale staging dirs: ${leftovers.mkString(",")}")
+  }
+
+  test("sequential writers advance the epoch and a stale expected epoch " +
+      "is refused even after fence GC") {
+    val root = mk("seq")
+    for (k <- 1 to 8) // GC keeps a short history; epoch-1 is long gone
+      Sidecars.swap(spark, root, "side", Seq(k.toLong).toDF("v"))
+    assert(Sidecars.fenceEpoch(spark, root) == 8L)
+    assert(readN(root) == Seq(8L))
+    // a writer that read the store at epoch 3 must NOT be able to claim
+    // the (GC'd) epoch-4 mark and rewrite history
+    val stale = intercept[IllegalStateException] {
+      Sidecars.swapStaged(spark, root, "side", expectedEpoch = Some(3L)) {
+        next => Seq(99L).toDF("v").write.parquet(next)
+      }
+    }
+    assert(stale.getMessage.contains("writer fence"))
+    assert(readN(root) == Seq(8L), "stale writer must not overwrite")
+  }
+
+  test("a crashed stage leaves no garbage and the next writer proceeds") {
+    val root = mk("crash")
+    Sidecars.swap(spark, root, "side", Seq(1L).toDF("v"))
+    intercept[RuntimeException] {
+      Sidecars.swapStaged(spark, root, "side") { _ =>
+        throw new RuntimeException("simulated stage crash")
+      }
+    }
+    val leftovers = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("side.next"))
+    assert(leftovers.isEmpty)
+    assert(readN(root) == Seq(1L), "crashed stage must not move the store")
+    Sidecars.swap(spark, root, "side", Seq(2L).toDF("v"))
+    assert(readN(root) == Seq(2L))
+  }
+
+  test("pre-fence stores (no _fence dir) upgrade transparently") {
+    val root = mk("upgrade")
+    // simulate a store written before fencing existed
+    Seq(7L).toDF("v").write.parquet(root + "/side")
+    assert(Sidecars.fenceEpoch(spark, root) == 0L)
+    Sidecars.swap(spark, root, "side", Seq(8L).toDF("v"))
+    assert(readN(root) == Seq(8L))
+    assert(Sidecars.fenceEpoch(spark, root) == 1L)
+  }
+}
