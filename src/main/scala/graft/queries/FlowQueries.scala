@@ -212,6 +212,37 @@ object FlowQueries {
         .orderBy($"node")
     }),
 
+    // INCREMENTAL PageRank — the d6f ingestion shape applied to the
+    // rank table: ranks over the pre-delta graph (orders ok % 7 != 0)
+    // persist once per dir; the delta orders arrive, the edge weights
+    // re-aggregate, and the refresh WARM-STARTS the exact-integer
+    // iteration from the stored values (new nodes at the merged init)
+    // for 2 rounds instead of recomputing from uniform. The oracle
+    // replays this exact lineage — a continuous fixpoint's truncated
+    // warm trajectory is not bit-equal to a truncated cold one (unlike
+    // d6f's discrete labels), so the gate pins the fold itself;
+    // GraphSpec separately measures that warm-starting converges to
+    // the cold fixpoint in fewer rounds (the incremental win).
+    "graph_pagerank_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      def edgesOf(src: DataFrame) = {
+        val pairs = src.as("a").join(src.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+          .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        val e0 = pairs.groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+        e0.join(e0.groupBy($"src").agg(sum($"w").as("outw")), "src")
+      }
+      val store = s.read.parquet(
+        graft.util.TempDirs.cached("pagerank-store", dir) { p =>
+          graft.ops.Graph.pagerank(edgesOf(li.filter($"ok" % 7 =!= 0)),
+            iters = 3).write.parquet(p)
+        })
+      graft.ops.Graph.pagerankWarm(edgesOf(li), store, iters = 2)
+        .orderBy($"node")
+    }),
+
     // Per-node TRIANGLE counts over the undirected co-purchase graph —
     // local clustering beside PageRank's global centrality. The Spark
     // kernel orients edges by (degree, id) so hub wedge explosion is
@@ -321,6 +352,79 @@ object FlowQueries {
         |        LEFT JOIN c3 ON nd.node = c3.node)
         |SELECT node, pr FROM pr3 ORDER BY node""".stripMargin,
     "graph_triangles_approx" -> HashOracleSql.triApproxSql(invP = 5),
+    // Warm-start replay: 3 unrolled iterations over the pre-delta graph
+    // (ok % 7 <> 0), then 2 iterations over the merged graph seeded
+    // with COALESCE(old rank, merged init) — the exact fold the Spark
+    // kernel performs.
+    "graph_pagerank_incremental" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |eo0 AS (
+        |  SELECT a.pk AS src, b.pk AS dst, CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+        |  WHERE a.ok % 7 <> 0
+        |  GROUP BY a.pk, b.pk),
+        |owo AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw
+        |        FROM eo0 GROUP BY src),
+        |eold AS (SELECT eo0.src, eo0.dst, eo0.w, owo.outw
+        |         FROM eo0 JOIN owo ON eo0.src = owo.src),
+        |nold AS (SELECT DISTINCT src AS node FROM eold),
+        |ko AS (SELECT 1000000000000 // CAST(COUNT(*) AS BIGINT) AS init,
+        |         (15 * (1000000000000 // CAST(COUNT(*) AS BIGINT))) // 100
+        |           AS base
+        |       FROM nold),
+        |op0 AS (SELECT node, init AS pr FROM nold CROSS JOIN ko),
+        |oc1 AS (SELECT e.dst AS node,
+        |          CAST(SUM((p.pr * e.w) // e.outw) AS BIGINT) AS contrib
+        |        FROM eold e JOIN op0 p ON e.src = p.node GROUP BY e.dst),
+        |op1 AS (SELECT nd.node,
+        |          base + (85 * COALESCE(oc1.contrib, 0)) // 100 AS pr
+        |        FROM nold nd CROSS JOIN ko
+        |        LEFT JOIN oc1 ON nd.node = oc1.node),
+        |oc2 AS (SELECT e.dst AS node,
+        |          CAST(SUM((p.pr * e.w) // e.outw) AS BIGINT) AS contrib
+        |        FROM eold e JOIN op1 p ON e.src = p.node GROUP BY e.dst),
+        |op2 AS (SELECT nd.node,
+        |          base + (85 * COALESCE(oc2.contrib, 0)) // 100 AS pr
+        |        FROM nold nd CROSS JOIN ko
+        |        LEFT JOIN oc2 ON nd.node = oc2.node),
+        |oc3 AS (SELECT e.dst AS node,
+        |          CAST(SUM((p.pr * e.w) // e.outw) AS BIGINT) AS contrib
+        |        FROM eold e JOIN op2 p ON e.src = p.node GROUP BY e.dst),
+        |op3 AS (SELECT nd.node,
+        |          base + (85 * COALESCE(oc3.contrib, 0)) // 100 AS pr
+        |        FROM nold nd CROSS JOIN ko
+        |        LEFT JOIN oc3 ON nd.node = oc3.node),
+        |em0 AS (
+        |  SELECT a.pk AS src, b.pk AS dst, CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+        |  GROUP BY a.pk, b.pk),
+        |owm AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw
+        |        FROM em0 GROUP BY src),
+        |em AS (SELECT em0.src, em0.dst, em0.w, owm.outw
+        |       FROM em0 JOIN owm ON em0.src = owm.src),
+        |nm AS (SELECT DISTINCT src AS node FROM em),
+        |km AS (SELECT 1000000000000 // CAST(COUNT(*) AS BIGINT) AS init,
+        |         (15 * (1000000000000 // CAST(COUNT(*) AS BIGINT))) // 100
+        |           AS base
+        |       FROM nm),
+        |w0 AS (SELECT nd.node, COALESCE(op3.pr, km.init) AS pr
+        |       FROM nm nd CROSS JOIN km
+        |       LEFT JOIN op3 ON nd.node = op3.node),
+        |wc1 AS (SELECT e.dst AS node,
+        |          CAST(SUM((p.pr * e.w) // e.outw) AS BIGINT) AS contrib
+        |        FROM em e JOIN w0 p ON e.src = p.node GROUP BY e.dst),
+        |w1 AS (SELECT nd.node,
+        |         base + (85 * COALESCE(wc1.contrib, 0)) // 100 AS pr
+        |       FROM nm nd CROSS JOIN km
+        |       LEFT JOIN wc1 ON nd.node = wc1.node),
+        |wc2 AS (SELECT e.dst AS node,
+        |          CAST(SUM((p.pr * e.w) // e.outw) AS BIGINT) AS contrib
+        |        FROM em e JOIN w1 p ON e.src = p.node GROUP BY e.dst),
+        |w2 AS (SELECT nd.node,
+        |         base + (85 * COALESCE(wc2.contrib, 0)) // 100 AS pr
+        |       FROM nm nd CROSS JOIN km
+        |       LEFT JOIN wc2 ON nd.node = wc2.node)
+        |SELECT node, pr FROM w2 ORDER BY node""".stripMargin,
     // Triangles by id-order (u < v < w, edges canonical a < b): the
     // orientation-free enumeration the degree-ordered kernel must match.
     "graph_triangles" ->

@@ -47,6 +47,61 @@ class GraphSpec extends SparkSpec {
       Graph.pagerank(edf.limit(0), iters = 1))
   }
 
+  private def edgeDf(edges: Seq[(Long, Long, Long)]) = {
+    val outw = edges.groupBy(_._1).map { case (s, es) => (s, es.map(_._3).sum) }
+    edges.toDF("src", "dst", "w").join(outw.toSeq.toDF("src", "outw"), "src")
+  }
+
+  test("pagerankWarm: warm start matches the reference warm trajectory " +
+      "and re-converges to the merged fixpoint faster than a cold start") {
+    // old graph: a strongly skewed hub (node 0) over a ring of 20 nodes,
+    // with the stored ranks near-converged (the production store state);
+    // delta: one light chord — the small-edit regime incremental
+    // refresh exists for
+    val ring = (0L until 20L).map(i => (i, (i + 1) % 20, 1L))
+    val hub = (1L until 20L).map(i => (i, 0L, 10L))
+    val chord = Seq((5L, 12L, 2L))
+    def sym(es: Seq[(Long, Long, Long)]) =
+      es ++ es.map { case (a, b, w) => (b, a, w) }
+    val oldE = sym(ring ++ hub)
+    val mergedE = sym(ring ++ hub ++ chord)
+    val oldIters = 12
+    val oldRanks = Graph.pagerank(edgeDf(oldE), iters = oldIters)
+    // exactness: the Spark warm fold equals an in-memory replay of the
+    // same lineage (old iterations, then k merged warm iterations)
+    val oldPr = referencePr(oldE, iters = oldIters)
+    def refWarm(k: Int): Map[Long, Long] = {
+      val nodes = mergedE.map(_._1).distinct.sorted
+      val n = nodes.size.toLong
+      val init = Graph.Scale / n
+      val base = (15L * init) / 100L
+      val outw = mergedE.groupBy(_._1)
+        .map { case (s, es) => s -> es.map(_._3).sum }
+      var pr = nodes.map(v => v -> oldPr.getOrElse(v, init)).toMap
+      for (_ <- 1 to k) {
+        val contrib = mergedE.groupBy(_._2).map { case (d, es) =>
+          d -> es.map { case (s, _, w) => (pr(s) * w) / outw(s) }.sum
+        }
+        pr = nodes.map(v =>
+          v -> (base + (85L * contrib.getOrElse(v, 0L)) / 100L)).toMap
+      }
+      pr
+    }
+    val gotWarm = Graph.pagerankWarm(edgeDf(mergedE), oldRanks, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotWarm == refWarm(2), s"warm fold diverged from the replay")
+    // the incremental win, quantified: distance to the (near-)fixpoint
+    // after k rounds — warm start from the old graph's ranks must beat
+    // the uniform cold start, round for round
+    val fix = referencePr(mergedE, iters = 40)
+    def l1(m: Map[Long, Long]) =
+      fix.map { case (k2, v) => math.abs(m(k2) - v) }.sum
+    val coldPr2 = referencePr(mergedE, iters = 2)
+    assert(l1(refWarm(2)) < l1(coldPr2),
+      s"warm-2 ${l1(refWarm(2))} should beat cold-2 ${l1(coldPr2)}")
+    assert(l1(refWarm(4)) < l1(referencePr(mergedE, iters = 4)))
+  }
+
   /** O(n^3) reference: every id triple with all three edges present. */
   private def bruteTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
