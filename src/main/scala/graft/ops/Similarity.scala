@@ -500,8 +500,23 @@ object Similarity {
     * replays both refinement rounds. Empty cells keep their previous
     * centroid. */
   def ivfCentroids(targets: DataFrame, nCells: Int,
-      iters: Int = 2): Array[Array[Float]] = {
-    var centroids = ivfSeedCentroids(targets, nCells)
+      iters: Int = 2): Array[Array[Float]] =
+    lloydSteps(targets, ivfSeedCentroids(targets, nCells), iters)
+
+  /** REBALANCE after drift — the corrective action the
+    * `knn_centroid_drift` trigger schedules: the same fixed-point Lloyd
+    * refinement, but seeded from the FROZEN build-time centroids and
+    * trained over the post-append corpus (warm re-cluster, so stable
+    * cells barely move while drifted ones re-center). Deterministic
+    * like the cold path, so the `knn_ivf_rebalanced` twin replays both
+    * build-time rounds and both re-center rounds exactly. */
+  def ivfRecenter(targets: DataFrame, seed: Array[Array[Float]],
+      iters: Int = 2): Array[Array[Float]] =
+    lloydSteps(targets, seed, iters)
+
+  private def lloydSteps(targets: DataFrame, seed: Array[Array[Float]],
+      iters: Int): Array[Array[Float]] = {
+    var centroids = seed
     (0 until iters).foreach { _ =>
       val cs = centroids
       val assigned = targets.withColumn("cell", nearestCell(col("te"), cs))
@@ -582,11 +597,17 @@ object Similarity {
     val centroids =
       if (lloydIters == 0) ivfSeedCentroids(targets, nCells)
       else ivfCentroids(targets, nCells, lloydIters)
+    writeIvfIndexWith(targets, path, centroids)
+    centroids
+  }
+
+  /** Index layout under caller-supplied centroids — the rewrite step of
+    * a rebalance (re-assign every vector under the re-centered cells). */
+  def writeIvfIndexWith(targets: DataFrame, path: String,
+      centroids: Array[Array[Float]]): Unit =
     targets.withColumn("cell", nearestCell(col("te"), centroids))
       .withColumn("tn", scaledDot(col("te"), col("te")))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
-    centroids
-  }
 
   /** Persist the centroid matrix BESIDE the index (`<path>.centroids`)
     * so the index is self-contained at rest: a fresh driver — or another

@@ -3459,6 +3459,33 @@ object DataPipelineQueries {
         .orderBy($"qid", $"rank")
     }),
 
+    // REBALANCE after drift — the corrective action knn_centroid_drift
+    // triggers: the frozen build-time centroids (trained on the initial
+    // 4/5 corpus) warm-seed two more fixed-point Lloyd rounds over the
+    // FULL post-append corpus, every vector re-assigns under the
+    // re-centered cells, and the index rewrites. Search through the
+    // rebalanced index is gated exactly (the twin replays build rounds,
+    // re-center rounds, re-assignment, and ranking); SimilaritySpec
+    // asserts the recall floor — rebalanced recovers at least the
+    // drifted frozen-centroid index's recall and the fresh-build level.
+    "knn_ivf_rebalanced" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val init = e.filter($"vec_id" % 5 =!= 0)
+        .select($"vec_id".as("tid"), $"embedding".as("te"))
+      val all = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+      val (path, cs1) = builtIndex("ivf-rebal", dir) { p =>
+        val cs0 = Similarity.ivfCentroids(init, nCells = 16, iters = 2)
+        val cs1 = Similarity.ivfRecenter(all, cs0, iters = 2)
+        Similarity.writeIvfIndexWith(all, p, cs1)
+        cs1
+      }
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      Similarity.knnIvfIndexed(s, path, cs1, q, k = 5, nProbe = 2)
+        .orderBy($"qid", $"rank")
+    }),
+
     // Z-ORDER layout key over events: x = user_id, y = absolute hour
     // index, both masked to 16 bits, Morton-interleaved into the 1-D
     // sort key whose contiguous ranges are axis-aligned tiles — the
@@ -4177,11 +4204,12 @@ object DataPipelineQueries {
     * fixed-point mean update with float rounding; empty cells keep the
     * previous centroid. `prev` is a CTE named (cell, pos, c). Emits CTEs
     * `a$i` (tid, cell) and `c$i` (cell, pos, c). */
-  private def lloydRoundSql(i: Int, prev: String): String =
+  private def lloydRoundSql(i: Int, prev: String,
+      exp: String = "texp"): String =
     s"""a${i}d AS (
        |  SELECT t.tid, s.cell,
        |    SUM(CAST(ROUND(CAST(t.x AS DOUBLE)*CAST(s.c AS DOUBLE)*1000000) AS BIGINT)) AS d
-       |  FROM texp t JOIN $prev s USING (pos) GROUP BY t.tid, s.cell),
+       |  FROM $exp t JOIN $prev s USING (pos) GROUP BY t.tid, s.cell),
        |a$i AS (
        |  SELECT tid, cell FROM (
        |    SELECT tid, cell,
@@ -4191,7 +4219,7 @@ object DataPipelineQueries {
        |  SELECT a$i.cell, t.pos,
        |    CAST(CAST(SUM(CAST(ROUND(CAST(t.x AS DOUBLE)*1000000) AS BIGINT)) AS DOUBLE)
        |         / 1000000 / CAST(COUNT(*) AS DOUBLE) AS REAL) AS c
-       |  FROM a$i JOIN texp t USING (tid) GROUP BY a$i.cell, t.pos),
+       |  FROM a$i JOIN $exp t USING (tid) GROUP BY a$i.cell, t.pos),
        |c$i AS (
        |  SELECT s.cell, s.pos, COALESCE(m$i.c, s.c) AS c
        |  FROM $prev s LEFT JOIN m$i ON m$i.cell = s.cell AND m$i.pos = s.pos)""".stripMargin
@@ -4295,6 +4323,64 @@ object DataPipelineQueries {
        |  SELECT q.qid, s.cell,
        |    SUM(CAST(ROUND(CAST(q.x AS DOUBLE)*CAST(s.c AS DOUBLE)*1000000) AS BIGINT)) AS d
        |  FROM qexp q JOIN c2 s USING (pos) GROUP BY q.qid, s.cell),
+       |qcell AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT qid, cell,
+       |      row_number() OVER (PARTITION BY qid ORDER BY d DESC, cell) AS rn
+       |    FROM qfd) z WHERE rn <= 2),
+       |cand AS (
+       |  SELECT q.qid, t.tid
+       |  FROM qcell q JOIN tcell t USING (cell)
+       |  WHERE q.qid <> t.tid),
+       |""".stripMargin + knnScoreTailSql(5)
+
+  /** knn_ivf_rebalanced twin: build-time Lloyd over the initial corpus
+    * (rounds 1-2, the knn_ivf_updated frozen state), then two WARM
+    * re-center rounds over the full post-append corpus seeded from c2
+    * (rounds 3-4), full re-assignment under c4, 2-cell probe,
+    * fixed-point cosine top-5. */
+  private def knnIvfRebalancedSql(): String =
+    s"""WITH tt AS (SELECT vec_id AS tid, embedding AS te FROM embeddings
+       |       WHERE vec_id % 5 <> 0),
+       |seeds AS (
+       |  SELECT CAST((rn - 1) // 7 AS INT) AS cell,
+       |    CAST(unnest(range(0, len(te))) AS INT) AS pos,
+       |    unnest(te) AS c
+       |  FROM (SELECT row_number() OVER (ORDER BY tid) AS rn, te
+       |        FROM (SELECT tid, te FROM tt ORDER BY tid LIMIT 112) s1) s2
+       |  WHERE (rn - 1) % 7 = 0),
+       |texp AS (
+       |  SELECT tid, CAST(unnest(range(0, len(te))) AS INT) AS pos,
+       |         unnest(te) AS x
+       |  FROM tt),
+       |${lloydRoundSql(1, "seeds")},
+       |${lloydRoundSql(2, "c1")},
+       |fexp AS (
+       |  SELECT vec_id AS tid,
+       |         CAST(unnest(range(0, len(embedding))) AS INT) AS pos,
+       |         unnest(embedding) AS x
+       |  FROM embeddings),
+       |${lloydRoundSql(3, "c2", exp = "fexp")},
+       |${lloydRoundSql(4, "c3", exp = "fexp")},
+       |tfd AS (
+       |  SELECT t.tid, s.cell,
+       |    SUM(CAST(ROUND(CAST(t.x AS DOUBLE)*CAST(s.c AS DOUBLE)*1000000) AS BIGINT)) AS d
+       |  FROM fexp t JOIN c4 s USING (pos) GROUP BY t.tid, s.cell),
+       |tcell AS (
+       |  SELECT tid, cell FROM (
+       |    SELECT tid, cell,
+       |      row_number() OVER (PARTITION BY tid ORDER BY d DESC, cell) AS rn
+       |    FROM tfd) z WHERE rn = 1),
+       |qq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |       WHERE vec_id < 50),
+       |qexp AS (
+       |  SELECT qid, CAST(unnest(range(0, len(qe))) AS INT) AS pos,
+       |         unnest(qe) AS x
+       |  FROM qq),
+       |qfd AS (
+       |  SELECT q.qid, s.cell,
+       |    SUM(CAST(ROUND(CAST(q.x AS DOUBLE)*CAST(s.c AS DOUBLE)*1000000) AS BIGINT)) AS d
+       |  FROM qexp q JOIN c4 s USING (pos) GROUP BY q.qid, s.cell),
        |qcell AS (
        |  SELECT qid, cell FROM (
        |    SELECT qid, cell,
@@ -5519,6 +5605,7 @@ object DataPipelineQueries {
     // (and thus candidate cells) over the full corpus — exactly what the
     // frozen-centroid append produces at rest
     "knn_ivf_updated" -> knnIvfLloydSql(trainWhere = "vec_id % 5 <> 0"),
+    "knn_ivf_rebalanced" -> knnIvfRebalancedSql(),
     "knn_recall" -> knnRecallSql,
     "knn_recall_truncated" -> knnRecallTruncatedSql,
     "knn_recall_filtered" -> knnRecallFilteredSql,

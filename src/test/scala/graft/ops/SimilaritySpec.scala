@@ -110,6 +110,43 @@ class SimilaritySpec extends SparkSpec {
     assert(again == lloyd)
   }
 
+  test("IVF rebalance: warm re-centering recovers the recall the drifted " +
+      "frozen-centroid index lost, to at least the fresh-build level") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = e.filter($"vec_id" < 50)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val init = e.filter($"vec_id" % 5 =!= 0)
+      .select($"vec_id".as("tid"), $"embedding".as("te"))
+    val all = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+    val exact = Similarity.knnBruteForce(q, all, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def meanRecall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = exact.keys.toSeq.map { qid =>
+        exact(qid).intersect(got.getOrElse(qid, Set.empty)).size.toDouble /
+          exact(qid).size
+      }
+      rs.sum / rs.size
+    }
+    val cs0 = Similarity.ivfCentroids(init, nCells = 16, iters = 2)
+    val cs1 = Similarity.ivfRecenter(all, cs0, iters = 2)
+    val csFresh = Similarity.ivfCentroids(all, nCells = 16, iters = 2)
+    def searchWith(cs: Array[Array[Float]]) = {
+      val dir = graft.util.TempDirs.create("ivf-rebal-spec")
+      Similarity.writeIvfIndexWith(all, dir + "/idx", cs)
+      Similarity.knnIvfIndexed(spark, dir + "/idx", cs, q, k = 5, nProbe = 2)
+    }
+    val drifted = meanRecall(searchWith(cs0))   // frozen centroids, full corpus
+    val rebal = meanRecall(searchWith(cs1))     // the corrective action
+    val fresh = meanRecall(searchWith(csFresh)) // cold full retrain
+    assert(rebal >= drifted - 1e-12,
+      s"rebalance must not lose recall: $rebal < drifted $drifted")
+    assert(rebal >= fresh - 0.02,
+      s"rebalanced recall $rebal below the fresh-build level $fresh")
+  }
+
   test("multi-probe LSH: recall strictly above single-probe on the sf0.01 corpus") {
     val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val q = e.filter($"vec_id" < 50)
