@@ -33,7 +33,7 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, kStr) = args.take(3)
     val k = kStr.toInt
-    require(k >= 1 && k <= 10, s"replication factor $k out of range")
+    require(k >= 1 && k <= 20, s"replication factor $k out of range")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",

@@ -51,18 +51,43 @@ object Snapshots {
     manifest(spark, root).agg(coalesce(max(col("v")), lit(0)))
       .collect()(0).getInt(0)
 
-  /** Append `df` as the next version; returns its version number. Data
-    * first (mode overwrite heals a crashed predecessor's dangling dir),
-    * manifest swap last = commit point. */
+  /** Append `df` as the next version; returns its version number.
+    *
+    * Writer fencing: data lands in a WRITER-UNIQUE hidden staging dir
+    * (concurrent writers never share a write path), healing of a
+    * crashed predecessor's dangling `v=<k>` happens before placement
+    * (delete is safe — no manifest row references it), a
+    * rename-without-overwrite then places the version (of two
+    * concurrent committers of the same k, the later rename fails
+    * cleanly), and the manifest swap — the commit point — carries the
+    * epoch read at transaction start, so a writer that raced ANY other
+    * mutation of the store fails there, leaving its placed dir
+    * dangling (invisible to readers, healed by the next commit or
+    * [[expire]]) rather than deleting a directory that may meanwhile
+    * belong to the winner. */
   def commitVersion(spark: SparkSession, root: String, df: DataFrame): Int = {
+    val e = graft.util.Sidecars.fenceEpoch(spark, root) // transaction start
     val k = latest(spark, root) + 1
-    df.write.mode("overwrite").parquet(root + s"/data/v=$k")
+    val vdir = new org.apache.hadoop.fs.Path(root + s"/data/v=$k")
+    val stage = new org.apache.hadoop.fs.Path(
+      root + s"/data/.stage-v$k-${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = fsOf(spark, vdir)
+    df.write.mode("overwrite").parquet(stage.toString)
     // count what was WRITTEN (what readers will see), not the input plan
-    val n = spark.read.parquet(root + s"/data/v=$k").count()
+    val n = spark.read.parquet(stage.toString).count()
+    // heal a crashed writer's dangling dir: no manifest row names it
+    // (latest() said so), so nothing a reader can see disappears
+    if (fs.exists(vdir)) fs.delete(vdir, true)
+    if (!fs.rename(stage, vdir)) {
+      fs.delete(stage, true)
+      throw new IllegalStateException(
+        s"writer fence: $vdir already placed — a concurrent writer is " +
+          "committing the same version; retry from a fresh manifest read")
+    }
     import spark.implicits._
     graft.util.Sidecars.swap(spark, root, "manifest",
       manifest(spark, root).unionByName(Seq((k, n)).toDF("v", "n_rows")),
-      single = true)
+      single = true, expectedEpoch = Some(e))
     k
   }
 
@@ -92,19 +117,25 @@ object Snapshots {
     * discipline. Returns the expired version numbers. */
   def expire(spark: SparkSession, root: String, keep: Int): Seq[Int] = {
     require(keep >= 1, s"must retain at least one version, got keep=$keep")
+    val e = graft.util.Sidecars.fenceEpoch(spark, root) // transaction start
     val man = manifest(spark, root)
     // bounded collect: one element per committed version
     val vs = man.select(col("v")).collect().map(_.getInt(0)).sorted.toSeq
     val expired = vs.dropRight(keep)
     if (expired.nonEmpty)
       graft.util.Sidecars.swap(spark, root, "manifest",
-        man.filter(!col("v").isin(expired: _*)), single = true)
+        man.filter(!col("v").isin(expired: _*)), single = true,
+        expectedEpoch = Some(e))
     val retained = vs.takeRight(keep).toSet
     val dataDir = new org.apache.hadoop.fs.Path(root + "/data")
     val fs = fsOf(spark, dataDir)
     if (fs.exists(dataDir))
       fs.listStatus(dataDir).foreach { st =>
         val name = st.getPath.getName
+        // crashed commits also leave aged .stage-* dirs — sweep those
+        if (name.startsWith(".stage-") &&
+            st.getModificationTime < System.currentTimeMillis() - 3600000L)
+          fs.delete(st.getPath, true)
         if (name.startsWith("v=") &&
             !retained.contains(name.drop(2).toInt))
           fs.delete(st.getPath, true)

@@ -78,14 +78,19 @@ object BandIndex {
     import spark.implicits._
     val f = fs(spark, path)
     f.delete(new org.apache.hadoop.fs.Path(path), true)
+    // fresh store: claim epoch 1 before the raw bucket write, then
+    // thread the epoch through the sidecar swaps — a concurrent writer
+    // on the same path fails at its first commit (writer fencing)
+    var e = Sidecars.claim(spark, path, Some(0L))
     bucketRows(docs, id, text, k, numHashes, numBands)
       .write.mode("overwrite").parquet(path + "/buckets")
-    Sidecars.swap(spark, path, "meta",
+    e = Sidecars.swap(spark, path, "meta",
       Seq((k, numHashes, numBands)).toDF("k", "num_hashes", "num_bands"),
-      single = true)
+      single = true, expectedEpoch = Some(e))
     // docs sidecar last = build's commit point (absent docs/ = no index)
     Sidecars.swap(spark, path, "docs",
-      docs.select(col(id).as("doc_id")).distinct(), single = true)
+      docs.select(col(id).as("doc_id")).distinct(), single = true,
+      expectedEpoch = Some(e))
   }
 
   private def meta(spark: SparkSession, path: String): (Int, Int, Int) = {
@@ -116,6 +121,11 @@ object BandIndex {
   def append(batch: DataFrame, id: String, text: String,
       path: String): Unit = {
     val spark = batch.sparkSession
+    // transaction fence: the epoch is read BEFORE any store read and
+    // threaded through every mutation, so of two overlapping appends
+    // (or an append racing a delete/compact) exactly one wins — the
+    // loser fails at its FIRST fenced commit, before touching the store
+    var e = Sidecars.fenceEpoch(spark, path)
     val (k, numHashes, numBands) = meta(spark, path)
     val batchIds = batch.select(col(id).as("doc_id")).distinct()
     val docMap = spark.read.parquet(path + "/docs")
@@ -135,7 +145,7 @@ object BandIndex {
       if (reapp.limit(1).count() > 0) {
         // purge the dead rows NOW (their tombstones are about to drop,
         // so queries would otherwise resurrect the stale buckets)
-        Sidecars.swapStaged(spark, path, "buckets") { next =>
+        e = Sidecars.swapStaged(spark, path, "buckets", Some(e)) { next =>
           spark.read.parquet(path + "/buckets")
             .join(broadcast(reapp), Seq("doc_id"), "left_anti")
             .write.parquet(next)
@@ -143,17 +153,22 @@ object BandIndex {
         val remaining = t.join(broadcast(reapp), Seq("doc_id"), "left_anti")
           .localCheckpoint()
         if (remaining.limit(1).count() > 0)
-          Sidecars.swap(spark, path, "tombstones", remaining, single = true)
-        else
+          e = Sidecars.swap(spark, path, "tombstones", remaining,
+            single = true, expectedEpoch = Some(e))
+        else {
+          e = Sidecars.claim(spark, path, Some(e)) // fence the raw delete
           fs(spark, path).delete(
             new org.apache.hadoop.fs.Path(path + "/tombstones"), true)
+        }
         remaining.unpersist()
       }
       reapp.unpersist()
     }
     // doc map BEFORE buckets: see crash discipline above
-    Sidecars.swap(spark, path, "docs",
-      docMap.unionByName(batchIds).distinct(), single = true)
+    e = Sidecars.swap(spark, path, "docs",
+      docMap.unionByName(batchIds).distinct(), single = true,
+      expectedEpoch = Some(e))
+    Sidecars.claim(spark, path, Some(e)) // fence the raw additive append
     bucketRows(batch, id, text, k, numHashes, numBands)
       .write.mode("append").parquet(path + "/buckets")
   }
@@ -176,6 +191,7 @@ object BandIndex {
     * column is taken as the doc id. */
   def delete(spark: SparkSession, path: String, idsIn: DataFrame): Unit = {
     import spark.implicits._
+    val e = Sidecars.fenceEpoch(spark, path) // before any store read
     val batch = idsIn
       .select(col(idsIn.columns.head).cast("long").as("doc_id")).distinct()
     val docMap = spark.read.parquet(path + "/docs")
@@ -190,7 +206,7 @@ object BandIndex {
     require(prior.join(broadcast(batch), "doc_id").limit(1).count() == 0,
       s"delete batch contains already-tombstoned ids for ${path}")
     Sidecars.swap(spark, path, "tombstones",
-      prior.unionByName(batch), single = true)
+      prior.unionByName(batch), single = true, expectedEpoch = Some(e))
   }
 
   /** COMPACT: physically drop tombstoned docs' bucket rows and doc-map
@@ -202,16 +218,18 @@ object BandIndex {
     * state can resurrect a deleted doc. */
   def compact(spark: SparkSession, path: String): Unit = {
     if (!exists(spark, path + "/tombstones")) return
+    var e = Sidecars.fenceEpoch(spark, path) // before any store read
     val dead = spark.read.parquet(path + "/tombstones")
-    Sidecars.swapStaged(spark, path, "buckets") { next =>
+    e = Sidecars.swapStaged(spark, path, "buckets", Some(e)) { next =>
       spark.read.parquet(path + "/buckets")
         .join(broadcast(dead), Seq("doc_id"), "left_anti")
         .write.parquet(next)
     }
-    Sidecars.swap(spark, path, "docs",
+    e = Sidecars.swap(spark, path, "docs",
       spark.read.parquet(path + "/docs")
         .join(broadcast(dead), Seq("doc_id"), "left_anti"),
-      single = true)
+      single = true, expectedEpoch = Some(e))
+    Sidecars.claim(spark, path, Some(e)) // fence the raw delete
     fs(spark, path).delete(
       new org.apache.hadoop.fs.Path(path + "/tombstones"), true)
   }

@@ -38,9 +38,21 @@ object Bloom {
     * DIRECTLY (xxhash64 is variadic) — no per-row struct allocation.
     * Shared by build and probe so they can never disagree; false
     * positives from the weaker-than-independent family are confirmed
-    * exactly downstream like any other. */
+    * exactly downstream like any other.
+    *
+    * k-SENSITIVITY (measured r13, 20M-row probe, local[32], warm,
+    * all-positive bitset so every conjunct evaluates): k=1..3 ~90-130
+    * Mrows/s (flat — codegen CSE collapses the two hash evals), k=4 ~55,
+    * k=6 ~40, k=8 ~27 (the bitwise/element_at chain grows linearly),
+    * k=12 ~1.2 Mrows/s — a 20x CLIFF where the generated filter method
+    * outgrows the JVM's JIT inlining/compilation budget and runs
+    * interpreted (the plan still shows WholeStageCodegen; the
+    * regression is bytecode-size-induced). Hence the hard cap at 8:
+    * every in-repo use is k<=6, and past k=8 a bigger m is always the
+    * better FPR lever than more hashes. */
   private def positions(keys: Seq[Column], mBits: Int, k: Int): Seq[Column] = {
-    require(k <= 16, s"bloom hash count capped at 16, got $k")
+    require(k <= 8, s"bloom hash count capped at 8 (measured JIT cliff " +
+      s"above it — see the k-sensitivity note), got $k")
     val h1 = xxhash64(keys: _*)
     val h2 = xxhash64((keys :+ lit(0x9E3779B97F4A7C15L)): _*)
     (0 until k).map { i =>

@@ -196,6 +196,66 @@ object Inflate {
     (java.util.Arrays.copyOf(out, outLen), pos - bitCnt / 8)
   }
 
+  /** gzip stream (RFC 1952): parse each member's header (magic,
+    * deflate method, FLG-gated optional fields — FEXTRA/FNAME/FCOMMENT/
+    * FHCRC), inflate the body with the hand-rolled [[raw]] decoder,
+    * verify the trailing CRC-32 and ISIZE (mod 2^32), and concatenate
+    * members (RFC 1952 §2.2 — a compliant gunzip of a multi-member
+    * stream is the concatenation). This is the transfer encoding a
+    * crawler actually receives for text bodies. */
+  def gunzip(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 3))
+    var off = 0
+    require(data.length >= 18, "bad gzip: truncated")
+    while (off < data.length) {
+      require(off + 10 <= data.length, "bad gzip: truncated member header")
+      require((data(off) & 0xff) == 0x1f && (data(off + 1) & 0xff) == 0x8b,
+        "bad gzip: magic")
+      require((data(off + 2) & 0xff) == 8, "bad gzip: not deflate")
+      val flg = data(off + 3) & 0xff
+      require((flg & 0xe0) == 0, "bad gzip: reserved FLG bits set")
+      var p = off + 10 // past MTIME(4) XFL OS
+      if ((flg & 0x04) != 0) { // FEXTRA: 2-byte little-endian length
+        val xlen = (data(p) & 0xff) | ((data(p + 1) & 0xff) << 8)
+        p += 2 + xlen
+      }
+      if ((flg & 0x08) != 0) { while (data(p) != 0) p += 1; p += 1 } // FNAME
+      if ((flg & 0x10) != 0) { while (data(p) != 0) p += 1; p += 1 } // FCOMMENT
+      if ((flg & 0x02) != 0) p += 2 // FHCRC (header CRC16)
+      val (body, end) = rawWithEnd(data, p, sizeHint = 1 << 12)
+      require(end + 8 <= data.length, "bad gzip: truncated member trailer")
+      def le32(o: Int): Long =
+        (data(o) & 0xffL) | ((data(o + 1) & 0xffL) << 8) |
+          ((data(o + 2) & 0xffL) << 16) | ((data(o + 3) & 0xffL) << 24)
+      val crc = new java.util.zip.CRC32()
+      crc.update(body)
+      require(crc.getValue == le32(end), "bad gzip: CRC-32 mismatch")
+      require((body.length & 0xffffffffL) == le32(end + 4),
+        "bad gzip: ISIZE mismatch")
+      out.write(body)
+      off = end + 8
+    }
+    out.toByteArray
+  }
+
+  /** Static entry point for the
+    * [[org.apache.spark.sql.graft.GzipPayload]] expression: text
+    * encoded by the JDK's independent GZIPOutputStream — the foreign
+    * wire bytes our [[gunzip]] must read back. */
+  def gzipOf(text: org.apache.spark.unsafe.types.UTF8String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(256)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(text.getBytes)
+    gz.close()
+    bos.toByteArray
+  }
+
+  /** Static entry point for the
+    * [[org.apache.spark.sql.graft.GunzipText]] expression: hand-rolled
+    * gzip member walk + inflate + CRC/ISIZE verify, back to a string. */
+  def gunzipText(payload: Array[Byte]): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(gunzip(payload))
+
   /** zlib stream (RFC 1950): validate the CMF/FLG header (deflate
     * method, in-spec window, header checksum, no preset dictionary),
     * inflate the body, and verify the trailing Adler-32 — computed

@@ -1,0 +1,477 @@
+package graft.ops
+
+/** Hand-rolled BASELINE JPEG (ITU-T T.81, sequential DCT, Huffman,
+  * 8-bit grayscale): a spec-complete encoder and decoder built from JDK
+  * primitives only — marker framing (SOI/DQT/SOF0/DHT/SOS/EOI), the
+  * standard Annex K Huffman tables, zigzag scan, byte stuffing, DC
+  * prediction with restart-interval support on the decode side, forward
+  * and inverse DCT in deterministic StrictMath double arithmetic.
+  *
+  * Exactness contract for the gates: DCT quantization makes general
+  * JPEG lossy, but BLOCK-CONSTANT images (every 8x8 block one flat
+  * value) round-trip BIT-EXACTLY — a constant block has only a DC
+  * coefficient, the quant table's DC entry (8) divides the level-shifted
+  * DC (8*(v-128)) for every v, and the IDCT of a DC-only block is the
+  * exact constant again. The mm_jpeg fixtures are block-constant, so
+  * the DuckDB twin replays decoded pixels closed-form from the block
+  * formula, pinning the whole encode -> marker walk -> Huffman decode ->
+  * dequant -> IDCT lineage bit-for-bit (any drift anywhere moves a
+  * pixel, which moves the dHash). JpegSpec referees both directions
+  * against the JDK's independent ImageIO codec: ImageIO decodes OUR
+  * streams (bit-exact on block-constant, ±2 on general content — IDCT
+  * implementations legitimately differ in rounding), and our decoder
+  * reads ImageIO-WRITTEN JPEGs (foreign quant/Huffman tables, JFIF APP0,
+  * optional restart intervals) within the same bar.
+  *
+  * Reference scope: the reference pipeline crawls web documents whose
+  * image payloads are overwhelmingly JPEG; this is the decode rung the
+  * PNG/WAV/Y4M family stopped short of.
+  */
+object Jpeg {
+
+  // zigzag scan order (T.81 Figure A.6): zigzag index -> block index
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // Annex K.1 luminance quantization table (zigzag order on the wire;
+  // stored here in natural block order), DC entry lowered 16 -> 8 so
+  // the level-shifted DC of any flat block quantizes exactly (8 divides
+  // 8*(v-128) for every v) — the encoder's freedom, spec-legal.
+  private val QuantTable: Array[Int] = Array(
+    8, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  // Annex K.3: standard luminance DC Huffman table
+  private val DcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+
+  // Annex K.5: standard luminance AC Huffman table
+  private val AcBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
+  private val AcVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+    0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  // cosine basis, StrictMath for cross-platform determinism
+  private val Cos: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
+    StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0)
+  }
+  private def cNorm(u: Int): Double = if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0
+
+  /** (code, length) per symbol from a (bits, huffval) DHT pair — the
+    * canonical assignment of T.81 Annex C. */
+  private def canonicalCodes(bits: Array[Int],
+      vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var vi = 0
+    val out = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    for (len <- 1 to 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        out(vals(vi)) = (code, len)
+        code += 1; vi += 1; i += 1
+      }
+      code <<= 1
+    }
+    out.toMap
+  }
+
+  /** Encode an 8-bit grayscale image (dims multiples of 8) as a
+    * baseline sequential JPEG with the Annex K Huffman tables. */
+  def encodeGray(width: Int, height: Int,
+      pixel: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && width % 8 == 0 && height % 8 == 0,
+      s"fixture dims must be multiples of 8, got ${width}x$height")
+    val out = new java.io.ByteArrayOutputStream(1024)
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def be16(v: Int): Unit = { out.write(v >> 8); out.write(v & 0xff) }
+    marker(0xd8) // SOI
+    marker(0xdb); be16(2 + 1 + 64); out.write(0x00) // DQT, 8-bit table 0
+    Zigzag.foreach(i => out.write(QuantTable(i)))
+    marker(0xc0); be16(8 + 3) // SOF0: 1 component
+    out.write(8); be16(height); be16(width); out.write(1)
+    out.write(1); out.write(0x11); out.write(0) // id 1, 1x1, quant 0
+    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); be16(2 + 1 + 16 + vals.length); out.write(cls << 4)
+      bits.foreach(out.write); vals.foreach(out.write)
+    }
+    dht(0, DcBits, DcVals)
+    dht(1, AcBits, AcVals)
+    marker(0xda); be16(6 + 2) // SOS: 1 component
+    out.write(1); out.write(1); out.write(0x00) // comp 1, DC 0 / AC 0
+    out.write(0); out.write(63); out.write(0)   // Ss, Se, AhAl
+    // entropy-coded segment: MSB-first bit writer with 0xFF stuffing
+    val dcCodes = canonicalCodes(DcBits, DcVals)
+    val acCodes = canonicalCodes(AcBits, AcVals)
+    var bitBuf = 0L
+    var bitCnt = 0
+    def putBits(code: Int, len: Int): Unit = {
+      bitBuf = (bitBuf << len) | (code & ((1L << len) - 1))
+      bitCnt += len
+      while (bitCnt >= 8) {
+        val b = ((bitBuf >> (bitCnt - 8)) & 0xff).toInt
+        out.write(b)
+        if (b == 0xff) out.write(0x00) // byte stuffing
+        bitCnt -= 8
+      }
+    }
+    def category(v: Int): Int = { // bit length of |v|
+      var a = math.abs(v); var s = 0
+      while (a != 0) { a >>= 1; s += 1 }
+      s
+    }
+    var prevDc = 0
+    val coefs = new Array[Int](64)
+    for (by <- 0 until height / 8; bx <- 0 until width / 8) {
+      // forward DCT of the level-shifted block, quantized
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var acc = 0.0
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              acc += ((pixel(bx * 8 + x, by * 8 + y) & 0xff) - 128) *
+                Cos(x)(u) * Cos(y)(v)
+              x += 1
+            }
+            y += 1
+          }
+          val f = 0.25 * cNorm(u) * cNorm(v) * acc
+          coefs(v * 8 + u) = math.round(f / QuantTable(v * 8 + u)).toInt
+          v += 1
+        }
+        u += 1
+      }
+      // DC: category + extended diff bits (T.81 F.1.2.1)
+      val diff = coefs(0) - prevDc
+      prevDc = coefs(0)
+      val s = category(diff)
+      val (dcCode, dcLen) = dcCodes(s)
+      putBits(dcCode, dcLen)
+      if (s > 0) putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      // AC: (run, size) symbols in zigzag order, ZRL + EOB
+      var run = 0
+      var zi = 1
+      var lastNz = 63
+      while (lastNz >= 1 && coefs(Zigzag(lastNz)) == 0) lastNz -= 1
+      while (zi <= lastNz) {
+        val c = coefs(Zigzag(zi))
+        if (c == 0) run += 1
+        else {
+          while (run >= 16) {
+            val (z, zl) = acCodes(0xf0); putBits(z, zl); run -= 16
+          }
+          val sz = category(c)
+          val (code, len) = acCodes((run << 4) | sz)
+          putBits(code, len)
+          putBits(if (c >= 0) c else c + (1 << sz) - 1, sz)
+          run = 0
+        }
+        zi += 1
+      }
+      if (lastNz < 63) { val (e, el) = acCodes(0x00); putBits(e, el) }
+    }
+    if (bitCnt > 0) putBits(0xff, 8 - bitCnt) // pad with 1s
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Header probe: (width, height) from the SOF0 frame header — the
+    * O(1) metadata pass, JPEG sibling of [[Multimodal.pngDims]]. */
+  def dims(payload: Array[Byte]): (Int, Int) = {
+    val d = new Decoder(payload)
+    d.parseHeaders(stopAtSos = true)
+    (d.width, d.height)
+  }
+
+  /** Full pixel decode of a baseline grayscale JPEG: marker walk,
+    * DQT/DHT parse (foreign tables accepted), Huffman + DC-prediction
+    * entropy decode with restart-interval support, dequant, exact
+    * StrictMath IDCT, level shift, clamp. Returns (w, h, gray) in
+    * scanline order. */
+  def pixelsGray(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    val d = new Decoder(payload)
+    d.parseHeaders(stopAtSos = false)
+    (d.width, d.height, d.decodeScan())
+  }
+
+  /** 64-bit dHash over the decoded grayscale pixels — the same 9x8
+    * block-mean geometry and exact cross-multiplied comparison as
+    * [[Multimodal.pngDHash]], with luma = the gray value itself. */
+  def jpegDHash(payload: Array[Byte]): Long = {
+    val (w, h, g) = pixelsGray(payload)
+    require(w >= 9 && h >= 8, s"dHash needs >= 9x8, got ${w}x$h")
+    val sums = Array.ofDim[Long](9, 8)
+    val cnts = Array.ofDim[Long](9, 8)
+    var y = 0
+    while (y < h) {
+      val gy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val gx = x * 9 / w
+        sums(gx)(gy) += g(y * w + x)
+        cnts(gx)(gy) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (sums(gx + 1)(gy) * cnts(gx)(gy) > sums(gx)(gy) * cnts(gx + 1)(gy))
+          hash |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** JPEG-dedup fixture family: BLOCK-CONSTANT images (flat 8x8 blocks,
+    * so the DCT round-trip is bit-exact — see the object scaladoc).
+    * Docs sharing (doc_id % 7, (doc_id/7) % 3) render the same base
+    * block pattern; ~1/13 of blocks take a per-doc +17 bump, turning
+    * exact duplicates into near duplicates. The oracle re-derives
+    * every pixel from this formula. */
+  def dedupJpegDims(docId: Long): (Int, Int) = {
+    val fam = (docId % 7).toInt
+    (8 * (4 + fam), 8 * (3 + fam))
+  }
+
+  def dedupJpegBlockVal(docId: Long)(bx: Int, by: Int): Int = {
+    val s = ((docId / 7) % 3).toInt
+    val base = (bx * bx * 5 + by * by * 11 + bx * by * (s + 1) * 3) % 224 + 8
+    val bump = if ((bx * 7 + by * 5) % 13 == (docId % 13).toInt) 17 else 0
+    base + bump
+  }
+
+  /** Static entry point for the
+    * [[org.apache.spark.sql.graft.DedupJpegPayload]] expression. */
+  def dedupJpegPayloadOf(docId: Long): Array[Byte] = {
+    val (w, h) = dedupJpegDims(docId)
+    val block = dedupJpegBlockVal(docId) _
+    encodeGray(w, h, (x, y) => block(x / 8, y / 8))
+  }
+
+  /** Marker-walking baseline-JPEG decoder (single instance per payload). */
+  private final class Decoder(data: Array[Byte]) {
+    var width = 0
+    var height = 0
+    private var pos = 0
+    private val quant = Array.ofDim[Int](4, 64) // natural order
+    // Huffman tables by (class, id): count per length + canonical symbols
+    private val hCount = Array.ofDim[Int](2, 4, 17)
+    private val hSyms = Array.ofDim[Array[Int]](2, 4)
+    private var compQuant = 0
+    private var dcTable = 0
+    private var acTable = 0
+    private var restartInterval = 0
+    private var scanStart = -1
+
+    private def u8(): Int = {
+      require(pos < data.length, "not a JPEG: truncated")
+      val v = data(pos) & 0xff; pos += 1; v
+    }
+    private def u16(): Int = { val hi = u8(); (hi << 8) | u8() }
+
+    def parseHeaders(stopAtSos: Boolean): Unit = {
+      require(data.length >= 4 && u8() == 0xff && u8() == 0xd8,
+        "not a JPEG: missing SOI")
+      var done = false
+      while (!done) {
+        var m = u8()
+        require(m == 0xff, f"not a JPEG: expected marker, got $m%02x")
+        while (m == 0xff) m = u8() // fill bytes are legal
+        m match {
+          case 0xdb => // DQT: one or more tables
+            val seglen = u16() // read BEFORE using pos: u16 advances it
+            val end = pos + seglen - 2
+            while (pos < end) {
+              val pqTq = u8()
+              require((pqTq >> 4) == 0, "only 8-bit quant tables here")
+              val tq = pqTq & 0x0f
+              var i = 0
+              while (i < 64) { quant(tq)(Zigzag(i)) = u8(); i += 1 }
+            }
+          case 0xc0 | 0xc1 => // SOF0/1: baseline (extended-sequential ok)
+            u16()
+            require(u8() == 8, "not 8-bit baseline")
+            height = u16(); width = u16()
+            val nc = u8()
+            require(nc == 1, s"grayscale decoder: got $nc components")
+            u8() // component id
+            val hv = u8()
+            require(hv == 0x11, f"sampling $hv%02x unsupported for 1 comp")
+            compQuant = u8()
+          case 0xc2 => throw new IllegalArgumentException(
+            "progressive JPEG (SOF2) unsupported: baseline decoder")
+          case 0xc4 => // DHT: one or more tables
+            val seglen = u16() // read BEFORE using pos: u16 advances it
+            val end = pos + seglen - 2
+            while (pos < end) {
+              val tcTh = u8()
+              val tc = tcTh >> 4; val th = tcTh & 0x0f
+              require(tc <= 1 && th <= 3, "bad DHT class/id")
+              var total = 0
+              var l = 1
+              while (l <= 16) { hCount(tc)(th)(l) = u8(); total += hCount(tc)(th)(l); l += 1 }
+              hSyms(tc)(th) = Array.fill(total)(u8())
+            }
+          case 0xdd => // DRI
+            require(u16() == 4, "bad DRI length")
+            restartInterval = u16()
+          case 0xda => // SOS
+            u16()
+            require(u8() == 1, "grayscale decoder: multi-component scan")
+            u8() // component selector
+            val t = u8()
+            dcTable = t >> 4; acTable = t & 0x0f
+            require(u8() == 0 && u8() == 63 && u8() == 0,
+              "not a baseline sequential scan")
+            scanStart = pos
+            done = true
+          case 0xd9 => throw new IllegalArgumentException(
+            "not a JPEG: EOI before scan")
+          case x if x >= 0xe0 && x <= 0xef => // APPn
+            val l = u16(); pos += l - 2
+          case 0xfe => // COM
+            val l = u16(); pos += l - 2
+          case x => throw new IllegalArgumentException(
+            f"unsupported JPEG marker $x%02x")
+        }
+        if (stopAtSos && width > 0 && !done) done = true
+      }
+      require(width > 0 && height > 0, "not a JPEG: no frame header")
+    }
+
+    def decodeScan(): Array[Int] = {
+      require(scanStart >= 0, "decodeScan before SOS")
+      pos = scanStart
+      var bitBuf = 0L
+      var bitCnt = 0
+      def nextBit(): Int = {
+        if (bitCnt == 0) {
+          val b = u8()
+          val v = if (b == 0xff) {
+            val n = u8()
+            require(n == 0x00, f"marker ff$n%02x inside entropy data")
+            0xff
+          } else b
+          bitBuf = v; bitCnt = 8
+        }
+        bitCnt -= 1
+        ((bitBuf >> bitCnt) & 1).toInt
+      }
+      def decodeHuff(tc: Int, th: Int): Int = {
+        require(hSyms(tc)(th) != null, s"missing Huffman table $tc/$th")
+        var code = 0; var first = 0; var index = 0; var len = 1
+        while (len <= 16) {
+          code = (code << 1) | nextBit()
+          val cnt = hCount(tc)(th)(len)
+          if (code - first < cnt) return hSyms(tc)(th)(index + code - first)
+          index += cnt
+          first = (first + cnt) << 1
+          len += 1
+        }
+        throw new IllegalArgumentException("bad JPEG: invalid Huffman code")
+      }
+      def receiveExtend(s: Int): Int = {
+        if (s == 0) return 0
+        var v = 0
+        var i = 0
+        while (i < s) { v = (v << 1) | nextBit(); i += 1 }
+        if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+      }
+      val q = quant(compQuant)
+      val bw = (width + 7) / 8
+      val bh = (height + 7) / 8
+      val out = new Array[Int](width * height)
+      val coefs = new Array[Int](64)
+      var prevDc = 0
+      var mcu = 0
+      for (by <- 0 until bh; bx <- 0 until bw) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          // byte-align, expect RSTn, reset the DC predictor
+          bitCnt = 0
+          require(u8() == 0xff, "bad JPEG: expected restart marker")
+          val m = u8()
+          require(m >= 0xd0 && m <= 0xd7, f"bad restart marker $m%02x")
+          prevDc = 0
+        }
+        java.util.Arrays.fill(coefs, 0)
+        val s = decodeHuff(0, dcTable)
+        prevDc += receiveExtend(s)
+        coefs(0) = prevDc * q(0)
+        var zi = 1
+        var eob = false
+        while (zi < 64 && !eob) {
+          val rs = decodeHuff(1, acTable)
+          val run = rs >> 4; val size = rs & 0x0f
+          if (size == 0) {
+            if (run == 15) zi += 16 // ZRL
+            else eob = true         // EOB
+          } else {
+            zi += run
+            require(zi < 64, "bad JPEG: AC index overflow")
+            coefs(Zigzag(zi)) = receiveExtend(size) * q(Zigzag(zi))
+            zi += 1
+          }
+        }
+        // IDCT + level shift + clamp
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            var acc = 0.0
+            var u = 0
+            while (u < 8) {
+              var v = 0
+              while (v < 8) {
+                val c = coefs(v * 8 + u)
+                if (c != 0) acc += cNorm(u) * cNorm(v) * c * Cos(x)(u) * Cos(y)(v)
+                v += 1
+              }
+              u += 1
+            }
+            val px = by * 8 + y
+            val pxx = bx * 8 + x
+            if (px < height && pxx < width) {
+              val g = math.round(0.25 * acc).toInt + 128
+              out(px * width + pxx) = math.max(0, math.min(255, g))
+            }
+            x += 1
+          }
+          y += 1
+        }
+        mcu += 1
+      }
+      out
+    }
+  }
+}

@@ -34,6 +34,10 @@ object DataPipelineQueries {
     import org.apache.spark.sql.graft.{internal, DedupPngPayload, PngDHash}
     internal.column(PngDHash(DedupPngPayload(internal.expression(id))))
   }
+  private def jpegDHashCol(id: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.graft.{internal, DedupJpegPayload, JpegDHash}
+    internal.column(JpegDHash(DedupJpegPayload(internal.expression(id))))
+  }
   private def audioFpCol(id: org.apache.spark.sql.Column) = {
     import org.apache.spark.sql.graft.{internal, DedupWavPayload, WavFingerprint}
     internal.column(WavFingerprint(DedupWavPayload(internal.expression(id))))
@@ -174,6 +178,67 @@ object DataPipelineQueries {
     * dedup-apply twin via ccCtesOver): dHash pairs under the d4
     * banding convention over the image hash chain. */
   private lazy val ImageNearDupSql: String = ImageDHashWith +
+    """,
+      |banded AS (
+      |  SELECT doc_id, dhash, band, CAST((hu // bp) % 65536 AS INT) AS bucket
+      |  FROM hsg, (VALUES (0, CAST(1 AS HUGEINT)), (1, CAST(65536 AS HUGEINT)),
+      |                    (2, CAST(4294967296 AS HUGEINT)),
+      |                    (3, CAST('281474976710656' AS HUGEINT))) blocks(band, bp)),
+      |capped AS (
+      |  SELECT band, bucket FROM banded
+      |  GROUP BY band, bucket HAVING COUNT(*) <= 256),
+      |prs AS (
+      |  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2,
+      |    a.dhash AS h1, b.dhash AS h2
+      |  FROM banded a JOIN banded b ON a.band = b.band
+      |    AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |  JOIN capped c ON a.band = c.band AND a.bucket = c.bucket)
+      |SELECT id_1, id_2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+      |FROM prs WHERE bit_count(xor(h1, h2)) <= 3
+      |ORDER BY id_1, id_2""".stripMargin
+
+  /** Shared oracle prefix for the JPEG-dHash gates: replays
+    * Jpeg.dedupJpegDims/dedupJpegBlockVal closed-form — the fixtures
+    * are block-constant, so the decoded gray value of pixel (x, y) IS
+    * the block formula at (x//8, y//8) (the DC-only DCT round-trip is
+    * bit-exact; see Jpeg.scala), and the dHash folds those values
+    * through the same 9x8 cross-multiplied mean comparison as the PNG
+    * twin. Ends with `hsg`: (doc_id, hu unsigned, dhash signed);
+    * `dim`: (doc_id, w, h). */
+  private val JpegDHashWith =
+    """WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+      |dim AS (SELECT doc_id, 8 * (4 + doc_id % 7) AS w,
+      |          8 * (3 + doc_id % 7) AS h,
+      |          ((doc_id // 7) % 3) AS s, doc_id % 13 AS bq
+      |        FROM img),
+      |px AS (SELECT doc_id, w, h, s, bq, unnest(range(0, w * h)) AS i
+      |       FROM dim),
+      |xy AS (SELECT doc_id, w, h, s, bq, i % w AS x, i // w AS y FROM px),
+      |pixl AS (SELECT doc_id, (x * 9) // w AS gx, (y * 8) // h AS gy,
+      |           (((x // 8) * (x // 8) * 5 + (y // 8) * (y // 8) * 11
+      |             + (x // 8) * (y // 8) * (s + 1) * 3) % 224) + 8
+      |           + CASE WHEN ((x // 8) * 7 + (y // 8) * 5) % 13 = bq
+      |               THEN 17 ELSE 0 END AS g
+      |         FROM xy),
+      |cell AS (SELECT doc_id, gx, gy, SUM(g) AS sm, COUNT(*) AS ct
+      |         FROM pixl GROUP BY doc_id, gx, gy),
+      |bitv AS (SELECT a.doc_id, a.gy * 8 + a.gx AS bit
+      |         FROM cell a JOIN cell r ON r.doc_id = a.doc_id
+      |           AND r.gy = a.gy AND r.gx = a.gx + 1
+      |         WHERE r.sm * a.ct > a.sm * r.ct),
+      |hraw AS (SELECT d.doc_id,
+      |           COALESCE(SUM(CAST(1 AS HUGEINT) << CAST(bit AS INT)),
+      |                    CAST(0 AS HUGEINT)) AS hu
+      |         FROM dim d LEFT JOIN bitv b ON d.doc_id = b.doc_id
+      |         GROUP BY d.doc_id),
+      |hsg AS (SELECT doc_id, hu,
+      |          CAST(hu - CASE
+      |            WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+      |            THEN CAST('18446744073709551616' AS HUGEINT)
+      |            ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS dhash
+      |        FROM hraw)""".stripMargin
+
+  private lazy val JpegNearDupSql: String = JpegDHashWith +
     """,
       |banded AS (
       |  SELECT doc_id, dhash, band, CAST((hu // bp) % 65536 AS INT) AS bucket
@@ -2835,6 +2900,57 @@ object DataPipelineQueries {
           (lit(16) + ($"doc_id" % 7) * 2).cast("int").as("height"),
           imageDHashCol($"doc_id").as("dhash"))
         .orderBy($"doc_id")
+    }),
+
+    // GZIP TRANSFER DECODE — the text-body sibling of the media codecs:
+    // every doc's text is wire-encoded by the JDK's INDEPENDENT
+    // GZIPOutputStream (the foreign bytes a crawler receives) and
+    // decoded back by the hand-rolled RFC 1952 member walk + RFC 1951
+    // inflate + CRC-32/ISIZE verify. The twin is the identity — any
+    // header-walk, Huffman, LZ77, or checksum regression anywhere in
+    // the decode corrupts some doc's text and moves the hash.
+    "gzip_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.graft.{internal, GzipPayload, GunzipText}
+      val decoded = internal.column(GunzipText(GzipPayload(
+        internal.expression($"text"))))
+      t(s, dir, "documents")
+        .select($"doc_id", decoded.as("text"))
+        .orderBy($"doc_id")
+    }),
+
+    // JPEG PERCEPTUAL HASH — the full BASELINE-JPEG decode pass (what a
+    // web crawl actually emits): each image doc's hand-encoded baseline
+    // sequential grayscale JPEG (Annex K Huffman tables, zigzag, byte
+    // stuffing) is DECODED for real — marker walk, DHT/DQT parse,
+    // Huffman + DC-prediction entropy decode, dequant, IDCT — and
+    // folded into the 9x8 dHash. The fixtures are BLOCK-CONSTANT, so
+    // the lossy DCT round-trips bit-exactly (DC-only blocks) and the
+    // twin replays decoded pixels closed-form from the block formula:
+    // hash equality proves the entire codec lineage. JpegSpec referees
+    // both directions against ImageIO.
+    "mm_jpeg_dhash" -> ((s, dir) => {
+      import s.implicits._
+      // width/height mirror Jpeg.dedupJpegDims relationally
+      t(s, dir, "documents").filter($"doc_id" % 3 === 0)
+        .select($"doc_id",
+          (lit(8) * (lit(4) + $"doc_id" % 7)).cast("int").as("width"),
+          (lit(8) * (lit(3) + $"doc_id" % 7)).cast("int").as("height"),
+          jpegDHashCol($"doc_id").as("dhash"))
+        .orderBy($"doc_id")
+    }),
+
+    // JPEG NEAR-DUP DETECTION — the same pigeonhole-exact Hamming
+    // banding as the PNG family, over the JPEG-decoded dHashes; the
+    // fixture corpus shares (doc_id % 7, (doc_id/7) % 3) block patterns
+    // with a per-doc ~1/13-of-blocks bump.
+    "mm_jpeg_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val hashed = t(s, dir, "documents").filter($"doc_id" % 3 === 0)
+        .select($"doc_id", jpegDHashCol($"doc_id").as("dhash"))
+      Dedup.hammingPairs(hashed, "doc_id", "dhash",
+        maxHamming = 3, maxBucketSize = 256)
+        .orderBy($"id_1", $"id_2")
     }),
 
     // IMAGE NEAR-DUP DETECTION — dHash pairs through the same
@@ -6247,6 +6363,14 @@ object DataPipelineQueries {
         |SELECT h.doc_id, CAST(d.w AS INT) AS width,
         |  CAST(d.h AS INT) AS height, h.dhash
         |FROM hsg h JOIN dim d USING (doc_id) ORDER BY doc_id""".stripMargin),
+    "mm_jpeg_dhash" -> (JpegDHashWith +
+      """
+        |SELECT h.doc_id, CAST(d.w AS INT) AS width,
+        |  CAST(d.h AS INT) AS height, h.dhash
+        |FROM hsg h JOIN dim d USING (doc_id) ORDER BY doc_id""".stripMargin),
+    "mm_jpeg_neardup" -> JpegNearDupSql,
+    "gzip_roundtrip" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
     // dHash pairs via the d4 convention: 4x16-bit pigeonhole banding
     // over the unsigned hash, buckets capped at 256 (the exact twin of
     // hammingPairs' BoundedLongList cap), exact popcount confirm.

@@ -27,11 +27,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Sidecars {
   def swap(spark: SparkSession, parent: String, name: String,
-      rows: DataFrame, single: Boolean = false): Unit =
-    swapStaged(spark, parent, name) { nextPath =>
+      rows: DataFrame, single: Boolean = false,
+      expectedEpoch: Option[Long] = None): Long =
+    swapStaged(spark, parent, name, expectedEpoch) { nextPath =>
       (if (single) rows.coalesce(1) else rows)
         .write.mode("overwrite").parquet(nextPath)
     }
+
+  /** Claim the next epoch WITHOUT swapping a sidecar — fences raw
+    * (non-swap) store mutations such as additive parquet appends or
+    * version-directory writes: claim first, mutate after, and a stale
+    * concurrent writer fails at the claim before touching any file.
+    * Returns the claimed epoch (thread it into the next swap/claim of
+    * the same transaction). */
+  def claim(spark: SparkSession, parent: String,
+      expected: Option[Long] = None): Long = {
+    val dir = new org.apache.hadoop.fs.Path(parent)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entry = expected.getOrElse(fenceEpoch(spark, parent))
+    claimEpoch(fs, parent, entry, "(raw mutation)")
+    entry + 1
+  }
 
   /** Current fence epoch of a store root (0 for a fresh/unfenced store):
     * the highest committed mark under `<parent>/_fence/`. Read it before
@@ -53,9 +69,14 @@ object Sidecars {
     * partitioned table plus an underscore-hidden marker subdirectory),
     * and the single rename then commits all of it at once. Exactly-once
     * sinks lean on this: data + applied-batch watermark travel in ONE
-    * atomic rename, so no crash point can separate them. */
+    * atomic rename, so no crash point can separate them.
+    *
+    * Returns the claimed epoch: a multi-swap maintenance TRANSACTION
+    * threads it into its next swap/[[claim]] as `expectedEpoch`, so two
+    * concurrent transactions on one store conflict at their FIRST
+    * commit instead of interleaving sidecar-by-sidecar. */
   def swapStaged(spark: SparkSession, parent: String, name: String,
-      expectedEpoch: Option[Long] = None)(stage: String => Unit): Unit = {
+      expectedEpoch: Option[Long] = None)(stage: String => Unit): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val cur = new org.apache.hadoop.fs.Path(parent + "/" + name)
     // writer-unique staging: two overlapping writers never share (and
@@ -88,6 +109,7 @@ object Sidecars {
     require(fs.rename(next, cur),
       s"could not commit $name sidecar at $cur")
     fs.delete(old, true)
+    entryEpoch + 1
   }
 
   /** Claim epoch `entry+1` with an exclusive create — the single-winner

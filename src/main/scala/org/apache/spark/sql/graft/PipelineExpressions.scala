@@ -293,6 +293,71 @@ case class DedupWavPayload(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** gzip wire bytes of a text column, produced by the JDK's INDEPENDENT
+  * GZIPOutputStream — the foreign transfer encoding a crawler receives
+  * for text bodies; [[GunzipText]] is the hand-rolled decode that must
+  * read it back. */
+case class GzipPayload(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(s: Any): Any =
+    graft.ops.Inflate.gzipOf(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.ops.Inflate.gzipOf($s)")
+  override def prettyName: String = "gzip_payload"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Hand-rolled RFC 1952 gunzip of a binary column back to text: member
+  * header walk (FLG-gated optional fields), RFC 1951 inflate
+  * (graft.ops.Inflate — stored/fixed/dynamic Huffman), CRC-32 + ISIZE
+  * verification, multi-member concatenation. */
+case class GunzipText(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(b: Any): Any =
+    graft.ops.Inflate.gunzipText(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.ops.Inflate.gunzipText($b)")
+  override def prettyName: String = "gunzip_text"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** JPEG-dedup fixture payload from a doc_id column: a real baseline
+  * sequential grayscale JPEG (graft.ops.Jpeg.encodeGray — Annex K
+  * Huffman tables, zigzag, byte stuffing) of the block-constant fixture
+  * image, whose DCT round-trip is bit-exact. The JPEG sibling of
+  * [[DedupPngPayload]]. */
+case class DedupJpegPayload(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(id: Any): Any =
+    graft.ops.Jpeg.dedupJpegPayloadOf(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, id => s"graft.ops.Jpeg.dedupJpegPayloadOf($id)")
+  override def prettyName: String = "dedup_jpeg_payload"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** 64-bit perceptual dHash of a REAL baseline JPEG payload: marker walk
+  * + Huffman/DC-prediction entropy decode + dequant + IDCT
+  * (graft.ops.Jpeg.pixelsGray), then the exact-integer 9x8 block-mean
+  * difference hash. One static call, whole decode inside codegen. */
+case class JpegDHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(b: Any): Any =
+    graft.ops.Jpeg.jpegDHash(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.ops.Jpeg.jpegDHash($b)")
+  override def prettyName: String = "jpeg_dhash"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** 64-bit perceptual dHash of a REAL PNG payload: full chunk-walk + CRC
   * + inflate + un-filter decode (graft.ops.Multimodal.pngPixels), then
   * the exact-integer 9x8 block-mean difference hash

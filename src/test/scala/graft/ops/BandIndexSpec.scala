@@ -142,4 +142,34 @@ class BandIndexSpec extends SparkSpec {
       k = 5, minJaccard = 0.2))
     assert(reMined == atOnce)
   }
+
+  test("maintenance transactions are writer-fenced: a mutation computed " +
+      "against a stale store fails at its first commit, store untorn") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandidx").toString
+    val idx = dir + "/idx"
+    BandIndex.build(corpus.filter($"doc_id" <= 5), "doc_id", "text", idx)
+    // W1 (a delete) reads its fence epoch, then W2 (an append) lands
+    // first; W1's commit — the tombstones swap it would issue with its
+    // stale epoch — must fail at the fence, before any mutation of W1
+    // touches the store
+    val staleEpoch = graft.util.Sidecars.fenceEpoch(spark, idx)
+    BandIndex.append(corpus.filter($"doc_id" === 6), "doc_id", "text", idx)
+    val loser = intercept[IllegalStateException] {
+      graft.util.Sidecars.swap(spark, idx, "tombstones",
+        Seq(5L).toDF("doc_id"), single = true,
+        expectedEpoch = Some(staleEpoch))
+    }
+    assert(loser.getMessage.contains("writer fence"))
+    // the failed delete left nothing behind: no tombstones sidecar
+    assert(!new java.io.File(idx + "/tombstones").exists())
+    // a FRESH delete (re-reading the store) succeeds, and the store
+    // mines exactly as an at-once build over the surviving corpus
+    BandIndex.delete(spark, idx, Seq(5L))
+    val mined = pairsOf(BandIndex.pairs(spark, idx,
+      corpus.filter($"doc_id" <= 6), "doc_id", "text"))
+    val want = pairsOf(Dedup.minhashDedupPairs(
+      corpus.filter($"doc_id" <= 6 && $"doc_id" =!= 5), "doc_id", "text",
+      k = 5, minJaccard = 0.2))
+    assert(mined == want)
+  }
 }

@@ -106,6 +106,48 @@ class InflateSpec extends AnyFunSuite {
       "JDK decoder on the same bytes — both codecs read the same spec")
   }
 
+  test("gunzip reads JDK GZIPOutputStream members, concatenates " +
+      "multi-member streams, and rejects corruption") {
+    def jdkGzip(data: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(data); gz.close()
+      bos.toByteArray
+    }
+    for ((name, data) <- corpora if data.nonEmpty) {
+      assert(java.util.Arrays.equals(Inflate.gunzip(jdkGzip(data)), data),
+        s"gunzip $name")
+    }
+    // FNAME-bearing header (a named member, like real wget output)
+    val named = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val payload = "named member payload".getBytes
+      val body = jdkGzip(payload)
+      // splice FNAME: set FLG bit 3 and insert a NUL-terminated name
+      bos.write(body, 0, 3); bos.write(body(3) | 0x08)
+      bos.write(body, 4, 6); bos.write("file.txt".getBytes); bos.write(0)
+      bos.write(body, 10, body.length - 10)
+      (bos.toByteArray, payload)
+    }
+    assert(java.util.Arrays.equals(Inflate.gunzip(named._1), named._2))
+    // multi-member concatenation (RFC 1952 §2.2)
+    val a = "first member ".getBytes
+    val b = "second member".getBytes
+    assert(java.util.Arrays.equals(
+      Inflate.gunzip(jdkGzip(a) ++ jdkGzip(b)), a ++ b))
+    // the JDK's own GZIPInputStream agrees on the concatenation
+    val jin = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(jdkGzip(a) ++ jdkGzip(b)))
+    assert(java.util.Arrays.equals(jin.readAllBytes(), a ++ b))
+    // corruption: flipped CRC byte, bad magic
+    val z = jdkGzip("corrupt me".getBytes)
+    val badCrc = z.clone(); badCrc(z.length - 6) = (badCrc(z.length - 6) ^ 1).toByte
+    val e = intercept[IllegalArgumentException](Inflate.gunzip(badCrc))
+    assert(e.getMessage.contains("CRC"))
+    val badMagic = z.clone(); badMagic(0) = 0x1e
+    intercept[IllegalArgumentException](Inflate.gunzip(badMagic))
+  }
+
   test("adler-32 matches the JDK's and corruption is rejected loudly") {
     val data = corpora.find(_._1 == "text-like").get._2
     val z = deflate(data, 9)

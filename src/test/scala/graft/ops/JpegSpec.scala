@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Referees the hand-rolled baseline JPEG codec against the JDK's
+  * independent ImageIO JPEG codec in both directions, pins the
+  * block-constant exactness contract the mm_jpeg gates rely on, and
+  * checks spec-violation rejection. */
+class JpegSpec extends AnyFunSuite {
+
+  private def imageIoRead(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO could not decode the stream")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Int](w * h)
+    for (y <- 0 until h; x <- 0 until w)
+      out(y * w + x) = img.getRaster.getSample(x, y, 0)
+    (w, h, out)
+  }
+
+  test("block-constant fixtures round-trip BIT-EXACTLY through our codec " +
+      "and decode identically under the independent ImageIO codec") {
+    for (docId <- Seq(0L, 5L, 12L, 23L, 40L, 87L)) {
+      val (w, h) = Jpeg.dedupJpegDims(docId)
+      val block = Jpeg.dedupJpegBlockVal(docId) _
+      val bytes = Jpeg.dedupJpegPayloadOf(docId)
+      val (dw, dh, ours) = Jpeg.pixelsGray(bytes)
+      assert((dw, dh) == (w, h))
+      for (y <- 0 until h; x <- 0 until w)
+        assert(ours(y * w + x) == block(x / 8, y / 8),
+          s"doc $docId pixel ($x,$y): DC-only blocks must be exact")
+      // the independent codec agrees bit-for-bit on DC-only blocks
+      val (iw, ih, theirs) = imageIoRead(bytes)
+      assert((iw, ih) == (w, h))
+      assert(theirs.sameElements(ours),
+        s"doc $docId: ImageIO disagrees on a block-constant image")
+    }
+  }
+
+  test("general (non-constant) content: ImageIO decodes our stream within " +
+      "the legitimate IDCT rounding bar") {
+    val (w, h) = (48, 32)
+    val bytes = Jpeg.encodeGray(w, h,
+      (x, y) => (x * x * 3 + y * 7 + x * y) % 256)
+    val (_, _, ours) = Jpeg.pixelsGray(bytes)
+    val (iw, ih, theirs) = imageIoRead(bytes)
+    assert((iw, ih) == (w, h))
+    val maxDiff = ours.zip(theirs).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxDiff <= 2,
+      s"our IDCT and ImageIO's disagree by $maxDiff (> 2) on our stream")
+  }
+
+  test("reverse referee: our decoder reads an ImageIO-WRITTEN grayscale " +
+      "JPEG (foreign tables, JFIF APP0) within the same bar") {
+    val (w, h) = (40, 24)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 5 + y * 11 + x * y) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val bytes = bos.toByteArray
+    val (ow, oh, ours) = Jpeg.pixelsGray(bytes)
+    val (iw, ih, theirs) = imageIoRead(bytes)
+    assert((ow, oh) == (iw, ih) && (ow, oh) == (w, h))
+    val maxDiff = ours.zip(theirs).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxDiff <= 2,
+      s"foreign-stream decode disagrees with ImageIO by $maxDiff (> 2)")
+    // header probe agrees without a pixel decode
+    assert(Jpeg.dims(bytes) == (w, h))
+  }
+
+  test("near-dup geometry: same-class docs land within banding distance, " +
+      "cross-class docs do not collide") {
+    // docs 0 and 91 share (fam=0, scene=0): same base blocks, different
+    // bump residues -> small nonzero Hamming distance
+    def dh(id: Long) = Jpeg.jpegDHash(Jpeg.dedupJpegPayloadOf(id))
+    val d0 = dh(0L); val d91 = dh(91L)
+    val near = java.lang.Long.bitCount(d0 ^ d91)
+    assert(near <= 6, s"same-class hashes too far apart: $near")
+    val d1 = dh(1L) // different size class entirely
+    assert(java.lang.Long.bitCount(d0 ^ d1) > 6,
+      "cross-class hashes should differ widely")
+  }
+
+  test("spec violations are rejected loudly") {
+    val good = Jpeg.dedupJpegPayloadOf(3L)
+    intercept[IllegalArgumentException](Jpeg.pixelsGray("nope".getBytes))
+    // progressive SOF2 refused, not mis-decoded
+    val prog = good.clone()
+    val sofAt = {
+      var i = 2
+      while (!((prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0)) i += 1
+      i
+    }
+    prog(sofAt + 1) = 0xc2.toByte
+    val e = intercept[IllegalArgumentException](Jpeg.pixelsGray(prog))
+    assert(e.getMessage.contains("progressive"))
+    // truncated entropy data
+    intercept[Exception](
+      Jpeg.pixelsGray(java.util.Arrays.copyOf(good, good.length - 8)))
+  }
+}
