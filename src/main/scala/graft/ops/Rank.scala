@@ -181,23 +181,26 @@ object Rank {
     * and spec follows). */
   private def swapSidecar(spark: org.apache.spark.sql.SparkSession,
       path: String, name: String, rows: DataFrame,
-      single: Boolean = false): Unit =
-    graft.util.Sidecars.swap(spark, path, name, rows, single)
+      single: Boolean = false,
+      expectedEpoch: Option[Long] = None): Long =
+    graft.util.Sidecars.swap(spark, path, name, rows, single, expectedEpoch)
 
   private def swapStats(spark: org.apache.spark.sql.SparkSession,
-      path: String, row: DataFrame): Unit =
-    swapSidecar(spark, path, "stats", row, single = true)
+      path: String, row: DataFrame,
+      expectedEpoch: Option[Long] = None): Long =
+    swapSidecar(spark, path, "stats", row, single = true, expectedEpoch)
 
   /** Bloom sidecar at rest: one (w, bits) row per 64-bit word — dense,
     * so mBits re-derives from the row count — plus the hash count k in
     * every row (geometry must never desynchronize from the build). */
   private def writeBloomSidecar(spark: org.apache.spark.sql.SparkSession,
-      path: String, bits: Array[Long], k: Int): Unit = {
+      path: String, bits: Array[Long], k: Int,
+      expectedEpoch: Option[Long] = None): Long = {
     import spark.implicits._
     swapSidecar(spark, path, "bloom",
       bits.toSeq.zipWithIndex.map { case (b, w) => (w, b, k) }
         .toDF("w", "bits", "k"),
-      single = true)
+      single = true, expectedEpoch = expectedEpoch)
   }
 
   /** Read the Bloom sidecar back as (bitset, k); None for an index
@@ -291,6 +294,10 @@ object Rank {
       nBuckets: Int = 64): AppendReport = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
+    // transaction fence: epoch read before ANY store read, threaded
+    // through every commit — of two overlapping mutations exactly one
+    // wins, the other fails at its first commit (Sidecars scaladoc)
+    var fenceE = graft.util.Sidecars.fenceEpoch(spark, path)
     val words = split(col(text), " ")
     val profiled = docs.select(col(id).as("doc_id"), words.as("__ws"))
       .withColumn("dl", size(col("__ws")))
@@ -332,14 +339,19 @@ object Rank {
       require(liveOverlap == 0L,
         s"append batch re-uses $liveOverlap doc_id(s) live in the index")
       if (nReappend > 0) {
-        purgePostings(spark, path, reappend)
-        swapSidecar(spark, path, "docs",
+        fenceE = graft.util.Sidecars.claim(spark, path, Some(fenceE))
+        purgePostings(spark, path, reappend) // fenced by the claim above
+        fenceE = swapSidecar(spark, path, "docs",
           spark.read.parquet(path + "/docs")
-            .join(reappend, Seq("doc_id"), "left_anti"))
+            .join(reappend, Seq("doc_id"), "left_anti"),
+          expectedEpoch = Some(fenceE))
         val liveTombs = spark.read.parquet(tombPath.toString)
           .join(reappend, Seq("doc_id"), "left_anti").localCheckpoint()
-        if (liveTombs.isEmpty) fs.delete(tombPath, true)
-        else swapSidecar(spark, path, "tombstones", liveTombs, single = true)
+        if (liveTombs.isEmpty) {
+          fenceE = graft.util.Sidecars.claim(spark, path, Some(fenceE))
+          fs.delete(tombPath, true)
+        } else fenceE = swapSidecar(spark, path, "tombstones", liveTombs,
+          single = true, expectedEpoch = Some(fenceE))
         liveTombs.unpersist()
         reappend.unpersist()
       }
@@ -348,10 +360,11 @@ object Rank {
     bloom match {
       case Some((bits, k)) =>
         val add = Bloom.buildBits(batchIds, col("doc_id"), bits.length * 64, k)
-        writeBloomSidecar(spark, path,
-          bits.zip(add).map { case (a, b) => a | b }, k)
+        fenceE = writeBloomSidecar(spark, path,
+          bits.zip(add).map { case (a, b) => a | b }, k, Some(fenceE))
       case None => // legacy index: stay exact-probe (sidecar appears on rebuild)
     }
+    fenceE = graft.util.Sidecars.claim(spark, path, Some(fenceE)) // raw appends
     profiled.select(col("doc_id").cast("long").as("doc_id"), col("dl"))
       .write.mode("append").parquet(path + "/docs")
     profiled.select(col("doc_id"), col("dl"), explode(col("__ws")).as("term"))
@@ -364,7 +377,8 @@ object Rank {
     swapStats(spark, path, Seq((old.getAs[Long]("n_docs") + batch.getLong(0),
         old.getAs[Long]("sum_dl") + batch.getLong(1), nBuckets,
         math.max(old.getAs[Long]("max_doc_id"), batch.getAs[Long]("hi"))))
-      .toDF("n_docs", "sum_dl", "n_buckets", "max_doc_id"))
+      .toDF("n_docs", "sum_dl", "n_buckets", "max_doc_id"),
+      expectedEpoch = Some(fenceE))
     suspects.unpersist()
     profiled.unpersist()
     AppendReport(batch.getLong(0), nSuspects, nReappend)
@@ -390,6 +404,7 @@ object Rank {
       path: String, ids: Seq[Long]): Unit = {
     import spark.implicits._
     if (ids.isEmpty) return
+    var fenceE = graft.util.Sidecars.fenceEpoch(spark, path) // before reads
     val idsDf = ids.distinct.toDF("doc_id")
     val tombPath = new org.apache.hadoop.fs.Path(path + "/tombstones")
     if (tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -411,12 +426,14 @@ object Rank {
       s"delete batch names ${ids.distinct.size} doc_ids but only " +
         s"${gone.getLong(0)} are in the index")
     val old = spark.read.parquet(path + "/stats").collect()(0)
+    fenceE = graft.util.Sidecars.claim(spark, path, Some(fenceE)) // raw append
     idsDf.coalesce(1).write.mode("append").parquet(path + "/tombstones")
     // sidecar swap LAST = commit point
     swapStats(spark, path, Seq((old.getAs[Long]("n_docs") - gone.getLong(0),
         old.getAs[Long]("sum_dl") - gone.getLong(1),
         old.getAs[Int]("n_buckets"), old.getAs[Long]("max_doc_id")))
-      .toDF("n_docs", "sum_dl", "n_buckets", "max_doc_id"))
+      .toDF("n_docs", "sum_dl", "n_buckets", "max_doc_id"),
+      expectedEpoch = Some(fenceE))
   }
 
   /** COMPACT a tombstoned index: rewrite ONLY the bucket partitions that
@@ -438,21 +455,25 @@ object Rank {
     val tomb = new org.apache.hadoop.fs.Path(path + "/tombstones")
     val fs = tomb.getFileSystem(conf)
     if (!fs.exists(tomb)) return // nothing to compact
+    var fenceE = graft.util.Sidecars.fenceEpoch(spark, path) // before reads
     val dead = spark.read.parquet(tomb.toString).localCheckpoint()
-    purgePostings(spark, path, dead)
+    fenceE = graft.util.Sidecars.claim(spark, path, Some(fenceE))
+    purgePostings(spark, path, dead) // fenced by the claim above
     // doc map shrinks via the atomic swap — a crash mid-write leaves the
     // complete old map, never a torn one the append probe would misread
-    swapSidecar(spark, path, "docs",
-      spark.read.parquet(path + "/docs").join(dead, Seq("doc_id"), "left_anti"))
+    fenceE = swapSidecar(spark, path, "docs",
+      spark.read.parquet(path + "/docs").join(dead, Seq("doc_id"), "left_anti"),
+      expectedEpoch = Some(fenceE))
     // Bloom REBUILD from the survivors: dead ids' bits drop, so the
     // false-positive rate doesn't ratchet up across delete/compact
     // cycles (still a superset of the doc map at every point — the old
     // Bloom covers the survivors until the swap lands)
     readBloomSidecar(spark, path).foreach { case (bits, k) =>
-      writeBloomSidecar(spark, path, Bloom.buildBits(
+      fenceE = writeBloomSidecar(spark, path, Bloom.buildBits(
         spark.read.parquet(path + "/docs"), col("doc_id"),
-        bits.length * 64, k), k)
+        bits.length * 64, k), k, Some(fenceE))
     }
+    graft.util.Sidecars.claim(spark, path, Some(fenceE)) // raw delete
     fs.delete(tomb, true)
     dead.unpersist()
   }

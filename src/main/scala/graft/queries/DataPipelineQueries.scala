@@ -2833,13 +2833,14 @@ object DataPipelineQueries {
     // a sum. mapPartitions decode, per-doc work linear in payload.
     "mm_audio_energy" -> ((s, dir) => {
       import s.implicits._
-      val audio = Multimodal.mediaTable(t(s, dir, "documents"))
+      import org.apache.spark.sql.graft.{internal, WavEnergyWindows}
+      val wins = internal.column(WavEnergyWindows(
+        internal.expression($"payload"), windowFrames = 100))
+      Multimodal.mediaTable(t(s, dir, "documents"))
         .filter($"media_type" === "audio")
-        .select($"doc_id", $"payload").as[(Long, Array[Byte])]
-      audio.flatMap { case (id, p) =>
-        Multimodal.wavEnergyWindows(p, windowFrames = 100)
-          .map { case (w, e, nf) => (id, w, e, nf) }
-      }.toDF("doc_id", "win_idx", "energy", "n_frames")
+        .select($"doc_id", posexplode(wins))
+        .select($"doc_id", $"pos".as("win_idx"),
+          $"col.energy".as("energy"), $"col.n_frames".as("n_frames"))
         .orderBy($"doc_id", $"win_idx")
     }),
 

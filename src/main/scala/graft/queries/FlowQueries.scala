@@ -16,6 +16,26 @@ import graft.util.Tables._
 object FlowQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Id-ordered triangle enumeration over the full co-purchase graph —
+    * gates both the degree-ordered batch kernel (graph_triangles) and
+    * the incremental fold (graph_triangles_incremental), which must be
+    * bit-equal to it. */
+  private val TrianglesSql =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |und AS (
+      |  SELECT DISTINCT a.pk AS a, b.pk AS b
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |tri AS (
+      |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+      |  FROM und e1
+      |  JOIN und e2 ON e2.a = e1.b
+      |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |m AS (SELECT u AS node FROM tri
+      |      UNION ALL SELECT v FROM tri
+      |      UNION ALL SELECT w FROM tri)
+      |SELECT node, COUNT(*) AS n_tri
+      |FROM m GROUP BY node ORDER BY node""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // Crawler job generation: date windows with clamp, normalized names,
     // search URL — the composed searchJobs operator.
@@ -260,6 +280,32 @@ object FlowQueries {
       graft.ops.Graph.triangleCounts(pairs).orderBy($"node")
     }),
 
+    // INCREMENTAL triangle counts — the graph family's exactly-foldable
+    // delta op: per-node counts over the pre-delta co-purchase graph
+    // persist once per dir, the delta orders' pairs fold in through the
+    // inclusion-exclusion kernel (Graph.incrementalTriangles: every
+    // enumeration delta-proportional, old pairs probed but never
+    // re-wedged), and — because triangle counts are DISCRETE, unlike
+    // the PageRank fixpoint — the result is hash-equal to a from-
+    // scratch count over the merged graph: the oracle is the
+    // graph_triangles twin verbatim.
+    "graph_triangles_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      def pairsOf(src: DataFrame) = src.as("a").join(src.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("id_1"), col("b.pk").as("id_2"))
+      val oldPairs = pairsOf(li.filter($"ok" % 7 =!= 0))
+      val prev = s.read.parquet(
+        graft.util.TempDirs.cached("triangles-store", dir) { p =>
+          graft.ops.Graph.triangleCounts(oldPairs).write.parquet(p)
+        })
+      graft.ops.Graph.incrementalTriangles(prev, oldPairs,
+        pairsOf(li.filter($"ok" % 7 === 0)))
+        .orderBy($"node")
+    }),
+
     // APPROXIMATE triangle counts — the beyond-the-Bloom-threshold
     // scale path (DOULION, Tsourakakis et al. KDD'09): keep each
     // canonical edge iff xxhash64(id_1, id_2) mod 5 == 0 (deterministic
@@ -427,21 +473,11 @@ object FlowQueries {
         |SELECT node, pr FROM w2 ORDER BY node""".stripMargin,
     // Triangles by id-order (u < v < w, edges canonical a < b): the
     // orientation-free enumeration the degree-ordered kernel must match.
-    "graph_triangles" ->
-      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        |und AS (
-        |  SELECT DISTINCT a.pk AS a, b.pk AS b
-        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
-        |tri AS (
-        |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
-        |  FROM und e1
-        |  JOIN und e2 ON e2.a = e1.b
-        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
-        |m AS (SELECT u AS node FROM tri
-        |      UNION ALL SELECT v FROM tri
-        |      UNION ALL SELECT w FROM tri)
-        |SELECT node, COUNT(*) AS n_tri
-        |FROM m GROUP BY node ORDER BY node""".stripMargin,
+    "graph_triangles" -> TrianglesSql,
+    // The incremental fold must be HASH-EQUAL to from-scratch on the
+    // merged graph (discrete counts, unlike the PageRank fixpoint) —
+    // same twin, verbatim.
+    "graph_triangles_incremental" -> TrianglesSql,
     // The stub fetch body is 'Document for <url>' wrapped in one <p>, the
     // cleaning chain reduces it back to that line, and validation keeps
     // exactly the branches whose names occur in the lowercased URL

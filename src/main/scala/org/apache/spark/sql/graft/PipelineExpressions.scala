@@ -26,6 +26,14 @@ object PipelineImplBridge {
   def y4mLumaSums(payload: Array[Byte]): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(
       graft.ops.Multimodal.y4mLumaSumArray(payload))
+  def wavEnergyWindows(payload: Array[Byte], windowFrames: Int): ArrayData = {
+    val rows = graft.ops.Multimodal.wavEnergyWindows(payload, windowFrames)
+      .map { case (_, e, nf) => // window index = array position
+        new GenericInternalRow(Array[Any](e, nf))
+      }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      rows.toArray[Any])
+  }
 }
 
 abstract class StaticStringUnary extends UnaryExpression with ExpectsInputTypes {
@@ -389,6 +397,30 @@ case class WavFingerprint(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, b => s"graft.ops.Multimodal.wavFingerprint($b)")
   override def prettyName: String = "wav_fingerprint"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Per-window PCM16 energy of a REAL WAV payload as
+  * array<struct<energy:bigint, n_frames:int>> (window index = array
+  * position; graft.ops.Multimodal.wavEnergyWindows walks the RIFF
+  * chunks and folds exact per-window sum-of-|sample|). posexplode
+  * recovers the (win_idx, energy, n_frames) rows relationally — the
+  * audio-plane sibling of [[Y4mLumaSumArray]]. */
+case class WavEnergyWindows(child: Expression, windowFrames: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("energy", LongType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(b: Any): Any =
+    PipelineImplBridge.wavEnergyWindows(b.asInstanceOf[Array[Byte]],
+      windowFrames)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b =>
+      s"org.apache.spark.sql.graft.PipelineImplBridge" +
+        s".wavEnergyWindows($b, $windowFrames)")
+  override def prettyName: String = "wav_energy_windows"
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 

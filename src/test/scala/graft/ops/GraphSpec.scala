@@ -180,6 +180,30 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("incrementalTriangles: random old/delta splits fold to exactly " +
+      "the full-graph counts; re-inserted edges are no-ops") {
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 4) {
+      val pairs = Seq.fill(80)((rnd.nextInt(16).toLong,
+        rnd.nextInt(16).toLong)).filter(p => p._1 != p._2)
+      val (oldP, deltaP) = pairs.partition(_ => rnd.nextBoolean())
+      val prev = Graph.triangleCounts(oldP.toDF("id_1", "id_2"))
+      // delta deliberately re-includes some old edges: must be no-ops
+      val dirty = deltaP ++ oldP.take(5)
+      val got = Graph.incrementalTriangles(prev,
+          oldP.toDF("id_1", "id_2"), dirty.toDF("id_1", "id_2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == bruteTriangles(pairs),
+        s"incremental fold diverged from the full count")
+      // empty delta: the fold is the identity on the stored counts
+      val noop = Graph.incrementalTriangles(prev,
+          oldP.toDF("id_1", "id_2"),
+          Seq.empty[(Long, Long)].toDF("id_1", "id_2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(noop == bruteTriangles(oldP))
+    }
+  }
+
   test("triangleCounts: Bloom-gated and plain closing joins are " +
       "bit-identical (false negatives impossible, positives confirmed)") {
     val rnd = new scala.util.Random(11)
