@@ -234,9 +234,13 @@ object Graph {
     * new triangle exactly once per member node.
     *
     * Scale posture: every join is equi-keyed on 8-byte node ids and
-    * every enumeration is DELTA-proportional (delta x merged-adjacency
-    * for A, delta x delta for B, delta-only for C) — the old edge set
-    * is probed, never re-enumerated; old pairs never re-wedge.
+    * every ENUMERATION is delta-proportional (delta x min-degree
+    * neighbourhood for A, delta x delta for B, delta-only for C) — the
+    * old edge set is probed, never re-enumerated; old pairs never
+    * re-wedge. What remains per refresh is LINEAR in the merged edge
+    * count (degree table, closing-probe Bloom, canonical
+    * normalization), which is the part a full recompute also pays —
+    * the quadratic wedge enumeration is what the fold eliminates.
     * Re-inserted edges (already live) are dropped from the delta first,
     * so replays are no-ops.
     *
@@ -260,17 +264,53 @@ object Graph {
       .unionByName(merged.select(col("b").as("x"), col("a").as("y")))
     val deltaSym = delta.select(col("a").as("x"), col("b").as("y"))
       .unionByName(delta.select(col("b").as("x"), col("a").as("y")))
-    // A: delta edge (a, b) + common neighbour w in the merged graph
-    val aTri = delta
-      .join(mergedSym.select(col("x").as("a"), col("y").as("w")), "a")
-      .join(mergedSym.select(col("x").as("b"), col("y").as("w")),
-        Seq("b", "w"))
-      .select(col("a"), col("b"), col("w"))
+    // A: delta edge (a, b) + common neighbour w in the merged graph.
+    // Skew defence: enumerate candidates from the LOWER-degree endpoint
+    // (the triangleCounts degree-ordering idea applied to the delta) —
+    // a delta edge touching a hub contributes min(deg a, deg b)
+    // candidate rows, not deg(hub).
+    val deg = mergedSym.groupBy(col("x").as("n")).agg(count(lit(1)).as("dg"))
+    val dOrd = delta
+      .join(deg.select(col("n").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")
+      .select(when(col("da") <= col("db"),
+          struct(col("a").as("lo"), col("b").as("hi")))
+        .otherwise(struct(col("b").as("lo"), col("a").as("hi"))).as("e"))
+      .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
+    // the same measured Bloom pre-gate as triangleCounts: the closing
+    // probes dominate the shuffle (candidates >> closures), so when the
+    // merged edge set fits the bitset budget, candidates filter
+    // MAP-SIDE before the exchange; the exact join after keeps
+    // bit-identity (false negatives impossible)
+    // Bloom over the SYMMETRIC view (both orientations inserted) so the
+    // probe hashes the candidate columns DIRECTLY — canonicalizing with
+    // least/greatest inside the probe doubles the generated filter past
+    // the JIT inlining budget (the measured k-cliff of Bloom.scala) and
+    // cost 20x in throughput when tried
+    val eCount = merged.count()
+    val closeBits: Option[Array[Long]] =
+      if (eCount > 0 && 2 * eCount <= MaxBloomEdges) {
+        val mBits = {
+          var m = 1L << 20
+          while (m < 24L * eCount) m <<= 1 // 12 bits/insert, 2 inserts/edge
+          m.toInt
+        }
+        Some(Bloom.buildBits(mergedSym, Seq(col("x"), col("y")), mBits, 6))
+      } else None
+    def gated(cand: DataFrame, u: String, v: String): DataFrame =
+      closeBits.fold(cand)(bits =>
+        cand.filter(Bloom.mightContain(Seq(col(u), col(v)), bits, 6)))
+    val aTri = gated(dOrd
+        .join(mergedSym.select(col("x").as("lo"), col("y").as("w")), "lo"),
+        "hi", "w")
+      .join(mergedSym.select(col("x").as("hi"), col("y").as("w")),
+        Seq("hi", "w"))
+      .select(col("lo").as("a"), col("hi").as("b"), col("w"))
     // B: delta edges (s, p) and (s, q) sharing s, p < q, closing edge
     // (p, q) present in the merged graph
-    val bTri = deltaSym.select(col("x").as("s"), col("y").as("p"))
-      .join(deltaSym.select(col("x").as("s"), col("y").as("q")), "s")
-      .filter(col("p") < col("q"))
+    val bTri = gated(deltaSym.select(col("x").as("s"), col("y").as("p"))
+        .join(deltaSym.select(col("x").as("s"), col("y").as("q")), "s")
+        .filter(col("p") < col("q")), "p", "q")
       .join(merged.select(col("a").as("p"), col("b").as("q")),
         Seq("p", "q"))
       .select(col("s"), col("p"), col("q"))
@@ -281,8 +321,11 @@ object Graph {
       .join(delta.select(col("a").as("u"), col("b").as("w")),
         Seq("u", "w"))
       .select(col("u"), col("v"), col("w"))
+    // explode, not a 3-way self-union: the triangle enumeration (the
+    // expensive join) evaluates ONCE per table, and the exploded rows
+    // still combine map-side
     def perNode(t: DataFrame, cols: Seq[String], sign: Int) =
-      cols.map(c => t.select(col(c).as("node"))).reduce(_ unionByName _)
+      t.select(explode(array(cols.map(col): _*)).as("node"))
         .groupBy(col("node")).agg((count(lit(1)) * sign).as("d"))
     val contribs = Seq(
       perNode(aTri, Seq("a", "b", "w"), 1),
