@@ -255,17 +255,19 @@ object Jpeg {
 
   /** JPEG-dedup fixture family: BLOCK-CONSTANT images (flat 8x8 blocks,
     * so the DCT round-trip is bit-exact — see the object scaladoc).
-    * Docs sharing (doc_id % 7, (doc_id/7) % 3) render the same base
-    * block pattern; ~1/13 of blocks take a per-doc +17 bump, turning
-    * exact duplicates into near duplicates. The oracle re-derives
-    * every pixel from this formula. */
+    * Docs sharing (doc_id % 7, (doc_id/7) % 12) render the same base
+    * block pattern (84 classes — wide enough that same-hash buckets
+    * stay small and the banding cost is pair-volume-honest, not a
+    * quadratic artifact of too few variants); ~1/13 of blocks take a
+    * per-doc +17 bump, turning exact duplicates into near duplicates.
+    * The oracle re-derives every pixel from this formula. */
   def dedupJpegDims(docId: Long): (Int, Int) = {
     val fam = (docId % 7).toInt
     (8 * (4 + fam), 8 * (3 + fam))
   }
 
   def dedupJpegBlockVal(docId: Long)(bx: Int, by: Int): Int = {
-    val s = ((docId / 7) % 3).toInt
+    val s = ((docId / 7) % 12).toInt
     val base = (bx * bx * 5 + by * by * 11 + bx * by * (s + 1) * 3) % 224 + 8
     val bump = if ((bx * 7 + by * 5) % 13 == (docId % 13).toInt) 17 else 0
     base + bump

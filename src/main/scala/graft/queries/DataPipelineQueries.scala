@@ -209,7 +209,7 @@ object DataPipelineQueries {
     """WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
       |dim AS (SELECT doc_id, 8 * (4 + doc_id % 7) AS w,
       |          8 * (3 + doc_id % 7) AS h,
-      |          ((doc_id // 7) % 3) AS s, doc_id % 13 AS bq
+      |          ((doc_id // 7) % 12) AS s, doc_id % 13 AS bq
       |        FROM img),
       |px AS (SELECT doc_id, w, h, s, bq, unnest(range(0, w * h)) AS i
       |       FROM dim),
@@ -2947,8 +2947,14 @@ object DataPipelineQueries {
     // with a per-doc ~1/13-of-blocks bump.
     "mm_jpeg_neardup" -> ((s, dir) => {
       import s.implicits._
+      // repartition BEFORE the decode (the doc scan is a handful of
+      // parquet splits — without the spread, per-row DCT work runs on
+      // 2 cores), localCheckpoint AFTER it (hammingPairs consumes the
+      // hashed frame three times; the decode must run once per row)
       val hashed = t(s, dir, "documents").filter($"doc_id" % 3 === 0)
+        .select($"doc_id").repartition(col("doc_id"))
         .select($"doc_id", jpegDHashCol($"doc_id").as("dhash"))
+        .localCheckpoint()
       Dedup.hammingPairs(hashed, "doc_id", "dhash",
         maxHamming = 3, maxBucketSize = 256)
         .orderBy($"id_1", $"id_2")
@@ -2962,8 +2968,11 @@ object DataPipelineQueries {
     // with a per-doc ~1.6%-of-pixels perturbation.
     "mm_image_neardup" -> ((s, dir) => {
       import s.implicits._
+      // spread the decode, run it once (the mm_jpeg_neardup discipline)
       val hashed = t(s, dir, "documents").filter($"doc_id" % 3 === 0)
+        .select($"doc_id").repartition(col("doc_id"))
         .select($"doc_id", imageDHashCol($"doc_id").as("dhash"))
+        .localCheckpoint()
       Dedup.hammingPairs(hashed, "doc_id", "dhash",
         maxHamming = 3, maxBucketSize = 256)
         .orderBy($"id_1", $"id_2")
@@ -3130,8 +3139,11 @@ object DataPipelineQueries {
     // perturbation, like the image family.
     "mm_audio_neardup" -> ((s, dir) => {
       import s.implicits._
+      // spread the decode, run it once (the mm_jpeg_neardup discipline)
       val hashed = t(s, dir, "documents").filter($"doc_id" % 3 === 1)
+        .select($"doc_id").repartition(col("doc_id"))
         .select($"doc_id", audioFpCol($"doc_id").as("afp"))
+        .localCheckpoint()
       Dedup.hammingPairs(hashed, "doc_id", "afp",
         maxHamming = 3, maxBucketSize = 256)
         .orderBy($"id_1", $"id_2")

@@ -72,11 +72,11 @@ class JpegSpec extends AnyFunSuite {
 
   test("near-dup geometry: same-class docs land within banding distance, " +
       "cross-class docs do not collide") {
-    // docs 0 and 91 share (fam=0, scene=0): same base blocks, different
-    // bump residues -> small nonzero Hamming distance
+    // docs 0 and 588 share (fam=0, scene=0): same base blocks,
+    // different bump residues -> small nonzero Hamming distance
     def dh(id: Long) = Jpeg.jpegDHash(Jpeg.dedupJpegPayloadOf(id))
-    val d0 = dh(0L); val d91 = dh(91L)
-    val near = java.lang.Long.bitCount(d0 ^ d91)
+    val d0 = dh(0L); val dSame = dh(588L) // 588 = 7 * 84
+    val near = java.lang.Long.bitCount(d0 ^ dSame)
     assert(near <= 6, s"same-class hashes too far apart: $near")
     val d1 = dh(1L) // different size class entirely
     assert(java.lang.Long.bitCount(d0 ^ d1) > 6,
