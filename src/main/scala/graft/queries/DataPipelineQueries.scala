@@ -3014,7 +3014,9 @@ object DataPipelineQueries {
         graft.util.TempDirs.cached("mm-dhash-store", dir) { p =>
           hashes($"doc_id" < 300).write.parquet(p)
         })
-      val batch = hashes($"doc_id" >= 300)
+      // the batch frame feeds both the screen and the final anti-join:
+      // decode once (the mm_jpeg_neardup discipline)
+      val batch = hashes($"doc_id" >= 300).localCheckpoint()
       val hits = Dedup.hammingJoin(batch, "doc_id",
           store.withColumnRenamed("doc_id", "store_id"), "store_id",
           "dhash", maxHamming = 3)
