@@ -50,9 +50,44 @@ object Jpeg {
     49, 64, 78, 87, 103, 121, 120, 101,
     72, 92, 95, 98, 112, 100, 103, 99)
 
+  // Annex K.2 chrominance quantization table (natural order), DC entry
+  // lowered 17 -> 8 for the same flat-block exactness as the luma table.
+  private val ChromaQuantTable: Array[Int] = Array(
+    8, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
   // Annex K.3: standard luminance DC Huffman table
   private val DcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
   private val DcVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+
+  // Annex K.4: standard chrominance DC Huffman table
+  private val CDcBits = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val CDcVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+
+  // Annex K.6: standard chrominance AC Huffman table
+  private val CAcBits = Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119)
+  private val CAcVals = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15,
+    0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17,
+    0x18, 0x19, 0x1a, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5,
+    0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9,
+    0xda, 0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
 
   // Annex K.5: standard luminance AC Huffman table
   private val AcBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
@@ -100,30 +135,81 @@ object Jpeg {
   /** Encode an 8-bit grayscale image (dims multiples of 8) as a
     * baseline sequential JPEG with the Annex K Huffman tables. */
   def encodeGray(width: Int, height: Int,
-      pixel: (Int, Int) => Int): Array[Byte] = {
+      pixel: (Int, Int) => Int): Array[Byte] =
+    encodeBaseline(width, height, IndexedSeq(pixel))
+
+  /** Encode a COLOR image from per-pixel (Y, Cb, Cr) planes as a
+    * 3-component 4:4:4 baseline sequential JPEG — Y under the luma
+    * quant/Huffman tables, Cb/Cr under the Annex K chroma tables, one
+    * block per component per MCU, per-component DC prediction. JPEG
+    * stores YCbCr natively, so a fixture supplying the planes directly
+    * skips the forward colour conversion; [[encodeColorRgb]] is the
+    * RGB-consumer wrapper. */
+  def encodeColorYcc(width: Int, height: Int,
+      ycc: (Int, Int) => (Int, Int, Int)): Array[Byte] =
+    encodeBaseline(width, height, IndexedSeq(
+      (x, y) => ycc(x, y)._1, (x, y) => ycc(x, y)._2, (x, y) => ycc(x, y)._3))
+
+  /** RGB wrapper over [[encodeColorYcc]]: the JFIF/BT.601 forward
+    * transform in the same 1/1000 fixed-point arithmetic the decoder
+    * inverts ([[yccToRgb]]), so both directions are integer-exact and
+    * oracle-replayable. */
+  def encodeColorRgb(width: Int, height: Int,
+      rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] =
+    encodeColorYcc(width, height, (x, y) => {
+      val (r, g, b) = rgb(x, y)
+      ((299 * r + 587 * g + 114 * b) / 1000,
+        (-169 * r - 331 * g + 500 * b + 1024000) / 1000 - 1024 + 128,
+        (500 * r - 419 * g - 81 * b + 1024000) / 1000 - 1024 + 128)
+    })
+
+  private def encodeBaseline(width: Int, height: Int,
+      planes: IndexedSeq[(Int, Int) => Int]): Array[Byte] = {
     require(width > 0 && height > 0 && width % 8 == 0 && height % 8 == 0,
       s"fixture dims must be multiples of 8, got ${width}x$height")
+    require(planes.length == 1 || planes.length == 3,
+      s"grayscale or YCbCr only, got ${planes.length} planes")
+    val nc = planes.length
     val out = new java.io.ByteArrayOutputStream(1024)
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def be16(v: Int): Unit = { out.write(v >> 8); out.write(v & 0xff) }
     marker(0xd8) // SOI
-    marker(0xdb); be16(2 + 1 + 64); out.write(0x00) // DQT, 8-bit table 0
-    Zigzag.foreach(i => out.write(QuantTable(i)))
-    marker(0xc0); be16(8 + 3) // SOF0: 1 component
-    out.write(8); be16(height); be16(width); out.write(1)
-    out.write(1); out.write(0x11); out.write(0) // id 1, 1x1, quant 0
-    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
-      marker(0xc4); be16(2 + 1 + 16 + vals.length); out.write(cls << 4)
+    def dqt(tq: Int, table: Array[Int]): Unit = {
+      marker(0xdb); be16(2 + 1 + 64); out.write(tq) // 8-bit table tq
+      Zigzag.foreach(i => out.write(table(i)))
+    }
+    dqt(0, QuantTable)
+    if (nc == 3) dqt(1, ChromaQuantTable)
+    marker(0xc0); be16(8 + 3 * nc) // SOF0
+    out.write(8); be16(height); be16(width); out.write(nc)
+    for (c <- 0 until nc) {
+      out.write(c + 1)    // component id
+      out.write(0x11)     // 1x1 sampling (4:4:4)
+      out.write(if (c == 0) 0 else 1) // quant table
+    }
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); be16(2 + 1 + 16 + vals.length); out.write((cls << 4) | id)
       bits.foreach(out.write); vals.foreach(out.write)
     }
-    dht(0, DcBits, DcVals)
-    dht(1, AcBits, AcVals)
-    marker(0xda); be16(6 + 2) // SOS: 1 component
-    out.write(1); out.write(1); out.write(0x00) // comp 1, DC 0 / AC 0
-    out.write(0); out.write(63); out.write(0)   // Ss, Se, AhAl
+    dht(0, 0, DcBits, DcVals)
+    dht(1, 0, AcBits, AcVals)
+    if (nc == 3) { dht(0, 1, CDcBits, CDcVals); dht(1, 1, CAcBits, CAcVals) }
+    marker(0xda); be16(6 + 2 * nc) // SOS
+    out.write(nc)
+    for (c <- 0 until nc) {
+      out.write(c + 1)
+      out.write(if (c == 0) 0x00 else 0x11) // DC/AC table ids
+    }
+    out.write(0); out.write(63); out.write(0) // Ss, Se, AhAl
     // entropy-coded segment: MSB-first bit writer with 0xFF stuffing
-    val dcCodes = canonicalCodes(DcBits, DcVals)
-    val acCodes = canonicalCodes(AcBits, AcVals)
+    val lumaDc = canonicalCodes(DcBits, DcVals)
+    val lumaAc = canonicalCodes(AcBits, AcVals)
+    val dcCodesOf = IndexedSeq(lumaDc) ++
+      (if (nc == 3) Seq.fill(2)(canonicalCodes(CDcBits, CDcVals)) else Nil)
+    val acCodesOf = IndexedSeq(lumaAc) ++
+      (if (nc == 3) Seq.fill(2)(canonicalCodes(CAcBits, CAcVals)) else Nil)
+    val quantOf = IndexedSeq(QuantTable) ++
+      (if (nc == 3) Seq.fill(2)(ChromaQuantTable) else Nil)
     var bitBuf = 0L
     var bitCnt = 0
     def putBits(code: Int, len: Int): Unit = {
@@ -141,9 +227,11 @@ object Jpeg {
       while (a != 0) { a >>= 1; s += 1 }
       s
     }
-    var prevDc = 0
+    val prevDc = new Array[Int](nc)
     val coefs = new Array[Int](64)
-    for (by <- 0 until height / 8; bx <- 0 until width / 8) {
+    for (by <- 0 until height / 8; bx <- 0 until width / 8; c <- 0 until nc) {
+      val pixel = planes(c)
+      val qt = quantOf(c)
       // forward DCT of the level-shifted block, quantized
       var u = 0
       while (u < 8) {
@@ -161,14 +249,16 @@ object Jpeg {
             y += 1
           }
           val f = 0.25 * cNorm(u) * cNorm(v) * acc
-          coefs(v * 8 + u) = math.round(f / QuantTable(v * 8 + u)).toInt
+          coefs(v * 8 + u) = math.round(f / qt(v * 8 + u)).toInt
           v += 1
         }
         u += 1
       }
+      val dcCodes = dcCodesOf(c)
+      val acCodes = acCodesOf(c)
       // DC: category + extended diff bits (T.81 F.1.2.1)
-      val diff = coefs(0) - prevDc
-      prevDc = coefs(0)
+      val diff = coefs(0) - prevDc(c)
+      prevDc(c) = coefs(0)
       val s = category(diff)
       val (dcCode, dcLen) = dcCodes(s)
       putBits(dcCode, dcLen)
@@ -179,16 +269,16 @@ object Jpeg {
       var lastNz = 63
       while (lastNz >= 1 && coefs(Zigzag(lastNz)) == 0) lastNz -= 1
       while (zi <= lastNz) {
-        val c = coefs(Zigzag(zi))
-        if (c == 0) run += 1
+        val cf = coefs(Zigzag(zi))
+        if (cf == 0) run += 1
         else {
           while (run >= 16) {
             val (z, zl) = acCodes(0xf0); putBits(z, zl); run -= 16
           }
-          val sz = category(c)
+          val sz = category(cf)
           val (code, len) = acCodes((run << 4) | sz)
           putBits(code, len)
-          putBits(if (c >= 0) c else c + (1 << sz) - 1, sz)
+          putBits(if (cf >= 0) cf else cf + (1 << sz) - 1, sz)
           run = 0
         }
         zi += 1
@@ -216,7 +306,80 @@ object Jpeg {
   def pixelsGray(payload: Array[Byte]): (Int, Int, Array[Int]) = {
     val d = new Decoder(payload)
     d.parseHeaders(stopAtSos = false)
-    (d.width, d.height, d.decodeScan())
+    val planes = d.decodeScan()
+    require(d.nComps == 1, s"pixelsGray on a ${d.nComps}-component JPEG")
+    (d.width, d.height, planes(0))
+  }
+
+  /** Fixed-point BT.601 inverse colour transform (1/1000 coefficients,
+    * bias keeps every numerator nonnegative so floor == truncation ==
+    * the oracle's `//` — exact integers end to end):
+    *   r = (1000*y + 1402*(cr-128) + 1024000)/1000 - 1024
+    *   g = (1000*y -  344*(cb-128) - 714*(cr-128) + 1024000)/1000 - 1024
+    *   b = (1000*y + 1772*(cb-128) + 1024000)/1000 - 1024
+    * each clamped to 0..255. */
+  def yccToRgb(y: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+    def clamp(v: Int) = math.max(0, math.min(255, v))
+    (clamp((1000 * y + 1402 * (cr - 128) + 1024000) / 1000 - 1024),
+      clamp((1000 * y - 344 * (cb - 128) - 714 * (cr - 128) + 1024000) / 1000 - 1024),
+      clamp((1000 * y + 1772 * (cb - 128) + 1024000) / 1000 - 1024))
+  }
+
+  /** Full pixel decode of a 3-component 4:4:4 baseline COLOUR JPEG:
+    * the [[pixelsGray]] machinery generalized to interleaved MCUs with
+    * per-component tables and DC prediction, then the exact fixed-point
+    * [[yccToRgb]] transform. Returns (w, h, rgb) with rgb in scanline
+    * order, 3 ints per pixel — the same shape as
+    * [[Multimodal.pngPixels]]. */
+  def pixelsColor(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    val d = new Decoder(payload)
+    d.parseHeaders(stopAtSos = false)
+    val planes = d.decodeScan()
+    require(d.nComps == 3, s"pixelsColor on a ${d.nComps}-component JPEG")
+    val n = d.width * d.height
+    val rgb = new Array[Int](3 * n)
+    var i = 0
+    while (i < n) {
+      val (r, g, b) = yccToRgb(planes(0)(i), planes(1)(i), planes(2)(i))
+      rgb(3 * i) = r; rgb(3 * i + 1) = g; rgb(3 * i + 2) = b
+      i += 1
+    }
+    (d.width, d.height, rgb)
+  }
+
+  /** 64-bit dHash over the decoded COLOUR pixels — the pngDHash luma
+    * formula ((299r + 587g + 114b)/1000 in exact integers) over the
+    * same 9x8 block-mean geometry. */
+  def jpegColorDHash(payload: Array[Byte]): Long = {
+    val (w, h, rgb) = pixelsColor(payload)
+    require(w >= 9 && h >= 8, s"dHash needs >= 9x8, got ${w}x$h")
+    val sums = Array.ofDim[Long](9, 8)
+    val cnts = Array.ofDim[Long](9, 8)
+    var y = 0
+    while (y < h) {
+      val gy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val gx = x * 9 / w
+        val o = (y * w + x) * 3
+        sums(gx)(gy) += (299 * rgb(o) + 587 * rgb(o + 1) + 114 * rgb(o + 2)) / 1000
+        cnts(gx)(gy) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (sums(gx + 1)(gy) * cnts(gx)(gy) > sums(gx)(gy) * cnts(gx + 1)(gy))
+          hash |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
   }
 
   /** 64-bit dHash over the decoded grayscale pixels — the same 9x8
@@ -281,18 +444,44 @@ object Jpeg {
     encodeGray(w, h, (x, y) => block(x / 8, y / 8))
   }
 
-  /** Marker-walking baseline-JPEG decoder (single instance per payload). */
+  /** COLOUR fixture family: block-constant YCbCr planes (DC-only, so
+    * the round-trip is bit-exact per plane and the decoded RGB is the
+    * exact [[yccToRgb]] image of the formula). Same (doc_id % 7,
+    * (doc_id/7) % 12) class structure as the grayscale family; the
+    * per-doc bump perturbs the LUMA plane only, the chroma planes are
+    * class-constant (the shape a tinted near-dup actually has). */
+  def dedupJpegColorYcc(docId: Long)(bx: Int, by: Int): (Int, Int, Int) = {
+    val s = ((docId / 7) % 12).toInt
+    val yv = (bx * bx * 5 + by * by * 11 + bx * by * (s + 1) * 3) % 224 + 8 +
+      (if ((bx * 7 + by * 5) % 13 == (docId % 13).toInt) 17 else 0)
+    val cb = (bx * 19 + s * 37) % 160 + 48
+    val cr = (by * 23 + s * 41) % 160 + 48
+    (yv, cb, cr)
+  }
+
+  /** Static entry point for the
+    * [[org.apache.spark.sql.graft.DedupJpegColorPayload]] expression. */
+  def dedupJpegColorPayloadOf(docId: Long): Array[Byte] = {
+    val (w, h) = dedupJpegDims(docId)
+    val block = dedupJpegColorYcc(docId) _
+    encodeColorYcc(w, h, (x, y) => block(x / 8, y / 8))
+  }
+
+  /** Marker-walking baseline-JPEG decoder (single instance per payload).
+    * Grayscale and 3-component 4:4:4 colour (one block per component
+    * per MCU, per-component quant/Huffman/DC-prediction). */
   private final class Decoder(data: Array[Byte]) {
     var width = 0
     var height = 0
+    var nComps = 0
     private var pos = 0
     private val quant = Array.ofDim[Int](4, 64) // natural order
     // Huffman tables by (class, id): count per length + canonical symbols
     private val hCount = Array.ofDim[Int](2, 4, 17)
     private val hSyms = Array.ofDim[Array[Int]](2, 4)
-    private var compQuant = 0
-    private var dcTable = 0
-    private var acTable = 0
+    private val compQuant = new Array[Int](3)
+    private val dcTable = new Array[Int](3)
+    private val acTable = new Array[Int](3)
     private var restartInterval = 0
     private var scanStart = -1
 
@@ -325,12 +514,17 @@ object Jpeg {
             u16()
             require(u8() == 8, "not 8-bit baseline")
             height = u16(); width = u16()
-            val nc = u8()
-            require(nc == 1, s"grayscale decoder: got $nc components")
-            u8() // component id
-            val hv = u8()
-            require(hv == 0x11, f"sampling $hv%02x unsupported for 1 comp")
-            compQuant = u8()
+            nComps = u8()
+            require(nComps == 1 || nComps == 3,
+              s"grayscale/YCbCr decoder: got $nComps components")
+            for (c <- 0 until nComps) {
+              u8() // component id (position-ordered here and in SOS)
+              val hv = u8()
+              require(hv == 0x11,
+                f"sampling $hv%02x unsupported (4:4:4 only — no " +
+                  "chroma-subsampled MCUs in this decoder)")
+              compQuant(c) = u8()
+            }
           case 0xc2 => throw new IllegalArgumentException(
             "progressive JPEG (SOF2) unsupported: baseline decoder")
           case 0xc4 => // DHT: one or more tables
@@ -350,10 +544,14 @@ object Jpeg {
             restartInterval = u16()
           case 0xda => // SOS
             u16()
-            require(u8() == 1, "grayscale decoder: multi-component scan")
-            u8() // component selector
-            val t = u8()
-            dcTable = t >> 4; acTable = t & 0x0f
+            val ns = u8()
+            require(ns == nComps,
+              s"interleaved scan expected: $ns of $nComps components")
+            for (c <- 0 until ns) {
+              u8() // component selector (frame order assumed)
+              val t = u8()
+              dcTable(c) = t >> 4; acTable(c) = t & 0x0f
+            }
             require(u8() == 0 && u8() == 63 && u8() == 0,
               "not a baseline sequential scan")
             scanStart = pos
@@ -372,7 +570,7 @@ object Jpeg {
       require(width > 0 && height > 0, "not a JPEG: no frame header")
     }
 
-    def decodeScan(): Array[Int] = {
+    def decodeScan(): Array[Array[Int]] = {
       require(scanStart >= 0, "decodeScan before SOS")
       pos = scanStart
       var bitBuf = 0L
@@ -410,70 +608,74 @@ object Jpeg {
         while (i < s) { v = (v << 1) | nextBit(); i += 1 }
         if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
       }
-      val q = quant(compQuant)
       val bw = (width + 7) / 8
       val bh = (height + 7) / 8
-      val out = new Array[Int](width * height)
+      val planes = Array.fill(nComps)(new Array[Int](width * height))
       val coefs = new Array[Int](64)
-      var prevDc = 0
+      val prevDc = new Array[Int](nComps)
       var mcu = 0
       for (by <- 0 until bh; bx <- 0 until bw) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-          // byte-align, expect RSTn, reset the DC predictor
+          // byte-align, expect RSTn, reset every DC predictor
           bitCnt = 0
           require(u8() == 0xff, "bad JPEG: expected restart marker")
           val m = u8()
           require(m >= 0xd0 && m <= 0xd7, f"bad restart marker $m%02x")
-          prevDc = 0
+          java.util.Arrays.fill(prevDc, 0)
         }
-        java.util.Arrays.fill(coefs, 0)
-        val s = decodeHuff(0, dcTable)
-        prevDc += receiveExtend(s)
-        coefs(0) = prevDc * q(0)
-        var zi = 1
-        var eob = false
-        while (zi < 64 && !eob) {
-          val rs = decodeHuff(1, acTable)
-          val run = rs >> 4; val size = rs & 0x0f
-          if (size == 0) {
-            if (run == 15) zi += 16 // ZRL
-            else eob = true         // EOB
-          } else {
-            zi += run
-            require(zi < 64, "bad JPEG: AC index overflow")
-            coefs(Zigzag(zi)) = receiveExtend(size) * q(Zigzag(zi))
-            zi += 1
+        for (c <- 0 until nComps) {
+          val q = quant(compQuant(c))
+          java.util.Arrays.fill(coefs, 0)
+          val s = decodeHuff(0, dcTable(c))
+          prevDc(c) += receiveExtend(s)
+          coefs(0) = prevDc(c) * q(0)
+          var zi = 1
+          var eob = false
+          while (zi < 64 && !eob) {
+            val rs = decodeHuff(1, acTable(c))
+            val run = rs >> 4; val size = rs & 0x0f
+            if (size == 0) {
+              if (run == 15) zi += 16 // ZRL
+              else eob = true         // EOB
+            } else {
+              zi += run
+              require(zi < 64, "bad JPEG: AC index overflow")
+              coefs(Zigzag(zi)) = receiveExtend(size) * q(Zigzag(zi))
+              zi += 1
+            }
           }
-        }
-        // IDCT + level shift + clamp
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            var acc = 0.0
-            var u = 0
-            while (u < 8) {
-              var v = 0
-              while (v < 8) {
-                val c = coefs(v * 8 + u)
-                if (c != 0) acc += cNorm(u) * cNorm(v) * c * Cos(x)(u) * Cos(y)(v)
-                v += 1
+          // IDCT + level shift + clamp
+          val out = planes(c)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              var acc = 0.0
+              var u = 0
+              while (u < 8) {
+                var v = 0
+                while (v < 8) {
+                  val cf = coefs(v * 8 + u)
+                  if (cf != 0)
+                    acc += cNorm(u) * cNorm(v) * cf * Cos(x)(u) * Cos(y)(v)
+                  v += 1
+                }
+                u += 1
               }
-              u += 1
+              val px = by * 8 + y
+              val pxx = bx * 8 + x
+              if (px < height && pxx < width) {
+                val g = math.round(0.25 * acc).toInt + 128
+                out(px * width + pxx) = math.max(0, math.min(255, g))
+              }
+              x += 1
             }
-            val px = by * 8 + y
-            val pxx = bx * 8 + x
-            if (px < height && pxx < width) {
-              val g = math.round(0.25 * acc).toInt + 128
-              out(px * width + pxx) = math.max(0, math.min(255, g))
-            }
-            x += 1
+            y += 1
           }
-          y += 1
         }
         mcu += 1
       }
-      out
+      planes
     }
   }
 }

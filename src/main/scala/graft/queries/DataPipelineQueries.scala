@@ -38,6 +38,12 @@ object DataPipelineQueries {
     import org.apache.spark.sql.graft.{internal, DedupJpegPayload, JpegDHash}
     internal.column(JpegDHash(DedupJpegPayload(internal.expression(id))))
   }
+  private def jpegColorDHashCol(id: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.graft.{internal, DedupJpegColorPayload,
+      JpegColorDHash}
+    internal.column(JpegColorDHash(
+      DedupJpegColorPayload(internal.expression(id))))
+  }
   private def audioFpCol(id: org.apache.spark.sql.Column) = {
     import org.apache.spark.sql.graft.{internal, DedupWavPayload, WavFingerprint}
     internal.column(WavFingerprint(DedupWavPayload(internal.expression(id))))
@@ -237,6 +243,59 @@ object DataPipelineQueries {
       |            THEN CAST('18446744073709551616' AS HUGEINT)
       |            ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS dhash
       |        FROM hraw)""".stripMargin
+
+  /** Colour twin: block-constant YCbCr planes round-trip exactly, so
+    * the decoded RGB replays as the fixed-point BT.601 inverse of the
+    * block formula (`//` on biased-nonnegative numerators == the
+    * kernel's integer division), then the RGB-luma dHash. */
+  private val JpegColorDHashSql =
+    """WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+      |dim AS (SELECT doc_id, 8 * (4 + doc_id % 7) AS w,
+      |          8 * (3 + doc_id % 7) AS h,
+      |          ((doc_id // 7) % 12) AS s, doc_id % 13 AS bq
+      |        FROM img),
+      |px AS (SELECT doc_id, w, h, s, bq, unnest(range(0, w * h)) AS i
+      |       FROM dim),
+      |xy AS (SELECT doc_id, w, h, s, bq,
+      |         (i % w) // 8 AS bx, (i // w) // 8 AS by,
+      |         i % w AS x, i // w AS y FROM px),
+      |ycc AS (SELECT doc_id, w, h, x, y,
+      |         ((bx*bx*5 + by*by*11 + bx*by*(s+1)*3) % 224) + 8
+      |           + CASE WHEN (bx*7 + by*5) % 13 = bq THEN 17 ELSE 0 END AS yv,
+      |         (bx*19 + s*37) % 160 + 48 AS cb,
+      |         (by*23 + s*41) % 160 + 48 AS cr
+      |       FROM xy),
+      |rgb AS (SELECT doc_id, w, h, x, y,
+      |         LEAST(255, GREATEST(0,
+      |           (1000*yv + 1402*(cr-128) + 1024000) // 1000 - 1024)) AS r,
+      |         LEAST(255, GREATEST(0,
+      |           (1000*yv - 344*(cb-128) - 714*(cr-128) + 1024000) // 1000 - 1024)) AS g,
+      |         LEAST(255, GREATEST(0,
+      |           (1000*yv + 1772*(cb-128) + 1024000) // 1000 - 1024)) AS b
+      |       FROM ycc),
+      |pixl AS (SELECT doc_id, (x * 9) // w AS gx, (y * 8) // h AS gy,
+      |           (299*r + 587*g + 114*b) // 1000 AS g2
+      |         FROM rgb),
+      |cell AS (SELECT doc_id, gx, gy, SUM(g2) AS sm, COUNT(*) AS ct
+      |         FROM pixl GROUP BY doc_id, gx, gy),
+      |bitv AS (SELECT a.doc_id, a.gy * 8 + a.gx AS bit
+      |         FROM cell a JOIN cell r ON r.doc_id = a.doc_id
+      |           AND r.gy = a.gy AND r.gx = a.gx + 1
+      |         WHERE r.sm * a.ct > a.sm * r.ct),
+      |hraw AS (SELECT d.doc_id,
+      |           COALESCE(SUM(CAST(1 AS HUGEINT) << CAST(bit AS INT)),
+      |                    CAST(0 AS HUGEINT)) AS hu
+      |         FROM dim d LEFT JOIN bitv b ON d.doc_id = b.doc_id
+      |         GROUP BY d.doc_id),
+      |hsg AS (SELECT doc_id, hu,
+      |          CAST(hu - CASE
+      |            WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+      |            THEN CAST('18446744073709551616' AS HUGEINT)
+      |            ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS dhash
+      |        FROM hraw)
+      |SELECT h.doc_id, CAST(d.w AS INT) AS width,
+      |  CAST(d.h AS INT) AS height, h.dhash
+      |FROM hsg h JOIN dim d USING (doc_id) ORDER BY doc_id""".stripMargin
 
   private lazy val JpegNearDupSql: String = JpegDHashWith +
     """,
@@ -2938,6 +2997,22 @@ object DataPipelineQueries {
           (lit(8) * (lit(4) + $"doc_id" % 7)).cast("int").as("width"),
           (lit(8) * (lit(3) + $"doc_id" % 7)).cast("int").as("height"),
           jpegDHashCol($"doc_id").as("dhash"))
+        .orderBy($"doc_id")
+    }),
+
+    // COLOUR JPEG PERCEPTUAL HASH — the 3-component 4:4:4 decode pass:
+    // interleaved MCUs, per-component quant/Huffman/DC-prediction, the
+    // exact fixed-point BT.601 inverse transform, then the RGB-luma
+    // dHash. Block-constant YCbCr fixtures keep every plane DC-only, so
+    // the decoded RGB is the exact integer image of the block formula
+    // and the twin replays pixel -> colour-convert -> hash closed-form.
+    "mm_jpeg_color_dhash" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").filter($"doc_id" % 3 === 0)
+        .select($"doc_id",
+          (lit(8) * (lit(4) + $"doc_id" % 7)).cast("int").as("width"),
+          (lit(8) * (lit(3) + $"doc_id" % 7)).cast("int").as("height"),
+          jpegColorDHashCol($"doc_id").as("dhash"))
         .orderBy($"doc_id")
     }),
 
@@ -6384,6 +6459,7 @@ object DataPipelineQueries {
         |  CAST(d.h AS INT) AS height, h.dhash
         |FROM hsg h JOIN dim d USING (doc_id) ORDER BY doc_id""".stripMargin),
     "mm_jpeg_neardup" -> JpegNearDupSql,
+    "mm_jpeg_color_dhash" -> JpegColorDHashSql,
     "gzip_roundtrip" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
     // dHash pairs via the d4 convention: 4x16-bit pigeonhole banding

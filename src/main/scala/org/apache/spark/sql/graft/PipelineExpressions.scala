@@ -350,6 +350,39 @@ case class DedupJpegPayload(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** COLOUR JPEG fixture payload from a doc_id column: a real 3-component
+  * 4:4:4 baseline JPEG (graft.ops.Jpeg.encodeColorYcc — chroma
+  * quant/Huffman tables, interleaved MCUs, per-component DC
+  * prediction) of the block-constant YCbCr fixture. */
+case class DedupJpegColorPayload(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(id: Any): Any =
+    graft.ops.Jpeg.dedupJpegColorPayloadOf(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, id =>
+      s"graft.ops.Jpeg.dedupJpegColorPayloadOf($id)")
+  override def prettyName: String = "dedup_jpeg_color_payload"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** 64-bit perceptual dHash of a REAL colour JPEG payload: interleaved
+  * 3-component entropy decode + per-plane IDCT + the exact fixed-point
+  * BT.601 inverse transform (graft.ops.Jpeg.pixelsColor), then the
+  * pngDHash luma formula over the RGB pixels. */
+case class JpegColorDHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(b: Any): Any =
+    graft.ops.Jpeg.jpegColorDHash(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.ops.Jpeg.jpegColorDHash($b)")
+  override def prettyName: String = "jpeg_color_dhash"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** 64-bit perceptual dHash of a REAL baseline JPEG payload: marker walk
   * + Huffman/DC-prediction entropy decode + dequant + IDCT
   * (graft.ops.Jpeg.pixelsGray), then the exact-integer 9x8 block-mean

@@ -691,8 +691,8 @@ class PlanSpec extends SparkSpec {
     for (q <- Seq("mm_image_dhash", "mm_audio_fingerprint",
         "mm_audio_neardup", "mm_image_neardup", "mm_video_luma",
         "mm_image_knn", "multimodal_dedup_apply",
-        "mm_jpeg_dhash", "mm_jpeg_neardup", "gzip_roundtrip",
-        "mm_audio_energy")) {
+        "mm_jpeg_dhash", "mm_jpeg_neardup", "mm_jpeg_color_dhash",
+        "gzip_roundtrip", "mm_audio_energy")) {
       val p = plan(q)
       assert(!p.contains("DeserializeToObject") &&
         !p.contains("SerializeFromObject") && !p.contains("MapElements"),

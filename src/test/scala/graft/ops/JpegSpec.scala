@@ -83,6 +83,82 @@ class JpegSpec extends AnyFunSuite {
       "cross-class hashes should differ widely")
   }
 
+  private def imageIoReadRgb(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO could not decode the colour stream")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Int](3 * w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = img.getRGB(x, y)
+      val o = (y * w + x) * 3
+      out(o) = (p >> 16) & 0xff; out(o + 1) = (p >> 8) & 0xff
+      out(o + 2) = p & 0xff
+    }
+    (w, h, out)
+  }
+
+  test("COLOUR: block-constant YCbCr fixtures decode to the exact " +
+      "fixed-point RGB image of the formula; ImageIO agrees within the " +
+      "colour-convert rounding bar") {
+    for (docId <- Seq(0L, 5L, 23L, 87L)) {
+      val (w, h) = Jpeg.dedupJpegDims(docId)
+      val block = Jpeg.dedupJpegColorYcc(docId) _
+      val bytes = Jpeg.dedupJpegColorPayloadOf(docId)
+      val (dw, dh, ours) = Jpeg.pixelsColor(bytes)
+      assert((dw, dh) == (w, h))
+      for (y <- 0 until h; x <- 0 until w) {
+        val (yv, cb, cr) = block(x / 8, y / 8)
+        val (r, g, b) = Jpeg.yccToRgb(yv, cb, cr) // DC-only planes: exact
+        val o = (y * w + x) * 3
+        assert((ours(o), ours(o + 1), ours(o + 2)) == (r, g, b),
+          s"doc $docId pixel ($x,$y)")
+      }
+      // the independent codec's real-valued BT.601 differs from our
+      // fixed-point one by at most rounding (plus its IDCT) — small bar
+      val (iw, ih, theirs) = imageIoReadRgb(bytes)
+      assert((iw, ih) == (w, h))
+      val maxDiff = ours.zip(theirs).map { case (a, b) => math.abs(a - b) }.max
+      assert(maxDiff <= 3,
+        s"doc $docId: ImageIO colour decode off by $maxDiff (> 3)")
+    }
+  }
+
+  test("COLOUR reverse referee: our decoder reads an ImageIO-WRITTEN " +
+      "RGB JPEG when it is 4:4:4, and refuses subsampled streams loudly") {
+    // ImageIO's default RGB writer subsamples chroma; drive it to 4:4:4
+    // via the highest quality setting if that is what it takes —
+    // otherwise assert the loud refusal path
+    val (w, h) = (40, 24)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 5 + y) % 256 << 16) | ((y * 7) % 256 << 8) |
+        ((x * 3 + y * 2) % 256))
+    val w2 = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = w2.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f) // JDK writer emits 4:4:4 at q >= 0.75ish
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w2.setOutput(ios)
+    w2.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); w2.dispose()
+    val bytes = bos.toByteArray
+    try {
+      val (ow, oh, ours) = Jpeg.pixelsColor(bytes)
+      val (iw, ih, theirs) = imageIoReadRgb(bytes)
+      assert((ow, oh) == (iw, ih) && (ow, oh) == (w, h))
+      val maxDiff = ours.zip(theirs).map { case (a, b) => math.abs(a - b) }.max
+      assert(maxDiff <= 3,
+        s"foreign colour decode off by $maxDiff (> 3)")
+    } catch {
+      case e: IllegalArgumentException =>
+        // writer chose subsampling after all: the refusal must be loud
+        // and specific, never a mis-decode
+        assert(e.getMessage.contains("4:4:4"), e.getMessage)
+    }
+  }
+
   test("spec violations are rejected loudly") {
     val good = Jpeg.dedupJpegPayloadOf(3L)
     intercept[IllegalArgumentException](Jpeg.pixelsGray("nope".getBytes))
