@@ -150,6 +150,22 @@ object Jpeg {
     encodeBaseline(width, height, IndexedSeq(
       (x, y) => ycc(x, y)._1, (x, y) => ycc(x, y)._2, (x, y) => ycc(x, y)._3))
 
+  /** 4:2:0 CHROMA-SUBSAMPLED colour encode (dims multiples of 16): Y at
+    * 2x2 sampling, Cb/Cr at quarter resolution (the chroma accessor is
+    * called in SUBSAMPLED coordinates — the fixture's tile-constant
+    * planes make subsample-then-upsample exact). This is the default
+    * layout real encoders emit for photographic content. */
+  def encodeColorYcc420(width: Int, height: Int,
+      ycc: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width % 16 == 0 && height % 16 == 0,
+      s"4:2:0 fixture dims must be multiples of 16, got ${width}x$height")
+    encodeBaseline(width, height, IndexedSeq(
+      (x, y) => ycc(x, y)._1,
+      (cx, cy) => ycc(2 * cx, 2 * cy)._2, // subsampled-coordinate access
+      (cx, cy) => ycc(2 * cx, 2 * cy)._3),
+      sampling = IndexedSeq((2, 2), (1, 1), (1, 1)))
+  }
+
   /** RGB wrapper over [[encodeColorYcc]]: the JFIF/BT.601 forward
     * transform in the same 1/1000 fixed-point arithmetic the decoder
     * inverts ([[yccToRgb]]), so both directions are integer-exact and
@@ -164,12 +180,18 @@ object Jpeg {
     })
 
   private def encodeBaseline(width: Int, height: Int,
-      planes: IndexedSeq[(Int, Int) => Int]): Array[Byte] = {
-    require(width > 0 && height > 0 && width % 8 == 0 && height % 8 == 0,
-      s"fixture dims must be multiples of 8, got ${width}x$height")
-    require(planes.length == 1 || planes.length == 3,
-      s"grayscale or YCbCr only, got ${planes.length} planes")
+      planes: IndexedSeq[(Int, Int) => Int],
+      sampling: IndexedSeq[(Int, Int)] = null): Array[Byte] = {
     val nc = planes.length
+    val samp = Option(sampling).getOrElse(IndexedSeq.fill(nc)((1, 1)))
+    val maxH = samp.map(_._1).max
+    val maxV = samp.map(_._2).max
+    require(width > 0 && height > 0 &&
+      width % (8 * maxH) == 0 && height % (8 * maxV) == 0,
+      s"fixture dims must be multiples of ${8 * maxH}x${8 * maxV}, " +
+        s"got ${width}x$height")
+    require(nc == 1 || nc == 3,
+      s"grayscale or YCbCr only, got $nc planes")
     val out = new java.io.ByteArrayOutputStream(1024)
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def be16(v: Int): Unit = { out.write(v >> 8); out.write(v & 0xff) }
@@ -184,7 +206,7 @@ object Jpeg {
     out.write(8); be16(height); be16(width); out.write(nc)
     for (c <- 0 until nc) {
       out.write(c + 1)    // component id
-      out.write(0x11)     // 1x1 sampling (4:4:4)
+      out.write((samp(c)._1 << 4) | samp(c)._2) // sampling factors
       out.write(if (c == 0) 0 else 1) // quant table
     }
     def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
@@ -229,7 +251,11 @@ object Jpeg {
     }
     val prevDc = new Array[Int](nc)
     val coefs = new Array[Int](64)
-    for (by <- 0 until height / 8; bx <- 0 until width / 8; c <- 0 until nc) {
+    for (my <- 0 until height / (8 * maxV); mx <- 0 until width / (8 * maxH);
+         c <- 0 until nc; bv <- 0 until samp(c)._2;
+         bhh <- 0 until samp(c)._1) {
+      val bx = mx * samp(c)._1 + bhh
+      val by = my * samp(c)._2 + bv
       val pixel = planes(c)
       val qt = quantOf(c)
       // forward DCT of the level-shifted block, quantized
@@ -336,11 +362,15 @@ object Jpeg {
     d.parseHeaders(stopAtSos = false)
     val planes = d.decodeScan()
     require(d.nComps == 3, s"pixelsColor on a ${d.nComps}-component JPEG")
+    // 4:2:0/4:2:2 chroma upsamples by nearest-neighbour replication
+    val yP = d.fullResPlane(0, planes)
+    val cbP = d.fullResPlane(1, planes)
+    val crP = d.fullResPlane(2, planes)
     val n = d.width * d.height
     val rgb = new Array[Int](3 * n)
     var i = 0
     while (i < n) {
-      val (r, g, b) = yccToRgb(planes(0)(i), planes(1)(i), planes(2)(i))
+      val (r, g, b) = yccToRgb(yP(i), cbP(i), crP(i))
       rgb(3 * i) = r; rgb(3 * i + 1) = g; rgb(3 * i + 2) = b
       i += 1
     }
@@ -467,6 +497,19 @@ object Jpeg {
     encodeColorYcc(w, h, (x, y) => block(x / 8, y / 8))
   }
 
+  /** 4:2:0 fixture: the SAME colour block formula at 16x16 TILE
+    * granularity (dims double to stay MCU-aligned), so every luma block
+    * and every subsampled chroma block is constant — DC-only planes,
+    * nearest upsampling of a constant is the constant, and the decoded
+    * RGB is the exact [[yccToRgb]] image of the tile formula even
+    * through chroma subsampling. Static entry point for the
+    * [[org.apache.spark.sql.graft.DedupJpeg420Payload]] expression. */
+  def dedupJpeg420PayloadOf(docId: Long): Array[Byte] = {
+    val (w, h) = dedupJpegDims(docId)
+    val block = dedupJpegColorYcc(docId) _
+    encodeColorYcc420(2 * w, 2 * h, (x, y) => block(x / 16, y / 16))
+  }
+
   /** Marker-walking baseline-JPEG decoder (single instance per payload).
     * Grayscale and 3-component 4:4:4 colour (one block per component
     * per MCU, per-component quant/Huffman/DC-prediction). */
@@ -480,6 +523,8 @@ object Jpeg {
     private val hCount = Array.ofDim[Int](2, 4, 17)
     private val hSyms = Array.ofDim[Array[Int]](2, 4)
     private val compQuant = new Array[Int](3)
+    private val compH = new Array[Int](3) // sampling factors (<= 2)
+    private val compV = new Array[Int](3)
     private val dcTable = new Array[Int](3)
     private val acTable = new Array[Int](3)
     private var restartInterval = 0
@@ -520,11 +565,15 @@ object Jpeg {
             for (c <- 0 until nComps) {
               u8() // component id (position-ordered here and in SOS)
               val hv = u8()
-              require(hv == 0x11,
-                f"sampling $hv%02x unsupported (4:4:4 only — no " +
-                  "chroma-subsampled MCUs in this decoder)")
+              compH(c) = hv >> 4; compV(c) = hv & 0x0f
+              require(compH(c) >= 1 && compH(c) <= 2 &&
+                compV(c) >= 1 && compV(c) <= 2,
+                f"sampling $hv%02x unsupported (factors up to 2x2 only)")
               compQuant(c) = u8()
             }
+            require(nComps == 1 || compH(1) == 1 && compV(1) == 1 &&
+              compH(2) == 1 && compV(2) == 1,
+              "chroma sampling factors above 1x1 unsupported")
           case 0xc2 => throw new IllegalArgumentException(
             "progressive JPEG (SOF2) unsupported: baseline decoder")
           case 0xc4 => // DHT: one or more tables
@@ -608,13 +657,21 @@ object Jpeg {
         while (i < s) { v = (v << 1) | nextBit(); i += 1 }
         if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
       }
-      val bw = (width + 7) / 8
-      val bh = (height + 7) / 8
-      val planes = Array.fill(nComps)(new Array[Int](width * height))
+      // per-component SUBSAMPLED plane dims (T.81 A.1.1 ceil division);
+      // 1x1 components land full-resolution, exactly as before
+      val maxH = (0 until nComps).map(compH).max
+      val maxV = (0 until nComps).map(compV).max
+      val pw = Array.tabulate(nComps)(c =>
+        (width * compH(c) + maxH - 1) / maxH)
+      val ph = Array.tabulate(nComps)(c =>
+        (height * compV(c) + maxV - 1) / maxV)
+      val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+      val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+      val planes = Array.tabulate(nComps)(c => new Array[Int](pw(c) * ph(c)))
       val coefs = new Array[Int](64)
       val prevDc = new Array[Int](nComps)
       var mcu = 0
-      for (by <- 0 until bh; bx <- 0 until bw) {
+      for (my <- 0 until mcusY; mx <- 0 until mcusX) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
           // byte-align, expect RSTn, reset every DC predictor
           bitCnt = 0
@@ -623,7 +680,8 @@ object Jpeg {
           require(m >= 0xd0 && m <= 0xd7, f"bad restart marker $m%02x")
           java.util.Arrays.fill(prevDc, 0)
         }
-        for (c <- 0 until nComps) {
+        for (c <- 0 until nComps; bv <- 0 until compV(c);
+             bhh <- 0 until compH(c)) {
           val q = quant(compQuant(c))
           java.util.Arrays.fill(coefs, 0)
           val s = decodeHuff(0, dcTable(c))
@@ -644,8 +702,10 @@ object Jpeg {
               zi += 1
             }
           }
-          // IDCT + level shift + clamp
+          // IDCT + level shift + clamp, into this component's plane
           val out = planes(c)
+          val bx = mx * compH(c) + bhh
+          val by = my * compV(c) + bv
           var y = 0
           while (y < 8) {
             var x = 0
@@ -664,9 +724,9 @@ object Jpeg {
               }
               val px = by * 8 + y
               val pxx = bx * 8 + x
-              if (px < height && pxx < width) {
+              if (px < ph(c) && pxx < pw(c)) {
                 val g = math.round(0.25 * acc).toInt + 128
-                out(px * width + pxx) = math.max(0, math.min(255, g))
+                out(px * pw(c) + pxx) = math.max(0, math.min(255, g))
               }
               x += 1
             }
@@ -676,6 +736,29 @@ object Jpeg {
         mcu += 1
       }
       planes
+    }
+
+    /** Upsample component c's decoded plane to full resolution by
+      * nearest-neighbour replication (exact for MCU-tile-constant
+      * fixtures; a rounding-bar concern only vs decoders that
+      * interpolate). No-op for 1x1 components. */
+    def fullResPlane(c: Int, planes: Array[Array[Int]]): Array[Int] = {
+      val maxH = (0 until nComps).map(compH).max
+      val maxV = (0 until nComps).map(compV).max
+      if (compH(c) == maxH && compV(c) == maxV) return planes(c)
+      val pw = (width * compH(c) + maxH - 1) / maxH
+      val out = new Array[Int](width * height)
+      var y = 0
+      while (y < height) {
+        val sy = y * compV(c) / maxV
+        var x = 0
+        while (x < width) {
+          out(y * width + x) = planes(c)(sy * pw + x * compH(c) / maxH)
+          x += 1
+        }
+        y += 1
+      }
+      out
     }
   }
 }

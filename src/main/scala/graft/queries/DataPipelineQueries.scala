@@ -247,17 +247,20 @@ object DataPipelineQueries {
   /** Colour twin: block-constant YCbCr planes round-trip exactly, so
     * the decoded RGB replays as the fixed-point BT.601 inverse of the
     * block formula (`//` on biased-nonnegative numerators == the
-    * kernel's integer division), then the RGB-luma dHash. */
-  private val JpegColorDHashSql =
-    """WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
-      |dim AS (SELECT doc_id, 8 * (4 + doc_id % 7) AS w,
-      |          8 * (3 + doc_id % 7) AS h,
+    * kernel's integer division), then the RGB-luma dHash. `tile` = 8
+    * for the 4:4:4 gate; 16 for the 4:2:0 gate (dims double, the
+    * formula keys off 16x16 tiles, and chroma subsampling cancels
+    * exactly on tile-constant planes). */
+  private def jpegColorDHashSql(tile: Int) =
+    s"""WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+      |dim AS (SELECT doc_id, $tile * (4 + doc_id % 7) AS w,
+      |          $tile * (3 + doc_id % 7) AS h,
       |          ((doc_id // 7) % 12) AS s, doc_id % 13 AS bq
       |        FROM img),
       |px AS (SELECT doc_id, w, h, s, bq, unnest(range(0, w * h)) AS i
       |       FROM dim),
       |xy AS (SELECT doc_id, w, h, s, bq,
-      |         (i % w) // 8 AS bx, (i // w) // 8 AS by,
+      |         (i % w) // $tile AS bx, (i // w) // $tile AS by,
       |         i % w AS x, i // w AS y FROM px),
       |ycc AS (SELECT doc_id, w, h, x, y,
       |         ((bx*bx*5 + by*by*11 + bx*by*(s+1)*3) % 224) + 8
@@ -3013,6 +3016,27 @@ object DataPipelineQueries {
           (lit(8) * (lit(4) + $"doc_id" % 7)).cast("int").as("width"),
           (lit(8) * (lit(3) + $"doc_id" % 7)).cast("int").as("height"),
           jpegColorDHashCol($"doc_id").as("dhash"))
+        .orderBy($"doc_id")
+    }),
+
+    // 4:2:0 SUBSAMPLED colour JPEG — the layout real encoders default
+    // to: Y at 2x2 sampling, Cb/Cr quarter-resolution, interleaved
+    // four-luma-block MCUs. The fixture is 16x16-TILE-constant, so the
+    // subsampled chroma planes are still DC-only and nearest upsampling
+    // reproduces the tile exactly — the full decode (MCU walk, three
+    // Huffman/DC-prediction streams, per-plane IDCT, upsample, colour
+    // convert) replays closed-form, subsampling included.
+    "mm_jpeg420_dhash" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.graft.{internal, DedupJpeg420Payload,
+        JpegColorDHash}
+      val dcol = internal.column(JpegColorDHash(
+        DedupJpeg420Payload(internal.expression($"doc_id"))))
+      t(s, dir, "documents").filter($"doc_id" % 3 === 0)
+        .select($"doc_id",
+          (lit(16) * (lit(4) + $"doc_id" % 7)).cast("int").as("width"),
+          (lit(16) * (lit(3) + $"doc_id" % 7)).cast("int").as("height"),
+          dcol.as("dhash"))
         .orderBy($"doc_id")
     }),
 
@@ -6459,7 +6483,8 @@ object DataPipelineQueries {
         |  CAST(d.h AS INT) AS height, h.dhash
         |FROM hsg h JOIN dim d USING (doc_id) ORDER BY doc_id""".stripMargin),
     "mm_jpeg_neardup" -> JpegNearDupSql,
-    "mm_jpeg_color_dhash" -> JpegColorDHashSql,
+    "mm_jpeg_color_dhash" -> jpegColorDHashSql(tile = 8),
+    "mm_jpeg420_dhash" -> jpegColorDHashSql(tile = 16),
     "gzip_roundtrip" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
     // dHash pairs via the d4 convention: 4x16-bit pigeonhole banding

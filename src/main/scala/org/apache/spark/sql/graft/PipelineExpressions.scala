@@ -367,6 +367,24 @@ case class DedupJpegColorPayload(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** 4:2:0 CHROMA-SUBSAMPLED colour JPEG fixture payload from a doc_id
+  * column (graft.ops.Jpeg.encodeColorYcc420 — Y at 2x2 sampling, Cb/Cr
+  * quarter-resolution, the default layout real encoders emit).
+  * [[JpegColorDHash]] decodes it through the same expression as 4:4:4:
+  * the decoder reads the sampling factors from the frame header. */
+case class DedupJpeg420Payload(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(id: Any): Any =
+    graft.ops.Jpeg.dedupJpeg420PayloadOf(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, id =>
+      s"graft.ops.Jpeg.dedupJpeg420PayloadOf($id)")
+  override def prettyName: String = "dedup_jpeg420_payload"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** 64-bit perceptual dHash of a REAL colour JPEG payload: interleaved
   * 3-component entropy decode + per-plane IDCT + the exact fixed-point
   * BT.601 inverse transform (graft.ops.Jpeg.pixelsColor), then the

@@ -692,7 +692,7 @@ class PlanSpec extends SparkSpec {
         "mm_audio_neardup", "mm_image_neardup", "mm_video_luma",
         "mm_image_knn", "multimodal_dedup_apply",
         "mm_jpeg_dhash", "mm_jpeg_neardup", "mm_jpeg_color_dhash",
-        "gzip_roundtrip", "mm_audio_energy")) {
+        "mm_jpeg420_dhash", "gzip_roundtrip", "mm_audio_energy")) {
       val p = plan(q)
       assert(!p.contains("DeserializeToObject") &&
         !p.contains("SerializeFromObject") && !p.contains("MapElements"),

@@ -124,10 +124,7 @@ class JpegSpec extends AnyFunSuite {
   }
 
   test("COLOUR reverse referee: our decoder reads an ImageIO-WRITTEN " +
-      "RGB JPEG when it is 4:4:4, and refuses subsampled streams loudly") {
-    // ImageIO's default RGB writer subsamples chroma; drive it to 4:4:4
-    // via the highest quality setting if that is what it takes —
-    // otherwise assert the loud refusal path
+      "RGB JPEG at the highest quality setting") {
     val (w, h) = (40, 24)
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -144,19 +141,67 @@ class JpegSpec extends AnyFunSuite {
     w2.write(null, new javax.imageio.IIOImage(img, null, null), p)
     ios.close(); w2.dispose()
     val bytes = bos.toByteArray
-    try {
-      val (ow, oh, ours) = Jpeg.pixelsColor(bytes)
+    val (ow, oh, ours) = Jpeg.pixelsColor(bytes)
+    val (iw, ih, theirs) = imageIoReadRgb(bytes)
+    assert((ow, oh) == (iw, ih) && (ow, oh) == (w, h))
+    // our truncating fixed-point colour convert vs their rounded
+    // real-valued one stacks with two IDCT roundings: a few counts
+    val maxDiff = ours.zip(theirs).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxDiff <= 6,
+      s"foreign colour decode off by $maxDiff (> 6)")
+  }
+
+  test("4:2:0 SUBSAMPLED fixtures decode to the exact tile formula " +
+      "(chroma subsample + nearest upsample cancel on constant tiles); " +
+      "ImageIO agrees away from tile edges") {
+    for (docId <- Seq(0L, 5L, 23L)) {
+      val (w8, h8) = Jpeg.dedupJpegDims(docId)
+      val (w, h) = (2 * w8, 2 * h8)
+      val block = Jpeg.dedupJpegColorYcc(docId) _
+      val bytes = Jpeg.dedupJpeg420PayloadOf(docId)
+      val (dw, dh, ours) = Jpeg.pixelsColor(bytes)
+      assert((dw, dh) == (w, h))
+      for (y <- 0 until h; x <- 0 until w) {
+        val (yv, cb, cr) = block(x / 16, y / 16)
+        val (r, g, b) = Jpeg.yccToRgb(yv, cb, cr)
+        val o = (y * w + x) * 3
+        assert((ours(o), ours(o + 1), ours(o + 2)) == (r, g, b),
+          s"doc $docId pixel ($x,$y)")
+      }
+      // ImageIO's FANCY chroma upsampling interpolates across tile
+      // boundaries where ours replicates; interior pixels (whose
+      // nearest chroma samples have constant neighbours) must agree
       val (iw, ih, theirs) = imageIoReadRgb(bytes)
-      assert((ow, oh) == (iw, ih) && (ow, oh) == (w, h))
-      val maxDiff = ours.zip(theirs).map { case (a, b) => math.abs(a - b) }.max
+      assert((iw, ih) == (w, h))
+      var maxDiff = 0
+      for (y <- 0 until h; x <- 0 until w
+           if x % 16 >= 3 && x % 16 <= 12 && y % 16 >= 3 && y % 16 <= 12;
+           c <- 0 until 3)
+        maxDiff = math.max(maxDiff,
+          math.abs(ours((y * w + x) * 3 + c) - theirs((y * w + x) * 3 + c)))
       assert(maxDiff <= 3,
-        s"foreign colour decode off by $maxDiff (> 3)")
-    } catch {
-      case e: IllegalArgumentException =>
-        // writer chose subsampling after all: the refusal must be loud
-        // and specific, never a mis-decode
-        assert(e.getMessage.contains("4:4:4"), e.getMessage)
+        s"doc $docId: interior pixels off by $maxDiff (> 3) vs ImageIO")
     }
+  }
+
+  test("foreign 4:2:0: our decoder reads ImageIO's DEFAULT-quality RGB " +
+      "JPEG (the subsampled layout real encoders emit) within a smooth-" +
+      "content bar") {
+    val (w, h) = (48, 32)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) // smooth gradients: fancy vs
+      img.setRGB(x, y, ((x * 4 + 40) << 16) | ((y * 5 + 60) << 8) |
+        (x * 2 + y * 2 + 30)) // nearest upsampling stay close
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos)) // default quality
+    val bytes = bos.toByteArray
+    val (ow, oh, ours) = Jpeg.pixelsColor(bytes)
+    val (iw, ih, theirs) = imageIoReadRgb(bytes)
+    assert((ow, oh) == (iw, ih) && (ow, oh) == (w, h))
+    val maxDiff = ours.zip(theirs).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxDiff <= 10,
+      s"foreign 4:2:0 decode off by $maxDiff (> 10) on smooth content")
   }
 
   test("spec violations are rejected loudly") {
