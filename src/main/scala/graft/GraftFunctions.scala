@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import org.apache.spark.sql.graft.{BackgroundPassage, ChunkSplit, CompanyNameNorm, DedupLines, ExtractOrgs, FuzzPartialRatio, FuzzRatio, HtmlToText, MonthShiftReset, NfkcAscii, PseudoEmbedding, SimHash64, internal}
+import org.apache.spark.sql.graft.{BackgroundPassage, ChunkSplit, CompanyNameNorm, DedupLines, ExtractOrgs, FuzzPartialRatio, FuzzRatio, GunzipText, GzipPayload, HtmlToText, JpegColorDHash, JpegDHash, MonthShiftReset, NfkcAscii, PngDHash, PseudoEmbedding, SimHash64, WavEnergyWindows, WavFingerprint, Y4mLumaSumArray, internal}
 
 /** Column-API + SQL surface for the engine's custom Catalyst expressions.
   *
@@ -89,6 +89,23 @@ object GraftFunctions {
       es => PseudoEmbedding(es.head, lit(es(1)).asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       es => SimHash64(es.head), "built-in")
+    // media codec surface: decode/hash opaque binary payloads in SQL
+    reg.createOrReplaceTempFunction("png_dhash",
+      es => PngDHash(es.head), "built-in")
+    reg.createOrReplaceTempFunction("wav_fingerprint",
+      es => WavFingerprint(es.head), "built-in")
+    reg.createOrReplaceTempFunction("wav_energy_windows",
+      es => WavEnergyWindows(es.head, lit(es(1)).asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("y4m_luma_sums",
+      es => Y4mLumaSumArray(es.head), "built-in")
+    reg.createOrReplaceTempFunction("jpeg_dhash",
+      es => JpegDHash(es.head), "built-in")
+    reg.createOrReplaceTempFunction("jpeg_color_dhash",
+      es => JpegColorDHash(es.head), "built-in")
+    reg.createOrReplaceTempFunction("gzip_payload",
+      es => GzipPayload(es.head), "built-in")
+    reg.createOrReplaceTempFunction("gunzip_text",
+      es => GunzipText(es.head), "built-in")
     // cost-based conjunct ordering (idempotent to re-add)
     if (!spark.experimental.extraOptimizations
         .contains(graft.plans.ReorderCostlyConjuncts)) {

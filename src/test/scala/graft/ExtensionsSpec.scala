@@ -21,6 +21,39 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getString(3) == "acme widget")
   }
 
+  test("media codec surface is callable from SQL: gzip round-trips, " +
+      "perceptual hashes match the kernel entry points") {
+    import spark.implicits._
+    val df = Seq((7L, "the quick brown fox decodes media in SQL"))
+      .toDF("doc_id", "text")
+    df.createOrReplaceTempView("codec_docs")
+    val r = spark.sql(
+      "SELECT gunzip_text(gzip_payload(text)) AS back FROM codec_docs")
+    assert(r.collect().head.getString(0) ==
+      "the quick brown fox decodes media in SQL")
+    // hash functions over real payload bytes (fixture-synthesized here,
+    // arbitrary binary columns in production)
+    val pay = Seq((graft.ops.Jpeg.dedupJpegPayloadOf(7L),
+        graft.ops.Jpeg.dedupJpegColorPayloadOf(7L),
+        graft.ops.Multimodal.dedupPngPayloadOf(7L),
+        graft.ops.Multimodal.dedupWavPayloadOf(7L)))
+      .toDF("jpg", "cjpg", "png", "wav")
+    pay.createOrReplaceTempView("codec_payloads")
+    val h = spark.sql(
+      """SELECT jpeg_dhash(jpg) AS jd, jpeg_color_dhash(cjpg) AS cd,
+        |       png_dhash(png) AS pd, wav_fingerprint(wav) AS wf
+        |FROM codec_payloads""".stripMargin).collect().head
+    assert(h.getLong(0) ==
+      graft.ops.Jpeg.jpegDHash(graft.ops.Jpeg.dedupJpegPayloadOf(7L)))
+    assert(h.getLong(1) ==
+      graft.ops.Jpeg.jpegColorDHash(graft.ops.Jpeg.dedupJpegColorPayloadOf(7L)))
+    assert(h.getLong(2) ==
+      graft.ops.Multimodal.pngDHash(graft.ops.Multimodal.dedupPngPayloadOf(7L)))
+    assert(h.getLong(3) ==
+      graft.ops.Multimodal.wavFingerprint(
+        graft.ops.Multimodal.dedupWavPayloadOf(7L)))
+  }
+
   test("chunk_split generator works in SQL lateral view") {
     val rows = spark.sql(
       """SELECT doc_id, chunk_idx, chunk
