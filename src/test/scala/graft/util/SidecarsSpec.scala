@@ -79,6 +79,24 @@ class SidecarsSpec extends SparkSpec {
     assert(readN(root) == Seq(2L))
   }
 
+  test("claim() fences raw (non-swap) mutations: a stale claimant fails " +
+      "before touching anything, a chained claimant proceeds") {
+    val root = mk("claim")
+    Sidecars.swap(spark, root, "side", Seq(1L).toDF("v")) // epoch 1
+    val stale = Sidecars.fenceEpoch(spark, root)
+    // another writer's raw mutation claims first
+    val e2 = Sidecars.claim(spark, root)
+    assert(e2 == 2L)
+    // the stale claimant (read before the mutation) must fail loudly
+    val loser = intercept[IllegalStateException](
+      Sidecars.claim(spark, root, Some(stale)))
+    assert(loser.getMessage.contains("writer fence"))
+    // chaining: the winner threads its claimed epoch onward
+    val e3 = Sidecars.claim(spark, root, Some(e2))
+    assert(e3 == 3L)
+    assert(Sidecars.fenceEpoch(spark, root) == 3L)
+  }
+
   test("pre-fence stores (no _fence dir) upgrade transparently") {
     val root = mk("upgrade")
     // simulate a store written before fencing existed
