@@ -56,10 +56,13 @@ object Snapshots {
     * Writer fencing: data lands in a WRITER-UNIQUE hidden staging dir
     * (concurrent writers never share a write path), healing of a
     * crashed predecessor's dangling `v=<k>` happens before placement
-    * (delete is safe — no manifest row references it), a
+    * but only when the leftover is OLDER THAN AN HOUR (no manifest row
+    * references it, but a fresh one may be a concurrent committer's
+    * just-placed directory — deleting that would let this writer's
+    * manifest row point at the other writer's data), a
     * rename-without-overwrite then places the version (of two
     * concurrent committers of the same k, the later rename fails
-    * cleanly), and the manifest swap — the commit point — carries the
+    * cleanly — the SOLE collision arbiter), and the manifest swap — the commit point — carries the
     * epoch read at transaction start, so a writer that raced ANY other
     * mutation of the store fails there, leaving its placed dir
     * dangling (invisible to readers, healed by the next commit or
@@ -75,10 +78,23 @@ object Snapshots {
     df.write.mode("overwrite").parquet(stage.toString)
     // count what was WRITTEN (what readers will see), not the input plan
     val n = spark.read.parquet(stage.toString).count()
-    // heal a crashed writer's dangling dir: no manifest row names it
-    // (latest() said so), so nothing a reader can see disappears
-    if (fs.exists(vdir)) fs.delete(vdir, true)
-    if (!fs.rename(stage, vdir)) {
+    // heal a crashed writer's dangling dir — AGE-GATED (same 1h bound
+    // as the .stage sweep): no manifest row names it (latest() said
+    // so), so nothing a reader can see disappears, but an unconditional
+    // delete here would race a CONCURRENT committer of the same k who
+    // just placed its directory — deleting it and re-placing ours lets
+    // the other writer's manifest swap commit a row pointing at OUR
+    // data. A fresh v=<k> is therefore left alone and the
+    // rename-without-overwrite below is the sole collision arbiter;
+    // a crashed writer's aged leftover is healed here or by [[expire]].
+    if (fs.exists(vdir) && fs.getFileStatus(vdir).getModificationTime <
+        System.currentTimeMillis() - 3600000L)
+      fs.delete(vdir, true)
+    // the exists check matters: Hadoop FileSystem.rename onto an
+    // existing directory MOVES THE SOURCE INTO IT (posix mv semantics
+    // on LocalFileSystem) instead of failing, which would nest this
+    // writer's stage inside the winner's placed data
+    if (fs.exists(vdir) || !fs.rename(stage, vdir)) {
       fs.delete(stage, true)
       throw new IllegalStateException(
         s"writer fence: $vdir already placed — a concurrent writer is " +
@@ -136,8 +152,15 @@ object Snapshots {
         if (name.startsWith(".stage-") &&
             st.getModificationTime < System.currentTimeMillis() - 3600000L)
           fs.delete(st.getPath, true)
+        // expired versions were removed from the manifest by THIS call's
+        // fenced swap, so deleting them can't race a committer (its swap
+        // conflicts at the fence); a DANGLING dir no manifest ever named
+        // is age-gated like commitVersion's heal — a fresh one may be a
+        // concurrent committer's just-placed data
         if (name.startsWith("v=") &&
-            !retained.contains(name.drop(2).toInt))
+            !retained.contains(name.drop(2).toInt) &&
+            (expired.contains(name.drop(2).toInt) ||
+              st.getModificationTime < System.currentTimeMillis() - 3600000L))
           fs.delete(st.getPath, true)
       }
     expired

@@ -215,13 +215,26 @@ object Inflate {
       val flg = data(off + 3) & 0xff
       require((flg & 0xe0) == 0, "bad gzip: reserved FLG bits set")
       var p = off + 10 // past MTIME(4) XFL OS
+      // every optional-field walk is bounds-checked so a truncated or
+      // malformed header raises the same loud error as every other
+      // malformed-input path, never ArrayIndexOutOfBoundsException
+      def checkLen(need: Int): Unit = require(need <= data.length,
+        "bad gzip: truncated member header")
       if ((flg & 0x04) != 0) { // FEXTRA: 2-byte little-endian length
+        checkLen(p + 2)
         val xlen = (data(p) & 0xff) | ((data(p + 1) & 0xff) << 8)
         p += 2 + xlen
+        checkLen(p)
       }
-      if ((flg & 0x08) != 0) { while (data(p) != 0) p += 1; p += 1 } // FNAME
-      if ((flg & 0x10) != 0) { while (data(p) != 0) p += 1; p += 1 } // FCOMMENT
-      if ((flg & 0x02) != 0) p += 2 // FHCRC (header CRC16)
+      if ((flg & 0x08) != 0) { // FNAME: zero-terminated
+        while (p < data.length && data(p) != 0) p += 1
+        checkLen(p + 1); p += 1
+      }
+      if ((flg & 0x10) != 0) { // FCOMMENT: zero-terminated
+        while (p < data.length && data(p) != 0) p += 1
+        checkLen(p + 1); p += 1
+      }
+      if ((flg & 0x02) != 0) { p += 2; checkLen(p) } // FHCRC (CRC16)
       val (body, end) = rawWithEnd(data, p, sizeHint = 1 << 12)
       require(end + 8 <= data.length, "bad gzip: truncated member trailer")
       def le32(o: Int): Long =

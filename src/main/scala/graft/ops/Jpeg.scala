@@ -332,8 +332,9 @@ object Jpeg {
   def pixelsGray(payload: Array[Byte]): (Int, Int, Array[Int]) = {
     val d = new Decoder(payload)
     d.parseHeaders(stopAtSos = false)
-    val planes = d.decodeScan()
+    // reject BEFORE paying the entropy decode + IDCT of a colour scan
     require(d.nComps == 1, s"pixelsGray on a ${d.nComps}-component JPEG")
+    val planes = d.decodeScan()
     (d.width, d.height, planes(0))
   }
 
@@ -360,8 +361,9 @@ object Jpeg {
   def pixelsColor(payload: Array[Byte]): (Int, Int, Array[Int]) = {
     val d = new Decoder(payload)
     d.parseHeaders(stopAtSos = false)
-    val planes = d.decodeScan()
+    // reject BEFORE paying the entropy decode + IDCT of a gray scan
     require(d.nComps == 3, s"pixelsColor on a ${d.nComps}-component JPEG")
+    val planes = d.decodeScan()
     // 4:2:0/4:2:2 chroma upsamples by nearest-neighbour replication
     val yP = d.fullResPlane(0, planes)
     val cbP = d.fullResPlane(1, planes)
@@ -574,6 +576,13 @@ object Jpeg {
             require(nComps == 1 || compH(1) == 1 && compV(1) == 1 &&
               compH(2) == 1 && compV(2) == 1,
               "chroma sampling factors above 1x1 unsupported")
+            // T.81 A.2: a single-component scan is NON-interleaved (one
+            // data unit per MCU in raster order); this decoder's MCU
+            // loop is interleaved, so a grayscale frame carrying 2x2
+            // factors must be refused loudly, not decoded scrambled
+            require(nComps == 3 || compH(0) == 1 && compV(0) == 1,
+              "single-component scan is non-interleaved (T.81 A.2): " +
+                "sampling factors above 1x1 unsupported for grayscale")
           case 0xc2 => throw new IllegalArgumentException(
             "progressive JPEG (SOF2) unsupported: baseline decoder")
           case 0xc4 => // DHT: one or more tables

@@ -85,15 +85,6 @@ object Sidecars {
       parent + s"/$name.next-${java.util.UUID.randomUUID().toString.take(8)}")
     val old = new org.apache.hadoop.fs.Path(parent + s"/$name.old")
     val fs = cur.getFileSystem(conf)
-    // sweep kill-9'd writers' staging leftovers: anything <name>.next*
-    // older than an hour (a live overlapping writer's stage is younger;
-    // fenced losers and crashed stages clean themselves on the way out)
-    val stale = fs.globStatus(
-      new org.apache.hadoop.fs.Path(parent + s"/$name.next*"))
-    if (stale != null) stale.foreach { st =>
-      if (st.getModificationTime < System.currentTimeMillis() - 3600000L)
-        fs.delete(st.getPath, true)
-    }
     val entryEpoch = expectedEpoch.getOrElse(fenceEpoch(spark, parent))
     try {
       stage(next.toString)
@@ -102,6 +93,20 @@ object Sidecars {
       case e: Throwable =>
         fs.delete(next, true) // loser/crashed stage leaves no garbage
         throw e
+    }
+    // sweep kill-9'd writers' staging leftovers — ONLY inside the claim
+    // winner's window: a writer's entry epoch is always read before its
+    // stage() begins, so any <name>.next* older than an hour belongs to
+    // a writer whose epoch read predates the claim we just won; its own
+    // claim must now fail, so deleting its stage (even mid-write) can
+    // never corrupt a commit-capable transaction. Sweeping BEFORE the
+    // claim could kill a live slow stager whose claim might still win.
+    val stale = fs.globStatus(
+      new org.apache.hadoop.fs.Path(parent + s"/$name.next*"))
+    if (stale != null) stale.foreach { st =>
+      if (st.getPath != next &&
+          st.getModificationTime < System.currentTimeMillis() - 3600000L)
+        fs.delete(st.getPath, true)
     }
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(cur)) require(fs.rename(cur, old),

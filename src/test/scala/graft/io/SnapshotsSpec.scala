@@ -55,8 +55,20 @@ class SnapshotsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Snapshots.asOf(spark, root, 2))
     assert(Snapshots.latest(spark, root) == 1,
       "dangling dir must not advance the version counter")
-    // the re-run heals: overwrite replaces the partial files, manifest
-    // row commits, and the read sees the intended content
+    // a FRESH dangling v=2 may be a CONCURRENT committer's just-placed
+    // directory, so the heal is age-gated: the re-run must fail loudly
+    // at the rename-without-overwrite (the sole collision arbiter) and
+    // leave the directory intact — never delete-and-replace it
+    val vdir = new org.apache.hadoop.fs.Path(root + "/data/v=2")
+    val fs = vdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val racing = intercept[IllegalStateException](Snapshots.commitVersion(
+      spark, root, Seq((2L, "b"), (3L, "c")).toDF("doc_id", "text")))
+    assert(racing.getMessage.contains("writer fence"))
+    assert(fs.exists(vdir), "fresh dangling dir must survive the loser")
+    // age the leftover past the heal bound (a genuinely crashed writer's
+    // directory): now the re-run heals — overwrite replaces the partial
+    // files, the manifest row commits, and the read sees the intent
+    fs.setTimes(vdir, System.currentTimeMillis() - 7200000L, -1)
     assert(Snapshots.commitVersion(spark, root,
       Seq((2L, "b"), (3L, "c")).toDF("doc_id", "text")) == 2)
     assert(Snapshots.asOf(spark, root, 2).orderBy($"doc_id")

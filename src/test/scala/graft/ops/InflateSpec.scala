@@ -146,6 +146,24 @@ class InflateSpec extends AnyFunSuite {
     assert(e.getMessage.contains("CRC"))
     val badMagic = z.clone(); badMagic(0) = 0x1e
     intercept[IllegalArgumentException](Inflate.gunzip(badMagic))
+    // truncated/malformed optional header fields raise the same LOUD
+    // IllegalArgumentException as every other bad-input path — never
+    // ArrayIndexOutOfBoundsException
+    def hdr(flg: Int): Array[Byte] =
+      Array(0x1f, 0x8b, 8, flg, 0, 0, 0, 0, 0, 0).map(_.toByte)
+    // FNAME set but the name never NUL-terminates before end-of-data
+    val cutName = hdr(0x08) ++ "unterminated".getBytes
+    val e1 = intercept[IllegalArgumentException](Inflate.gunzip(cutName))
+    assert(e1.getMessage.contains("bad gzip"))
+    // FEXTRA whose xlen points past the end of the stream
+    val cutExtra = hdr(0x04) ++ Array[Byte](0xff.toByte, 0xff.toByte) ++
+      new Array[Byte](6)
+    val e2 = intercept[IllegalArgumentException](Inflate.gunzip(cutExtra))
+    assert(e2.getMessage.contains("bad gzip"))
+    // FCOMMENT cut mid-scan
+    val cutComment = hdr(0x10) ++ "no terminator...".getBytes
+    val e3 = intercept[IllegalArgumentException](Inflate.gunzip(cutComment))
+    assert(e3.getMessage.contains("bad gzip"))
   }
 
   test("adler-32 matches the JDK's and corruption is rejected loudly") {

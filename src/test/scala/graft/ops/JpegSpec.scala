@@ -220,5 +220,14 @@ class JpegSpec extends AnyFunSuite {
     // truncated entropy data
     intercept[Exception](
       Jpeg.pixelsGray(java.util.Arrays.copyOf(good, good.length - 8)))
+    // T.81 A.2: a single-component scan is non-interleaved — a grayscale
+    // frame carrying 2x2 sampling factors must be REFUSED, not decoded
+    // with the interleaved MCU loop (scrambled block placement). SOF0
+    // payload: len(2) P(1) Y(2) X(2) Nf(1) [Cid(1) HV(1) Tq(1)] — the
+    // first component's HV byte sits at marker offset + 11.
+    val gray2x2 = good.clone()
+    gray2x2(sofAt + 11) = 0x22.toByte
+    val e2 = intercept[IllegalArgumentException](Jpeg.pixelsGray(gray2x2))
+    assert(e2.getMessage.contains("non-interleaved"), e2.getMessage)
   }
 }
