@@ -56,11 +56,17 @@ object Bench {
     // isolated from the full suite's working set. Used to attribute
     // round-over-round drift: isolated ≈ prior round ⇒ shared-JVM
     // working-set cost; isolated still slow ⇒ real per-query regression.
+    // SPARK_GRAFT_BENCH_EXACT=1 makes each filter entry an EXACT query
+    // name instead of a prefix — the scripts/bench_families.py
+    // orchestrator uses this so a name that happens to prefix another
+    // (knn_lsh / knn_lsh_deleted) can't be timed in two batches.
     val filterPrefixes = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .filter(_.nonEmpty)
+    val exactNames = sys.env.get("SPARK_GRAFT_BENCH_EXACT").contains("1")
     val named = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
-      filterPrefixes.forall(_.exists(n.startsWith))
+      filterPrefixes.forall(_.exists(p =>
+        if (exactNames) n == p else n.startsWith(p)))
     }
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
