@@ -233,16 +233,24 @@ object Graph {
     * m - C(m,2) + C(m,3) = 1 for m in 1..3, so A - B + C counts each
     * new triangle exactly once per member node.
     *
-    * Scale posture: every join is equi-keyed on 8-byte node ids and
-    * every ENUMERATION is delta-proportional (delta x min-degree
-    * neighbourhood for A, delta x delta for B, delta-only for C) — the
-    * old edge set is probed, never re-enumerated; old pairs never
-    * re-wedge. What remains per refresh is LINEAR in the merged edge
-    * count (degree table, closing-probe Bloom, canonical
-    * normalization), which is the part a full recompute also pays —
-    * the quadratic wedge enumeration is what the fold eliminates.
-    * Re-inserted edges (already live) are dropped from the delta first,
-    * so replays are no-ops.
+    * THE PROBE STRUCTURE IS ADJACENCY-LIST, NOT EDGE-JOIN (r14): the
+    * merged NEIGHBOUR LIST of every delta ENDPOINT is assembled once
+    * (one pruned aggregation — old edges touching a delta endpoint,
+    * collected per node), then A is a per-delta-edge array_intersect of
+    * the two endpoint lists and B is an array_contains probe — both
+    * whole-stage-codegen scalar work on delta-sized rows, no wedge
+    * candidate set ever materializes and no Bloom/degree machinery is
+    * needed at all. r13's edge-join formulation enumerated min-degree
+    * × delta candidate rows (4.2M at sf0.1's 3% delta) and re-paid a
+    * merged degree aggregation + a 4 MiB Bloom build per refresh; the
+    * adjacency form replaces all of it with one delta-endpoint-pruned
+    * pass. Re-inserted edges (already live) are dropped from the delta
+    * first, so replays are no-ops.
+    *
+    * Skew bound: a hub endpoint's neighbour list is one array row
+    * (degree × 8 B — 8 MB at degree 10^6); graphs beyond that need the
+    * degree-capped ingestion the curation ops provide. The intersect
+    * cost is hash-set linear in the two list lengths.
     *
     * @param prevCounts (node, n_tri) over the old graph
     * @param oldPairs   old undirected edges (id_1, id_2), any orientation
@@ -250,69 +258,63 @@ object Graph {
     * @return (node, n_tri) over old ∪ delta, nodes in >= 1 triangle */
   def incrementalTriangles(prevCounts: DataFrame, oldPairs: DataFrame,
       deltaPairs: DataFrame): DataFrame = {
-    def canon(p: DataFrame) = p
-      .select(least(col("id_1"), col("id_2")).as("a"),
-        greatest(col("id_1"), col("id_2")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-    val old = canon(oldPairs).localCheckpoint()
-    val delta = canon(deltaPairs)
+    val old = canonPairs(oldPairs).localCheckpoint()
+    val delta = canonPairs(deltaPairs)
       .join(old, Seq("a", "b"), "left_anti") // re-inserts are no-ops
       .localCheckpoint()
-    val merged = old.unionByName(delta)
-    val mergedSym = merged.select(col("a").as("x"), col("b").as("y"))
-      .unionByName(merged.select(col("b").as("x"), col("a").as("y")))
+    // merged adjacency of the DELTA ENDPOINTS only: the old graph is
+    // pruned to rows touching an endpoint (broadcast semi-join — the
+    // old side never shuffles in full), then collected per node
+    val ends = delta.select(col("a").as("n"))
+      .unionByName(delta.select(col("b").as("n"))).distinct()
+    val oldSym = old.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(old.select(col("b").as("x"), col("a").as("y")))
     val deltaSym = delta.select(col("a").as("x"), col("b").as("y"))
       .unionByName(delta.select(col("b").as("x"), col("a").as("y")))
-    // A: delta edge (a, b) + common neighbour w in the merged graph.
-    // Skew defence: enumerate candidates from the LOWER-degree endpoint
-    // (the triangleCounts degree-ordering idea applied to the delta) —
-    // a delta edge touching a hub contributes min(deg a, deg b)
-    // candidate rows, not deg(hub).
-    val deg = mergedSym.groupBy(col("x").as("n")).agg(count(lit(1)).as("dg"))
-    val dOrd = delta
-      .join(deg.select(col("n").as("a"), col("dg").as("da")), "a")
-      .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")
-      .select(when(col("da") <= col("db"),
-          struct(col("a").as("lo"), col("b").as("hi")))
-        .otherwise(struct(col("b").as("lo"), col("a").as("hi"))).as("e"))
-      .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
-    // the same measured Bloom pre-gate as triangleCounts: the closing
-    // probes dominate the shuffle (candidates >> closures), so when the
-    // merged edge set fits the bitset budget, candidates filter
-    // MAP-SIDE before the exchange; the exact join after keeps
-    // bit-identity (false negatives impossible)
-    // Bloom over the SYMMETRIC view (both orientations inserted) so the
-    // probe hashes the candidate columns DIRECTLY — canonicalizing with
-    // least/greatest inside the probe doubles the generated filter past
-    // the JIT inlining budget (the measured k-cliff of Bloom.scala) and
-    // cost 20x in throughput when tried
-    val eCount = merged.count()
-    val closeBits: Option[Array[Long]] =
-      if (eCount > 0 && 2 * eCount <= MaxBloomEdges) {
-        val mBits = {
-          var m = 1L << 20
-          while (m < 24L * eCount) m <<= 1 // 12 bits/insert, 2 inserts/edge
-          m.toInt
-        }
-        Some(Bloom.buildBits(mergedSym, Seq(col("x"), col("y")), mBits, 6))
-      } else None
-    def gated(cand: DataFrame, u: String, v: String): DataFrame =
-      closeBits.fold(cand)(bits =>
-        cand.filter(Bloom.mightContain(Seq(col(u), col(v)), bits, 6)))
-    val aTri = gated(dOrd
-        .join(mergedSym.select(col("x").as("lo"), col("y").as("w")), "lo"),
-        "hi", "w")
-      .join(mergedSym.select(col("x").as("hi"), col("y").as("w")),
-        Seq("hi", "w"))
-      .select(col("lo").as("a"), col("hi").as("b"), col("w"))
+    val adjm = oldSym.unionByName(deltaSym)
+      .join(ends.withColumnRenamed("n", "x"), Seq("x"), "left_semi")
+      .groupBy(col("x").as("n")).agg(collect_list(col("y")).as("adj"))
+    foldTriangles(prevCounts, delta, adjm)
+  }
+
+  /** Canonical undirected edge normalization shared by every triangle
+    * entry point: (a < b), self-loops and duplicates dropped. */
+  private def canonPairs(p: DataFrame): DataFrame = p
+    .select(least(col("id_1"), col("id_2")).as("a"),
+      greatest(col("id_1"), col("id_2")).as("b"))
+    .filter(col("a") =!= col("b"))
+    .distinct()
+
+  /** The inclusion-exclusion FOLD CORE shared by [[incrementalTriangles]]
+    * (which assembles the endpoint adjacency from the in-memory merged
+    * graph) and [[incrementalTrianglesStored]] (which reads it from the
+    * store's adj/ sidecar): all three terms are delta-proportional
+    * scalar/array work — no candidate set, no old-edge shuffle.
+    *
+    * @param delta canonical delta edges (a < b, distinct), disjoint
+    *              from the old graph
+    * @param adjm  (n, adj) MERGED-graph neighbour lists covering every
+    *              delta endpoint, each neighbour exactly once */
+  private def foldTriangles(prevCounts: DataFrame, delta: DataFrame,
+      adjm: DataFrame): DataFrame = {
+    val deltaSym = delta.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(delta.select(col("b").as("x"), col("a").as("y")))
+    // A: common merged-neighbours of the delta edge's endpoints — one
+    // array_intersect per delta edge (both lists cover the merged
+    // graph, so closures through old AND delta edges are all found)
+    val aTri = delta
+      .join(adjm.select(col("n").as("a"), col("adj").as("adjA")), "a")
+      .join(adjm.select(col("n").as("b"), col("adj").as("adjB")), "b")
+      .select(col("a"), col("b"),
+        explode(array_intersect(col("adjA"), col("adjB"))).as("w"))
     // B: delta edges (s, p) and (s, q) sharing s, p < q, closing edge
-    // (p, q) present in the merged graph
-    val bTri = gated(deltaSym.select(col("x").as("s"), col("y").as("p"))
-        .join(deltaSym.select(col("x").as("s"), col("y").as("q")), "s")
-        .filter(col("p") < col("q")), "p", "q")
-      .join(merged.select(col("a").as("p"), col("b").as("q")),
-        Seq("p", "q"))
+    // (p, q) probed in the merged graph — p is itself a delta endpoint,
+    // so its merged list is already in adjm
+    val bTri = deltaSym.select(col("x").as("s"), col("y").as("p"))
+      .join(deltaSym.select(col("x").as("s"), col("y").as("q")), "s")
+      .filter(col("p") < col("q"))
+      .join(adjm.select(col("n").as("p"), col("adj")), "p")
+      .filter(array_contains(col("adj"), col("q")))
       .select(col("s"), col("p"), col("q"))
     // C: triangles entirely within the delta (u < v < w by canonical
     // id order over canonical edges — each counted exactly once)
@@ -339,6 +341,156 @@ object Graph {
         (coalesce(col("n_tri"), lit(0L)) + coalesce(col("d"), lit(0L)))
           .as("n_tri"))
       .filter(col("n_tri") > 0)
+  }
+
+  // ------------------------------------------------------------------
+  // PERSISTED TRIANGLE STORE — the delta-proportional refresh path.
+  //
+  // r13's incrementalTriangles re-paid three LINEAR passes per refresh
+  // (canonicalize the old pairs, rebuild the merged degree table,
+  // rebuild the 4 MiB closing-probe Bloom + an eager merged.count()),
+  // which capped the measured win over full recompute at ~15% even
+  // though the fold's ENUMERATIONS were delta-proportional. This store
+  // persists what a refresh needs, and every sidecar is ADDITIVE under
+  // edge inserts:
+  //   edges/  canonical (id_1 < id_2) distinct — APPEND-ONLY files, the
+  //           ground truth (rebuilds/compaction read it), so
+  //           canon(oldPairs) disappears from the refresh;
+  //   adj/    (n, adj array<long>) symmetric neighbour-list INCREMENT
+  //           rows — an append adds one row per delta endpoint holding
+  //           its NEW neighbours; readers prune to the endpoints they
+  //           need (broadcast semi-join — no shuffle of the store),
+  //           then flatten the increments. The refresh's A term is an
+  //           array_intersect of two endpoint lists, its B term an
+  //           array_contains probe — no degree table, no Bloom, no
+  //           candidate materialization (see incrementalTriangles);
+  //   meta/   one row (edge_count) — rolls forward arithmetically;
+  //   counts/ (node, n_tri) — the fold's output, swapped whole (it IS
+  //           the query result, linear by definition).
+  // What a refresh touches of the old graph: ONE pruned scan of adj/
+  // (column-pruned, shuffle-free; bucketing adj/ by a hash of n is the
+  // sub-linear path when deltas are tiny against a huge store) and one
+  // pruned scan for the re-insert check. Skew bound: a hub's adjacency
+  // is one array row per append (degree × 8 B) — the curation ops'
+  // degree capping is the upstream defence for pathological hubs.
+  // ------------------------------------------------------------------
+
+  /** Build the store fresh at `path` (must be empty/new): full
+    * triangleCounts plus the roll-forward sidecars. Fenced like
+    * [[BandIndex]]: epoch claimed before the raw writes, threaded
+    * through the sidecar swaps — a concurrent writer fails loudly. */
+  def writeTriangleStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, pairs: DataFrame): Unit = {
+    import graft.util.Sidecars
+    import spark.implicits._
+    val und = canonPairs(pairs).localCheckpoint()
+    val undSym = und.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(und.select(col("b").as("x"), col("a").as("y")))
+    val eCount = und.count()
+    var e = Sidecars.claim(spark, path, Some(0L)) // fresh store only
+    und.select(col("a").as("id_1"), col("b").as("id_2"))
+      .write.parquet(path + "/edges")
+    undSym.groupBy(col("x").as("n")).agg(collect_list(col("y")).as("adj"))
+      .write.parquet(path + "/adj")
+    e = Sidecars.swap(spark, path, "meta",
+      Seq(eCount).toDF("edge_count"), single = true, expectedEpoch = Some(e))
+    Sidecars.swap(spark, path, "counts",
+      triangleCounts(und.select(col("a").as("id_1"), col("b").as("id_2"))),
+      expectedEpoch = Some(e))
+  }
+
+  /** Prune the adj/ increments to one flattened merged list per node in
+    * `ends`, including the delta's own contribution — the only pass a
+    * refresh makes over old-graph data (shuffle-free scan: `ends` is
+    * delta-sized and broadcasts). */
+  private def adjFor(spark: org.apache.spark.sql.SparkSession,
+      path: String, ends: DataFrame, deltaSym: DataFrame): DataFrame = {
+    val oldAdj = spark.read.parquet(path + "/adj")
+      .select(col("n").as("x"), col("adj"))
+      .join(ends.withColumnRenamed("n", "x"), Seq("x"), "left_semi")
+      .select(col("x"), explode(col("adj")).as("y"))
+    oldAdj.unionByName(deltaSym)
+      .groupBy(col("x").as("n")).agg(collect_list(col("y")).as("adj"))
+  }
+
+  /** Resolve (delta, merged endpoint adjacency) against the store —
+    * everything [[foldTriangles]] needs, all delta-proportional:
+    * re-inserts drop via an array_contains probe against the pruned old
+    * adjacency (an edge (a,b) is live iff b is in a's stored list), and
+    * the merged neighbour lists come from the same pruned scan plus the
+    * delta's own contribution. */
+  private def resolveDelta(spark: org.apache.spark.sql.SparkSession,
+      path: String, deltaPairs: DataFrame): (DataFrame, DataFrame) = {
+    val deltaC = canonPairs(deltaPairs).localCheckpoint()
+    val endsC = deltaC.select(col("a").as("x"))
+      .unionByName(deltaC.select(col("b").as("x"))).distinct()
+    // re-insert check against the stored lists of the delta's `a`
+    // endpoints (canonical edges: a < b, so a's list suffices)
+    val oldAdjA = spark.read.parquet(path + "/adj")
+      .select(col("n").as("x"), col("adj"))
+      .join(endsC, Seq("x"), "left_semi")
+      .select(col("x").as("a"), explode(col("adj")).as("b"))
+      .filter(col("b") > col("a")) // keep only canonical-direction rows
+    val delta = deltaC
+      .join(oldAdjA, Seq("a", "b"), "left_anti")
+      .localCheckpoint()
+    val deltaSym = delta.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(delta.select(col("b").as("x"), col("a").as("y")))
+    val ends = delta.select(col("a").as("n"))
+      .unionByName(delta.select(col("b").as("n"))).distinct()
+    (delta, adjFor(spark, path, ends, deltaSym))
+  }
+
+  /** READ-ONLY delta refresh against the store: fold `deltaPairs` into
+    * the persisted counts and return the refreshed (node, n_tri) —
+    * hash-equal to a from-scratch count over old ∪ delta (the
+    * `graph_triangles_incremental` gate's full-graph twin), with every
+    * per-refresh pass delta-proportional (see the store banner). */
+  def incrementalTrianglesStored(spark: org.apache.spark.sql.SparkSession,
+      path: String, deltaPairs: DataFrame): DataFrame = {
+    val (delta, adjm) = resolveDelta(spark, path, deltaPairs)
+    foldTriangles(spark.read.parquet(path + "/counts"), delta, adjm)
+  }
+
+  /** APPEND the delta to the store: fold the counts AND roll every
+    * sidecar forward (edge files appended, adjacency increments
+    * appended, edge_count bumped) so the NEXT refresh is just as
+    * delta-proportional. Fencing follows the BandIndex discipline: the
+    * fold materializes before any mutation, the epoch claim fences the
+    * raw appends, the counts swap is the last commit. An all-reinsert
+    * (empty) delta is REFUSED loudly — appends are not monoid merges,
+    * and a crashed append's verbatim retry must never double-count
+    * (the heal for a torn append is a rebuild via
+    * [[writeTriangleStore]], the BandIndex.compact posture).
+    * Returns the refreshed counts (as committed). */
+  def appendTriangleStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, deltaPairs: DataFrame): DataFrame = {
+    import graft.util.Sidecars
+    import spark.implicits._
+    val e0 = Sidecars.fenceEpoch(spark, path) // transaction start
+    val (delta, adjm) = resolveDelta(spark, path, deltaPairs)
+    val nDelta = delta.count()
+    require(nDelta > 0,
+      s"appendTriangleStore: empty delta at $path (every edge already " +
+        "live) — replay of a crashed append? rebuild via writeTriangleStore")
+    // materialize BEFORE mutating: the fold reads adj/ lazily, and an
+    // appended increment must never leak into its own old-graph view
+    val newCounts = foldTriangles(spark.read.parquet(path + "/counts"),
+      delta, adjm).localCheckpoint()
+    val oldEdgeCount = spark.read.parquet(path + "/meta")
+      .collect()(0).getLong(0)
+    var e = Sidecars.claim(spark, path, Some(e0)) // fence the raw appends
+    delta.select(col("a").as("id_1"), col("b").as("id_2"))
+      .write.mode("append").parquet(path + "/edges")
+    delta.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(delta.select(col("b").as("x"), col("a").as("y")))
+      .groupBy(col("x").as("n")).agg(collect_list(col("y")).as("adj"))
+      .write.mode("append").parquet(path + "/adj")
+    e = Sidecars.swap(spark, path, "meta",
+      Seq(oldEdgeCount + nDelta).toDF("edge_count"),
+      single = true, expectedEpoch = Some(e))
+    Sidecars.swap(spark, path, "counts", newCounts, expectedEpoch = Some(e))
+    newCounts
   }
 
   def pagerank(edges: DataFrame, iters: Int): DataFrame =

@@ -299,22 +299,46 @@ object FlowQueries {
       // delta = 1/31 of orders — the small-edit regime an incremental
       // fold exists for (a 14% delta made the fold cost rival the full
       // recompute; at ~3% it is decisively cheaper). The store persists
-      // the CANONICAL old edge set beside the counts — the production
-      // split: the fold reads the graph at rest instead of re-deriving
-      // 1.2M canonical edges from the 12M-row co-purchase self-join on
-      // every refresh.
+      // the CANONICAL old edge set beside the counts PLUS the two
+      // linear-pass sidecars (degree increments, closing-probe Bloom
+      // bits) that r13's fold rebuilt from the merged graph on every
+      // refresh — with them at rest, the refresh's wall time tracks the
+      // delta: the old graph is only probe-SCANNED (broadcast
+      // delta-sized candidates, no shuffle of old edges, no degree
+      // re-aggregation, no Bloom rebuild).
       val store = graft.util.TempDirs.cached("triangles-store-31", dir) { p =>
-        val oldPairs = pairsOf(li.filter($"ok" % 31 =!= 0))
-        graft.ops.Graph.triangleCounts(oldPairs).write.parquet(p + "/counts")
-        oldPairs.select(least($"id_1", $"id_2").as("id_1"),
-            greatest($"id_1", $"id_2").as("id_2"))
-          .distinct().write.parquet(p + "/edges")
+        graft.ops.Graph.writeTriangleStore(s, p,
+          pairsOf(li.filter($"ok" % 31 =!= 0)))
       }
-      graft.ops.Graph.incrementalTriangles(
-        s.read.parquet(store + "/counts"),
-        s.read.parquet(store + "/edges"),
+      graft.ops.Graph.incrementalTrianglesStored(s, store,
         pairsOf(li.filter($"ok" % 31 === 0)))
         .orderBy($"node")
+    }),
+
+    // APPENDED triangle store — the maintenance twin of the read-only
+    // refresh above: the same delta is FOLDED AND COMMITTED
+    // (edge files appended, degree increments appended, Bloom bits
+    // ORed, counts swapped — the BandIndex transaction discipline with
+    // epoch fencing), and the gate reads the counts back from the
+    // store at rest. Hash-equal to from-scratch over the merged graph:
+    // the oracle is the full-graph twin verbatim, so any error in the
+    // roll-forward of ANY sidecar that leaks into the fold shows up as
+    // a count mismatch.
+    "graph_triangles_store_appended" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      def pairsOf(src: DataFrame) = src.as("a").join(src.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("id_1"), col("b.pk").as("id_2"))
+      val store = graft.util.TempDirs.cached("triangles-appended-31", dir) {
+        p =>
+          graft.ops.Graph.writeTriangleStore(s, p,
+            pairsOf(li.filter($"ok" % 31 =!= 0)))
+          graft.ops.Graph.appendTriangleStore(s, p,
+            pairsOf(li.filter($"ok" % 31 === 0)))
+      }
+      s.read.parquet(store + "/counts").orderBy($"node")
     }),
 
     // APPROXIMATE triangle counts — the beyond-the-Bloom-threshold
@@ -489,6 +513,10 @@ object FlowQueries {
     // merged graph (discrete counts, unlike the PageRank fixpoint) —
     // same twin, verbatim.
     "graph_triangles_incremental" -> TrianglesSql,
+    // The appended store's committed counts — same discrete-exactness
+    // argument, so the same twin pins every rolled-forward sidecar
+    // that feeds the fold.
+    "graph_triangles_store_appended" -> TrianglesSql,
     // The stub fetch body is 'Document for <url>' wrapped in one <p>, the
     // cleaning chain reduces it back to that line, and validation keeps
     // exactly the branches whose names occur in the lowercased URL

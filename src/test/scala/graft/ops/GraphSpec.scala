@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, explode}
 
 /** [[Graph.pagerank]] against an in-memory reference loop that replays
   * the exact integer recurrence (same floors, same damping split) on a
@@ -201,6 +202,64 @@ class GraphSpec extends SparkSpec {
           Seq.empty[(Long, Long)].toDF("id_1", "id_2"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(noop == bruteTriangles(oldP))
+    }
+  }
+
+  test("triangle store: stored fold == full-graph counts on random " +
+      "splits; append rolls every sidecar forward to the fresh-build " +
+      "state; replay/empty appends are refused") {
+    val rnd = new scala.util.Random(17)
+    for (round <- 1 to 3) {
+      val pairs = Seq.fill(90)((rnd.nextInt(18).toLong,
+        rnd.nextInt(18).toLong)).filter(p => p._1 != p._2)
+      val (oldP, deltaP0) = pairs.partition(_ => rnd.nextBoolean())
+      if (deltaP0.nonEmpty && oldP.nonEmpty) {
+        val deltaP = deltaP0 ++ oldP.take(4) // dirty: re-inserts are no-ops
+        val store = graft.util.TempDirs.create(s"tri-store-$round") + "/s"
+        Graph.writeTriangleStore(spark, store, oldP.toDF("id_1", "id_2"))
+        // read-only refresh == full recompute
+        val got = Graph.incrementalTrianglesStored(spark, store,
+            deltaP.toDF("id_1", "id_2"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == bruteTriangles(pairs),
+          "stored fold diverged from the full count")
+        // append commits the same counts AND the rolled-forward sidecars
+        Graph.appendTriangleStore(spark, store, deltaP.toDF("id_1", "id_2"))
+        val committed = spark.read.parquet(store + "/counts")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(committed == bruteTriangles(pairs))
+        // sidecars must equal a FRESH build over the merged graph:
+        val fresh = graft.util.TempDirs.create(s"tri-fresh-$round") + "/s"
+        Graph.writeTriangleStore(spark, fresh, pairs.toDF("id_1", "id_2"))
+        def edgeSet(p: String) = spark.read.parquet(p + "/edges")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(edgeSet(store) == edgeSet(fresh), "edge roll-forward")
+        // adjacency increments must FLATTEN to the fresh build's lists
+        // (per-node neighbour SETS equal; increments may split a node's
+        // list across rows — that's the append design)
+        def adjMap(p: String) = spark.read.parquet(p + "/adj")
+          .select(col("n"),
+            explode(col("adj")).as("y"))
+          .collect().groupBy(_.getLong(0))
+          .map { case (n, rs) => n -> rs.map(_.getLong(1)).toSet }
+        assert(adjMap(store) == adjMap(fresh), "adjacency roll-forward")
+        // and hold no duplicates (each neighbour exactly once — the
+        // array_intersect exactness contract)
+        val dupes = spark.read.parquet(store + "/adj")
+          .select(col("n"),
+            explode(col("adj")).as("y"))
+          .groupBy("n", "y").count().filter(col("count") > 1).count()
+        assert(dupes == 0, "duplicate neighbour in rolled adjacency")
+        val (mStore, mFresh) = (
+          spark.read.parquet(store + "/meta").collect()(0),
+          spark.read.parquet(fresh + "/meta").collect()(0))
+        assert(mStore.getLong(0) == mFresh.getLong(0), "edge_count roll")
+        // a verbatim replay (all edges already live) is refused loudly
+        val refusal = intercept[IllegalArgumentException](
+          Graph.appendTriangleStore(spark, store,
+            deltaP.toDF("id_1", "id_2")))
+        assert(refusal.getMessage.contains("empty delta"))
+      }
     }
   }
 
