@@ -108,6 +108,21 @@ object Jpeg {
     0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
     0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
 
+  // AC Huffman table for PROGRESSIVE scans: the Annex K sequential AC
+  // table has no EOBn symbols (0x10..0xE0 — end-of-band run lengths,
+  // T.81 G.1.2.2), which progressive first/refinement scans require, so
+  // real encoders ship custom tables. This one is deliberately flat:
+  // every symbol a progressive scan can emit — EOB0..EOB14, ZRL, and
+  // (run, size) for run 0..15 / size 1..10 — at code length 9 (176
+  // codes in 512, the all-ones prefix never assigned). Spec-valid,
+  // decodes under any conformant reader; optimality is irrelevant for
+  // fixture payloads.
+  private val ProgAcVals: Array[Int] =
+    ((0 to 14).map(_ << 4) ++ Seq(0xf0) ++
+      (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s)).sorted.toArray
+  private val ProgAcBits: Array[Int] =
+    Array(0, 0, 0, 0, 0, 0, 0, 0, ProgAcVals.length, 0, 0, 0, 0, 0, 0, 0)
+
   // cosine basis, StrictMath for cross-platform determinism
   private val Cos: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
     StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0)
@@ -316,6 +331,259 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** Encode an 8-bit grayscale image (dims multiples of 8) as a
+    * PROGRESSIVE (SOF2) JPEG — T.81 Annex G, spectral selection AND
+    * successive approximation, using the 6-scan script shape real
+    * encoders default to for luma:
+    *   1. DC first        Ss=0  Se=0  Ah=0 Al=1   (diff-coded, Al bits withheld)
+    *   2. AC first low    Ss=1  Se=5  Ah=0 Al=2
+    *   3. AC first high   Ss=6  Se=63 Ah=0 Al=2
+    *   4. AC refinement   Ss=1  Se=63 Ah=2 Al=1   (correction bits)
+    *   5. DC refinement   Ss=0  Se=0  Ah=1 Al=0   (raw bit per block)
+    *   6. AC refinement   Ss=1  Se=63 Ah=1 Al=0
+    * After all scans every coefficient is at full precision, so the
+    * block-constant fixtures keep the baseline family's bit-exactness
+    * argument: DC-only blocks, exact quantization, exact IDCT. The AC
+    * first/refinement scans carry EOB-run coding (G.1.2.2) and the
+    * correction-bit protocol (G.1.2.3) — on general content both are
+    * fully exercised and refereed by ImageIO reading our stream. */
+  def encodeProgressiveGray(width: Int, height: Int,
+      pixel: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && width % 8 == 0 && height % 8 == 0,
+      s"fixture dims must be multiples of 8, got ${width}x$height")
+    val bw = width / 8
+    val bh = height / 8
+    // forward DCT + quantization of every block, natural order
+    val blocks = Array.ofDim[Int](bw * bh, 64)
+    for (by <- 0 until bh; bx <- 0 until bw) {
+      val coefs = blocks(by * bw + bx)
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var acc = 0.0
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              acc += ((pixel(bx * 8 + x, by * 8 + y) & 0xff) - 128) *
+                Cos(x)(u) * Cos(y)(v)
+              x += 1
+            }
+            y += 1
+          }
+          val f = 0.25 * cNorm(u) * cNorm(v) * acc
+          coefs(v * 8 + u) = math.round(f / QuantTable(v * 8 + u)).toInt
+          v += 1
+        }
+        u += 1
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream(1024)
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def be16(v: Int): Unit = { out.write(v >> 8); out.write(v & 0xff) }
+    marker(0xd8) // SOI
+    marker(0xdb); be16(2 + 1 + 64); out.write(0) // DQT 0
+    Zigzag.foreach(i => out.write(QuantTable(i)))
+    marker(0xc2); be16(8 + 3) // SOF2
+    out.write(8); be16(height); be16(width); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); be16(2 + 1 + 16 + vals.length); out.write((cls << 4) | id)
+      bits.foreach(out.write); vals.foreach(out.write)
+    }
+    dht(0, 0, DcBits, DcVals)
+    dht(1, 0, ProgAcBits, ProgAcVals)
+    val dcCodes = canonicalCodes(DcBits, DcVals)
+    val acCodes = canonicalCodes(ProgAcBits, ProgAcVals)
+    var bitBuf = 0L
+    var bitCnt = 0
+    def putBits(code: Int, len: Int): Unit = {
+      bitBuf = (bitBuf << len) | (code & ((1L << len) - 1))
+      bitCnt += len
+      while (bitCnt >= 8) {
+        val b = ((bitBuf >> (bitCnt - 8)) & 0xff).toInt
+        out.write(b)
+        if (b == 0xff) out.write(0x00)
+        bitCnt -= 8
+      }
+    }
+    def flushBits(): Unit = if (bitCnt > 0) putBits(0xff, 8 - bitCnt)
+    def category(v: Int): Int = {
+      var a = math.abs(v); var s = 0
+      while (a != 0) { a >>= 1; s += 1 }
+      s
+    }
+    def sos(ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      marker(0xda); be16(6 + 2)
+      out.write(1); out.write(1); out.write(0x00)
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+    }
+    // --- scan 1: DC first, Al = 1 (diff of the arithmetic-shifted DC,
+    // mirrored by the decoder's << Al reconstruction) ---
+    sos(0, 0, 0, 1)
+    var prevDc = 0
+    for (b <- blocks) {
+      val v = b(0) >> 1
+      val diff = v - prevDc
+      prevDc = v
+      val s = category(diff)
+      val (c0, l0) = dcCodes(s)
+      putBits(c0, l0)
+      if (s > 0) putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+    }
+    flushBits()
+    // --- AC scans: shared first-scan and refinement emitters ---
+    // first scan (G.1.2.2): sign-magnitude point transform, run/size
+    // symbols, cross-block EOB runs flushed as EOBn + extension bits
+    def acFirstScan(ss: Int, se: Int, al: Int): Unit = {
+      sos(ss, se, 0, al)
+      var eobrun = 0
+      def emitEobrun(): Unit = if (eobrun > 0) {
+        var nbits = 0
+        var t = eobrun
+        while ({ t >>= 1; t != 0 }) nbits += 1
+        val (c0, l0) = acCodes(nbits << 4)
+        putBits(c0, l0)
+        if (nbits > 0) putBits(eobrun - (1 << nbits), nbits)
+        eobrun = 0
+      }
+      for (b <- blocks) {
+        // point transform toward zero (T.81 G.1.2.2, not >>)
+        var hasContent = false
+        var k = ss
+        while (k <= se && !hasContent) {
+          if (math.abs(b(Zigzag(k))) >> al != 0) hasContent = true
+          k += 1
+        }
+        if (!hasContent) {
+          eobrun += 1
+          if (eobrun == 0x7fff) emitEobrun()
+        } else {
+          emitEobrun()
+          var r = 0
+          var lastNz = se
+          while (math.abs(b(Zigzag(lastNz))) >> al == 0) lastNz -= 1
+          k = ss
+          while (k <= lastNz) {
+            val raw = b(Zigzag(k))
+            val mag = math.abs(raw) >> al
+            if (mag == 0) r += 1
+            else {
+              while (r > 15) {
+                val (z, zl) = acCodes(0xf0); putBits(z, zl); r -= 16
+              }
+              val t = if (raw < 0) -mag else mag
+              val s = category(t)
+              val (c0, l0) = acCodes((r << 4) | s)
+              putBits(c0, l0)
+              putBits(if (t >= 0) t else t + (1 << s) - 1, s)
+              r = 0
+            }
+            k += 1
+          }
+          if (lastNz < se) eobrun += 1 // trailing zeros: a fresh EOB run
+        }
+      }
+      emitEobrun()
+      flushBits()
+    }
+    // refinement scan (G.1.2.3): newly-significant run/1 symbols with
+    // sign bits; one buffered correction bit per nonzero-history
+    // coefficient passed, flushed after the symbol that spans it
+    def acRefineScan(ss: Int, se: Int, al: Int): Unit = {
+      sos(ss, se, al + 1, al)
+      // two correction-bit buffers, matching where the DECODER reads
+      // them: bits tied to the PENDING EOB RUN (previous blocks' tails,
+      // read right after the EOBn extension bits, block order) vs bits
+      // of the CURRENT block since the last symbol (read while the
+      // decoder advances past that symbol's span)
+      var eobrun = 0
+      val pendingEob = new scala.collection.mutable.ArrayBuffer[Int]()
+      val pendingCur = new scala.collection.mutable.ArrayBuffer[Int]()
+      def emitCur(): Unit = { pendingCur.foreach(putBits(_, 1)); pendingCur.clear() }
+      def emitEobrun(): Unit = {
+        if (eobrun > 0) {
+          var nbits = 0
+          var t = eobrun
+          while ({ t >>= 1; t != 0 }) nbits += 1
+          val (c0, l0) = acCodes(nbits << 4)
+          putBits(c0, l0)
+          if (nbits > 0) putBits(eobrun - (1 << nbits), nbits)
+          eobrun = 0
+        }
+        pendingEob.foreach(putBits(_, 1)); pendingEob.clear()
+      }
+      for (b <- blocks) {
+        // last newly-significant index (|coef| at this precision == 1);
+        // ZRLs are only emitted up to it — trailing zero runs fold into
+        // the cross-block EOB run instead
+        var lastNew = ss - 1
+        var k = ss
+        while (k <= se) {
+          if (math.abs(b(Zigzag(k))) >> al == 1) lastNew = k
+          k += 1
+        }
+        var r = 0
+        k = ss
+        while (k <= se) {
+          val raw = b(Zigzag(k))
+          val mag = math.abs(raw) >> al
+          if (mag == 0) r += 1
+          else {
+            while (r > 15 && k <= lastNew) {
+              emitEobrun()
+              val (z, zl) = acCodes(0xf0); putBits(z, zl)
+              r -= 16
+              emitCur() // corrections inside the ZRL span
+            }
+            if (mag > 1) pendingCur += (mag & 1) // history-nonzero: r unchanged
+            else { // newly significant (history |coef| was 0 at Al+1)
+              emitEobrun()
+              val (c0, l0) = acCodes((r << 4) | 1)
+              putBits(c0, l0)
+              putBits(if (raw < 0) 0 else 1, 1)
+              emitCur() // corrections inside this symbol's span
+              r = 0
+            }
+          }
+          k += 1
+        }
+        if (r > 0 || pendingCur.nonEmpty) { // block tail folds into EOB run
+          eobrun += 1
+          pendingEob ++= pendingCur
+          pendingCur.clear()
+          if (eobrun == 0x7fff) emitEobrun()
+        }
+      }
+      emitEobrun()
+      flushBits()
+    }
+    acFirstScan(1, 5, 2)   // scan 2
+    acFirstScan(6, 63, 2)  // scan 3
+    acRefineScan(1, 63, 1) // scan 4
+    // --- scan 5: DC refinement, one raw bit per block ---
+    sos(0, 0, 1, 0)
+    for (b <- blocks) putBits(b(0) & 1, 1)
+    flushBits()
+    acRefineScan(1, 63, 0) // scan 6
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** PROGRESSIVE fixture payload: the grayscale dedup block formula
+    * through [[encodeProgressiveGray]] — decoded pixels equal the
+    * baseline fixture's exactly (block-constant, full precision after
+    * all scans), so the mm_jpeg_prog_dhash oracle is the SAME pixel
+    * formula replay as mm_jpeg_dhash; only the wire format differs.
+    * Static entry point for the
+    * [[org.apache.spark.sql.graft.DedupJpegProgPayload]] expression. */
+  def dedupJpegProgPayloadOf(docId: Long): Array[Byte] = {
+    val (w, h) = dedupJpegDims(docId)
+    val block = dedupJpegBlockVal(docId) _
+    encodeProgressiveGray(w, h, (x, y) => block(x / 8, y / 8))
+  }
+
   /** Header probe: (width, height) from the SOF0 frame header — the
     * O(1) metadata pass, JPEG sibling of [[Multimodal.pngDims]]. */
   def dims(payload: Array[Byte]): (Int, Int) = {
@@ -334,7 +602,7 @@ object Jpeg {
     d.parseHeaders(stopAtSos = false)
     // reject BEFORE paying the entropy decode + IDCT of a colour scan
     require(d.nComps == 1, s"pixelsGray on a ${d.nComps}-component JPEG")
-    val planes = d.decodeScan()
+    val planes = if (d.progressive) d.decodeProgressive() else d.decodeScan()
     (d.width, d.height, planes(0))
   }
 
@@ -363,7 +631,7 @@ object Jpeg {
     d.parseHeaders(stopAtSos = false)
     // reject BEFORE paying the entropy decode + IDCT of a gray scan
     require(d.nComps == 3, s"pixelsColor on a ${d.nComps}-component JPEG")
-    val planes = d.decodeScan()
+    val planes = if (d.progressive) d.decodeProgressive() else d.decodeScan()
     // 4:2:0/4:2:2 chroma upsamples by nearest-neighbour replication
     val yP = d.fullResPlane(0, planes)
     val cbP = d.fullResPlane(1, planes)
@@ -519,24 +787,100 @@ object Jpeg {
     var width = 0
     var height = 0
     var nComps = 0
+    var progressive = false
     private var pos = 0
     private val quant = Array.ofDim[Int](4, 64) // natural order
     // Huffman tables by (class, id): count per length + canonical symbols
     private val hCount = Array.ofDim[Int](2, 4, 17)
     private val hSyms = Array.ofDim[Array[Int]](2, 4)
     private val compQuant = new Array[Int](3)
+    private val compId = new Array[Int](3)
     private val compH = new Array[Int](3) // sampling factors (<= 2)
     private val compV = new Array[Int](3)
     private val dcTable = new Array[Int](3)
     private val acTable = new Array[Int](3)
     private var restartInterval = 0
     private var scanStart = -1
+    // current scan parameters (progressive: set per SOS; baseline: the
+    // full 0..63 sequential scan)
+    private var scanComps: Array[Int] = null // frame component indices
+    private var ss = 0
+    private var se = 63
+    private var ah = 0
+    private var al = 0
 
     private def u8(): Int = {
       require(pos < data.length, "not a JPEG: truncated")
       val v = data(pos) & 0xff; pos += 1; v
     }
     private def u16(): Int = { val hi = u8(); (hi << 8) | u8() }
+
+    private def parseDht(): Unit = {
+      val seglen = u16() // read BEFORE using pos: u16 advances it
+      val end = pos + seglen - 2
+      while (pos < end) {
+        val tcTh = u8()
+        val tc = tcTh >> 4; val th = tcTh & 0x0f
+        require(tc <= 1 && th <= 3, "bad DHT class/id")
+        var total = 0
+        var l = 1
+        while (l <= 16) { hCount(tc)(th)(l) = u8(); total += hCount(tc)(th)(l); l += 1 }
+        hSyms(tc)(th) = Array.fill(total)(u8())
+      }
+    }
+
+    private def parseDqt(): Unit = {
+      val seglen = u16()
+      val end = pos + seglen - 2
+      while (pos < end) {
+        val pqTq = u8()
+        require((pqTq >> 4) == 0, "only 8-bit quant tables here")
+        val tq = pqTq & 0x0f
+        var i = 0
+        while (i < 64) { quant(tq)(Zigzag(i)) = u8(); i += 1 }
+      }
+    }
+
+    /** Parse an SOS header and set the current-scan state; leaves `pos`
+      * at the first entropy byte. Baseline mode requires the single
+      * full sequential scan; progressive accepts any spec-valid
+      * (Ss, Se, Ah, Al) band. */
+    private def parseSos(): Unit = {
+      u16()
+      val ns = u8()
+      if (progressive)
+        require(ns >= 1 && ns <= nComps, s"bad scan component count $ns")
+      else require(ns == nComps,
+        s"interleaved scan expected: $ns of $nComps components")
+      scanComps = new Array[Int](ns)
+      for (i <- 0 until ns) {
+        val cid = u8()
+        var idx = -1
+        var c = 0
+        while (c < nComps) { if (compId(c) == cid) idx = c; c += 1 }
+        require(idx >= 0, s"unknown scan component id $cid")
+        scanComps(i) = idx
+        val t = u8()
+        dcTable(idx) = t >> 4; acTable(idx) = t & 0x0f
+      }
+      ss = u8(); se = u8()
+      val ahal = u8(); ah = ahal >> 4; al = ahal & 0x0f
+      if (progressive) {
+        require(ss <= se && se <= 63 && al <= 13 && ah <= 13 &&
+          (ah == 0 || ah == al + 1),
+          s"bad progressive scan header Ss=$ss Se=$se Ah=$ah Al=$al")
+        require(ss > 0 || se == 0, "DC progressive scan must have Se=0")
+        require(ss == 0 || ns == 1,
+          "progressive AC scans are non-interleaved (T.81 G.1)")
+      } else {
+        require(ss == 0 && se == 63 && ah == 0 && al == 0,
+          "not a baseline sequential scan")
+        // the baseline MCU loop walks components in FRAME order
+        require(scanComps.sameElements(0 until nComps),
+          "baseline scan order must match frame order")
+      }
+      scanStart = pos
+    }
 
     def parseHeaders(stopAtSos: Boolean): Unit = {
       require(data.length >= 4 && u8() == 0xff && u8() == 0xd8,
@@ -547,25 +891,17 @@ object Jpeg {
         require(m == 0xff, f"not a JPEG: expected marker, got $m%02x")
         while (m == 0xff) m = u8() // fill bytes are legal
         m match {
-          case 0xdb => // DQT: one or more tables
-            val seglen = u16() // read BEFORE using pos: u16 advances it
-            val end = pos + seglen - 2
-            while (pos < end) {
-              val pqTq = u8()
-              require((pqTq >> 4) == 0, "only 8-bit quant tables here")
-              val tq = pqTq & 0x0f
-              var i = 0
-              while (i < 64) { quant(tq)(Zigzag(i)) = u8(); i += 1 }
-            }
-          case 0xc0 | 0xc1 => // SOF0/1: baseline (extended-sequential ok)
+          case 0xdb => parseDqt()
+          case 0xc0 | 0xc1 | 0xc2 => // SOF0/1 baseline, SOF2 progressive
+            progressive = m == 0xc2
             u16()
-            require(u8() == 8, "not 8-bit baseline")
+            require(u8() == 8, "not 8-bit")
             height = u16(); width = u16()
             nComps = u8()
             require(nComps == 1 || nComps == 3,
               s"grayscale/YCbCr decoder: got $nComps components")
             for (c <- 0 until nComps) {
-              u8() // component id (position-ordered here and in SOS)
+              compId(c) = u8()
               val hv = u8()
               compH(c) = hv >> 4; compV(c) = hv & 0x0f
               require(compH(c) >= 1 && compH(c) <= 2 &&
@@ -577,42 +913,20 @@ object Jpeg {
               compH(2) == 1 && compV(2) == 1,
               "chroma sampling factors above 1x1 unsupported")
             // T.81 A.2: a single-component scan is NON-interleaved (one
-            // data unit per MCU in raster order); this decoder's MCU
+            // data unit per MCU in raster order); the baseline MCU
             // loop is interleaved, so a grayscale frame carrying 2x2
             // factors must be refused loudly, not decoded scrambled
+            // (the progressive path handles non-interleaved AC scans,
+            // but keeps the same frame restriction for symmetry)
             require(nComps == 3 || compH(0) == 1 && compV(0) == 1,
               "single-component scan is non-interleaved (T.81 A.2): " +
                 "sampling factors above 1x1 unsupported for grayscale")
-          case 0xc2 => throw new IllegalArgumentException(
-            "progressive JPEG (SOF2) unsupported: baseline decoder")
-          case 0xc4 => // DHT: one or more tables
-            val seglen = u16() // read BEFORE using pos: u16 advances it
-            val end = pos + seglen - 2
-            while (pos < end) {
-              val tcTh = u8()
-              val tc = tcTh >> 4; val th = tcTh & 0x0f
-              require(tc <= 1 && th <= 3, "bad DHT class/id")
-              var total = 0
-              var l = 1
-              while (l <= 16) { hCount(tc)(th)(l) = u8(); total += hCount(tc)(th)(l); l += 1 }
-              hSyms(tc)(th) = Array.fill(total)(u8())
-            }
+          case 0xc4 => parseDht()
           case 0xdd => // DRI
             require(u16() == 4, "bad DRI length")
             restartInterval = u16()
-          case 0xda => // SOS
-            u16()
-            val ns = u8()
-            require(ns == nComps,
-              s"interleaved scan expected: $ns of $nComps components")
-            for (c <- 0 until ns) {
-              u8() // component selector (frame order assumed)
-              val t = u8()
-              dcTable(c) = t >> 4; acTable(c) = t & 0x0f
-            }
-            require(u8() == 0 && u8() == 63 && u8() == 0,
-              "not a baseline sequential scan")
-            scanStart = pos
+          case 0xda =>
+            parseSos()
             done = true
           case 0xd9 => throw new IllegalArgumentException(
             "not a JPEG: EOI before scan")
@@ -745,6 +1059,285 @@ object Jpeg {
         mcu += 1
       }
       planes
+    }
+
+    /** PROGRESSIVE (SOF2) decode — T.81 Annex G: spectral selection +
+      * successive approximation. Coefficients accumulate across scans
+      * into a per-component MCU-padded block store; after EOI every
+      * image block dequantizes + IDCTs exactly like the baseline path,
+      * so block-constant fixtures stay bit-exact end to end.
+      *
+      * Scan grammar handled: interleaved or single-component DC first
+      * scans (diff-coded at Al precision), raw-bit DC refinements,
+      * non-interleaved AC first scans with EOB runs (G.1.2.2), AC
+      * refinement scans with correction bits (G.1.2.3), DHT/DRI
+      * between scans, restart intervals inside any scan. */
+    def decodeProgressive(): Array[Array[Int]] = {
+      require(progressive && scanStart >= 0, "decodeProgressive misuse")
+      val maxH = (0 until nComps).map(compH).max
+      val maxV = (0 until nComps).map(compV).max
+      val pw = Array.tabulate(nComps)(c =>
+        (width * compH(c) + maxH - 1) / maxH)
+      val ph = Array.tabulate(nComps)(c =>
+        (height * compV(c) + maxV - 1) / maxV)
+      val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+      val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+      val bwPad = Array.tabulate(nComps)(c => mcusX * compH(c))
+      val bhPad = Array.tabulate(nComps)(c => mcusY * compV(c))
+      val store = Array.tabulate(nComps)(c =>
+        new Array[Int](bwPad(c) * bhPad(c) * 64))
+      var moreScans = true
+      pos = scanStart
+      while (moreScans) {
+        decodeProgScan(store, bwPad, pw, ph, mcusX, mcusY)
+        // entropy data consumed exactly; markers follow (fill bytes ok)
+        var sawScan = false
+        var atEnd = false
+        while (!sawScan && !atEnd) {
+          var m = u8()
+          require(m == 0xff,
+            f"not a JPEG: expected marker after scan, got $m%02x")
+          while (m == 0xff) m = u8()
+          m match {
+            case 0xc4 => parseDht()
+            case 0xdb => parseDqt()
+            case 0xdd =>
+              require(u16() == 4, "bad DRI length")
+              restartInterval = u16()
+            case 0xda => parseSos(); sawScan = true
+            case 0xd9 => atEnd = true
+            case x if x >= 0xe0 && x <= 0xef =>
+              val l = u16(); pos += l - 2
+            case 0xfe =>
+              val l = u16(); pos += l - 2
+            case x => throw new IllegalArgumentException(
+              f"unsupported JPEG marker $x%02x between scans")
+          }
+        }
+        moreScans = sawScan
+      }
+      // dequant + IDCT every IMAGE block (padding blocks are decode
+      // scaffolding only) — identical arithmetic to the baseline path
+      val planes = Array.tabulate(nComps)(c => new Array[Int](pw(c) * ph(c)))
+      val coefs = new Array[Int](64)
+      for (c <- 0 until nComps) {
+        val q = quant(compQuant(c))
+        val bw = (pw(c) + 7) / 8
+        val bh = (ph(c) + 7) / 8
+        val out = planes(c)
+        for (by <- 0 until bh; bx <- 0 until bw) {
+          val base = (by * bwPad(c) + bx) * 64
+          var i = 0
+          while (i < 64) { coefs(i) = store(c)(base + i) * q(i); i += 1 }
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              var acc = 0.0
+              var u = 0
+              while (u < 8) {
+                var v = 0
+                while (v < 8) {
+                  val cf = coefs(v * 8 + u)
+                  if (cf != 0)
+                    acc += cNorm(u) * cNorm(v) * cf * Cos(x)(u) * Cos(y)(v)
+                  v += 1
+                }
+                u += 1
+              }
+              val py = by * 8 + y
+              val px = bx * 8 + x
+              if (py < ph(c) && px < pw(c)) {
+                val g = math.round(0.25 * acc).toInt + 128
+                out(py * pw(c) + px) = math.max(0, math.min(255, g))
+              }
+              x += 1
+            }
+            y += 1
+          }
+        }
+      }
+      planes
+    }
+
+    /** One progressive scan's entropy data, accumulated into `store`.
+      * Leaves `pos` at the first byte after the scan's entropy data
+      * (byte-aligned — the next bytes are a marker). */
+    private def decodeProgScan(store: Array[Array[Int]],
+        bwPad: Array[Int], pw: Array[Int], ph: Array[Int],
+        mcusX: Int, mcusY: Int): Unit = {
+      var bitBuf = 0L
+      var bitCnt = 0
+      def nextBit(): Int = {
+        if (bitCnt == 0) {
+          val b = u8()
+          val v = if (b == 0xff) {
+            val n = u8()
+            require(n == 0x00, f"marker ff$n%02x inside entropy data")
+            0xff
+          } else b
+          bitBuf = v; bitCnt = 8
+        }
+        bitCnt -= 1
+        ((bitBuf >> bitCnt) & 1).toInt
+      }
+      def decodeHuff(tc: Int, th: Int): Int = {
+        require(hSyms(tc)(th) != null, s"missing Huffman table $tc/$th")
+        var code = 0; var first = 0; var index = 0; var len = 1
+        while (len <= 16) {
+          code = (code << 1) | nextBit()
+          val cnt = hCount(tc)(th)(len)
+          if (code - first < cnt) return hSyms(tc)(th)(index + code - first)
+          index += cnt
+          first = (first + cnt) << 1
+          len += 1
+        }
+        throw new IllegalArgumentException("bad JPEG: invalid Huffman code")
+      }
+      def receive(s: Int): Int = {
+        var v = 0; var i = 0
+        while (i < s) { v = (v << 1) | nextBit(); i += 1 }
+        v
+      }
+      def receiveExtend(s: Int): Int = {
+        if (s == 0) return 0
+        val v = receive(s)
+        if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+      }
+      val prevDc = new Array[Int](nComps) // predictors reset per scan
+      var eobrun = 0
+      var unit = 0 // MCU (interleaved) / data-unit (non-interleaved) count
+      def restartIfDue(): Unit =
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          bitCnt = 0
+          require(u8() == 0xff, "bad JPEG: expected restart marker")
+          val m = u8()
+          require(m >= 0xd0 && m <= 0xd7, f"bad restart marker $m%02x")
+          java.util.Arrays.fill(prevDc, 0)
+          eobrun = 0
+        }
+      val p1 = 1 << al
+      val m1 = -1 << al
+      if (ss == 0) {
+        // DC scan: interleaved over scanComps (or single-component,
+        // where the MCU is one data unit in the component's own grid)
+        val interleaved = scanComps.length > 1
+        def dcUnit(c: Int, blockBase: Int): Unit =
+          if (ah == 0) {
+            val s = decodeHuff(0, dcTable(c))
+            prevDc(c) += receiveExtend(s)
+            store(c)(blockBase) = prevDc(c) << al
+          } else { // refinement: one raw bit at position Al
+            if (nextBit() == 1) store(c)(blockBase) |= p1
+          }
+        if (interleaved) {
+          for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+            restartIfDue()
+            for (i <- scanComps.indices; c = scanComps(i);
+                 bv <- 0 until compV(c); bhh <- 0 until compH(c)) {
+              val bx = mx * compH(c) + bhh
+              val by = my * compV(c) + bv
+              dcUnit(c, (by * bwPad(c) + bx) * 64)
+            }
+            unit += 1
+          }
+        } else {
+          val c = scanComps(0)
+          val bw = (pw(c) + 7) / 8
+          val bh = (ph(c) + 7) / 8
+          for (by <- 0 until bh; bx <- 0 until bw) {
+            restartIfDue()
+            dcUnit(c, (by * bwPad(c) + bx) * 64)
+            unit += 1
+          }
+        }
+      } else {
+        // AC scan: single component, raster over its own block grid
+        val c = scanComps(0)
+        val bw = (pw(c) + 7) / 8
+        val bh = (ph(c) + 7) / 8
+        for (by <- 0 until bh; bx <- 0 until bw) {
+          restartIfDue()
+          val base = (by * bwPad(c) + bx) * 64
+          if (ah == 0) {
+            // first scan of this band (G.1.2.2): run/size symbols with
+            // EOB-run extensions across blocks
+            if (eobrun > 0) eobrun -= 1
+            else {
+              var k = ss
+              while (k <= se) {
+                val rs = decodeHuff(1, acTable(c))
+                val r = rs >> 4; val s = rs & 0x0f
+                if (s == 0) {
+                  if (r < 15) { // EOBn: run of (1<<r)+ext end-of-band blocks
+                    eobrun = (1 << r) - 1 + (if (r > 0) receive(r) else 0)
+                    k = se + 1
+                  } else k += 16 // ZRL
+                } else {
+                  k += r
+                  require(k <= se, "bad JPEG: AC index past band end")
+                  store(c)(base + Zigzag(k)) = receiveExtend(s) << al
+                  k += 1
+                }
+              }
+            }
+          } else {
+            // refinement scan (G.1.2.3): newly-significant coefficients
+            // arrive as run/1 symbols; every nonzero-history coefficient
+            // passed over consumes one correction bit
+            var k = ss
+            if (eobrun == 0) {
+              var atEob = false
+              while (k <= se && !atEob) {
+                val rs = decodeHuff(1, acTable(c))
+                var r = rs >> 4; val s = rs & 0x0f
+                var newval = 0
+                if (s == 0) {
+                  if (r < 15) {
+                    eobrun = (1 << r) + (if (r > 0) receive(r) else 0)
+                    atEob = true // current block's tail handled below
+                  }
+                  // r == 15 (ZRL): skip 16 zero-history coefficients
+                } else {
+                  require(s == 1, "bad JPEG: refinement size != 1")
+                  newval = if (nextBit() == 1) p1 else m1
+                }
+                if (!atEob) {
+                  var placed = false
+                  while (k <= se && !placed) {
+                    val zz = base + Zigzag(k)
+                    if (store(c)(zz) != 0) {
+                      if (nextBit() == 1 && (store(c)(zz) & p1) == 0)
+                        store(c)(zz) +=
+                          (if (store(c)(zz) >= 0) p1 else m1)
+                    } else {
+                      if (r == 0) {
+                        if (s != 0) store(c)(zz) = newval
+                        placed = true
+                      } else r -= 1
+                    }
+                    k += 1
+                  }
+                }
+              }
+            }
+            if (eobrun > 0) {
+              // end-of-band: correction bits only for the remaining
+              // nonzero-history coefficients of this block
+              while (k <= se) {
+                val zz = base + Zigzag(k)
+                if (store(c)(zz) != 0) {
+                  if (nextBit() == 1 && (store(c)(zz) & p1) == 0)
+                    store(c)(zz) += (if (store(c)(zz) >= 0) p1 else m1)
+                }
+                k += 1
+              }
+              eobrun -= 1
+            }
+          }
+          unit += 1
+        }
+      }
     }
 
     /** Upsample component c's decoded plane to full resolution by

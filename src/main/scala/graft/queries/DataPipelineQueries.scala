@@ -3003,6 +3003,32 @@ object DataPipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // PROGRESSIVE (SOF2) JPEG PERCEPTUAL HASH — the majority wire
+    // format of real crawled web JPEGs: the same block-constant
+    // fixtures re-encoded through the 6-scan spectral-selection +
+    // successive-approximation script (DC first at Al=1, split AC
+    // first scans at Al=2, two AC refinement passes, a raw-bit DC
+    // refinement) and decoded by the T.81 Annex G path — EOB runs,
+    // ZRLs, correction bits, multi-scan coefficient accumulation.
+    // Full precision after all scans means decoded pixels equal the
+    // baseline fixture's EXACTLY, so the oracle is the same
+    // closed-form pixel replay: hash equality pins the entire
+    // progressive codec lineage. JpegSpec referees both directions
+    // against ImageIO (it reads our script; we read libjpeg's).
+    "mm_jpeg_prog_dhash" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.graft.{internal, DedupJpegProgPayload,
+        JpegDHash}
+      val dcol = internal.column(JpegDHash(
+        DedupJpegProgPayload(internal.expression($"doc_id"))))
+      t(s, dir, "documents").filter($"doc_id" % 3 === 0)
+        .select($"doc_id",
+          (lit(8) * (lit(4) + $"doc_id" % 7)).cast("int").as("width"),
+          (lit(8) * (lit(3) + $"doc_id" % 7)).cast("int").as("height"),
+          dcol.as("dhash"))
+        .orderBy($"doc_id")
+    }),
+
     // COLOUR JPEG PERCEPTUAL HASH — the 3-component 4:4:4 decode pass:
     // interleaved MCUs, per-component quant/Huffman/DC-prediction, the
     // exact fixed-point BT.601 inverse transform, then the RGB-luma
@@ -6478,6 +6504,13 @@ object DataPipelineQueries {
         |  CAST(d.h AS INT) AS height, h.dhash
         |FROM hsg h JOIN dim d USING (doc_id) ORDER BY doc_id""".stripMargin),
     "mm_jpeg_dhash" -> (JpegDHashWith +
+      """
+        |SELECT h.doc_id, CAST(d.w AS INT) AS width,
+        |  CAST(d.h AS INT) AS height, h.dhash
+        |FROM hsg h JOIN dim d USING (doc_id) ORDER BY doc_id""".stripMargin),
+    // the progressive twin decodes to the SAME pixels (full precision
+    // after all scans), so the oracle is the same closed-form replay
+    "mm_jpeg_prog_dhash" -> (JpegDHashWith +
       """
         |SELECT h.doc_id, CAST(d.w AS INT) AS width,
         |  CAST(d.h AS INT) AS height, h.dhash

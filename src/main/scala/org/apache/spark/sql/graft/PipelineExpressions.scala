@@ -350,6 +350,26 @@ case class DedupJpegPayload(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** PROGRESSIVE (SOF2) JPEG fixture payload from a doc_id column: the
+  * grayscale dedup block formula through the 6-scan spectral-selection
+  * + successive-approximation script (graft.ops.Jpeg
+  * .encodeProgressiveGray). Decoded pixels equal the baseline
+  * fixture's exactly — the progressive gate pins the Annex G decode
+  * path (DC/AC first scans, EOB runs, correction-bit refinements)
+  * against the SAME closed-form oracle as [[DedupJpegPayload]]. */
+case class DedupJpegProgPayload(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(id: Any): Any =
+    graft.ops.Jpeg.dedupJpegProgPayloadOf(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, id =>
+      s"graft.ops.Jpeg.dedupJpegProgPayloadOf($id)")
+  override def prettyName: String = "dedup_jpeg_prog_payload"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** COLOUR JPEG fixture payload from a doc_id column: a real 3-component
   * 4:4:4 baseline JPEG (graft.ops.Jpeg.encodeColorYcc — chroma
   * quant/Huffman tables, interleaved MCUs, per-component DC

@@ -70,6 +70,126 @@ class JpegSpec extends AnyFunSuite {
     assert(Jpeg.dims(bytes) == (w, h))
   }
 
+  test("PROGRESSIVE: block-constant fixtures decode bit-exactly through " +
+      "our SOF2 decoder AND under ImageIO; wire format is genuinely " +
+      "progressive and pixel-identical to the baseline fixture") {
+    for (docId <- Seq(0L, 5L, 12L, 23L, 40L, 87L)) {
+      val (w, h) = Jpeg.dedupJpegDims(docId)
+      val block = Jpeg.dedupJpegBlockVal(docId) _
+      val bytes = Jpeg.dedupJpegProgPayloadOf(docId)
+      // the stream really is SOF2 with multiple scans
+      assert(bytes.sliding(2).exists(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2), "no SOF2 marker")
+      val nScans = bytes.sliding(2).count(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xda)
+      assert(nScans == 6, s"expected the 6-scan script, got $nScans")
+      val (dw, dh, ours) = Jpeg.pixelsGray(bytes)
+      assert((dw, dh) == (w, h))
+      for (y <- 0 until h; x <- 0 until w)
+        assert(ours(y * w + x) == block(x / 8, y / 8),
+          s"doc $docId pixel ($x,$y): full-precision progressive " +
+            "decode of DC-only blocks must be exact")
+      // pixel-identical to the baseline fixture (same coefficients,
+      // same IDCT — only the wire format differs)
+      val (_, _, base) = Jpeg.pixelsGray(Jpeg.dedupJpegPayloadOf(docId))
+      assert(base.sameElements(ours))
+      // the independent codec agrees bit-for-bit
+      val (iw, ih, theirs) = imageIoRead(bytes)
+      assert((iw, ih) == (w, h))
+      assert(theirs.sameElements(ours),
+        s"doc $docId: ImageIO disagrees on our progressive stream")
+    }
+  }
+
+  test("PROGRESSIVE general content: our progressive stream decodes " +
+      "PIXEL-IDENTICALLY to our baseline stream (same coefficients, " +
+      "same IDCT) and ImageIO reads it within the IDCT rounding bar — " +
+      "EOB runs, ZRLs and correction bits all exercised") {
+    val (w, h) = (48, 40)
+    def px(x: Int, y: Int) = (x * x * 3 + y * 7 + x * y) % 256
+    val prog = Jpeg.encodeProgressiveGray(w, h, px)
+    val base = Jpeg.encodeGray(w, h, px)
+    val (_, _, oursProg) = Jpeg.pixelsGray(prog)
+    val (_, _, oursBase) = Jpeg.pixelsGray(base)
+    assert(oursProg.sameElements(oursBase),
+      "progressive and baseline decodes of the same content diverged")
+    val (iw, ih, theirs) = imageIoRead(prog)
+    assert((iw, ih) == (w, h))
+    val maxDiff = oursProg.zip(theirs).map { case (a, b) =>
+      math.abs(a - b) }.max
+    assert(maxDiff <= 2,
+      s"ImageIO disagrees with our progressive stream by $maxDiff (> 2)")
+    // a sparse high-frequency image: long zero runs force ZRL + EOBn
+    // paths in BOTH first and refinement scans
+    def sparse(x: Int, y: Int) =
+      if (x % 16 == 15 && y % 16 == 15) 255 else 40
+    val prog2 = Jpeg.encodeProgressiveGray(64, 64, sparse)
+    val (_, _, p2) = Jpeg.pixelsGray(prog2)
+    val (_, _, b2) = Jpeg.pixelsGray(Jpeg.encodeGray(64, 64, sparse))
+    assert(p2.sameElements(b2))
+    val (_, _, t2) = imageIoRead(prog2)
+    assert(p2.zip(t2).map { case (a, b) => math.abs(a - b) }.max <= 2)
+  }
+
+  test("PROGRESSIVE reverse referee: our decoder reads an ImageIO-WRITTEN " +
+      "progressive JPEG (libjpeg default script: foreign tables, " +
+      "successive approximation, spectral splits) within the bar — " +
+      "grayscale AND 4:2:0 colour") {
+    def writeProgressive(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    // grayscale
+    val (w, h) = (40, 24)
+    val gimg = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      gimg.getRaster.setSample(x, y, 0, (x * 5 + y * 11 + x * y) % 256)
+    val gbytes = writeProgressive(gimg)
+    assert(gbytes.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2),
+      "ImageIO did not produce SOF2 — progressive mode not applied")
+    val (ow, oh, ours) = Jpeg.pixelsGray(gbytes)
+    val (iw, ih, theirs) = imageIoRead(gbytes)
+    assert((ow, oh) == (iw, ih) && (ow, oh) == (w, h))
+    val maxDiff = ours.zip(theirs).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxDiff <= 2,
+      s"foreign progressive decode disagrees with ImageIO by $maxDiff")
+    // colour (ImageIO writes 4:2:0 progressive for RGB input): smooth
+    // content, the same bar as the baseline 4:2:0 foreign-read test
+    val (cw, ch) = (48, 32)
+    val cimg = new java.awt.image.BufferedImage(cw, ch,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until ch; x <- 0 until cw) {
+      val r = 60 + 3 * x; val g = 80 + 2 * y; val b = 90 + x + y
+      cimg.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val cbytes = writeProgressive(cimg)
+    assert(cbytes.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2))
+    val (pw2, ph2, oursRgb) = Jpeg.pixelsColor(cbytes)
+    assert((pw2, ph2) == (cw, ch))
+    val ciimg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(cbytes))
+    var worst = 0
+    for (y <- 0 until ch; x <- 0 until cw) {
+      val rgb = ciimg.getRGB(x, y)
+      val o = (y * cw + x) * 3
+      worst = math.max(worst, math.abs(oursRgb(o) - ((rgb >> 16) & 0xff)))
+      worst = math.max(worst, math.abs(oursRgb(o + 1) - ((rgb >> 8) & 0xff)))
+      worst = math.max(worst, math.abs(oursRgb(o + 2) - (rgb & 0xff)))
+    }
+    assert(worst <= 10,
+      s"foreign 4:2:0 progressive decode off by $worst (> 10) on smooth content")
+  }
+
   test("near-dup geometry: same-class docs land within banding distance, " +
       "cross-class docs do not collide") {
     // docs 0 and 588 share (fam=0, scene=0): same base blocks,
