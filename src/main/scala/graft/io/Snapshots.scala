@@ -36,13 +36,16 @@ object Snapshots {
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The manifest as (v, n_rows), empty-schema-stable when absent. */
+  /** The manifest as (v, n_rows), empty-schema-stable when absent.
+    * Resolved through [[graft.util.Sidecars.tryPath]], so a reader
+    * racing a manifest swap always sees a complete committed version —
+    * never the absent-directory window the r13 two-rename layout had. */
   def manifest(spark: SparkSession, root: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(root + "/manifest")
-    if (fsOf(spark, p).exists(p)) spark.read.parquet(p.toString)
-    else {
-      import spark.implicits._
-      Seq.empty[(Int, Long)].toDF("v", "n_rows")
+    graft.util.Sidecars.tryPath(spark, root, "manifest") match {
+      case Some(p) => spark.read.parquet(p)
+      case None =>
+        import spark.implicits._
+        Seq.empty[(Int, Long)].toDF("v", "n_rows")
     }
   }
 

@@ -94,7 +94,7 @@ object BandIndex {
   }
 
   private def meta(spark: SparkSession, path: String): (Int, Int, Int) = {
-    val r = spark.read.parquet(path + "/meta").head()
+    val r = Sidecars.read(spark, path, "meta").head()
     (r.getAs[Int]("k"), r.getAs[Int]("num_hashes"), r.getAs[Int]("num_bands"))
   }
 
@@ -128,10 +128,10 @@ object BandIndex {
     var e = Sidecars.fenceEpoch(spark, path)
     val (k, numHashes, numBands) = meta(spark, path)
     val batchIds = batch.select(col(id).as("doc_id")).distinct()
-    val docMap = spark.read.parquet(path + "/docs")
+    val docMap = Sidecars.read(spark, path, "docs")
     val tombs =
-      if (exists(spark, path + "/tombstones"))
-        Some(spark.read.parquet(path + "/tombstones"))
+      if (Sidecars.exists(spark, path, "tombstones"))
+        Some(Sidecars.read(spark, path, "tombstones"))
       else None
     val live = tombs.fold(docMap)(t =>
       docMap.join(t, Seq("doc_id"), "left_anti"))
@@ -146,7 +146,7 @@ object BandIndex {
         // purge the dead rows NOW (their tombstones are about to drop,
         // so queries would otherwise resurrect the stale buckets)
         e = Sidecars.swapStaged(spark, path, "buckets", Some(e)) { next =>
-          spark.read.parquet(path + "/buckets")
+          Sidecars.read(spark, path, "buckets")
             .join(broadcast(reapp), Seq("doc_id"), "left_anti")
             .write.parquet(next)
         }
@@ -157,8 +157,7 @@ object BandIndex {
             single = true, expectedEpoch = Some(e))
         else {
           e = Sidecars.claim(spark, path, Some(e)) // fence the raw delete
-          fs(spark, path).delete(
-            new org.apache.hadoop.fs.Path(path + "/tombstones"), true)
+          Sidecars.drop(spark, path, "tombstones")
         }
         remaining.unpersist()
       }
@@ -170,7 +169,8 @@ object BandIndex {
       expectedEpoch = Some(e))
     Sidecars.claim(spark, path, Some(e)) // fence the raw additive append
     bucketRows(batch, id, text, k, numHashes, numBands)
-      .write.mode("append").parquet(path + "/buckets")
+      .write.mode("append")
+      .parquet(Sidecars.appendPath(spark, path, "buckets"))
   }
 
   /** DELETE doc ids via the tombstone sidecar — no bucket rewrite; the
@@ -194,14 +194,14 @@ object BandIndex {
     val e = Sidecars.fenceEpoch(spark, path) // before any store read
     val batch = idsIn
       .select(col(idsIn.columns.head).cast("long").as("doc_id")).distinct()
-    val docMap = spark.read.parquet(path + "/docs")
+    val docMap = Sidecars.read(spark, path, "docs")
     val nBatch = batch.count()
     val known = docMap.join(broadcast(batch), "doc_id").count()
     require(known == nBatch,
       s"delete batch contains ids not in ${path} doc map")
     val prior =
-      if (exists(spark, path + "/tombstones"))
-        spark.read.parquet(path + "/tombstones")
+      if (Sidecars.exists(spark, path, "tombstones"))
+        Sidecars.read(spark, path, "tombstones")
       else spark.emptyDataset[Long].toDF("doc_id")
     require(prior.join(broadcast(batch), "doc_id").limit(1).count() == 0,
       s"delete batch contains already-tombstoned ids for ${path}")
@@ -217,21 +217,20 @@ object BandIndex {
     * anti-joining the (now redundant) tombstones, so no intermediate
     * state can resurrect a deleted doc. */
   def compact(spark: SparkSession, path: String): Unit = {
-    if (!exists(spark, path + "/tombstones")) return
+    if (!Sidecars.exists(spark, path, "tombstones")) return
     var e = Sidecars.fenceEpoch(spark, path) // before any store read
-    val dead = spark.read.parquet(path + "/tombstones")
+    val dead = Sidecars.read(spark, path, "tombstones")
     e = Sidecars.swapStaged(spark, path, "buckets", Some(e)) { next =>
-      spark.read.parquet(path + "/buckets")
+      Sidecars.read(spark, path, "buckets")
         .join(broadcast(dead), Seq("doc_id"), "left_anti")
         .write.parquet(next)
     }
     e = Sidecars.swap(spark, path, "docs",
-      spark.read.parquet(path + "/docs")
+      Sidecars.read(spark, path, "docs")
         .join(broadcast(dead), Seq("doc_id"), "left_anti"),
       single = true, expectedEpoch = Some(e))
     Sidecars.claim(spark, path, Some(e)) // fence the raw delete
-    fs(spark, path).delete(
-      new org.apache.hadoop.fs.Path(path + "/tombstones"), true)
+    Sidecars.drop(spark, path, "tombstones")
   }
 
   /** Mine the verified near-dup pair set (id_1, id_2, jaccard) from the
@@ -248,10 +247,10 @@ object BandIndex {
       maxBucketSize: Int = 64): DataFrame = {
     import org.apache.spark.sql.graft.{ShingleJaccard, internal}
     val (k, _, _) = meta(spark, path)
-    val raw = spark.read.parquet(path + "/buckets")
+    val raw = Sidecars.read(spark, path, "buckets")
     val live =
-      if (exists(spark, path + "/tombstones"))
-        raw.join(broadcast(spark.read.parquet(path + "/tombstones")),
+      if (Sidecars.exists(spark, path, "tombstones"))
+        raw.join(broadcast(Sidecars.read(spark, path, "tombstones")),
           Seq("doc_id"), "left_anti")
       else raw
     val cands = live.groupBy(col("band"), col("bucket"))

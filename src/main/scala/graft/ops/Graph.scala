@@ -449,7 +449,7 @@ object Graph {
   def incrementalTrianglesStored(spark: org.apache.spark.sql.SparkSession,
       path: String, deltaPairs: DataFrame): DataFrame = {
     val (delta, adjm) = resolveDelta(spark, path, deltaPairs)
-    foldTriangles(spark.read.parquet(path + "/counts"), delta, adjm)
+    foldTriangles(graft.util.Sidecars.read(spark, path, "counts"), delta, adjm)
   }
 
   /** APPEND the delta to the store: fold the counts AND roll every
@@ -475,9 +475,10 @@ object Graph {
         "live) — replay of a crashed append? rebuild via writeTriangleStore")
     // materialize BEFORE mutating: the fold reads adj/ lazily, and an
     // appended increment must never leak into its own old-graph view
-    val newCounts = foldTriangles(spark.read.parquet(path + "/counts"),
+    val newCounts = foldTriangles(
+      graft.util.Sidecars.read(spark, path, "counts"),
       delta, adjm).localCheckpoint()
-    val oldEdgeCount = spark.read.parquet(path + "/meta")
+    val oldEdgeCount = graft.util.Sidecars.read(spark, path, "meta")
       .collect()(0).getLong(0)
     var e = Sidecars.claim(spark, path, Some(e0)) // fence the raw appends
     delta.select(col("a").as("id_1"), col("b").as("id_2"))

@@ -731,7 +731,16 @@ object Jpeg {
 
   def dedupJpegBlockVal(docId: Long)(bx: Int, by: Int): Int = {
     val s = ((docId / 7) % 12).toInt
-    val base = (bx * bx * 5 + by * by * 11 + bx * by * (s + 1) * 3) % 224 + 8
+    // ScaleGen replicas (ids >= 1e9, the key-offset convention) carry a
+    // COORDINATE-VARYING replica term, so the class count grows with
+    // the corpus and cross-replica docs never form near-dup clusters —
+    // the media twin of the bijective text rotation (a constant shift
+    // would be dHash-invariant; varying it by (bx, by) changes the
+    // block-mean differences the hash compares). Zero for every
+    // driver-generated id, so the closed-form oracles are untouched.
+    val rep = (docId / 1000000000L).toInt
+    val base = (bx * bx * 5 + by * by * 11 + bx * by * (s + 1) * 3 +
+      (bx * 7 + by * 3 + bx * by) * rep * 5) % 224 + 8
     val bump = if ((bx * 7 + by * 5) % 13 == (docId % 13).toInt) 17 else 0
     base + bump
   }
@@ -752,7 +761,9 @@ object Jpeg {
     * class-constant (the shape a tinted near-dup actually has). */
   def dedupJpegColorYcc(docId: Long)(bx: Int, by: Int): (Int, Int, Int) = {
     val s = ((docId / 7) % 12).toInt
-    val yv = (bx * bx * 5 + by * by * 11 + bx * by * (s + 1) * 3) % 224 + 8 +
+    val rep = (docId / 1000000000L).toInt // ScaleGen class growth, see above
+    val yv = (bx * bx * 5 + by * by * 11 + bx * by * (s + 1) * 3 +
+      (bx * 7 + by * 3 + bx * by) * rep * 5) % 224 + 8 +
       (if ((bx * 7 + by * 5) % 13 == (docId % 13).toInt) 17 else 0)
     val cb = (bx * 19 + s * 37) % 160 + 48
     val cr = (by * 23 + s * 41) % 160 + 48

@@ -310,7 +310,12 @@ object Multimodal {
     * with small, doc-pair-dependent Hamming distances. */
   def dedupImagePixel(docId: Long)(x: Int, y: Int, c: Int): Int = {
     val s = ((docId / 7) % 3).toInt
-    val base = (x * x * 7 + y * y * 13 + x * y * (s + 1) + c * 31) % 251
+    // coordinate-varying ScaleGen-replica term (ids >= 1e9): classes
+    // grow with the corpus so scaled near-dup pair counts stay linear —
+    // see Jpeg.dedupJpegBlockVal. Zero for driver ids (oracle-exact).
+    val rep = (docId / 1000000000L).toInt
+    val base = (x * x * 7 + y * y * 13 + x * y * (s + 1) + c * 31 +
+      (x * 5 + y * 3 + x * y) * rep * 7) % 251
     val bump = if ((x * 13 + y * 7) % 61 == (docId % 61).toInt) 41 else 0
     (base + bump) % 251
   }

@@ -149,7 +149,7 @@ object Rank {
       .write.mode("overwrite").parquet(path + "/docs")
     val spark = docs.sparkSession
     writeBloomSidecar(spark, path, Bloom.buildBits(
-      spark.read.parquet(path + "/docs"), col("doc_id"), BloomBits, BloomK),
+      graft.util.Sidecars.read(spark, path, "docs"), col("doc_id"), BloomBits, BloomK),
       BloomK)
     profiled.select(col("doc_id"), col("dl"), explode(col("__ws")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
@@ -207,11 +207,10 @@ object Rank {
     * persisted before the sidecar existed (probes then stay exact). */
   private def readBloomSidecar(spark: org.apache.spark.sql.SparkSession,
       path: String): Option[(Array[Long], Int)] = {
-    val p = new org.apache.hadoop.fs.Path(path + "/bloom")
-    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-      None
+    val p = graft.util.Sidecars.tryPath(spark, path, "bloom")
+    if (p.isEmpty) None
     else {
-      val rows = spark.read.parquet(p.toString).collect()
+      val rows = spark.read.parquet(p.get).collect()
       val bits = new Array[Long](rows.length)
       rows.foreach(r => bits(r.getAs[Int]("w")) = r.getAs[Long]("bits"))
       Some((bits, rows.head.getAs[Int]("k")))
@@ -307,7 +306,7 @@ object Rank {
       coalesce(sum(col("dl").cast("long")), lit(0L)).as("s"),
       coalesce(max(col("doc_id").cast("long")), lit(-1L)).as("hi"))
       .collect()(0)
-    val old = spark.read.parquet(path + "/stats").collect()(0)
+    val old = graft.util.Sidecars.read(spark, path, "stats").collect()(0)
     require(old.getAs[Int]("n_buckets") == nBuckets,
       s"append with nBuckets=$nBuckets against an index built with " +
         s"${old.getAs[Int]("n_buckets")} — bucket numbering would diverge")
@@ -322,17 +321,15 @@ object Rank {
       case None => batchIds
     }).localCheckpoint()
     val nSuspects = suspects.count()
-    val tombPath = new org.apache.hadoop.fs.Path(path + "/tombstones")
-    val fs = tombPath.getFileSystem(conf)
     var nReappend = 0L
     if (nSuspects > 0) {
       val reappend =
-        if (fs.exists(tombPath))
-          spark.read.parquet(tombPath.toString)
+        if (graft.util.Sidecars.exists(spark, path, "tombstones"))
+          graft.util.Sidecars.read(spark, path, "tombstones")
             .join(broadcast(suspects), Seq("doc_id")).localCheckpoint()
         else spark.emptyDataset[Long].toDF("doc_id")
       nReappend = reappend.count()
-      val liveOverlap = spark.read.parquet(path + "/docs")
+      val liveOverlap = graft.util.Sidecars.read(spark, path, "docs")
         .join(broadcast(suspects), Seq("doc_id"))
         .join(reappend, Seq("doc_id"), "left_anti")
         .count()
@@ -342,14 +339,14 @@ object Rank {
         fenceE = graft.util.Sidecars.claim(spark, path, Some(fenceE))
         purgePostings(spark, path, reappend) // fenced by the claim above
         fenceE = swapSidecar(spark, path, "docs",
-          spark.read.parquet(path + "/docs")
+          graft.util.Sidecars.read(spark, path, "docs")
             .join(reappend, Seq("doc_id"), "left_anti"),
           expectedEpoch = Some(fenceE))
-        val liveTombs = spark.read.parquet(tombPath.toString)
+        val liveTombs = graft.util.Sidecars.read(spark, path, "tombstones")
           .join(reappend, Seq("doc_id"), "left_anti").localCheckpoint()
         if (liveTombs.isEmpty) {
           fenceE = graft.util.Sidecars.claim(spark, path, Some(fenceE))
-          fs.delete(tombPath, true)
+          graft.util.Sidecars.drop(spark, path, "tombstones")
         } else fenceE = swapSidecar(spark, path, "tombstones", liveTombs,
           single = true, expectedEpoch = Some(fenceE))
         liveTombs.unpersist()
@@ -366,7 +363,8 @@ object Rank {
     }
     fenceE = graft.util.Sidecars.claim(spark, path, Some(fenceE)) // raw appends
     profiled.select(col("doc_id").cast("long").as("doc_id"), col("dl"))
-      .write.mode("append").parquet(path + "/docs")
+      .write.mode("append")
+      .parquet(graft.util.Sidecars.appendPath(spark, path, "docs"))
     profiled.select(col("doc_id"), col("dl"), explode(col("__ws")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
@@ -406,10 +404,8 @@ object Rank {
     if (ids.isEmpty) return
     var fenceE = graft.util.Sidecars.fenceEpoch(spark, path) // before reads
     val idsDf = ids.distinct.toDF("doc_id")
-    val tombPath = new org.apache.hadoop.fs.Path(path + "/tombstones")
-    if (tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(tombPath)) {
-      val dup = spark.read.parquet(tombPath.toString)
+    if (graft.util.Sidecars.exists(spark, path, "tombstones")) {
+      val dup = graft.util.Sidecars.read(spark, path, "tombstones")
         .join(broadcast(idsDf), Seq("doc_id")).count()
       require(dup == 0L,
         s"delete batch re-names $dup doc_id(s) already tombstoned — " +
@@ -418,16 +414,17 @@ object Rank {
     // the deleted docs' (doc_id, dl) from the doc-map sidecar; bounded
     // by the delete batch (the doc map keeps tombstoned ids until
     // compaction, so presence here + the tombstone check above = alive)
-    val gone = spark.read.parquet(path + "/docs")
+    val gone = graft.util.Sidecars.read(spark, path, "docs")
       .join(broadcast(idsDf), Seq("doc_id"))
       .agg(count(lit(1)).as("n"),
         coalesce(sum(col("dl").cast("long")), lit(0L)).as("s")).collect()(0)
     require(gone.getLong(0) == ids.distinct.size,
       s"delete batch names ${ids.distinct.size} doc_ids but only " +
         s"${gone.getLong(0)} are in the index")
-    val old = spark.read.parquet(path + "/stats").collect()(0)
+    val old = graft.util.Sidecars.read(spark, path, "stats").collect()(0)
     fenceE = graft.util.Sidecars.claim(spark, path, Some(fenceE)) // raw append
-    idsDf.coalesce(1).write.mode("append").parquet(path + "/tombstones")
+    idsDf.coalesce(1).write.mode("append")
+      .parquet(graft.util.Sidecars.appendPath(spark, path, "tombstones"))
     // sidecar swap LAST = commit point
     swapStats(spark, path, Seq((old.getAs[Long]("n_docs") - gone.getLong(0),
         old.getAs[Long]("sum_dl") - gone.getLong(1),
@@ -451,18 +448,18 @@ object Rank {
     * converges (the anti-joins of already-removed ids are no-ops). */
   def compactInvertedIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val tomb = new org.apache.hadoop.fs.Path(path + "/tombstones")
-    val fs = tomb.getFileSystem(conf)
-    if (!fs.exists(tomb)) return // nothing to compact
+    if (!graft.util.Sidecars.exists(spark, path, "tombstones"))
+      return // nothing to compact
     var fenceE = graft.util.Sidecars.fenceEpoch(spark, path) // before reads
-    val dead = spark.read.parquet(tomb.toString).localCheckpoint()
+    val dead = graft.util.Sidecars.read(spark, path, "tombstones")
+      .localCheckpoint()
     fenceE = graft.util.Sidecars.claim(spark, path, Some(fenceE))
     purgePostings(spark, path, dead) // fenced by the claim above
     // doc map shrinks via the atomic swap — a crash mid-write leaves the
     // complete old map, never a torn one the append probe would misread
     fenceE = swapSidecar(spark, path, "docs",
-      spark.read.parquet(path + "/docs").join(dead, Seq("doc_id"), "left_anti"),
+      graft.util.Sidecars.read(spark, path, "docs")
+        .join(dead, Seq("doc_id"), "left_anti"),
       expectedEpoch = Some(fenceE))
     // Bloom REBUILD from the survivors: dead ids' bits drop, so the
     // false-positive rate doesn't ratchet up across delete/compact
@@ -470,11 +467,11 @@ object Rank {
     // Bloom covers the survivors until the swap lands)
     readBloomSidecar(spark, path).foreach { case (bits, k) =>
       fenceE = writeBloomSidecar(spark, path, Bloom.buildBits(
-        spark.read.parquet(path + "/docs"), col("doc_id"),
+        graft.util.Sidecars.read(spark, path, "docs"), col("doc_id"),
         bits.length * 64, k), k, Some(fenceE))
     }
     graft.util.Sidecars.claim(spark, path, Some(fenceE)) // raw delete
-    fs.delete(tomb, true)
+    graft.util.Sidecars.drop(spark, path, "tombstones")
     dead.unpersist()
   }
 
@@ -500,11 +497,10 @@ object Rank {
     // tombstone-aware: deleted docs (deleteFromInvertedIndex) drop out of
     // the pruned postings here, so df/tf re-derive over survivors only;
     // after compactInvertedIndex the table is gone and the join with it
-    val tombPath = new org.apache.hadoop.fs.Path(path + "/tombstones")
     val posts =
-      if (tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .exists(tombPath))
-        rawPosts.join(broadcast(spark.read.parquet(tombPath.toString)),
+      if (graft.util.Sidecars.exists(spark, path, "tombstones"))
+        rawPosts.join(
+          broadcast(graft.util.Sidecars.read(spark, path, "tombstones")),
           Seq("doc_id"), "left_anti")
       else rawPosts
     val tfAggs = terms.map(t =>
@@ -515,7 +511,7 @@ object Rank {
     val dfAggs = terms.map(t =>
       coalesce(sum(when(col("term") === t, lit(1L))), lit(0L)).as(s"__df_$t"))
     val stats = posts.agg(dfAggs.head, dfAggs.tail: _*)
-      .crossJoin(spark.read.parquet(path + "/stats"))
+      .crossJoin(graft.util.Sidecars.read(spark, path, "stats"))
     val n = col("n_docs").cast("double")
     val avgdl = col("sum_dl").cast("double") / n
     def termScore(t: String): Column = {

@@ -4072,12 +4072,17 @@ object DataPipelineQueries {
       graft.io.Snapshots.commitVersion(s, root,
         docs.filter($"doc_id" % 13 =!= 0 && $"doc_id" % 11 =!= 0)
           .coalesce(2))
-      // a crashed writer's dangling, manifest-less version dir
+      // a crashed writer's dangling, manifest-less version dir — AGED
+      // past the heal bound (a FRESH dangling dir may be a concurrent
+      // committer's just-placed data, so the GC is age-gated; see
+      // Snapshots.expire)
       docs.limit(3).coalesce(1).write.parquet(root + "/data/v=9")
-      val expired = graft.io.Snapshots.expire(s, root, keep = 2)
-      require(expired == Seq(1), s"expected v1 expired, got $expired")
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.setTimes(new org.apache.hadoop.fs.Path(root + "/data/v=9"),
+        System.currentTimeMillis() - 7200000L, -1)
+      val expired = graft.io.Snapshots.expire(s, root, keep = 2)
+      require(expired == Seq(1), s"expected v1 expired, got $expired")
       require(!fs.exists(new org.apache.hadoop.fs.Path(root + "/data/v=1")),
         "expired version files must be deleted")
       require(!fs.exists(new org.apache.hadoop.fs.Path(root + "/data/v=9")),

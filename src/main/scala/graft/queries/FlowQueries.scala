@@ -338,7 +338,8 @@ object FlowQueries {
           graft.ops.Graph.appendTriangleStore(s, p,
             pairsOf(li.filter($"ok" % 31 === 0)))
       }
-      s.read.parquet(store + "/counts").orderBy($"node")
+      s.read.parquet(graft.util.Sidecars.path(s, store, "counts"))
+        .orderBy($"node")
     }),
 
     // APPROXIMATE triangle counts — the beyond-the-Bloom-threshold

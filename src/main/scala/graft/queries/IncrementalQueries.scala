@@ -169,7 +169,7 @@ object IncrementalQueries {
       // delta — the mark must refuse it (false = skipped)
       val replayed = sinkBatch(s.read.parquet(deltaSrc), 0L)
       require(!replayed, "replayed batch 0 must be a no-op")
-      s.read.parquet(outRoot + "/view")
+      s.read.parquet(graft.util.Sidecars.path(s, outRoot, "view"))
         .select($"hour", $"event_type", $"n",
           $"total_value".cast("double").as("total_value"))
         .orderBy($"hour", $"event_type")

@@ -66,17 +66,18 @@ object StreamOps {
       base: DataFrame, partials: DataFrame, batchId: Long,
       keys: Seq[String], countCol: String, measures: Seq[String],
       partitionCols: Seq[String] = Seq.empty): Boolean = {
-    val viewPath = root + "/view"
-    val vp = new org.apache.hadoop.fs.Path(viewPath)
-    val fs = vp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val exists = fs.exists(vp)
-    val applied =
-      if (exists)
-        spark.read.parquet(viewPath + "/_batchmark")
+    // resolve the committed view version (reader-atomic: versions
+    // appear in one rename, so a racing reader/replayer never sees the
+    // absent-directory window)
+    val viewPath = graft.util.Sidecars.tryPath(spark, root, "view")
+    val applied = viewPath match {
+      case Some(vp) =>
+        spark.read.parquet(vp + "/_batchmark")
           .agg(max(col("batch_id"))).collect()(0).getLong(0)
-      else -1L
+      case None => -1L
+    }
     if (batchId <= applied) return false // replay: already committed
-    val prev = if (exists) spark.read.parquet(viewPath) else base
+    val prev = viewPath.map(spark.read.parquet(_)).getOrElse(base)
     val merged = graft.ops.Incremental.mergeAggView(
       prev, partials, keys, countCol, measures)
     graft.util.Sidecars.swapStaged(spark, root, "view") { next =>

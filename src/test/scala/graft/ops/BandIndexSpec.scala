@@ -48,7 +48,7 @@ class BandIndexSpec extends SparkSpec {
       k = 5, minJaccard = 0.2))
     assert(mined == atOnce)
     // doc map rolled forward to all ids
-    assert(spark.read.parquet(dir + "/idx/docs").count() == 7)
+    assert(graft.util.Sidecars.read(spark, dir + "/idx", "docs").count() == 7)
   }
 
   test("append refuses live-id overlap") {
@@ -83,7 +83,7 @@ class BandIndexSpec extends SparkSpec {
     // old (1,2)/(2,3) pairs gone, (1,3) family pair remains
     assert(mined.exists(p => p._1 == 1L && p._2 == 3L))
     // tombstone sidecar still holds 6 only
-    assert(spark.read.parquet(idx + "/tombstones").collect()
+    assert(graft.util.Sidecars.read(spark, idx, "tombstones").collect()
       .map(_.getLong(0)).toSeq == Seq(6L))
     // a live re-append is still refused
     intercept[IllegalArgumentException] {
@@ -120,16 +120,16 @@ class BandIndexSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-bandidx").toString
     val idx = dir + "/idx"
     BandIndex.build(corpus, "doc_id", "text", idx)
-    val before = spark.read.parquet(idx + "/buckets").count()
+    val before = graft.util.Sidecars.read(spark, idx, "buckets").count()
     BandIndex.delete(spark, idx, Seq(2L, 6L))
     val preCompact = pairsOf(BandIndex.pairs(spark, idx, corpus,
       "doc_id", "text"))
     BandIndex.compact(spark, idx)
-    assert(spark.read.parquet(idx + "/buckets").count() < before)
-    assert(spark.read.parquet(idx + "/buckets")
+    assert(graft.util.Sidecars.read(spark, idx, "buckets").count() < before)
+    assert(graft.util.Sidecars.read(spark, idx, "buckets")
       .filter($"doc_id".isin(2L, 6L)).count() == 0)
-    assert(!new java.io.File(idx + "/tombstones").exists())
-    assert(spark.read.parquet(idx + "/docs").count() == 5)
+    assert(!graft.util.Sidecars.exists(spark, idx, "tombstones"))
+    assert(graft.util.Sidecars.read(spark, idx, "docs").count() == 5)
     val postCompact = pairsOf(BandIndex.pairs(spark, idx, corpus,
       "doc_id", "text"))
     assert(postCompact == preCompact)
@@ -161,7 +161,7 @@ class BandIndexSpec extends SparkSpec {
     }
     assert(loser.getMessage.contains("writer fence"))
     // the failed delete left nothing behind: no tombstones sidecar
-    assert(!new java.io.File(idx + "/tombstones").exists())
+    assert(!graft.util.Sidecars.exists(spark, idx, "tombstones"))
     // a FRESH delete (re-reading the store) succeeds, and the store
     // mines exactly as an at-once build over the surviving corpus
     BandIndex.delete(spark, idx, Seq(5L))

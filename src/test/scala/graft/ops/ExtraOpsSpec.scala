@@ -121,7 +121,7 @@ class ExtraOpsSpec extends SparkSpec {
     val want = Rank.bm25IndexedTopK(spark, full,
       terms = Seq("cat", "fish"), k = 10, nBuckets = 8).collect().toSeq
     assert(got == want, s"incr $got vs full $want")
-    val stats = spark.read.parquet(incr + "/stats")
+    val stats = graft.util.Sidecars.read(spark, incr, "stats")
       .select("n_docs", "sum_dl", "n_buckets", "max_doc_id")
       .as[(Long, Long, Int, Long)].head()
     assert(stats == ((4L, 3L + 6L + 10L + 3L, 8, 4L)))
@@ -135,7 +135,7 @@ class ExtraOpsSpec extends SparkSpec {
     // empty batch: no NPE, sidecar unchanged
     Rank.appendInvertedIndex(spark, old.filter($"doc_id" > 99),
       "doc_id", "text", path, nBuckets = 8)
-    val st = spark.read.parquet(path + "/stats")
+    val st = graft.util.Sidecars.read(spark, path, "stats")
       .select("n_docs", "sum_dl").as[(Long, Long)].head()
     assert(st == ((2L, 4L)))
     // geometry mismatch: bucket numbering would diverge
@@ -166,7 +166,7 @@ class ExtraOpsSpec extends SparkSpec {
     val want = Rank.bm25IndexedTopK(spark, fresh,
       terms = Seq("cat", "fish"), k = 10, nBuckets = 8).collect().toSeq
     assert(got == want, s"deleted $got vs fresh $want")
-    val st = spark.read.parquet(path + "/stats")
+    val st = graft.util.Sidecars.read(spark, path, "stats")
       .select("n_docs", "sum_dl").as[(Long, Long)].head()
     assert(st == ((3L, 3L + 10L + 3L)))
     intercept[IllegalArgumentException](
@@ -203,7 +203,7 @@ class ExtraOpsSpec extends SparkSpec {
       touched.exists(b => f.getPath.contains(s"bucket=$b")))
       .map(f => (f.getPath, f.lastModified)).sorted
     Rank.compactInvertedIndex(spark, path)
-    assert(!new java.io.File(path + "/tombstones").exists())
+    assert(!graft.util.Sidecars.exists(spark, path, "tombstones"))
     val filesAfter = parquetFiles(path + "/postings")
     assert(filesAfter.size < filesBefore.size,
       s"compaction must drop files: ${filesBefore.size} -> ${filesAfter.size}")
@@ -252,13 +252,13 @@ class ExtraOpsSpec extends SparkSpec {
     val path = graft.util.TempDirs.create("bm25-redel-spec") + "/idx"
     Rank.writeInvertedIndex(docs, "doc_id", "text", path, nBuckets = 8)
     Rank.deleteFromInvertedIndex(spark, path, Seq(2L))
-    val st = spark.read.parquet(path + "/stats")
+    val st = graft.util.Sidecars.read(spark, path, "stats")
       .select("n_docs", "sum_dl").as[(Long, Long)].head()
     assert(st == ((2L, 3L + 4L)))
     // double delete: refused, sidecar untouched
     intercept[IllegalArgumentException](
       Rank.deleteFromInvertedIndex(spark, path, Seq(2L, 3L)))
-    val st2 = spark.read.parquet(path + "/stats")
+    val st2 = graft.util.Sidecars.read(spark, path, "stats")
       .select("n_docs", "sum_dl").as[(Long, Long)].head()
     assert(st2 == st, "refused delete must not move the sidecar")
     // a LIVE id is still refused (would double-count df/tf)
@@ -273,9 +273,9 @@ class ExtraOpsSpec extends SparkSpec {
       Seq((2L, "cat again")).toDF("doc_id", "text"), "doc_id", "text",
       path, nBuckets = 8)
     assert(rep.nReappended == 1L && rep.nSuspects == 1L, rep.toString)
-    assert(!new java.io.File(path + "/tombstones").exists(),
+    assert(!graft.util.Sidecars.exists(spark, path, "tombstones"),
       "re-append of the only tombstoned id must drop the tombstone table")
-    val st3 = spark.read.parquet(path + "/stats")
+    val st3 = graft.util.Sidecars.read(spark, path, "stats")
       .select("n_docs", "sum_dl").as[(Long, Long)].head()
     assert(st3 == ((3L, 3L + 4L + 2L)))
     val fresh = graft.util.TempDirs.create("bm25-redel-fresh") + "/idx"
@@ -310,15 +310,17 @@ class ExtraOpsSpec extends SparkSpec {
     // if it dies before writing postings — Bloom swaps first, then doc
     // map), then run the same append verbatim — the overlap probe must
     // refuse (the retry-refusal contract of the ordering)
-    val bloomRows = spark.read.parquet(path + "/bloom").collect()
+    val bloomRows = graft.util.Sidecars.read(spark, path, "bloom").collect()
       .map(r => (r.getAs[Int]("w"), r.getAs[Long]("bits"), r.getAs[Int]("k")))
     val addBits = Bloom.buildBits(Seq(2000L).toDF("doc_id"),
       col("doc_id"), bloomRows.length * 64, bloomRows.head._3)
     bloomRows.map { case (w, b, k) => (w, b | addBits(w), k) }.toSeq
       .toDF("w", "bits", "k").coalesce(1)
-      .write.mode("overwrite").parquet(path + "/bloom")
+      .write.mode("overwrite")
+      .parquet(graft.util.Sidecars.path(spark, path, "bloom"))
     Seq((2000L, 2)).toDF("doc_id", "dl")
-      .write.mode("append").parquet(path + "/docs")
+      .write.mode("append")
+      .parquet(graft.util.Sidecars.appendPath(spark, path, "docs"))
     intercept[IllegalArgumentException](Rank.appendInvertedIndex(spark,
       Seq((2000L, "cat dog")).toDF("doc_id", "text"), "doc_id", "text",
       path, nBuckets = 8))

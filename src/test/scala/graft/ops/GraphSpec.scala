@@ -225,7 +225,7 @@ class GraphSpec extends SparkSpec {
           "stored fold diverged from the full count")
         // append commits the same counts AND the rolled-forward sidecars
         Graph.appendTriangleStore(spark, store, deltaP.toDF("id_1", "id_2"))
-        val committed = spark.read.parquet(store + "/counts")
+        val committed = graft.util.Sidecars.read(spark, store, "counts")
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         assert(committed == bruteTriangles(pairs))
         // sidecars must equal a FRESH build over the merged graph:
@@ -251,8 +251,8 @@ class GraphSpec extends SparkSpec {
           .groupBy("n", "y").count().filter(col("count") > 1).count()
         assert(dupes == 0, "duplicate neighbour in rolled adjacency")
         val (mStore, mFresh) = (
-          spark.read.parquet(store + "/meta").collect()(0),
-          spark.read.parquet(fresh + "/meta").collect()(0))
+          graft.util.Sidecars.read(spark, store, "meta").collect()(0),
+          graft.util.Sidecars.read(spark, fresh, "meta").collect()(0))
         assert(mStore.getLong(0) == mFresh.getLong(0), "edge_count roll")
         // a verbatim replay (all edges already live) is refused loudly
         val refusal = intercept[IllegalArgumentException](

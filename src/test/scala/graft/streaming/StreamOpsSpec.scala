@@ -38,7 +38,7 @@ class StreamOpsSpec extends SparkSpec {
       StreamOps.mergeBatchExactlyOnce(spark, root, base, b, id,
         keys = Seq("k"), countCol = "n", measures = Seq("v"))
     def view(): Map[String, (Long, Long)] =
-      spark.read.parquet(root + "/view").select($"k", $"n", $"v")
+      spark.read.parquet(graft.util.Sidecars.path(spark, root, "view")).select($"k", $"n", $"v")
         .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
         .toMap
     // batch 0 applies on top of the base store

@@ -14,7 +14,7 @@ class SidecarsSpec extends SparkSpec {
     java.nio.file.Files.createTempDirectory(s"graft-fence-$tag").toString
 
   private def readN(root: String): Seq[Long] =
-    spark.read.parquet(root + "/side").select($"v")
+    Sidecars.read(spark, root, "side").select($"v")
       .collect().map(_.getLong(0)).sorted.toSeq
 
   test("two interleaved writers: one winner, one clean failure, store " +
@@ -95,6 +95,48 @@ class SidecarsSpec extends SparkSpec {
     val e3 = Sidecars.claim(spark, root, Some(e2))
     assert(e3 == 3L)
     assert(Sidecars.fenceEpoch(spark, root) == 3L)
+  }
+
+  test("READER-ATOMIC: a reader loop racing a maintenance-swap loop " +
+      "never fails and always sees a complete committed version") {
+    val root = mk("readrace")
+    // every version holds rows (k, k) — a torn or mixed read would
+    // surface as a row count != 2 or mismatched values
+    def versionDf(k: Long) = Seq(k, k).toDF("v")
+    Sidecars.swap(spark, root, "side", versionDf(0L))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reads = new java.util.concurrent.atomic.AtomicLong(0L)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val rows = Sidecars.read(spark, root, "side")
+            .collect().map(_.getLong(0)).toSeq
+          if (rows.length != 2 || rows.distinct.length != 1)
+            failures.add(s"torn read: $rows")
+          reads.incrementAndGet()
+        } catch {
+          case e: Throwable => failures.add(s"read failed: $e")
+        }
+      }
+    })
+    reader.start()
+    // 25 maintenance swaps while the reader hammers the store (the r13
+    // layout's retire-then-commit window made exactly this reader see
+    // an absent directory)
+    for (k <- 1L to 25L) Sidecars.swap(spark, root, "side", versionDf(k))
+    stop.set(true)
+    reader.join(30000)
+    assert(failures.isEmpty, s"racing reader failed: ${failures.peek()}")
+    assert(reads.get() > 0, "reader loop never completed a read")
+    // retention: only the newest KeepVersions versions remain on disk
+    val versions = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("side.v")).sorted
+    assert(versions.length == Sidecars.KeepVersions,
+      s"expected ${Sidecars.KeepVersions} retained versions, " +
+        s"got ${versions.mkString(",")}")
+    assert(Sidecars.read(spark, root, "side").collect()
+      .map(_.getLong(0)).toSeq == Seq(25L, 25L))
   }
 
   test("pre-fence stores (no _fence dir) upgrade transparently") {
