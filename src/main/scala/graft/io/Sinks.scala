@@ -53,7 +53,13 @@ object Sinks {
     // the dynamic-overwrite commit would re-read replaced files.
     // localCheckpoint cuts every live lineage to `path` first; its
     // footprint is the touched buckets, not the table.
-    val materialized = merged.localCheckpoint()
+    // repartition BY BUCKET first: without it every shuffle task writes
+    // one file into every bucket it happens to hold rows of — up to
+    // (tasks x touched buckets) small files per patch, which is what
+    // made the s8 roundtrip the steepest scale-curve entry (file-count-
+    // bound commit + read-back, not rewrite volume). One exchange of
+    // the touched-bucket rows buys one file per rewritten bucket.
+    val materialized = merged.repartition(col("bucket")).localCheckpoint()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try materialized.write.mode(SaveMode.Overwrite)
       .partitionBy("bucket").parquet(path)

@@ -974,4 +974,181 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("tid"), col("cos"))
   }
+
+  // ------------------------------------------------------------------
+  // HNSW-FAMILY LAYERED NAVIGABLE GRAPH — the graph-ANN operating point
+  // (Malkov & Yashunin 2016, arXiv:1603.09320) re-expressed for Spark's
+  // execution model. The canonical HNSW is a sequential pointer-chase
+  // with RANDOM level draws; this implementation keeps the structure
+  // that makes it work — exponentially-thinning layers, per-node
+  // nearest-neighbour lists, greedy coarse-to-fine descent — and makes
+  // every piece DETERMINISTIC and relational:
+  //  - level(tid) is a modular rule (~1/7 of nodes at level>=1, ~1/49
+  //    at level 2), so both engines assign identical layers;
+  //  - each level-l node's M-list = its top-M exact-cosine neighbours
+  //    among level->=l nodes homed in its nProbe IVF probe cells (the
+  //    gated seed-centroid machinery) — construction cost is
+  //    sum-of-cell-pair products, the SemDedup posture, never a global
+  //    all-pairs;
+  //  - search is a FIXED-UNROLL beam descent: entry = best level-2
+  //    node, then per level a constant number of expand-and-prune hops
+  //    (each hop: beam JOIN adjacency, exact re-score, window top-b).
+  //    Fixed unrolls make the whole search replayable in the DuckDB
+  //    twin (the pagerank-iteration convention) — a while-converged
+  //    loop would not be.
+  // Scale shape: the adjacency is (lvl, src, dst) rows at rest,
+  // partitioned by lvl; each hop broadcasts the beam (queries x b rows)
+  // and equi-joins it against adjacency then targets — per-hop work is
+  // beam-bounded, never corpus-bounded. Recall is gated against the
+  // brute-force twin (knn_recall_hnsw) with the IVF-Lloyd floor.
+  // ------------------------------------------------------------------
+
+  /** Deterministic HNSW level of a node id: 2 for tid % 49 == 0, 1 for
+    * tid % 7 == 0, else 0 — the 1/7-geometric layer thinning, modular
+    * so the oracle replays it. */
+  def hnswLevel(tid: Column): Column =
+    when(pmod(tid, lit(49L)) === 0, 2)
+      .when(pmod(tid, lit(7L)) === 0, 1)
+      .otherwise(0)
+
+  /** Layered adjacency (lvl, src, dst) for levels 0..maxLevel: per
+    * level, each surviving node keeps its top-`m` exact-cosine
+    * neighbours among surviving nodes homed in one of its `nProbe`
+    * probe cells (ties: lowest dst id). One candidate join per level,
+    * keyed on the cell id; candidates per node are bounded by the
+    * probed cells' populations. */
+  def hnswAdjacency(targets: DataFrame, dim: Int, nCells: Int = 16,
+      m: Int = 8, nProbe: Int = 2, maxLevel: Int = 1): DataFrame = {
+    val cs = ivfSeedCentroids(targets, nCells)
+    val base = targets.select(col("tid"), col("te"),
+        hnswLevel(col("tid")).as("lvl"),
+        nearestCell(col("te"), cs).as("home"),
+        probeCells(col("te"), cs, nProbe).as("probes"),
+        scaledDot(col("te"), col("te")).as("nrm"))
+      .localCheckpoint()
+    (0 to maxLevel).map { l =>
+      val nodes = base.filter(col("lvl") >= l)
+      // LONG-RANGE LINKS: the thinned upper layers (>= 1, ~1/7^l of
+      // the corpus) take GLOBAL within-level candidates — canonical
+      // HNSW gets its long-range routing links from the global search
+      // each insertion runs, and without them a descent entering the
+      // wrong cluster can never cross (cell-local lists strand it).
+      // The base layer stays cell-restricted: that is where the
+      // corpus-sized candidate volume lives. At 100 TB the depth grows
+      // (~log_7 n levels) so every globally-built layer is itself tiny;
+      // the 3-level geometry here makes level 1 the global one.
+      val paired =
+        if (l >= 1)
+          nodes.select(col("tid").as("src"), col("te").as("se"),
+              col("nrm").as("sn"))
+            .crossJoin(nodes.select(col("tid").as("dst"),
+              col("te").as("de"), col("nrm").as("dn")))
+        else {
+          val vSide = nodes.select(col("tid").as("src"), col("te").as("se"),
+            col("nrm").as("sn"), explode(col("probes")).as("cell"))
+          val uSide = nodes.select(col("tid").as("dst"), col("te").as("de"),
+            col("nrm").as("dn"), col("home").as("cell"))
+          vSide.join(uSide, Seq("cell")).drop("cell")
+        }
+      val scored = paired
+        .filter(col("src") =!= col("dst"))
+        .withColumn("cos", scaledDot(col("se"), col("de")).cast("double") /
+          sqrt((col("sn") * col("dn")).cast("double")))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("cos").desc, col("dst"))
+      val fwd = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= m)
+        .select(col("src"), col("dst"), col("cos"))
+      // BIDIRECTIONAL links (the HNSW paper's discipline): reverse
+      // every selected edge — an asymmetric top-M graph strands
+      // queries whose cluster is popular but not probing outward; the
+      // reverse set restores navigability. In-degree is re-pruned to
+      // 2m per node (cosine is symmetric, so the reversed edge carries
+      // the identical score and the prune stays deterministic).
+      val bi = fwd.unionByName(
+          fwd.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
+        .distinct()
+      val w2 = Window.partitionBy(col("src"))
+        .orderBy(col("cos").desc, col("dst"))
+      bi.withColumn("rn", row_number().over(w2))
+        .filter(col("rn") <= 2 * m)
+        .select(lit(l).as("lvl"), col("src"), col("dst"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Beam descent over a prebuilt layered adjacency. Entry: the single
+    * best level->=2 node per query (an exact scan of the ~1/49 top
+    * layer). Level 1: `hops1` expand-and-prune hops at beam width
+    * `beam1`; level 0: `hops0` hops at `beam0`. Every hop re-scores
+    * with the same fixed-point cosine the final ranking uses, ties to
+    * the lowest tid — fully deterministic. Returns (qid, rank, tid,
+    * cos), self-matches excluded at the final ranking only (the
+    * query's own node is the best possible descent seed). */
+  def knnHnswWith(queries: DataFrame, targets: DataFrame,
+      adjacency: DataFrame, k: Int, beam1: Int = 8, hops1: Int = 2,
+      beam0: Int = 16, hops0: Int = 4): DataFrame = {
+    val t = targets.select(col("tid"), col("te"),
+      scaledDot(col("te"), col("te")).as("tn"))
+    val q = broadcast(queries.select(col("qid"), col("qe"),
+      scaledDot(col("qe"), col("qe")).as("qn")))
+    def prune(cand: DataFrame, width: Int): DataFrame = {
+      val scored = cand.join(t, Seq("tid")).join(q, Seq("qid"))
+        .withColumn("cos", scaledDot(col("qe"), col("te")).cast("double") /
+          sqrt((col("qn") * col("tn")).cast("double")))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("tid"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= width)
+        .select(col("qid"), col("tid"), col("cos"))
+    }
+    def hop(beamDf: DataFrame, lvl: Int, width: Int): DataFrame = {
+      val adjL = adjacency.filter(col("lvl") === lvl)
+        .select(col("src").as("tid"), col("dst"))
+      val expanded = beamDf.select(col("qid"), col("tid"))
+        .unionByName(beamDf.select(col("qid"), col("tid"))
+          .join(adjL, Seq("tid"))
+          .select(col("qid"), col("dst").as("tid")))
+        .distinct()
+      prune(expanded, width)
+    }
+    // entry: exact argmax over the sparse top layer
+    val top = t.filter(hnswLevel(col("tid")) >= 2)
+    var beamDf = prune(
+      q.select(col("qid")).crossJoin(top.select(col("tid"))), 1)
+    for (_ <- 1 to hops1) beamDf = hop(beamDf, 1, beam1)
+    for (_ <- 1 to hops0) beamDf = hop(beamDf, 0, beam0)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("tid"))
+    beamDf.filter(col("qid") =!= col("tid"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("tid"), col("cos"))
+  }
+
+  /** In-memory build + search (the gate shape). */
+  def knnHnsw(queries: DataFrame, targets: DataFrame, dim: Int, k: Int,
+      nCells: Int = 16, m: Int = 8): DataFrame =
+    knnHnswWith(queries, targets,
+      hnswAdjacency(targets, dim, nCells, m).localCheckpoint(), k)
+
+  /** Persist the layered graph at rest: vectors (tid, te, tn) + the
+    * adjacency partitioned by lvl — self-contained (a fresh driver
+    * reloads and searches without retraining; centroids are only a
+    * CONSTRUCTION device, the search never needs them). */
+  def writeHnswIndex(targets: DataFrame, path: String, dim: Int,
+      nCells: Int = 16, m: Int = 8): Unit = {
+    targets.select(col("tid"), col("te"),
+        scaledDot(col("te"), col("te")).as("tn"))
+      .write.mode("overwrite").parquet(path + "/vectors")
+    hnswAdjacency(targets, dim, nCells, m)
+      .write.mode("overwrite").partitionBy("lvl").parquet(path + "/adj")
+  }
+
+  /** Search the persisted graph: the beam hops read the adjacency at
+    * rest (lvl-partition-pruned scans against the broadcast beam). */
+  def knnHnswIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int): DataFrame =
+    knnHnswWith(queries,
+      spark.read.parquet(path + "/vectors").select(col("tid"), col("te")),
+      spark.read.parquet(path + "/adj"), k)
 }

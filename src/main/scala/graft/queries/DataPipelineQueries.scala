@@ -1403,6 +1403,72 @@ object DataPipelineQueries {
         .orderBy($"qid", $"rank")
     }),
 
+    // HNSW-FAMILY LAYERED GRAPH ANN (Malkov & Yashunin 2016) — the
+    // graph-ANN operating point, Spark-first: deterministic modular
+    // levels (~1/7 thinning), per-level neighbour lists (cell-restricted
+    // at the base layer, global within the thin upper layer, top-M +
+    // bidirectional 2M prune), fixed-unroll beam descent from the
+    // level-2 entry. Everything is fixed-point/deterministic, so the
+    // DuckDB twin replays construction AND search verbatim — the same
+    // full-replay discipline as knn_ivf/knn_lsh.
+    "knn_hnsw" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+      Similarity.knnHnsw(q, tt, dim = 64, k = 5)
+        .orderBy($"qid", $"rank")
+    }),
+
+    // The persisted layered graph at rest (vectors + lvl-partitioned
+    // adjacency, self-contained — search needs no centroids), reloaded
+    // and searched: must equal the in-memory path bit for bit, so the
+    // twin is the same full construction+descent replay.
+    "knn_hnsw_indexed" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val path = graft.util.TempDirs.cached("hnsw-index", dir) { p =>
+        Similarity.writeHnswIndex(
+          e.select($"vec_id".as("tid"), $"embedding".as("te")),
+          p, dim = 64)
+      }
+      Similarity.knnHnswIndexed(s, path, q, k = 5)
+        .orderBy($"qid", $"rank")
+    }),
+
+    // HNSW recall@5 against the exact baseline, beside the IVF-Lloyd
+    // number — the r12-r14 verdicts' acceptance bar (recall >= IVF-Lloyd
+    // at comparable probe cost) as a GATED quantity, with the floor
+    // asserted in-query so a regression fails loudly, not just drifts.
+    "knn_recall_hnsw" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+      val bf = Similarity.knnBruteForce(q, tt, k = 5)
+        .select($"qid", $"tid").localCheckpoint()
+      val hnsw = Similarity.knnHnsw(q, tt, dim = 64, k = 5)
+      val ivf = Similarity.knnIvf(q, tt, dim = 64, k = 5, nCells = 16,
+        nProbe = 2, lloydIters = 2)
+      def hits(method: String, ann: DataFrame): DataFrame =
+        ann.select($"qid", $"tid").join(bf, Seq("qid", "tid"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(method).as("method"), lit(5).as("k"), $"hits")
+      val out = hits("hnsw", hnsw).unionAll(hits("ivf_lloyd", ivf))
+        .crossJoin(bf.agg(count(lit(1)).as("possible")))
+        .select($"method", $"k", $"hits", $"possible")
+        .orderBy($"method").localCheckpoint()
+      val m = out.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      require(m("hnsw") >= m("ivf_lloyd"),
+        s"HNSW recall ${m("hnsw")} below the IVF-Lloyd floor " +
+          s"${m("ivf_lloyd")}")
+      out
+    }),
+
     // IVF-bucketed ANN (Voronoi cells + nProbe). The registered variant
     // pins lloydIters=0 (deterministic data-derived seed centroids +
     // fixed-point assignment) so the full cell layout, probe set, and
@@ -5114,6 +5180,151 @@ object DataPipelineQueries {
        |  WHERE q.qid <> t.tid),
        |""".stripMargin + knnScoreTailSql(5)
 
+  /** Shared by the HNSW twin: score a (qid, tid) candidate CTE and keep
+    * the top `width` per qid by (cosine DESC, tid) — the beam-prune /
+    * final-rank shape. Emits `<out>_d` and `<out>` CTEs; `<out>` keeps
+    * the cosine so the final stage can project it. */
+  private def hnswScoreTop(cand: String, out: String, width: Int): String =
+    s"""${out}_d AS (
+       |  SELECT qid, tid, $scaledDotSql AS d
+       |  FROM (SELECT c.qid, c.tid, unnest(ea.embedding) AS x,
+       |          unnest(eb.embedding) AS y
+       |        FROM $cand c
+       |        JOIN embeddings ea ON ea.vec_id = c.qid
+       |        JOIN embeddings eb ON eb.vec_id = c.tid) z
+       |  GROUP BY 1, 2),
+       |$out AS (
+       |  SELECT qid, tid, cos, rn FROM (
+       |    SELECT d.qid, d.tid,
+       |      CAST(d.d AS DOUBLE)/sqrt(CAST(nq.n*nt.n AS DOUBLE)) AS cos,
+       |      row_number() OVER (PARTITION BY d.qid
+       |        ORDER BY CAST(d.d AS DOUBLE)/sqrt(CAST(nq.n*nt.n AS DOUBLE))
+       |          DESC, d.tid) AS rn
+       |    FROM ${out}_d d JOIN hnrm nq ON nq.tid = d.qid
+       |    JOIN hnrm nt ON nt.tid = d.tid) z
+       |  WHERE rn <= $width)""".stripMargin
+
+  /** One beam hop: expand the previous beam through an adjacency CTE
+    * (UNION dedups, the .distinct() twin) and prune. */
+  private def hnswHop(prev: String, adj: String, out: String,
+      width: Int): String =
+    s"""${out}_c AS (
+       |  SELECT qid, tid FROM $prev
+       |  UNION
+       |  SELECT b.qid, a.dst AS tid FROM $prev b
+       |  JOIN $adj a ON a.src = b.tid),
+       |""".stripMargin + hnswScoreTop(s"${out}_c", out, width)
+
+  /** Per-level adjacency from a raw (src, dst) candidate CTE: exact
+    * fixed-point cosine, top-`m` per src (ties: lowest dst), then the
+    * bidirectional union re-pruned to 2m — the graft.ops.Similarity
+    * .hnswAdjacency construction replayed. */
+  private def hnswAdjCtes(cand: String, out: String, m: Int): String =
+    s"""${out}_d AS (
+       |  SELECT src, dst, $scaledDotSql AS d
+       |  FROM (SELECT c.src, c.dst, unnest(ea.embedding) AS x,
+       |          unnest(eb.embedding) AS y
+       |        FROM $cand c
+       |        JOIN embeddings ea ON ea.vec_id = c.src
+       |        JOIN embeddings eb ON eb.vec_id = c.dst) z
+       |  GROUP BY 1, 2),
+       |${out}_f AS (
+       |  SELECT src, dst, cos FROM (
+       |    SELECT d.src, d.dst,
+       |      CAST(d.d AS DOUBLE)/sqrt(CAST(ns.n*nd.n AS DOUBLE)) AS cos,
+       |      row_number() OVER (PARTITION BY d.src
+       |        ORDER BY CAST(d.d AS DOUBLE)/sqrt(CAST(ns.n*nd.n AS DOUBLE))
+       |          DESC, d.dst) AS rn
+       |    FROM ${out}_d d JOIN hnrm ns ON ns.tid = d.src
+       |    JOIN hnrm nd ON nd.tid = d.dst) z
+       |  WHERE rn <= $m),
+       |${out}_b AS (
+       |  SELECT src, dst, cos FROM ${out}_f
+       |  UNION
+       |  SELECT dst AS src, src AS dst, cos FROM ${out}_f),
+       |$out AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst) AS rn FROM ${out}_b) z
+       |  WHERE rn <= ${2 * m})""".stripMargin
+
+  /** Full HNSW twin: modular levels, seed-centroid probe cells, the two
+    * per-level adjacencies (level 0 cell-restricted, level 1 global
+    * within the thinned layer), level-2 entry, fixed-unroll descent
+    * (2 hops @ beam 8 on level 1, 4 hops @ beam 16 on level 0), cosine
+    * top-5 with self excluded — graft.ops.Similarity.knnHnsw verbatim. */
+  private def knnHnswSql(nCells: Int = 16, m: Int = 8): String =
+    s"""WITH tt AS (SELECT vec_id AS tid, embedding AS te FROM embeddings),
+       |qq AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 50),
+       |seeds AS (
+       |  SELECT CAST((rn - 1) // 7 AS INT) AS cell, te AS ce
+       |  FROM (SELECT row_number() OVER (ORDER BY tid) AS rn, te
+       |        FROM (SELECT tid, te FROM tt ORDER BY tid
+       |              LIMIT ${nCells * 7}) s1) s2
+       |  WHERE (rn - 1) % 7 = 0),
+       |tdots AS (
+       |  SELECT tid, cell,
+       |    SUM(CAST(ROUND(CAST(x AS DOUBLE)*CAST(c AS DOUBLE)*1000000) AS BIGINT)) AS d
+       |  FROM (SELECT tid, cell, unnest(te) AS x, unnest(ce) AS c
+       |        FROM tt, seeds) z
+       |  GROUP BY 1, 2),
+       |thome AS (
+       |  SELECT tid, cell FROM (
+       |    SELECT tid, cell, row_number() OVER (PARTITION BY tid
+       |      ORDER BY d DESC, cell) AS rn FROM tdots) z WHERE rn = 1),
+       |tprobe AS (
+       |  SELECT tid, cell FROM (
+       |    SELECT tid, cell, row_number() OVER (PARTITION BY tid
+       |      ORDER BY d DESC, cell) AS rn FROM tdots) z WHERE rn <= 2),
+       |hlvl AS (SELECT tid, CASE WHEN tid % 49 = 0 THEN 2
+       |                          WHEN tid % 7 = 0 THEN 1
+       |                          ELSE 0 END AS lv FROM tt),
+       |hnrm AS (
+       |  SELECT tid,
+       |    SUM(CAST(ROUND(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS n
+       |  FROM (SELECT tid, unnest(te) AS x FROM tt) z GROUP BY 1),
+       |cand0 AS (
+       |  SELECT p.tid AS src, h.tid AS dst
+       |  FROM tprobe p JOIN thome h ON h.cell = p.cell AND h.tid <> p.tid),
+       |${hnswAdjCtes("cand0", "adj0", m)},
+       |cand1 AS (
+       |  SELECT a.tid AS src, b.tid AS dst
+       |  FROM hlvl a JOIN hlvl b
+       |    ON a.lv >= 1 AND b.lv >= 1 AND a.tid <> b.tid),
+       |${hnswAdjCtes("cand1", "adj1", m)},
+       |ent_c AS (
+       |  SELECT q.qid, l.tid FROM qq q CROSS JOIN hlvl l WHERE l.lv >= 2),
+       |${hnswScoreTop("ent_c", "bm0", 1)},
+       |${hnswHop("bm0", "adj1", "bm1", 8)},
+       |${hnswHop("bm1", "adj1", "bm2", 8)},
+       |${hnswHop("bm2", "adj0", "bm3", 16)},
+       |${hnswHop("bm3", "adj0", "bm4", 16)},
+       |${hnswHop("bm4", "adj0", "bm5", 16)},
+       |${hnswHop("bm5", "adj0", "bm6", 16)},
+       |fin AS (
+       |  SELECT qid, tid, cos, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, tid) AS rank
+       |  FROM bm6 WHERE qid <> tid)
+       |SELECT qid, CAST(rank AS INT) AS rank, tid, cos
+       |FROM fin WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
+  /** knn_recall_hnsw twin: HNSW and IVF-Lloyd recall against the exact
+    * baseline — the same intersection-count shape as knnRecallSql. */
+  private def knnRecallHnswSql: String =
+    s"""WITH bf AS (SELECT qid, tid FROM (${knnBruteforceSql(maxQid = 50)})),
+       |hn AS (SELECT qid, tid FROM (${knnHnswSql()})),
+       |ivfr AS (SELECT qid, tid FROM (${knnIvfLloydSql()}))
+       |SELECT method, k, hits, possible FROM (
+       |  SELECT 'hnsw' AS method, CAST(5 AS INT) AS k,
+       |    (SELECT COUNT(*) FROM hn JOIN bf USING (qid, tid)) AS hits,
+       |    (SELECT COUNT(*) FROM bf) AS possible
+       |  UNION ALL
+       |  SELECT 'ivf_lloyd' AS method, CAST(5 AS INT) AS k,
+       |    (SELECT COUNT(*) FROM ivfr JOIN bf USING (qid, tid)) AS hits,
+       |    (SELECT COUNT(*) FROM bf) AS possible)
+       |ORDER BY method""".stripMargin
+
   /** knn_recall twin: recall@5 of each approximate path against the exact
     * brute-force baseline on the same 50-query batch. Each twin runs as a
     * locally-scoped subquery (its CTE names shadow cleanly), and the hit
@@ -5844,6 +6055,13 @@ object DataPipelineQueries {
         |ORDER BY id_1, id_2""".stripMargin,
     "knn_bruteforce" -> knnBruteforceSql(maxQid = 10),
     "knn_lsh" -> knnLshSql(),
+    // HNSW: construction (levels, probe-cell / global-layer candidate
+    // pools, top-M + bidirectional prune) AND the fixed-unroll beam
+    // descent replay end to end; the indexed variant is the same search
+    // over the graph at rest, so the same twin gates it.
+    "knn_hnsw" -> knnHnswSql(),
+    "knn_hnsw_indexed" -> knnHnswSql(),
+    "knn_recall_hnsw" -> knnRecallHnswSql,
     "knn_lsh_indexed" -> knnLshSql(), // same buckets/probes/ranking at rest
     "knn_lsh_wide" -> knnLshSql(numPlanes = 8),
     "knn_lsh_filtered" -> knnLshSql(targetFilter = "label % 2 = 0"),

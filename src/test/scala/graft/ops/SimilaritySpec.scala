@@ -171,6 +171,54 @@ class SimilaritySpec extends SparkSpec {
       s"multi-probe recall $multi must beat single-probe $single")
   }
 
+  test("HNSW: layered graph search recalls at least as well as IVF-Lloyd " +
+      "at the gate geometry, is deterministic, and the persisted graph " +
+      "reproduces the in-memory search exactly") {
+    val e = embeddings
+    val q = e.filter($"vec_id" < 12)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val t = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+    val exact = Similarity.knnBruteForce(q, t, k = 3).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val got = rows.groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+      val rs = exact.keys.toSeq.map(qid =>
+        (exact(qid) intersect got.getOrElse(qid, Set.empty)).size / 3.0)
+      rs.sum / rs.size
+    }
+    val hnsw = Similarity.knnHnsw(q, t, dim = 16, k = 3, nCells = 8)
+      .collect()
+    val hnswRecall = recallOf(hnsw)
+    val lloyd = Similarity.knnIvf(q, t, dim = 16, k = 3, nCells = 8,
+      nProbe = 2, lloydIters = 2).collect()
+    assert(hnswRecall >= recallOf(lloyd),
+      s"HNSW recall $hnswRecall below IVF-Lloyd ${recallOf(lloyd)}")
+    assert(hnswRecall > 0.6, s"HNSW recall $hnswRecall too low")
+    // determinism: a second build+search is row-identical
+    val again = Similarity.knnHnsw(q, t, dim = 16, k = 3, nCells = 8)
+      .collect()
+    assert(hnsw.map(_.toString).sorted.sameElements(
+      again.map(_.toString).sorted))
+    // structural invariants of the layered graph
+    val adj = Similarity.hnswAdjacency(t, dim = 16, nCells = 8, m = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(adj.forall { case (_, s1, d) => s1 != d }, "self edge")
+    assert(adj.groupBy(t3 => (t3._1, t3._2)).forall(_._2.length <= 8),
+      "neighbour list over 2M (the bidirectional-link bound)")
+    // level-1 lists only connect level>=1 nodes (the layer thinning)
+    assert(adj.filter(_._1 == 1).forall { case (_, s1, d) =>
+      s1 % 7 == 0 && d % 7 == 0 }, "level-1 edge touching a level-0 node")
+    // persisted graph reproduces the in-memory search exactly
+    val path = graft.util.TempDirs.create("hnsw-idx") + "/g"
+    Similarity.writeHnswIndex(t, path, dim = 16, nCells = 8)
+    val fromDisk = Similarity.knnHnswIndexed(spark, path, q, k = 3)
+      .collect()
+    assert(fromDisk.map(_.toString).sorted.sameElements(
+      hnsw.map(_.toString).sorted),
+      "persisted HNSW search diverged from in-memory")
+  }
+
   test("persisted IVF index matches in-memory IVF and prunes partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     val e = embeddings
