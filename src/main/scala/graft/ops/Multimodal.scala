@@ -166,10 +166,51 @@ object Multimodal {
     * full-decode pass a perceptual-hash or feature extractor sits on —
     * the byte-arithmetic sibling of [[wavEnergyWindows]] /
     * [[y4mLumaSums]], refereed in the spec against `ImageIO`. */
+  /** Adam7 interlace pass geometry (PNG spec 8.2): per pass, the x/y
+    * origin and step of the pixels it carries. */
+  private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Un-filter one sub-image of `hp` scanlines x `wp` pixels starting at
+    * `off` in the inflated stream (per-scanline filter byte, the five
+    * spec types, previous-row references stay WITHIN the sub-image —
+    * each Adam7 pass filters independently). Writes recovered bytes into
+    * `dst` (wp*bpp per row) and returns the bytes consumed. */
+  private def unfilterInto(raw: Array[Byte], off: Int, wp: Int, hp: Int,
+      bpp: Int, dst: Array[Int]): Int = {
+    val stride = wp * bpp
+    var y = 0
+    while (y < hp) {
+      val ft = raw(off + y * (1 + stride)) & 0xff
+      require(ft <= 4, s"bad filter type $ft on scanline $y")
+      var i = 0
+      while (i < stride) {
+        val f = raw(off + y * (1 + stride) + 1 + i) & 0xff
+        val left = if (i >= bpp) dst(y * stride + i - bpp) else 0
+        val up = if (y > 0) dst((y - 1) * stride + i) else 0
+        val upLeft = if (y > 0 && i >= bpp) dst((y - 1) * stride + i - bpp) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, upLeft)
+        }
+        dst(y * stride + i) = (f + pred) & 0xff
+        i += 1
+      }
+      y += 1
+    }
+    hp * (1 + stride)
+  }
+
   def pngPixels(payload: Array[Byte]): (Int, Int, Array[Int]) = {
     val (w, h) = pngDims(payload) // signature + IHDR + its CRC
     require(payload(24) == 8 && payload(25) == 2,
       "pngPixels: fixture profile is 8-bit RGB")
+    val interlace = payload(28) & 0xff
+    require(interlace <= 1, s"not a PNG: bad interlace method $interlace")
     def be32(o: Int): Int =
       ((payload(o) & 0xff) << 24) | ((payload(o + 1) & 0xff) << 16) |
         ((payload(o + 2) & 0xff) << 8) | (payload(o + 3) & 0xff)
@@ -195,33 +236,134 @@ object Multimodal {
     // hand-rolled RFC 1950/1951 inflate (stored + fixed + dynamic
     // Huffman blocks, Adler-32 verified) — no java.util.zip.Inflater in
     // the decode path; InflateSpec referees the codec against the JDK
-    val raw = Inflate.zlib(idat.toByteArray, sizeHint = h * (1 + stride))
-    require(raw.length == h * (1 + stride),
-      s"IDAT inflated to ${raw.length}, want ${h * (1 + stride)}")
     val rgb = new Array[Int](w * h * bpp)
-    var y = 0
-    while (y < h) {
-      val ft = raw(y * (1 + stride)) & 0xff
-      require(ft <= 4, s"bad filter type $ft on scanline $y")
-      var i = 0
-      while (i < stride) {
-        val f = raw(y * (1 + stride) + 1 + i) & 0xff
-        val left = if (i >= bpp) rgb(y * stride + i - bpp) else 0
-        val up = if (y > 0) rgb((y - 1) * stride + i) else 0
-        val upLeft = if (y > 0 && i >= bpp) rgb((y - 1) * stride + i - bpp) else 0
-        val pred = ft match {
-          case 0 => 0
-          case 1 => left
-          case 2 => up
-          case 3 => (left + up) / 2
-          case 4 => paeth(left, up, upLeft)
+    if (interlace == 0) {
+      val raw = Inflate.zlib(idat.toByteArray, sizeHint = h * (1 + stride))
+      require(raw.length == h * (1 + stride),
+        s"IDAT inflated to ${raw.length}, want ${h * (1 + stride)}")
+      unfilterInto(raw, 0, w, h, bpp, rgb)
+    } else {
+      // ADAM7 (PNG spec 8.2): seven independently-filtered sub-images,
+      // each pass's recovered pixels scattered to (xs + x*xStep,
+      // ys + y*yStep); empty passes (origin beyond the image) carry no
+      // bytes at all — the wire shape real progressive PNG encoders emit
+      val want = Adam7.map { case (xs, ys, dx, dy) =>
+        val wp = if (w > xs) (w - xs + dx - 1) / dx else 0
+        val hp = if (h > ys) (h - ys + dy - 1) / dy else 0
+        if (wp == 0 || hp == 0) 0L else hp.toLong * (1 + wp * bpp)
+      }.sum
+      val raw = Inflate.zlib(idat.toByteArray, sizeHint = want.toInt)
+      require(raw.length == want,
+        s"IDAT inflated to ${raw.length}, want $want (Adam7)")
+      var off2 = 0
+      for ((xs, ys, dx, dy) <- Adam7) {
+        val wp = if (w > xs) (w - xs + dx - 1) / dx else 0
+        val hp = if (h > ys) (h - ys + dy - 1) / dy else 0
+        if (wp > 0 && hp > 0) {
+          val sub = new Array[Int](wp * hp * bpp)
+          off2 += unfilterInto(raw, off2, wp, hp, bpp, sub)
+          var py = 0
+          while (py < hp) {
+            var px = 0
+            while (px < wp) {
+              val tx = xs + px * dx
+              val ty = ys + py * dy
+              var c = 0
+              while (c < bpp) {
+                rgb(ty * stride + tx * bpp + c) = sub((py * wp + px) * bpp + c)
+                c += 1
+              }
+              px += 1
+            }
+            py += 1
+          }
         }
-        rgb(y * stride + i) = (f + pred) & 0xff
-        i += 1
       }
-      y += 1
     }
     (w, h, rgb)
+  }
+
+  /** Build a spec-valid ADAM7-INTERLACED PNG (8-bit RGB) with content —
+    * the progressive wire shape of [[pngEncodePixels]]: the seven
+    * passes' sub-images land in IDAT in spec order, each pass filtered
+    * independently with the same cycling filter coverage (pass scanline
+    * y uses filter (pass + y) mod 5, so every pass exercises multiple
+    * types and at least one pass starts each type). */
+  def pngEncodeAdam7Pixels(width: Int, height: Int,
+      pixel: (Int, Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val out = new java.io.ByteArrayOutputStream(256)
+    def be32(v: Int): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(tag: String, body: Array[Byte]): Unit = {
+      val tb = tag.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(body)
+      out.write(be32(body.length)); out.write(tb); out.write(body)
+      out.write(be32(crc.getValue.toInt))
+    }
+    out.write(PngSignature)
+    chunk("IHDR", be32(width) ++ be32(height) ++
+      Array[Byte](8, 2, 0, 0, 1)) // interlace method 1 = Adam7
+    val bpp = 3
+    val raw = new java.io.ByteArrayOutputStream(256)
+    for (((xs, ys, dx, dy), pass) <- Adam7.zipWithIndex) {
+      val wp = if (width > xs) (width - xs + dx - 1) / dx else 0
+      val hp = if (height > ys) (height - ys + dy - 1) / dy else 0
+      if (wp > 0 && hp > 0) {
+        val stride = wp * bpp
+        val cur = new Array[Int](stride)
+        val prev = new Array[Int](stride)
+        var py = 0
+        while (py < hp) {
+          var i = 0
+          while (i < stride) {
+            cur(i) = pixel(xs + (i / bpp) * dx, ys + py * dy, i % bpp) & 0xff
+            i += 1
+          }
+          val ft = (pass + py) % 5
+          raw.write(ft)
+          i = 0
+          while (i < stride) {
+            val left = if (i >= bpp) cur(i - bpp) else 0
+            val up = if (py > 0) prev(i) else 0
+            val upLeft = if (py > 0 && i >= bpp) prev(i - bpp) else 0
+            val pred = ft match {
+              case 0 => 0
+              case 1 => left
+              case 2 => up
+              case 3 => (left + up) / 2
+              case 4 => paeth(left, up, upLeft)
+            }
+            raw.write((cur(i) - pred) & 0xff)
+            i += 1
+          }
+          System.arraycopy(cur, 0, prev, 0, stride)
+          py += 1
+        }
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw.toByteArray); deflater.finish()
+    val buf = new Array[Byte](8192)
+    val idat = new java.io.ByteArrayOutputStream(64)
+    while (!deflater.finished())
+      idat.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    chunk("IDAT", idat.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Static entry point for the
+    * [[org.apache.spark.sql.graft.DedupPngAdam7Payload]] expression:
+    * the image-dedup fixture as an ADAM7-INTERLACED PNG — identical
+    * decoded pixels to [[dedupPngPayloadOf]] (PNG is lossless), so the
+    * interlaced gate shares the closed-form oracle; only the wire
+    * layout (seven scattered, independently-filtered passes) differs. */
+  def dedupPngAdam7PayloadOf(docId: Long): Array[Byte] = {
+    val (w, h) = dedupImageDims(docId)
+    pngEncodeAdam7Pixels(w, h, dedupImagePixel(docId))
   }
 
   /** 64-bit dHash (difference hash) over the decoded pixels: integer

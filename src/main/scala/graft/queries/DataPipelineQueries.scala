@@ -3031,6 +3031,28 @@ object DataPipelineQueries {
         .orderBy($"doc_id")
     }),
 
+    // ADAM7-INTERLACED PNG — the progressive wire layout of real
+    // interlaced PNGs (PNG spec 8.2: seven sub-images, scattered pixel
+    // grids, each pass filtered independently): the same fixture pixels
+    // re-encoded interlaced and decoded through the full pass-walk +
+    // per-pass un-filter + scatter. Lossless, so decoded pixels equal
+    // the sequential fixture's exactly and the twin is the same
+    // closed-form pixel replay — hash equality pins the whole Adam7
+    // lineage (geometry, per-pass filtering, scatter addressing).
+    "mm_image_adam7_dhash" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.graft.{internal, DedupPngAdam7Payload,
+        PngDHash}
+      val dcol = internal.column(PngDHash(
+        DedupPngAdam7Payload(internal.expression($"doc_id"))))
+      t(s, dir, "documents").filter($"doc_id" % 3 === 0)
+        .select($"doc_id",
+          (lit(24) + ($"doc_id" % 7) * 4).cast("int").as("width"),
+          (lit(16) + ($"doc_id" % 7) * 2).cast("int").as("height"),
+          dcol.as("dhash"))
+        .orderBy($"doc_id")
+    }),
+
     // GZIP TRANSFER DECODE — the text-body sibling of the media codecs:
     // every doc's text is wire-encoded by the JDK's INDEPENDENT
     // GZIPOutputStream (the foreign bytes a crawler receives) and
@@ -6722,6 +6744,12 @@ object DataPipelineQueries {
     // PNG, so hash equality proves the Spark side's encode -> inflate
     // -> un-filter -> hash lineage bit-for-bit.
     "mm_image_dhash" -> (ImageDHashWith +
+      """
+        |SELECT h.doc_id, CAST(d.w AS INT) AS width,
+        |  CAST(d.h AS INT) AS height, h.dhash
+        |FROM hsg h JOIN dim d USING (doc_id) ORDER BY doc_id""".stripMargin),
+    // the Adam7 twin decodes to the SAME pixels (lossless), same replay
+    "mm_image_adam7_dhash" -> (ImageDHashWith +
       """
         |SELECT h.doc_id, CAST(d.w AS INT) AS width,
         |  CAST(d.h AS INT) AS height, h.dhash

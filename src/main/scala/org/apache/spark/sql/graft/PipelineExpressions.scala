@@ -287,6 +287,24 @@ case class DedupPngPayload(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** ADAM7-INTERLACED PNG fixture payload from a doc_id column: the same
+  * image-dedup fixture pixels as [[DedupPngPayload]] in the progressive
+  * wire layout (seven scattered, independently-filtered passes) real
+  * interlaced PNGs carry — PNG is lossless, so the gate shares the
+  * closed-form pixel oracle and pins the Adam7 decode path. */
+case class DedupPngAdam7Payload(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(id: Any): Any =
+    graft.ops.Multimodal.dedupPngAdam7PayloadOf(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, id =>
+      s"graft.ops.Multimodal.dedupPngAdam7PayloadOf($id)")
+  override def prettyName: String = "dedup_png_adam7_payload"
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Audio-dedup fixture WAV from a doc_id column — the RIFF/WAVE sibling
   * of [[DedupPngPayload]]. */
 case class DedupWavPayload(child: Expression)

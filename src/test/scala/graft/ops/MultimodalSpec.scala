@@ -311,6 +311,60 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ADAM7: our interlaced stream decodes pixel-identically to the " +
+      "sequential stream and under the independent ImageIO codec; " +
+      "ImageIO-WRITTEN Adam7 PNGs decode identically too") {
+    // odd dims exercise ragged pass geometry (empty/short passes)
+    for ((w, h) <- Seq((9, 8), (24, 16), (31, 13), (7, 3), (1, 9))) {
+      val pixel = (x: Int, y: Int, c: Int) => (x * 7 + y * 13 + c * 31) % 251
+      val adam = Multimodal.pngEncodeAdam7Pixels(w, h, pixel)
+      assert((adam(28) & 0xff) == 1, "IHDR interlace byte not Adam7")
+      val (gw, gh, rgb) = Multimodal.pngPixels(adam)
+      assert((gw, gh) == (w, h))
+      val (_, _, seq0) = Multimodal.pngPixels(
+        Multimodal.pngEncodePixels(w, h, pixel))
+      assert(rgb.sameElements(seq0),
+        s"Adam7 and sequential decodes diverged at ${w}x$h")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(adam))
+      assert(img != null, s"ImageIO rejected our Adam7 stream ${w}x$h")
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = img.getRGB(x, y)
+        val o = (y * w + x) * 3
+        assert(((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff) ==
+          ((rgb(o), rgb(o + 1), rgb(o + 2))),
+          s"Adam7 pixel ($x, $y) in ${w}x$h")
+      }
+    }
+    // reverse referee: the JDK writes Adam7 when asked (progressive
+    // mode); our decoder must read the foreign interlaced stream
+    val (w, h) = (23, 17)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 11 + y) % 251 << 16) |
+        ((y * 7 + x) % 251 << 8) | ((x + y * 3) % 251))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    writer.dispose(); ios.close()
+    val foreign = bos.toByteArray
+    assert((foreign(28) & 0xff) == 1,
+      "ImageIO did not produce an interlaced PNG")
+    val (fw, fh, frgb) = Multimodal.pngPixels(foreign)
+    assert((fw, fh) == (w, h))
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      assert((frgb(o), frgb(o + 1), frgb(o + 2)) ==
+        (((img.getRGB(x, y) >> 16) & 0xff, (img.getRGB(x, y) >> 8) & 0xff,
+          img.getRGB(x, y) & 0xff)), s"foreign Adam7 pixel ($x, $y)")
+    }
+  }
+
   test("pngPixels rejects corrupted chunks and truncation") {
     val bytes = Multimodal.pngEncodePixels(12, 9, (x, y, c) => x + y + c)
     val torn = bytes.clone()
