@@ -581,7 +581,11 @@ object Multimodal {
     * into near duplicates (values stay inside PCM16). */
   def dedupAudioSample(docId: Long)(i: Int): Int = {
     val sc = ((docId / 5) % 3).toInt
-    val base = (i * i * 3 + i * (sc + 1) * 7) % 8192 - 4096
+    // sample-index-varying ScaleGen-replica term (ids >= 1e9): audio
+    // classes grow with the corpus like the jpeg/image fixtures, so
+    // scaled near-dup pair counts stay linear. Zero for driver ids.
+    val rep = (docId / 1000000000L).toInt
+    val base = (i * i * 3 + i * (sc + 1) * 7 + i * rep * 11) % 8192 - 4096
     val bump = if (i % 97 == (docId % 97).toInt) 500 else 0
     base + bump
   }
