@@ -1087,8 +1087,10 @@ object Similarity {
   def knnHnswWith(queries: DataFrame, targets: DataFrame,
       adjacency: DataFrame, k: Int, beam1: Int = 8, hops1: Int = 2,
       beam0: Int = 16, hops0: Int = 4): DataFrame = {
+    // materialize once: every hop's re-score joins against the target
+    // vectors — without the cut each hop re-scans and re-norms them
     val t = targets.select(col("tid"), col("te"),
-      scaledDot(col("te"), col("te")).as("tn"))
+      scaledDot(col("te"), col("te")).as("tn")).localCheckpoint()
     val q = broadcast(queries.select(col("qid"), col("qe"),
       scaledDot(col("qe"), col("qe")).as("qn")))
     def prune(cand: DataFrame, width: Int): DataFrame = {
@@ -1115,8 +1117,13 @@ object Similarity {
     val top = t.filter(hnswLevel(col("tid")) >= 2)
     var beamDf = prune(
       q.select(col("qid")).crossJoin(top.select(col("tid"))), 1)
-    for (_ <- 1 to hops1) beamDf = hop(beamDf, 1, beam1)
-    for (_ <- 1 to hops0) beamDf = hop(beamDf, 0, beam0)
+    // localCheckpoint per hop: the beam is tiny (queries x width rows)
+    // but an UNCUT 7-hop lineage compounds into one enormous fused plan
+    // whose optimization + codegen dominates the search (measured 4x
+    // the hop compute at sf0.1) — the pagerank CheckpointEvery
+    // discipline applied at the width of every hop
+    for (_ <- 1 to hops1) beamDf = hop(beamDf, 1, beam1).localCheckpoint()
+    for (_ <- 1 to hops0) beamDf = hop(beamDf, 0, beam0).localCheckpoint()
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("tid"))
     beamDf.filter(col("qid") =!= col("tid"))

@@ -1451,7 +1451,13 @@ object DataPipelineQueries {
       val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
       val bf = Similarity.knnBruteForce(q, tt, k = 5)
         .select($"qid", $"tid").localCheckpoint()
-      val hnsw = Similarity.knnHnsw(q, tt, dim = 64, k = 5)
+      // search the CACHED persisted graph (shared with knn_hnsw_indexed;
+      // SimilaritySpec pins persisted == in-memory bit for bit) so the
+      // recall gate doesn't pay a second construction
+      val path = graft.util.TempDirs.cached("hnsw-index", dir) { p =>
+        Similarity.writeHnswIndex(tt, p, dim = 64)
+      }
+      val hnsw = Similarity.knnHnswIndexed(s, path, q, k = 5)
       val ivf = Similarity.knnIvf(q, tt, dim = 64, k = 5, nCells = 16,
         nProbe = 2, lloydIters = 2)
       def hits(method: String, ann: DataFrame): DataFrame =
