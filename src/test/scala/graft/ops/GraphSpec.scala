@@ -263,6 +263,40 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("triangle store: two overlapping appends — one winner, one loud " +
+      "fence failure, committed state equals the winner's alone") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (1L, 5L), (2L, 5L))
+    val store = graft.util.TempDirs.create("tri-race") + "/s"
+    Graph.writeTriangleStore(spark, store, pairs.toDF("id_1", "id_2"))
+    val d1 = Seq((2L, 4L)).toDF("id_1", "id_2")
+    val d2 = Seq((3L, 5L)).toDF("id_1", "id_2")
+    // W1 reads the store (fence epoch captured at transaction start),
+    // then W2's whole append lands inside W1's window: exactly one
+    // commits; the loser fails loudly BEFORE mutating anything
+    val e0 = graft.util.Sidecars.fenceEpoch(spark, store)
+    Graph.appendTriangleStore(spark, store, d2) // W2 wins
+    // W1 replays with its stale window by appending after W2 committed —
+    // simulate by racing the claim with the captured epoch
+    val loser = intercept[IllegalStateException](
+      graft.util.Sidecars.claim(spark, store, Some(e0)))
+    assert(loser.getMessage.contains("writer fence"))
+    // committed state is exactly base + W2's delta
+    val want = Graph.triangleCounts((pairs :+ (3L, 5L)).toDF("id_1", "id_2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = graft.util.Sidecars.read(spark, store, "counts")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "store must hold the winner's state alone")
+    // and the store still accepts W1's delta from a FRESH read
+    Graph.appendTriangleStore(spark, store, d1)
+    val want2 = Graph.triangleCounts(
+      (pairs ++ Seq((3L, 5L), (2L, 4L))).toDF("id_1", "id_2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got2 = graft.util.Sidecars.read(spark, store, "counts")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == want2)
+  }
+
   test("triangleCounts: Bloom-gated and plain closing joins are " +
       "bit-identical (false negatives impossible, positives confirmed)") {
     val rnd = new scala.util.Random(11)
