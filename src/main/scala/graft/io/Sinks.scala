@@ -33,6 +33,14 @@ object Sinks {
   def doneIndices(spark: SparkSession, path: String, indexCol: String): DataFrame =
     spark.read.parquet(path).select(col(indexCol)).distinct()
 
+  /** Touched-bucket count above which [[mergeUpdate]] exchanges the
+    * merged rows by bucket before the dynamic-partition overwrite: at
+    * 128 buckets x 32 write tasks the unexchanged worst case is ~4k
+    * small files — past that the commit and read-back go file-count-
+    * bound (the r14 20x s8 finding); below it the exchange is pure
+    * overhead (the r14 1x +35% regression). */
+  val MaxUnpartitionedBuckets = 128
+
   /** S8: merge-update — overwrite only the partitions containing updated
     * rows (dynamic partition overwrite), reference patchabbrev $set. */
   def mergeUpdate(spark: SparkSession, path: String, indexCol: String,
@@ -53,13 +61,21 @@ object Sinks {
     // the dynamic-overwrite commit would re-read replaced files.
     // localCheckpoint cuts every live lineage to `path` first; its
     // footprint is the touched buckets, not the table.
-    // repartition BY BUCKET first: without it every shuffle task writes
-    // one file into every bucket it happens to hold rows of — up to
-    // (tasks x touched buckets) small files per patch, which is what
-    // made the s8 roundtrip the steepest scale-curve entry (file-count-
-    // bound commit + read-back, not rewrite volume). One exchange of
-    // the touched-bucket rows buys one file per rewritten bucket.
-    val materialized = merged.repartition(col("bucket")).localCheckpoint()
+    // repartition BY BUCKET first when the patch is BROAD: without it
+    // every shuffle task writes one file into every bucket it happens
+    // to hold rows of — up to (tasks x touched buckets) small files
+    // per patch, which is what made the s8 roundtrip the steepest
+    // scale-curve entry at 20x (file-count-bound commit + read-back,
+    // not rewrite volume). One exchange of the touched-bucket rows
+    // buys one file per rewritten bucket. For a NARROW patch the
+    // worst-case file count is already bounded (tasks x buckets stays
+    // in the low thousands) and the exchange costs more than the files
+    // — r14 measured +35% on the 1x roundtrip from an unconditional
+    // repartition — so it is skipped below the bucket threshold.
+    val materialized =
+      (if (bucketList.length > MaxUnpartitionedBuckets)
+        merged.repartition(col("bucket"))
+      else merged).localCheckpoint()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try materialized.write.mode(SaveMode.Overwrite)
       .partitionBy("bucket").parquet(path)

@@ -57,20 +57,18 @@ object Snapshots {
   /** Append `df` as the next version; returns its version number.
     *
     * Writer fencing: data lands in a WRITER-UNIQUE hidden staging dir
-    * (concurrent writers never share a write path), healing of a
-    * crashed predecessor's dangling `v=<k>` happens before placement
-    * but only when the leftover is OLDER THAN AN HOUR (no manifest row
-    * references it, but a fresh one may be a concurrent committer's
-    * just-placed directory — deleting that would let this writer's
-    * manifest row point at the other writer's data), a
-    * rename-without-overwrite then places the version (of two
-    * concurrent committers of the same k, the later rename fails
-    * cleanly — the SOLE collision arbiter), and the manifest swap — the commit point — carries the
-    * epoch read at transaction start, so a writer that raced ANY other
-    * mutation of the store fails there, leaving its placed dir
-    * dangling (invisible to readers, healed by the next commit or
-    * [[expire]]) rather than deleting a directory that may meanwhile
-    * belong to the winner. */
+    * (concurrent writers never share a write path); placement of
+    * `v=<k>` is arbitrated by an EXCLUSIVE CREATE of a per-version
+    * claim marker (atomic — of two concurrent committers of the same k
+    * exactly one proceeds; exists()+rename() alone had a window where
+    * both passed and posix mv semantics nested the loser's stage
+    * inside the winner's data). Healing of a crashed predecessor's
+    * leftovers is age-gated at one hour (a fresh marker belongs to a
+    * live committer). The manifest swap — the commit point — carries
+    * the epoch read at transaction start, so a writer that raced ANY
+    * other mutation of the store fails there and SELF-HEALS its placed
+    * dir (the claim proves ownership, so the delete cannot touch a
+    * winner's data). */
   def commitVersion(spark: SparkSession, root: String, df: DataFrame): Int = {
     val e = graft.util.Sidecars.fenceEpoch(spark, root) // transaction start
     val k = latest(spark, root) + 1
@@ -81,32 +79,88 @@ object Snapshots {
     df.write.mode("overwrite").parquet(stage.toString)
     // count what was WRITTEN (what readers will see), not the input plan
     val n = spark.read.parquet(stage.toString).count()
-    // heal a crashed writer's dangling dir — AGE-GATED (same 1h bound
-    // as the .stage sweep): no manifest row names it (latest() said
-    // so), so nothing a reader can see disappears, but an unconditional
-    // delete here would race a CONCURRENT committer of the same k who
-    // just placed its directory — deleting it and re-placing ours lets
-    // the other writer's manifest swap commit a row pointing at OUR
-    // data. A fresh v=<k> is therefore left alone and the
-    // rename-without-overwrite below is the sole collision arbiter;
-    // a crashed writer's aged leftover is healed here or by [[expire]].
-    if (fs.exists(vdir) && fs.getFileStatus(vdir).getModificationTime <
-        System.currentTimeMillis() - 3600000L)
-      fs.delete(vdir, true)
-    // the exists check matters: Hadoop FileSystem.rename onto an
-    // existing directory MOVES THE SOURCE INTO IT (posix mv semantics
-    // on LocalFileSystem) instead of failing, which would nest this
-    // writer's stage inside the winner's placed data
-    if (fs.exists(vdir) || !fs.rename(stage, vdir)) {
+    // PLACEMENT ARBITER: an exclusive create of a per-version claim
+    // marker (the Sidecars claimEpoch pattern) — atomic, so of two
+    // concurrent committers of the same k exactly one proceeds to the
+    // rename; exists()+rename() alone left a window where both passed
+    // the exists check and Hadoop's rename-onto-existing-dir (posix mv
+    // semantics on LocalFileSystem) NESTED the loser's stage inside
+    // the winner's placed data and returned true.
+    val marker = new org.apache.hadoop.fs.Path(root + s"/data/.place-v$k")
+    // heal a crashed writer's aged leftovers — AGE-GATED (same 1h
+    // bound as the .stage sweep): no manifest row names v=<k>
+    // (latest() said so), so nothing a reader can see disappears, and
+    // a FRESH marker/dir belongs to a live concurrent committer whose
+    // claim must stand. The heal renames the stale marker aside first
+    // (itself atomic — of two healers exactly one wins; the loser
+    // falls through to the claim and fails there), then removes the
+    // crashed writer's dangling dir.
+    val cutoff = System.currentTimeMillis() - 3600000L
+    if (fs.exists(marker) &&
+        fs.getFileStatus(marker).getModificationTime < cutoff) {
+      val aside = new org.apache.hadoop.fs.Path(
+        root + s"/data/.dead-v$k-${java.util.UUID.randomUUID().toString.take(8)}")
+      if (fs.rename(marker, aside)) {
+        if (fs.exists(vdir)) fs.delete(vdir, true)
+        fs.delete(aside, false)
+      }
+    } else if (fs.exists(vdir) && !fs.exists(marker) &&
+        fs.getFileStatus(vdir).getModificationTime < cutoff)
+      fs.delete(vdir, true) // pre-marker-era leftover, aged
+    val claimed =
+      try { fs.create(marker, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!claimed) {
       fs.delete(stage, true)
       throw new IllegalStateException(
-        s"writer fence: $vdir already placed — a concurrent writer is " +
-          "committing the same version; retry from a fresh manifest read")
+        s"writer fence: version $k of $root is being committed by a " +
+          "concurrent writer; retry from a fresh manifest read")
+    }
+    // the exists guard stays as the physical backstop (a crashed
+    // pre-marker writer's fresh dangling dir, or a >1h-stalled live
+    // predecessor placing after losing its marker to the heal above);
+    // the claim closes the concurrent-committer race. On this failure
+    // nothing was placed, so the claim is RELEASED — the dangling dir
+    // itself remains the block until it ages out
+    if (fs.exists(vdir) || !fs.rename(stage, vdir)) {
+      fs.delete(stage, true)
+      fs.delete(marker, false)
+      throw new IllegalStateException(
+        s"writer fence: $vdir already placed — a concurrent or crashed " +
+          "writer holds this version; retry from a fresh manifest read")
+    }
+    // nesting detector: if a pathological interleave still moved our
+    // stage INSIDE a concurrently-placed v=<k> (rename returned true
+    // but the destination already existed), our stage dir's name now
+    // appears under vdir — remove the foreign nest and fail instead
+    // of committing a manifest row over mixed data
+    val nested = new org.apache.hadoop.fs.Path(vdir, stage.getName)
+    if (fs.exists(nested)) {
+      fs.delete(nested, true)
+      throw new IllegalStateException(
+        s"writer fence: $vdir was placed concurrently (stage was " +
+          "nested and has been removed); retry from a fresh manifest read")
     }
     import spark.implicits._
-    graft.util.Sidecars.swap(spark, root, "manifest",
-      manifest(spark, root).unionByName(Seq((k, n)).toDF("v", "n_rows")),
-      single = true, expectedEpoch = Some(e))
+    // on an epoch-fence loss at the manifest swap, SELF-HEAL: the
+    // claim marker proves v=<k> is ours alone, so deleting it cannot
+    // touch a winner's data (r14's leave-it-dangling caution existed
+    // because exists()+rename() couldn't prove ownership) — the next
+    // committer of k proceeds immediately instead of waiting out the
+    // 1h age gate
+    try
+      graft.util.Sidecars.swap(spark, root, "manifest",
+        manifest(spark, root).unionByName(Seq((k, n)).toDF("v", "n_rows")),
+        single = true, expectedEpoch = Some(e))
+    catch {
+      case t: Throwable =>
+        fs.delete(vdir, true)
+        fs.delete(marker, false)
+        throw t
+    }
+    // committed: the marker has done its job (latest() now resolves k,
+    // so no future writer computes this version number again)
+    fs.delete(marker, false)
     k
   }
 

@@ -438,6 +438,24 @@ object Dedup {
       .select(col(qid), col("rank"), col(tid), col("hamming"))
   }
 
+  /** Banded Hamming near-dup pairs over a 64-bit fingerprint: 4 x
+    * 16-bit bands (pigeonhole-EXACT for maxHamming <= 3 — any pair
+    * within distance 3 agrees on at least one full band, and 4 is the
+    * minimum band count with that guarantee, so the bands cannot be
+    * widened without losing exactness), per-band bucket grouping with
+    * a hard [[BoundedLongList]] cap, then the exact popcount verify.
+    *
+    * COLLISION-TAIL POSTURE: band buckets also collect RANDOM 16-bit
+    * collisions between unrelated fingerprints — expected candidate
+    * pairs from that tail are ~4 x C(n/65536-per-bucket) ~ n^2/2^15
+    * for uniform hashes, so candidate growth is mildly super-linear in
+    * n (the r14 20x curve measured 28.5x pairs at 20x data for the
+    * image family — collisions, not a fixture quadratic). Those are
+    * CANDIDATES, never output: the verify stage is one codegen'd
+    * popcount per candidate and drops them, `maxBucketSize` bounds any
+    * skewed bucket, and at 100 TB the same geometry holds because the
+    * bucket key space is fixed and per-bucket population — not pair
+    * volume — is what shuffles. */
   def hammingPairs(input: DataFrame, id: String, hashCol: String,
       maxHamming: Int, maxBucketSize: Int): DataFrame = {
     val hashed = input.select(col(id), col(hashCol).as("sh"))

@@ -299,13 +299,14 @@ object FlowQueries {
       // delta = 1/31 of orders — the small-edit regime an incremental
       // fold exists for (a 14% delta made the fold cost rival the full
       // recompute; at ~3% it is decisively cheaper). The store persists
-      // the CANONICAL old edge set beside the counts PLUS the two
-      // linear-pass sidecars (degree increments, closing-probe Bloom
-      // bits) that r13's fold rebuilt from the merged graph on every
-      // refresh — with them at rest, the refresh's wall time tracks the
-      // delta: the old graph is only probe-SCANNED (broadcast
-      // delta-sized candidates, no shuffle of old edges, no degree
-      // re-aggregation, no Bloom rebuild).
+      // edges/ (append-only canonical ground truth), adj/ (symmetric
+      // neighbour-list increment rows), meta/ (edge_count), counts/ —
+      // see the Graph.scala store banner. With the neighbour lists at
+      // rest, the refresh's wall time tracks the delta: the old graph
+      // is only probe-SCANNED (adj/ pruned to the delta's endpoints by
+      // a broadcast semi-join; the fold's A term is one array_intersect
+      // per delta edge, B an array_contains probe — no degree table, no
+      // Bloom, no candidate materialization).
       val store = graft.util.TempDirs.cached("triangles-store-31", dir) { p =>
         graft.ops.Graph.writeTriangleStore(s, p,
           pairsOf(li.filter($"ok" % 31 =!= 0)))
@@ -317,10 +318,10 @@ object FlowQueries {
 
     // APPENDED triangle store — the maintenance twin of the read-only
     // refresh above: the same delta is FOLDED AND COMMITTED
-    // (edge files appended, degree increments appended, Bloom bits
-    // ORed, counts swapped — the BandIndex transaction discipline with
-    // epoch fencing), and the gate reads the counts back from the
-    // store at rest. Hash-equal to from-scratch over the merged graph:
+    // (edge files appended, per-endpoint adjacency increment rows
+    // appended, edge_count bumped, counts swapped — the BandIndex
+    // transaction discipline with epoch fencing), and the gate reads
+    // the counts back from the store at rest. Hash-equal to from-scratch over the merged graph:
     // the oracle is the full-graph twin verbatim, so any error in the
     // roll-forward of ANY sidecar that leaks into the fold shows up as
     // a count mismatch.

@@ -57,8 +57,10 @@ class SnapshotsSpec extends SparkSpec {
       "dangling dir must not advance the version counter")
     // a FRESH dangling v=2 may be a CONCURRENT committer's just-placed
     // directory, so the heal is age-gated: the re-run must fail loudly
-    // at the rename-without-overwrite (the sole collision arbiter) and
-    // leave the directory intact — never delete-and-replace it
+    // at the placement backstop, leave the directory intact — never
+    // delete-and-replace it — and RELEASE its claim marker (nothing
+    // was placed), so the next attempt fails the same way rather than
+    // being blocked by the loser's own leftover
     val vdir = new org.apache.hadoop.fs.Path(root + "/data/v=2")
     val fs = vdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val racing = intercept[IllegalStateException](Snapshots.commitVersion(
@@ -73,6 +75,31 @@ class SnapshotsSpec extends SparkSpec {
       Seq((2L, "b"), (3L, "c")).toDF("doc_id", "text")) == 2)
     assert(Snapshots.asOf(spark, root, 2).orderBy($"doc_id")
       .as[(Long, String)].collect().toSeq == Seq((2L, "b"), (3L, "c")))
+  }
+
+  test("placement arbiter: a fresh claim marker (a concurrent committer " +
+      "mid-placement) makes a second committer of the same version fail " +
+      "at the claim, before touching any file") {
+    val root = graft.util.TempDirs.create("snap-claim") + "/store"
+    Snapshots.commitVersion(spark, root,
+      Seq((1L, "a")).toDF("doc_id", "text"))
+    // simulate a concurrent committer that won the v=2 claim and is
+    // still staging: the marker exists, the version dir does not yet
+    val marker = new org.apache.hadoop.fs.Path(root + "/data/.place-v2")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(marker, false).close()
+    val racing = intercept[IllegalStateException](Snapshots.commitVersion(
+      spark, root, Seq((2L, "b")).toDF("doc_id", "text")))
+    assert(racing.getMessage.contains("writer fence"))
+    assert(fs.exists(marker), "the live committer's claim must survive")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root + "/data/v=2")),
+      "the loser must not have placed anything")
+    // the claim holder completes: nothing the loser did can block it
+    fs.delete(marker, false) // release, as the holder's failure path would
+    assert(Snapshots.commitVersion(spark, root,
+      Seq((2L, "b")).toDF("doc_id", "text")) == 2)
+    // a successful commit leaves no marker behind
+    assert(!fs.exists(marker))
   }
 
   test("diff classifies added/removed/changed/unchanged with byte totals " +
