@@ -983,113 +983,192 @@ object Similarity {
   // that makes it work — exponentially-thinning layers, per-node
   // nearest-neighbour lists, greedy coarse-to-fine descent — and makes
   // every piece DETERMINISTIC and relational:
-  //  - level(tid) is a modular rule (~1/7 of nodes at level>=1, ~1/49
-  //    at level 2), so both engines assign identical layers;
+  //  - level(tid) is a modular rule (trailing base-7 zeros of the id,
+  //    capped at hnswCap(n) = floor(log_7 n)), so layer DEPTH GROWS
+  //    with the corpus (~log_7 n levels, expected n/7^l nodes at
+  //    level >= l) and both engines assign identical layers;
   //  - each level-l node's M-list = its top-M exact-cosine neighbours
-  //    among level->=l nodes homed in its nProbe IVF probe cells (the
-  //    gated seed-centroid machinery) — construction cost is
-  //    sum-of-cell-pair products, the SemDedup posture, never a global
-  //    all-pairs;
-  //  - search is a FIXED-UNROLL beam descent: entry = best level-2
-  //    node, then per level a constant number of expand-and-prune hops
-  //    (each hop: beam JOIN adjacency, exact re-score, window top-b).
-  //    Fixed unrolls make the whole search replayable in the DuckDB
-  //    twin (the pagerank-iteration convention) — a while-converged
-  //    loop would not be.
-  // Scale shape: the adjacency is (lvl, src, dst) rows at rest,
+  //    among level->=l nodes homed in its top-p_l probe cells (the
+  //    gated seed-centroid machinery), with p_l = min(nCells,
+  //    nProbe * 7^l): the probe radius WIDENS exactly as fast as the
+  //    layer thins, so upper layers keep the long-range routing links
+  //    canonical HNSW gets from its global insert search while
+  //    per-node candidate volume stays <= the base layer's
+  //    (nProbe * n / nCells) at EVERY level — total construction cost
+  //    <= 7/6 of the base layer's sum-of-cell-pair products, the
+  //    SemDedup/IVF posture with nCells as the scaling knob
+  //    (nCells ~ sqrt(n) keeps construction ~n^1.5). NO level is built
+  //    by a global cross join (the r14 fixed-3-tier geometry built
+  //    level 1 = n/7 of the corpus all-pairs, O(n^2/49); retired).
+  //  - search is a FIXED-UNROLL beam descent: entry = best node of the
+  //    top OCCUPIED layer — its size is < 7 under the cap rule
+  //    (7^cap <= n < 7^(cap+1), so a dense id space holds < 7
+  //    multiples of 7^cap), making the entry scan O(1) in the corpus —
+  //    then per level a constant number of expand-and-prune hops (each
+  //    hop: beam JOIN adjacency, exact re-score, window top-b). Fixed
+  //    unrolls make the whole search replayable in the DuckDB twin
+  //    (the pagerank-iteration convention) — a while-converged loop
+  //    would not be. Depth (and so total hops) grows ~log_7 n.
+  // Scale shape: the adjacency is (lvl, src, dst, cos) rows at rest,
   // partitioned by lvl; each hop broadcasts the beam (queries x b rows)
   // and equi-joins it against adjacency then targets — per-hop work is
   // beam-bounded, never corpus-bounded. Recall is gated against the
   // brute-force twin (knn_recall_hnsw) with the IVF-Lloyd floor.
+  //
+  // PERSISTED STORE + MAINTENANCE (the knn_ivf_*/d3_index_* matrix
+  // applied to the graph). Sidecars under the store root, every commit
+  // reader-atomic and epoch-fenced via graft.util.Sidecars (immutable
+  // version-named dirs; two overlapping maintenance transactions
+  // conflict loudly at the first commit):
+  //   vectors   (tid, te, tn, lvl, home)  additive on append
+  //   adj       (lvl, src, dst, cos)      partitioned by lvl
+  //   adjpatch  (lvl, src, dst, cos)      REPLACEMENT lists for srcs
+  //                                       touched since the last build/
+  //                                       compact — readers take patch
+  //                                       over base per (lvl, src)
+  //   centroids (cell, pos, c)            construction device, FROZEN
+  //                                       at build (appends assign
+  //                                       against it; compact retrains)
+  //   meta      (n, cap, max_lvl, dim, n_cells, m, n_probe)
+  //   tombs     (tid)                     mark-deleted: routing keeps
+  //                                       them, ranking excludes them
   // ------------------------------------------------------------------
 
-  /** Deterministic HNSW level of a node id: 2 for tid % 49 == 0, 1 for
-    * tid % 7 == 0, else 0 — the 1/7-geometric layer thinning, modular
-    * so the oracle replays it. */
-  def hnswLevel(tid: Column): Column =
-    when(pmod(tid, lit(49L)) === 0, 2)
-      .when(pmod(tid, lit(7L)) === 0, 1)
-      .otherwise(0)
+  /** Depth cap of the layer hierarchy for an n-vector corpus: the
+    * largest L with 7^L <= n (0 for n < 7), i.e. floor(log_7 n) — the
+    * Malkov-Yashunin expected depth, derived from an exact integer
+    * comparison so any engine replays it without float-log hazards. */
+  def hnswCap(n: Long): Int = {
+    require(n > 0, "HNSW over an empty corpus")
+    var l = 0
+    var p = 7L
+    while (p <= n && l < 20) { l += 1; p *= 7 }
+    l
+  }
 
-  /** Layered adjacency (lvl, src, dst) for levels 0..maxLevel: per
-    * level, each surviving node keeps its top-`m` exact-cosine
-    * neighbours among surviving nodes homed in one of its `nProbe`
-    * probe cells (ties: lowest dst id). One candidate join per level,
-    * keyed on the cell id; candidates per node are bounded by the
-    * probed cells' populations. */
+  private def pow7(l: Int): Long = {
+    var p = 1L
+    var i = 0
+    while (i < l) { p *= 7; i += 1 }
+    p
+  }
+
+  /** Deterministic HNSW level of a node id: the count of trailing
+    * base-7 zeros of tid, capped at `cap` — the 1/7-geometric layer
+    * thinning (expected n/7^l ids at level >= l), modular so the
+    * oracle replays it. tid = 0 (divisible by every power) lands on
+    * the cap. The searcher's entry layer is always the max OCCUPIED
+    * level (from the data / the meta sidecar), never the rule alone:
+    * a sparse id space with no level->=1 ids gets maxOcc = 0 and the
+    * entry degrades to an exact base-layer scan instead of an empty
+    * beam (the r14 trap where a corpus without a level-2 id silently
+    * returned zero rows). */
+  def hnswLevel(tid: Column, cap: Int): Column =
+    if (cap <= 0) lit(0)
+    else (cap - 1 to 1 by -1).foldLeft(
+      when(pmod(tid, lit(pow7(cap))) === 0, lit(cap))) { (c, l) =>
+        c.when(pmod(tid, lit(pow7(l))) === 0, lit(l))
+    }.otherwise(lit(0))
+
+  /** Probe width of construction level l: min(nCells, nProbe * 7^l).
+    * Widening the probe radius exactly as fast as the layer thins
+    * keeps per-node candidate volume <= nProbe*n/nCells (the base
+    * layer's) at every level, and makes a near-top layer effectively
+    * globally connected once the width saturates at nCells — the
+    * long-range links, at sum-of-cell-pair cost. */
+  def hnswProbeWidth(l: Int, nProbe: Int, nCells: Int): Int = {
+    var p = nProbe.toLong
+    var i = 0
+    while (i < l && p < nCells) { p *= 7; i += 1 }
+    math.min(nCells.toLong, p).toInt
+  }
+
+  /** Layered adjacency (lvl, src, dst, cos) for levels 0..hnswCap(n):
+    * per level, each surviving node keeps its top-`m` exact-cosine
+    * neighbours among surviving nodes homed in one of its top-p_l
+    * probe cells (ties: lowest dst id), and the bidirectional union is
+    * re-pruned to 2m per src — the HNSW paper's discipline (an
+    * asymmetric top-M graph strands queries whose cluster is popular
+    * but not probing outward). One cell-keyed candidate join per
+    * level; no level is ever built globally. */
   def hnswAdjacency(targets: DataFrame, dim: Int, nCells: Int = 16,
-      m: Int = 8, nProbe: Int = 2, maxLevel: Int = 1): DataFrame = {
-    val cs = ivfSeedCentroids(targets, nCells)
+      m: Int = 8, nProbe: Int = 2): DataFrame =
+    hnswAdjacencyWith(targets, ivfSeedCentroids(targets, nCells),
+      hnswCap(targets.count()), nCells, m, nProbe)
+
+  /** Construction under explicit centroids + depth — the shared kernel
+    * of build, append (frozen centroids), and compaction (retrained). */
+  private def hnswAdjacencyWith(targets: DataFrame,
+      cs: Array[Array[Float]], cap: Int, nCells: Int, m: Int,
+      nProbe: Int): DataFrame = {
+    val pMax = hnswProbeWidth(cap, nProbe, nCells)
     val base = targets.select(col("tid"), col("te"),
-        hnswLevel(col("tid")).as("lvl"),
+        hnswLevel(col("tid"), cap).as("lvl"),
         nearestCell(col("te"), cs).as("home"),
-        probeCells(col("te"), cs, nProbe).as("probes"),
+        probeCells(col("te"), cs, pMax).as("probes"),
         scaledDot(col("te"), col("te")).as("nrm"))
       .localCheckpoint()
-    (0 to maxLevel).map { l =>
+    (0 to cap).map { l =>
       val nodes = base.filter(col("lvl") >= l)
-      // LONG-RANGE LINKS: the thinned upper layers (>= 1, ~1/7^l of
-      // the corpus) take GLOBAL within-level candidates — canonical
-      // HNSW gets its long-range routing links from the global search
-      // each insertion runs, and without them a descent entering the
-      // wrong cluster can never cross (cell-local lists strand it).
-      // The base layer stays cell-restricted: that is where the
-      // corpus-sized candidate volume lives. At 100 TB the depth grows
-      // (~log_7 n levels) so every globally-built layer is itself tiny;
-      // the 3-level geometry here makes level 1 the global one.
-      val paired =
-        if (l >= 1)
-          nodes.select(col("tid").as("src"), col("te").as("se"),
-              col("nrm").as("sn"))
-            .crossJoin(nodes.select(col("tid").as("dst"),
-              col("te").as("de"), col("nrm").as("dn")))
-        else {
-          val vSide = nodes.select(col("tid").as("src"), col("te").as("se"),
-            col("nrm").as("sn"), explode(col("probes")).as("cell"))
-          val uSide = nodes.select(col("tid").as("dst"), col("te").as("de"),
-            col("nrm").as("dn"), col("home").as("cell"))
-          vSide.join(uSide, Seq("cell")).drop("cell")
-        }
-      val scored = paired
-        .filter(col("src") =!= col("dst"))
-        .withColumn("cos", scaledDot(col("se"), col("de")).cast("double") /
-          sqrt((col("sn") * col("dn")).cast("double")))
-      val w = Window.partitionBy(col("src"))
-        .orderBy(col("cos").desc, col("dst"))
-      val fwd = scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= m)
-        .select(col("src"), col("dst"), col("cos"))
-      // BIDIRECTIONAL links (the HNSW paper's discipline): reverse
-      // every selected edge — an asymmetric top-M graph strands
-      // queries whose cluster is popular but not probing outward; the
-      // reverse set restores navigability. In-degree is re-pruned to
-      // 2m per node (cosine is symmetric, so the reversed edge carries
-      // the identical score and the prune stays deterministic).
-      val bi = fwd.unionByName(
-          fwd.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
-        .distinct()
-      val w2 = Window.partitionBy(col("src"))
-        .orderBy(col("cos").desc, col("dst"))
-      bi.withColumn("rn", row_number().over(w2))
-        .filter(col("rn") <= 2 * m)
-        .select(lit(l).as("lvl"), col("src"), col("dst"))
+      val pL = hnswProbeWidth(l, nProbe, nCells)
+      val vSide = nodes.select(col("tid").as("src"), col("te").as("se"),
+        col("nrm").as("sn"),
+        explode(slice(col("probes"), 1, pL)).as("cell"))
+      val uSide = nodes.select(col("tid").as("dst"), col("te").as("de"),
+        col("nrm").as("dn"), col("home").as("cell"))
+      hnswBiPrune(
+        hnswFwdTopM(vSide.join(uSide, Seq("cell")).drop("cell"), m), m, l)
     }.reduce(_ unionByName _)
   }
 
-  /** Beam descent over a prebuilt layered adjacency. Entry: the single
-    * best level->=2 node per query (an exact scan of the ~1/49 top
-    * layer). Level 1: `hops1` expand-and-prune hops at beam width
-    * `beam1`; level 0: `hops0` hops at `beam0`. Every hop re-scores
-    * with the same fixed-point cosine the final ranking uses, ties to
-    * the lowest tid — fully deterministic. Returns (qid, rank, tid,
-    * cos), self-matches excluded at the final ranking only (the
-    * query's own node is the best possible descent seed). */
+  /** Top-`m` forward lists (src, dst, cos) from candidate pairs carrying
+    * (se, sn) x (de, dn) vector/norm columns; ties to the lowest dst. */
+  private def hnswFwdTopM(paired: DataFrame, m: Int): DataFrame = {
+    val scored = paired.filter(col("src") =!= col("dst"))
+      .withColumn("cos", scaledDot(col("se"), col("de")).cast("double") /
+        sqrt((col("sn") * col("dn")).cast("double")))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= m)
+      .select(col("src"), col("dst"), col("cos"))
+  }
+
+  /** BIDIRECTIONAL links (the HNSW paper's discipline): reverse every
+    * selected edge (cosine is symmetric, so the reversed edge carries
+    * the identical score), dedup, re-prune in-degree to 2m per node —
+    * deterministic, and navigable from both endpoints. */
+  private def hnswBiPrune(fwd: DataFrame, m: Int, l: Int): DataFrame = {
+    val bi = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
+      .distinct()
+    val w2 = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    bi.withColumn("rn", row_number().over(w2))
+      .filter(col("rn") <= 2 * m)
+      .select(lit(l).as("lvl"), col("src"), col("dst"), col("cos"))
+  }
+
+  /** Beam descent over a prebuilt layered adjacency. `targets` must
+    * carry (tid, te, lvl). Entry: the single best layer-`maxOcc` node
+    * per query — an exact scan of the top OCCUPIED layer (tiny by the
+    * cap rule; non-empty by construction whenever maxOcc is derived
+    * from the data). Then per level maxOcc-1..1: `hops1`
+    * expand-and-prune hops at beam width `beam1`; level 0: `hops0`
+    * hops at `beam0`. Every hop re-scores with the same fixed-point
+    * cosine the final ranking uses, ties to the lowest tid — fully
+    * deterministic. `exclude` (tombstoned ids) drops from the FINAL
+    * ranking only: mark-deleted nodes still route, the canonical HNSW
+    * deletion. Returns (qid, rank, tid, cos); self-matches excluded at
+    * the final ranking only (the query's own node is the best possible
+    * descent seed). */
   def knnHnswWith(queries: DataFrame, targets: DataFrame,
-      adjacency: DataFrame, k: Int, beam1: Int = 8, hops1: Int = 2,
-      beam0: Int = 16, hops0: Int = 4): DataFrame = {
+      adjacency: DataFrame, k: Int, maxOcc: Int, beam1: Int = 8,
+      hops1: Int = 2, beam0: Int = 16, hops0: Int = 4,
+      exclude: Option[DataFrame] = None): DataFrame = {
     // materialize once: every hop's re-score joins against the target
     // vectors — without the cut each hop re-scans and re-norms them
-    val t = targets.select(col("tid"), col("te"),
+    val t = targets.select(col("tid"), col("te"), col("lvl"),
       scaledDot(col("te"), col("te")).as("tn")).localCheckpoint()
     val q = broadcast(queries.select(col("qid"), col("qe"),
       scaledDot(col("qe"), col("qe")).as("qn")))
@@ -1113,49 +1192,297 @@ object Similarity {
         .distinct()
       prune(expanded, width)
     }
-    // entry: exact argmax over the sparse top layer
-    val top = t.filter(hnswLevel(col("tid")) >= 2)
+    // entry: exact argmax over the (tiny) top occupied layer
+    val top = t.filter(col("lvl") === maxOcc)
     var beamDf = prune(
       q.select(col("qid")).crossJoin(top.select(col("tid"))), 1)
     // localCheckpoint per hop: the beam is tiny (queries x width rows)
-    // but an UNCUT 7-hop lineage compounds into one enormous fused plan
-    // whose optimization + codegen dominates the search (measured 4x
-    // the hop compute at sf0.1) — the pagerank CheckpointEvery
+    // but an UNCUT multi-hop lineage compounds into one enormous fused
+    // plan whose optimization + codegen dominates the search (measured
+    // 4x the hop compute at sf0.1) — the pagerank CheckpointEvery
     // discipline applied at the width of every hop
-    for (_ <- 1 to hops1) beamDf = hop(beamDf, 1, beam1).localCheckpoint()
+    for (l <- maxOcc - 1 to 1 by -1; _ <- 1 to hops1)
+      beamDf = hop(beamDf, l, beam1).localCheckpoint()
     for (_ <- 1 to hops0) beamDf = hop(beamDf, 0, beam0).localCheckpoint()
+    val survivors = exclude.fold(beamDf)(dead => beamDf.join(
+      broadcast(dead.select(col("tid"))), Seq("tid"), "left_anti"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("tid"))
-    beamDf.filter(col("qid") =!= col("tid"))
+    survivors.filter(col("qid") =!= col("tid"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("tid"), col("cos"))
   }
 
-  /** In-memory build + search (the gate shape). */
+  /** In-memory build + search (the gate shape): depth cap and entry
+    * layer derived from the corpus itself. */
   def knnHnsw(queries: DataFrame, targets: DataFrame, dim: Int, k: Int,
-      nCells: Int = 16, m: Int = 8): DataFrame =
-    knnHnswWith(queries, targets,
-      hnswAdjacency(targets, dim, nCells, m).localCheckpoint(), k)
-
-  /** Persist the layered graph at rest: vectors (tid, te, tn) + the
-    * adjacency partitioned by lvl — self-contained (a fresh driver
-    * reloads and searches without retraining; centroids are only a
-    * CONSTRUCTION device, the search never needs them). */
-  def writeHnswIndex(targets: DataFrame, path: String, dim: Int,
-      nCells: Int = 16, m: Int = 8): Unit = {
-    targets.select(col("tid"), col("te"),
-        scaledDot(col("te"), col("te")).as("tn"))
-      .write.mode("overwrite").parquet(path + "/vectors")
-    hnswAdjacency(targets, dim, nCells, m)
-      .write.mode("overwrite").partitionBy("lvl").parquet(path + "/adj")
+      nCells: Int = 16, m: Int = 8, nProbe: Int = 2): DataFrame = {
+    val cap = hnswCap(targets.count())
+    val tl = targets.select(col("tid"), col("te"),
+      hnswLevel(col("tid"), cap).as("lvl")).localCheckpoint()
+    val maxOcc = tl.agg(max(col("lvl"))).head.getInt(0)
+    knnHnswWith(queries, tl,
+      hnswAdjacencyWith(targets, ivfSeedCentroids(targets, nCells), cap,
+        nCells, m, nProbe).localCheckpoint(),
+      k, maxOcc)
   }
 
-  /** Search the persisted graph: the beam hops read the adjacency at
-    * rest (lvl-partition-pruned scans against the broadcast beam). */
+  private def hnswCentroidsDf(spark: org.apache.spark.sql.SparkSession,
+      cs: Array[Array[Float]]): DataFrame = {
+    import spark.implicits._
+    cs.zipWithIndex.flatMap { case (c, cell) =>
+      c.zipWithIndex.map { case (v, pos) => (cell, pos, v) }
+    }.toSeq.toDF("cell", "pos", "c")
+  }
+
+  private def hnswCentroidsOf(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Float]] = {
+    val rows = graft.util.Sidecars.read(spark, path, "centroids")
+      .select(col("cell"), col("pos"), col("c")).collect()
+    val nCells = rows.map(_.getInt(0)).max + 1
+    val dim = rows.map(_.getInt(1)).max + 1
+    val out = Array.ofDim[Float](nCells, dim)
+    rows.foreach(r => out(r.getInt(0))(r.getInt(1)) = r.getFloat(2))
+    out
+  }
+
+  private def hnswMetaDf(spark: org.apache.spark.sql.SparkSession,
+      n: Long, cap: Int, maxLvl: Int, dim: Int, nCells: Int, m: Int,
+      nProbe: Int): DataFrame = {
+    import spark.implicits._
+    Seq((n, cap, maxLvl, dim, nCells, m, nProbe))
+      .toDF("n", "cap", "max_lvl", "dim", "n_cells", "m", "n_probe")
+  }
+
+  /** Build + persist the layered graph store at `path` (see the store
+    * banner): self-contained — a fresh driver reloads and searches
+    * from the sidecars alone. Every sidecar commit is reader-atomic
+    * and epoch-fenced ([[graft.util.Sidecars]]); `meta` commits LAST
+    * (the commit point — a reader that resolves the new meta resolves
+    * siblings at least as new). Rebuilding an existing store drops its
+    * tombs and accumulated adjpatch. */
+  def writeHnswIndex(targets: DataFrame, path: String, dim: Int,
+      nCells: Int = 16, m: Int = 8, nProbe: Int = 2): Unit =
+    buildHnswStore(targets.sparkSession, targets, path, dim, nCells, m,
+      nProbe, None)
+
+  private def buildHnswStore(spark: org.apache.spark.sql.SparkSession,
+      targets: DataFrame, path: String, dim: Int, nCells: Int, m: Int,
+      nProbe: Int, expectedEpoch: Option[Long]): Unit = {
+    import graft.util.Sidecars
+    val n = targets.count()
+    val cap = hnswCap(n)
+    val cs = ivfSeedCentroids(targets, nCells)
+    val vecs = targets.select(col("tid"), col("te"),
+        scaledDot(col("te"), col("te")).as("tn"),
+        hnswLevel(col("tid"), cap).as("lvl"),
+        nearestCell(col("te"), cs).as("home"))
+      .localCheckpoint()
+    val maxOcc = vecs.agg(max(col("lvl"))).head.getInt(0)
+    val adj = hnswAdjacencyWith(targets, cs, cap, nCells, m, nProbe)
+    val e1 = Sidecars.swap(spark, path, "vectors", vecs,
+      expectedEpoch = expectedEpoch)
+    val e2 = Sidecars.swapStaged(spark, path, "adj", Some(e1)) { p =>
+      adj.write.mode("overwrite").partitionBy("lvl").parquet(p)
+    }
+    val e3 = Sidecars.swap(spark, path, "centroids",
+      hnswCentroidsDf(spark, cs), single = true, Some(e2))
+    Sidecars.swap(spark, path, "meta",
+      hnswMetaDf(spark, n, cap, maxOcc, dim, nCells, m, nProbe),
+      single = true, Some(e3))
+    Sidecars.drop(spark, path, "adjpatch")
+    Sidecars.drop(spark, path, "tombs")
+  }
+
+  /** The store's current adjacency: base rows for srcs the patch does
+    * not name, the patch's replacement rows otherwise. The patched-src
+    * set is delta-sized (touched lists only) — broadcast anti-join. */
+  private def hnswEffectiveAdj(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import graft.util.Sidecars
+    val base = Sidecars.read(spark, path, "adj")
+      .select(col("lvl").cast("int").as("lvl"), col("src"), col("dst"),
+        col("cos"))
+    Sidecars.tryPath(spark, path, "adjpatch")
+      .map(spark.read.parquet) match {
+      case Some(p0) =>
+        val p = p0.select(col("lvl"), col("src"), col("dst"), col("cos"))
+        base.join(
+          broadcast(p.select(col("lvl"), col("src")).distinct()),
+          Seq("lvl", "src"), "left_anti").unionByName(p)
+      case None => base
+    }
+  }
+
+  /** APPEND a vector batch to a persisted HNSW store without a
+    * rebuild: levels come from the FROZEN depth cap, cell homes/probes
+    * from the FROZEN build-time centroids (the appendIvfIndex
+    * convention — drift is rebalanced by compaction/rebuild), each new
+    * node's per-level top-M list is computed against the CURRENT
+    * corpus (old + new) through the same cell-restricted candidate
+    * join as the build, and every touched neighbour list (new srcs
+    * plus old srcs gaining a reversed edge) is re-pruned to 2m and
+    * committed as a REPLACEMENT row-set in the `adjpatch` sidecar — no
+    * base adjacency file is rewritten, and the write volume tracks the
+    * accumulated patch, not the corpus.
+    *
+    * Transaction: fence epoch read at entry; `claim` arbitrates BEFORE
+    * any mutation (two overlapping appends: one winner; the loser
+    * fails loudly pre-mutation — SimilaritySpec races this); vectors
+    * append additively into the current version, then adjpatch and
+    * meta swap reader-atomically, meta last as the commit point. A
+    * crash between the vector append and the patch swap leaves the new
+    * ids present-but-unlinked (unreachable by any search); re-appending
+    * them is refused by the overlap check, and compaction heals. */
+  def appendHnswIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame): Unit = {
+    import graft.util.Sidecars
+    val e0 = Sidecars.fenceEpoch(spark, path)
+    val meta = Sidecars.read(spark, path, "meta").collect()(0)
+    val (n0, cap, maxOcc0) =
+      (meta.getLong(0), meta.getInt(1), meta.getInt(2))
+    val (nCells, m, nProbe) =
+      (meta.getInt(4), meta.getInt(5), meta.getInt(6))
+    val cs = hnswCentroidsOf(spark, path)
+    val vectors = Sidecars.read(spark, path, "vectors")
+    val pMax = hnswProbeWidth(cap, nProbe, nCells)
+    val newNodes = batch.select(col("tid"), col("te"),
+        scaledDot(col("te"), col("te")).as("tn"),
+        hnswLevel(col("tid"), cap).as("lvl"),
+        nearestCell(col("te"), cs).as("home"),
+        probeCells(col("te"), cs, pMax).as("probes"))
+      .localCheckpoint()
+    val nNew = newNodes.count()
+    require(nNew > 0, "empty append batch")
+    val dup = newNodes.join(vectors.select(col("tid")), Seq("tid")).count()
+    require(dup == 0,
+      s"append batch holds $dup ids already in the HNSW store (a " +
+        "replay, or a crashed append's unlinked leftovers — compact " +
+        "to heal)")
+    val oldAdj = hnswEffectiveAdj(spark, path)
+    // forward lists of the new nodes, per level, against old + new
+    val candPool = vectors.select(col("tid").as("dst"),
+        col("te").as("de"), col("tn").as("dn"), col("lvl").as("dlvl"),
+        col("home"))
+      .unionByName(newNodes.select(col("tid").as("dst"),
+        col("te").as("de"), col("tn").as("dn"), col("lvl").as("dlvl"),
+        col("home")))
+    val fwdNew = (0 to cap).map { l =>
+      val pL = hnswProbeWidth(l, nProbe, nCells)
+      val vSide = newNodes.filter(col("lvl") >= l)
+        .select(col("tid").as("src"), col("te").as("se"),
+          col("tn").as("sn"),
+          explode(slice(col("probes"), 1, pL)).as("cell"))
+      val uSide = candPool.filter(col("dlvl") >= l)
+        .select(col("dst"), col("de"), col("dn"), col("home").as("cell"))
+      hnswFwdTopM(vSide.join(uSide, Seq("cell")).drop("cell"), m)
+        .select(lit(l).as("lvl"), col("src"), col("dst"), col("cos"))
+    }.reduce(_ unionByName _).localCheckpoint()
+    val biNew = fwdNew.unionByName(fwdNew.select(col("lvl"),
+      col("dst").as("src"), col("src").as("dst"), col("cos")))
+    val touched = biNew.select(col("lvl"), col("src")).distinct()
+      .localCheckpoint()
+    // replacement lists: old rows of touched srcs + the new edges,
+    // re-pruned to 2m — identical to re-running the build's prune over
+    // the union (untouched srcs keep their lists verbatim, so the
+    // patch materializes only what changed)
+    val w = Window.partitionBy(col("lvl"), col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    val replaced = oldAdj.join(broadcast(touched), Seq("lvl", "src"))
+      .select(col("lvl"), col("src"), col("dst"), col("cos"))
+      .unionByName(biNew).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2 * m)
+      .select(col("lvl"), col("src"), col("dst"), col("cos"))
+    val oldPatch = Sidecars.tryPath(spark, path, "adjpatch")
+      .map(spark.read.parquet)
+    val accumulated = oldPatch.fold(replaced)(p =>
+      p.select(col("lvl"), col("src"), col("dst"), col("cos"))
+        .join(broadcast(touched), Seq("lvl", "src"), "left_anti")
+        .unionByName(replaced))
+      .localCheckpoint()
+    val maxOcc1 = math.max(maxOcc0,
+      newNodes.agg(max(col("lvl"))).head.getInt(0))
+    // COMMIT — the claim fences the whole read-compute span above
+    val e1 = Sidecars.claim(spark, path, Some(e0))
+    newNodes.drop("probes").write.mode("append")
+      .parquet(Sidecars.appendPath(spark, path, "vectors"))
+    val e2 = Sidecars.swap(spark, path, "adjpatch", accumulated,
+      expectedEpoch = Some(e1))
+    Sidecars.swap(spark, path, "meta",
+      hnswMetaDf(spark, n0 + nNew, cap, maxOcc1, meta.getInt(3),
+        nCells, m, nProbe), single = true, Some(e2))
+  }
+
+  /** Tombstone vector ids in a persisted HNSW store: a `tombs` sidecar
+    * the search excludes from the FINAL ranking only — mark-deleted
+    * nodes keep routing (their lists and in-edges stay), the canonical
+    * HNSW deletion, so no adjacency row is touched. Physical removal
+    * is [[compactHnswIndex]]. Epoch-fenced like every store mutation. */
+  def deleteFromHnswIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: Seq[Long]): Unit = {
+    import graft.util.Sidecars
+    import spark.implicits._
+    require(ids.nonEmpty, "empty delete batch")
+    val e0 = Sidecars.fenceEpoch(spark, path)
+    val distinctIds = ids.distinct
+    val found = Sidecars.read(spark, path, "vectors")
+      .filter(col("tid").isInCollection(distinctIds)).count()
+    require(found == distinctIds.size,
+      s"delete batch names ${distinctIds.size} vec_ids but only " +
+        s"$found are in the HNSW store")
+    val prev = Sidecars.tryPath(spark, path, "tombs")
+      .map(p => spark.read.parquet(p).collect().map(_.getLong(0)).toSeq)
+      .getOrElse(Seq.empty)
+    Sidecars.swap(spark, path, "tombs",
+      (prev ++ distinctIds).distinct.toDF("tid"), single = true,
+      Some(e0))
+  }
+
+  /** COMPACT a persisted HNSW store: rebuild vectors + adjacency from
+    * the SURVIVING vectors (tombstones applied), retraining centroids
+    * and re-deriving the depth cap from the post-delete corpus, then
+    * drop the tombs and the accumulated adjpatch. A graph node's list
+    * depends on the whole corpus, so unlike the IVF layout there is no
+    * partition-local rewrite that restores the canonical graph —
+    * compaction IS the deferred full rebuild (the compactFlatIndex
+    * convention, bounded by the standard construction cost), and the
+    * gate pins the strongest semantics available: a compacted store
+    * equals an index that NEVER HELD the deleted vectors. Epoch-
+    * threaded end to end: a concurrent writer fails at its claim. */
+  def compactHnswIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import graft.util.Sidecars
+    val e0 = Sidecars.fenceEpoch(spark, path)
+    val meta = Sidecars.read(spark, path, "meta").collect()(0)
+    val tombs = Sidecars.tryPath(spark, path, "tombs")
+    val patch = Sidecars.tryPath(spark, path, "adjpatch")
+    if (tombs.isEmpty && patch.isEmpty) return
+    val vectors = Sidecars.read(spark, path, "vectors")
+      .select(col("tid"), col("te"))
+    val survivors = tombs.fold(vectors)(t =>
+      vectors.join(broadcast(spark.read.parquet(t)), Seq("tid"),
+        "left_anti")).localCheckpoint()
+    buildHnswStore(spark, survivors, path, meta.getInt(3),
+      meta.getInt(4), meta.getInt(5), meta.getInt(6), Some(e0))
+  }
+
+  /** Search the persisted store. Resolution order is meta (the commit
+    * point) -> adjacency/patch -> vectors, so a reader racing an
+    * append sees either the pre-append or post-append index — never
+    * new links to not-yet-listed vectors (appends write vectors before
+    * the patch commits). Tombstoned ids route but never rank. */
   def knnHnswIndexed(spark: org.apache.spark.sql.SparkSession,
-      path: String, queries: DataFrame, k: Int): DataFrame =
-    knnHnswWith(queries,
-      spark.read.parquet(path + "/vectors").select(col("tid"), col("te")),
-      spark.read.parquet(path + "/adj"), k)
+      path: String, queries: DataFrame, k: Int): DataFrame = {
+    import graft.util.Sidecars
+    val meta = Sidecars.read(spark, path, "meta").collect()(0)
+    val adj = hnswEffectiveAdj(spark, path)
+    val vectors = Sidecars.read(spark, path, "vectors")
+      .select(col("tid"), col("te"), col("lvl"))
+    val dead = Sidecars.tryPath(spark, path, "tombs")
+      .map(spark.read.parquet)
+    knnHnswWith(queries, vectors, adj, k, meta.getInt(2),
+      exclude = dead)
+  }
 }

@@ -1404,12 +1404,18 @@ object DataPipelineQueries {
     }),
 
     // HNSW-FAMILY LAYERED GRAPH ANN (Malkov & Yashunin 2016) — the
-    // graph-ANN operating point, Spark-first: deterministic modular
-    // levels (~1/7 thinning), per-level neighbour lists (cell-restricted
-    // at the base layer, global within the thin upper layer, top-M +
-    // bidirectional 2M prune), fixed-unroll beam descent from the
-    // level-2 entry. Everything is fixed-point/deterministic, so the
-    // DuckDB twin replays construction AND search verbatim — the same
+    // graph-ANN operating point, Spark-first: DEPTH-ADAPTIVE
+    // deterministic levels (trailing base-7 zeros capped at floor(log_7
+    // n), so depth grows with the corpus), per-level neighbour lists
+    // built cell-restricted at EVERY level with probe widths that widen
+    // as the layers thin (p_l = min(nCells, nProbe*7^l) — per-node
+    // candidate volume never exceeds the base layer's, and no level is
+    // a global cross join), top-M + bidirectional 2M prune, fixed-unroll
+    // beam descent entered at the top OCCUPIED layer (< 7 nodes by the
+    // cap rule — and never empty, since the entry level is the max
+    // occupied one, degrading to an exact base scan on a sparse id
+    // space). Everything is fixed-point/deterministic, so the DuckDB
+    // twin replays construction AND search verbatim — the same
     // full-replay discipline as knn_ivf/knn_lsh.
     "knn_hnsw" -> ((s, dir) => {
       import s.implicits._
@@ -1473,6 +1479,79 @@ object DataPipelineQueries {
         s"HNSW recall ${m("hnsw")} below the IVF-Lloyd floor " +
           s"${m("ivf_lloyd")}")
       out
+    }),
+
+    // HNSW store MAINTENANCE — the knn_ivf_*/d3_index_* matrix applied
+    // to the graph index, every commit reader-atomic + epoch-fenced
+    // through graft.util.Sidecars (SimilaritySpec races two appends:
+    // one winner, one loud pre-mutation fence failure).
+    //
+    // APPEND: base graph built on 9/10 of the corpus, the last tenth
+    // appended — new nodes take levels from the frozen cap and
+    // homes/probes from the FROZEN build-time centroids, their top-M
+    // lists are computed against the full corpus through the same
+    // cell-restricted join, and every touched list (new srcs + old srcs
+    // gaining a reversed edge) lands re-pruned in the adjpatch sidecar;
+    // base adjacency files are never rewritten. The twin replays
+    // build + append edge-exactly.
+    "knn_hnsw_appended" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val path = graft.util.TempDirs.cached("hnsw-appended", dir) { p =>
+        Similarity.writeHnswIndex(
+          e.filter($"vec_id" % 10 =!= 0)
+            .select($"vec_id".as("tid"), $"embedding".as("te")),
+          p, dim = 64)
+        Similarity.appendHnswIndex(s, p,
+          e.filter($"vec_id" % 10 === 0)
+            .select($"vec_id".as("tid"), $"embedding".as("te")))
+      }
+      Similarity.knnHnswIndexed(s, path, q, k = 5)
+        .orderBy($"qid", $"rank")
+    }),
+
+    // DELETE (tombstone): mark-deleted ids keep ROUTING (their lists
+    // and in-edges stay — the canonical HNSW deletion; no adjacency row
+    // is touched) but never RANK. The twin is the full-graph build with
+    // the dead ids filtered from the final ranking only.
+    "knn_hnsw_deleted" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val path = graft.util.TempDirs.cached("hnsw-del", dir) { p =>
+        Similarity.writeHnswIndex(
+          e.select($"vec_id".as("tid"), $"embedding".as("te")),
+          p, dim = 64)
+        Similarity.deleteFromHnswIndex(s, p, (0L until 40L).toSeq)
+      }
+      Similarity.knnHnswIndexed(s, path, q, k = 5)
+        .orderBy($"qid", $"rank")
+    }),
+
+    // COMPACT: the deferred full rebuild over the survivors (retrained
+    // centroids, re-derived depth cap, tombs + adjpatch dropped) — a
+    // graph node's list depends on the whole corpus, so unlike IVF
+    // there is no partition-local rewrite that restores the canonical
+    // graph. The gate pins the strongest semantics available: the twin
+    // is a from-scratch build over an index that NEVER HELD the deleted
+    // vectors.
+    "knn_hnsw_compacted" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val path = graft.util.TempDirs.cached("hnsw-cmp", dir) { p =>
+        Similarity.writeHnswIndex(
+          e.select($"vec_id".as("tid"), $"embedding".as("te")),
+          p, dim = 64)
+        Similarity.deleteFromHnswIndex(s, p, (0L until 40L).toSeq)
+        Similarity.compactHnswIndex(s, p)
+      }
+      Similarity.knnHnswIndexed(s, path, q, k = 5)
+        .orderBy($"qid", $"rank")
     }),
 
     // IVF-bucketed ANN (Voronoi cells + nProbe). The registered variant
@@ -5208,12 +5287,14 @@ object DataPipelineQueries {
        |  WHERE q.qid <> t.tid),
        |""".stripMargin + knnScoreTailSql(5)
 
-  /** Shared by the HNSW twin: score a (qid, tid) candidate CTE and keep
+  /** Shared by the HNSW twins: score a (qid, tid) candidate CTE and keep
     * the top `width` per qid by (cosine DESC, tid) — the beam-prune /
-    * final-rank shape. Emits `<out>_d` and `<out>` CTEs; `<out>` keeps
-    * the cosine so the final stage can project it. */
+    * final-rank shape. Query norms come from qnrm (the FULL table: a
+    * query id need not survive a filtered target set), target norms
+    * from hnrm. Emits `<out>_d` and `<out>`; `<out>` keeps the cosine
+    * so the final stage can project it. */
   private def hnswScoreTop(cand: String, out: String, width: Int): String =
-    s"""${out}_d AS (
+    s"""${out}_d AS MATERIALIZED (
        |  SELECT qid, tid, $scaledDotSql AS d
        |  FROM (SELECT c.qid, c.tid, unnest(ea.embedding) AS x,
        |          unnest(eb.embedding) AS y
@@ -5221,14 +5302,14 @@ object DataPipelineQueries {
        |        JOIN embeddings ea ON ea.vec_id = c.qid
        |        JOIN embeddings eb ON eb.vec_id = c.tid) z
        |  GROUP BY 1, 2),
-       |$out AS (
+       |$out AS MATERIALIZED (
        |  SELECT qid, tid, cos, rn FROM (
        |    SELECT d.qid, d.tid,
        |      CAST(d.d AS DOUBLE)/sqrt(CAST(nq.n*nt.n AS DOUBLE)) AS cos,
        |      row_number() OVER (PARTITION BY d.qid
        |        ORDER BY CAST(d.d AS DOUBLE)/sqrt(CAST(nq.n*nt.n AS DOUBLE))
        |          DESC, d.tid) AS rn
-       |    FROM ${out}_d d JOIN hnrm nq ON nq.tid = d.qid
+       |    FROM ${out}_d d JOIN qnrm nq ON nq.tid = d.qid
        |    JOIN hnrm nt ON nt.tid = d.tid) z
        |  WHERE rn <= $width)""".stripMargin
 
@@ -5236,19 +5317,19 @@ object DataPipelineQueries {
     * (UNION dedups, the .distinct() twin) and prune. */
   private def hnswHop(prev: String, adj: String, out: String,
       width: Int): String =
-    s"""${out}_c AS (
+    s"""${out}_c AS MATERIALIZED (
        |  SELECT qid, tid FROM $prev
        |  UNION
        |  SELECT b.qid, a.dst AS tid FROM $prev b
        |  JOIN $adj a ON a.src = b.tid),
        |""".stripMargin + hnswScoreTop(s"${out}_c", out, width)
 
-  /** Per-level adjacency from a raw (src, dst) candidate CTE: exact
-    * fixed-point cosine, top-`m` per src (ties: lowest dst), then the
-    * bidirectional union re-pruned to 2m — the graft.ops.Similarity
-    * .hnswAdjacency construction replayed. */
-  private def hnswAdjCtes(cand: String, out: String, m: Int): String =
-    s"""${out}_d AS (
+  /** Top-`m` forward lists from a raw (src, dst) candidate CTE: exact
+    * fixed-point cosine, top-m per src (ties: lowest dst) — the
+    * hnswFwdTopM kernel replayed. Emits `<out>_d` and `<out>`
+    * (src, dst, cos). */
+  private def hnswFwdCtes(cand: String, out: String, m: Int): String =
+    s"""${out}_d AS MATERIALIZED (
        |  SELECT src, dst, $scaledDotSql AS d
        |  FROM (SELECT c.src, c.dst, unnest(ea.embedding) AS x,
        |          unnest(eb.embedding) AS y
@@ -5256,7 +5337,7 @@ object DataPipelineQueries {
        |        JOIN embeddings ea ON ea.vec_id = c.src
        |        JOIN embeddings eb ON eb.vec_id = c.dst) z
        |  GROUP BY 1, 2),
-       |${out}_f AS (
+       |$out AS MATERIALIZED (
        |  SELECT src, dst, cos FROM (
        |    SELECT d.src, d.dst,
        |      CAST(d.d AS DOUBLE)/sqrt(CAST(ns.n*nd.n AS DOUBLE)) AS cos,
@@ -5265,77 +5346,198 @@ object DataPipelineQueries {
        |          DESC, d.dst) AS rn
        |    FROM ${out}_d d JOIN hnrm ns ON ns.tid = d.src
        |    JOIN hnrm nd ON nd.tid = d.dst) z
-       |  WHERE rn <= $m),
-       |${out}_b AS (
-       |  SELECT src, dst, cos FROM ${out}_f
-       |  UNION
-       |  SELECT dst AS src, src AS dst, cos FROM ${out}_f),
-       |$out AS (
-       |  SELECT src, dst FROM (
-       |    SELECT src, dst, row_number() OVER (PARTITION BY src
-       |      ORDER BY cos DESC, dst) AS rn FROM ${out}_b) z
-       |  WHERE rn <= ${2 * m})""".stripMargin
+       |  WHERE rn <= $m)""".stripMargin
 
-  /** Full HNSW twin: modular levels, seed-centroid probe cells, the two
-    * per-level adjacencies (level 0 cell-restricted, level 1 global
-    * within the thinned layer), level-2 entry, fixed-unroll descent
-    * (2 hops @ beam 8 on level 1, 4 hops @ beam 16 on level 0), cosine
-    * top-5 with self excluded — graft.ops.Similarity.knnHnsw verbatim. */
-  private def knnHnswSql(nCells: Int = 16, m: Int = 8): String =
-    s"""WITH tt AS (SELECT vec_id AS tid, embedding AS te FROM embeddings),
-       |qq AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 50),
-       |seeds AS (
+  /** Per-src prune of a (src, dst, cos) CTE to `width` rows by
+    * (cos DESC, dst) — the bidirectional 2m re-prune replayed. */
+  private def hnswRePrune(in: String, out: String, width: Int): String =
+    s"""$out AS MATERIALIZED (
+       |  SELECT src, dst, cos FROM (
+       |    SELECT src, dst, cos, row_number() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst) AS rn FROM $in) z
+       |  WHERE rn <= $width)""".stripMargin
+
+  /** Per-level adjacency from a raw (src, dst) candidate CTE: top-m
+    * forward lists, bidirectional union, re-pruned to 2m — the
+    * graft.ops.Similarity.hnswAdjacencyWith construction replayed. */
+  private def hnswAdjCtes(cand: String, out: String, m: Int): String =
+    hnswFwdCtes(cand, s"${out}_f", m) + ",\n" +
+      s"""${out}_b AS MATERIALIZED (
+         |  SELECT src, dst, cos FROM ${out}_f
+         |  UNION
+         |  SELECT dst AS src, src AS dst, cos FROM ${out}_f),
+         |""".stripMargin + hnswRePrune(s"${out}_b", out, 2 * m)
+
+  private def hnswPow7(l: Int): Long = {
+    var p = 1L
+    var i = 0
+    while (i < l) { p *= 7; i += 1 }
+    p
+  }
+
+  /** The capped trailing-base-7 level rule (Similarity.hnswLevel). */
+  private def hnswLevelCase(cap: Int): String =
+    if (cap <= 0) "0"
+    else (cap to 1 by -1).map(l => s"WHEN tid % ${hnswPow7(l)} = 0 THEN $l")
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  /** Probe width of level l (Similarity.hnswProbeWidth). */
+  private def hnswWidth(l: Int, nProbe: Int, nCells: Int): Int = {
+    var p = nProbe.toLong
+    var i = 0
+    while (i < l && p < nCells) { p *= 7; i += 1 }
+    math.min(nCells.toLong, p).toInt
+  }
+
+  /** Shared CTE prefix of every HNSW twin: the (optionally filtered)
+    * target set, the query ids, seed centroids derived from `seedPred`
+    * (the corpus the build trained on — base-only for the append twin,
+    * survivors for the compacted one), full-width probe RANKS + homes
+    * over the target set, capped levels, and both norm tables. */
+  private def hnswBaseCtes(cap: Int, nCells: Int, targetPred: String,
+      seedPred: String): String =
+    s"""tt AS MATERIALIZED (SELECT vec_id AS tid, embedding AS te FROM embeddings
+       |      WHERE $targetPred),
+       |qq AS MATERIALIZED (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 50),
+       |seedsrc AS MATERIALIZED (SELECT vec_id AS tid, embedding AS te FROM embeddings
+       |      WHERE $seedPred),
+       |seeds AS MATERIALIZED (
        |  SELECT CAST((rn - 1) // 7 AS INT) AS cell, te AS ce
        |  FROM (SELECT row_number() OVER (ORDER BY tid) AS rn, te
-       |        FROM (SELECT tid, te FROM tt ORDER BY tid
+       |        FROM (SELECT tid, te FROM seedsrc ORDER BY tid
        |              LIMIT ${nCells * 7}) s1) s2
        |  WHERE (rn - 1) % 7 = 0),
-       |tdots AS (
+       |tdots AS MATERIALIZED (
        |  SELECT tid, cell,
        |    SUM(CAST(ROUND(CAST(x AS DOUBLE)*CAST(c AS DOUBLE)*1000000) AS BIGINT)) AS d
        |  FROM (SELECT tid, cell, unnest(te) AS x, unnest(ce) AS c
        |        FROM tt, seeds) z
        |  GROUP BY 1, 2),
-       |thome AS (
+       |thome AS MATERIALIZED (
        |  SELECT tid, cell FROM (
        |    SELECT tid, cell, row_number() OVER (PARTITION BY tid
        |      ORDER BY d DESC, cell) AS rn FROM tdots) z WHERE rn = 1),
-       |tprobe AS (
-       |  SELECT tid, cell FROM (
+       |tprobe AS MATERIALIZED (
+       |  SELECT tid, cell, rn FROM (
        |    SELECT tid, cell, row_number() OVER (PARTITION BY tid
-       |      ORDER BY d DESC, cell) AS rn FROM tdots) z WHERE rn <= 2),
-       |hlvl AS (SELECT tid, CASE WHEN tid % 49 = 0 THEN 2
-       |                          WHEN tid % 7 = 0 THEN 1
-       |                          ELSE 0 END AS lv FROM tt),
-       |hnrm AS (
+       |      ORDER BY d DESC, cell) AS rn FROM tdots) z
+       |  WHERE rn <= $nCells),
+       |hlvl AS MATERIALIZED (SELECT tid, ${hnswLevelCase(cap)} AS lv FROM tt),
+       |hnrm AS MATERIALIZED (
        |  SELECT tid,
        |    SUM(CAST(ROUND(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS n
        |  FROM (SELECT tid, unnest(te) AS x FROM tt) z GROUP BY 1),
-       |cand0 AS (
+       |qnrm AS MATERIALIZED (
+       |  SELECT vec_id AS tid,
+       |    SUM(CAST(ROUND(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS n
+       |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) z
+       |  GROUP BY 1)""".stripMargin
+
+  /** Level-l candidate pairs: src's top-p_l probe cells x dst homes,
+    * both endpoints at level >= l; `srcPred`/`dstPred` carve the
+    * old/new splits of the append twin (over p.tid / h.tid). */
+  private def hnswCandCte(l: Int, pL: Int, out: String,
+      srcPred: String = "TRUE", dstPred: String = "TRUE"): String =
+    s"""$out AS MATERIALIZED (
        |  SELECT p.tid AS src, h.tid AS dst
-       |  FROM tprobe p JOIN thome h ON h.cell = p.cell AND h.tid <> p.tid),
-       |${hnswAdjCtes("cand0", "adj0", m)},
-       |cand1 AS (
-       |  SELECT a.tid AS src, b.tid AS dst
-       |  FROM hlvl a JOIN hlvl b
-       |    ON a.lv >= 1 AND b.lv >= 1 AND a.tid <> b.tid),
-       |${hnswAdjCtes("cand1", "adj1", m)},
-       |ent_c AS (
-       |  SELECT q.qid, l.tid FROM qq q CROSS JOIN hlvl l WHERE l.lv >= 2),
-       |${hnswScoreTop("ent_c", "bm0", 1)},
-       |${hnswHop("bm0", "adj1", "bm1", 8)},
-       |${hnswHop("bm1", "adj1", "bm2", 8)},
-       |${hnswHop("bm2", "adj0", "bm3", 16)},
-       |${hnswHop("bm3", "adj0", "bm4", 16)},
-       |${hnswHop("bm4", "adj0", "bm5", 16)},
-       |${hnswHop("bm5", "adj0", "bm6", 16)},
+       |  FROM tprobe p JOIN thome h ON h.cell = p.cell AND h.tid <> p.tid
+       |  JOIN hlvl la ON la.tid = p.tid
+       |  JOIN hlvl lb ON lb.tid = h.tid
+       |  WHERE la.lv >= $l AND lb.lv >= $l AND p.rn <= $pL
+       |    AND ($srcPred) AND ($dstPred))""".stripMargin
+
+  /** The fixed-unroll descent: top-layer entry (width 1), 2 hops @ beam
+    * 8 per upper level maxOcc-1..1, 4 hops @ beam 16 on the base —
+    * knnHnswWith's schedule. Returns (CTE text, final beam name). */
+  private def hnswDescentCtes(maxOcc: Int,
+      adjName: Int => String): (String, String) = {
+    val sb = new StringBuilder
+    sb ++= s"""ent_c AS MATERIALIZED (
+              |  SELECT q.qid, l.tid FROM qq q CROSS JOIN hlvl l
+              |  WHERE l.lv = $maxOcc),
+              |""".stripMargin
+    sb ++= hnswScoreTop("ent_c", "bm0", 1)
+    var i = 0
+    for (l <- maxOcc - 1 to 1 by -1; _ <- 1 to 2) {
+      sb ++= ",\n"
+      sb ++= hnswHop(s"bm$i", adjName(l), s"bm${i + 1}", 8)
+      i += 1
+    }
+    for (_ <- 1 to 4) {
+      sb ++= ",\n"
+      sb ++= hnswHop(s"bm$i", adjName(0), s"bm${i + 1}", 16)
+      i += 1
+    }
+    (sb.toString, s"bm$i")
+  }
+
+  /** Full HNSW twin: capped trailing-base-7 levels (`cap` = floor(log_7
+    * n) of the gate corpus — 3 at the 500-row sf0.01 embeddings the
+    * driver verifies at), level-widened probe cells (p_l = min(nCells,
+    * nProbe*7^l)), per-level CELL-RESTRICTED adjacencies (no level is
+    * built globally), top-layer entry, fixed-unroll descent, cosine
+    * top-5 with self excluded — graft.ops.Similarity.knnHnsw verbatim.
+    * `targetPred` (over vec_id) filters the CORPUS — the compacted
+    * twin's "an index that never held the deleted ids"; `finPred`
+    * (over tid) filters the FINAL ranking only — the tombstone twin's
+    * "mark-deleted ids route but never rank". */
+  private def knnHnswSql(nCells: Int = 16, m: Int = 8, nProbe: Int = 2,
+      cap: Int = 3, targetPred: String = "TRUE",
+      finPred: String = "TRUE"): String = {
+    val levels = (0 to cap).map { l =>
+      hnswCandCte(l, hnswWidth(l, nProbe, nCells), s"cand$l") + ",\n" +
+        hnswAdjCtes(s"cand$l", s"adj$l", m)
+    }.mkString(",\n")
+    val (descent, lastBeam) = hnswDescentCtes(cap, l => s"adj$l")
+    s"""WITH ${hnswBaseCtes(cap, nCells, targetPred, targetPred)},
+       |$levels,
+       |$descent,
        |fin AS (
        |  SELECT qid, tid, cos, row_number() OVER (PARTITION BY qid
        |    ORDER BY cos DESC, tid) AS rank
-       |  FROM bm6 WHERE qid <> tid)
+       |  FROM $lastBeam WHERE qid <> tid AND ($finPred))
        |SELECT qid, CAST(rank AS INT) AS rank, tid, cos
        |FROM fin WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin
+  }
+
+  /** knn_hnsw_appended twin — Similarity.appendHnswIndex replayed: the
+    * base graph built over base ids under BASE-derived centroids
+    * (frozen at build, the appendIvfIndex convention), the delta's
+    * forward lists computed against the FULL corpus through the same
+    * cell-restricted join, then per level the union of old lists + new
+    * edges (both directions) re-pruned to 2m per src — untouched srcs
+    * reduce to their old lists verbatim, so this equals base-adjacency-
+    * for-untouched + patch-for-touched, the store's read shape — and
+    * the standard descent over the merged graph. */
+  private def knnHnswAppendedSql(nCells: Int = 16, m: Int = 8,
+      nProbe: Int = 2, cap: Int = 3): String = {
+    val levels = (0 to cap).map { l =>
+      val pL = hnswWidth(l, nProbe, nCells)
+      hnswCandCte(l, pL, s"oc$l", "p.tid % 10 <> 0", "h.tid % 10 <> 0") +
+        ",\n" + hnswAdjCtes(s"oc$l", s"oadj$l", m) + ",\n" +
+        hnswCandCte(l, pL, s"nc$l", "p.tid % 10 = 0") + ",\n" +
+        hnswFwdCtes(s"nc$l", s"nf$l", m) + ",\n" +
+        s"""mg$l AS MATERIALIZED (
+           |  SELECT src, dst, cos FROM oadj$l
+           |  UNION
+           |  SELECT src, dst, cos FROM nf$l
+           |  UNION
+           |  SELECT dst AS src, src AS dst, cos FROM nf$l),
+           |""".stripMargin + hnswRePrune(s"mg$l", s"adjA$l", 2 * m)
+    }.mkString(",\n")
+    val (descent, lastBeam) = hnswDescentCtes(cap, l => s"adjA$l")
+    s"""WITH ${hnswBaseCtes(cap, nCells, "TRUE", "vec_id % 10 <> 0")},
+       |$levels,
+       |$descent,
+       |fin AS (
+       |  SELECT qid, tid, cos, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, tid) AS rank
+       |  FROM $lastBeam WHERE qid <> tid)
+       |SELECT qid, CAST(rank AS INT) AS rank, tid, cos
+       |FROM fin WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+  }
 
   /** knn_recall_hnsw twin: HNSW and IVF-Lloyd recall against the exact
     * baseline — the same intersection-count shape as knnRecallSql. */
@@ -6089,6 +6291,12 @@ object DataPipelineQueries {
     // over the graph at rest, so the same twin gates it.
     "knn_hnsw" -> knnHnswSql(),
     "knn_hnsw_indexed" -> knnHnswSql(),
+    "knn_hnsw_appended" -> knnHnswAppendedSql(),
+    // tombstoned ids route but never rank: full graph, filtered ranking
+    "knn_hnsw_deleted" -> knnHnswSql(finPred = "tid >= 40"),
+    // compaction = an index that never held the deleted vectors:
+    // from-scratch twin over the survivors (retrained seeds, new cap)
+    "knn_hnsw_compacted" -> knnHnswSql(targetPred = "vec_id >= 40"),
     "knn_recall_hnsw" -> knnRecallHnswSql,
     "knn_lsh_indexed" -> knnLshSql(), // same buckets/probes/ranking at rest
     "knn_lsh_wide" -> knnLshSql(numPlanes = 8),

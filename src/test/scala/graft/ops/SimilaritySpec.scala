@@ -629,6 +629,110 @@ class SimilaritySpec extends SparkSpec {
       Similarity.deleteFromIvfIndex(spark, path, Seq(9999L)))
   }
 
+  test("HNSW maintenance: append touches only the patch (base adjacency " +
+      "files never rewritten), delete tombstones rank-exclude but keep " +
+      "routing, compact equals a fresh build over the survivors") {
+    val e = embeddings
+    val q = e.filter($"vec_id" < 12)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val t = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+    // ---- append ----
+    val pa = graft.util.TempDirs.create("hnsw-app") + "/g"
+    Similarity.writeHnswIndex(t.filter($"tid" % 10 =!= 0), pa,
+      dim = 16, nCells = 8, m = 4)
+    val adjBefore = graft.util.Sidecars.path(spark, pa, "adj")
+    Similarity.appendHnswIndex(spark, pa, t.filter($"tid" % 10 === 0))
+    assert(graft.util.Sidecars.path(spark, pa, "adj") == adjBefore,
+      "append rewrote the base adjacency sidecar")
+    val patch = spark.read.parquet(
+      graft.util.Sidecars.path(spark, pa, "adjpatch"))
+    assert(patch.count() > 0, "append committed no patch rows")
+    val meta = graft.util.Sidecars.read(spark, pa, "meta").collect()(0)
+    assert(meta.getLong(0) == 60L, "meta.n after append")
+    val appended = Similarity.knnHnswIndexed(spark, pa, q, k = 3).collect()
+    // every appended id is reachable: a query AT a new vector finds
+    // itself as its own best descent seed, so its neighbors are the
+    // new node's list — assert the new ids surface in some result set
+    val qNew = e.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val hitNew = Similarity.knnHnswIndexed(spark, pa, qNew, k = 3)
+    assert(hitNew.groupBy($"qid").count().count() == 6,
+      "an appended id's query found no neighbors")
+    assert(appended.nonEmpty)
+    // replaying the same batch is refused loudly
+    val replay = intercept[IllegalArgumentException](
+      Similarity.appendHnswIndex(spark, pa, t.filter($"tid" % 10 === 0)))
+    assert(replay.getMessage.contains("already in the HNSW store"))
+    // ---- delete (tombstone) ----
+    val pd = graft.util.TempDirs.create("hnsw-delc") + "/g"
+    Similarity.writeHnswIndex(t, pd, dim = 16, nCells = 8, m = 4)
+    val dead = (0L until 20L)
+    Similarity.deleteFromHnswIndex(spark, pd, dead)
+    val afterDel = Similarity.knnHnswIndexed(spark, pd, q, k = 3).collect()
+    assert(afterDel.forall(r => !dead.contains(r.getLong(2))),
+      "tombstoned id surfaced in a ranking")
+    assert(afterDel.groupBy(_.getLong(0)).forall(_._2.length == 3),
+      "delete starved a query below k")
+    // deleting an absent id refuses
+    intercept[IllegalArgumentException](
+      Similarity.deleteFromHnswIndex(spark, pd, Seq(9999L)))
+    // ---- compact == never-held ----
+    Similarity.compactHnswIndex(spark, pd)
+    assert(graft.util.Sidecars.tryPath(spark, pd, "tombs").isEmpty,
+      "compact left the tombstone sidecar")
+    assert(graft.util.Sidecars.tryPath(spark, pd, "adjpatch").isEmpty,
+      "compact left the adjacency patch")
+    val compacted = Similarity.knnHnswIndexed(spark, pd, q, k = 3)
+      .collect().map(_.toString).sorted
+    val pf = graft.util.TempDirs.create("hnsw-fresh") + "/g"
+    Similarity.writeHnswIndex(t.filter(!$"tid".isInCollection(dead)), pf,
+      dim = 16, nCells = 8, m = 4)
+    val fresh = Similarity.knnHnswIndexed(spark, pf, q, k = 3)
+      .collect().map(_.toString).sorted
+    assert(compacted.sameElements(fresh),
+      "compacted store diverged from an index that never held the dead")
+  }
+
+  test("HNSW: two overlapping appends — one winner, one loud fence " +
+      "failure before any mutation; and a sparse id space (no level>=1 " +
+      "ids) still returns full result sets via the max-occupied entry") {
+    val e = embeddings
+    val t = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val store = graft.util.TempDirs.create("hnsw-race") + "/g"
+    Similarity.writeHnswIndex(t.filter($"tid" < 50), store,
+      dim = 16, nCells = 8, m = 4)
+    // W1 reads the store (fence epoch captured at transaction start);
+    // W2's whole append lands inside W1's window: exactly one commits,
+    // the loser fails loudly BEFORE mutating anything
+    val e0 = graft.util.Sidecars.fenceEpoch(spark, store)
+    Similarity.appendHnswIndex(spark, store,
+      t.filter($"tid" >= 55)) // W2 wins
+    val loser = intercept[IllegalStateException](
+      graft.util.Sidecars.claim(spark, store, Some(e0)))
+    assert(loser.getMessage.contains("writer fence"))
+    // committed state is the winner's alone and still searchable
+    assert(graft.util.Sidecars.read(spark, store, "meta")
+      .collect()(0).getLong(0) == 55L)
+    assert(Similarity.knnHnswIndexed(spark, store, q, k = 3)
+      .count() == 15)
+    // the store accepts W1's batch from a fresh read
+    Similarity.appendHnswIndex(spark, store,
+      t.filter($"tid" >= 50 && $"tid" < 55))
+    assert(graft.util.Sidecars.read(spark, store, "meta")
+      .collect()(0).getLong(0) == 60L)
+    // sparse id space: shift every id to 7k+1 — no id has a trailing
+    // base-7 zero, so maxOcc = 0 and the entry is an exact base-layer
+    // scan (the r14 geometry silently returned ZERO rows here)
+    val tSparse = t.select(($"tid" * 7 + 1).as("tid"), $"te")
+    val sparse = Similarity.knnHnsw(q, tSparse, dim = 16, k = 3,
+      nCells = 8, m = 4).collect()
+    assert(sparse.groupBy(_.getLong(0)).size == 5 &&
+      sparse.length == 15,
+      "sparse id space starved the search (empty entry beam)")
+  }
+
   test("scaled-dot cosine matches double-precision cosine closely") {
     val e = embeddings.limit(10).collect().map(_.getSeq[Float](1).toArray)
     val df = Seq((e(0), e(1))).toDF("a", "b")
