@@ -209,12 +209,45 @@ object Graph {
         wedges.filter(
           Bloom.mightContain(Seq(col("v"), col("w")), bits, k = 6))
       } else wedges
-    val tri = gated.join(
-      oriented.select(col("src").as("v"), col("dst").as("w")),
-      Seq("v", "w"))
-    tri.select(col("u").as("node"))
-      .union(tri.select(col("v").as("node")))
-      .union(tri.select(col("w").as("node")))
+    // SPILL-FRIENDLY CLOSING JOIN AT ANY SCALE: the wedge stream is the
+    // dominant exchange (sum of C(outdeg, 2) rows — 820M at the 20x
+    // curve point vs 41M at 1x), and a FIXED exchange width makes each
+    // closing-sort task's working set grow linearly with the graph
+    // (25M rows/task at 20x under 32 partitions — the r14 curve's
+    // 8 GiB cliff: the fused sort+SMJ+partial-agg stage GC-thrashes in
+    // the spill readers and dies with a raw heap OOM, attributed from
+    // the stage-75 stack). The wedge volume is KNOWN from the
+    // out-degree table before any wedge materializes, so the exchange
+    // width scales with it (~2M wedge rows per partition, floored at
+    // the session default, capped at 4096); repartitioning on the join
+    // keys IS the join's own exchange, so no extra shuffle is added,
+    // and at 1x the width clamps to the session default — plan
+    // unchanged.
+    val wedgeRows = oriented.groupBy(col("src"))
+      .agg(count(lit(1)).as("k"))
+      .agg(coalesce(sum((col("k") * (col("k") - 1) / 2).cast("long")),
+        lit(0L)).as("w"))
+      .head.getLong(0)
+    val sessionPar =
+      pairs.sparkSession.sessionState.conf.numShufflePartitions
+    val nPart = math.max(sessionPar,
+      math.min(4096L, wedgeRows / 2000000L + 1).toInt)
+    val closeR = oriented.select(col("src").as("v"), col("dst").as("w"))
+    // only pin the exchange when it actually WIDENS it: an explicit
+    // repartition at the session width would change nothing but strip
+    // AQE's freedom on the requirement-driven exchange (measured +30%
+    // at 1x)
+    val tri =
+      if (nPart > sessionPar)
+        gated.repartition(nPart, col("v"), col("w"))
+          .join(closeR.repartition(nPart, col("v"), col("w")),
+            Seq("v", "w"))
+      else gated.join(closeR, Seq("v", "w"))
+    // one pass over the (expensive) closing join: exploding the member
+    // array replaces the former 3-branch union, which re-ran the SMJ
+    // once per projected corner (exchange reuse does not reuse the
+    // join itself)
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
 

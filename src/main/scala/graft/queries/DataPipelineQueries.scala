@@ -180,6 +180,21 @@ object DataPipelineQueries {
       |WHERE doc_id NOT IN (SELECT doc_id FROM hits)
       |ORDER BY doc_id""".stripMargin
 
+  /** The mm_prog_incr_dedup twin: the JPEG hash chain replayed once —
+    * the progressive (SOF2) decode of the batch side yields the SAME
+    * pixels as the baseline decode of the store side (full precision
+    * after all scans on block-constant fixtures), so one closed-form
+    * replay gates the cross-wire-format store/batch screen. */
+  private lazy val JpegIncrDedupSql: String = JpegDHashWith +
+    """,
+      |store AS (SELECT doc_id, dhash FROM hsg WHERE doc_id < 300),
+      |btch AS (SELECT doc_id, dhash FROM hsg WHERE doc_id >= 300),
+      |hits AS (SELECT DISTINCT b.doc_id FROM btch b JOIN store s2
+      |         ON bit_count(xor(b.dhash, s2.dhash)) <= 3)
+      |SELECT doc_id, dhash FROM btch
+      |WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+      |ORDER BY doc_id""".stripMargin
+
   /** The full mm_image_neardup twin (also the pair source of the
     * dedup-apply twin via ccCtesOver): dHash pairs under the d4
     * banding convention over the image hash chain. */
@@ -3317,6 +3332,70 @@ object DataPipelineQueries {
       val batch = hashes($"doc_id" >= 300).localCheckpoint()
       val hits = Dedup.hammingJoin(batch, "doc_id",
           store.withColumnRenamed("doc_id", "store_id"), "store_id",
+          "dhash", maxHamming = 3)
+        .select($"doc_id").distinct()
+      batch.join(broadcast(hits), Seq("doc_id"), "left_anti")
+        .orderBy($"doc_id")
+    }),
+
+    // INCREMENTAL DEDUP ACROSS WIRE FORMATS — the r14 codec surface put
+    // under the persisted-store fold posture: the dHash store is built
+    // from the BASELINE-sequential JPEG decode (docs < 300), the
+    // incoming batch ARRIVES AS PROGRESSIVE (SOF2) payloads
+    // (docs >= 300) and is decoded by the T.81 Annex G multi-scan path,
+    // and the Hamming-3 screen joins hashes across the two decode
+    // lineages. Full precision after all scans means both decoders
+    // yield identical pixels on the block-constant fixtures, so ONE
+    // closed-form twin gates the cross-format flow — any divergence
+    // between the baseline and progressive decoders surfaces as a
+    // survivor-set mismatch, exactly the trap a production ingest
+    // (store written last year, batch in a newer wire format) must not
+    // fall into.
+    "mm_prog_incr_dedup" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.graft.{internal, DedupJpegProgPayload,
+        JpegDHash}
+      val docs = t(s, dir, "documents").filter($"doc_id" % 3 === 0)
+      val store = s.read.parquet(
+        graft.util.TempDirs.cached("mm-jpeg-dhash-store", dir) { p =>
+          docs.filter($"doc_id" < 300)
+            .select($"doc_id".as("store_id"),
+              jpegDHashCol($"doc_id").as("dhash"))
+            .write.parquet(p)
+        })
+      val progCol = internal.column(JpegDHash(
+        DedupJpegProgPayload(internal.expression($"doc_id"))))
+      val batch = docs.filter($"doc_id" >= 300)
+        .select($"doc_id", progCol.as("dhash")).localCheckpoint()
+      val hits = Dedup.hammingJoin(batch, "doc_id", store, "store_id",
+          "dhash", maxHamming = 3)
+        .select($"doc_id").distinct()
+      batch.join(broadcast(hits), Seq("doc_id"), "left_anti")
+        .orderBy($"doc_id")
+    }),
+
+    // The PNG sibling: store hashed from PLAIN (non-interlaced) PNG
+    // decode, batch arriving ADAM7-INTERLACED and decoded by the
+    // pass-extraction path — same cross-format store/batch screen,
+    // same single closed-form twin (Adam7 is lossless, so both
+    // lineages hash identically iff both decoders are right).
+    "mm_adam7_incr_dedup" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.graft.{internal, DedupPngAdam7Payload,
+        PngDHash}
+      val docs = t(s, dir, "documents").filter($"doc_id" % 3 === 0)
+      val store = s.read.parquet(
+        graft.util.TempDirs.cached("mm-png-dhash-store", dir) { p =>
+          docs.filter($"doc_id" < 300)
+            .select($"doc_id".as("store_id"),
+              imageDHashCol($"doc_id").as("dhash"))
+            .write.parquet(p)
+        })
+      val a7Col = internal.column(PngDHash(
+        DedupPngAdam7Payload(internal.expression($"doc_id"))))
+      val batch = docs.filter($"doc_id" >= 300)
+        .select($"doc_id", a7Col.as("dhash")).localCheckpoint()
+      val hits = Dedup.hammingJoin(batch, "doc_id", store, "store_id",
           "dhash", maxHamming = 3)
         .select($"doc_id").distinct()
       batch.join(broadcast(hits), Seq("doc_id"), "left_anti")
@@ -7006,6 +7085,11 @@ object DataPipelineQueries {
     // chain; the screen is the plain all-pairs popcount filter the
     // pigeonhole-exact band join must equal.
     "mm_image_incr_dedup" -> ImageIncrDedupSql,
+    // cross-wire-format screens: the progressive/Adam7 batch decodes
+    // to the same pixels as the baseline/plain store, so each twin is
+    // the single-lineage replay
+    "mm_prog_incr_dedup" -> JpegIncrDedupSql,
+    "mm_adam7_incr_dedup" -> ImageIncrDedupSql,
     // The streaming execution screens against the same STATIC store
     // with the same join, batch by batch — survivors are a union over
     // disjoint micro-batches, so micro-batching cannot move a row and
