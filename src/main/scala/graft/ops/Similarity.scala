@@ -1214,18 +1214,29 @@ object Similarity {
       .select(col("qid"), col("rank"), col("tid"), col("cos"))
   }
 
+  /** One pass over the corpus for (size, max UNCAPPED trailing-base-7
+    * level, unrolled to 20): cap = hnswCap(n) and maxOcc = min(maxTz,
+    * cap) — identical to max over rows of the capped level, since the
+    * cap is a constant — without a second action. */
+  private def hnswCorpusStats(targets: DataFrame): (Long, Int) = {
+    val r = targets.agg(count(lit(1)).as("n"),
+      max(hnswLevel(col("tid"), 20)).as("mx")).head()
+    require(r.getLong(0) > 0, "HNSW over an empty corpus")
+    (r.getLong(0), r.getInt(1))
+  }
+
   /** In-memory build + search (the gate shape): depth cap and entry
     * layer derived from the corpus itself. */
   def knnHnsw(queries: DataFrame, targets: DataFrame, dim: Int, k: Int,
       nCells: Int = 16, m: Int = 8, nProbe: Int = 2): DataFrame = {
-    val cap = hnswCap(targets.count())
+    val (n, maxTz) = hnswCorpusStats(targets)
+    val cap = hnswCap(n)
     val tl = targets.select(col("tid"), col("te"),
       hnswLevel(col("tid"), cap).as("lvl")).localCheckpoint()
-    val maxOcc = tl.agg(max(col("lvl"))).head.getInt(0)
     knnHnswWith(queries, tl,
       hnswAdjacencyWith(targets, ivfSeedCentroids(targets, nCells), cap,
         nCells, m, nProbe).localCheckpoint(),
-      k, maxOcc)
+      k, math.min(maxTz, cap))
   }
 
   private def hnswCentroidsDf(spark: org.apache.spark.sql.SparkSession,
@@ -1271,15 +1282,15 @@ object Similarity {
       targets: DataFrame, path: String, dim: Int, nCells: Int, m: Int,
       nProbe: Int, expectedEpoch: Option[Long]): Unit = {
     import graft.util.Sidecars
-    val n = targets.count()
+    val (n, maxTz) = hnswCorpusStats(targets)
     val cap = hnswCap(n)
+    val maxOcc = math.min(maxTz, cap)
     val cs = ivfSeedCentroids(targets, nCells)
     val vecs = targets.select(col("tid"), col("te"),
         scaledDot(col("te"), col("te")).as("tn"),
         hnswLevel(col("tid"), cap).as("lvl"),
         nearestCell(col("te"), cs).as("home"))
       .localCheckpoint()
-    val maxOcc = vecs.agg(max(col("lvl"))).head.getInt(0)
     val adj = hnswAdjacencyWith(targets, cs, cap, nCells, m, nProbe)
     val e1 = Sidecars.swap(spark, path, "vectors", vecs,
       expectedEpoch = expectedEpoch)
@@ -1353,8 +1364,11 @@ object Similarity {
         nearestCell(col("te"), cs).as("home"),
         probeCells(col("te"), cs, pMax).as("probes"))
       .localCheckpoint()
-    val nNew = newNodes.count()
+    val statsRow = newNodes.agg(count(lit(1)).as("n"),
+      max(col("lvl")).as("mx")).head()
+    val nNew = statsRow.getLong(0)
     require(nNew > 0, "empty append batch")
+    val maxLvlNew = statsRow.getInt(1)
     val dup = newNodes.join(vectors.select(col("tid")), Seq("tid")).count()
     require(dup == 0,
       s"append batch holds $dup ids already in the HNSW store (a " +
@@ -1402,8 +1416,7 @@ object Similarity {
         .join(broadcast(touched), Seq("lvl", "src"), "left_anti")
         .unionByName(replaced))
       .localCheckpoint()
-    val maxOcc1 = math.max(maxOcc0,
-      newNodes.agg(max(col("lvl"))).head.getInt(0))
+    val maxOcc1 = math.max(maxOcc0, maxLvlNew)
     // COMMIT — the claim fences the whole read-compute span above
     val e1 = Sidecars.claim(spark, path, Some(e0))
     newNodes.drop("probes").write.mode("append")

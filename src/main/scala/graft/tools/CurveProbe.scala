@@ -54,12 +54,20 @@ object CurveProbe {
       nCells = nCells)
     val build = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
-    val rows = graft.ops.Similarity.knnHnswIndexed(spark, path, q, k = 5)
-      .count()
+    val got = graft.ops.Similarity.knnHnswIndexed(spark, path, q, k = 5)
+      .select(col("qid"), col("tid")).localCheckpoint()
+    val rows = got.count()
     val search = (System.nanoTime() - t1) / 1e9
+    // recall@5 against the exact scan — the quality axis of the scale
+    // point: deeper geometry must not trade recall for the growth win
+    val bf = graft.ops.Similarity.knnBruteForce(q, t, k = 5)
+      .select(col("qid"), col("tid"))
+    val hits = got.join(bf, Seq("qid", "tid")).count()
+    val possible = bf.count()
     val cap = graft.ops.Similarity.hnswCap(n)
     println(s"""{"query":"knn_hnsw","sf":"$dir","n":$n,""" +
       s""""n_cells":$nCells,"cap":$cap,"build_sec":$build,""" +
-      s""""search_sec":$search,"result_rows":$rows}""")
+      s""""search_sec":$search,"result_rows":$rows,""" +
+      s""""recall_hits":$hits,"recall_possible":$possible}""")
   }
 }

@@ -717,6 +717,52 @@ class PlanSpec extends SparkSpec {
     assert(knn.contains("RunningWindowFunction") || knn.contains("Window"),
       "per-query top-k must be a bounded rank window")
   }
+
+  test("hnsw construction: every level's candidate join is cell-keyed — " +
+      "no cartesian product at any depth (the retired r14 geometry " +
+      "built upper layers globally)") {
+    import org.apache.spark.sql.functions._
+    // big enough for cap >= 2, so upper levels exist and would have
+    // been the global-crossJoin levels under the old geometry
+    val t = spark.range(0, 120)
+      .select(col("id").as("tid"),
+        org.apache.spark.sql.functions.transform(
+          sequence(lit(0), lit(7)),
+          // (id+1)*(i+3) mod 127 with id+1 <= 120 < 127: never zero,
+          // so no zero-norm vector trips the ANSI cosine division
+          i => (pmod((col("id") + 1) * (i + lit(3)), lit(127))
+            .cast("double") / 127d).cast("float")).as("te"))
+    val adj = graft.ops.Similarity.hnswAdjacency(t, dim = 8, nCells = 8,
+      m = 4)
+    val p = adj.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "HNSW construction must never pair globally: " + p.take(1500))
+    assert(p.contains("hashpartitioning(cell") || p.contains("[cell"),
+      "per-level candidates must meet on the probe cell: " + p.take(1500))
+    // search through the persisted store: the per-hop adjacency read
+    // must prune to the hop's lvl partition at the scan
+    val path = graft.util.TempDirs.create("hnsw-plan") + "/g"
+    graft.ops.Similarity.writeHnswIndex(t, path, dim = 8, nCells = 8,
+      m = 4)
+    val q = t.limit(4).select(col("tid").as("qid"), col("te").as("qe"))
+    // each hop reads the at-rest adjacency filtered to ITS level — the
+    // lvl-partitioned layout must turn that into static partition
+    // pruning at the scan (the search itself checkpoints every beam,
+    // so the hop scans never appear in the final frame's plan — assert
+    // the pruning on the hop's scan shape directly)
+    val hopScan = spark.read.parquet(
+        graft.util.Sidecars.path(spark, path, "adj"))
+      .filter(col("lvl") === 1)
+      .queryExecution.executedPlan.toString
+    assert(hopScan.contains("PartitionFilters: [isnotnull(lvl") ||
+      hopScan.contains("PartitionFilters: [(lvl"),
+      "hop scans must prune to their lvl partition: " + hopScan.take(1500))
+    // and the search through the store still answers (plan shape pinned
+    // above; results are gated by knn_hnsw_indexed's oracle)
+    assert(graft.ops.Similarity.knnHnswIndexed(spark, path, q, k = 3)
+      .count() > 0)
+  }
 }
 
 object PlanSpec {
