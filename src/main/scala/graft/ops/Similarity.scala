@@ -1020,7 +1020,11 @@ object Similarity {
   // reader-atomic and epoch-fenced via graft.util.Sidecars (immutable
   // version-named dirs; two overlapping maintenance transactions
   // conflict loudly at the first commit):
-  //   vectors   (tid, te, tn, lvl, home)  additive on append
+  //   vectors   (tid, te, tn, lvl, home)  partitioned (lvl, home);
+  //                                       additive on append — entry
+  //                                       reads prune to lvl=top,
+  //                                       append candidate scans to
+  //                                       the batch's probed cells
   //   adj       (lvl, src, dst, cos)      partitioned by lvl
   //   adjpatch  (lvl, src, dst, cos)      REPLACEMENT lists for srcs
   //                                       touched since the last build/
@@ -1166,8 +1170,17 @@ object Similarity {
       adjacency: DataFrame, k: Int, maxOcc: Int, beam1: Int = 8,
       hops1: Int = 2, beam0: Int = 16, hops0: Int = 4,
       exclude: Option[DataFrame] = None): DataFrame = {
+    // ENTRY IDS FIRST, on the raw frame: for the indexed path `targets`
+    // is the (lvl, home)-partitioned vectors store, so the top-layer
+    // filter statically prunes to the (tiny) lvl=maxOcc partition at
+    // the scan instead of filtering a full materialization
+    val entryIds = targets.filter(col("lvl") === maxOcc)
+      .select(col("tid")).localCheckpoint()
     // materialize once: every hop's re-score joins against the target
-    // vectors — without the cut each hop re-scans and re-norms them
+    // vectors — without the cut each hop re-scans and re-norms them.
+    // (One corpus scan per QUERY BATCH is the local operating point; a
+    // standing 100 TB deployment amortizes it by bucketing the vector
+    // store on tid so beam re-scores become shuffle-free lookups.)
     val t = targets.select(col("tid"), col("te"), col("lvl"),
       scaledDot(col("te"), col("te")).as("tn")).localCheckpoint()
     val q = broadcast(queries.select(col("qid"), col("qe"),
@@ -1193,9 +1206,7 @@ object Similarity {
       prune(expanded, width)
     }
     // entry: exact argmax over the (tiny) top occupied layer
-    val top = t.filter(col("lvl") === maxOcc)
-    var beamDf = prune(
-      q.select(col("qid")).crossJoin(top.select(col("tid"))), 1)
+    var beamDf = prune(q.select(col("qid")).crossJoin(entryIds), 1)
     // localCheckpoint per hop: the beam is tiny (queries x width rows)
     // but an UNCUT multi-hop lineage compounds into one enormous fused
     // plan whose optimization + codegen dominates the search (measured
@@ -1292,8 +1303,14 @@ object Similarity {
         nearestCell(col("te"), cs).as("home"))
       .localCheckpoint()
     val adj = hnswAdjacencyWith(targets, cs, cap, nCells, m, nProbe)
-    val e1 = Sidecars.swap(spark, path, "vectors", vecs,
-      expectedEpoch = expectedEpoch)
+    // vectors at rest partition by (lvl, home): the search's top-layer
+    // entry prunes to the lvl=maxOcc partition, and an append's
+    // candidate scan prunes to the batch's probed home cells — both
+    // reads become corpus-size-independent at the scan
+    val e1 = Sidecars.swapStaged(spark, path, "vectors",
+      expectedEpoch) { p =>
+      vecs.write.mode("overwrite").partitionBy("lvl", "home").parquet(p)
+    }
     val e2 = Sidecars.swapStaged(spark, path, "adj", Some(e1)) { p =>
       adj.write.mode("overwrite").partitionBy("lvl").parquet(p)
     }
@@ -1375,8 +1392,16 @@ object Similarity {
         "replay, or a crashed append's unlinked leftovers — compact " +
         "to heal)")
     val oldAdj = hnswEffectiveAdj(spark, path)
-    // forward lists of the new nodes, per level, against old + new
-    val candPool = vectors.select(col("tid").as("dst"),
+    // forward lists of the new nodes, per level, against old + new.
+    // Candidates can only match inside the batch's probed home cells
+    // (the join key IS the home), so the old-corpus side prunes to
+    // those (lvl, home) partitions — the append's read volume tracks
+    // the probed cells, not the store
+    val batchCells = newNodes.select(explode(col("probes")).as("c"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val candPool = vectors
+      .filter(col("home").isInCollection(batchCells))
+      .select(col("tid").as("dst"),
         col("te").as("de"), col("tn").as("dn"), col("lvl").as("dlvl"),
         col("home"))
       .unionByName(newNodes.select(col("tid").as("dst"),
@@ -1420,6 +1445,7 @@ object Similarity {
     // COMMIT — the claim fences the whole read-compute span above
     val e1 = Sidecars.claim(spark, path, Some(e0))
     newNodes.drop("probes").write.mode("append")
+      .partitionBy("lvl", "home")
       .parquet(Sidecars.appendPath(spark, path, "vectors"))
     val e2 = Sidecars.swap(spark, path, "adjpatch", accumulated,
       expectedEpoch = Some(e1))

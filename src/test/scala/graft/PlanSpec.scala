@@ -758,6 +758,25 @@ class PlanSpec extends SparkSpec {
     assert(hopScan.contains("PartitionFilters: [isnotnull(lvl") ||
       hopScan.contains("PartitionFilters: [(lvl"),
       "hop scans must prune to their lvl partition: " + hopScan.take(1500))
+    // the vectors store partitions by (lvl, home): the search's
+    // top-layer entry and an append's probed-cell candidate scan must
+    // both prune at the scan, corpus-size-independent
+    val entryScan = spark.read.parquet(
+        graft.util.Sidecars.path(spark, path, "vectors"))
+      .filter(col("lvl") === 2)
+      .queryExecution.executedPlan.toString
+    assert(entryScan.contains("PartitionFilters: [isnotnull(lvl") ||
+      entryScan.contains("PartitionFilters: [(lvl"),
+      "entry scan must prune to the top lvl partition: " +
+        entryScan.take(1500))
+    val cellScan = spark.read.parquet(
+        graft.util.Sidecars.path(spark, path, "vectors"))
+      .filter(col("home").isInCollection(Seq(1, 3)))
+      .queryExecution.executedPlan.toString
+    assert(cellScan.contains("home#") &&
+      cellScan.contains("PartitionFilters: ["),
+      "append candidate scan must prune to probed home cells: " +
+        cellScan.take(1500))
     // and the search through the store still answers (plan shape pinned
     // above; results are gated by knn_hnsw_indexed's oracle)
     assert(graft.ops.Similarity.knnHnswIndexed(spark, path, q, k = 3)
