@@ -1307,9 +1307,16 @@ object Similarity {
     // entry prunes to the lvl=maxOcc partition, and an append's
     // candidate scan prunes to the batch's probed home cells — both
     // reads become corpus-size-independent at the scan
+    // repartition ON the partition columns before the partitioned
+    // write (the s8/mergeUpdate lesson): without it every one of the
+    // session's tasks emits a file into every (lvl, home) dir it holds
+    // rows of — up to tasks x (cap+1) x nCells tiny files, whose
+    // per-file open cost then dominates every store scan (measured 4x
+    // on the 20x search before this exchange)
     val e1 = Sidecars.swapStaged(spark, path, "vectors",
       expectedEpoch) { p =>
-      vecs.write.mode("overwrite").partitionBy("lvl", "home").parquet(p)
+      vecs.repartition(col("lvl"), col("home"))
+        .write.mode("overwrite").partitionBy("lvl", "home").parquet(p)
     }
     val e2 = Sidecars.swapStaged(spark, path, "adj", Some(e1)) { p =>
       adj.write.mode("overwrite").partitionBy("lvl").parquet(p)
@@ -1444,7 +1451,8 @@ object Similarity {
     val maxOcc1 = math.max(maxOcc0, maxLvlNew)
     // COMMIT — the claim fences the whole read-compute span above
     val e1 = Sidecars.claim(spark, path, Some(e0))
-    newNodes.drop("probes").write.mode("append")
+    newNodes.drop("probes").repartition(col("lvl"), col("home"))
+      .write.mode("append")
       .partitionBy("lvl", "home")
       .parquet(Sidecars.appendPath(spark, path, "vectors"))
     val e2 = Sidecars.swap(spark, path, "adjpatch", accumulated,

@@ -53,21 +53,45 @@ object CurveProbe {
     graft.ops.Similarity.writeHnswIndex(t, path, dim = 64,
       nCells = nCells)
     val build = (System.nanoTime() - t0) / 1e9
-    val t1 = System.nanoTime()
-    val got = graft.ops.Similarity.knnHnswIndexed(spark, path, q, k = 5)
-      .select(col("qid"), col("tid")).localCheckpoint()
-    val rows = got.count()
-    val search = (System.nanoTime() - t1) / 1e9
+    // search = min-of-3 (the bench convention): the first pass pays the
+    // construction's lingering checkpoint blocks / GC state, which is
+    // JVM pollution, not search cost — the gate's fresh-JVM min-of-3
+    // confirms the steady-state number
+    var search = Double.MaxValue
+    var got: org.apache.spark.sql.DataFrame = null
+    var rows = 0L
+    for (_ <- 1 to 3) {
+      val t1 = System.nanoTime()
+      got = graft.ops.Similarity.knnHnswIndexed(spark, path, q, k = 5)
+        .select(col("qid"), col("tid")).localCheckpoint()
+      rows = got.count()
+      search = math.min(search, (System.nanoTime() - t1) / 1e9)
+    }
     // recall@5 against the exact scan — the quality axis of the scale
     // point: deeper geometry must not trade recall for the growth win
     val bf = graft.ops.Similarity.knnBruteForce(q, t, k = 5)
       .select(col("qid"), col("tid"))
     val hits = got.join(bf, Seq("qid", "tid")).count()
     val possible = bf.count()
+    // LAST (it builds a second store, polluting JVM/page-cache state
+    // for anything timed after it): append a fixed-size batch (~100 vectors, scale-independent) into
+    // a second store built without it: if the append's wall grows with
+    // the corpus, its candidate scan is corpus-bounded — the quantity
+    // the (lvl, home) partition pruning exists to pin down
+    val pathA = graft.util.TempDirs.create("hnsw-curve-app") + "/g"
+    val batch = t.orderBy(col("tid")).limit(100).localCheckpoint()
+    val base = t.join(batch.select(col("tid")), Seq("tid"), "left_anti")
+      .localCheckpoint()
+    graft.ops.Similarity.writeHnswIndex(base, pathA, dim = 64,
+      nCells = nCells)
+    val tA = System.nanoTime()
+    graft.ops.Similarity.appendHnswIndex(spark, pathA, batch)
+    val append = (System.nanoTime() - tA) / 1e9
     val cap = graft.ops.Similarity.hnswCap(n)
     println(s"""{"query":"knn_hnsw","sf":"$dir","n":$n,""" +
       s""""n_cells":$nCells,"cap":$cap,"build_sec":$build,""" +
-      s""""search_sec":$search,"result_rows":$rows,""" +
+      s""""search_sec":$search,"append100_sec":$append,""" +
+      s""""result_rows":$rows,""" +
       s""""recall_hits":$hits,"recall_possible":$possible}""")
   }
 }
