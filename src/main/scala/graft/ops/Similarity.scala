@@ -1169,7 +1169,8 @@ object Similarity {
   def knnHnswWith(queries: DataFrame, targets: DataFrame,
       adjacency: DataFrame, k: Int, maxOcc: Int, beam1: Int = 8,
       hops1: Int = 2, beam0: Int = 16, hops0: Int = 4,
-      exclude: Option[DataFrame] = None): DataFrame = {
+      exclude: Option[DataFrame] = None,
+      keep: Option[DataFrame] = None): DataFrame = {
     // ENTRY IDS FIRST, on the raw frame: for the indexed path `targets`
     // is the (lvl, home)-partitioned vectors store, so the top-layer
     // filter statically prunes to the (tiny) lvl=maxOcc partition at
@@ -1215,7 +1216,16 @@ object Similarity {
     for (l <- maxOcc - 1 to 1 by -1; _ <- 1 to hops1)
       beamDf = hop(beamDf, l, beam1).localCheckpoint()
     for (_ <- 1 to hops0) beamDf = hop(beamDf, 0, beam0).localCheckpoint()
-    val survivors = exclude.fold(beamDf)(dead => beamDf.join(
+    // FILTERED SEARCH is the keep side (the post-filter discipline:
+    // out-of-predicate nodes still ROUTE — dropping them from the
+    // beams would strand descents whose region is dense in filtered
+    // nodes — and only the final ranking restricts to the allowed
+    // set; widen beam0 when the predicate is very selective). The
+    // beam side is tiny (queries x beam0), so the semi-join never
+    // shuffles more than the beam.
+    val allowed = keep.fold(beamDf)(ids => beamDf.join(
+      ids.select(col("tid")), Seq("tid"), "left_semi"))
+    val survivors = exclude.fold(allowed)(dead => allowed.join(
       broadcast(dead.select(col("tid"))), Seq("tid"), "left_anti"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("tid"))
@@ -1297,10 +1307,13 @@ object Similarity {
     val cap = hnswCap(n)
     val maxOcc = math.min(maxTz, cap)
     val cs = ivfSeedCentroids(targets, nCells)
-    val vecs = targets.select(col("tid"), col("te"),
-        scaledDot(col("te"), col("te")).as("tn"),
-        hnswLevel(col("tid"), cap).as("lvl"),
-        nearestCell(col("te"), cs).as("home"))
+    // withColumn (not select): caller metadata columns (labels,
+    // timestamps) ride along into the store, so filtered search can
+    // predicate on them — the writeIvfIndex every-column convention
+    val vecs = targets
+      .withColumn("tn", scaledDot(col("te"), col("te")))
+      .withColumn("lvl", hnswLevel(col("tid"), cap))
+      .withColumn("home", nearestCell(col("te"), cs))
       .localCheckpoint()
     val adj = hnswAdjacencyWith(targets, cs, cap, nCells, m, nProbe)
     // vectors at rest partition by (lvl, home): the search's top-layer
@@ -1382,11 +1395,11 @@ object Similarity {
     val cs = hnswCentroidsOf(spark, path)
     val vectors = Sidecars.read(spark, path, "vectors")
     val pMax = hnswProbeWidth(cap, nProbe, nCells)
-    val newNodes = batch.select(col("tid"), col("te"),
-        scaledDot(col("te"), col("te")).as("tn"),
-        hnswLevel(col("tid"), cap).as("lvl"),
-        nearestCell(col("te"), cs).as("home"),
-        probeCells(col("te"), cs, pMax).as("probes"))
+    val newNodes = batch
+      .withColumn("tn", scaledDot(col("te"), col("te")))
+      .withColumn("lvl", hnswLevel(col("tid"), cap))
+      .withColumn("home", nearestCell(col("te"), cs))
+      .withColumn("probes", probeCells(col("te"), cs, pMax))
       .localCheckpoint()
     val statsRow = newNodes.agg(count(lit(1)).as("n"),
       max(col("lvl")).as("mx")).head()
@@ -1507,7 +1520,7 @@ object Similarity {
     val patch = Sidecars.tryPath(spark, path, "adjpatch")
     if (tombs.isEmpty && patch.isEmpty) return
     val vectors = Sidecars.read(spark, path, "vectors")
-      .select(col("tid"), col("te"))
+      .drop("tn", "lvl", "home") // computed at rebuild; metadata rides
     val survivors = tombs.fold(vectors)(t =>
       vectors.join(broadcast(spark.read.parquet(t)), Seq("tid"),
         "left_anti")).localCheckpoint()
@@ -1521,15 +1534,24 @@ object Similarity {
     * new links to not-yet-listed vectors (appends write vectors before
     * the patch commits). Tombstoned ids route but never rank. */
   def knnHnswIndexed(spark: org.apache.spark.sql.SparkSession,
-      path: String, queries: DataFrame, k: Int): DataFrame = {
+      path: String, queries: DataFrame, k: Int,
+      targetFilter: Option[Column] = None): DataFrame = {
     import graft.util.Sidecars
     val meta = Sidecars.read(spark, path, "meta").collect()(0)
     val adj = hnswEffectiveAdj(spark, path)
-    val vectors = Sidecars.read(spark, path, "vectors")
-      .select(col("tid"), col("te"), col("lvl"))
+    val all = Sidecars.read(spark, path, "vectors")
+    val vectors = all.select(col("tid"), col("te"), col("lvl"))
     val dead = Sidecars.tryPath(spark, path, "tombs")
       .map(spark.read.parquet)
+    // FILTERED SEARCH (the knn_ivf/lsh filtered convention applied to
+    // the graph): the store preserves metadata columns, the predicate
+    // restricts the FINAL ranking only — out-of-predicate nodes still
+    // route, the same post-filter discipline as tombstones (dropping
+    // them from the beams would strand descents through filtered-dense
+    // regions). The predicate reaches the parquet scan as a pushed
+    // data filter when deriving the allowed-id set.
+    val keep = targetFilter.map(p => all.filter(p).select(col("tid")))
     knnHnswWith(queries, vectors, adj, k, meta.getInt(2),
-      exclude = dead)
+      exclude = dead, keep = keep)
   }
 }

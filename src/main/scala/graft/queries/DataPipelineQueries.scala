@@ -1569,6 +1569,28 @@ object DataPipelineQueries {
         .orderBy($"qid", $"rank")
     }),
 
+    // FILTERED ANN through the graph (the knn_ivf/lsh filtered
+    // convention): the store preserves metadata columns, and the label
+    // predicate restricts the FINAL ranking only — out-of-predicate
+    // nodes still ROUTE (dropping them from the beams would strand
+    // descents through filtered-dense regions), the same post-filter
+    // discipline as tombstones. The twin is the full build+descent
+    // replay with the predicate applied at the final ranking.
+    "knn_hnsw_filtered" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val path = graft.util.TempDirs.cached("hnsw-filtered", dir) { p =>
+        Similarity.writeHnswIndex(
+          e.select($"vec_id".as("tid"), $"embedding".as("te"), $"label"),
+          p, dim = 64)
+      }
+      Similarity.knnHnswIndexed(s, path, q, k = 5,
+        targetFilter = Some($"label" % 2 === 0))
+        .orderBy($"qid", $"rank")
+    }),
+
     // IVF-bucketed ANN (Voronoi cells + nProbe). The registered variant
     // pins lloydIters=0 (deterministic data-derived seed centroids +
     // fixed-point assignment) so the full cell layout, probe set, and
@@ -6376,6 +6398,11 @@ object DataPipelineQueries {
     // compaction = an index that never held the deleted vectors:
     // from-scratch twin over the survivors (retrained seeds, new cap)
     "knn_hnsw_compacted" -> knnHnswSql(targetPred = "vec_id >= 40"),
+    // filtered search = post-filter at the final ranking (routing
+    // unrestricted), exactly the tombstone twin's shape with the
+    // metadata predicate as the survivor set
+    "knn_hnsw_filtered" -> knnHnswSql(finPred =
+      "tid IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)"),
     "knn_recall_hnsw" -> knnRecallHnswSql,
     "knn_lsh_indexed" -> knnLshSql(), // same buckets/probes/ranking at rest
     "knn_lsh_wide" -> knnLshSql(numPlanes = 8),
