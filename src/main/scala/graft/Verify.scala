@@ -22,7 +22,24 @@ object Verify {
     // (the rule must be result-invisible — running the oracle gate with it
     // active is the standing proof)
     GraftFunctions.register(spark)
-    new java.io.File(outDir).mkdirs()
+    // The registered HNSW DuckDB twins hardcode the layer-depth cap at
+    // 3 = hnswCap(500), the sf0.01 gate corpus — the Spark side derives
+    // depth from the data, so at any OTHER corpus size the twin would
+    // silently build a shallower/deeper graph and the gate would fail
+    // as a confusing hash divergence instead of a geometry signal.
+    // Assert the coupling HERE (the oracle-dump path is the only place
+    // the twins are consumed; Bench legitimately runs at other scales).
+    val hnswGated = SparkEntry.oracleSql.keys
+      .filter(n => n.startsWith("knn_hnsw") || n == "knn_recall_hnsw")
+    if (hnswGated.exists(selected)) {
+      val nEmb = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+      val capHere = graft.ops.Similarity.hnswCap(nEmb)
+      require(capHere == 3,
+        s"HNSW oracle twins are generated for depth cap 3 (the 500-row " +
+          s"sf0.01 gate corpus) but $sfDir holds $nEmb embeddings -> " +
+          s"hnswCap = $capHere; regenerate knnHnswSql/knnHnswAppendedSql " +
+          "with cap = " + capHere + " before gating at this scale")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name))
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

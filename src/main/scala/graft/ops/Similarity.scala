@@ -1036,6 +1036,13 @@ object Similarity {
   //   meta      (n, cap, max_lvl, dim, n_cells, m, n_probe)
   //   tombs     (tid)                     mark-deleted: routing keeps
   //                                       them, ranking excludes them
+  // AUTO-COMPACTION POLICY: compact when adjpatch rows exceed 25% of
+  // the base adjacency OR tombstones exceed 10% of n
+  // ([[HnswMaxPatchFrac]]/[[HnswMaxTombFrac]], [[autoCompactHnswIndex]]
+  // — run it after each maintenance batch; it no-ops until the debt
+  // crosses). Pinned by the knn_hnsw_drift gate: recall after a
+  // frozen-centroid append sequence holds a floor, the debt trips the
+  // trigger, and the healed store equals a fresh build.
   // ------------------------------------------------------------------
 
   /** Depth cap of the layer hierarchy for an n-vector corpus: the
@@ -1170,7 +1177,8 @@ object Similarity {
       adjacency: DataFrame, k: Int, maxOcc: Int, beam1: Int = 8,
       hops1: Int = 2, beam0: Int = 16, hops0: Int = 4,
       exclude: Option[DataFrame] = None,
-      keep: Option[DataFrame] = None): DataFrame = {
+      keep: Option[DataFrame] = None,
+      hopsPerCheckpoint: Int = 1): DataFrame = {
     // ENTRY IDS FIRST, on the raw frame: for the indexed path `targets`
     // is the (lvl, home)-partitioned vectors store, so the top-layer
     // filter statically prunes to the (tiny) lvl=maxOcc partition at
@@ -1208,14 +1216,23 @@ object Similarity {
     }
     // entry: exact argmax over the (tiny) top occupied layer
     var beamDf = prune(q.select(col("qid")).crossJoin(entryIds), 1)
-    // localCheckpoint per hop: the beam is tiny (queries x width rows)
-    // but an UNCUT multi-hop lineage compounds into one enormous fused
-    // plan whose optimization + codegen dominates the search (measured
-    // 4x the hop compute at sf0.1) — the pagerank CheckpointEvery
-    // discipline applied at the width of every hop
+    // localCheckpoint every `hopsPerCheckpoint` hops: the beam is tiny
+    // (queries x width rows) but an UNCUT multi-hop lineage compounds
+    // into one enormous fused plan whose optimization + codegen
+    // dominates the search (measured 4x the hop compute at sf0.1 when
+    // never cut) — the pagerank CheckpointEvery discipline applied at
+    // hop width. `hopsPerCheckpoint` exposes the cut cadence for the
+    // CurveProbe A/B (cut per hop vs per level vs coarser) — see
+    // bench/scale_curve_r16.json for the measured operating point.
+    var hopsSinceCut = 0
+    def cut(df: DataFrame): DataFrame = {
+      hopsSinceCut += 1
+      if (hopsSinceCut % hopsPerCheckpoint == 0) df.localCheckpoint()
+      else df
+    }
     for (l <- maxOcc - 1 to 1 by -1; _ <- 1 to hops1)
-      beamDf = hop(beamDf, l, beam1).localCheckpoint()
-    for (_ <- 1 to hops0) beamDf = hop(beamDf, 0, beam0).localCheckpoint()
+      beamDf = cut(hop(beamDf, l, beam1))
+    for (_ <- 1 to hops0) beamDf = cut(hop(beamDf, 0, beam0))
     // FILTERED SEARCH is the keep side (the post-filter discipline:
     // out-of-predicate nodes still ROUTE — dropping them from the
     // beams would strand descents whose region is dense in filtered
@@ -1375,14 +1392,28 @@ object Similarity {
     * base adjacency file is rewritten, and the write volume tracks the
     * accumulated patch, not the corpus.
     *
-    * Transaction: fence epoch read at entry; `claim` arbitrates BEFORE
-    * any mutation (two overlapping appends: one winner; the loser
-    * fails loudly pre-mutation — SimilaritySpec races this); vectors
-    * append additively into the current version, then adjpatch and
-    * meta swap reader-atomically, meta last as the commit point. A
-    * crash between the vector append and the patch swap leaves the new
-    * ids present-but-unlinked (unreachable by any search); re-appending
-    * them is refused by the overlap check, and compaction heals. */
+    * Transaction: fence epoch read at entry; the first swap's claim
+    * arbitrates BEFORE any mutation (two overlapping appends: one
+    * winner; the loser fails loudly pre-mutation — SimilaritySpec
+    * races this). Commit order is LINKS BEFORE NODES: adjpatch swaps
+    * first, then vectors append additively into the current version,
+    * then meta swaps as the commit point. A vector row therefore only
+    * ever becomes visible AFTER its adjacency is committed — an
+    * appended id can never be picked as an edgeless entry node by a
+    * racing reader (the empty-beam trap: a new id with cap trailing
+    * base-7 zeros lands on the top layer, and an entry with no
+    * adjacency rows strands the whole descent at 1 row). The inverse
+    * transient — patch rows naming not-yet-visible dst ids — is
+    * harmless by construction: every beam hop inner-joins candidates
+    * against the vectors store before scoring, so ghost dsts drop
+    * before ranking. Crash between the patch swap and the vector
+    * append leaves exactly those ghost links (searches degrade
+    * gracefully, never starve); re-appending the SAME batch then
+    * passes the overlap check and heals the store (touched lists are
+    * recomputed and re-replaced). Crash after the vector append but
+    * before meta leaves a fully-linked store under the old meta
+    * (searches correct at the old entry level); that replay is refused
+    * by the overlap check and compaction heals. */
   def appendHnswIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame): Unit = {
     import graft.util.Sidecars
@@ -1462,14 +1493,17 @@ object Similarity {
         .unionByName(replaced))
       .localCheckpoint()
     val maxOcc1 = math.max(maxOcc0, maxLvlNew)
-    // COMMIT — the claim fences the whole read-compute span above
-    val e1 = Sidecars.claim(spark, path, Some(e0))
+    // COMMIT, links before nodes (see the docstring): the adjpatch
+    // swap's claim fences the whole read-compute span above, THEN the
+    // vectors append makes the new ids visible (already linked), THEN
+    // meta commits the new n / entry level
+    val e1 = Sidecars.swap(spark, path, "adjpatch", accumulated,
+      expectedEpoch = Some(e0))
+    val e2 = Sidecars.claim(spark, path, Some(e1))
     newNodes.drop("probes").repartition(col("lvl"), col("home"))
       .write.mode("append")
       .partitionBy("lvl", "home")
       .parquet(Sidecars.appendPath(spark, path, "vectors"))
-    val e2 = Sidecars.swap(spark, path, "adjpatch", accumulated,
-      expectedEpoch = Some(e1))
     Sidecars.swap(spark, path, "meta",
       hnswMetaDf(spark, n0 + nNew, cap, maxOcc1, meta.getInt(3),
         nCells, m, nProbe), single = true, Some(e2))
@@ -1492,12 +1526,17 @@ object Similarity {
     require(found == distinctIds.size,
       s"delete batch names ${distinctIds.size} vec_ids but only " +
         s"$found are in the HNSW store")
-    val prev = Sidecars.tryPath(spark, path, "tombs")
-      .map(p => spark.read.parquet(p).collect().map(_.getLong(0)).toSeq)
-      .getOrElse(Seq.empty)
-    Sidecars.swap(spark, path, "tombs",
-      (prev ++ distinctIds).distinct.toDF("tid"), single = true,
-      Some(e0))
+    // relational fold: union the previous tombs sidecar with the batch
+    // WITHOUT collecting through the driver — accumulated deletes
+    // between compactions are unbounded in principle, and the swap is
+    // the only maintenance write in the ANN families, so no write
+    // volume may transit the driver
+    val batchDf = distinctIds.toDF("tid")
+    val folded = Sidecars.tryPath(spark, path, "tombs")
+      .map(p => spark.read.parquet(p).select(col("tid"))
+        .unionByName(batchDf).distinct())
+      .getOrElse(batchDf)
+    Sidecars.swap(spark, path, "tombs", folded, single = true, Some(e0))
   }
 
   /** COMPACT a persisted HNSW store: rebuild vectors + adjacency from
@@ -1528,16 +1567,85 @@ object Similarity {
       meta.getInt(4), meta.getInt(5), meta.getInt(6), Some(e0))
   }
 
+  /** Maintenance debt of a persisted HNSW store: corpus size, base
+    * adjacency volume, accumulated patch volume, tombstone count —
+    * the inputs of the auto-compaction policy. One cheap count per
+    * sidecar (patch/tombs are delta-sized). */
+  final case class HnswDebt(n: Long, baseAdjRows: Long, patchRows: Long,
+      tombRows: Long) {
+    def patchFrac: Double =
+      if (baseAdjRows == 0) 0.0 else patchRows.toDouble / baseAdjRows
+    def tombFrac: Double =
+      if (n == 0) 0.0 else tombRows.toDouble / n
+    def compactDue(maxPatchFrac: Double = HnswMaxPatchFrac,
+        maxTombFrac: Double = HnswMaxTombFrac): Boolean =
+      patchFrac > maxPatchFrac || tombFrac > maxTombFrac
+  }
+
+  /** AUTO-COMPACTION TRIGGER CONSTANTS (the knn_centroid_drift /
+    * knn_ivf_rebalanced convention applied to the graph): compact when
+    * replacement lists exceed a quarter of the base adjacency (reads
+    * then re-prune a patch comparable to the base, and append recall
+    * under frozen centroids has drifted for that long) or tombstones
+    * exceed a tenth of the corpus (a tenth of every final beam is
+    * dead weight). Pinned by the knn_hnsw_drift gate. */
+  val HnswMaxPatchFrac = 0.25
+  val HnswMaxTombFrac = 0.10
+
+  def hnswDebt(spark: org.apache.spark.sql.SparkSession,
+      path: String): HnswDebt = {
+    import graft.util.Sidecars
+    val n = Sidecars.read(spark, path, "meta").collect()(0).getLong(0)
+    val base = Sidecars.read(spark, path, "adj").count()
+    val patch = Sidecars.tryPath(spark, path, "adjpatch")
+      .map(p => spark.read.parquet(p).count()).getOrElse(0L)
+    val tombs = Sidecars.tryPath(spark, path, "tombs")
+      .map(p => spark.read.parquet(p).count()).getOrElse(0L)
+    HnswDebt(n, base, patch, tombs)
+  }
+
+  /** Compact iff the store's maintenance debt crosses policy — the
+    * operator-facing heal that does NOT need the operator to remember
+    * the thresholds. Deliberately NOT called inline by append/delete:
+    * a compaction is a full rebuild, so it belongs at the maintenance
+    * schedule (call this after each ingest batch; it no-ops until the
+    * debt crosses), not hidden inside an ingest call whose latency it
+    * would multiply. Returns whether a compaction ran. */
+  def autoCompactHnswIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxPatchFrac: Double = HnswMaxPatchFrac,
+      maxTombFrac: Double = HnswMaxTombFrac): Boolean = {
+    val due = hnswDebt(spark, path).compactDue(maxPatchFrac, maxTombFrac)
+    if (due) compactHnswIndex(spark, path)
+    due
+  }
+
   /** Search the persisted store. Resolution order is meta (the commit
-    * point) -> adjacency/patch -> vectors, so a reader racing an
-    * append sees either the pre-append or post-append index — never
-    * new links to not-yet-listed vectors (appends write vectors before
-    * the patch commits). Tombstoned ids route but never rank. */
+    * point) -> adjacency/patch -> vectors; appends commit LINKS BEFORE
+    * NODES (adjpatch, then vectors, then meta), so a reader racing an
+    * append can never pick an appended-but-unlinked vector as its
+    * entry (the empty-beam trap) — the only transient it can observe
+    * is patch rows naming not-yet-visible dst ids, which drop
+    * harmlessly at the hop's inner score-join against the vectors
+    * store. Tombstoned ids route but never rank.
+    *
+    * Beam geometry (`beam1`/`hops1`/`beam0`/`hops0`) is caller-tunable
+    * — defaults match [[knnHnswWith]]. Because filtered search and
+    * tombstones post-filter the FINAL beam, a selective `targetFilter`
+    * or a large tombstone set can starve results below k at the
+    * default width; with `autoWiden` (default on) the base beam is
+    * widened by the inverse of the allowed fraction —
+    * beam0 * ceil(n / |keep minus tombs|), capped at n — so the
+    * EXPECTED number of in-predicate beam members stays ~beam0 under
+    * uniform mixing. Pass `autoWiden = false` to pin exact widths
+    * (the gates do, for oracle replayability). */
   def knnHnswIndexed(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, k: Int,
-      targetFilter: Option[Column] = None): DataFrame = {
+      targetFilter: Option[Column] = None, beam1: Int = 8,
+      hops1: Int = 2, beam0: Int = 16, hops0: Int = 4,
+      autoWiden: Boolean = true, hopsPerCheckpoint: Int = 1): DataFrame = {
     import graft.util.Sidecars
     val meta = Sidecars.read(spark, path, "meta").collect()(0)
+    val n = meta.getLong(0)
     val adj = hnswEffectiveAdj(spark, path)
     val all = Sidecars.read(spark, path, "vectors")
     val vectors = all.select(col("tid"), col("te"), col("lvl"))
@@ -1551,7 +1659,26 @@ object Similarity {
     // regions). The predicate reaches the parquet scan as a pushed
     // data filter when deriving the allowed-id set.
     val keep = targetFilter.map(p => all.filter(p).select(col("tid")))
-    knnHnswWith(queries, vectors, adj, k, meta.getInt(2),
-      exclude = dead, keep = keep)
+    val beam0Eff =
+      if (!autoWiden || (keep.isEmpty && dead.isEmpty)) beam0
+      else {
+        // widening factor from the ACTUAL allowed fraction (keep
+        // minus tombstones) — one count over an id projection; the
+        // pushed predicate keeps the scan narrow
+        val allowed = (keep, dead) match {
+          case (Some(kp), Some(d)) =>
+            kp.join(broadcast(d.select(col("tid"))), Seq("tid"),
+              "left_anti").count()
+          case (Some(kp), None) => kp.count()
+          case (None, Some(d)) => n - d.select(col("tid")).count()
+          case (None, None) => n
+        }
+        if (allowed <= 0) beam0
+        else math.min(n,
+          beam0.toLong * math.ceil(n.toDouble / allowed).toLong).toInt
+      }
+    knnHnswWith(queries, vectors, adj, k, meta.getInt(2), beam1, hops1,
+      beam0Eff, hops0, exclude = dead, keep = keep,
+      hopsPerCheckpoint = hopsPerCheckpoint)
   }
 }

@@ -1394,6 +1394,63 @@ object DataPipelineQueries {
         .orderBy($"vec_id")
     }),
 
+    // SemDeDup through the GRAPH INDEX (the d5b LSH shape with the
+    // persisted HNSW store as the candidate generator): every vector
+    // queries the shared full-corpus graph — the SAME cached store
+    // knn_hnsw_indexed builds, one construction amortized across the
+    // family — and top-5 neighbours over the 0.3 threshold become
+    // undirected candidate pairs. d5 stays the exact all-pairs
+    // baseline: the index generates O(n*k) candidates instead of
+    // O(n^2) pair evaluations, so the crossover is corpus-driven (at
+    // the 2k-vector bench corpus brute force still wins; the 20x/100x
+    // points in bench/scale_curve_r16.json are where the index pays —
+    // all-pairs grows 400x/10000x while graph search grows ~1.6x/
+    // ~2.6x). An in-gate REQUIRE (once per corpus, outside the timed
+    // reps) pins DEDUP-VERDICT agreement vs the exact baseline: the
+    // keep/drop decision — drop v iff some u < v with cos > 0.3 — is
+    // the quantity a dedup pipeline consumes, and k-truncation barely
+    // disturbs it (a vector whose top-5 are all over-threshold is
+    // dropped either way unless ALL its detected partners have higher
+    // ids AND none of them detect it back). Twin: the full
+    // construction + ALL-queries descent replay, paired and deduped.
+    "d5d_semdedup_hnsw" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val path = graft.util.TempDirs.cached("hnsw-index", dir) { p =>
+        Similarity.writeHnswIndex(
+          e.select($"vec_id".as("tid"), $"embedding".as("te")),
+          p, dim = 64)
+      }
+      val pairs = Similarity.knnHnswIndexed(s, path, q, k = 5)
+        .filter($"cos" > 0.3)
+        .select(least($"qid", $"tid").as("id_1"),
+          greatest($"qid", $"tid").as("id_2"), $"cos")
+        .distinct()
+        .localCheckpoint()
+      graft.util.TempDirs.cached("d5d-verdict-floor", dir) { _ =>
+        val a = e.select($"vec_id".as("id_1"), $"embedding".as("qe"))
+          .withColumn("qn", Similarity.scaledDot($"qe", $"qe"))
+        val b = e.select($"vec_id".as("id_2"), $"embedding".as("te"))
+          .withColumn("tn", Similarity.scaledDot($"te", $"te"))
+        val exactDrop = a.join(b, $"id_1" < $"id_2")
+          .withColumn("cos",
+            Similarity.scaledDot($"qe", $"te").cast("double") /
+              sqrt(($"qn" * $"tn").cast("double")))
+          .filter($"cos" > 0.3)
+          .select($"id_2".as("vec_id")).distinct().localCheckpoint()
+        val annDrop = pairs.select($"id_2".as("vec_id")).distinct()
+        val n = e.count()
+        val disagree =
+          exactDrop.join(annDrop, Seq("vec_id"), "left_anti").count() +
+            annDrop.join(exactDrop, Seq("vec_id"), "left_anti").count()
+        require(disagree * 10 <= n,
+          s"HNSW dedup verdicts disagree with the exact baseline on " +
+            s"$disagree of $n vectors (floor: 90% agreement)")
+      }
+      pairs.orderBy($"id_1", $"id_2")
+    }),
+
     // Brute-force cosine top-5 neighbors for 10 query vectors (baseline).
     "knn_bruteforce" -> ((s, dir) => {
       import s.implicits._
@@ -1542,7 +1599,10 @@ object DataPipelineQueries {
           p, dim = 64)
         Similarity.deleteFromHnswIndex(s, p, (0L until 40L).toSeq)
       }
-      Similarity.knnHnswIndexed(s, path, q, k = 5)
+      // autoWiden off: the DuckDB twin replays the PINNED 16-width
+      // base beam; selectivity-adaptive widening is spec-covered
+      // (SimilaritySpec "auto-widened beam") rather than oracle-gated
+      Similarity.knnHnswIndexed(s, path, q, k = 5, autoWiden = false)
         .orderBy($"qid", $"rank")
     }),
 
@@ -1586,9 +1646,66 @@ object DataPipelineQueries {
           e.select($"vec_id".as("tid"), $"embedding".as("te"), $"label"),
           p, dim = 64)
       }
+      // autoWiden off: the twin replays the pinned 16-width base beam
+      // (the widening factor would depend on the label distribution)
       Similarity.knnHnswIndexed(s, path, q, k = 5,
-        targetFilter = Some($"label" % 2 === 0))
+        targetFilter = Some($"label" % 2 === 0), autoWiden = false)
         .orderBy($"qid", $"rank")
+    }),
+
+    // DRIFT + AUTO-COMPACTION (the knn_centroid_drift /
+    // knn_ivf_rebalanced convention applied to the graph index): two
+    // append batches land sequentially under FROZEN build-time
+    // centroids — the designed drift trade of appendHnswIndex — then
+    // the maintenance-debt policy trips (adjpatch > 25% of base adj,
+    // Similarity.HnswMaxPatchFrac) and autoCompactHnswIndex heals.
+    // In-gate REQUIREs pin the Spark-side quantities: recall@5 vs the
+    // exact scan holds a floor AFTER the append sequence (the drifted
+    // store must stay serviceable until the scheduled heal), the debt
+    // trips before and clears after, and the healed store recovers at
+    // least the drifted recall. The GATED OUTPUT is the healed store's
+    // recall row: compaction over a tombless store equals a fresh
+    // build over the full corpus (the knn_hnsw_compacted semantics),
+    // so the twin is the standard full-corpus construction + descent
+    // replay, hit-joined against the exact baseline.
+    "knn_hnsw_drift" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val tt = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+      val bf = Similarity.knnBruteForce(q, tt, k = 5)
+        .select($"qid", $"tid").localCheckpoint()
+      def hitsOf(ann: DataFrame): Long =
+        ann.select($"qid", $"tid").join(bf, Seq("qid", "tid")).count()
+      val path = graft.util.TempDirs.cached("hnsw-drift", dir) { p =>
+        Similarity.writeHnswIndex(
+          tt.filter($"tid" % 5 >= 2), p, dim = 64)
+        Similarity.appendHnswIndex(s, p, tt.filter($"tid" % 5 === 1))
+        Similarity.appendHnswIndex(s, p, tt.filter($"tid" % 5 === 0))
+        val debt = Similarity.hnswDebt(s, p)
+        require(debt.compactDue(),
+          s"40% frozen-centroid append did not trip the compaction " +
+            s"policy (patchFrac=${debt.patchFrac} tombFrac=${debt.tombFrac})")
+        val drifted = hitsOf(Similarity.knnHnswIndexed(s, p, q, k = 5))
+        val possible = bf.count()
+        require(drifted >= (possible * 6) / 10,
+          s"drifted-store recall $drifted/$possible below the 0.6 floor")
+        require(Similarity.autoCompactHnswIndex(s, p),
+          "auto-compaction did not run despite due debt")
+        require(!Similarity.hnswDebt(s, p).compactDue(),
+          "compaction left due maintenance debt")
+        val healed = hitsOf(Similarity.knnHnswIndexed(s, p, q, k = 5))
+        require(healed >= drifted,
+          s"healed recall $healed fell below drifted recall $drifted")
+      }
+      Similarity.knnHnswIndexed(s, path, q, k = 5)
+        .select($"qid", $"tid").join(bf, Seq("qid", "tid"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit("hnsw_healed").as("method"), lit(5).as("k"),
+          $"hits")
+        .crossJoin(bf.agg(count(lit(1)).as("possible")))
+        .select($"method", $"k", $"hits", $"possible")
     }),
 
     // IVF-bucketed ANN (Voronoi cells + nProbe). The registered variant
@@ -5496,10 +5613,10 @@ object DataPipelineQueries {
     * survivors for the compacted one), full-width probe RANKS + homes
     * over the target set, capped levels, and both norm tables. */
   private def hnswBaseCtes(cap: Int, nCells: Int, targetPred: String,
-      seedPred: String): String =
+      seedPred: String, qPred: String = "vec_id < 50"): String =
     s"""tt AS MATERIALIZED (SELECT vec_id AS tid, embedding AS te FROM embeddings
        |      WHERE $targetPred),
-       |qq AS MATERIALIZED (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 50),
+       |qq AS MATERIALIZED (SELECT vec_id AS qid FROM embeddings WHERE $qPred),
        |seedsrc AS MATERIALIZED (SELECT vec_id AS tid, embedding AS te FROM embeddings
        |      WHERE $seedPred),
        |seeds AS MATERIALIZED (
@@ -5584,13 +5701,13 @@ object DataPipelineQueries {
     * "mark-deleted ids route but never rank". */
   private def knnHnswSql(nCells: Int = 16, m: Int = 8, nProbe: Int = 2,
       cap: Int = 3, targetPred: String = "TRUE",
-      finPred: String = "TRUE"): String = {
+      finPred: String = "TRUE", qPred: String = "vec_id < 50"): String = {
     val levels = (0 to cap).map { l =>
       hnswCandCte(l, hnswWidth(l, nProbe, nCells), s"cand$l") + ",\n" +
         hnswAdjCtes(s"cand$l", s"adj$l", m)
     }.mkString(",\n")
     val (descent, lastBeam) = hnswDescentCtes(cap, l => s"adj$l")
-    s"""WITH ${hnswBaseCtes(cap, nCells, targetPred, targetPred)},
+    s"""WITH ${hnswBaseCtes(cap, nCells, targetPred, targetPred, qPred)},
        |$levels,
        |$descent,
        |fin AS (
@@ -5655,6 +5772,36 @@ object DataPipelineQueries {
        |    (SELECT COUNT(*) FROM ivfr JOIN bf USING (qid, tid)) AS hits,
        |    (SELECT COUNT(*) FROM bf) AS possible)
        |ORDER BY method""".stripMargin
+
+  /** knn_hnsw_drift twin: the healed (auto-compacted) store equals a
+    * fresh full-corpus build — compaction over a tombless store is the
+    * deferred rebuild, the knn_hnsw_compacted semantics — so the gated
+    * row is the standard construction+descent replay hit-joined
+    * against the exact baseline. The drifted store's recall floor and
+    * the debt trigger are Spark-side REQUIREs inside the gate
+    * (sequential multi-batch append replay is not economically
+    * SQL-expressible; the single-append edge-exact twin is
+    * knn_hnsw_appended). */
+  private def knnHnswDriftSql: String =
+    s"""WITH bf AS (SELECT qid, tid FROM (${knnBruteforceSql(maxQid = 50)})),
+       |hn AS (SELECT qid, tid FROM (${knnHnswSql()}))
+       |SELECT 'hnsw_healed' AS method, CAST(5 AS INT) AS k,
+       |  (SELECT COUNT(*) FROM hn JOIN bf USING (qid, tid)) AS hits,
+       |  (SELECT COUNT(*) FROM bf) AS possible""".stripMargin
+
+  /** d5d_semdedup_hnsw twin: the full-corpus construction plus the
+    * ALL-queries descent replay (qPred TRUE — every vector searches the
+    * graph), thresholded and paired undirected. Both discovery
+    * directions of a pair compute the identical fixed-point cosine
+    * (commutative dot, symmetric norms), so DISTINCT collapses them
+    * exactly as the Spark side's .distinct() does. Self-matches are
+    * already excluded by the descent's final ranking. */
+  private def d5dSemdedupHnswSql: String =
+    s"""WITH hn AS (SELECT qid, tid, cos FROM (${knnHnswSql(qPred = "TRUE")}))
+       |SELECT DISTINCT least(qid, tid) AS id_1,
+       |  greatest(qid, tid) AS id_2, cos
+       |FROM hn WHERE cos > 0.3
+       |ORDER BY id_1, id_2""".stripMargin
 
   /** knn_recall twin: recall@5 of each approximate path against the exact
     * brute-force baseline on the same 50-query batch. Each twin runs as a
@@ -6404,6 +6551,12 @@ object DataPipelineQueries {
     "knn_hnsw_filtered" -> knnHnswSql(finPred =
       "tid IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)"),
     "knn_recall_hnsw" -> knnRecallHnswSql,
+    // healed (auto-compacted) store == fresh full-corpus build; the
+    // drift floor + debt trigger are Spark-side REQUIREs in the gate
+    "knn_hnsw_drift" -> knnHnswDriftSql,
+    // graph-index candidate generation for embedding near-dup: the
+    // all-queries descent replay, thresholded + paired undirected
+    "d5d_semdedup_hnsw" -> d5dSemdedupHnswSql,
     "knn_lsh_indexed" -> knnLshSql(), // same buckets/probes/ranking at rest
     "knn_lsh_wide" -> knnLshSql(numPlanes = 8),
     "knn_lsh_filtered" -> knnLshSql(targetFilter = "label % 2 = 0"),

@@ -733,6 +733,105 @@ class SimilaritySpec extends SparkSpec {
       "sparse id space starved the search (empty entry beam)")
   }
 
+  test("HNSW append commits LINKS BEFORE NODES: the only crash window " +
+      "leaves ghost patch links, which degrade gracefully — searches " +
+      "never starve and a ghost id never ranks (an appended-but-" +
+      "unlinked entry node is impossible by commit order)") {
+    val e = embeddings
+    val t = e.select($"vec_id".as("tid"), $"embedding".as("te"))
+    val q = e.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val store = graft.util.TempDirs.create("hnsw-ghost") + "/g"
+    Similarity.writeHnswIndex(t, store, dim = 16, nCells = 8, m = 4)
+    val meta = graft.util.Sidecars.read(spark, store, "meta").collect()(0)
+    val maxOcc = meta.getInt(2)
+    assert(maxOcc >= 1, "fixture must occupy an upper layer")
+    // simulate a crash between the adjpatch swap and the vector append:
+    // the patch names a batch id (the GHOST) that never reached the
+    // vectors sidecar — including a replacement row-set for a real
+    // top-layer src whose LEVEL-1 routing list becomes ghost-only (the
+    // worst realistic wipe: ghost dsts drop at the score join, the
+    // src's upper-level expansion goes dark, and the descent recovers
+    // through its untouched base-layer list until re-append heals)
+    val realTop = spark.read.parquet(
+        graft.util.Sidecars.path(spark, store, "vectors"))
+      .filter($"lvl" === maxOcc).select($"tid").collect().head.getLong(0)
+    val ghost = 999999L
+    val ghostPatch = Seq(
+      (1, realTop, ghost, 0.99),
+      (1, ghost, realTop, 0.99),
+      (0, ghost, realTop, 0.99)).toDF("lvl", "src", "dst", "cos")
+    graft.util.Sidecars.swap(spark, store, "adjpatch", ghostPatch)
+    val out = Similarity.knnHnswIndexed(spark, store, q, k = 3).collect()
+    assert(out.groupBy(_.getLong(0)).size == 8 && out.length == 24,
+      "ghost links starved a search below k")
+    assert(!out.exists(_.getLong(2) == ghost), "a ghost id ranked")
+    // and the entry layer can never hold the ghost: entry candidates
+    // come from the committed vectors sidecar, which the append only
+    // writes AFTER its links are committed
+    assert(spark.read.parquet(
+        graft.util.Sidecars.path(spark, store, "vectors"))
+      .filter($"tid" === ghost).count() == 0)
+  }
+
+  test("HNSW filtered search auto-widens the base beam by the inverse " +
+      "allowed fraction, so a selective predicate cannot starve " +
+      "results below k; pinned widths (autoWiden=false) never return " +
+      "more than the widened search") {
+    val e = embeddings.withColumn("label", $"vec_id" % 10)
+    val t = e.select($"vec_id".as("tid"), $"embedding".as("te"), $"label")
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val store = graft.util.TempDirs.create("hnsw-widen") + "/g"
+    Similarity.writeHnswIndex(t, store, dim = 16, nCells = 8, m = 4)
+    // keep set = 6 of 60 ids -> widening factor ceil(60/6) = 10,
+    // beam0 16 -> min(60, 160): the base beam covers every visited node
+    val pred = Some($"label" === 0)
+    val widened = Similarity.knnHnswIndexed(spark, store, q, k = 3,
+      targetFilter = pred).collect()
+    val pinned = Similarity.knnHnswIndexed(spark, store, q, k = 3,
+      targetFilter = pred, autoWiden = false).collect()
+    assert(widened.forall(_.getLong(2) % 10 == 0),
+      "widened search ranked an out-of-predicate id")
+    assert(widened.groupBy(_.getLong(0)).size == 5 && widened.length == 15,
+      s"auto-widening still starved a query (${widened.length} rows)")
+    assert(pinned.length <= widened.length,
+      "pinned width returned more than the widened beam")
+    // tombstone widening path: kill most of the corpus, keep searching
+    val store2 = graft.util.TempDirs.create("hnsw-widen2") + "/g"
+    Similarity.writeHnswIndex(
+      e.select($"vec_id".as("tid"), $"embedding".as("te")),
+      store2, dim = 16, nCells = 8, m = 4)
+    Similarity.deleteFromHnswIndex(spark, store2,
+      (0L until 60L).filter(_ % 10 != 0))
+    val viaTombs = Similarity.knnHnswIndexed(spark, store2, q, k = 3)
+      .collect()
+    assert(viaTombs.forall(_.getLong(2) % 10 == 0))
+    assert(viaTombs.groupBy(_.getLong(0)).size == 5 &&
+      viaTombs.length == 15,
+      s"tombstone widening starved a query (${viaTombs.length} rows)")
+  }
+
+  test("HNSW auto-compaction policy: a fresh store carries no due " +
+      "debt (autoCompact no-ops), tombstones past 10% of n trip it, " +
+      "and the heal clears the debt") {
+    val t = embeddings.select($"vec_id".as("tid"), $"embedding".as("te"))
+    val store = graft.util.TempDirs.create("hnsw-debt") + "/g"
+    Similarity.writeHnswIndex(t, store, dim = 16, nCells = 8, m = 4)
+    val fresh = Similarity.hnswDebt(spark, store)
+    assert(fresh.patchRows == 0 && fresh.tombRows == 0 &&
+      !fresh.compactDue())
+    assert(!Similarity.autoCompactHnswIndex(spark, store),
+      "autoCompact ran on a debt-free store")
+    // 7 of 60 tombstoned > HnswMaxTombFrac = 0.10
+    Similarity.deleteFromHnswIndex(spark, store, (0L until 7L))
+    assert(Similarity.hnswDebt(spark, store).compactDue())
+    assert(Similarity.autoCompactHnswIndex(spark, store))
+    val healed = Similarity.hnswDebt(spark, store)
+    assert(healed.n == 53 && healed.tombRows == 0 &&
+      healed.patchRows == 0 && !healed.compactDue())
+  }
+
   test("scaled-dot cosine matches double-precision cosine closely") {
     val e = embeddings.limit(10).collect().map(_.getSeq[Float](1).toArray)
     val df = Seq((e(0), e(1))).toDF("a", "b")
