@@ -30,6 +30,23 @@ import argparse, json, os, subprocess, sys, time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# HOST-DRIFT CANARY (committed protocol, round 16+): a PINNED batch of
+# stable, multi-second, rarely-touched queries spanning the major
+# families (graph, OLAP, streaming, dedup-LSH, multimodal, sink,
+# components, anomaly). Run fresh-JVM min-of-3 as ONE batch every
+# round -> bench/canary_latest.json + a line in
+# bench/canary_history.jsonl. Round-over-round normalization rule (see
+# BASELINE.md): host_ratio = canary_total(now) / canary_total(prev
+# round's history line); per-query regression thresholds on
+# families_latest.json scale by that ratio. DO NOT edit this list
+# without recording a fresh reference point in the same commit —
+# comparability is the whole point.
+CANARY = [
+    "d3b_minhash_bands", "d6d_components_star", "event_anomalies",
+    "graph_pagerank", "mm_jpeg_neardup", "s8_patch_roundtrip",
+    "stream_sessionize_exec", "table_stats",
+]
+
 ADD_OPENS_PKGS = [
     "java.base/java.lang", "java.base/java.lang.invoke",
     "java.base/java.lang.reflect", "java.base/java.io",
@@ -100,6 +117,49 @@ def run_batch(batch, sf, cpus, reps, mem):
     return json.loads(line), wall
 
 
+def run_canary(args):
+    """One fresh-JVM min-of-reps run of the pinned CANARY batch ->
+    bench/canary_latest.json + an append-only history line. Cheap
+    (~2 min), so it runs before every families composition AND can run
+    standalone (--canary-only) to normalize an ad-hoc comparison."""
+    res, wall = run_batch(CANARY, args.sf, args.cpus, args.reps, args.mem)
+    rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                         cwd=REPO, capture_output=True,
+                         text=True).stdout.strip()
+    art = {
+        "metric": "canary_total",
+        "value": round(sum(res["queries"][q] for q in CANARY
+                           if q in res["queries"]), 3),
+        "unit": "sec",
+        "reps": args.reps,
+        "queries": {q: res["queries"][q] for q in CANARY
+                    if q in res["queries"]},
+        "queries_median": {q: res["queries_median"][q] for q in CANARY
+                           if q in res["queries_median"]},
+        "sf": args.sf,
+        "git_rev": rev,
+        "recorded_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "protocol": "pinned fresh-JVM canary batch; host_ratio = "
+                    "value(now)/value(previous history line); scale "
+                    "families_latest.json regression thresholds by "
+                    "host_ratio (BASELINE.md round-16 protocol)",
+    }
+    with open(os.path.join(REPO, "bench/canary_latest.json"), "w") as f:
+        json.dump(art, f, indent=1, sort_keys=True)
+    with open(os.path.join(REPO, "bench/canary_history.jsonl"), "a") as f:
+        f.write(json.dumps(art, sort_keys=True) + "\n")
+    hist = [json.loads(l) for l in
+            open(os.path.join(REPO, "bench/canary_history.jsonl"))]
+    line = f"canary: {art['value']:.1f}s (wall {wall:.0f}s, rev {rev})"
+    if len(hist) > 1:
+        prev = hist[-2]
+        line += (f"; host_ratio vs {prev['git_rev']} "
+                 f"({prev['value']:.1f}s) = "
+                 f"{art['value'] / prev['value']:.3f}")
+    print(line)
+    return art
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
@@ -110,7 +170,16 @@ def main():
     ap.add_argument("--names-from", default="/tmp/verify_out/oracle_sql.json")
     ap.add_argument("--out",
                     default=os.path.join(REPO, "bench/families_latest.json"))
+    ap.add_argument("--canary-only", action="store_true",
+                    help="run just the pinned canary batch and exit")
+    ap.add_argument("--skip-canary", action="store_true")
     args = ap.parse_args()
+
+    if args.canary_only:
+        run_canary(args)
+        return
+    if not args.skip_canary:
+        run_canary(args)
 
     names_src = args.names_from
     if not os.path.exists(names_src):

@@ -33,7 +33,16 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, kStr) = args.take(3)
     val k = kStr.toInt
-    require(k >= 1 && k <= 20, s"replication factor $k out of range")
+    // 100 caps the key offset at 1e11 (well inside long) and the text
+    // mutation's bijective distinctness (letter rotation x digit
+    // rotation = 260 distinct maps, see below)
+    require(k >= 1 && k <= 100, s"replication factor $k out of range")
+    // optional 4th arg: comma-separated table subset — the 100x curve
+    // points only need the tables their probe reads (embeddings for
+    // HNSW, lineitem for triangles), and generating 120M lineitem rows
+    // nobody reads would dominate the generation wall
+    val tables = args.lift(3).map(_.split(',').toSet)
+    def wanted(t: String) = tables.forall(_.contains(t))
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -45,8 +54,8 @@ object ScaleGen {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def src(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
-    def write(df: DataFrame, t: String): Unit =
-      df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    def write(df: => DataFrame, t: String): Unit =
+      if (wanted(t)) df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
 
     /** k replicas of `df` with the named long/int key columns offset by
       * i*Off (replica 0 verbatim), optionally text-mutated per replica. */
@@ -67,15 +76,25 @@ object ScaleGen {
     write(replicate(src("lineitem"),
       Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
     write(replicate(src("events"), Seq("event_id", "user_id")), "events")
-    // bijective per-replica letter rotation: every shingle differs
-    // across replicas, within-replica structure is untouched
+    // bijective per-replica mutation: letter rotation by i mod 26
+    // crossed with digit rotation by i / 26 — 260 distinct bijections,
+    // so every shingle differs across replicas up to k = 100 (a letter
+    // rotation alone repeats every 26, which at k > 26 would hand the
+    // near-dup gates cross-replica clusters that are replication
+    // artifacts); within-replica structure is untouched
     val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val digits = "0123456789"
     write(replicate(src("documents"), Seq("doc_id"),
       mutate = (d, i) =>
         if (i == 0) d
-        else d.withColumn("text",
-          concat(translate(col("text"), alpha,
-            alpha.drop(i) + alpha.take(i)), lit(s" r$i")))),
+        else {
+          val la = i % 26
+          val dg = (i / 26) % 10
+          d.withColumn("text",
+            concat(translate(col("text"), alpha + digits,
+              (alpha.drop(la) + alpha.take(la)) +
+                (digits.drop(dg) + digits.take(dg))), lit(s" r$i")))
+        }),
       "documents")
     write(replicate(src("embeddings"), Seq("vec_id")), "embeddings")
 

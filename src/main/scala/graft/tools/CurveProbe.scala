@@ -16,7 +16,10 @@ import org.apache.spark.sql.SparkSession
   * candidate volume = nProbe*n/nCells at every level): the curve runs
   * 16 at 1x and ~16*sqrt(k) at kx, the standard sqrt(n) cell rule, so
   * the measured growth reflects the deployed sizing, not a frozen
-  * 16-cell layout. */
+  * 16-cell layout.
+  *
+  * `runMain graft.tools.CurveProbe <sfDir> stream` attributes the
+  * streaming-harness startup cost (see [[streamProbe]]). */
 object CurveProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -28,6 +31,7 @@ object CurveProbe {
     spark.sparkContext.setLogLevel("ERROR")
     graft.GraftFunctions.register(spark)
     if (args.lift(1).contains("hnsw")) hnswProbe(spark, dir, args)
+    else if (args.lift(1).contains("stream")) streamProbe(spark, dir)
     else {
       for (q <- Seq("mm_jpeg_neardup", "mm_image_neardup")) {
         val n = graft.SparkEntry.queries(q)(spark, dir).count()
@@ -35,6 +39,74 @@ object CurveProbe {
       }
     }
     spark.stop()
+  }
+
+  /** Streaming-harness startup attribution (the r15 verdict's ask #6):
+    * stream_join_exec is the most expensive gate in every artifact
+    * (~9 s fresh-JVM) and the 16 stream_* gates sum to ~45 s of the
+    * families suite; r13 audited the cost as "engine startup, flat on
+    * the curve" but never SEPARATED it. This probe runs the gate's
+    * exact stream-stream join shape against (a) an EMPTY staged source
+    * and (b) the real staged events file, 3 reps each in one JVM, and
+    * prints per-run wall + the engine's own per-phase durations
+    * (StreamingQueryProgress.durationMs, summed across batches). Reads:
+    *  - empty-wall ~= data-wall  => the cost is per-QUERY-START engine
+    *    overhead (planning + state-store init + sink setup), not data
+    *    work — irreducible without changing gate semantics, since each
+    *    gate IS a new streaming query by definition;
+    *  - rep1 >> rep3             => the per-JVM share (class loading,
+    *    codegen cache) that min-of-3 already amortizes away. */
+  private def streamProbe(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = graft.util.Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val schema = ev.schema
+    val dataSrc = graft.util.TempDirs.create("stream-probe-data")
+    ev.coalesce(1).write.mode("overwrite").parquet(dataSrc)
+    val emptySrc = graft.util.TempDirs.create("stream-probe-empty")
+    ev.limit(0).coalesce(1).write.mode("overwrite").parquet(emptySrc)
+    val nextId = new java.util.concurrent.atomic.AtomicLong(0)
+    def run(src: String, variant: String, rep: Int): Unit = {
+      val a = spark.readStream.schema(schema).parquet(src)
+        .filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("ts_a"), $"event_id".as("click_id"))
+        .withWatermark("ts_a", "7 hours")
+      val b = spark.readStream.schema(schema).parquet(src)
+        .filter($"event_type" === "view")
+        .select($"user_id".as("user_id_b"), $"ts".as("ts_b"),
+          $"event_id".as("view_id"))
+        .withWatermark("ts_b", "7 hours")
+      val joined = a.join(b,
+        $"user_id" === $"user_id_b" &&
+          $"ts_b" >= $"ts_a" - expr("interval 6 hours") &&
+          $"ts_b" <= $"ts_a")
+        .select($"user_id", $"click_id", $"view_id")
+      val name = s"probe_join_${nextId.incrementAndGet()}"
+      val t0 = System.nanoTime()
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(240000)
+      require(!q.isActive, "probe query did not finish")
+      val wall = (System.nanoTime() - t0) / 1e9
+      val prog = q.recentProgress
+      val rows = spark.table(name).count()
+      spark.catalog.dropTempView(name)
+      import scala.jdk.CollectionConverters._
+      val phases = prog.toSeq
+        .flatMap(_.durationMs.asScala.map { case (k, v) => k -> v.toLong })
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+      val inRows = prog.map(_.numInputRows).sum
+      println(s"""{"probe":"stream_join","variant":"$variant",""" +
+        s""""rep":$rep,"wall_sec":$wall,"batches":${prog.length},""" +
+        s""""input_rows":$inRows,"sink_rows":$rows,""" +
+        phases.toSeq.sortBy(_._1).map { case (k, v) =>
+          s""""dur_${k}_ms":$v""" }.mkString(",") + "}")
+    }
+    for (rep <- 1 to 3) run(emptySrc, "empty", rep)
+    for (rep <- 1 to 3) run(dataSrc, "data", rep)
   }
 
   private def hnswProbe(spark: SparkSession, dir: String,
@@ -67,6 +139,24 @@ object CurveProbe {
       rows = got.count()
       search = math.min(search, (System.nanoTime() - t1) / 1e9)
     }
+    // checkpoint-cadence A/B (r15 verdict ask #7): the per-hop
+    // localCheckpoint is the documented fix for the fused-plan blowup,
+    // but each cut costs a materialization round-trip and depth grows
+    // ~log_7 n — measure cutting every 2nd hop (per level) and every
+    // 3rd against the default at this scale, same store, min-of-3
+    def searchAt(cadence: Int): Double = {
+      var best = Double.MaxValue
+      for (_ <- 1 to 3) {
+        val t1 = System.nanoTime()
+        graft.ops.Similarity.knnHnswIndexed(spark, path, q, k = 5,
+            hopsPerCheckpoint = cadence)
+          .select(col("qid"), col("tid")).localCheckpoint().count()
+        best = math.min(best, (System.nanoTime() - t1) / 1e9)
+      }
+      best
+    }
+    val searchCk2 = searchAt(2)
+    val searchCk3 = searchAt(3)
     // recall@5 against the exact scan — the quality axis of the scale
     // point: deeper geometry must not trade recall for the growth win
     val bf = graft.ops.Similarity.knnBruteForce(q, t, k = 5)
@@ -90,7 +180,8 @@ object CurveProbe {
     val cap = graft.ops.Similarity.hnswCap(n)
     println(s"""{"query":"knn_hnsw","sf":"$dir","n":$n,""" +
       s""""n_cells":$nCells,"cap":$cap,"build_sec":$build,""" +
-      s""""search_sec":$search,"append100_sec":$append,""" +
+      s""""search_sec":$search,"search_ckpt2_sec":$searchCk2,""" +
+      s""""search_ckpt3_sec":$searchCk3,"append100_sec":$append,""" +
       s""""result_rows":$rows,""" +
       s""""recall_hits":$hits,"recall_possible":$possible}""")
   }
