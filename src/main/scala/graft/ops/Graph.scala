@@ -33,6 +33,15 @@ object Graph {
     * would evict executor cache for less than the shuffle it saves. */
   val MaxBloomEdges: Long = (1L << 28) / 12
 
+  /** Edge count above which triangleCounts keeps its two |E|-row
+    * checkpoint frames DISK_ONLY instead of promoting them to the
+    * default deserialized level: two deser frames at ~60 B/row must
+    * sit well inside an 8 GiB session's unified pool beside the
+    * closing join's execution memory (24M edges — the 20x curve point
+    * — ran green in r15 under deser levels; 120M OOM'd twice, two
+    * modes attributed in bench/scale_curve_r16.json). */
+  val MaxDeserEdges: Long = 32L * 1000 * 1000
+
   /** K-CORE of an undirected pair graph by iterative peeling: drop
     * every node of degree < k (and its edges), recompute degrees,
     * repeat — the fixpoint is the maximal subgraph in which every node
@@ -161,12 +170,51 @@ object Graph {
     * join, Long.MaxValue to force the pre-gate). */
   private[ops] def triangleCounts(
       pairs: DataFrame, maxBloomEdges: Long): DataFrame = {
-    val und = pairs
+    // EDGE-COUNT-CONDITIONAL checkpoint storage for the two
+    // edge-proportional frames (und ~ oriented ~ |E| rows each, 120M
+    // at the 100x curve point) — attributed at 100x/8g in
+    // bench/scale_curve_r16.json, two OOM modes in sequence:
+    //  1. default deserialized MEMORY_AND_DISK: the row-object blocks
+    //     outgrow the unified pool, and because every downstream stage
+    //     is a concurrent 32-task full scan, the blocks under
+    //     iteration are reader-pinned and cannot drop to disk when
+    //     execution asks — the map-side partial aggs starve at their
+    //     initial 256 KB hash map (UNABLE_TO_ACQUIRE_MEMORY);
+    //  2. MEMORY_AND_DISK_SER: blocks that spilled at write time are
+    //     RE-INFLATED whole on every read (BlockManager
+    //     maybeCacheDiskBytesInMemory allocates the full serialized
+    //     block per reading task; 32 concurrent re-inflations = raw
+    //     heap OOM).
+    // So: und lands DISK_ONLY first (streamed reads, write-safe and
+    // read-safe at ANY |E| — no re-cache path), its count (= |E|, and
+    // oriented's count too: the orientation is 1:1, so this action
+    // also serves the Bloom gate below) decides the level for the hot
+    // scans — small graphs PROMOTE to the default deserialized level
+    // and keep the r15 wall (DISK_ONLY everywhere measured +37% at
+    // 1x), big graphs stay on disk where the 100 TB posture wants
+    // these intermediates anyway.
+    val diskOnly = org.apache.spark.storage.StorageLevel.DISK_ONLY
+    val undDisk = pairs
       .select(least(col("id_1"), col("id_2")).as("a"),
         greatest(col("id_1"), col("id_2")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(true, diskOnly)
+    val eCount = undDisk.count()
+    // <= MaxDeserEdges: two deser |E|-row frames (~60 B/row each) must
+    // sit WELL inside an 8 GiB session's unified pool beside the
+    // closing join's execution memory; 24M edges (the 20x point) ran
+    // green at 8 GiB in r15 under deser levels, 120M did not
+    val smallGraph = eCount <= MaxDeserEdges
+    // small-graph promote is a LAZY persist over the disk checkpoint —
+    // the first consumer's scan populates the deser cache while
+    // streaming from disk, so no dedicated materialization pass is
+    // added (an eager re-checkpoint here measured +16% at 20x in the
+    // same-day A/B)
+    val und = if (smallGraph)
+      undDisk.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else undDisk
     val deg = und.select(col("a").as("n"))
       .union(und.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -185,7 +233,10 @@ object Graph {
             col("da").as("ddst"))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"),
         col("e.ddst").as("ddst"))
-      .localCheckpoint()
+      .localCheckpoint(true,
+        if (smallGraph)
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        else diskOnly)
     val x = oriented.select(col("src"), col("dst").as("v"),
       col("ddst").as("dv"))
     val y = oriented.select(col("src"), col("dst").as("w"),
@@ -195,8 +246,8 @@ object Graph {
         (col("dv") === col("dw") && col("v") < col("w")))
       .select(col("src").as("u"), col("v"), col("w"))
     // Bloom pre-gate on the closing edge (see scaladoc): filter wedges
-    // before they reach the exchange feeding the exact join.
-    val eCount = oriented.count()
+    // before they reach the exchange feeding the exact join. eCount
+    // was measured on und above (orientation is 1:1).
     val gated =
       if (eCount > 0 && eCount <= maxBloomEdges) {
         val mBits = {

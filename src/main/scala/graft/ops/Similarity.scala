@@ -1178,7 +1178,7 @@ object Similarity {
       hops1: Int = 2, beam0: Int = 16, hops0: Int = 4,
       exclude: Option[DataFrame] = None,
       keep: Option[DataFrame] = None,
-      hopsPerCheckpoint: Int = 1): DataFrame = {
+      hopsPerCheckpoint: Int = 0): DataFrame = {
     // ENTRY IDS FIRST, on the raw frame: for the indexed path `targets`
     // is the (lvl, home)-partitioned vectors store, so the top-layer
     // filter statically prunes to the (tiny) lvl=maxOcc partition at
@@ -1221,13 +1221,22 @@ object Similarity {
     // into one enormous fused plan whose optimization + codegen
     // dominates the search (measured 4x the hop compute at sf0.1 when
     // never cut) — the pagerank CheckpointEvery discipline applied at
-    // hop width. `hopsPerCheckpoint` exposes the cut cadence for the
-    // CurveProbe A/B (cut per hop vs per level vs coarser) — see
-    // bench/scale_curve_r16.json for the measured operating point.
+    // hop width. `hopsPerCheckpoint` sets the cut cadence; 0 = AUTO:
+    // the r16 CurveProbe A/B (fresh JVM, min-of-3, same store) measured
+    // per-hop cutting fastest at shallow depth (1x/cap 3: 3.51 s vs
+    // 3.68 s at cadence 2) but cadence 2 fastest once the descent is
+    // deep (20x/cap 5: 5.50 vs 5.97; 100x/cap 6: 9.24 vs 10.48, -12%)
+    // — each cut costs a materialization round-trip and hop count
+    // grows ~2 log_7 n, so the round-trip tax overtakes the fused-plan
+    // tax with depth. Cutting is plan surgery only: results are
+    // bit-identical at any cadence, so gates/twins are unaffected.
+    val cadence =
+      if (hopsPerCheckpoint > 0) hopsPerCheckpoint
+      else if (maxOcc >= 5) 2 else 1
     var hopsSinceCut = 0
     def cut(df: DataFrame): DataFrame = {
       hopsSinceCut += 1
-      if (hopsSinceCut % hopsPerCheckpoint == 0) df.localCheckpoint()
+      if (hopsSinceCut % cadence == 0) df.localCheckpoint()
       else df
     }
     for (l <- maxOcc - 1 to 1 by -1; _ <- 1 to hops1)
@@ -1642,7 +1651,7 @@ object Similarity {
       path: String, queries: DataFrame, k: Int,
       targetFilter: Option[Column] = None, beam1: Int = 8,
       hops1: Int = 2, beam0: Int = 16, hops0: Int = 4,
-      autoWiden: Boolean = true, hopsPerCheckpoint: Int = 1): DataFrame = {
+      autoWiden: Boolean = true, hopsPerCheckpoint: Int = 0): DataFrame = {
     import graft.util.Sidecars
     val meta = Sidecars.read(spark, path, "meta").collect()(0)
     val n = meta.getLong(0)

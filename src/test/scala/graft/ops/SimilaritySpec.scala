@@ -832,6 +832,21 @@ class SimilaritySpec extends SparkSpec {
       healed.patchRows == 0 && !healed.compactDue())
   }
 
+  test("HNSW checkpoint cadence is plan surgery only: search results " +
+      "are bit-identical at every hopsPerCheckpoint setting") {
+    val t = embeddings.select($"vec_id".as("tid"), $"embedding".as("te"))
+    val q = embeddings.filter($"vec_id" < 6)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val store = graft.util.TempDirs.create("hnsw-cadence") + "/g"
+    Similarity.writeHnswIndex(t, store, dim = 16, nCells = 8, m = 4)
+    val runs = Seq(0, 1, 2, 3).map { c =>
+      Similarity.knnHnswIndexed(spark, store, q, k = 3,
+        hopsPerCheckpoint = c).collect().map(_.toString).sorted.toSeq
+    }
+    assert(runs.distinct.size == 1,
+      "checkpoint cadence changed a search result")
+  }
+
   test("scaled-dot cosine matches double-precision cosine closely") {
     val e = embeddings.limit(10).collect().map(_.getSeq[Float](1).toArray)
     val df = Seq((e(0), e(1))).toDF("a", "b")
