@@ -96,7 +96,27 @@ object ScaleGen {
                 (digits.drop(dg) + digits.take(dg))), lit(s" r$i")))
         }),
       "documents")
-    write(replicate(src("embeddings"), Seq("vec_id")), "embeddings")
+    // embeddings replicate unperturbed by default (ANN COST is
+    // row-count-driven). For RECALL curves that is the wrong corpus
+    // past small k: every vector gains k-1 EXACT twins, each node's
+    // 2m-slot neighbour list saturates with its own twin clique
+    // (k-1 >> 2m at 100x), and measured recall collapses to a
+    // twin-retrieval artifact that no knob moves (r16 curve: flat
+    // 82% at 100x under beam0 16->64 AND construction nProbe 2->4).
+    // The optional 5th arg 'perturb' adds a deterministic hash-based
+    // +-3% per-dimension offset per replica — twins become near-dups
+    // (cos ~0.999), list saturation breaks, and recall measures
+    // navigation again, the way a real corpus grows with distinct
+    // near-neighbour mass.
+    val perturb = args.lift(4).contains("perturb")
+    write(replicate(src("embeddings"), Seq("vec_id"),
+      mutate = (d, i) =>
+        if (!perturb || i == 0) d
+        else d.withColumn("embedding", expr(
+          "transform(embedding, (x, p) -> CAST(x + 0.03 * " +
+            s"(pmod(hash(vec_id, p, $i), 1000) - 500) / 500.0 " +
+            "AS FLOAT))"))),
+      "embeddings")
 
     println(s"""{"scaled":"$outDir","k":$k,"src":"$srcDir"}""")
     spark.stop()

@@ -1172,7 +1172,15 @@ object Similarity {
     * ranking only: mark-deleted nodes still route, the canonical HNSW
     * deletion. Returns (qid, rank, tid, cos); self-matches excluded at
     * the final ranking only (the query's own node is the best possible
-    * descent seed). */
+    * descent seed).
+    *
+    * Recall knob AT DEPTH: the r16 100x sweep
+    * (bench/scale_curve_r16.json) measured base-layer knobs
+    * (beam0/hops0, construction nProbe) FLAT while widening the
+    * UPPER-layer frontier recovered every miss (beam1 8 -> 24 +
+    * hops1 2 -> 3: recall 88% -> 100% at ~+30% search wall) — at
+    * depth, the level-by-level basin choice is the binding decision,
+    * the canonical efSearch story relocated to the routing layers. */
   def knnHnswWith(queries: DataFrame, targets: DataFrame,
       adjacency: DataFrame, k: Int, maxOcc: Int, beam1: Int = 8,
       hops1: Int = 2, beam0: Int = 16, hops0: Int = 4,

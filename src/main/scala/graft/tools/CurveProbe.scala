@@ -23,14 +23,22 @@ import org.apache.spark.sql.SparkSession
 object CurveProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // stream mode takes an optional shuffle-partition width (state
+    // store count = partitions x 4 for a stream-stream join): the
+    // floor-scales-with-state-partitions claim, measured not asserted
+    val shufflePart =
+      if (args.lift(1).contains("stream"))
+        args.lift(2).getOrElse("32")
+      else "32"
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.shuffle.partitions", shufflePart)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.GraftFunctions.register(spark)
     if (args.lift(1).contains("hnsw")) hnswProbe(spark, dir, args)
+    else if (args.lift(1).contains("hnswbeam")) hnswBeamProbe(spark, dir, args)
     else if (args.lift(1).contains("stream")) streamProbe(spark, dir)
     else {
       for (q <- Seq("mm_jpeg_neardup", "mm_image_neardup")) {
@@ -107,6 +115,65 @@ object CurveProbe {
     }
     for (rep <- 1 to 3) run(emptySrc, "empty", rep)
     for (rep <- 1 to 3) run(dataSrc, "data", rep)
+  }
+
+  /** `hnswbeam <nCells> <beam0,beam0,...>`: the search-time recall
+    * knob demonstrated — build once, then for each requested base-beam
+    * width run the same 50-query search (min-of-3) and print recall +
+    * wall. Answers the 100x curve's 90% -> 82% recall dip question:
+    * how much beam buys how much recall back, with no rebuild. */
+  private def hnswBeamProbe(spark: SparkSession, dir: String,
+      args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val nCells = args.lift(2).map(_.toInt).getOrElse(16)
+    val beams = args.lift(3).map(_.split(',').map(_.toInt).toSeq)
+      .getOrElse(Seq(16, 32, 64))
+    // optional 5th arg: construction nProbe — the CONSTRUCTION-side
+    // recall knob (denser cross-cell lists), vs beam0's search-side one
+    val nProbe = args.lift(4).map(_.toInt).getOrElse(2)
+    // optional 6th arg: base-layer hop budget — beam WIDTH without
+    // more HOPS cannot reach farther than hops0 expansions from the
+    // entry, so the search knob is the (beam0, hops0) pair
+    val hops0 = args.lift(5).map(_.toInt).getOrElse(4)
+    // optional 7th/8th args: upper-layer beam width / hops per level —
+    // the basin-commitment knobs (a descent that enters the wrong
+    // base-layer region can only be saved by a wider upper frontier)
+    val beam1 = args.lift(6).map(_.toInt).getOrElse(8)
+    val hops1 = args.lift(7).map(_.toInt).getOrElse(2)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val t = e.select(col("vec_id").as("tid"), col("embedding").as("te"))
+      .localCheckpoint()
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .localCheckpoint()
+    val n = t.count()
+    val path = graft.util.TempDirs.create("hnsw-beam") + "/g"
+    val tB = System.nanoTime()
+    graft.ops.Similarity.writeHnswIndex(t, path, dim = 64,
+      nCells = nCells, nProbe = nProbe)
+    val buildSec = (System.nanoTime() - tB) / 1e9
+    val bf = graft.ops.Similarity.knnBruteForce(q, t, k = 5)
+      .select(col("qid"), col("tid")).localCheckpoint()
+    val possible = bf.count()
+    for (b <- beams) {
+      var best = Double.MaxValue
+      var hits = 0L
+      for (_ <- 1 to 3) {
+        val t1 = System.nanoTime()
+        val got = graft.ops.Similarity.knnHnswIndexed(spark, path, q,
+            k = 5, beam0 = b, hops0 = hops0, beam1 = beam1,
+            hops1 = hops1)
+          .select(col("qid"), col("tid")).localCheckpoint()
+        got.count()
+        best = math.min(best, (System.nanoTime() - t1) / 1e9)
+        hits = got.join(bf, Seq("qid", "tid")).count()
+      }
+      println(s"""{"query":"knn_hnsw_beam","sf":"$dir","n":$n,""" +
+        s""""n_cells":$nCells,"n_probe":$nProbe,"build_sec":$buildSec,""" +
+        s""""beam0":$b,"hops0":$hops0,"beam1":$beam1,"hops1":$hops1,""" +
+        s""""search_sec":$best,""" +
+        s""""recall_hits":$hits,"recall_possible":$possible}""")
+    }
   }
 
   private def hnswProbe(spark: SparkSession, dir: String,
