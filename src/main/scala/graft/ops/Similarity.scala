@@ -1180,13 +1180,21 @@ object Similarity {
     * UPPER-layer frontier recovered every miss (beam1 8 -> 24 +
     * hops1 2 -> 3: recall 88% -> 100% at ~+30% search wall) — at
     * depth, the level-by-level basin choice is the binding decision,
-    * the canonical efSearch story relocated to the routing layers. */
+    * the canonical efSearch story relocated to the routing layers.
+    * `beam1`/`hops1` = 0 (the default) is AUTO: the pinned 8/2
+    * schedule below depth 5 (every gate corpus — twins replay it
+    * verbatim), 4*maxOcc / 3 from maxOcc >= 5 where the sweep showed
+    * the basin choice binding. */
   def knnHnswWith(queries: DataFrame, targets: DataFrame,
-      adjacency: DataFrame, k: Int, maxOcc: Int, beam1: Int = 8,
-      hops1: Int = 2, beam0: Int = 16, hops0: Int = 4,
+      adjacency: DataFrame, k: Int, maxOcc: Int, beam1: Int = 0,
+      hops1: Int = 0, beam0: Int = 16, hops0: Int = 4,
       exclude: Option[DataFrame] = None,
       keep: Option[DataFrame] = None,
       hopsPerCheckpoint: Int = 0): DataFrame = {
+    val beam1Eff =
+      if (beam1 > 0) beam1 else if (maxOcc >= 5) 4 * maxOcc else 8
+    val hops1Eff =
+      if (hops1 > 0) hops1 else if (maxOcc >= 5) 3 else 2
     // ENTRY IDS FIRST, on the raw frame: for the indexed path `targets`
     // is the (lvl, home)-partitioned vectors store, so the top-layer
     // filter statically prunes to the (tiny) lvl=maxOcc partition at
@@ -1247,8 +1255,8 @@ object Similarity {
       if (hopsSinceCut % cadence == 0) df.localCheckpoint()
       else df
     }
-    for (l <- maxOcc - 1 to 1 by -1; _ <- 1 to hops1)
-      beamDf = cut(hop(beamDf, l, beam1))
+    for (l <- maxOcc - 1 to 1 by -1; _ <- 1 to hops1Eff)
+      beamDf = cut(hop(beamDf, l, beam1Eff))
     for (_ <- 1 to hops0) beamDf = cut(hop(beamDf, 0, beam0))
     // FILTERED SEARCH is the keep side (the post-filter discipline:
     // out-of-predicate nodes still ROUTE — dropping them from the
@@ -1657,8 +1665,8 @@ object Similarity {
     * (the gates do, for oracle replayability). */
   def knnHnswIndexed(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, k: Int,
-      targetFilter: Option[Column] = None, beam1: Int = 8,
-      hops1: Int = 2, beam0: Int = 16, hops0: Int = 4,
+      targetFilter: Option[Column] = None, beam1: Int = 0,
+      hops1: Int = 0, beam0: Int = 16, hops0: Int = 4,
       autoWiden: Boolean = true, hopsPerCheckpoint: Int = 0): DataFrame = {
     import graft.util.Sidecars
     val meta = Sidecars.read(spark, path, "meta").collect()(0)

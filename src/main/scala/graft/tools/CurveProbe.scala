@@ -138,8 +138,8 @@ object CurveProbe {
     // optional 7th/8th args: upper-layer beam width / hops per level —
     // the basin-commitment knobs (a descent that enters the wrong
     // base-layer region can only be saved by a wider upper frontier)
-    val beam1 = args.lift(6).map(_.toInt).getOrElse(8)
-    val hops1 = args.lift(7).map(_.toInt).getOrElse(2)
+    val beam1 = args.lift(6).map(_.toInt).getOrElse(0) // 0 = AUTO
+    val hops1 = args.lift(7).map(_.toInt).getOrElse(0) // 0 = AUTO
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val t = e.select(col("vec_id").as("tid"), col("embedding").as("te"))
       .localCheckpoint()
