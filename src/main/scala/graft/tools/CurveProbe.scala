@@ -39,6 +39,7 @@ object CurveProbe {
     graft.GraftFunctions.register(spark)
     if (args.lift(1).contains("hnsw")) hnswProbe(spark, dir, args)
     else if (args.lift(1).contains("hnswbeam")) hnswBeamProbe(spark, dir, args)
+    else if (args.lift(1).contains("semdedup")) semDedupProbe(spark, dir, args)
     else if (args.lift(1).contains("stream")) streamProbe(spark, dir)
     else {
       for (q <- Seq("mm_jpeg_neardup", "mm_image_neardup")) {
@@ -174,6 +175,44 @@ object CurveProbe {
         s""""search_sec":$best,""" +
         s""""recall_hits":$hits,"recall_possible":$possible}""")
     }
+  }
+
+  /** `semdedup <nCells>`: the d5d_semdedup_hnsw pipeline shape at
+    * scale, WITHOUT the gate's in-query verdict-floor baseline (which
+    * is itself the all-pairs d5 cost): build the graph store over the
+    * full corpus, run the ALL-queries descent, pair + threshold +
+    * distinct — the index-path embedding near-dup whose brute-force
+    * twin grows quadratically. Prints build wall, dedup (search +
+    * pair) wall min-of-3, and the candidate-pair count. */
+  private def semDedupProbe(spark: SparkSession, dir: String,
+      args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val nCells = args.lift(2).map(_.toInt).getOrElse(16)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val t = e.select(col("vec_id").as("tid"), col("embedding").as("te"))
+      .localCheckpoint()
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .localCheckpoint()
+    val n = t.count()
+    val path = graft.util.TempDirs.create("semdedup-curve") + "/g"
+    val t0 = System.nanoTime()
+    graft.ops.Similarity.writeHnswIndex(t, path, dim = 64,
+      nCells = nCells)
+    val build = (System.nanoTime() - t0) / 1e9
+    var dedup = Double.MaxValue
+    var pairs = 0L
+    for (_ <- 1 to 3) {
+      val t1 = System.nanoTime()
+      pairs = graft.ops.Similarity.knnHnswIndexed(spark, path, q, k = 5)
+        .filter(col("cos") > 0.3)
+        .select(least(col("qid"), col("tid")).as("id_1"),
+          greatest(col("qid"), col("tid")).as("id_2"))
+        .distinct().count()
+      dedup = math.min(dedup, (System.nanoTime() - t1) / 1e9)
+    }
+    println(s"""{"query":"d5d_semdedup_hnsw","sf":"$dir","n":$n,""" +
+      s""""n_cells":$nCells,"build_sec":$build,""" +
+      s""""dedup_sec":$dedup,"pairs":$pairs}""")
   }
 
   private def hnswProbe(spark: SparkSession, dir: String,
