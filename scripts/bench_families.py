@@ -47,6 +47,21 @@ CANARY = [
     "stream_sessionize_exec", "table_stats",
 ]
 
+# The pinned canary protocol (round 16 recording: reps=3, cpus=32,
+# mem=8g, sf0.1). A run with different knobs is tagged "adhoc": true
+# in the history and is never picked as a normalization reference.
+CANARY_PROTOCOL = {"reps": 3, "cpus": 32, "mem": "8g",
+                   "sf": "/root/testdata/sf0.1"}
+
+# Streaming per-query-start engine floor at the session's 32 shuffle
+# partitions, measured in bench/stream_startup_r16.json (steady-state
+# empty-control wall: 4.3 s — 128 HDFS-backed state store providers +
+# checkpoint/WAL setup before any input row). The committed regression
+# rule for stream_* gates compares the DATA term (wall minus this
+# floor) when a delta is within ~4 s absolute; this script computes it
+# so round-over-round reads need no manual subtraction.
+STREAM_FLOOR_SEC = 4.3
+
 ADD_OPENS_PKGS = [
     "java.base/java.lang", "java.base/java.lang.invoke",
     "java.base/java.lang.reflect", "java.base/java.io",
@@ -89,6 +104,40 @@ def pack(names, est, nbatches):
     return [sorted(b) for b in batches if b]
 
 
+def pack_pinned(names, est, nbatches):
+    """PINNED batch composition (committed protocol, round 17+): reuse
+    the previous families_latest.json's batch_of verbatim so each
+    query's shared-JVM working set is identical round-over-round —
+    re-packing each round made per-query deltas compare different batch
+    contexts (r16: the three wildest apparent regressions were exactly
+    the three queries that changed batch). New queries append into NEW
+    final batches (LPT-packed among themselves); dropped queries just
+    leave their old batch. Falls back to fresh LPT when no previous
+    artifact exists."""
+    prev_path = os.path.join(REPO, "bench/families_latest.json")
+    try:
+        prev_of = json.load(open(prev_path)).get("batch_of") or {}
+    except (OSError, ValueError):
+        prev_of = {}
+    if not prev_of:
+        return pack(names, est, nbatches), False
+    pinned = {}
+    for q in names:
+        if q in prev_of:
+            pinned.setdefault(prev_of[q], []).append(q)
+    batches = [sorted(pinned[i]) for i in sorted(pinned)]
+    new = [q for q in names if q not in prev_of]
+    if new:
+        # new queries never join an existing batch; they get their own
+        # final batch(es), one per ~8 queries, LPT inside
+        extra = pack(new, est, max(1, (len(new) + 7) // 8))
+        print(f"pinned packing: {len(names) - len(new)} queries keep "
+              f"their committed batch, {len(new)} new -> "
+              f"{len(extra)} appended batch(es): {new}")
+        batches += extra
+    return batches, True
+
+
 def run_batch(batch, sf, cpus, reps, mem):
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=sf,
@@ -117,45 +166,80 @@ def run_batch(batch, sf, cpus, reps, mem):
     return json.loads(line), wall
 
 
-def run_canary(args):
+def host_ratio(now_q, prev_q):
+    """MEDIAN of per-query canary ratios — robust to one skewed member
+    (r16: stream_sessionize_exec drifted x2.07 while the other seven
+    sat at 1.02-1.34; a sum-based ratio would have read 1.5+)."""
+    ratios = sorted(now_q[q] / prev_q[q] for q in now_q
+                    if q in prev_q and prev_q[q] > 0)
+    if not ratios:
+        return None
+    mid = len(ratios) // 2
+    return (ratios[mid] if len(ratios) % 2
+            else (ratios[mid - 1] + ratios[mid]) / 2)
+
+
+def run_canary(args, adhoc=False):
     """One fresh-JVM min-of-reps run of the pinned CANARY batch ->
     bench/canary_latest.json + an append-only history line. Cheap
     (~2 min), so it runs before every families composition AND can run
     standalone (--canary-only) to normalize an ad-hoc comparison."""
     res, wall = run_batch(CANARY, args.sf, args.cpus, args.reps, args.mem)
+    missing = [q for q in CANARY if q not in res["queries"]]
+    if missing:
+        raise SystemExit(
+            f"canary queries missing from batch result: {missing} — a "
+            "renamed/dropped pinned query would silently shrink "
+            "canary_total and read as a host speedup; update CANARY "
+            "with a fresh reference point in the same commit")
     rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                          cwd=REPO, capture_output=True,
                          text=True).stdout.strip()
+    # A run off the pinned protocol (reps/cpus/mem/sf) is ad-hoc by
+    # definition: comparable to nothing in the history.
+    knobs = {"reps": args.reps, "cpus": args.cpus, "mem": args.mem,
+             "sf": args.sf}
+    adhoc = adhoc or knobs != CANARY_PROTOCOL
     art = {
         "metric": "canary_total",
-        "value": round(sum(res["queries"][q] for q in CANARY
-                           if q in res["queries"]), 3),
+        "value": round(sum(res["queries"][q] for q in CANARY), 3),
         "unit": "sec",
         "reps": args.reps,
-        "queries": {q: res["queries"][q] for q in CANARY
-                    if q in res["queries"]},
+        "queries": {q: res["queries"][q] for q in CANARY},
         "queries_median": {q: res["queries_median"][q] for q in CANARY
                            if q in res["queries_median"]},
         "sf": args.sf,
         "git_rev": rev,
         "recorded_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        "protocol": "pinned fresh-JVM canary batch; host_ratio = "
-                    "value(now)/value(previous history line); scale "
-                    "families_latest.json regression thresholds by "
-                    "host_ratio (BASELINE.md round-16 protocol)",
+        "protocol": "pinned fresh-JVM canary batch; host_ratio = MEDIAN "
+                    "of per-query ratios vs the previous non-adhoc "
+                    "history line; scale families_latest.json regression "
+                    "thresholds by host_ratio (BASELINE.md protocol, "
+                    "median rule from round 17)",
     }
+    if adhoc:
+        art["adhoc"] = True
+    hist_path = os.path.join(REPO, "bench/canary_history.jsonl")
+    hist = ([json.loads(l) for l in open(hist_path)]
+            if os.path.exists(hist_path) else [])
+    # Reference = most recent NON-adhoc line (an ad-hoc --canary-only
+    # run must never become the next round's normalization baseline).
+    prev = next((h for h in reversed(hist) if not h.get("adhoc")), None)
+    if prev is not None:
+        r = host_ratio(art["queries"], prev["queries"])
+        if r is not None:
+            art["host_ratio_vs_prev"] = round(r, 3)
+            art["host_ratio_prev_rev"] = prev["git_rev"]
     with open(os.path.join(REPO, "bench/canary_latest.json"), "w") as f:
         json.dump(art, f, indent=1, sort_keys=True)
-    with open(os.path.join(REPO, "bench/canary_history.jsonl"), "a") as f:
+    with open(hist_path, "a") as f:
         f.write(json.dumps(art, sort_keys=True) + "\n")
-    hist = [json.loads(l) for l in
-            open(os.path.join(REPO, "bench/canary_history.jsonl"))]
-    line = f"canary: {art['value']:.1f}s (wall {wall:.0f}s, rev {rev})"
-    if len(hist) > 1:
-        prev = hist[-2]
-        line += (f"; host_ratio vs {prev['git_rev']} "
-                 f"({prev['value']:.1f}s) = "
-                 f"{art['value'] / prev['value']:.3f}")
+    line = f"canary: {art['value']:.1f}s (wall {wall:.0f}s, rev {rev}"
+    line += ", ADHOC)" if adhoc else ")"
+    if "host_ratio_vs_prev" in art:
+        line += (f"; host_ratio (median per-query) vs "
+                 f"{art['host_ratio_prev_rev']} = "
+                 f"{art['host_ratio_vs_prev']:.3f}")
     print(line)
     return art
 
@@ -176,7 +260,9 @@ def main():
     args = ap.parse_args()
 
     if args.canary_only:
-        run_canary(args)
+        # standalone canary = ad-hoc normalization check, never the
+        # next round's reference (that is the full-composition run's)
+        run_canary(args, adhoc=True)
         return
     if not args.skip_canary:
         run_canary(args)
@@ -188,9 +274,10 @@ def main():
     else:
         names = load_names(names_src)
     est = load_estimates()
-    batches = pack(names, est, args.batches)
+    batches, was_pinned = pack_pinned(names, est, args.batches)
     print(f"{len(names)} queries -> {len(batches)} fresh-JVM batches "
-          f"(estimates from previous artifact: {len(est)} known)")
+          f"({'PINNED from previous batch_of' if was_pinned else 'fresh LPT'}"
+          f"; estimates from previous artifact: {len(est)} known)")
 
     mins, meds, batch_of, batch_wall = {}, {}, {}, []
     for i, batch in enumerate(batches):
@@ -215,14 +302,27 @@ def main():
         "unit": "sec",
         "reps": args.reps,
         "batches": len(batches),
+        "batch_composition": ("pinned from previous batch_of"
+                              if was_pinned else "fresh LPT packing"),
         "protocol": "per-query numbers are from FRESH-JVM batch runs "
                     "(SPARK_GRAFT_BENCH_FILTER exact mode); regression "
                     "calls use THIS file, full_latest.json is the "
-                    "whole-suite-throughput headline only",
+                    "whole-suite-throughput headline only; batch_of is "
+                    "PINNED round-over-round (new queries append into "
+                    "new final batches) so per-query deltas compare the "
+                    "same shared-JVM working set; stream_* rows carry "
+                    "stream_data_term = wall minus the measured "
+                    "per-query-start state-machinery floor "
+                    "(bench/stream_startup_r16.json) — use the data "
+                    "term for stream regression calls within ~4s abs",
         "queries": mins,
         "queries_median": meds,
         "batch_of": batch_of,
         "batch_wall_sec": batch_wall,
+        "stream_floor_sec": STREAM_FLOOR_SEC,
+        "stream_data_term": {
+            q: round(max(0.0, v - STREAM_FLOOR_SEC), 3)
+            for q, v in mins.items() if q.startswith("stream_")},
         "sf": args.sf,
     }
     with open(args.out, "w") as f:

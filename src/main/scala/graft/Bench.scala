@@ -108,6 +108,30 @@ object Bench {
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not persist full line: $e")
     }
+    // FINAL line: a compact self-sufficient summary. The driver's
+    // BENCH_rN.json keeps only a ~2,000-char stdout tail, so the full
+    // 292-query line above never survives capture ("parsed": null every
+    // round). This line — total, per-family subtotals, worst-5 queries —
+    // is sized well under the cap and printed LAST so the tail always
+    // contains one parseable record; orchestrators that want the complete
+    // per-query data take the FIRST metric line (bench_families.py does).
+    def family(n: String): String = {
+      val head = n.takeWhile(_ != '_')
+      if (head.length <= 3 && head.exists(_.isDigit))
+        head.takeWhile(!_.isDigit) else head
+    }
+    val fams = results.groupBy(r => family(r._1))
+      .map { case (f, rs) => f -> math.rint(rs.map(_._2).sum * 100) / 100 }
+      .toSeq.sortBy(-_._2)
+    val worst = results.sortBy(-_._2).take(5)
+      .map { case (k, v) => k -> math.rint(v * 100) / 100 }
+    val summary =
+      s"""{"metric":"total","value":${math.rint(total * 100) / 100},""" +
+      s""""unit":"sec","reps":$reps$filterTag,"n_queries":${results.size},""" +
+      s""""queries":${jmap(worst)},"families":${jmap(fams)},""" +
+      s""""note":"worst-5 in queries; full per-query data in """ +
+      s"""bench/full_latest.json","sf":"$sfDir"}"""
+    println(summary)
     spark.stop()
   }
 }

@@ -104,7 +104,11 @@ object ScaleGen {
     // twin-retrieval artifact that no knob moves (r16 curve: flat
     // 82% at 100x under beam0 16->64 AND construction nProbe 2->4).
     // The optional 5th arg 'perturb' adds a deterministic hash-based
-    // +-3% per-dimension offset per replica — twins become near-dups
+    // +-0.03 ABSOLUTE per-dimension offset per replica (~3% only for
+    // unit-scale components; the testdata embeddings are unit-norm
+    // so component scale is ~1/sqrt(dim) and the offset is relatively
+    // larger per-component, still cos ~0.999 overall) — twins become
+    // near-dups
     // (cos ~0.999), list saturation breaks, and recall measures
     // navigation again, the way a real corpus grows with distinct
     // near-neighbour mass.

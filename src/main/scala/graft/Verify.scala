@@ -29,8 +29,10 @@ object Verify {
     // as a confusing hash divergence instead of a geometry signal.
     // Assert the coupling HERE (the oracle-dump path is the only place
     // the twins are consumed; Bench legitimately runs at other scales).
-    val hnswGated = SparkEntry.oracleSql.keys
-      .filter(n => n.startsWith("knn_hnsw") || n == "knn_recall_hnsw")
+    // substring match, not a prefix list: d5d_semdedup_hnsw's twin also
+    // embeds knnHnswSql with the hardcoded cap — any future twin that
+    // mentions hnsw in its name is guarded automatically
+    val hnswGated = SparkEntry.oracleSql.keys.filter(_.contains("hnsw"))
     if (hnswGated.exists(selected)) {
       val nEmb = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
       val capHere = graft.ops.Similarity.hnswCap(nEmb)
@@ -40,6 +42,10 @@ object Verify {
           s"hnswCap = $capHere; regenerate knnHnswSql/knnHnswAppendedSql " +
           "with cap = " + capHere + " before gating at this scale")
     }
+    // create outDir up front: if the prefix filter selects zero queries
+    // (or every selected one fails) the oracle_sql.json write below must
+    // still land rather than NoSuchFileException-ing the whole dump
+    Files.createDirectories(Paths.get(outDir))
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name))
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
