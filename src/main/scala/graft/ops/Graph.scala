@@ -36,11 +36,36 @@ object Graph {
   /** Edge count above which triangleCounts keeps its two |E|-row
     * checkpoint frames DISK_ONLY instead of promoting them to the
     * default deserialized level: two deser frames at ~60 B/row must
-    * sit well inside an 8 GiB session's unified pool beside the
-    * closing join's execution memory (24M edges — the 20x curve point
-    * — ran green in r15 under deser levels; 120M OOM'd twice, two
-    * modes attributed in bench/scale_curve_r16.json). */
-  val MaxDeserEdges: Long = 32L * 1000 * 1000
+    * sit well inside the session's unified pool beside the closing
+    * join's execution memory. The anchor is MEASURED at 8 GiB: 24M
+    * edges (the 20x curve point) ran green in r15 under deser levels;
+    * 120M OOM'd twice, two modes attributed in
+    * bench/scale_curve_r16.json — so 32M-at-8GiB, scaled LINEARLY by
+    * the JVM's max heap (the unified pool is a fixed fraction of
+    * heap, so edge capacity is linear in it). A 64 GiB executor keeps
+    * the deser fast path to ~256M edges instead of paying the
+    * measured +37% DISK_ONLY wall tax on mid-size graphs; tiny test
+    * heaps floor at 1M so unit graphs always take the fast path. */
+  val MaxDeserEdges: Long = math.max(1L * 1000 * 1000,
+    32L * 1000 * 1000 * Runtime.getRuntime.maxMemory /
+      (8L * 1024 * 1024 * 1024))
+
+  /** Wedge rows one closing-join pass may shuffle. The wedge exchange
+    * is the triangle kernel's dominant transient: ~36 B/row of
+    * compressed shuffle spill measured on the scale curve (20x: 820M
+    * wedges ~ 30 GB; 100x: 4.1B wedges ~ 150 GB — more than this
+    * host's 79 GB of free disk, the r16 wall). 1.75B rows/pass ~ 63 GB
+    * keeps any single pass inside that budget while leaving every
+    * measured gate and curve point <= 40x (1.64B wedges) on the
+    * unchanged single-pass plan. The wedge volume is known from the
+    * degree table BEFORE any wedge materializes, so pass count
+    * P = ceil(wedges / this) is decided up front; passes slice the
+    * oriented edge set on hash(src), so wedge generation (edge-sized
+    * inputs, cheap) re-runs per pass but each closing exchange carries
+    * only ~1/P of the wedge volume, and per-node counts accumulate
+    * additively across the src-disjoint slices — bit-identical to the
+    * single-pass result. */
+  val MaxWedgeRowsPerPass: Long = 1750L * 1000 * 1000
 
   /** K-CORE of an undirected pair graph by iterative peeling: drop
     * every node of degree < k (and its edges), recompute degrees,
@@ -169,7 +194,8 @@ object Graph {
     * and ungated paths against each other (pass 0 to force the plain
     * join, Long.MaxValue to force the pre-gate). */
   private[ops] def triangleCounts(
-      pairs: DataFrame, maxBloomEdges: Long): DataFrame = {
+      pairs: DataFrame, maxBloomEdges: Long,
+      maxWedgeRowsPerPass: Long = MaxWedgeRowsPerPass): DataFrame = {
     // EDGE-COUNT-CONDITIONAL checkpoint storage for the two
     // edge-proportional frames (und ~ oriented ~ |E| rows each, 120M
     // at the 100x curve point) — attributed at 100x/8g in
@@ -237,29 +263,35 @@ object Graph {
         if (smallGraph)
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         else diskOnly)
-    val x = oriented.select(col("src"), col("dst").as("v"),
-      col("ddst").as("dv"))
-    val y = oriented.select(col("src"), col("dst").as("w"),
-      col("ddst").as("dw"))
-    val wedges = x.join(y, Seq("src"))
-      .filter(col("dv") < col("dw") ||
-        (col("dv") === col("dw") && col("v") < col("w")))
-      .select(col("src").as("u"), col("v"), col("w"))
     // Bloom pre-gate on the closing edge (see scaladoc): filter wedges
     // before they reach the exchange feeding the exact join. eCount
-    // was measured on und above (orientation is 1:1).
-    val gated =
+    // was measured on und above (orientation is 1:1). Built ONCE here
+    // (one pass over the edge set) and reused by every closing pass.
+    val bloomBits =
       if (eCount > 0 && eCount <= maxBloomEdges) {
         val mBits = {
           var m = 1L << 20
           while (m < 12L * eCount) m <<= 1
           m.toInt
         }
-        val bits = Bloom.buildBits(
-          oriented, Seq(col("src"), col("dst")), mBits, k = 6)
-        wedges.filter(
-          Bloom.mightContain(Seq(col("v"), col("w")), bits, k = 6))
-      } else wedges
+        Some(Bloom.buildBits(
+          oriented, Seq(col("src"), col("dst")), mBits, k = 6))
+      } else None
+    // wedge enumeration over a (possibly src-sliced) oriented edge set:
+    // a slice's out-edges are complete per src, so its wedge set is
+    // exactly the wedges whose center falls in the slice
+    def gatedWedges(orientedSlice: DataFrame): DataFrame = {
+      val x = orientedSlice.select(col("src"), col("dst").as("v"),
+        col("ddst").as("dv"))
+      val y = orientedSlice.select(col("src"), col("dst").as("w"),
+        col("ddst").as("dw"))
+      val wedges = x.join(y, Seq("src"))
+        .filter(col("dv") < col("dw") ||
+          (col("dv") === col("dw") && col("v") < col("w")))
+        .select(col("src").as("u"), col("v"), col("w"))
+      bloomBits.fold(wedges)(bits => wedges.filter(
+        Bloom.mightContain(Seq(col("v"), col("w")), bits, k = 6)))
+    }
     // SPILL-FRIENDLY CLOSING JOIN AT ANY SCALE: the wedge stream is the
     // dominant exchange (sum of C(outdeg, 2) rows — 820M at the 20x
     // curve point vs 41M at 1x), and a FIXED exchange width makes each
@@ -281,25 +313,59 @@ object Graph {
       .head.getLong(0)
     val sessionPar =
       pairs.sparkSession.sessionState.conf.numShufflePartitions
-    val nPart = math.max(sessionPar,
-      math.min(4096L, wedgeRows / 2000000L + 1).toInt)
     val closeR = oriented.select(col("src").as("v"), col("dst").as("w"))
-    // only pin the exchange when it actually WIDENS it: an explicit
-    // repartition at the session width would change nothing but strip
-    // AQE's freedom on the requirement-driven exchange (measured +30%
-    // at 1x)
-    val tri =
-      if (nPart > sessionPar)
-        gated.repartition(nPart, col("v"), col("w"))
-          .join(closeR.repartition(nPart, col("v"), col("w")),
-            Seq("v", "w"))
-      else gated.join(closeR, Seq("v", "w"))
-    // one pass over the (expensive) closing join: exploding the member
-    // array replaces the former 3-branch union, which re-ran the SMJ
-    // once per projected corner (exchange reuse does not reuse the
-    // join itself)
-    tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    // one closing pass over a wedge slice: join, then one traversal of
+    // the (expensive) join output — exploding the member array replaces
+    // the former 3-branch union, which re-ran the SMJ once per
+    // projected corner (exchange reuse does not reuse the join itself)
+    def closingCounts(orientedSlice: DataFrame,
+        sliceWedges: Long): DataFrame = {
+      val nPart = math.max(sessionPar,
+        math.min(4096L, sliceWedges / 2000000L + 1).toInt)
+      val gated = gatedWedges(orientedSlice)
+      // only pin the exchange when it actually WIDENS it: an explicit
+      // repartition at the session width would change nothing but strip
+      // AQE's freedom on the requirement-driven exchange (measured +30%
+      // at 1x)
+      val tri =
+        if (nPart > sessionPar)
+          gated.repartition(nPart, col("v"), col("w"))
+            .join(closeR.repartition(nPart, col("v"), col("w")),
+              Seq("v", "w"))
+        else gated.join(closeR, Seq("v", "w"))
+      tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    }
+    // DISK-BOUNDED TRANSIENT (r16 wall): the closing exchange's spill
+    // is ~36 B/wedge-row; past [[MaxWedgeRowsPerPass]] a single
+    // exchange would outgrow a host's local disk (100x: 4.1B rows ~
+    // 150 GB vs 79 GB free — the only from-scratch point that could
+    // not run). The wedge volume is known BEFORE any wedge
+    // materializes, so slice the oriented edge set on hash(src) into P
+    // sequential passes: wedge generation re-runs per pass from the
+    // checkpointed edge frames (edge-sized inputs, cheap), each pass
+    // shuffles ~1/P of the wedge volume, and the node-sized per-pass
+    // counts — eagerly checkpointed so the pass's shuffle lineage is
+    // unreachable and the ContextCleaner (nudged by System.gc()) can
+    // drop its files before the next pass starts — sum to exactly the
+    // single-pass counts (wedge centers partition by src, counting is
+    // additive). P = 1 at every gate scale and every measured curve
+    // point <= 40x: the plan there is byte-for-byte the r16 plan.
+    val passes = math.max(1L, (wedgeRows + maxWedgeRowsPerPass - 1)
+      / maxWedgeRowsPerPass).toInt
+    if (passes <= 1) closingCounts(oriented, wedgeRows)
+    else {
+      val partials = (0 until passes).map { p =>
+        val part = closingCounts(
+          oriented.filter(
+            pmod(hash(col("src")), lit(passes)) === lit(p)),
+          wedgeRows / passes).localCheckpoint(true)
+        System.gc() // nudge ContextCleaner: free the pass's shuffle
+        part
+      }
+      partials.reduce(_.unionByName(_))
+        .groupBy(col("node")).agg(sum(col("n_tri")).as("n_tri"))
+    }
   }
 
   /** INCREMENTAL triangle counts — fold an undirected edge delta into
