@@ -1653,6 +1653,29 @@ object DataPipelineQueries {
         .orderBy($"qid", $"rank")
     }),
 
+    // THE PRODUCTION DEFAULT PATH, hash-gated: autoWiden ON (unlike
+    // knn_hnsw_filtered, which pins exact widths) with a predicate of
+    // DETERMINISTIC selectivity — label % 10 = 0 keeps exactly 50 of
+    // the 500 sf0.01 vectors, so the selectivity-proportional widening
+    // is exactly beam0 * ceil(500/50) = 16 * 10 = 160 and the DuckDB
+    // twin replays the 160-wide base descent verbatim (Verify asserts
+    // the 50-of-500 coupling at oracle-dump time, next to the depth
+    // cap). Same store as knn_hnsw_filtered (TempDirs-cached).
+    "knn_hnsw_filtered_widened" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val path = graft.util.TempDirs.cached("hnsw-filtered", dir) { p =>
+        Similarity.writeHnswIndex(
+          e.select($"vec_id".as("tid"), $"embedding".as("te"), $"label"),
+          p, dim = 64)
+      }
+      Similarity.knnHnswIndexed(s, path, q, k = 5,
+        targetFilter = Some($"label" % 10 === 0))
+        .orderBy($"qid", $"rank")
+    }),
+
     // DRIFT + AUTO-COMPACTION (the knn_centroid_drift /
     // knn_ivf_rebalanced convention applied to the graph index): two
     // append batches land sequentially under FROZEN build-time
@@ -5668,7 +5691,7 @@ object DataPipelineQueries {
     * 8 per upper level maxOcc-1..1, 4 hops @ beam 16 on the base —
     * knnHnswWith's schedule. Returns (CTE text, final beam name). */
   private def hnswDescentCtes(maxOcc: Int,
-      adjName: Int => String): (String, String) = {
+      adjName: Int => String, beam0: Int = 16): (String, String) = {
     val sb = new StringBuilder
     sb ++= s"""ent_c AS MATERIALIZED (
               |  SELECT q.qid, l.tid FROM qq q CROSS JOIN hlvl l
@@ -5683,7 +5706,7 @@ object DataPipelineQueries {
     }
     for (_ <- 1 to 4) {
       sb ++= ",\n"
-      sb ++= hnswHop(s"bm$i", adjName(0), s"bm${i + 1}", 16)
+      sb ++= hnswHop(s"bm$i", adjName(0), s"bm${i + 1}", beam0)
       i += 1
     }
     (sb.toString, s"bm$i")
@@ -5701,12 +5724,13 @@ object DataPipelineQueries {
     * "mark-deleted ids route but never rank". */
   private def knnHnswSql(nCells: Int = 16, m: Int = 8, nProbe: Int = 2,
       cap: Int = 3, targetPred: String = "TRUE",
-      finPred: String = "TRUE", qPred: String = "vec_id < 50"): String = {
+      finPred: String = "TRUE", qPred: String = "vec_id < 50",
+      beam0: Int = 16): String = {
     val levels = (0 to cap).map { l =>
       hnswCandCte(l, hnswWidth(l, nProbe, nCells), s"cand$l") + ",\n" +
         hnswAdjCtes(s"cand$l", s"adj$l", m)
     }.mkString(",\n")
-    val (descent, lastBeam) = hnswDescentCtes(cap, l => s"adj$l")
+    val (descent, lastBeam) = hnswDescentCtes(cap, l => s"adj$l", beam0)
     s"""WITH ${hnswBaseCtes(cap, nCells, targetPred, targetPred, qPred)},
        |$levels,
        |$descent,
@@ -6550,6 +6574,12 @@ object DataPipelineQueries {
     // metadata predicate as the survivor set
     "knn_hnsw_filtered" -> knnHnswSql(finPred =
       "tid IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)"),
+    // autoWiden ON (the production default): label % 10 = 0 keeps
+    // exactly 50/500 at the gate corpus, so the selectivity-
+    // proportional base beam is exactly 16 * ceil(500/50) = 160
+    "knn_hnsw_filtered_widened" -> knnHnswSql(finPred =
+      "tid IN (SELECT vec_id FROM embeddings WHERE label % 10 = 0)",
+      beam0 = 160),
     "knn_recall_hnsw" -> knnRecallHnswSql,
     // healed (auto-compacted) store == fresh full-corpus build; the
     // drift floor + debt trigger are Spark-side REQUIREs in the gate
