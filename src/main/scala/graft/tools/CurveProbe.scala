@@ -210,9 +210,39 @@ object CurveProbe {
         .distinct().count()
       dedup = math.min(dedup, (System.nanoTime() - t1) / 1e9)
     }
+    // the quadratic baseline the index path replaces — the d5 gate's
+    // exact all-pairs join at the same threshold, min-of-3 (skippable
+    // with a 4th arg "nod5": at 100x the 2e10-pair product is hours of
+    // wall by construction — THAT is the payoff being measured — so
+    // the 100x d5 point is extrapolated from the measured exponent)
+    val runD5 = !args.lift(3).contains("nod5")
+    var d5 = Double.MaxValue
+    var d5Pairs = -1L
+    // min-of-3 at small n isolates scheduler noise; past ~20k vectors
+    // the quadratic term dominates any noise and a single run suffices
+    val d5Reps = if (n > 20000) 1 else 3
+    if (runD5) for (_ <- 1 to d5Reps) {
+      val t2 = System.nanoTime()
+      val a = e.select(col("vec_id").as("id_1"), col("embedding").as("qe"))
+        .withColumn("qn",
+          graft.ops.Similarity.scaledDot(col("qe"), col("qe")))
+      val b = e.select(col("vec_id").as("id_2"), col("embedding").as("te"))
+        .withColumn("tn",
+          graft.ops.Similarity.scaledDot(col("te"), col("te")))
+      d5Pairs = a.join(b, col("id_1") < col("id_2"))
+        .withColumn("cos",
+          graft.ops.Similarity.scaledDot(col("qe"), col("te"))
+            .cast("double") /
+            sqrt((col("qn") * col("tn")).cast("double")))
+        .filter(col("cos") > 0.3)
+        .count()
+      d5 = math.min(d5, (System.nanoTime() - t2) / 1e9)
+    }
+    val d5Part = if (runD5)
+      s""","d5_brute_sec":$d5,"d5_pairs":$d5Pairs""" else ""
     println(s"""{"query":"d5d_semdedup_hnsw","sf":"$dir","n":$n,""" +
       s""""n_cells":$nCells,"build_sec":$build,""" +
-      s""""dedup_sec":$dedup,"pairs":$pairs}""")
+      s""""dedup_sec":$dedup,"pairs":$pairs$d5Part}""")
   }
 
   private def hnswProbe(spark: SparkSession, dir: String,
