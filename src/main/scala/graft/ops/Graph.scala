@@ -190,12 +190,23 @@ object Graph {
   def triangleCounts(pairs: DataFrame): DataFrame =
     triangleCounts(pairs, MaxBloomEdges)
 
+  /** Fixed-slicing variant: run the closing join in at least
+    * `minClosingPasses` src-sliced passes regardless of the wedge
+    * volume (an operator pinning the per-pass transient to a known
+    * fraction of local disk, or a gate exercising the sliced path at a
+    * scale where the budget alone would choose P = 1). Bit-identical
+    * to the single-pass plan at any pass count. */
+  def triangleCounts(pairs: DataFrame, minClosingPasses: Int): DataFrame =
+    triangleCounts(pairs, MaxBloomEdges,
+      minClosingPasses = minClosingPasses)
+
   /** Threshold-parameterized variant so a spec can pin the Bloom-gated
     * and ungated paths against each other (pass 0 to force the plain
     * join, Long.MaxValue to force the pre-gate). */
   private[ops] def triangleCounts(
       pairs: DataFrame, maxBloomEdges: Long,
-      maxWedgeRowsPerPass: Long = MaxWedgeRowsPerPass): DataFrame = {
+      maxWedgeRowsPerPass: Long = MaxWedgeRowsPerPass,
+      minClosingPasses: Int = 1): DataFrame = {
     // EDGE-COUNT-CONDITIONAL checkpoint storage for the two
     // edge-proportional frames (und ~ oriented ~ |E| rows each, 120M
     // at the 100x curve point) — attributed at 100x/8g in
@@ -351,8 +362,8 @@ object Graph {
     // single-pass counts (wedge centers partition by src, counting is
     // additive). P = 1 at every gate scale and every measured curve
     // point <= 40x: the plan there is byte-for-byte the r16 plan.
-    val passes = math.max(1L, (wedgeRows + maxWedgeRowsPerPass - 1)
-      / maxWedgeRowsPerPass).toInt
+    val passes = math.max(math.max(1, minClosingPasses).toLong,
+      (wedgeRows + maxWedgeRowsPerPass - 1) / maxWedgeRowsPerPass).toInt
     if (passes <= 1) closingCounts(oriented, wedgeRows)
     else {
       val partials = (0 until passes).map { p =>

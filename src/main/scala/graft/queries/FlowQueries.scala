@@ -280,6 +280,24 @@ object FlowQueries {
       graft.ops.Graph.triangleCounts(pairs).orderBy($"node")
     }),
 
+    // The DISK-BOUNDED closing-join path, hash-gated: the same graph
+    // through THREE forced src-sliced closing passes (the shape the
+    // kernel auto-selects past 1.75B wedges, where a single exchange
+    // would outgrow a host's local disk — scale_curve_r17.json records
+    // the 100x point it unlocked). Per-pass node-sized partials sum to
+    // exactly the single-pass counts (wedge centers partition by src),
+    // so the twin is graph_triangles' twin verbatim.
+    "graph_triangles_sliced" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("id_1"), col("b.pk").as("id_2"))
+      graft.ops.Graph.triangleCounts(pairs, minClosingPasses = 3)
+        .orderBy($"node")
+    }),
+
     // INCREMENTAL triangle counts — the graph family's exactly-foldable
     // delta op: per-node counts over the pre-delta co-purchase graph
     // persist once per dir, the delta orders' pairs fold in through the
@@ -511,6 +529,9 @@ object FlowQueries {
     // Triangles by id-order (u < v < w, edges canonical a < b): the
     // orientation-free enumeration the degree-ordered kernel must match.
     "graph_triangles" -> TrianglesSql,
+    // the forced-3-pass sliced closing join sums per-pass partials to
+    // exactly the single-pass counts — same twin, verbatim
+    "graph_triangles_sliced" -> TrianglesSql,
     // The incremental fold must be HASH-EQUAL to from-scratch on the
     // merged graph (discrete counts, unlike the PageRank fixpoint) —
     // same twin, verbatim.
