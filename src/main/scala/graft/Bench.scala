@@ -120,9 +120,15 @@ object Bench {
       if (head.length <= 3 && head.exists(_.isDigit))
         head.takeWhile(!_.isDigit) else head
     }
-    val fams = results.groupBy(r => family(r._1))
+    // top-24 families + an "other" rollup: the line must stay well
+    // under the driver's 2,000-char tail capture as families grow
+    val famsAll = results.groupBy(r => family(r._1))
       .map { case (f, rs) => f -> math.rint(rs.map(_._2).sum * 100) / 100 }
       .toSeq.sortBy(-_._2)
+    val fams =
+      if (famsAll.size <= 25) famsAll
+      else famsAll.take(24) :+ ("other" ->
+        math.rint(famsAll.drop(24).map(_._2).sum * 100) / 100)
     val worst = results.sortBy(-_._2).take(5)
       .map { case (k, v) => k -> math.rint(v * 100) / 100 }
     val summary =

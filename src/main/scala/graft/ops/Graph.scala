@@ -371,7 +371,12 @@ object Graph {
           oriented.filter(
             pmod(hash(col("src")), lit(passes)) === lit(p)),
           wedgeRows / passes).localCheckpoint(true)
-        System.gc() // nudge ContextCleaner: free the pass's shuffle
+        // nudge ContextCleaner to free the pass's shuffle files — but
+        // only when the per-pass transient is actually disk-relevant
+        // (~3.6 GB at 100M wedge rows); a forced-slicing run at gate
+        // scale would otherwise pay full-JVM GC pauses to reclaim
+        // megabytes
+        if (wedgeRows / passes > 100L * 1000 * 1000) System.gc()
         part
       }
       partials.reduce(_.unionByName(_))
