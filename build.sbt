@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suppress the trailing "[success] Total time: ..." banner so a
+// `runMain graft.Bench` process's final stdout line is the bench's own
+// compact JSON summary — the driver's BENCH artifact parses the tail.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

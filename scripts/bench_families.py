@@ -104,17 +104,19 @@ def pack(names, est, nbatches):
     return [sorted(b) for b in batches if b]
 
 
-def pack_pinned(names, est, nbatches):
+def pack_pinned(names, est, nbatches, prev_path):
     """PINNED batch composition (committed protocol, round 17+): reuse
-    the previous families_latest.json's batch_of verbatim so each
-    query's shared-JVM working set is identical round-over-round —
-    re-packing each round made per-query deltas compare different batch
-    contexts (r16: the three wildest apparent regressions were exactly
-    the three queries that changed batch). New queries append into NEW
+    the previous artifact's batch_of verbatim so each query's
+    shared-JVM working set is identical round-over-round — re-packing
+    each round made per-query deltas compare different batch contexts
+    (r16: the three wildest apparent regressions were exactly the
+    three queries that changed batch). New queries append into NEW
     final batches (LPT-packed among themselves); dropped queries just
     leave their old batch. Falls back to fresh LPT when no previous
-    artifact exists."""
-    prev_path = os.path.join(REPO, "bench/families_latest.json")
+    artifact exists. `prev_path` is the SAME file the run will write
+    (--out): pin source and sink must agree, or a custom --out would
+    pin from (and never update) a mismatched artifact and silently
+    break the same-batch guarantee."""
     try:
         prev_of = json.load(open(prev_path)).get("batch_of") or {}
     except (OSError, ValueError):
@@ -196,10 +198,26 @@ def run_canary(args, adhoc=False):
                          cwd=REPO, capture_output=True,
                          text=True).stdout.strip()
     # A run off the pinned protocol (reps/cpus/mem/sf) is ad-hoc by
-    # definition: comparable to nothing in the history.
+    # definition: comparable to nothing in the history. Knobs are
+    # NORMALIZED before comparing (realpath for sf, lowercase mem) so a
+    # cosmetically different but equivalent spelling ("8G", a trailing
+    # slash) can't silently mark every future run adhoc and stall
+    # host_ratio_vs_prev on an ever-older reference; a full-composition
+    # run that still classifies adhoc warns loudly.
+    def norm(k):
+        return {"reps": k["reps"], "cpus": k["cpus"],
+                "mem": str(k["mem"]).lower(),
+                "sf": os.path.realpath(k["sf"])}
     knobs = {"reps": args.reps, "cpus": args.cpus, "mem": args.mem,
              "sf": args.sf}
-    adhoc = adhoc or knobs != CANARY_PROTOCOL
+    off_protocol = norm(knobs) != norm(CANARY_PROTOCOL)
+    if off_protocol and not adhoc:
+        sys.stderr.write(
+            f"WARNING: full-composition run is OFF the pinned canary "
+            f"protocol ({norm(knobs)} != {norm(CANARY_PROTOCOL)}) — "
+            f"tagged adhoc; it will NOT become the normalization "
+            f"reference\n")
+    adhoc = adhoc or off_protocol
     art = {
         "metric": "canary_total",
         "value": round(sum(res["queries"][q] for q in CANARY), 3),
@@ -264,8 +282,9 @@ def main():
         # next round's reference (that is the full-composition run's)
         run_canary(args, adhoc=True)
         return
+    canary_art = None
     if not args.skip_canary:
-        run_canary(args)
+        canary_art = run_canary(args)
 
     names_src = args.names_from
     if not os.path.exists(names_src):
@@ -274,7 +293,15 @@ def main():
     else:
         names = load_names(names_src)
     est = load_estimates()
-    batches, was_pinned = pack_pinned(names, est, args.batches)
+    # Previous artifact (read BEFORE this run overwrites --out): pin
+    # source for batch composition AND the comparator for the in-suite
+    # drift ratio below.
+    prev_art = None
+    try:
+        prev_art = json.load(open(args.out))
+    except (OSError, ValueError):
+        pass
+    batches, was_pinned = pack_pinned(names, est, args.batches, args.out)
     print(f"{len(names)} queries -> {len(batches)} fresh-JVM batches "
           f"({'PINNED from previous batch_of' if was_pinned else 'fresh LPT'}"
           f"; estimates from previous artifact: {len(est)} known)")
@@ -325,6 +352,66 @@ def main():
             for q, v in mins.items() if q.startswith("stream_")},
         "sf": args.sf,
     }
+    # DRIFT ERROR BAR (committed protocol, round 18+): the fresh-JVM
+    # canary batch is measured in ONE window, hours apart from the 12
+    # batch windows it normalizes, and its first exercise (r17)
+    # disagreed in SIGN with its own members measured in-suite (1.161
+    # fresh-JVM vs ~0.88 in-batch). So stamp a SECOND ratio — the
+    # median per-query ratio over all pinned (same-batch-composition)
+    # queries common to the previous artifact — next to the canary's,
+    # and when the two disagree by >20% flag the band explicitly:
+    # normalized round-over-round claims must quote the band, not
+    # either point.
+    def _med(xs):
+        s = sorted(xs)
+        if not s:
+            return None
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+    if prev_art and was_pinned and prev_art.get("queries"):
+        prev_q = prev_art["queries"]
+        common = [q for q in mins
+                  if q in prev_q and prev_q[q] > 0
+                  and q in (prev_art.get("batch_of") or {})]
+        r_all = _med([mins[q] / prev_q[q] for q in common])
+        r_can = _med([mins[q] / prev_q[q] for q in common if q in CANARY])
+        if r_all is not None:
+            artifact["insuite_ratio_vs_prev"] = round(r_all, 3)
+            artifact["insuite_ratio_n_queries"] = len(common)
+        if r_can is not None:
+            artifact["insuite_canary_ratio_vs_prev"] = round(r_can, 3)
+        fresh = (canary_art or {}).get("host_ratio_vs_prev")
+        if fresh is not None:
+            artifact["host_ratio_vs_prev"] = fresh
+            if r_all is not None:
+                lo, hi = sorted((fresh, r_all))
+                band = f"[{lo:.3f}, {hi:.3f}]"
+                artifact["host_ratio_band"] = band
+                if hi > 1.2 * lo:
+                    artifact["host_ratio_band_note"] = (
+                        "fresh-JVM canary ratio and in-suite pinned-batch "
+                        "median disagree by >20% — treat the band as the "
+                        "drift error bar; do not quote either point alone "
+                        "for normalized claims")
+                    print(f"DRIFT BAND: fresh-JVM {fresh:.3f} vs in-suite "
+                          f"{r_all:.3f} over {len(common)} pinned queries "
+                          f"-> use {band}")
+            # mirror both ratios into canary_latest.json so the two
+            # artifacts never tell different normalization stories
+            cl = os.path.join(REPO, "bench/canary_latest.json")
+            try:
+                c = json.load(open(cl))
+                if r_all is not None:
+                    c["insuite_ratio_vs_prev"] = round(r_all, 3)
+                    c["insuite_ratio_n_queries"] = len(common)
+                if r_can is not None:
+                    c["insuite_canary_ratio_vs_prev"] = round(r_can, 3)
+                if r_all is not None:
+                    c["host_ratio_band"] = artifact.get("host_ratio_band")
+                with open(cl, "w") as f:
+                    json.dump(c, f, indent=1, sort_keys=True)
+            except (OSError, ValueError):
+                pass
     with open(args.out, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
     print(f"wrote {args.out}: {len(mins)} queries, "

@@ -115,6 +115,11 @@ object Bench {
     // is sized well under the cap and printed LAST so the tail always
     // contains one parseable record; orchestrators that want the complete
     // per-query data take the FIRST metric line (bench_families.py does).
+    // Its metric name is "total_summary" — distinct from the full line's —
+    // so no consumer can mistake the worst-5 "queries" map for complete
+    // per-query data; and it prints AFTER spark.stop() with sbt's
+    // [success] banner suppressed (build.sbt showSuccess := false), so it
+    // is the process's final stdout line and a last-line parser works.
     def family(n: String): String = {
       val head = n.takeWhile(_ != '_')
       if (head.length <= 3 && head.exists(_.isDigit))
@@ -132,12 +137,12 @@ object Bench {
     val worst = results.sortBy(-_._2).take(5)
       .map { case (k, v) => k -> math.rint(v * 100) / 100 }
     val summary =
-      s"""{"metric":"total","value":${math.rint(total * 100) / 100},""" +
+      s"""{"metric":"total_summary","value":${math.rint(total * 100) / 100},""" +
       s""""unit":"sec","reps":$reps$filterTag,"n_queries":${results.size},""" +
       s""""queries":${jmap(worst)},"families":${jmap(fams)},""" +
       s""""note":"worst-5 in queries; full per-query data in """ +
       s"""bench/full_latest.json","sf":"$sfDir"}"""
-    println(summary)
     spark.stop()
+    println(summary)
   }
 }

@@ -45,10 +45,16 @@ object Graph {
     * heap, so edge capacity is linear in it). A 64 GiB executor keeps
     * the deser fast path to ~256M edges instead of paying the
     * measured +37% DISK_ONLY wall tax on mid-size graphs; tiny test
-    * heaps floor at 1M so unit graphs always take the fast path. */
+    * heaps floor at 1M so unit graphs always take the fast path.
+    * Arithmetic order matters: heap is divided down FIRST (as a
+    * double) so the product cannot overflow Long — 32e6 * maxMemory
+    * overflows negative above a ~268 GiB heap, which would silently
+    * pin the threshold to the 1M floor and force the DISK_ONLY path
+    * (+37% measured wall tax) on exactly the large-memory hosts the
+    * linear scaling exists for. */
   val MaxDeserEdges: Long = math.max(1L * 1000 * 1000,
-    32L * 1000 * 1000 * Runtime.getRuntime.maxMemory /
-      (8L * 1024 * 1024 * 1024))
+    (32.0e6 * (Runtime.getRuntime.maxMemory.toDouble /
+      (8L * 1024 * 1024 * 1024))).toLong)
 
   /** Wedge rows one closing-join pass may shuffle. The wedge exchange
     * is the triangle kernel's dominant transient: ~36 B/row of
@@ -64,8 +70,30 @@ object Graph {
     * inputs, cheap) re-runs per pass but each closing exchange carries
     * only ~1/P of the wedge volume, and per-node counts accumulate
     * additively across the src-disjoint slices — bit-identical to the
-    * single-pass result. */
-  val MaxWedgeRowsPerPass: Long = 1750L * 1000 * 1000
+    * single-pass result.
+    *
+    * The budget is DERIVED from the shuffle directory's usable space
+    * (the same anchor discipline [[MaxDeserEdges]] got for heap): at
+    * the measured 36 B/wedge-row, a pass may occupy 80% of what the
+    * spill disk has free — the measured anchor is 63 GB-of-79-GB-free
+    * (r17's 100x run: 1.75B rows/pass completed with peak transient
+    * ~21 GB of block-manager spill on this host). The r17 constant is
+    * kept as a FLOOR: on this host the derived value reproduces it
+    * (so every gate and curve point keeps its committed plan, P=1
+    * through 40x), while a 2 TB-local-disk executor derives ~44B
+    * rows/pass instead of running ~30 needless slices over a
+    * trillion-wedge graph. Slicing below the floor never helps — a
+    * pass that small re-runs wedge generation for less transient than
+    * the r17 run proved safe on the smallest disk measured. */
+  val MaxWedgeRowsPerPass: Long = {
+    val floor = 1750L * 1000 * 1000
+    val dir = sys.props.get("spark.local.dir")
+      .orElse(sys.env.get("SPARK_LOCAL_DIRS").map(_.split(',').head))
+      .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
+    val usable =
+      try new java.io.File(dir).getUsableSpace catch { case _: Exception => 0L }
+    math.max(floor, (usable * 0.8 / 36.0).toLong)
+  }
 
   /** K-CORE of an undirected pair graph by iterative peeling: drop
     * every node of degree < k (and its edges), recompute degrees,
