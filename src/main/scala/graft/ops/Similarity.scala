@@ -907,6 +907,90 @@ object Similarity {
       .select(col("tid"), col("cell"), col("__dup").isNull.as("keep"))
   }
 
+  /** Corpus size below which [[semanticDedup]] routes to the exact
+    * all-pairs branch. MEASURED anchor, not a guess
+    * (bench/scale_curve_r17.json `semdedup_vs_brute`, min-of-3 per
+    * point, perturbed corpus): at n=10k the quadratic all-pairs join
+    * costs 15.2 s vs 9.7 s for the index MINING term (the repeated,
+    * steady-state cost — the build amortizes across every consumer of
+    * the same store); at n=40k it's 30.6 s vs 28.9 s mining with the
+    * gap widening at the measured exponents (20x->100x: all-pairs
+    * x23.4 ~ the n^2 prediction, mining x6.7); at n=200k the index
+    * wins 2.2x even paying the build from scratch. Below 10k the
+    * fixed per-level plan overhead of the graph path dominates while
+    * the quadratic join still underutilizes the cores — brute wins
+    * outright. 20k sits between the two measured bracketing points
+    * (10k: only steady-state wins; 40k: steady-state wins and
+    * one-shot is within noise of parity). */
+  val SemDedupRouteCutoff: Long = 20000
+
+  /** The pure routing decision, factored out so artifacts/tests can
+    * interrogate the policy without building anything. */
+  def semanticDedupRoute(n: Long,
+      routeCutoff: Long = SemDedupRouteCutoff): String =
+    if (n < routeCutoff) "brute" else "index"
+
+  /** COST-ROUTED semantic dedup — ONE entry point that picks the
+    * execution strategy from the measured r17 crossover instead of
+    * making the caller choose (the r17 verdict's top ask: "the whole
+    * point of measuring a crossover is an operator that routes on
+    * it"). Returns near-duplicate pairs (id_1 < id_2, cos) over
+    * `minCos`; `targets` must be (tid, te).
+    *
+    *  - n < `routeCutoff`: the EXACT all-pairs branch — the d5 gate's
+    *    fixed-point cosine theta-join verbatim, every qualifying pair
+    *    emitted. Quadratic, and measurably the fastest thing at small
+    *    n (see [[SemDedupRouteCutoff]]).
+    *  - n >= cutoff: the HNSW-index branch — the d5d gate's shape:
+    *    every vector queries the in-memory layered graph, top-`k`
+    *    neighbours over the threshold become undirected pairs.
+    *    O(n*k) candidates instead of O(n^2) evaluations AND an
+    *    output that stays linear in n (the all-pairs output is
+    *    itself quadratic on a near-dup-heavy corpus: 159.5M pairs at
+    *    n=200k on the r17 curve).
+    *
+    * The two branches return DIFFERENT pair sets by design (nearest-
+    * dup mining vs exhaustive enumeration); the d5d gate's in-gate
+    * REQUIRE pins their dedup-VERDICT agreement at >= 90%, which is
+    * the quantity a dedup pipeline consumes. The decision is logged
+    * to stderr and to the Spark job description so it is visible in
+    * any event-log/plan review. `forceRoute` pins a branch for gates
+    * and A/Bs; the n-driven default is the production path. */
+  def semanticDedup(targets: DataFrame, dim: Int, minCos: Double,
+      k: Int = 5, routeCutoff: Long = SemDedupRouteCutoff,
+      forceRoute: Option[String] = None): DataFrame = {
+    val n = targets.count()
+    val route = forceRoute.getOrElse(semanticDedupRoute(n, routeCutoff))
+    val why = forceRoute.map(_ => "forced")
+      .getOrElse(s"n=$n ${if (n < routeCutoff) "<" else ">="} cutoff=$routeCutoff")
+    System.err.println(s"[graft.semanticDedup] route=$route ($why, " +
+      s"anchors: bench/scale_curve_r17.json semdedup_vs_brute)")
+    targets.sparkSession.sparkContext
+      .setJobDescription(s"semanticDedup route=$route ($why)")
+    route match {
+      case "brute" =>
+        val a = targets.select(col("tid").as("id_1"), col("te").as("qe"))
+          .withColumn("qn", scaledDot(col("qe"), col("qe")))
+        val b = targets.select(col("tid").as("id_2"), col("te").as("be"))
+          .withColumn("bn", scaledDot(col("be"), col("be")))
+        a.join(b, col("id_1") < col("id_2"))
+          .withColumn("cos", scaledDot(col("qe"), col("be")).cast("double") /
+            sqrt((col("qn") * col("bn")).cast("double")))
+          .filter(col("cos") > minCos)
+          .select(col("id_1"), col("id_2"), col("cos"))
+      case "index" =>
+        val q = targets.select(col("tid").as("qid"), col("te").as("qe"))
+        knnHnsw(q, targets, dim, k)
+          .filter(col("cos") > minCos)
+          .select(least(col("qid"), col("tid")).as("id_1"),
+            greatest(col("qid"), col("tid")).as("id_2"), col("cos"))
+          .distinct()
+      case other =>
+        throw new IllegalArgumentException(
+          s"semanticDedup: unknown route '$other' (brute|index)")
+    }
+  }
+
   /** Per-target Voronoi cell over the gated IVF machinery (deterministic
     * seed centroids + fixed-point Lloyd + fixed-point nearest-cell), as a
     * public building block for cluster-keyed curation (cluster-balanced
@@ -1181,10 +1265,14 @@ object Similarity {
     * hops1 2 -> 3: recall 88% -> 100% at ~+30% search wall) — at
     * depth, the level-by-level basin choice is the binding decision,
     * the canonical efSearch story relocated to the routing layers.
-    * `beam1`/`hops1` = 0 (the default) is AUTO: the pinned 8/2
-    * schedule below depth 5 (every gate corpus — twins replay it
-    * verbatim), 4*maxOcc / 3 from maxOcc >= 5 where the sweep showed
-    * the basin choice binding. */
+    * `beam1`/`hops1` = 0 (the default) is AUTO: 24 / 3 below depth 5
+    * — at n~2k a 24-wide upper beam costs milliseconds, and the r16
+    * knob probe measured beam1 8->24 + hops1 2->3 recovering every
+    * shallow-corpus miss (the pinned 8/2 schedule left 1x perturbed
+    * recall@5 at 76%, the visibly weak cell of the r17 curve; the
+    * twins replay the same widened unroll) — and 4*maxOcc / 3 from
+    * maxOcc >= 5 where the sweep showed the basin choice binding
+    * (unchanged, so the measured 20x/100x points stand). */
   def knnHnswWith(queries: DataFrame, targets: DataFrame,
       adjacency: DataFrame, k: Int, maxOcc: Int, beam1: Int = 0,
       hops1: Int = 0, beam0: Int = 16, hops0: Int = 4,
@@ -1192,9 +1280,8 @@ object Similarity {
       keep: Option[DataFrame] = None,
       hopsPerCheckpoint: Int = 0): DataFrame = {
     val beam1Eff =
-      if (beam1 > 0) beam1 else if (maxOcc >= 5) 4 * maxOcc else 8
-    val hops1Eff =
-      if (hops1 > 0) hops1 else if (maxOcc >= 5) 3 else 2
+      if (beam1 > 0) beam1 else if (maxOcc >= 5) 4 * maxOcc else 24
+    val hops1Eff = if (hops1 > 0) hops1 else 3
     // ENTRY IDS FIRST, on the raw frame: for the indexed path `targets`
     // is the (lvl, home)-partitioned vectors store, so the top-layer
     // filter statically prunes to the (tiny) lvl=maxOcc partition at

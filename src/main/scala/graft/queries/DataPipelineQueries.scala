@@ -1451,6 +1451,35 @@ object DataPipelineQueries {
       pairs.orderBy($"id_1", $"id_2")
     }),
 
+    // COST-ROUTED semantic dedup (the r17 verdict's top ask): ONE entry
+    // point, Similarity.semanticDedup, that picks the branch from the
+    // measured r17 crossover (bench/scale_curve_r17.json
+    // semdedup_vs_brute; cutoff 20k vectors). The gate corpus is far
+    // below the cutoff, so THIS gate exercises the n-driven default
+    // decision end-to-end (count -> route=brute -> exact all-pairs) and
+    // must reproduce the d5 twin bit-for-bit.
+    "d5e_semdedup_routed" -> ((s, dir) => {
+      import s.implicits._
+      val tt = t(s, dir, "embeddings")
+        .select($"vec_id".as("tid"), $"embedding".as("te"))
+      Similarity.semanticDedup(tt, dim = 64, minCos = 0.3)
+        .orderBy($"id_1", $"id_2")
+    }),
+
+    // The router's OTHER branch, force-pinned (forceRoute="index" — the
+    // corpus can't cross 20k at gate scale): the in-memory HNSW build +
+    // all-queries descent + threshold + undirected pairing, which must
+    // equal the d5d construction+descent twin bit-for-bit. Together with
+    // d5e this hash-gates both sides of the dispatch.
+    "d5f_semdedup_routed_index" -> ((s, dir) => {
+      import s.implicits._
+      val tt = t(s, dir, "embeddings")
+        .select($"vec_id".as("tid"), $"embedding".as("te"))
+      Similarity.semanticDedup(tt, dim = 64, minCos = 0.3,
+          forceRoute = Some("index"))
+        .orderBy($"id_1", $"id_2")
+    }),
+
     // Brute-force cosine top-5 neighbors for 10 query vectors (baseline).
     "knn_bruteforce" -> ((s, dir) => {
       import s.implicits._
@@ -5687,11 +5716,16 @@ object DataPipelineQueries {
        |  WHERE la.lv >= $l AND lb.lv >= $l AND p.rn <= $pL
        |    AND ($srcPred) AND ($dstPred))""".stripMargin
 
-  /** The fixed-unroll descent: top-layer entry (width 1), 2 hops @ beam
-    * 8 per upper level maxOcc-1..1, 4 hops @ beam 16 on the base —
-    * knnHnswWith's schedule. Returns (CTE text, final beam name). */
+  /** The fixed-unroll descent: top-layer entry (width 1), `hops1`
+    * hops @ beam `beam1` per upper level maxOcc-1..1, 4 hops @ beam
+    * `beam0` on the base — knnHnswWith's AUTO schedule, replayed: 24/3
+    * on the upper levels below depth 5 (every gate corpus; the r18
+    * shallow-recall schedule), 4*maxOcc / 3 at depth. Returns (CTE
+    * text, final beam name). */
   private def hnswDescentCtes(maxOcc: Int,
       adjName: Int => String, beam0: Int = 16): (String, String) = {
+    val beam1 = if (maxOcc >= 5) 4 * maxOcc else 24
+    val hops1 = 3
     val sb = new StringBuilder
     sb ++= s"""ent_c AS MATERIALIZED (
               |  SELECT q.qid, l.tid FROM qq q CROSS JOIN hlvl l
@@ -5699,9 +5733,9 @@ object DataPipelineQueries {
               |""".stripMargin
     sb ++= hnswScoreTop("ent_c", "bm0", 1)
     var i = 0
-    for (l <- maxOcc - 1 to 1 by -1; _ <- 1 to 2) {
+    for (l <- maxOcc - 1 to 1 by -1; _ <- 1 to hops1) {
       sb ++= ",\n"
-      sb ++= hnswHop(s"bm$i", adjName(l), s"bm${i + 1}", 8)
+      sb ++= hnswHop(s"bm$i", adjName(l), s"bm${i + 1}", beam1)
       i += 1
     }
     for (_ <- 1 to 4) {
@@ -5820,6 +5854,27 @@ object DataPipelineQueries {
     * (commutative dot, symmetric norms), so DISTINCT collapses them
     * exactly as the Spark side's .distinct() does. Self-matches are
     * already excluded by the descent's final ranking. */
+  /** d5 / d5e twin: exhaustive fixed-point-cosine pair enumeration over
+    * the 0.3 threshold — also the replay for semanticDedup's routed
+    * brute branch (the gate corpus sits under the 20k cutoff). */
+  private def d5EmbeddingNeardupSql: String =
+    s"""WITH pairs AS (
+      |  SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+      |         a.embedding AS qe, b.embedding AS te
+      |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id),
+      |terms AS (SELECT id_1, id_2, unnest(qe) AS x, unnest(te) AS y
+      |          FROM pairs),
+      |dots AS (
+      |  SELECT id_1, id_2, $scaledDotSql AS d,
+      |    SUM(CAST(ROUND(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS nx,
+      |    SUM(CAST(ROUND(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)*1000000) AS BIGINT)) AS ny
+      |  FROM terms GROUP BY 1, 2)
+      |SELECT id_1, id_2,
+      |  CAST(d AS DOUBLE)/sqrt(CAST(nx*ny AS DOUBLE)) AS cos
+      |FROM dots
+      |WHERE CAST(d AS DOUBLE)/sqrt(CAST(nx*ny AS DOUBLE)) > 0.3
+      |ORDER BY id_1, id_2""".stripMargin
+
   private def d5dSemdedupHnswSql: String =
     s"""WITH hn AS (SELECT qid, tid, cos FROM (${knnHnswSql(qPred = "TRUE")}))
        |SELECT DISTINCT least(qid, tid) AS id_1,
@@ -6538,23 +6593,15 @@ object DataPipelineQueries {
         |FROM dots
         |WHERE CAST(d AS DOUBLE)/sqrt(CAST(nx*ny AS DOUBLE)) > 0.3
         |ORDER BY id_1, id_2""".stripMargin),
-    "d5_embedding_neardup" ->
-      s"""WITH pairs AS (
-        |  SELECT a.vec_id AS id_1, b.vec_id AS id_2,
-        |         a.embedding AS qe, b.embedding AS te
-        |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id),
-        |terms AS (SELECT id_1, id_2, unnest(qe) AS x, unnest(te) AS y
-        |          FROM pairs),
-        |dots AS (
-        |  SELECT id_1, id_2, $scaledDotSql AS d,
-        |    SUM(CAST(ROUND(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS nx,
-        |    SUM(CAST(ROUND(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)*1000000) AS BIGINT)) AS ny
-        |  FROM terms GROUP BY 1, 2)
-        |SELECT id_1, id_2,
-        |  CAST(d AS DOUBLE)/sqrt(CAST(nx*ny AS DOUBLE)) AS cos
-        |FROM dots
-        |WHERE CAST(d AS DOUBLE)/sqrt(CAST(nx*ny AS DOUBLE)) > 0.3
-        |ORDER BY id_1, id_2""".stripMargin,
+    "d5_embedding_neardup" -> d5EmbeddingNeardupSql,
+    // Cost-routed semanticDedup, both branches replayed by the branch
+    // they route to: the small gate corpus sits under the measured
+    // 20k-vector cutoff, so d5e takes the exact all-pairs branch and
+    // must equal the d5 twin verbatim; d5f forces the index branch and
+    // must equal the d5d construction+descent replay verbatim. Together
+    // they pin that the router is pure dispatch — no third semantics.
+    "d5e_semdedup_routed" -> d5EmbeddingNeardupSql,
+    "d5f_semdedup_routed_index" -> d5dSemdedupHnswSql,
     "knn_bruteforce" -> knnBruteforceSql(maxQid = 10),
     "knn_lsh" -> knnLshSql(),
     // HNSW: construction (levels, probe-cell / global-layer candidate

@@ -547,6 +547,50 @@ class SimilaritySpec extends SparkSpec {
         s"missing=${(expectedDrops -- actualDrops).take(5)}")
   }
 
+  test("semanticDedup routes on the measured crossover: brute below the " +
+      "20k cutoff, index above, and each route IS its branch verbatim") {
+    // the pure dispatch: the r17-measured bracketing points (10k brute,
+    // 40k index) land on the sides the curve measured them on
+    assert(Similarity.semanticDedupRoute(10000) == "brute")
+    assert(Similarity.semanticDedupRoute(40000) == "index")
+    assert(Similarity.semanticDedupRoute(Similarity.SemDedupRouteCutoff)
+      == "index")
+    assert(Similarity.semanticDedupRoute(
+      Similarity.SemDedupRouteCutoff - 1) == "brute")
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .select($"vec_id".as("tid"), $"embedding".as("te"))
+    // n-driven default at gate scale = the exact all-pairs branch
+    val routed = Similarity.semanticDedup(e, dim = 64, minCos = 0.3)
+      .orderBy($"id_1", $"id_2").collect()
+    val qn = e.select($"tid".as("id_1"), $"te".as("e1"))
+      .withColumn("n1", Similarity.scaledDot($"e1", $"e1"))
+    val bn = e.select($"tid".as("id_2"), $"te".as("e2"))
+      .withColumn("n2", Similarity.scaledDot($"e2", $"e2"))
+    val brute = qn.join(bn, $"id_1" < $"id_2")
+      .withColumn("cos", Similarity.scaledDot($"e1", $"e2").cast("double") /
+        sqrt(($"n1" * $"n2").cast("double")))
+      .filter($"cos" > 0.3).select($"id_1", $"id_2", $"cos")
+      .orderBy($"id_1", $"id_2").collect()
+    assert(routed.toSeq == brute.toSeq,
+      s"routed brute branch diverged: ${routed.length} vs ${brute.length}")
+    // forced index route = the d5d mining shape over the same corpus
+    val q = e.select($"tid".as("qid"), $"te".as("qe"))
+    val mined = Similarity.knnHnsw(q, e, dim = 64, k = 5)
+      .filter($"cos" > 0.3)
+      .select(least($"qid", $"tid").as("id_1"),
+        greatest($"qid", $"tid").as("id_2"), $"cos")
+      .distinct().orderBy($"id_1", $"id_2").collect()
+    val forced = Similarity.semanticDedup(e, dim = 64, minCos = 0.3,
+        forceRoute = Some("index"))
+      .orderBy($"id_1", $"id_2").collect()
+    assert(forced.toSeq == mined.toSeq,
+      s"forced index branch diverged: ${forced.length} vs ${mined.length}")
+    intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(e, dim = 64, minCos = 0.3,
+        forceRoute = Some("oracle"))
+    }
+  }
+
   test("knn_ivf_updated: appended vectors surface in post-append results " +
       "and every cell partition holds only its own vectors") {
     val out = graft.SparkEntry.queries("knn_ivf_updated")(
