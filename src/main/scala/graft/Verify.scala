@@ -42,17 +42,19 @@ object Verify {
           s"hnswCap = $capHere; regenerate knnHnswSql/knnHnswAppendedSql " +
           "with cap = " + capHere + " before gating at this scale")
       // the widened twin additionally hardcodes the auto-widening
-      // factor: beam0 160 = 16 * ceil(n / |label % 10 = 0|), exactly
-      // 10 at the 50-of-500 gate corpus
+      // factor: beam0 640 = 64 (the shallow-cap AUTO base) *
+      // ceil(n / |label % 10 = 0|), exactly 10 at the 50-of-500 gate
+      // corpus (the Spark side caps at n=500; any replayed width >= n
+      // is identical)
       if (selected("knn_hnsw_filtered_widened")) {
         val nKeep = spark.read.parquet(s"$sfDir/embeddings.parquet")
           .filter("label % 10 = 0").count()
         val factor = math.ceil(nEmb.toDouble / nKeep).toLong
         require(factor == 10,
-          s"knn_hnsw_filtered_widened's twin replays a 160-wide base " +
+          s"knn_hnsw_filtered_widened's twin replays a 640-wide base " +
             s"beam (widening factor 10) but $sfDir gives " +
             s"ceil($nEmb/$nKeep) = $factor; regenerate the twin with " +
-            s"beam0 = ${16 * factor} before gating at this scale")
+            s"beam0 = ${64 * factor} before gating at this scale")
       }
     }
     // create outDir up front: if the prefix filter selects zero queries

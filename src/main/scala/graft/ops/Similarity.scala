@@ -1265,23 +1265,32 @@ object Similarity {
     * hops1 2 -> 3: recall 88% -> 100% at ~+30% search wall) — at
     * depth, the level-by-level basin choice is the binding decision,
     * the canonical efSearch story relocated to the routing layers.
-    * `beam1`/`hops1` = 0 (the default) is AUTO: 24 / 3 below depth 5
-    * — at n~2k a 24-wide upper beam costs milliseconds, and the r16
-    * knob probe measured beam1 8->24 + hops1 2->3 recovering every
-    * shallow-corpus miss (the pinned 8/2 schedule left 1x perturbed
-    * recall@5 at 76%, the visibly weak cell of the r17 curve; the
-    * twins replay the same widened unroll) — and 4*maxOcc / 3 from
-    * maxOcc >= 5 where the sweep showed the basin choice binding
-    * (unchanged, so the measured 20x/100x points stand). */
+    * `beam1`/`hops1`/`beam0` = 0 (the default) is AUTO, and the
+    * schedule is DEPTH-SPLIT on the r16/r18 measurements:
+    *  - maxOcc >= 5 (the measured 20x/100x regime, unchanged so those
+    *    curve points stand): beam1 = 4*maxOcc, hops1 = 3, beam0 = 16
+    *    — the r16 sweep showed the UPPER-layer basin choice binding
+    *    and base knobs flat.
+    *  - maxOcc < 5 (shallow corpora — every gate corpus): beam1 = 24,
+    *    hops1 = 3, beam0 = 64. At shallow depth the geometry inverts:
+    *    2 upper levels hold ~2% of a 2k corpus, so the BASE beam is
+    *    the effective efSearch — the r18 1x sweep measured beam0
+    *    16/32/64 -> recall@5 84%/90%/95% at flat-to-better wall
+    *    (~3 s either way; the pinned 16-wide base + 8/2 upper
+    *    schedule was the 76% cell in the r17 curve) while hops0 4->6
+    *    bought nothing. The twins replay the same widened unroll. */
+  def hnswBeam0Auto(maxOcc: Int): Int = if (maxOcc >= 5) 16 else 64
+
   def knnHnswWith(queries: DataFrame, targets: DataFrame,
       adjacency: DataFrame, k: Int, maxOcc: Int, beam1: Int = 0,
-      hops1: Int = 0, beam0: Int = 16, hops0: Int = 4,
+      hops1: Int = 0, beam0: Int = 0, hops0: Int = 4,
       exclude: Option[DataFrame] = None,
       keep: Option[DataFrame] = None,
       hopsPerCheckpoint: Int = 0): DataFrame = {
     val beam1Eff =
       if (beam1 > 0) beam1 else if (maxOcc >= 5) 4 * maxOcc else 24
     val hops1Eff = if (hops1 > 0) hops1 else 3
+    val beam0Eff = if (beam0 > 0) beam0 else hnswBeam0Auto(maxOcc)
     // ENTRY IDS FIRST, on the raw frame: for the indexed path `targets`
     // is the (lvl, home)-partitioned vectors store, so the top-layer
     // filter statically prunes to the (tiny) lvl=maxOcc partition at
@@ -1344,7 +1353,7 @@ object Similarity {
     }
     for (l <- maxOcc - 1 to 1 by -1; _ <- 1 to hops1Eff)
       beamDf = cut(hop(beamDf, l, beam1Eff))
-    for (_ <- 1 to hops0) beamDf = cut(hop(beamDf, 0, beam0))
+    for (_ <- 1 to hops0) beamDf = cut(hop(beamDf, 0, beam0Eff))
     // FILTERED SEARCH is the keep side (the post-filter discipline:
     // out-of-predicate nodes still ROUTE — dropping them from the
     // beams would strand descents whose region is dense in filtered
@@ -1753,11 +1762,15 @@ object Similarity {
   def knnHnswIndexed(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, k: Int,
       targetFilter: Option[Column] = None, beam1: Int = 0,
-      hops1: Int = 0, beam0: Int = 16, hops0: Int = 4,
+      hops1: Int = 0, beam0: Int = 0, hops0: Int = 4,
       autoWiden: Boolean = true, hopsPerCheckpoint: Int = 0): DataFrame = {
     import graft.util.Sidecars
     val meta = Sidecars.read(spark, path, "meta").collect()(0)
     val n = meta.getLong(0)
+    // resolve the AUTO base width from the store's depth cap BEFORE the
+    // selectivity widening, so the widening factor scales the same base
+    // the unfiltered search would use
+    val beam0Base = if (beam0 > 0) beam0 else hnswBeam0Auto(meta.getInt(2))
     val adj = hnswEffectiveAdj(spark, path)
     val all = Sidecars.read(spark, path, "vectors")
     val vectors = all.select(col("tid"), col("te"), col("lvl"))
@@ -1772,7 +1785,7 @@ object Similarity {
     // data filter when deriving the allowed-id set.
     val keep = targetFilter.map(p => all.filter(p).select(col("tid")))
     val beam0Eff =
-      if (!autoWiden || (keep.isEmpty && dead.isEmpty)) beam0
+      if (!autoWiden || (keep.isEmpty && dead.isEmpty)) beam0Base
       else {
         // widening factor from the ACTUAL allowed fraction (keep
         // minus tombstones) — one count over an id projection; the
@@ -1785,9 +1798,9 @@ object Similarity {
           case (None, Some(d)) => n - d.select(col("tid")).count()
           case (None, None) => n
         }
-        if (allowed <= 0) beam0
+        if (allowed <= 0) beam0Base
         else math.min(n,
-          beam0.toLong * math.ceil(n.toDouble / allowed).toLong).toInt
+          beam0Base.toLong * math.ceil(n.toDouble / allowed).toLong).toInt
       }
     knnHnswWith(queries, vectors, adj, k, meta.getInt(2), beam1, hops1,
       beam0Eff, hops0, exclude = dead, keep = keep,

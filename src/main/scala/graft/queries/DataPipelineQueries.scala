@@ -1628,9 +1628,10 @@ object DataPipelineQueries {
           p, dim = 64)
         Similarity.deleteFromHnswIndex(s, p, (0L until 40L).toSeq)
       }
-      // autoWiden off: the DuckDB twin replays the PINNED 16-width
-      // base beam; selectivity-adaptive widening is spec-covered
-      // (SimilaritySpec "auto-widened beam") rather than oracle-gated
+      // autoWiden off: the DuckDB twin replays the PINNED shallow-cap
+      // AUTO base width (64); selectivity-adaptive widening is
+      // spec-covered (SimilaritySpec "auto-widened beam") and gated by
+      // knn_hnsw_filtered_widened rather than here
       Similarity.knnHnswIndexed(s, path, q, k = 5, autoWiden = false)
         .orderBy($"qid", $"rank")
     }),
@@ -1675,8 +1676,9 @@ object DataPipelineQueries {
           e.select($"vec_id".as("tid"), $"embedding".as("te"), $"label"),
           p, dim = 64)
       }
-      // autoWiden off: the twin replays the pinned 16-width base beam
-      // (the widening factor would depend on the label distribution)
+      // autoWiden off: the twin replays the pinned shallow-cap AUTO
+      // base width, 64 (the widening factor would depend on the label
+      // distribution)
       Similarity.knnHnswIndexed(s, path, q, k = 5,
         targetFilter = Some($"label" % 2 === 0), autoWiden = false)
         .orderBy($"qid", $"rank")
@@ -1686,10 +1688,12 @@ object DataPipelineQueries {
     // knn_hnsw_filtered, which pins exact widths) with a predicate of
     // DETERMINISTIC selectivity — label % 10 = 0 keeps exactly 50 of
     // the 500 sf0.01 vectors, so the selectivity-proportional widening
-    // is exactly beam0 * ceil(500/50) = 16 * 10 = 160 and the DuckDB
-    // twin replays the 160-wide base descent verbatim (Verify asserts
-    // the 50-of-500 coupling at oracle-dump time, next to the depth
-    // cap). Same store as knn_hnsw_filtered (TempDirs-cached).
+    // is exactly beam0 * ceil(500/50) = 64 * 10 = 640, capped at n
+    // (500) by the widening rule; the DuckDB twin replays the 640-wide
+    // base descent, identical to any width >= the 500-node corpus
+    // (Verify asserts the 50-of-500 coupling at oracle-dump time, next
+    // to the depth cap). Same store as knn_hnsw_filtered
+    // (TempDirs-cached).
     "knn_hnsw_filtered_widened" -> ((s, dir) => {
       import s.implicits._
       val e = t(s, dir, "embeddings")
@@ -5723,9 +5727,10 @@ object DataPipelineQueries {
     * shallow-recall schedule), 4*maxOcc / 3 at depth. Returns (CTE
     * text, final beam name). */
   private def hnswDescentCtes(maxOcc: Int,
-      adjName: Int => String, beam0: Int = 16): (String, String) = {
+      adjName: Int => String, beam0: Int = 0): (String, String) = {
     val beam1 = if (maxOcc >= 5) 4 * maxOcc else 24
     val hops1 = 3
+    val beam0Eff = if (beam0 > 0) beam0 else if (maxOcc >= 5) 16 else 64
     val sb = new StringBuilder
     sb ++= s"""ent_c AS MATERIALIZED (
               |  SELECT q.qid, l.tid FROM qq q CROSS JOIN hlvl l
@@ -5740,7 +5745,7 @@ object DataPipelineQueries {
     }
     for (_ <- 1 to 4) {
       sb ++= ",\n"
-      sb ++= hnswHop(s"bm$i", adjName(0), s"bm${i + 1}", beam0)
+      sb ++= hnswHop(s"bm$i", adjName(0), s"bm${i + 1}", beam0Eff)
       i += 1
     }
     (sb.toString, s"bm$i")
@@ -5759,7 +5764,7 @@ object DataPipelineQueries {
   private def knnHnswSql(nCells: Int = 16, m: Int = 8, nProbe: Int = 2,
       cap: Int = 3, targetPred: String = "TRUE",
       finPred: String = "TRUE", qPred: String = "vec_id < 50",
-      beam0: Int = 16): String = {
+      beam0: Int = 0): String = {
     val levels = (0 to cap).map { l =>
       hnswCandCte(l, hnswWidth(l, nProbe, nCells), s"cand$l") + ",\n" +
         hnswAdjCtes(s"cand$l", s"adj$l", m)
@@ -6623,10 +6628,12 @@ object DataPipelineQueries {
       "tid IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)"),
     // autoWiden ON (the production default): label % 10 = 0 keeps
     // exactly 50/500 at the gate corpus, so the selectivity-
-    // proportional base beam is exactly 16 * ceil(500/50) = 160
+    // proportional base beam is exactly 64 * ceil(500/50) = 640,
+    // capped at n=500 on the Spark side — replaying 640 here is
+    // identical since the prune keeps rn <= width of <= 500 candidates
     "knn_hnsw_filtered_widened" -> knnHnswSql(finPred =
       "tid IN (SELECT vec_id FROM embeddings WHERE label % 10 = 0)",
-      beam0 = 160),
+      beam0 = 640),
     "knn_recall_hnsw" -> knnRecallHnswSql,
     // healed (auto-compacted) store == fresh full-corpus build; the
     // drift floor + debt trigger are Spark-side REQUIREs in the gate

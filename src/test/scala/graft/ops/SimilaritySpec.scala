@@ -829,7 +829,8 @@ class SimilaritySpec extends SparkSpec {
     val store = graft.util.TempDirs.create("hnsw-widen") + "/g"
     Similarity.writeHnswIndex(t, store, dim = 16, nCells = 8, m = 4)
     // keep set = 6 of 60 ids -> widening factor ceil(60/6) = 10,
-    // beam0 16 -> min(60, 160): the base beam covers every visited node
+    // AUTO base beam 64 (shallow cap) -> min(60, 640): the base beam
+    // covers every visited node
     val pred = Some($"label" === 0)
     val widened = Similarity.knnHnswIndexed(spark, store, q, k = 3,
       targetFilter = pred).collect()
