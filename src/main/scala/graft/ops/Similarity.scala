@@ -909,19 +909,22 @@ object Similarity {
 
   /** Corpus size below which [[semanticDedup]] routes to the exact
     * all-pairs branch. MEASURED anchor, not a guess
-    * (bench/scale_curve_r17.json `semdedup_vs_brute`, min-of-3 per
-    * point, perturbed corpus): at n=10k the quadratic all-pairs join
-    * costs 15.2 s vs 9.7 s for the index MINING term (the repeated,
-    * steady-state cost — the build amortizes across every consumer of
-    * the same store); at n=40k it's 30.6 s vs 28.9 s mining with the
-    * gap widening at the measured exponents (20x->100x: all-pairs
-    * x23.4 ~ the n^2 prediction, mining x6.7); at n=200k the index
-    * wins 2.2x even paying the build from scratch. Below 10k the
-    * fixed per-level plan overhead of the graph path dominates while
-    * the quadratic join still underutilizes the cores — brute wins
-    * outright. 20k sits between the two measured bracketing points
-    * (10k: only steady-state wins; 40k: steady-state wins and
-    * one-shot is within noise of parity). */
+    * (bench/scale_curve_r17.json `semdedup_vs_brute` +
+    * bench/scale_curve_r18.json `semdedup_reanchor_shallow_schedule`,
+    * min-of-3 per point, perturbed corpus): under the r18 shallow
+    * beam schedule, at n=10k the quadratic all-pairs join wins
+    * outright (15.2 s vs 18.4 s for the index MINING term alone); at
+    * n=40k (cap 5, the unchanged deep schedule) mining wins the
+    * steady-state comparison (28.9 s vs 30.6 s — the repeated cost;
+    * the build amortizes across every consumer of the same store)
+    * with the gap widening at the measured exponents (20x->100x:
+    * all-pairs x23.4 ~ the n^2 prediction, mining x6.7); at n=200k
+    * the index wins 2.2x even paying the build from scratch. Below
+    * 10k the fixed per-level plan overhead of the graph path
+    * dominates while the quadratic join still underutilizes the
+    * cores. 20k sits between the measured bracketing points, brute
+    * winning BOTH terms on the low side and the steady-state term on
+    * the high side flipping decisively with n^2 growth above it. */
   val SemDedupRouteCutoff: Long = 20000
 
   /** The pure routing decision, factored out so artifacts/tests can
