@@ -1235,10 +1235,19 @@ object Similarity {
   /** BIDIRECTIONAL links (the HNSW paper's discipline): reverse every
     * selected edge (cosine is symmetric, so the reversed edge carries
     * the identical score), dedup, re-prune in-degree to 2m per node —
-    * deterministic, and navigable from both endpoints. */
+    * deterministic, and navigable from both endpoints.
+    *
+    * Plan shape (r18, guide §2.4): the union is repartitioned by `src`
+    * ONCE and both the dedup aggregate (keys src,dst,cos ⊇ src) and the
+    * top-2m window (partition src) ride that single exchange —
+    * HashPartitioning(src) satisfies both clusterings, so the former
+    * distinct-exchange on (src,dst,cos) plus window-exchange on (src)
+    * collapse to one. Row set is unchanged (same dedup keys, same
+    * deterministic ordering), so every hnsw twin replays verbatim. */
   private def hnswBiPrune(fwd: DataFrame, m: Int, l: Int): DataFrame = {
     val bi = fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
+      .repartition(col("src"))
       .distinct()
     val w2 = Window.partitionBy(col("src"))
       .orderBy(col("cos").desc, col("dst"))
@@ -1309,8 +1318,21 @@ object Similarity {
       scaledDot(col("te"), col("te")).as("tn")).localCheckpoint()
     val q = broadcast(queries.select(col("qid"), col("qe"),
       scaledDot(col("qe"), col("qe")).as("qn")))
+    // Hop plan shape (r18, guide §2.4): the candidate set is
+    // repartitioned by `qid` ONCE and three operators ride that single
+    // exchange — the (qid,tid) dedup aggregate (HashPartitioning(qid)
+    // satisfies ClusteredDistribution(qid,tid)), the broadcast joins
+    // (partitioning-preserving; `t` is a checkpointed frame with
+    // propagated stats, so the planner broadcasts it while it is small
+    // and falls back to a partitioned join at corpus scale), and the
+    // per-query top-width window. The former shape paid a distinct
+    // exchange on (qid,tid) PLUS a window exchange on (qid) per hop —
+    // measured 4 AQE stage-jobs per hop at gate scale, halved by this.
+    // Candidate SET and ranking order are unchanged, so every descent
+    // twin replays bit-identically.
     def prune(cand: DataFrame, width: Int): DataFrame = {
-      val scored = cand.join(t, Seq("tid")).join(q, Seq("qid"))
+      val c = cand.repartition(col("qid")).distinct()
+      val scored = c.join(t, Seq("tid")).join(q, Seq("qid"))
         .withColumn("cos", scaledDot(col("qe"), col("te")).cast("double") /
           sqrt((col("qn") * col("tn")).cast("double")))
       val w = Window.partitionBy(col("qid"))
@@ -1326,7 +1348,6 @@ object Similarity {
         .unionByName(beamDf.select(col("qid"), col("tid"))
           .join(adjL, Seq("tid"))
           .select(col("qid"), col("dst").as("tid")))
-        .distinct()
       prune(expanded, width)
     }
     // entry: exact argmax over the (tiny) top occupied layer
