@@ -259,6 +259,9 @@ object BandIndex {
       .select(explode(Dedup.sortedPairs(col("__ids"))).as("__p"))
       .select(col("__p.id_1").as("id_1"), col("__p.id_2").as("id_2"))
       .filter(col("id_1") < col("id_2"))
+      // pinned width BELOW the distinct so the confirm kernel's stage
+      // can't AQE-coalesce to one task — see Dedup.spreadPairs
+      .transform(Dedup.spreadPairs)
       .distinct()
     val norm = corpus.select(col(id), Dedup.normalized(col(text)).as("__t"))
     cands

@@ -193,8 +193,30 @@ object Dedup {
       .select(col("__p.id_1").as("id_1"), col("__p.id_2").as("id_2"))
       // duplicate input ids would make (x,x) pairs; keep the strict guard
       .filter(col("id_1") < col("id_2"))
+      // spreadPairs BELOW the distinct: the dedup aggregate rides the
+      // pinned exchange (same clustering), and no coalescible
+      // ENSURE_REQUIREMENTS shuffle is ever planned — a repartition
+      // ABOVE the distinct is dropped as redundant (identical
+      // partitioning) while AQE still coalesces the distinct's own
+      // exchange to one task (measured: the d3b confirm stayed 1-task)
+      .transform(spreadPairs)
       .distinct()
   }
+
+  /** Spread candidate pairs to the session's shuffle width before a
+    * per-pair CPU kernel (the exact-Jaccard confirm): candidate rows
+    * are two 8-byte ids, so AQE's BYTE-based partition coalescing packs
+    * the whole stream into one task (measured r18: d3b's 97k-pair
+    * confirm ran 4.2 s in ONE task — ~1 MB of rows but ~40 us/pair of
+    * kernel), serializing exactly the stage the banding prune exists to
+    * keep cheap. A width-pinned repartition (REPARTITION_BY_NUM shuffles
+    * are not AQE-coalescible) keyed by the pair spreads the confirm at
+    * any scale; the extra exchange ships ids only (guide §2.5's
+    * compute-skew case: partition by work, not bytes). */
+  private[ops] def spreadPairs(cands: DataFrame): DataFrame =
+    cands.repartition(
+      cands.sparkSession.sessionState.conf.numShufflePartitions,
+      col("id_1"), col("id_2"))
 
   /** MinHash dedup with exact-Jaccard verification of LSH candidates —
     * the standard two-stage shape: cheap banding prune, exact per-pair
