@@ -57,26 +57,47 @@ object Components {
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("rep"))
       .localCheckpoint()
+    // one min-label round as a PLAN over the previous labels: the self
+    // row rides the same union/aggregation carrying the input label in
+    // `prev` (each id contributes exactly one non-null prev, min() just
+    // picks it), so convergence is readable off the round's own output
+    // — no join of next against labels is ever needed
+    def oneRound(prevLabels: DataFrame): DataFrame = {
+      val viaEdges = sym
+        .join(prevLabels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("rep"),
+          lit(null).cast("long").as("prev"))
+      val self = prevLabels.select(col("id"), col("rep"),
+        col("rep").as("prev"))
+      viaEdges.union(self)
+        .groupBy(col("id"))
+        .agg(min(col("rep")).as("rep"), min(col("prev")).as("prev"))
+    }
+    // TWO rounds per lineage cut + convergence action (r18, guide §1.2
+    // "the distributed algorithm" at local latency): each driver-side
+    // job carries ~60-100 ms of planning/scheduling floor regardless of
+    // the (tiny) per-round data, and the d3 pair graph needs 14 rounds
+    // (measured), so the round loop is job-latency-bound. Chaining two
+    // rounds into one fused plan halves the jobs; `prev` then carries
+    // the label BEFORE THE CHUNK'S LAST round, so the check still tests
+    // exactly "did the last round change anything". Results are
+    // bit-identical to the one-round loop FOR EVERY INPUT: labels are
+    // monotone non-increasing, so the only divergence — running one
+    // extra round past the fixpoint before detecting it — is a no-op
+    // round, and the `iters` bound is never exceeded.
     var round = 0
     var converged = false
     while (round < iters && !converged) {
-      val viaEdges = sym
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .select(col("src").as("id"), col("rep"))
-      val next = viaEdges.union(labels.select(col("id"), col("rep")))
-        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
-        .localCheckpoint()
-      // early exit at the fixpoint: min-label labels are monotone
-      // non-increasing, so an unchanged round stays unchanged forever and
-      // the result equals the full `iters`-deep unroll (the oracle's
-      // shape) — the check is one count over the already-materialized
-      // label tables, the same stopping test a production loop runs
-      converged = next.withColumnRenamed("rep", "rep2")
-        .join(labels, "id")
-        .filter(col("rep") =!= col("rep2")).isEmpty
-      labels = next
-      round += 1
+      val step = math.min(2, iters - round)
+      var cur = labels
+      for (_ <- 1 to step) cur = oneRound(cur.select(col("id"), col("rep")))
+      val next = cur.localCheckpoint() // lineage cut: constant-size plan
+      converged = next.filter(col("rep") =!= col("prev")).count() == 0L
+      labels = next.select(col("id"), col("rep"))
+      round += step
     }
+    if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
+      System.err.println(s"[propagate] rounds=$round converged=$converged")
     labels
   }
 

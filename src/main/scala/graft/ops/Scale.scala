@@ -9,6 +9,28 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Spread an UNDER-SPLIT source before per-row kernel work (r18,
+    * guide §2.5 "partition by work, not bytes"): a tiny parquet table is
+    * one file with one row group, so Spark's split planning gives the
+    * scan ONE task no matter the config — and every expensive per-row
+    * kernel projected before the first exchange (signature hashing,
+    * media decode, multi-distinct aggregation) then runs serially on
+    * one core (measured r18: table_stats spent 5.0 of its 5.2 s in a
+    * 3-task scan stage; the triangle pairs build 1.4 s in 3 tasks).
+    * The fix is partition-count-derived, not a constant: when the
+    * planned scan parallelism is under half the cluster's cores, pay
+    * one round-robin exchange of the (by construction small) input to
+    * spread the kernel; a source already split wider than cores — every
+    * real table at the 100 TB posture — passes through IDENTITY, plan
+    * untouched, so this never adds a corpus-scale shuffle. Results are
+    * row-identical (pure repartition). */
+  def spreadNarrowScan(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    // physical-planning only — no job runs to read the partition count
+    val planned = df.rdd.getNumPartitions
+    if (planned * 2 <= cores) df.repartition(cores) else df
+  }
+
   /** Write a table bucketed+sorted on the join key: repeated joins on that
     * key then need no shuffle (both sides read pre-partitioned).
     * `path` makes it an external table at that location (keeps temp

@@ -220,8 +220,11 @@ object FlowQueries {
     // PageRank shape that survives any node count.
     "graph_pagerank" -> ((s, dir) => {
       import s.implicits._
-      val li = t(s, dir, "lineitem")
-        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      // spread the under-split lineitem scan before the pair build: the
+      // self-join's pair generation + distinct map side otherwise runs
+      // in the source's 3 scan tasks (r18 profile, guide §2.5)
+      val li = graft.ops.Scale.spreadNarrowScan(t(s, dir, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")))
       val pairs = li.as("a").join(li.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
         .select(col("a.pk").as("src"), col("b.pk").as("dst"))
@@ -245,8 +248,11 @@ object FlowQueries {
     // the cold fixpoint in fewer rounds (the incremental win).
     "graph_pagerank_incremental" -> ((s, dir) => {
       import s.implicits._
-      val li = t(s, dir, "lineitem")
-        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      // spread the under-split lineitem scan before the pair build: the
+      // self-join's pair generation + distinct map side otherwise runs
+      // in the source's 3 scan tasks (r18 profile, guide §2.5)
+      val li = graft.ops.Scale.spreadNarrowScan(t(s, dir, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")))
       def edgesOf(src: DataFrame) = {
         val pairs = src.as("a").join(src.as("b"),
             col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
@@ -272,8 +278,11 @@ object FlowQueries {
     // set, so count equality cross-proves both formulations.
     "graph_triangles" -> ((s, dir) => {
       import s.implicits._
-      val li = t(s, dir, "lineitem")
-        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      // spread the under-split lineitem scan before the pair build: the
+      // self-join's pair generation + distinct map side otherwise runs
+      // in the source's 3 scan tasks (r18 profile, guide §2.5)
+      val li = graft.ops.Scale.spreadNarrowScan(t(s, dir, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")))
       val pairs = li.as("a").join(li.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("id_1"), col("b.pk").as("id_2"))
@@ -289,8 +298,11 @@ object FlowQueries {
     // so the twin is graph_triangles' twin verbatim.
     "graph_triangles_sliced" -> ((s, dir) => {
       import s.implicits._
-      val li = t(s, dir, "lineitem")
-        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      // spread the under-split lineitem scan before the pair build: the
+      // self-join's pair generation + distinct map side otherwise runs
+      // in the source's 3 scan tasks (r18 profile, guide §2.5)
+      val li = graft.ops.Scale.spreadNarrowScan(t(s, dir, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")))
       val pairs = li.as("a").join(li.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("id_1"), col("b.pk").as("id_2"))
@@ -309,8 +321,11 @@ object FlowQueries {
     // graph_triangles twin verbatim.
     "graph_triangles_incremental" -> ((s, dir) => {
       import s.implicits._
-      val li = t(s, dir, "lineitem")
-        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      // spread the under-split lineitem scan before the pair build: the
+      // self-join's pair generation + distinct map side otherwise runs
+      // in the source's 3 scan tasks (r18 profile, guide §2.5)
+      val li = graft.ops.Scale.spreadNarrowScan(t(s, dir, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")))
       def pairsOf(src: DataFrame) = src.as("a").join(src.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("id_1"), col("b.pk").as("id_2"))
@@ -345,8 +360,11 @@ object FlowQueries {
     // a count mismatch.
     "graph_triangles_store_appended" -> ((s, dir) => {
       import s.implicits._
-      val li = t(s, dir, "lineitem")
-        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      // spread the under-split lineitem scan before the pair build: the
+      // self-join's pair generation + distinct map side otherwise runs
+      // in the source's 3 scan tasks (r18 profile, guide §2.5)
+      val li = graft.ops.Scale.spreadNarrowScan(t(s, dir, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")))
       def pairsOf(src: DataFrame) = src.as("a").join(src.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("id_1"), col("b.pk").as("id_2"))
@@ -371,8 +389,11 @@ object FlowQueries {
     // gateable — the twin replays the two-link XXH64 chain.
     "graph_triangles_approx" -> ((s, dir) => {
       import s.implicits._
-      val li = t(s, dir, "lineitem")
-        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      // spread the under-split lineitem scan before the pair build: the
+      // self-join's pair generation + distinct map side otherwise runs
+      // in the source's 3 scan tasks (r18 profile, guide §2.5)
+      val li = graft.ops.Scale.spreadNarrowScan(t(s, dir, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")))
       val pairs = li.as("a").join(li.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("id_1"), col("b.pk").as("id_2"))
