@@ -280,9 +280,16 @@ object Graph {
       undDisk.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else undDisk
+    // deg is joined TWICE below (a-side and b-side); without a cut the
+    // whole degree aggregation runs twice — exchange reuse does not fire
+    // across the two renamed references (r18 profile: two identical
+    // 364k-row agg stages, ~0.8 s each). One eager cut computes it once,
+    // and the exact post-cut stats let the planner broadcast it when
+    // small instead of guessing from the scan estimate.
     val deg = und.select(col("a").as("n"))
       .union(und.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
     // orient each edge toward the higher (degree, id); carry the dst's
     // degree so wedge enumeration can order the two out-edges without a
     // second lookup
@@ -366,12 +373,21 @@ object Graph {
       // repartition at the session width would change nothing but strip
       // AQE's freedom on the requirement-driven exchange (measured +30%
       // at 1x)
+      // SHUFFLE_HASH on the edge side (guide §3.1): the closing probe is
+      // a pure equi-join where the wedge stream dominates; sort-merge
+      // pays an O(n log n) sort of BOTH the wedge slice and the edge set
+      // per pass. The hash build side is the oriented edge set at the
+      // wedge-scaled width — per-partition build is |E|/nPart rows, and
+      // nPart grows with the wedge volume (|E| <= wedge rows + |V|), so
+      // the build stays bounded at any scale while the (larger) wedge
+      // side streams unsorted. Same rows out — join strategy only.
+      val closeRH = closeR.hint("shuffle_hash")
       val tri =
         if (nPart > sessionPar)
           gated.repartition(nPart, col("v"), col("w"))
-            .join(closeR.repartition(nPart, col("v"), col("w")),
+            .join(closeRH.repartition(nPart, col("v"), col("w")),
               Seq("v", "w"))
-        else gated.join(closeR, Seq("v", "w"))
+        else gated.join(closeRH, Seq("v", "w"))
       tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
     }
