@@ -17,9 +17,15 @@ object Sinks {
   def bucketCol(index: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (floor(index / 100) * 100).cast("long")
 
-  /** S5/S6: bucketed parquet append. */
+  /** S5/S6: bucketed parquet append. A narrow (under-split) input is
+    * spread BY BUCKET first so the per-bucket files are written by
+    * parallel tasks instead of one task opening every bucket's writer
+    * sequentially (r18 profile: ~1 s single-task write stage at gate
+    * scale); file count is unchanged and wide inputs pass through. */
   def writeBucketed(df: DataFrame, path: String, indexCol: String): Unit =
-    df.withColumn("bucket", bucketCol(col(indexCol)))
+    graft.ops.Scale.spreadNarrowScan(
+        df.withColumn("bucket", bucketCol(col(indexCol))),
+        Seq(col("bucket")))
       .write.mode(SaveMode.Append).partitionBy("bucket").parquet(path)
 
   /** S7: point lookup with explicit bucket predicate -> partition pruning
@@ -72,10 +78,18 @@ object Sinks {
     // in the low thousands) and the exchange costs more than the files
     // — r14 measured +35% on the 1x roundtrip from an unconditional
     // repartition — so it is skipped below the bucket threshold.
+    // narrow patches (<= threshold buckets) formerly skipped any exchange
+    // — r14 measured +35% from an UNPINNED repartition(bucket), which
+    // AQE coalesced to one partition (all cost, no parallelism). The
+    // pinned by-bucket spread is different: it only fires when the
+    // merged rows are under-split, is not AQE-coalescible, and hands the
+    // dynamic-partition writer parallel tasks at the same file count
+    // (r18 profile: the overwrite was a ~1 s single-task stage).
     val materialized =
       (if (bucketList.length > MaxUnpartitionedBuckets)
         merged.repartition(col("bucket"))
-      else merged).localCheckpoint()
+      else graft.ops.Scale.spreadNarrowScan(merged, Seq(col("bucket"))))
+        .localCheckpoint()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try materialized.write.mode(SaveMode.Overwrite)
       .partitionBy("bucket").parquet(path)

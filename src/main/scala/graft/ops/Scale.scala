@@ -31,6 +31,21 @@ object Scale {
     if (planned * 2 <= cores) df.repartition(cores) else df
   }
 
+  /** Key-clustered variant of [[spreadNarrowScan]] for narrow inputs
+    * feeding a PARTITIONED WRITE: round-robin would scatter every
+    * partition value across all tasks (tasks x values small files —
+    * guide §6's anti-pattern), so spread by the partition key instead —
+    * file count stays one per (value, holding task) while the writers
+    * parallelize. Pinned width: an AQE-coalescible exchange of a few MB
+    * collapses back to one task, which is the measured r14 failure mode
+    * of the unpinned form. Identity on already-wide inputs. */
+  def spreadNarrowScan(df: DataFrame,
+      keys: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val planned = df.rdd.getNumPartitions
+    if (planned * 2 <= cores) df.repartition(cores, keys: _*) else df
+  }
+
   /** Write a table bucketed+sorted on the join key: repeated joins on that
     * key then need no shuffle (both sides read pre-partitioned).
     * `path` makes it an external table at that location (keeps temp

@@ -1206,7 +1206,16 @@ object Similarity {
         probeCells(col("te"), cs, pMax).as("probes"),
         scaledDot(col("te"), col("te")).as("nrm"))
       .localCheckpoint()
-    (0 to cap).map { l =>
+    // ONE level-tagged exchange pair for ALL levels (r18, guide §2.4):
+    // the per-level shape paid a top-m window exchange plus a bi-prune
+    // exchange per level — 2(cap+1) exchanges per build. Tagging every
+    // candidate with its level and partitioning by (lvl, src) runs the
+    // SAME per-level top-m and 2m prune (the windows partition by
+    // (lvl, src), so ranking within a level is untouched and every twin
+    // replays verbatim) through exactly two exchanges total; the dedup
+    // aggregate rides the second one (HashPartitioning(lvl, src)
+    // satisfies its clustering).
+    val scoredAll = (0 to cap).map { l =>
       val nodes = base.filter(col("lvl") >= l)
       val pL = hnswProbeWidth(l, nProbe, nCells)
       val vSide = nodes.select(col("tid").as("src"), col("te").as("se"),
@@ -1214,9 +1223,25 @@ object Similarity {
         explode(slice(col("probes"), 1, pL)).as("cell"))
       val uSide = nodes.select(col("tid").as("dst"), col("te").as("de"),
         col("nrm").as("dn"), col("home").as("cell"))
-      hnswBiPrune(
-        hnswFwdTopM(vSide.join(uSide, Seq("cell")).drop("cell"), m), m, l)
+      vSide.join(uSide, Seq("cell")).drop("cell")
+        .filter(col("src") =!= col("dst"))
+        .withColumn("cos", scaledDot(col("se"), col("de")).cast("double") /
+          sqrt((col("sn") * col("dn")).cast("double")))
+        .select(lit(l).as("lvl"), col("src"), col("dst"), col("cos"))
     }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("lvl"), col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    val fwd = scoredAll.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= m)
+      .select(col("lvl"), col("src"), col("dst"), col("cos"))
+    val bi = fwd.unionByName(
+        fwd.select(col("lvl"), col("dst").as("src"),
+          col("src").as("dst"), col("cos")))
+      .repartition(col("lvl"), col("src"))
+      .distinct()
+    bi.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2 * m)
+      .select(col("lvl"), col("src"), col("dst"), col("cos"))
   }
 
   /** Top-`m` forward lists (src, dst, cos) from candidate pairs carrying
@@ -1230,30 +1255,6 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= m)
       .select(col("src"), col("dst"), col("cos"))
-  }
-
-  /** BIDIRECTIONAL links (the HNSW paper's discipline): reverse every
-    * selected edge (cosine is symmetric, so the reversed edge carries
-    * the identical score), dedup, re-prune in-degree to 2m per node —
-    * deterministic, and navigable from both endpoints.
-    *
-    * Plan shape (r18, guide §2.4): the union is repartitioned by `src`
-    * ONCE and both the dedup aggregate (keys src,dst,cos ⊇ src) and the
-    * top-2m window (partition src) ride that single exchange —
-    * HashPartitioning(src) satisfies both clusterings, so the former
-    * distinct-exchange on (src,dst,cos) plus window-exchange on (src)
-    * collapse to one. Row set is unchanged (same dedup keys, same
-    * deterministic ordering), so every hnsw twin replays verbatim. */
-  private def hnswBiPrune(fwd: DataFrame, m: Int, l: Int): DataFrame = {
-    val bi = fwd.unionByName(
-        fwd.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
-      .repartition(col("src"))
-      .distinct()
-    val w2 = Window.partitionBy(col("src"))
-      .orderBy(col("cos").desc, col("dst"))
-    bi.withColumn("rn", row_number().over(w2))
-      .filter(col("rn") <= 2 * m)
-      .select(lit(l).as("lvl"), col("src"), col("dst"), col("cos"))
   }
 
   /** Beam descent over a prebuilt layered adjacency. `targets` must
