@@ -170,6 +170,7 @@ object Components {
     }
     var edges = sym(pairs.select(col("id_1").as("src"), col("id_2").as("dst")))
       .localCheckpoint()
+    var n = edges.count() // carried across rounds: one count job per round
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -177,10 +178,13 @@ object Components {
         .localCheckpoint()
       // set equality over the two materialized DISTINCT edge sets: equal
       // cardinality plus one-sided difference emptiness suffices (and
-      // saves an except job per round vs the symmetric check)
-      converged = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
+      // saves an except job per round vs the symmetric check); the
+      // cardinality short-circuit also keeps the except job off every
+      // round where the counts already differ
+      val m = next.count()
+      converged = m == n && next.exceptAll(edges).isEmpty
       edges = next
+      n = m
       round += 1
     }
     require(converged,

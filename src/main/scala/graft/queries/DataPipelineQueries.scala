@@ -3495,7 +3495,9 @@ object DataPipelineQueries {
       import s.implicits._
       // localCheckpoint: the hashed frame feeds BOTH the pair mine and
       // the final anti-join — encode+decode+hash runs once per row
-      val hashed = t(s, dir, "documents").filter($"doc_id" % 3 === 0)
+      val hashed = graft.ops.Scale.spreadNarrowScan(
+          t(s, dir, "documents").filter($"doc_id" % 3 === 0)
+            .select($"doc_id"))
         .select($"doc_id", imageDHashCol($"doc_id").as("dhash"))
         .localCheckpoint()
       val pairs = Dedup.hammingPairs(hashed, "doc_id", "dhash",
@@ -3516,7 +3518,9 @@ object DataPipelineQueries {
     "mm_image_incr_dedup" -> ((s, dir) => {
       import s.implicits._
       def hashes(pred: org.apache.spark.sql.Column) =
-        t(s, dir, "documents").filter($"doc_id" % 3 === 0).filter(pred)
+        graft.ops.Scale.spreadNarrowScan(
+            t(s, dir, "documents").filter($"doc_id" % 3 === 0).filter(pred)
+              .select($"doc_id"))
           .select($"doc_id", imageDHashCol($"doc_id").as("dhash"))
       val store = s.read.parquet(
         graft.util.TempDirs.cached("mm-dhash-store", dir) { p =>
@@ -3560,7 +3564,8 @@ object DataPipelineQueries {
         })
       val progCol = internal.column(JpegDHash(
         DedupJpegProgPayload(internal.expression($"doc_id"))))
-      val batch = docs.filter($"doc_id" >= 300)
+      val batch = graft.ops.Scale.spreadNarrowScan(
+          docs.filter($"doc_id" >= 300).select($"doc_id"))
         .select($"doc_id", progCol.as("dhash")).localCheckpoint()
       val hits = Dedup.hammingJoin(batch, "doc_id", store, "store_id",
           "dhash", maxHamming = 3)
@@ -3588,7 +3593,8 @@ object DataPipelineQueries {
         })
       val a7Col = internal.column(PngDHash(
         DedupPngAdam7Payload(internal.expression($"doc_id"))))
-      val batch = docs.filter($"doc_id" >= 300)
+      val batch = graft.ops.Scale.spreadNarrowScan(
+          docs.filter($"doc_id" >= 300).select($"doc_id"))
         .select($"doc_id", a7Col.as("dhash")).localCheckpoint()
       val hits = Dedup.hammingJoin(batch, "doc_id", store, "store_id",
           "dhash", maxHamming = 3)
@@ -3609,10 +3615,13 @@ object DataPipelineQueries {
       import s.implicits._
       val docs = t(s, dir, "documents")
       def mediaHashes(m: Long, hash: org.apache.spark.sql.Column) =
-        docs.filter($"doc_id" % 3 === m)
+        graft.ops.Scale.spreadNarrowScan(
+            docs.filter($"doc_id" % 3 === m).select($"doc_id"))
           .select($"doc_id", hash.as("mh"))
       val textPairs = Dedup.simhashPairs(
-        docs.filter(length(Dedup.normalized($"text")) > 0),
+        graft.ops.Scale.spreadNarrowScan(
+          docs.filter(length(Dedup.normalized($"text")) > 0)
+            .select($"doc_id", $"text")),
         "doc_id", "text", maxHamming = 3, maxBucketSize = 64)
       val imgPairs = Dedup.hammingPairs(
         mediaHashes(0, imageDHashCol($"doc_id")),
@@ -3679,7 +3688,9 @@ object DataPipelineQueries {
     "mm_image_knn" -> ((s, dir) => {
       import s.implicits._
       def hashes(pred: org.apache.spark.sql.Column) =
-        t(s, dir, "documents").filter($"doc_id" % 3 === 0).filter(pred)
+        graft.ops.Scale.spreadNarrowScan(
+            t(s, dir, "documents").filter($"doc_id" % 3 === 0).filter(pred)
+              .select($"doc_id"))
           .select($"doc_id", imageDHashCol($"doc_id").as("dhash"))
       val store = s.read.parquet(
         graft.util.TempDirs.cached("mm-dhash-store", dir) { p =>
